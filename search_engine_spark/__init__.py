@@ -1,0 +1,31 @@
+"""search_engine_spark — a from-scratch PySpark-native inverted-index + BM25 engine.
+
+Capability-equivalent to the reference adamcesco/search-engine (C++17 pthread
+pipeline over a Kaggle JSON news corpus), re-grounded over a source-code corpus
+table ``documents(repo, path, commit, lang, content)`` per BASELINE.json's
+``input_hint``.  NOT a port: the dataflow is declared with the DataFrame API and
+optimized by Catalyst; the only Python-side compute is vectorized Arrow/pandas
+UDFs (varbyte codec, optional stemmer).
+
+Layout
+------
+- ``constants``          tokenizer delimiter class, BM25 constants (reference parity)
+- ``oracle``             pure-Python ground-truth tokenizer/BM25/ranking oracle
+- ``fixtures``           deterministic synthetic corpus generator (FIXTURES.md)
+- ``functions.normalize``  Spark-native term normalization expressions
+- ``functions.codec``      delta+varbyte posting-block codec (numpy-vectorized)
+- ``functions.stem``       Porter stemmer (optional, off for reference parity)
+- ``operators.tokenize``   doc → (docid, field, term, tf) forward index
+- ``operators.index_build`` postings/dictionary/docstats/corpus_stats build
+- ``operators.dedup``      exact / minhash-LSH / simhash / n-gram-jaccard dedup
+- ``operators.similarity`` brute-force + LSH-bucketed cosine ANN
+- ``operators.textstats``  language-ID, quality score, token count, fingerprint
+- ``operators.multimodal`` binary-column plumbing (decode stubbed)
+- ``plans.query_parser``   reference query-surface parser (Q1–Q5)
+- ``plans.bm25``           BM25 query execution (OR/AND, facets, top-k)
+- ``plans.wand``           block-max WAND pruning path
+- ``sources.corpus``       documents-table loaders (parquet testdata, Kaggle JSON)
+- ``sources.index_io``     index persistence + build manifest (checkpoint/resume)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,68 @@
+"""Shared constants: tokenizer semantics and BM25 parameters.
+
+Tokenizer semantics mirror the reference engine:
+- delimiter class ``" \\t\\v\\n\\r,.?!;:\\"/()"`` — the ``strtok_r`` class at
+  ``/root/reference/KaggleFinanceSourceEngine.cpp:212`` (note ``'`` and ``-``
+  are NOT delimiters);
+- tokens containing any non-ASCII byte are rejected
+  (``KaggleFinanceSourceEngine.cpp:137-139``);
+- apostrophes are stripped, remaining bytes lowercased
+  (``KaggleFinanceSourceEngine.cpp:140-152``);
+- empty-after-cleaning tokens are dropped (the reference would hash the
+  empty string — an artifact we do not replicate; see SURVEY.md §2.2 P2);
+- query-side: terms of cleaned length <= 2 are skipped
+  (``/root/reference/SearchEngine.h:116-119``).
+
+BM25 constants follow BASELINE.json ``north_star`` (Lucene-style idf).
+"""
+
+# Regex character class equivalent to the reference delimiter set.
+# Works identically in Java regex (Spark), RE2 (DuckDB) and Python `re`.
+DELIM_CLASS = r'[ \t\x0B\n\r,.?!;:"/()]+'
+
+# A token survives only if every byte is ASCII (0x00-0x7F).
+ASCII_TOKEN_RE = r"^[\x00-\x7F]+$"
+
+# Query-side minimum cleaned-term length (strictly greater than).
+MIN_QUERY_TERM_LEN = 2
+
+# BM25 parameters (fixed; FIXTURES.md §4).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+# Posting-block size for the delta+varbyte codec / block-max WAND.
+BLOCK_SIZE = 128
+
+# Number of hash buckets the postings table is partitioned by
+# (term-hash partition pruning at query time).  At 10^12-file scale this
+# would be sized to thousands; tests use a small power of two.
+DEFAULT_INDEX_BUCKETS = 32
+
+# Fields indexed from the documents table.  ``content`` plays the
+# reference's `text` role, ``path`` the `thread.title` role (SURVEY.md §1.1).
+FIELD_BODY = "content"
+FIELD_TITLE = "title"
+
+# Facet columns of the code-corpus grounding and their reference query
+# categories (SURVEY.md §2.7 Q2, FIXTURES.md §3).
+FACET_COLUMNS = {
+    "langs": "lang",
+    "sites": "repo",
+}
+
+# Reference query-surface categories → (kind, target).
+# kind: "terms" → BM25-scored postings field; "facet" → exact facet match.
+CATEGORY_MAP = {
+    "values": ("terms", FIELD_BODY),
+    "title": ("terms", FIELD_TITLE),
+    "langs": ("facet", "lang"),
+    "sites": ("facet", "repo"),
+    # Kaggle-corpus categories that have no code-corpus column map to
+    # facet columns when present; kept for parser completeness
+    # (SearchEngine.h:134-338 category switch).
+    "countries": ("facet", "country"),
+    "people": ("facet", "person"),
+    "orgs": ("facet", "org"),
+    "authors": ("facet", "author"),
+    "locations": ("facet", "location"),
+}

@@ -1,0 +1,133 @@
+"""Deterministic synthetic corpus generator (FIXTURES.md §1-3).
+
+Everything is seeded — no wall-clock, no external data.  The generated table
+matches BASELINE.json ``input_hint``:
+``documents(repo string, path string, commit string, lang string, content string)``
+with planted features that drive the test suite:
+
+(a) 25 stopword-like terms in >80% of docs  → skew / salting tests;
+(b) apostrophe / non-ASCII / short tokens   → normalizer parity tests;
+(c) 10 rare terms in exactly 1–3 known docs → golden top-k tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+LANG_BY_EXT = {"py": "python", "cpp": "cpp", "java": "java", "rs": "rust", "go": "go"}
+EXTS = list(LANG_BY_EXT)
+
+STOPWORDS = [
+    "def", "return", "import", "class", "self", "from", "for", "while",
+    "else", "elif", "none", "true", "false", "pass", "break", "continue",
+    "lambda", "with", "try", "except", "raise", "yield", "global", "assert", "not",
+]
+
+# normalizer-adversarial tokens planted at low rate
+ADVERSARIAL = ["don't", "naïve", "if", "x", "it's", "café", "l'été", "a-b"]
+
+RARE_TERMS = [f"zephyrq{i}" for i in range(10)]
+
+
+def _vocab(n: int = 5000) -> list[str]:
+    """Identifier-like vocabulary, deterministic."""
+    verbs = ["load", "parse", "write", "read", "merge", "split", "hash",
+             "sort", "scan", "fill", "push", "pop", "map", "fold", "emit"]
+    nouns = ["config", "json", "index", "token", "block", "buffer", "queue",
+             "shard", "batch", "term", "doc", "file", "tree", "graph", "node"]
+    out = []
+    i = 0
+    while len(out) < n:
+        v, s = verbs[i % len(verbs)], nouns[(i // len(verbs)) % len(nouns)]
+        out.append(f"{v}_{s}{i // (len(verbs) * len(nouns))}")
+        i += 1
+    return out
+
+
+def _zipf_weights(n: int, s: float = 1.07) -> list[float]:
+    return [1.0 / (k**s) for k in range(1, n + 1)]
+
+
+def generate_documents(n_docs: int = 100, seed: int = 42) -> list[dict]:
+    """Deterministic corpus rows: repo/path/commit/lang/content (+docid later).
+
+    Delimiters between tokens are drawn from the reference delimiter class
+    (``KaggleFinanceSourceEngine.cpp:212``) so the tokenizer is exercised on
+    every separator byte, not just spaces.
+    """
+    rng = random.Random(seed)
+    vocab = _vocab()
+    weights = _zipf_weights(len(vocab))
+    delims = [" ", " ", " ", "\t", "\n", ", ", ". ", "? ", "! ", "; ", ": ", '" ', "/ ", "( ", ") "]
+    docs = []
+    for i in range(n_docs):
+        ext = EXTS[i % len(EXTS)]
+        repo = f"org{i % 7}/repo{i % 23}"
+        path = f"src/dir{i % 11}/file_{i}.{ext}"
+        commit = hashlib.sha256(f"c{i}".encode()).hexdigest()[:40]
+        n_tokens = rng.randint(20, 400)
+        toks = rng.choices(vocab, weights=weights, k=n_tokens)
+        # (a) stopword flood: >80% of docs carry several stopword-like terms
+        if rng.random() < 0.85:
+            toks += rng.choices(STOPWORDS, k=max(3, n_tokens // 10))
+        # (b) adversarial normalizer tokens, low rate
+        if rng.random() < 0.3:
+            toks += rng.choices(ADVERSARIAL, k=2)
+        rng.shuffle(toks)
+        content = ""
+        for t in toks:
+            content += t + rng.choice(delims)
+        docs.append(
+            {"repo": repo, "path": path, "commit": commit,
+             "lang": LANG_BY_EXT[ext], "content": content}
+        )
+    # (c) rare terms in exactly 1-3 known docs (deterministic placement)
+    rng2 = random.Random(seed + 1)
+    for j, term in enumerate(RARE_TERMS):
+        hits = 1 + (j % 3)
+        for h in range(hits):
+            tgt = (j * 17 + h * 31) % n_docs
+            reps = 1 + ((j + h) % 4)
+            docs[tgt]["content"] += (" " + term) * reps
+    return docs
+
+
+def with_docids(docs: list[dict]) -> list[dict]:
+    """Attach the engine docid = stable 63-bit hash of (repo,path,commit).
+
+    Mirrors the engine's ``xxhash64`` identity (SURVEY.md §1.3) but uses
+    sha256 here so the oracle has no Spark dependency; tests that compare
+    oracle vs engine join on (repo,path,commit), not on raw docid values.
+    """
+    out = []
+    for d in docs:
+        key = f"{d['repo']}\x00{d['path']}\x00{d['commit']}".encode()
+        docid = int.from_bytes(hashlib.sha256(key).digest()[:8], "big") >> 1
+        out.append({**d, "docid": docid})
+    return out
+
+
+REFERENCE_QUERY_SET: list[tuple[str, str, int]] = [
+    # (query, mode, k) — FIXTURES.md §3 coverage matrix
+    ("values: load_config", "or", 10),
+    ("values: parse_json0 merge_index0", "or", 10),
+    ("values: parse_json0 merge_index0", "and", 10),
+    ("values: zephyrq0", "or", 10),                       # rare term, 1 doc
+    ("values: zephyrq3 zephyrq4", "or", 10),              # rare multi
+    ("values: def return import", "or", 10),              # stopword flood
+    ("values: if x", "or", 10),                           # all len<=2 → empty
+    ("values: naïve", "or", 10),                          # non-ASCII → skipped
+    ("values: don't", "or", 10),                          # apostrophe → dont
+    ("values: qqqqnohit", "or", 10),                      # zero-hit
+    ("title: file_7", "or", 10),
+    ("values: load_config | title: file_3 file_5", "or", 10),
+    ("langs: python", "or", 10),
+    ("sites: org1/repo1", "or", 10),
+    ('sites: "org2/repo2"', "or", 10),                    # quoted facet phrase
+    ("values: hash_shard0 | langs: go", "or", 10),
+    ("values: hash_shard0 | langs: go", "and", 10),
+    ("values: zephyrq1, zephyrq2", "or", 10),             # comma separator
+    ("values: scan_tree0 fill_queue0 | sites: org3/repo3 | langs: java", "or", 10),
+    ("values: zephyrq9 load_config", "and", 10),
+]

@@ -1,0 +1,165 @@
+"""Delta + varbyte posting-block codec (BASELINE.json north_star).
+
+Posting lists (docid-sorted) are split into blocks of ``BLOCK_SIZE`` entries.
+Each block is encoded independently as::
+
+    varbyte(delta_gaps(docids - first_docid)) ++ varbyte(tfs)
+
+with per-block metadata ``(first_docid, last_docid, max_tf, count)`` kept as
+a separate typed column — ``max_tf`` yields a query-time BM25 upper bound for
+block-max WAND (plans/wand.py) because BM25's tf-normalization is monotone
+in tf, so no score needs to live in the index.
+
+All encode/decode arithmetic is numpy-vectorized over whole arrays; the
+pandas UDFs below execute once per TERM row (not per posting), receiving
+Arrow-backed numpy arrays.  This is the designed slow-path exception of
+SURVEY.md §2.11 — Spark has no built-in varbyte codec.
+
+The classic varbyte format: little-endian 7-bit groups, high bit = 1 on
+every byte except the last of a value (e.g. Manning/Raghavan/Schütze, IIR
+§5.3 — public algorithm).
+"""
+
+import numpy as np
+import pandas as pd
+
+from ..constants import BLOCK_SIZE
+
+_U64_7 = np.uint64(7)
+_U64_127 = np.uint64(0x7F)
+
+
+def vb_encode(vals: np.ndarray) -> bytes:
+    """Varbyte-encode a uint64 array (vectorized, no per-value Python loop)."""
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    n = len(vals)
+    if n == 0:
+        return b""
+    nb = np.ones(n, dtype=np.int64)
+    v = vals >> _U64_7
+    while v.any():
+        nb += (v > 0).astype(np.int64)
+        v >>= _U64_7
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nb, out=offs[1:])
+    buf = np.zeros(offs[-1], dtype=np.uint8)
+    max_nb = int(nb.max())
+    for k in range(max_nb):
+        mask = nb > k
+        pos = offs[:-1][mask] + k
+        byte = (vals[mask] >> np.uint64(7 * k)) & _U64_127
+        cont = (nb[mask] - 1) > k
+        buf[pos] = byte.astype(np.uint8) | (cont.astype(np.uint8) << 7)
+    return buf.tobytes()
+
+
+def vb_decode(buf: bytes) -> np.ndarray:
+    """Decode a varbyte buffer → uint64 array (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    idx = np.zeros(len(b), dtype=np.int64)
+    np.cumsum(is_last[:-1], out=idx[1:])
+    starts = np.zeros(idx[-1] + 1, dtype=np.int64)
+    first_of_value = np.nonzero(is_last)[0]
+    starts[1:] = first_of_value[:-1] + 1
+    pos = np.arange(len(b), dtype=np.int64) - starts[idx]
+    vals = np.zeros(idx[-1] + 1, dtype=np.uint64)
+    contrib = (b & 0x7F).astype(np.uint64) << (pos.astype(np.uint64) * _U64_7)
+    np.add.at(vals, idx, contrib)
+    return vals
+
+
+def encode_postings(
+    docids: np.ndarray, tfs: np.ndarray, block_size: int = BLOCK_SIZE
+) -> tuple[list[bytes], list[tuple[int, int, int, int]]]:
+    """docid-sorted posting list → (blocks, [(first, last, max_tf, count)])."""
+    docids = np.ascontiguousarray(docids, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    blocks: list[bytes] = []
+    meta: list[tuple[int, int, int, int]] = []
+    for s in range(0, len(docids), block_size):
+        d = docids[s : s + block_size]
+        t = tfs[s : s + block_size]
+        gaps = np.empty(len(d), dtype=np.uint64)
+        gaps[0] = 0  # first docid carried by block meta
+        np.subtract(d[1:], d[:-1], out=gaps[1:])
+        blocks.append(vb_encode(gaps) + vb_encode(t))
+        meta.append((int(d[0]), int(d[-1]), int(t.max()), len(d)))
+    return blocks, meta
+
+
+def decode_block(block: bytes, first_docid: int, count: int) -> tuple[np.ndarray, np.ndarray]:
+    """One block → (docids int64, tfs int64)."""
+    vals = vb_decode(block)
+    gaps, tfs = vals[:count], vals[count:]
+    docids = np.cumsum(gaps, dtype=np.uint64) + np.uint64(first_docid)
+    return docids.astype(np.int64), tfs.astype(np.int64)
+
+
+def decode_postings(
+    blocks: list[bytes], meta: list
+) -> tuple[np.ndarray, np.ndarray]:
+    """All blocks of one term → (docids, tfs), docid-sorted."""
+    if not blocks:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    ds, ts = [], []
+    for block, m in zip(blocks, meta):
+        first, count = int(m[0]), int(m[3])
+        d, t = decode_block(block, first, count)
+        ds.append(d)
+        ts.append(t)
+    return np.concatenate(ds), np.concatenate(ts)
+
+
+# ---------------------------------------------------------------------------
+# Spark column wrappers (executed once per term row, numpy inside)
+# ---------------------------------------------------------------------------
+
+ENCODED_SCHEMA = (
+    "struct<blocks: array<binary>, "
+    "meta: array<struct<first_docid: long, last_docid: long, max_tf: int, count: int>>>"
+)
+
+DECODED_SCHEMA = "struct<docids: array<long>, tfs: array<int>>"
+
+
+def encode_udf():
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf(ENCODED_SCHEMA)
+    def _enc(docids: pd.Series, tfs: pd.Series) -> pd.DataFrame:
+        out_blocks, out_meta = [], []
+        for d, t in zip(docids, tfs):
+            blocks, meta = encode_postings(
+                np.asarray(d, dtype=np.uint64), np.asarray(t, dtype=np.uint64)
+            )
+            out_blocks.append(blocks)
+            out_meta.append(
+                [
+                    {"first_docid": a, "last_docid": b, "max_tf": c, "count": n}
+                    for a, b, c, n in meta
+                ]
+            )
+        return pd.DataFrame({"blocks": out_blocks, "meta": out_meta})
+
+    return _enc
+
+
+def decode_udf():
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf(DECODED_SCHEMA)
+    def _dec(blocks: pd.Series, meta: pd.Series) -> pd.DataFrame:
+        out_d, out_t = [], []
+        for bl, me in zip(blocks, meta):
+            mtuples = [
+                (m["first_docid"], m["last_docid"], m["max_tf"], m["count"]) for m in me
+            ]
+            d, t = decode_postings(list(bl), mtuples)
+            out_d.append(d.tolist())
+            out_t.append(t.astype(np.int32).tolist())
+        return pd.DataFrame({"docids": out_d, "tfs": out_t})
+
+    return _dec

@@ -1,0 +1,40 @@
+"""Spark-native term normalization (SURVEY.md §2.2 P2/P3/P4).
+
+The hot path is 100% JVM-side Catalyst expressions (whole-stage codegen,
+no Python) — split / rlike / regexp_replace / lower.  The reference does the
+same work in ``CleanValue``/``strtok_r`` per byte in C++
+(``KaggleFinanceSourceEngine.cpp:135-153,212``); on Spark the declarative
+form vectorizes and pushes column pruning into the scan for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..constants import ASCII_TOKEN_RE, DELIM_CLASS, MIN_QUERY_TERM_LEN
+
+
+def split_tokens(col: Column) -> Column:
+    """Raw token array: split on the reference delimiter class."""
+    return F.split(col, DELIM_CLASS)
+
+
+def is_ascii_token(col: Column) -> Column:
+    """ASCII gate: token rejected if ANY byte is non-ASCII (P2)."""
+    return col.rlike(ASCII_TOKEN_RE)
+
+
+def clean_term(col: Column) -> Column:
+    """Strip apostrophes + lowercase (P2, minus the NUL-padding quirk)."""
+    return F.lower(F.regexp_replace(col, "'", ""))
+
+
+def clean_facet_value(col: Column) -> Column:
+    """Facet normalizer (P3): same as clean_term but non-ASCII → NULL."""
+    return F.when(is_ascii_token(col), clean_term(col))
+
+
+def query_term_filter(col: Column) -> Column:
+    """Query-side len>2 filter (P5, SearchEngine.h:116-119)."""
+    return F.length(col) > MIN_QUERY_TERM_LEN

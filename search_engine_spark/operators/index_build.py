@@ -1,0 +1,229 @@
+"""Inverted-index build: forward index → postings / dictionary / docstats /
+corpus_stats (SURVEY.md §2.3 A3-A6, §3.1).
+
+Capability parity with the reference's 3-stage pthread pipeline
+(``/root/reference/KaggleFinanceSourceEngine.cpp:32-97``): the arbitrator's
+``term % fill_count`` re-key (``:296``) IS Spark's hash exchange; the
+shared-nothing filler shards (``:311-325``) ARE shuffle partitions.  One
+declared shuffle replaces all the mutex/semaphore machinery.
+
+Scale design (100 TB / 10^12 files):
+- the ONLY wide dependency is the term-hash exchange; map-side partial
+  aggregation in `doc_terms` bounds its input to distinct (docid,term) pairs;
+- stopword-heavy terms are skew-split by SALTING (north_rule): a cheap
+  heavy-hitter pass marks terms whose document frequency exceeds a threshold;
+  their postings aggregate per (term, salt) first, then the (tiny) per-salt
+  sorted runs merge — two short shuffles instead of one giant hot partition;
+- postings are bucketed by xxhash64(term) so query-time term lookups prune
+  to one bucket directory per term (partition pruning, no full scan);
+- posting arrays are docid-sorted (enables delta+varbyte, codec.py) and
+  block-compressed with per-block max_tf for WAND.
+
+Docids: 63-bit non-negative — ``shiftrightunsigned(xxhash64(...), 1)`` — so
+signed/unsigned conversions in the codec are lossless.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..constants import DEFAULT_INDEX_BUCKETS, FIELD_BODY
+from ..functions.codec import encode_udf
+from .tokenize import doc_terms
+
+
+def add_docid(docs: DataFrame) -> DataFrame:
+    """Stable docid = 63-bit xxhash64(repo, path, commit) (SURVEY.md §1.3).
+
+    Collision probability at 10^12 docs over a 63-bit space is ~2.7% for a
+    full birthday bound across the WHOLE corpus; the build asserts uniqueness
+    (count distinct == count) so a collision fails loudly instead of silently
+    merging documents like the reference's std::hash docids do.
+    """
+    return docs.withColumn(
+        "docid", F.shiftrightunsigned(F.xxhash64("repo", "path", "commit"), 1)
+    )
+
+
+def heavy_terms(tf: DataFrame, threshold: int) -> DataFrame:
+    """Terms whose df exceeds `threshold` → candidates for salted aggregation.
+
+    At scale this runs on a sample (`tf.sample(0.001)`) with a scaled
+    threshold; on test data it is exact.  Equivalent role: the reference has
+    NO skew handling — its hottest filler shard simply runs longest.
+    """
+    return (
+        tf.groupBy("field", "term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > threshold)
+        .select("field", "term")
+    )
+
+
+@dataclass
+class IndexTables:
+    postings: DataFrame      # field, term, bucket, df, blocks, meta
+    dictionary: DataFrame    # field, term, termid, df
+    docstats: DataFrame      # docid, repo, path, commit, lang, doclen, titlelen, content_sha256
+    corpus_stats: DataFrame  # field, n_docs, avgdl
+
+
+def collect_postings(
+    tf: DataFrame,
+    salted_terms: DataFrame | None = None,
+    n_salts: int = 16,
+    buckets: int = DEFAULT_INDEX_BUCKETS,
+) -> DataFrame:
+    """(docid, field, term, tf) → (field, term, bucket, df, postings array).
+
+    Unsalted path: one exchange on (field, term), sorted collect_list.
+    Salted path (for the broadcast-marked heavy terms): aggregate per
+    (field, term, salt = docid % n_salts ... via xxhash), then concatenate
+    the per-salt sorted runs with a final array_sort — correctness proven by
+    test_skew.py equality vs the unsalted plan.
+    """
+    tf = tf.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int"))
+
+    if salted_terms is None:
+        grouped = tf.groupBy("field", "term", "bucket").agg(
+            F.array_sort(F.collect_list(F.struct("docid", "tf"))).alias("postings")
+        )
+    else:
+        marked = tf.join(
+            F.broadcast(salted_terms.withColumn("is_heavy", F.lit(True))),
+            on=["field", "term"],
+            how="left",
+        ).withColumn(
+            "salt",
+            F.when(
+                F.col("is_heavy").isNotNull(),
+                F.pmod(F.xxhash64("docid"), F.lit(n_salts)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        partial = marked.groupBy("field", "term", "bucket", "salt").agg(
+            F.array_sort(F.collect_list(F.struct("docid", "tf"))).alias("run")
+        )
+        grouped = partial.groupBy("field", "term", "bucket").agg(
+            F.array_sort(F.flatten(F.collect_list("run"))).alias("postings")
+        )
+
+    return grouped.select(
+        "field",
+        "term",
+        "bucket",
+        F.size("postings").cast("long").alias("df"),
+        "postings",
+    )
+
+
+def encode_posting_blocks(postings: DataFrame) -> DataFrame:
+    """Sorted posting arrays → delta+varbyte blocks + block metadata."""
+    enc = encode_udf()
+    docids = F.transform(F.col("postings"), lambda x: x["docid"])
+    tfs = F.transform(F.col("postings"), lambda x: x["tf"])
+    return (
+        postings.withColumn("enc", enc(docids, tfs))
+        .select(
+            "field",
+            "term",
+            "bucket",
+            "df",
+            F.col("enc.blocks").alias("blocks"),
+            F.col("enc.meta").alias("meta"),
+        )
+    )
+
+
+def index_from_tf(
+    docs: DataFrame,
+    tf: DataFrame,
+    salt_threshold: int | None = None,
+    n_salts: int = 16,
+    buckets: int = DEFAULT_INDEX_BUCKETS,
+    compress: bool = True,
+    body_col: str = "content",
+) -> IndexTables:
+    """Index tables from a precomputed forward index (docid, field, term, tf)."""
+    salted = heavy_terms(tf, salt_threshold) if salt_threshold is not None else None
+
+    plists = collect_postings(tf, salted_terms=salted, n_salts=n_salts, buckets=buckets)
+    postings = encode_posting_blocks(plists) if compress else plists
+
+    dictionary = plists.select(
+        "field", "term", F.shiftrightunsigned(F.xxhash64("term"), 1).alias("termid"), "df"
+    )
+
+    # per-doc stats: body doclen, title len, content identity hash
+    lens = (
+        tf.groupBy("docid")
+        .pivot("field", [FIELD_BODY, "title"])
+        .agg(F.sum("tf"))
+        .select(
+            "docid",
+            F.coalesce(F.col(FIELD_BODY), F.lit(0)).cast("long").alias("doclen"),
+            F.coalesce(F.col("title"), F.lit(0)).cast("long").alias("titlelen"),
+        )
+    )
+    id_cols = [c for c in ("repo", "path", "commit", "lang") if c in docs.columns]
+    docstats = (
+        docs.select("docid", *id_cols, F.sha2(F.col(body_col), 256).alias("content_sha256"))
+        .join(lens, on="docid", how="left")
+        .na.fill({"doclen": 0, "titlelen": 0})
+    )
+
+    corpus_stats = (
+        tf.groupBy("field")
+        .agg(F.sum("tf").alias("total_terms"))
+        .crossJoin(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+        .select(
+            "field",
+            "n_docs",
+            (F.col("total_terms") / F.col("n_docs")).alias("avgdl"),
+        )
+    )
+
+    return IndexTables(postings, dictionary, docstats, corpus_stats)
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    stem: bool = False,
+    stopwords: DataFrame | None = None,
+    salt_threshold: int | None = None,
+    n_salts: int = 16,
+    buckets: int = DEFAULT_INDEX_BUCKETS,
+    compress: bool = True,
+    body_col: str = "content",
+    title_col: str | None = "path",
+) -> IndexTables:
+    """Full index build over a documents DataFrame (must carry ``docid``).
+
+    ``salt_threshold=None`` disables salting (small corpora); at scale pass
+    e.g. ``corpus_size // 100`` so stopword-class terms split into
+    ``n_salts`` partial aggregations.
+    """
+    tf = doc_terms(
+        docs, stem=stem, stopwords=stopwords, body_col=body_col, title_col=title_col
+    )
+    return index_from_tf(
+        docs,
+        tf,
+        salt_threshold=salt_threshold,
+        n_salts=n_salts,
+        buckets=buckets,
+        compress=compress,
+        body_col=body_col,
+    )
+
+
+def assert_docid_unique(docs: DataFrame) -> None:
+    """Loud failure on docid collision (vs the reference's silent merge)."""
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("docid").alias("d")
+    ).collect()[0]
+    if row["n"] != row["d"]:
+        raise ValueError(f"docid collision: {row['n']} rows, {row['d']} distinct docids")

@@ -1,0 +1,76 @@
+"""Forward-index construction: documents → (docid, field, term, tf).
+
+Capability parity: reference parse stage
+(``/root/reference/KaggleFinanceSourceEngine.cpp:212-267`` — tokenize body +
+title, per-doc tf hash-agg A1/A2, optional stop-word drop P6 on body only).
+
+Spark-first design (SURVEY.md §2.3 A1): the whole pipeline is Catalyst
+expressions — split / explode / filter / lower / groupBy-count — which
+whole-stage-codegens and does a partial (map-side) aggregation before the
+shuffle, so shuffle volume ≈ distinct (docid, term) pairs, the same volume
+the reference's arbitrator queue carries.  No Python executes in this path.
+
+At 100 TB: the scan reads only the id + indexed-field columns (column
+pruning), the partial agg bounds shuffle bytes, and the later term-hash
+repartition (index_build) is THE one unavoidable shuffle — same dataflow as
+the reference's arbitrator re-key from doc-major to term-major.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import FIELD_BODY, FIELD_TITLE
+from ..functions.normalize import clean_term, is_ascii_token, split_tokens
+
+
+def terms_for_field(
+    docs: DataFrame,
+    source_col: str,
+    field_name: str,
+    stem: bool = False,
+) -> DataFrame:
+    """→ (docid, field, term) one row per token occurrence (pre-aggregation)."""
+    t = (
+        docs.select("docid", F.explode(split_tokens(F.col(source_col))).alias("tok"))
+        .where(F.col("tok") != "")
+        .where(is_ascii_token(F.col("tok")))
+        .select("docid", clean_term(F.col("tok")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    if stem:
+        from ..functions.stem import stem_udf
+
+        t = t.select("docid", stem_udf()(F.col("term")).alias("term"))
+    return t.select("docid", F.lit(field_name).alias("field"), "term")
+
+
+def doc_terms(
+    docs: DataFrame,
+    stem: bool = False,
+    stopwords: DataFrame | None = None,
+    body_col: str = "content",
+    title_col: str | None = "path",
+) -> DataFrame:
+    """documents → (docid, field, term, tf) forward index.
+
+    Stop-words are dropped from the BODY only via a broadcast left-anti join
+    (reference applies the stop-set to `text` tokens only —
+    ``KaggleFinanceSourceEngine.cpp:259``; the title loop at ``:237-249``
+    never consults it).
+    """
+    body = terms_for_field(docs, body_col, FIELD_BODY, stem=stem)
+    if stopwords is not None:
+        body = body.join(
+            F.broadcast(stopwords.select(F.col("term"))), on="term", how="left_anti"
+        )
+    parts = [body]
+    if title_col is not None:
+        parts.append(terms_for_field(docs, title_col, FIELD_TITLE, stem=stem))
+    all_terms = parts[0]
+    for p in parts[1:]:
+        all_terms = all_terms.unionByName(p)
+    return all_terms.groupBy("docid", "field", "term").agg(
+        F.count(F.lit(1)).cast("int").alias("tf")
+    )

@@ -1,0 +1,195 @@
+"""Pure-Python ground-truth oracle: tokenizer, BM25, deterministic ranking.
+
+This module is the correctness anchor (SURVEY.md §5.2): golden top-k answers
+are computed HERE, never by a prior engine run.  It intentionally contains no
+Spark — ~150 reviewable lines of plain Python.
+
+Semantics mirrored from the reference:
+- tokenizer: ``/root/reference/KaggleFinanceSourceEngine.cpp:135-153,212``
+- query-term length filter: ``/root/reference/SearchEngine.h:116-119``
+- OR (union-accumulate) semantics: ``/root/reference/SearchEngine.h:104-345``
+BM25 + AND-mode intersection + deterministic (score DESC, docid ASC)
+tie-break come from BASELINE.json ``north_star``/``north_rule``.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+from dataclasses import dataclass, field
+
+from .constants import BM25_B, BM25_K1, DELIM_CLASS, MIN_QUERY_TERM_LEN
+
+_SPLIT_RE = re.compile(DELIM_CLASS)
+
+
+def tokenize(text: str, stem: bool = False) -> list[str]:
+    """Reference-parity tokenizer: split on the delimiter class, reject
+    non-ASCII tokens, strip apostrophes, lowercase, drop empties."""
+    out: list[str] = []
+    for tok in _SPLIT_RE.split(text):
+        if not tok:
+            continue
+        if any(ord(c) > 127 for c in tok):
+            continue  # ASCII gate: whole token rejected
+        tok = tok.replace("'", "").lower()
+        if not tok:
+            continue
+        if stem:
+            from .functions.stem import porter_stem
+
+            tok = porter_stem(tok)
+        out.append(tok)
+    return out
+
+
+def clean_query_term(term: str, stem: bool = False) -> str | None:
+    """Query-side normalization: same cleaning, then the len>2 filter."""
+    if any(ord(c) > 127 for c in term):
+        return None
+    cleaned = term.replace("'", "").lower()
+    if len(cleaned) <= MIN_QUERY_TERM_LEN:
+        return None
+    if stem:
+        from .functions.stem import porter_stem
+
+        cleaned = porter_stem(cleaned)
+    return cleaned
+
+
+@dataclass
+class OracleIndex:
+    """In-memory index over a tiny corpus; fields: body + title."""
+
+    n_docs: int = 0
+    doclen: dict[int, int] = field(default_factory=dict)  # body tokens per doc
+    titlelen: dict[int, int] = field(default_factory=dict)
+    postings: dict[str, dict[str, dict[int, int]]] = field(default_factory=dict)
+    facets: dict[str, dict[str, set[int]]] = field(default_factory=dict)
+
+    @property
+    def avgdl(self) -> float:
+        return sum(self.doclen.values()) / self.n_docs if self.n_docs else 0.0
+
+    @property
+    def avg_titlelen(self) -> float:
+        return sum(self.titlelen.values()) / self.n_docs if self.n_docs else 0.0
+
+
+def build_oracle_index(
+    docs: list[dict],
+    stem: bool = False,
+    stopwords: set[str] | None = None,
+) -> OracleIndex:
+    """docs: list of {docid, content, path?, lang?, repo?}.
+
+    Stop-words apply to the body only — reference applies the optional
+    stop-set to `text` tokens, never the title
+    (``KaggleFinanceSourceEngine.cpp:259`` vs ``:237-249``).
+    """
+    idx = OracleIndex()
+    idx.postings = {"content": {}, "title": {}}
+    idx.facets = {"lang": {}, "repo": {}}
+    for d in docs:
+        docid = d["docid"]
+        idx.n_docs += 1
+        body = tokenize(d.get("content", ""), stem=stem)
+        if stopwords:
+            body = [t for t in body if t not in stopwords]
+        idx.doclen[docid] = len(body)
+        for term, tf in Counter(body).items():
+            idx.postings["content"].setdefault(term, {})[docid] = tf
+        title = tokenize(d.get("path", ""), stem=stem)
+        idx.titlelen[docid] = len(title)
+        for term, tf in Counter(title).items():
+            idx.postings["title"].setdefault(term, {})[docid] = tf
+        for facet in ("lang", "repo"):
+            v = d.get(facet)
+            if v:
+                idx.facets[facet].setdefault(v.lower(), set()).add(docid)
+    return idx
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    """Lucene-style non-negative idf (BASELINE.json north_star)."""
+    return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+
+def bm25_tf_norm(tf: int, dl: int, avgdl: float) -> float:
+    denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl) if avgdl else tf + BM25_K1
+    return tf * (BM25_K1 + 1.0) / denom
+
+
+def score_query(
+    idx: OracleIndex,
+    parsed: list[tuple[str, str, list[str]]],
+    mode: str = "or",
+    k: int = 10,
+    stem: bool = False,
+) -> list[tuple[int, int, float]]:
+    """Score a parsed query → [(rank, docid, score)].
+
+    ``parsed``: list of (kind, target, terms) per category — kind "terms"
+    (BM25 field) or "facet" (exact facet value match; contributes idf of the
+    value, tf-free, no length norm — a keyword-field BM25 degenerate).
+
+    mode "or": union-accumulate (reference semantics).
+    mode "and": doc must match EVERY cleaned term of every category.
+    Deterministic summation: per-doc contributions are summed in sorted
+    (kind, target, term) order, float64 — rank-identical across partitionings.
+    """
+    per_doc: dict[int, list[tuple[tuple, float]]] = {}
+    matched_terms: dict[int, set[tuple]] = {}
+    required: set[tuple] = set()
+
+    for kind, target, terms in parsed:
+        if kind == "terms":
+            avgdl = idx.avgdl if target == "content" else idx.avg_titlelen
+            lens = idx.doclen if target == "content" else idx.titlelen
+            plist = idx.postings[target]
+            cleaned = sorted(
+                {c for c in (clean_query_term(t, stem=stem) for t in terms) if c}
+            )
+            for term in cleaned:
+                required.add(("terms", target, term))
+                for docid, tf in plist.get(term, {}).items():
+                    w = bm25_idf(idx.n_docs, len(plist[term])) * bm25_tf_norm(
+                        tf, lens[docid], avgdl
+                    )
+                    key = ("terms", target, term)
+                    per_doc.setdefault(docid, []).append((key, w))
+                    matched_terms.setdefault(docid, set()).add(key)
+        else:  # facet
+            fmap = idx.facets.get(target, {})
+            values = set()
+            for raw in terms:
+                # facet values are cleaned but NOT length-filtered
+                # (reference cleans via CleanMetaData, no len guard —
+                # SearchEngine.h:184-188).
+                if any(ord(c) > 127 for c in raw):
+                    continue
+                value = raw.replace("'", "").lower()
+                if value:
+                    values.add(value)
+            for value in sorted(values):
+                required.add(("facet", target, value))
+                docids = fmap.get(value, set())
+                if not docids:
+                    continue
+                w = bm25_idf(idx.n_docs, len(docids))
+                key = ("facet", target, value)
+                for docid in docids:
+                    per_doc.setdefault(docid, []).append((key, w))
+                    matched_terms.setdefault(docid, set()).add(key)
+
+    results = []
+    for docid, contribs in per_doc.items():
+        if mode == "and" and len(matched_terms[docid]) < len(required):
+            continue
+        score = 0.0
+        for _, w in sorted(contribs):
+            score += w
+        results.append((docid, score))
+    results.sort(key=lambda r: (-r[1], r[0]))
+    return [(rank + 1, docid, score) for rank, (docid, score) in enumerate(results[:k])]

@@ -1,0 +1,235 @@
+"""BM25 query execution: OR/AND modes, facet categories, deterministic top-k.
+
+Capability parity: the reference's ``HandleQuery``
+(``/root/reference/SearchEngine.h:103-382``) — parse → per-category probe →
+per-doc accumulate → rank → top-k — re-expressed as one declarative plan:
+
+    broadcast(query terms) ⋈ postings (bucket-pruned parquet scan)
+      → decode blocks (Arrow UDF) → explode → ⋈ docstats (doclen)
+      → BM25 contribution → union facet matches
+      → groupBy(docid) ordered-sum → TakeOrderedAndProject(k)
+
+Scale notes:
+- the postings scan is pruned TWICE: partition pruning on the ``bucket``
+  column (literal IN-list computed from xxhash64 of the query terms) and
+  parquet row-group pruning on ``term IN (...)`` — a 3-term query touches
+  ≤3 buckets regardless of index size;
+- the query-terms side is a handful of rows → broadcast, never a shuffle;
+- the docstats join shuffles only MATCHED docids (post-filter), and AQE
+  picks a broadcast if the match set is small;
+- deterministic scoring (north_rule rank-identical): per-doc contributions
+  are collected, sorted by (kind, field, term), and folded in that order in
+  float64 — identical bits regardless of partitioning; ties break by
+  ascending docid (the reference's std::sort is unstable — SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..constants import BM25_B, BM25_K1, DEFAULT_INDEX_BUCKETS
+from ..functions.codec import decode_udf
+from ..oracle import clean_query_term
+from ..operators.index_build import IndexTables
+from .query_parser import parse_query
+
+
+def bm25_contrib_col(tf, dl, avgdl: float, idf) -> F.Column:
+    denom = tf + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl / F.lit(avgdl))
+    return idf * tf * F.lit(BM25_K1 + 1.0) / denom
+
+
+def idf_col(n_docs: int, df) -> F.Column:
+    return F.log((F.lit(float(n_docs)) - df + 0.5) / (df + 0.5) + 1.0)
+
+
+class QueryEngine:
+    """Executes reference-surface queries against built index tables."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index: IndexTables,
+        stem: bool = False,
+        buckets: int = DEFAULT_INDEX_BUCKETS,
+    ):
+        self.spark = spark
+        self.index = index
+        self.stem = stem
+        self.buckets = buckets
+        # corpus stats are tiny (one row per field): collect once, reuse warm
+        self._stats = {
+            r["field"]: (r["n_docs"], float(r["avgdl"]))
+            for r in index.corpus_stats.collect()
+        }
+        self._n_docs = next(iter(self._stats.values()))[0] if self._stats else 0
+        self._compressed = "blocks" in index.postings.columns
+
+    # -- helpers -----------------------------------------------------------
+
+    def _buckets_for(self, terms: list[str]) -> list[int]:
+        """bucket literals for partition pruning (computed in one tiny job)."""
+        exprs = [
+            F.pmod(F.xxhash64(F.lit(t)), F.lit(self.buckets)).cast("int").alias(f"b{i}")
+            for i, t in enumerate(terms)
+        ]
+        row = self.spark.range(1).select(*exprs).collect()[0]
+        return sorted({row[f"b{i}"] for i in range(len(terms))})
+
+    def _matches_for_terms(self, field: str, terms: list[str]) -> DataFrame:
+        """(docid, kind, target, term, contrib) for one postings field."""
+        n_docs, avgdl = self._stats.get(field, (self._n_docs, 1.0))
+        p = self.index.postings.where(
+            (F.col("field") == field)
+            & F.col("bucket").isin(self._buckets_for(terms))
+            & F.col("term").isin(terms)
+        )
+        if self._compressed:
+            dec = decode_udf()
+            p = p.withColumn("d", dec("blocks", "meta")).select(
+                "term",
+                "df",
+                F.explode(F.arrays_zip(F.col("d.docids"), F.col("d.tfs"))).alias("pp"),
+            ).select(
+                "term",
+                "df",
+                F.col("pp.docids").alias("docid"),
+                F.col("pp.tfs").alias("tf"),
+            )
+        else:
+            p = p.select(
+                "term", "df", F.explode("postings").alias("pp")
+            ).select("term", "df", F.col("pp.docid").alias("docid"), F.col("pp.tf").alias("tf"))
+
+        dl = F.col("doclen") if field == "content" else F.col("titlelen")
+        stats = self.index.docstats.select("docid", "doclen", "titlelen")
+        return (
+            p.join(stats, on="docid", how="inner")
+            .select(
+                "docid",
+                F.lit("terms").alias("kind"),
+                F.lit(field).alias("target"),
+                "term",
+                bm25_contrib_col(
+                    F.col("tf").cast("double"), dl.cast("double"), avgdl,
+                    idf_col(n_docs, F.col("df").cast("double")),
+                ).alias("contrib"),
+            )
+        )
+
+    def _matches_for_facet(self, facet_col: str, values: list[str]) -> DataFrame:
+        """Facet match: contributes idf of the facet value (tf-free).
+
+        Equivalent to the reference's facet-index probe (SearchEngine.h
+        J2) — the facet "index" here is a filter on docstats, which Iceberg/
+        parquet metadata prunes; an explicit collect_set materialization is
+        exposed as operators.facets for parity.
+        """
+        if facet_col not in self.index.docstats.columns:
+            return self._empty_matches()
+        lc = F.lower(F.col(facet_col))
+        per_value_df = (
+            self.index.docstats.where(lc.isin(values))
+            .groupBy(lc.alias("value"))
+            .agg(F.count(F.lit(1)).cast("double").alias("vdf"))
+        )
+        matches = (
+            self.index.docstats.select("docid", lc.alias("value"))
+            .where(F.col("value").isin(values))
+            .join(F.broadcast(per_value_df), on="value")
+        )
+        return matches.select(
+            "docid",
+            F.lit("facet").alias("kind"),
+            F.lit(facet_col).alias("target"),
+            F.col("value").alias("term"),
+            idf_col(self._n_docs, F.col("vdf")).alias("contrib"),
+        )
+
+    def _empty_matches(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], "docid long, kind string, target string, term string, contrib double"
+        )
+
+    # -- public API --------------------------------------------------------
+
+    def search(
+        self,
+        query: str,
+        mode: str = "or",
+        k: int = 10,
+        with_display: bool = False,
+    ) -> DataFrame:
+        """→ DataFrame(rank, docid, score[, repo, path, lang]) — k rows max."""
+        parsed = parse_query(query)
+        parts: list[DataFrame] = []
+        n_required = 0
+        for kind, target, raw_terms in parsed:
+            if kind == "terms":
+                cleaned = [
+                    c
+                    for c in (clean_query_term(t, stem=self.stem) for t in raw_terms)
+                    if c is not None
+                ]
+                if cleaned:
+                    n_required += len(set(cleaned))
+                    parts.append(self._matches_for_terms(target, sorted(set(cleaned))))
+            else:
+                vals = []
+                for t in raw_terms:
+                    if any(ord(c) > 127 for c in t):
+                        continue
+                    v = t.replace("'", "").lower()
+                    if v:
+                        vals.append(v)
+                if vals:
+                    n_required += len(set(vals))
+                    parts.append(self._matches_for_facet(target, sorted(set(vals))))
+
+        if not parts:
+            return self._empty_result(with_display)
+        matches = parts[0]
+        for p in parts[1:]:
+            matches = matches.unionByName(p)
+
+        agg = matches.groupBy("docid").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("kind", "target", "term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("score"),
+            F.size(F.collect_set(F.struct("kind", "target", "term"))).alias("n_matched"),
+        )
+        if mode == "and":
+            agg = agg.where(F.col("n_matched") >= F.lit(n_required))
+
+        topk = (
+            agg.select("docid", "score")
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(k)
+        )
+        w = Window.orderBy(F.desc("score"), F.asc("docid"))
+        result = topk.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "docid", "score"
+        )
+        if with_display:
+            disp_cols = [
+                c for c in ("repo", "path", "commit", "lang") if c in self.index.docstats.columns
+            ]
+            result = result.join(
+                self.index.docstats.select("docid", *disp_cols), on="docid", how="left"
+            ).orderBy("rank")
+        return result
+
+    def _empty_result(self, with_display: bool) -> DataFrame:
+        schema = "rank int, docid long, score double"
+        if with_display:
+            schema += ", repo string, path string, commit string, lang string"
+        return self.spark.createDataFrame([], schema)
+
+
+def oracle_idf(n_docs: int, df: int) -> float:
+    return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)

@@ -1,0 +1,61 @@
+"""Reference query-surface parser (SURVEY.md §2.7, Q1–Q5).
+
+Query syntax: ``cat1: t1 t2 | cat2: t3, "a phrase"`` where categories are
+``values title langs sites countries people orgs authors locations``.
+
+Parsing is driver-side plain Python — it is not a Spark job
+(``/root/reference/SearchEngine.h:106-131`` does the same single-threaded).
+
+Quirks preserved / resolved:
+- Q1 category splitter regex ``(?:cat):[^|]*`` (``SearchEngine.h:106-107``);
+- Q3 term lexer: split on comma/space, double-quoted phrases kept whole,
+  mismatched quotes → term skipped (``SearchEngine.h:110-131``);
+- Q4: a quoted phrase is ONE token; since the indexer splits on spaces a
+  spaced phrase can never match term postings — phrases are only effective
+  for facet categories (documented, preserved);
+- Q5: the reference leaks the ``cat:`` label into the term list (harmless
+  no-op there); we drop it explicitly — identical behavior.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..constants import CATEGORY_MAP
+
+_CATEGORIES = "|".join(CATEGORY_MAP)
+_CAT_RE = re.compile(rf"((?:{_CATEGORIES}):[^|]*)")
+_TERM_RE = re.compile(r'"((?:\\"|[^"])+)"|([^, ]+)')
+
+
+def parse_query(query: str) -> list[tuple[str, str, list[str]]]:
+    """Parse the reference surface syntax → [(kind, target, raw_terms)].
+
+    kind is "terms" (BM25-scored field) or "facet"; target is the field or
+    facet column (constants.CATEGORY_MAP).  Raw terms are NOT cleaned here —
+    cleaning (ASCII gate, apostrophe strip, lowercase, len>2) happens in the
+    scoring layer so facet values skip the length filter, as in the
+    reference.
+    """
+    parsed: list[tuple[str, str, list[str]]] = []
+    for segment in _CAT_RE.findall(query):
+        cat, _, rest = segment.partition(":")
+        cat = cat.strip()
+        kind, target = CATEGORY_MAP[cat]
+        terms: list[str] = []
+        for m in _TERM_RE.finditer(rest):
+            phrase, word = m.group(1), m.group(2)
+            tok = phrase if phrase is not None else word
+            tok = tok.strip()
+            if not tok:
+                continue
+            # Q5: drop a leaked `cat:` label token.
+            if tok.endswith(":") and tok[:-1] in CATEGORY_MAP:
+                continue
+            # unterminated-quote guard (reference warns + skips)
+            if tok.count('"') % 2 == 1:
+                continue
+            terms.append(tok)
+        if terms:
+            parsed.append((kind, target, terms))
+    return parsed

@@ -1,0 +1,128 @@
+"""Documents-table loaders (SURVEY.md §2.1 S1-S5).
+
+Three grounds:
+- ``load_testdata_documents`` — the driver's parquet tables
+  (``doc_id, text, lang, source, n_chars``) mapped onto the engine schema
+  (FIXTURES.md §1 note: doc_id→docid, text→content, source→repo);
+- ``load_iceberg_documents`` — the production path per BASELINE.json
+  ``input_hint`` (Iceberg catalog jars are not in this image → import-try
+  with a parquet fallback; the READ API is identical either way);
+- ``read_kaggle_json`` — reference-corpus parity reader: the recursive
+  ``*.json`` directory scan + nested-field extraction the reference does in
+  ``KaggleFinanceSourceEngine.cpp:33-38,213-254``, as one declarative scan
+  (recursiveFileLookup + explicit schema + nested column refs — Catalyst
+  prunes to exactly the referenced fields).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.index_build import add_docid
+
+
+def load_testdata_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver testdata → engine schema (docid, repo, path, commit, lang, content)."""
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return raw.select(
+        F.col("doc_id").cast("long").alias("docid"),
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("path"),
+        F.sha2(F.col("text"), 256).substr(1, 40).alias("commit"),
+        F.col("lang").alias("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def load_iceberg_documents(
+    spark: SparkSession,
+    table: str,
+    snapshot_id: int | None = None,
+    parquet_fallback: str | None = None,
+) -> DataFrame:
+    """Production source: Iceberg table (repo, path, commit, lang, content).
+
+    ``snapshot_id`` pins the read for resumable builds (consistent lineage —
+    SURVEY.md §4.3.5).  Without Iceberg jars on the classpath this falls back
+    to a parquet directory with the same columns so the engine logic is
+    testable in the sandbox.
+    """
+    try:
+        reader = spark.read
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", str(snapshot_id))
+        df = reader.table(table)
+    except Exception:
+        if parquet_fallback is None:
+            raise
+        df = spark.read.parquet(parquet_fallback)
+    return add_docid(df) if "docid" not in df.columns else df
+
+
+KAGGLE_SCHEMA = T.StructType(
+    [
+        T.StructField("uuid", T.StringType()),
+        T.StructField("author", T.StringType()),
+        T.StructField("language", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField(
+            "thread",
+            T.StructType(
+                [
+                    T.StructField("title", T.StringType()),
+                    T.StructField("site", T.StringType()),
+                    T.StructField("country", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "entities",
+            T.StructType(
+                [
+                    T.StructField(
+                        kind,
+                        T.ArrayType(
+                            T.StructType([T.StructField("name", T.StringType())])
+                        ),
+                    )
+                    for kind in ("persons", "locations", "organizations")
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def read_kaggle_json(spark: SparkSession, path: str) -> DataFrame:
+    """Recursive *.json corpus scan → flat engine-shaped documents.
+
+    Mirrors the reference source engine's field accesses
+    (``KaggleFinanceSourceEngine.cpp:213-254``): uuid→identity, text→content,
+    thread.title→title/path role, thread.site/author/thread.country/language
+    → facet columns, entities.*[].name → array facets.
+    """
+    raw = (
+        spark.read.schema(KAGGLE_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("multiLine", "true")
+        .option("pathGlobFilter", "*.json")
+        .json(path)
+    )
+    docs = raw.select(
+        F.col("uuid"),
+        F.input_file_name().alias("file_path"),
+        F.col("text").alias("content"),
+        F.col("thread.title").alias("path"),
+        F.col("thread.site").alias("repo"),
+        F.col("language").alias("lang"),
+        F.col("author").alias("author"),
+        F.col("thread.country").alias("country"),
+        F.transform(F.col("entities.persons"), lambda x: x["name"]).alias("persons"),
+        F.transform(F.col("entities.locations"), lambda x: x["name"]).alias("locations"),
+        F.transform(F.col("entities.organizations"), lambda x: x["name"]).alias("orgs"),
+    )
+    return docs.withColumn(
+        "docid", F.shiftrightunsigned(F.xxhash64("uuid"), 1)
+    ).withColumn("commit", F.sha2(F.col("uuid"), 256).substr(1, 40))

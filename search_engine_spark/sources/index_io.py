@@ -1,0 +1,151 @@
+"""Index persistence + resumable builds with a per-partition lineage manifest.
+
+The reference keeps its index purely in RAM and rebuilds from scratch every
+run (``ClearRuntimeDatabase`` — ``KaggleFinanceSourceEngine.cpp:118-129``);
+persistence + checkpoint/resume are north_star requirements.
+
+Layout (parquet in the sandbox; Iceberg tables when a catalog is configured —
+the writer API is the same ``df.writeTo(...)`` swap):
+
+    <root>/postings/      partitioned by `bucket` (term-hash) → query-time
+                          partition pruning; one bucket ≈ one shard of the
+                          reference's `value_index` vector (SourceEngine.h:23)
+    <root>/dictionary/
+    <root>/docstats/
+    <root>/corpus_stats/
+    <root>/_build_manifest/   (snapshot_id, partition_id, status, rows,
+                               bytes, wall_ms, n_docs) — FIXTURES.md §7
+
+Resume model: the SOURCE is split into `n_slices` deterministic slices
+(pmod(docid, n_slices)); each slice builds and commits independently, the
+manifest records it, and a restarted build anti-joins the manifest to skip
+completed slices.  Because tokenize+tf is per-document (no cross-doc state),
+per-slice forward indexes are exact; the final postings merge re-aggregates
+slice outputs by term — associative, so any subset of completed slices is a
+valid checkpoint.  At 10^12 files a slice maps to an Iceberg partition /
+snapshot delta instead of a docid mod, same manifest contract.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.index_build import IndexTables
+
+TABLES = ("postings", "dictionary", "docstats", "corpus_stats")
+
+
+def write_index(index: IndexTables, root: str, mode: str = "overwrite") -> None:
+    index.postings.write.mode(mode).partitionBy("bucket").parquet(f"{root}/postings")
+    index.dictionary.write.mode(mode).parquet(f"{root}/dictionary")
+    index.docstats.write.mode(mode).parquet(f"{root}/docstats")
+    index.corpus_stats.write.mode(mode).parquet(f"{root}/corpus_stats")
+
+
+def read_index(spark: SparkSession, root: str) -> IndexTables:
+    return IndexTables(
+        postings=spark.read.parquet(f"{root}/postings"),
+        dictionary=spark.read.parquet(f"{root}/dictionary"),
+        docstats=spark.read.parquet(f"{root}/docstats"),
+        corpus_stats=spark.read.parquet(f"{root}/corpus_stats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Resumable build
+# ---------------------------------------------------------------------------
+
+MANIFEST_SCHEMA = (
+    "snapshot_id long, partition_id int, status string, rows long, "
+    "bytes long, wall_ms long"
+)
+
+
+def _manifest_path(root: str) -> str:
+    return f"{root}/_build_manifest"
+
+
+def read_manifest(spark: SparkSession, root: str) -> DataFrame:
+    path = _manifest_path(root)
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], MANIFEST_SCHEMA)
+
+
+def resumable_build(
+    spark: SparkSession,
+    docs: DataFrame,
+    root: str,
+    n_slices: int = 4,
+    snapshot_id: int = 0,
+    fail_after_slice: int | None = None,
+    **build_kwargs,
+) -> IndexTables:
+    """Build the index in `n_slices` committed steps; resume skips done slices.
+
+    ``fail_after_slice`` is a test hook: raise after committing that many
+    slices to simulate a mid-build crash (test_resume.py kills and reruns).
+    Forward-index slices land under <root>/_slices/tf/; the finalize step
+    re-aggregates them into postings (associative merge, SURVEY.md §4.3.5).
+    """
+    from ..operators.tokenize import doc_terms
+
+    done = {
+        r["partition_id"]
+        for r in read_manifest(spark, root)
+        .where((F.col("snapshot_id") == snapshot_id) & (F.col("status") == "done"))
+        .collect()
+    }
+    built = 0
+    tf_kwargs = {
+        k: v
+        for k, v in build_kwargs.items()
+        if k in ("stem", "stopwords", "body_col", "title_col")
+    }
+    for pid in range(n_slices):
+        if pid in done:
+            continue
+        t0 = time.monotonic()
+        slice_docs = docs.where(F.pmod(F.col("docid"), F.lit(n_slices)) == pid)
+        tf = doc_terms(slice_docs, **tf_kwargs)
+        out = f"{root}/_slices/tf/snapshot={snapshot_id}/slice={pid}"
+        tf.write.mode("overwrite").parquet(out)
+        # stats for lineage
+        rows = spark.read.parquet(out).count()
+        size = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(out)
+            for f in fs
+        )
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        entry = spark.createDataFrame(
+            [(snapshot_id, pid, "done", rows, size, wall_ms)], MANIFEST_SCHEMA
+        )
+        entry.write.mode("append").parquet(_manifest_path(root))
+        built += 1
+        if fail_after_slice is not None and built >= fail_after_slice:
+            raise RuntimeError(f"injected failure after slice {pid}")
+
+    # finalize: merge slice forward indexes → full index tables
+    tf_all = spark.read.parquet(f"{root}/_slices/tf/snapshot={snapshot_id}")
+    index = _finalize_from_tf(spark, docs, tf_all, **build_kwargs)
+    write_index(index, root)
+    return read_index(spark, root)
+
+
+def _finalize_from_tf(
+    spark: SparkSession, docs: DataFrame, tf: DataFrame, **build_kwargs
+) -> IndexTables:
+    """Postings/dictionary/docstats from a precomputed (docid,field,term,tf)."""
+    from ..operators.index_build import index_from_tf
+
+    kwargs = {
+        k: v
+        for k, v in build_kwargs.items()
+        if k in ("salt_threshold", "n_salts", "buckets", "compress", "body_col")
+    }
+    return index_from_tf(docs, tf, **kwargs)

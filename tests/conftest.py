@@ -1,0 +1,49 @@
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from search_engine_spark import fixtures  # noqa: E402
+from search_engine_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app="tests", cores=8, shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def tiny_docs():
+    """100-doc deterministic corpus with docids (FIXTURES.md tiny)."""
+    return fixtures.with_docids(fixtures.generate_documents(100, seed=42))
+
+
+@pytest.fixture(scope="session")
+def tiny_df(spark, tiny_docs):
+    df = spark.createDataFrame(tiny_docs)
+    df = df.select("docid", "repo", "path", "commit", "lang", "content")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="session")
+def tiny_index(spark, tiny_df):
+    from search_engine_spark.operators.index_build import build_index
+
+    idx = build_index(spark, tiny_df, compress=True)
+    for t in (idx.postings, idx.dictionary, idx.docstats, idx.corpus_stats):
+        t.cache().count()
+    return idx
+
+
+@pytest.fixture(scope="session")
+def tiny_oracle(tiny_docs):
+    from search_engine_spark.oracle import build_oracle_index
+
+    return build_oracle_index(tiny_docs)

@@ -1,0 +1,80 @@
+"""Varbyte/delta codec: round-trip property tests + block-meta soundness
+(SURVEY.md §5.2.2, FIXTURES.md §6)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_engine_spark.functions.codec import (
+    decode_postings,
+    encode_postings,
+    vb_decode,
+    vb_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_vb_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert vb_decode(vb_encode(arr)).tolist() == vals
+
+
+def test_vb_known_bytes():
+    # single-byte values have no continuation bit
+    assert vb_encode(np.array([0, 1, 127], dtype=np.uint64)) == bytes([0, 1, 127])
+    # 128 → two bytes little-endian 7-bit groups: 0x80|0, 1
+    assert vb_encode(np.array([128], dtype=np.uint64)) == bytes([0x80, 0x01])
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2**40),  # gaps
+            st.integers(min_value=1, max_value=1000),   # tfs
+        ),
+        min_size=0,
+        max_size=1500,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_postings_roundtrip(pairs):
+    docids = np.cumsum(np.array([g for g, _ in pairs], dtype=np.uint64))
+    tfs = np.array([t for _, t in pairs], dtype=np.uint64)
+    blocks, meta = encode_postings(docids, tfs)
+    d, t = decode_postings(blocks, meta)
+    assert d.tolist() == docids.astype(np.int64).tolist()
+    assert t.tolist() == tfs.astype(np.int64).tolist()
+    # block-meta soundness for WAND upper bounds
+    off = 0
+    for b, (first, last, max_tf, count) in zip(blocks, meta):
+        seg_d = docids[off : off + count]
+        seg_t = tfs[off : off + count]
+        assert first == int(seg_d[0]) and last == int(seg_d[-1])
+        assert max_tf == int(seg_t.max())
+        off += count
+    assert off == len(docids)
+
+
+@pytest.mark.parametrize("n", [0, 1, 2, 127, 128, 129, 10_000])
+def test_block_boundaries(n):
+    docids = np.arange(1, n + 1, dtype=np.uint64) * 7
+    tfs = (np.arange(n, dtype=np.uint64) % 9) + 1
+    blocks, meta = encode_postings(docids, tfs)
+    assert len(blocks) == (n + 127) // 128
+    d, t = decode_postings(blocks, meta)
+    assert len(d) == n
+    if n:
+        assert d[0] == 7 and d[-1] == 7 * n
+
+
+def test_compression_ratio_dense():
+    """Dense postings (small gaps, small tfs) must beat 12-byte raw pairs."""
+    docids = np.cumsum(np.random.RandomState(0).randint(1, 30, 100_000).astype(np.uint64))
+    tfs = np.ones(100_000, dtype=np.uint64)
+    blocks, _ = encode_postings(docids, tfs)
+    nbytes = sum(len(b) for b in blocks)
+    assert nbytes < 100_000 * 3  # ≈1 byte gap + 1 byte tf per posting

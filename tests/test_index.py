@@ -1,0 +1,93 @@
+"""Index-shape invariants vs the oracle (SURVEY.md §5.2.2)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.codec import decode_postings
+from search_engine_spark.oracle import tokenize
+
+
+def test_dictionary_df_matches_oracle(tiny_index, tiny_oracle):
+    got = {
+        (r["field"], r["term"]): r["df"]
+        for r in tiny_index.dictionary.collect()
+    }
+    want = {
+        (field, term): len(plist)
+        for field in ("content", "title")
+        for term, plist in tiny_oracle.postings[field].items()
+    }
+    assert got == want
+
+
+def test_postings_sorted_and_exact(tiny_index, tiny_oracle):
+    rows = tiny_index.postings.collect()
+    for r in rows:
+        meta = [(m["first_docid"], m["last_docid"], m["max_tf"], m["count"]) for m in r["meta"]]
+        d, t = decode_postings(list(r["blocks"]), meta)
+        assert list(d) == sorted(d), f"unsorted postings for {r['term']}"
+        want = tiny_oracle.postings[r["field"]][r["term"]]
+        assert dict(zip(d.tolist(), t.tolist())) == want
+        assert r["df"] == len(want)
+
+
+def test_docstats_matches_oracle(tiny_index, tiny_oracle, tiny_docs):
+    got = {r["docid"]: r for r in tiny_index.docstats.collect()}
+    assert set(got) == set(tiny_oracle.doclen)
+    for d in tiny_docs:
+        row = got[d["docid"]]
+        assert row["doclen"] == tiny_oracle.doclen[d["docid"]]
+        assert row["titlelen"] == tiny_oracle.titlelen[d["docid"]]
+        # per-row content identity invariant (BASELINE.json input_hint)
+        assert row["content_sha256"] == hashlib.sha256(d["content"].encode()).hexdigest()
+
+
+def test_corpus_stats(tiny_index, tiny_oracle):
+    stats = {r["field"]: r for r in tiny_index.corpus_stats.collect()}
+    assert stats["content"]["n_docs"] == tiny_oracle.n_docs
+    assert abs(stats["content"]["avgdl"] - tiny_oracle.avgdl) < 1e-9
+    assert abs(stats["title"]["avgdl"] - tiny_oracle.avg_titlelen) < 1e-9
+
+
+def test_bucket_partitioning(tiny_index):
+    """Every term lands in exactly pmod(xxhash64(term), B) — partition-pruning key."""
+    from search_engine_spark.constants import DEFAULT_INDEX_BUCKETS
+
+    bad = tiny_index.postings.where(
+        F.col("bucket")
+        != F.pmod(F.xxhash64("term"), F.lit(DEFAULT_INDEX_BUCKETS)).cast("int")
+    ).count()
+    assert bad == 0
+
+
+def test_docid_uniqueness_guard(spark):
+    from search_engine_spark.operators.index_build import assert_docid_unique
+
+    ok = spark.createDataFrame([(1,), (2,)], "docid long")
+    assert_docid_unique(ok)
+    dup = spark.createDataFrame([(1,), (1,)], "docid long")
+    try:
+        assert_docid_unique(dup)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_tokenize_matches_oracle_corpus_wide(tiny_df, tiny_docs):
+    """End-to-end forward-index parity over the whole tiny corpus."""
+    from collections import Counter
+
+    from search_engine_spark.operators.tokenize import doc_terms
+
+    got = doc_terms(tiny_df).collect()
+    spark_tf = {}
+    for r in got:
+        spark_tf.setdefault((r["docid"], r["field"]), {})[r["term"]] = r["tf"]
+    for d in tiny_docs:
+        body = dict(Counter(tokenize(d["content"])))
+        title = dict(Counter(tokenize(d["path"])))
+        assert spark_tf.get((d["docid"], "content"), {}) == body
+        assert spark_tf.get((d["docid"], "title"), {}) == title

@@ -1,0 +1,51 @@
+"""Golden end-to-end query tests: engine top-k must be rank-identical
+(docids) and score-identical (atol 1e-9) to the pure-Python oracle on the
+full reference query set (SURVEY.md §5.2.3, north_rule)."""
+
+from __future__ import annotations
+
+import pytest
+
+from search_engine_spark.fixtures import REFERENCE_QUERY_SET
+from search_engine_spark.oracle import score_query
+from search_engine_spark.plans.bm25 import QueryEngine
+from search_engine_spark.plans.query_parser import parse_query
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_index):
+    return QueryEngine(spark, tiny_index)
+
+
+@pytest.mark.parametrize(
+    "query,mode,k", REFERENCE_QUERY_SET, ids=[q[0][:40] for q in REFERENCE_QUERY_SET]
+)
+def test_golden_topk(engine, tiny_oracle, query, mode, k):
+    golden = score_query(tiny_oracle, parse_query(query), mode=mode, k=k)
+    got = [
+        (r["rank"], r["docid"], r["score"])
+        for r in engine.search(query, mode=mode, k=k).collect()
+    ]
+    assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in golden], (
+        f"rank mismatch for {query!r}"
+    )
+    for (_, _, gs), (_, _, ws) in zip(got, golden):
+        assert abs(gs - ws) < 1e-9
+
+
+def test_display_join(engine):
+    rows = engine.search("values: zephyrq0", with_display=True).collect()
+    assert len(rows) >= 1
+    assert rows[0]["repo"] is not None and rows[0]["path"] is not None
+
+
+def test_uncompressed_index_same_results(spark, tiny_df, tiny_oracle):
+    """The codec is transparent: uncompressed postings give identical top-k."""
+    from search_engine_spark.operators.index_build import build_index
+
+    idx = build_index(spark, tiny_df, compress=False)
+    eng = QueryEngine(spark, idx)
+    q = "values: parse_json0 merge_index0"
+    golden = score_query(tiny_oracle, parse_query(q), mode="or", k=10)
+    got = [(r["rank"], r["docid"]) for r in eng.search(q).collect()]
+    assert got == [(r, d) for r, d, _ in golden]

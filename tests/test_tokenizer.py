@@ -1,0 +1,114 @@
+"""Tokenizer parity: Spark-native normalization vs the pure-Python oracle
+(SURVEY.md §5.2.1) on adversarial strings and the reference sample docs."""
+
+from __future__ import annotations
+
+import json
+from collections import Counter
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark import oracle
+from search_engine_spark.operators.tokenize import doc_terms
+
+ADVERSARIAL = [
+    "hello world",
+    "tabs\tand\nnewlines\rand\x0bvertical",
+    "commas,dots.question?bang!semi;colon:quote\"slash/paren(close)",
+    "don't isn't l'été",  # apostrophes kept as joiners, non-ASCII dropped
+    "naïve café résumé",  # all dropped (non-ASCII)
+    "MiXeD CaSe TOKENS",
+    "hyphen-stays one-two-three",  # '-' is NOT a delimiter
+    "'''",  # all-apostrophe token → empty → dropped
+    "",
+    "    ",
+    "...!!!???",
+    "a b c if x yz",  # short tokens kept at INDEX time (len filter is query-side)
+    'quoted "phrase here" stays split',  # '"' IS a delimiter at index time
+    "x" * 300,
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_df(spark):
+    rows = [(i, s) for i, s in enumerate(ADVERSARIAL)]
+    return spark.createDataFrame(rows, "docid long, content string")
+
+
+def test_adversarial_parity(spark, adversarial_df):
+    got = (
+        doc_terms(adversarial_df, title_col=None)
+        .orderBy("docid", "term")
+        .collect()
+    )
+    spark_tf = {}
+    for r in got:
+        spark_tf.setdefault(r["docid"], {})[r["term"]] = r["tf"]
+    for i, s in enumerate(ADVERSARIAL):
+        expected = Counter(oracle.tokenize(s))
+        assert spark_tf.get(i, {}) == dict(expected), f"case {i}: {s!r}"
+
+
+def test_reference_sample_docs_parity(spark):
+    """Token/tf parity on the 6 reference sample JSON docs' text+title."""
+    sample = Path("/root/reference/sample_kaggle_finance_data")
+    if not sample.exists():
+        pytest.skip("reference sample data not present")
+    rows = []
+    for i, f in enumerate(sorted(sample.rglob("*.json"))):
+        d = json.loads(f.read_text())
+        rows.append((i, d.get("text", ""), d.get("thread", {}).get("title", "")))
+    df = spark.createDataFrame(rows, "docid long, content string, path string")
+    got = doc_terms(df).collect()
+    spark_tf = {}
+    for r in got:
+        spark_tf.setdefault((r["docid"], r["field"]), {})[r["term"]] = r["tf"]
+    for i, (docid, text, title) in enumerate(rows):
+        assert spark_tf.get((docid, "content"), {}) == dict(
+            Counter(oracle.tokenize(text))
+        )
+        assert spark_tf.get((docid, "title"), {}) == dict(
+            Counter(oracle.tokenize(title))
+        )
+
+
+def test_stopwords_body_only(spark):
+    """Stop-set drops body tokens but never title tokens
+    (KaggleFinanceSourceEngine.cpp:259 vs :237-249)."""
+    df = spark.createDataFrame(
+        [(1, "keep the stopper here", "the stopper title")],
+        "docid long, content string, path string",
+    )
+    stop = spark.createDataFrame([("the",), ("stopper",)], "term string")
+    got = doc_terms(df, stopwords=stop).collect()
+    body = {r["term"] for r in got if r["field"] == "content"}
+    title = {r["term"] for r in got if r["field"] == "title"}
+    assert body == {"keep", "here"}
+    assert title == {"the", "stopper", "title"}
+
+
+def test_query_term_cleaning():
+    assert oracle.clean_query_term("Don't") == "dont"
+    assert oracle.clean_query_term("ab") is None  # len<=2 skipped
+    assert oracle.clean_query_term("naïve") is None  # non-ASCII skipped
+    assert oracle.clean_query_term("'ab'") is None  # cleaned len 2
+    assert oracle.clean_query_term("HASH_shard0") == "hash_shard0"
+
+
+def test_parser_reference_surface():
+    from search_engine_spark.plans.query_parser import parse_query
+
+    p = parse_query('values: german income | title: funds euro')
+    assert p == [
+        ("terms", "content", ["german", "income"]),
+        ("terms", "title", ["funds", "euro"]),
+    ]
+    p = parse_query('people: "eaton vance"')
+    assert p == [("facet", "person", ["eaton vance"])]
+    # comma separation + quoted phrase + label-leak drop (Q5)
+    p = parse_query("values: a,b c")
+    assert p == [("terms", "content", ["a", "b", "c"])]
+    assert parse_query("") == []
+    assert parse_query("nonsense without category") == []
