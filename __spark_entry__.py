@@ -1,38 +1,649 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 search over sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
+training-data-pipeline ops); each callable (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — exact ANSI-SQL twins for DuckDB over the pre-registered
+views.  Column names and types are aligned pairwise; float outputs are
+rounded to 6 dp on BOTH sides; every ranking orders by the rounded value
+with an id tie-break so rank columns are engine-independent.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from search_engine_spark.constants import DELIM_CLASS
+from search_engine_spark.functions.normalize import (
+    clean_term,
+    is_ascii_token,
+    split_tokens,
+)
+
+BM25_TERMS = ["table", "window", "spark"]
+AND_TERMS = ["customer", "vector"]
+BATCH_TERMS = ["table", "customer", "vector"]
+STOPWORDS = ["the", "a"]
+K1, B = 1.2, 0.75
+
+
+# ---------------------------------------------------------------------------
+# shared Spark fragments
+# ---------------------------------------------------------------------------
+
+def _raw_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _raw_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tok_tf(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) with full reference tokenizer semantics."""
+    return (
+        docs.select("doc_id", F.explode(split_tokens(F.col("text"))).alias("tok"))
+        .where(F.col("tok") != "")
+        .where(is_ascii_token(F.col("tok")))
+        .select("doc_id", clean_term(F.col("tok")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFrame:
+    """(doc_id, score, n_matched) for a term set — engine scoring math."""
+    from search_engine_spark.plans.bm25 import bm25_contrib_col, idf_col
+
+    docs = _raw_docs(spark, sf_dir)
+    tf = _tok_tf(docs)
+    n_docs = docs.count()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))
+    avgdl = dl.agg(F.sum("dl")).collect()[0][0] / n_docs
+    dfs = (
+        tf.where(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    matches = (
+        tf.where(F.col("term").isin(terms))
+        .join(F.broadcast(dfs), on="term")
+        .join(dl, on="doc_id")
+    )
+    contrib = bm25_contrib_col(
+        F.col("tf").cast("double"), F.col("dl"), avgdl, idf_col(n_docs, F.col("df"))
+    )
+    return matches.groupBy("doc_id").agg(
+        F.round(F.sum(contrib), 6).alias("score"),
+        F.countDistinct("term").alias("n_matched"),
+    )
+
+
+def _bm25_sql(terms: list[str], and_mode: bool) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    having = f"HAVING count(DISTINCT term) = {len(terms)}" if and_mode else ""
+    return f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM tf) / (SELECT count(*) FROM documents) AS avgdl
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf WHERE term IN ({tlist}) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+           * tf.tf * {K1 + 1.0}
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS contrib,
+         tf.term
+  FROM tf JOIN dfs ON tf.term = dfs.term JOIN dl ON tf.doc_id = dl.doc_id, stats
+),
+agg AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score
+  FROM scored GROUP BY doc_id {having}
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
+FROM agg ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def _topk(scores: DataFrame, k: int = 10) -> DataFrame:
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scores.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the inverted index over sf0.001 and answer a
+    multi-category BM25 query through the full engine."""
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.plans.bm25 import QueryEngine
+    from search_engine_spark.sources.corpus import load_testdata_documents
 
+    docs = load_testdata_documents(spark, "/root/testdata/sf0.001")
+    index = build_index(spark, docs)
+    engine = QueryEngine(spark, index)
+    return engine.search("values: table window spark | langs: en", k=10, with_display=True)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def q_tokenize_tf(spark, sf):
+        return _tok_tf(_raw_docs(spark, sf))
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_dictionary(spark, sf):
+        return (
+            _tok_tf(_raw_docs(spark, sf))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        )
+
+    def q_docstats(spark, sf):
+        docs = _raw_docs(spark, sf)
+        dl = _tok_tf(docs).groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doclen"))
+        return (
+            docs.select("doc_id", F.sha2(F.col("text"), 256).alias("content_sha256"))
+            .join(dl, on="doc_id", how="left")
+            .na.fill({"doclen": 0})
+            .select("doc_id", "doclen", "content_sha256")
+        )
+
+    def q_corpus_stats(spark, sf):
+        docs = _raw_docs(spark, sf)
+        tf = _tok_tf(docs)
+        return (
+            tf.agg(F.sum("tf").cast("double").alias("total"))
+            .crossJoin(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+            .select("n_docs", F.round(F.col("total") / F.col("n_docs"), 6).alias("avgdl"))
+        )
+
+    def q_bm25_or(spark, sf):
+        return _topk(_bm25_scores(spark, sf, BM25_TERMS))
+
+    def q_bm25_and(spark, sf):
+        s = _bm25_scores(spark, sf, AND_TERMS)
+        return _topk(s.where(F.col("n_matched") == len(AND_TERMS)))
+
+    def q_topk_per_query(spark, sf):
+        """Batched multi-query top-k via window (SURVEY.md §2.8)."""
+        from search_engine_spark.plans.bm25 import bm25_contrib_col, idf_col
+
+        docs = _raw_docs(spark, sf)
+        tf = _tok_tf(docs)
+        n_docs = docs.count()
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))
+        avgdl = dl.agg(F.sum("dl")).collect()[0][0] / n_docs
+        dfs = (
+            tf.where(F.col("term").isin(BATCH_TERMS))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        )
+        scored = (
+            tf.where(F.col("term").isin(BATCH_TERMS))
+            .join(F.broadcast(dfs), on="term")
+            .join(dl, on="doc_id")
+            .select(
+                F.col("term").alias("query_term"),
+                "doc_id",
+                F.round(
+                    bm25_contrib_col(
+                        F.col("tf").cast("double"), F.col("dl"), avgdl,
+                        idf_col(n_docs, F.col("df")),
+                    ),
+                    6,
+                ).alias("score"),
+            )
+        )
+        w = Window.partitionBy("query_term").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("query_term", "rank", "doc_id", "score")
+        )
+
+    def q_facet_sets(spark, sf):
+        return (
+            _raw_docs(spark, sf)
+            .groupBy(F.lower(F.col("lang")).alias("value"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sort_array(F.collect_set("doc_id")).alias("docids"),
+            )
+        )
+
+    def q_stopword_tf(spark, sf):
+        return (
+            _tok_tf(_raw_docs(spark, sf))
+            .where(~F.col("term").isin(STOPWORDS))
+            .groupBy("term")
+            .agg(F.sum("tf").cast("long").alias("total_tf"))
+        )
+
+    def q_scan_filter(spark, sf):
+        return (
+            _raw_docs(spark, sf)
+            .where((F.col("lang") == "en") & (F.col("n_chars") > 300))
+            .select("doc_id", "n_chars")
+        )
+
+    def q_exact_dedup(spark, sf):
+        from search_engine_spark.operators.dedup import exact_dedup
+
+        return exact_dedup(_raw_docs(spark, sf))
+
+    def q_minhash(spark, sf):
+        from search_engine_spark.operators.dedup import minhash_signatures
+
+        return minhash_signatures(_raw_docs(spark, sf))
+
+    def q_lsh_pairs(spark, sf):
+        from search_engine_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        return lsh_candidate_pairs(minhash_signatures(_raw_docs(spark, sf)))
+
+    def q_ngram_jaccard(spark, sf):
+        from search_engine_spark.operators.dedup import ngram_jaccard
+
+        docs = _raw_docs(spark, sf)
+        # deterministic candidate subset keeps the pair count bounded
+        pairs = (
+            docs.select(F.col("doc_id").alias("a"))
+            .where(F.col("a") % 25 == 0)
+            .crossJoin(docs.select(F.col("doc_id").alias("b")).where(F.col("b") % 25 == 7))
+            .where(F.col("a") < F.col("b"))
+        )
+        return ngram_jaccard(docs, pairs)
+
+    def q_simhash(spark, sf):
+        from search_engine_spark.operators.dedup import simhash
+
+        return simhash(_raw_docs(spark, sf))
+
+    def q_cosine_topk(spark, sf):
+        from search_engine_spark.operators.similarity import cosine_topk
+
+        emb = _raw_emb(spark, sf)
+        probe = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        return cosine_topk(emb, [float(x) for x in probe], k=10)
+
+    def q_ann_buckets(spark, sf):
+        from search_engine_spark.operators.similarity import lsh_buckets
+
+        return lsh_buckets(_raw_emb(spark, sf), n_planes=6, dim=64)
+
+    def q_lang_id(spark, sf):
+        from search_engine_spark.operators.textstats import lang_id
+
+        return lang_id(_raw_docs(spark, sf))
+
+    def q_quality(spark, sf):
+        from search_engine_spark.operators.textstats import quality_score
+
+        return quality_score(_raw_docs(spark, sf))
+
+    def q_token_count(spark, sf):
+        from search_engine_spark.operators.textstats import token_count
+
+        return token_count(_raw_docs(spark, sf))
+
+    def q_fingerprint(spark, sf):
+        from search_engine_spark.operators.textstats import fingerprint
+
+        return fingerprint(_raw_docs(spark, sf))
+
+    def q_binary_meta(spark, sf):
+        from search_engine_spark.operators.multimodal import attach_fake_binary, sniff_kind
+
+        b = attach_fake_binary(_raw_docs(spark, sf))
+        return sniff_kind(b).select("doc_id", "n_bytes", "kind")
+
+    def q_mm_features(spark, sf):
+        """mapInPandas feature extraction — no SQL twin (rows-only check)."""
+        from search_engine_spark.operators.multimodal import (
+            attach_fake_binary,
+            extract_features,
+        )
+
+        return extract_features(attach_fake_binary(_raw_docs(spark, sf)))
+
+    return {
+        "tokenize_tf": q_tokenize_tf,
+        "dictionary_df": q_dictionary,
+        "docstats": q_docstats,
+        "corpus_stats": q_corpus_stats,
+        "bm25_topk_or": q_bm25_or,
+        "bm25_topk_and": q_bm25_and,
+        "topk_per_query": q_topk_per_query,
+        "facet_sets": q_facet_sets,
+        "stopword_tf": q_stopword_tf,
+        "scan_filter": q_scan_filter,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signatures": q_minhash,
+        "lsh_candidate_pairs": q_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_buckets": q_ann_buckets,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "binary_meta": q_binary_meta,
+        "mm_features": q_mm_features,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+_TOK_SQL = f"""
+  SELECT doc_id, lower(replace(tok, '''', '')) AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '{DELIM_CLASS}')) AS tok
+    FROM documents
+  ) WHERE tok <> '' AND regexp_matches(tok, '^[\\x00-\\x7F]+$')
+"""
+
+_TF_SQL = f"""
+  SELECT doc_id, term, CAST(count(*) AS INT) AS tf
+  FROM ({_TOK_SQL}) WHERE term <> '' GROUP BY doc_id, term
+"""
+
+_TOKS_ARRAY_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), "
+    f"'{DELIM_CLASS}'), t -> t <> '')"
+)
+
+
+def _minhash_sql(n_hashes: int = 8) -> str:
+    sigs = ",\n    ".join(
+        f"min(md5('{i}:' || tok)) AS sig_{i}" for i in range(n_hashes)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest({_TOKS_ARRAY_SQL}) AS tok FROM documents
+  ) WHERE tok <> ''
+)
+SELECT doc_id,
+    {sigs}
+FROM toks GROUP BY doc_id
+"""
+
+
+def _lsh_pairs_sql(n_hashes: int = 8, bands: int = 4) -> str:
+    rpb = n_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        cols = " || '|' || ".join(f"sig_{b * rpb + r}" for r in range(rpb))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sigs"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+WITH sigs AS ({_minhash_sql(n_hashes)}),
+bands AS ({bands_sql})
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+WHERE l.doc_id < r.doc_id
+"""
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN substring(h, {j + 1}, 1) IN "
+        f"('1','3','5','7','9','b','d','f') THEN tf ELSE -tf END) AS v{j}"
+        for j in range(bits)
+    )
+    bitsum = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM (
+    SELECT doc_id, unnest({_TOKS_ARRAY_SQL}) AS tok FROM documents
+  ) WHERE tok <> '' GROUP BY doc_id, tok
+),
+hashed AS (SELECT doc_id, md5(tok) AS h, tf FROM tf),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({bitsum} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def _ann_buckets_sql(n_planes: int = 6) -> str:
+    return f"""
+WITH dims AS (
+  SELECT vec_id, i, embedding[i+1]::DOUBLE AS x
+  FROM embeddings, unnest(range(len(embedding))) AS t(i)
+),
+proj AS (
+  SELECT vec_id, p,
+         sum(CASE WHEN substring(md5('p' || p || '_' || i), 1, 1)
+                  IN ('1','3','5','7','9','b','d','f') THEN x ELSE -x END) AS v
+  FROM dims, unnest(range({n_planes})) AS pl(p)
+  GROUP BY vec_id, p
+)
+SELECT vec_id,
+       CAST(sum(CASE WHEN v >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+FROM proj GROUP BY vec_id
+"""
+
+
+_LANG_MARKERS_SQL = {
+    "en": "['the', 'a', 'order', 'group', 'row']",
+    "de": "['der', 'die', 'das', 'und', 'nicht']",
+    "fr": "['le', 'la', 'les', 'et', 'ne']",
+    "es": "['el', 'los', 'las', 'que', 'no']",
+}
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(_LANG_MARKERS_SQL)
+    scores = ",\n    ".join(
+        f"CAST(len(list_filter(toks, t -> list_contains({_LANG_MARKERS_SQL[lg]}, t))) AS BIGINT) AS score_{lg}"
+        for lg in langs
+    )
+    best = f"greatest({', '.join('score_' + lg for lg in langs)})"
+    pred = "'und'"
+    for lg in sorted(langs, reverse=True):
+        pred = f"CASE WHEN score_{lg} = best AND best > 0 THEN '{lg}' ELSE {pred} END"
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_ARRAY_SQL} AS toks FROM documents),
+scored AS (SELECT doc_id, {scores} FROM toks),
+withbest AS (SELECT *, {best} AS best FROM scored)
+SELECT doc_id, {', '.join('score_' + lg for lg in langs)}, {pred} AS pred_lang
+FROM withbest
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["tokenize_tf"] = _TF_SQL
+
+    sql["dictionary_df"] = (
+        f"SELECT term, CAST(count(*) AS BIGINT) AS df FROM ({_TF_SQL}) GROUP BY term"
+    )
+
+    sql["docstats"] = f"""
+WITH dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doclen FROM ({_TF_SQL}) GROUP BY doc_id)
+SELECT d.doc_id, coalesce(dl.doclen, 0) AS doclen, sha256(d.text) AS content_sha256
+FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
+"""
+
+    sql["corpus_stats"] = f"""
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       round((SELECT CAST(sum(tf) AS DOUBLE) FROM ({_TF_SQL}))
+             / (SELECT count(*) FROM documents), 6) AS avgdl
+"""
+
+    sql["bm25_topk_or"] = _bm25_sql(BM25_TERMS, and_mode=False)
+    sql["bm25_topk_and"] = _bm25_sql(AND_TERMS, and_mode=True)
+
+    tlist = ", ".join(f"'{t}'" for t in BATCH_TERMS)
+    sql["topk_per_query"] = f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM tf) / (SELECT count(*) FROM documents) AS avgdl
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf WHERE term IN ({tlist}) GROUP BY term),
+scored AS (
+  SELECT tf.term AS query_term, tf.doc_id,
+         round(ln((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+           * tf.tf * {K1 + 1.0}
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)), 6) AS score
+  FROM tf JOIN dfs ON tf.term = dfs.term JOIN dl ON tf.doc_id = dl.doc_id, stats
+),
+ranked AS (
+  SELECT query_term, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_term ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_term, rank, doc_id, score FROM ranked WHERE rank <= 3
+"""
+
+    sql["facet_sets"] = """
+SELECT lower(lang) AS value, CAST(count(*) AS BIGINT) AS n_docs,
+       list(DISTINCT doc_id ORDER BY doc_id) AS docids
+FROM documents GROUP BY lower(lang)
+"""
+
+    stoplist = ", ".join(f"'{s}'" for s in STOPWORDS)
+    sql["stopword_tf"] = f"""
+SELECT term, CAST(sum(tf) AS BIGINT) AS total_tf FROM ({_TF_SQL})
+WHERE term NOT IN ({stoplist}) GROUP BY term
+"""
+
+    sql["scan_filter"] = (
+        "SELECT doc_id, n_chars FROM documents WHERE lang = 'en' AND n_chars > 300"
+    )
+
+    sql["exact_dedup"] = """
+SELECT doc_id, sha256(text) AS content_hash,
+       CAST(row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS INT) AS dup_rank,
+       min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+FROM documents
+"""
+
+    sql["minhash_signatures"] = _minhash_sql()
+    sql["lsh_candidate_pairs"] = _lsh_pairs_sql()
+
+    sql["ngram_jaccard"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_ARRAY_SQL} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0 THEN
+           list_distinct(list_transform(range(0, greatest(len(toks)-3, 0) + 1),
+             i -> array_to_string(toks[i+1:i+3], ' ')))
+         ELSE [] END AS sh
+  FROM toks
+),
+sizes AS (SELECT doc_id, len(sh) AS sz FROM sh),
+ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM documents a, documents b
+  WHERE a.doc_id % 25 = 0 AND b.doc_id % 25 = 7 AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT p.a, p.b, count(*) AS n_inter
+  FROM pairs p JOIN ex ea ON ea.doc_id = p.a JOIN ex eb ON eb.doc_id = p.b AND ea.g = eb.g
+  GROUP BY p.a, p.b
+)
+SELECT p.a, p.b,
+       round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+             / CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0) AS DOUBLE), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.a
+JOIN sizes sb ON sb.doc_id = p.b
+LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+"""
+
+    sql["simhash"] = _simhash_sql()
+
+    sql["cosine_topk"] = """
+WITH p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], pe)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(pe, pe))), 6) AS cosine
+FROM embeddings, p
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+    sql["ann_lsh_buckets"] = _ann_buckets_sql()
+    sql["lang_id"] = _lang_id_sql()
+
+    sql["quality_score"] = f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS_ARRAY_SQL} AS toks,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[,.?!;:]')) AS DOUBLE) AS n_punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tokens,
+         n_chars, n_punct,
+         CAST(len(list_filter(toks, t -> list_contains(
+           ['the','a','and','of','to','in','is','it'], lower(t)))) AS DOUBLE) AS n_stop
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END, 6) AS mean_tok_len,
+       round(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END, 6) AS stop_ratio,
+       round(least(n_tokens / 20.0, 1.0)
+             * (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END * 5.0, 1.0)), 6) AS quality
+FROM m
+"""
+
+    sql["token_count"] = f"""
+SELECT doc_id,
+       CAST(len({_TOKS_ARRAY_SQL}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_pieces
+FROM documents
+"""
+
+    sql["fingerprint"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_ARRAY_SQL} AS toks FROM documents)
+SELECT doc_id,
+       CASE WHEN len(toks) > 0 THEN
+         list_min(list_transform(range(0, greatest(len(toks)-3, 0) + 1),
+           i -> md5(array_to_string(toks[i+1:i+3], ' '))))
+       ELSE NULL END AS fingerprint,
+       CAST(len(toks) AS BIGINT) AS n_tokens
+FROM toks
+"""
+
+    sql["binary_meta"] = r"""
+SELECT doc_id,
+       CAST(6 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       'png' AS kind
+FROM documents
+"""
+
+    # mm_features: mapInPandas pipeline — intentionally no SQL twin
+    return sql

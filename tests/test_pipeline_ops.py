@@ -1,0 +1,169 @@
+"""Training-data pipeline operators: dedup, similarity, textstats,
+multimodal plumbing (SURVEY-mandated first-class components).
+
+Exact Spark-vs-DuckDB value parity for these operators is enforced by
+tools/check_oracle.py (the driver's gate); these tests pin the semantic
+properties that the SQL twin can't express as naturally."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+        (3, "alpha beta gamma delta epsilon ETA"),    # near dup of 1
+        (4, "totally different content words here now"),
+        (5, "alpha beta gamma delta epsilon zeta "),  # whitespace-differs → not exact
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(dup_docs):
+    from search_engine_spark.operators.dedup import exact_dedup
+
+    res = {r["doc_id"]: r for r in exact_dedup(dup_docs).collect()}
+    assert res[1]["dup_rank"] == 1 and res[2]["dup_rank"] == 2
+    assert res[2]["keeper"] == 1
+    assert res[5]["dup_rank"] == 1  # byte-exact only
+    assert res[4]["dup_rank"] == 1
+
+
+def test_minhash_lsh_finds_near_dups(dup_docs):
+    from search_engine_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(dup_docs)
+    rows = {r["doc_id"]: [r[f"sig_{i}"] for i in range(8)] for r in sigs.collect()}
+    assert rows[1] == rows[2]  # identical docs → identical signatures
+    # token-identical modulo whitespace → identical distinct-token sets
+    assert rows[1] == rows[5]
+    pairs = {(r["a"], r["b"]) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in pairs and (1, 5) in pairs
+    # 5/6 shared tokens → high chance of some band agreeing
+    assert (1, 3) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard_values(spark, dup_docs):
+    from search_engine_spark.operators.dedup import ngram_jaccard
+
+    pairs = spark.createDataFrame([(1, 2), (1, 4)], "a long, b long")
+    res = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard(dup_docs, pairs).collect()}
+    assert res[(1, 2)] == 1.0
+    assert res[(1, 4)] == 0.0
+
+
+def test_simhash_similarity(dup_docs):
+    from search_engine_spark.operators.dedup import simhash
+
+    res = {r["doc_id"]: r["simhash"] for r in simhash(dup_docs).collect()}
+    assert res[1] == res[2]
+    ham_near = bin(res[1] ^ res[3]).count("1")
+    ham_far = bin(res[1] ^ res[4]).count("1")
+    assert ham_near < ham_far
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    import math
+
+    rows = []
+    for i in range(50):
+        vec = [math.sin(0.1 * i * (d + 1)) for d in range(8)]
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_self_first(emb_df):
+    from search_engine_spark.operators.similarity import cosine_topk
+
+    probe = emb_df.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    top = cosine_topk(emb_df, probe, k=5).collect()
+    assert top[0]["vec_id"] == 7
+    assert abs(top[0]["cosine"] - 1.0) < 1e-6
+    cosines = [r["cosine"] for r in top]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ann_recall_vs_bruteforce(emb_df):
+    from search_engine_spark.operators.similarity import ann_topk, cosine_topk
+
+    probe = emb_df.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in cosine_topk(emb_df, probe, k=5).collect()]
+    approx = [r["vec_id"] for r in ann_topk(emb_df, probe, k=5, n_planes=2).collect()]
+    assert approx[0] == 7  # the probe's own bucket always contains it
+    # recall: coarse buckets (2 planes → 4 buckets) keep ≥ 2/5 true neighbors
+    assert len(set(exact) & set(approx)) >= 2
+
+
+def test_lang_id_markers(spark):
+    from search_engine_spark.operators.textstats import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox the the"),
+            (2, "der hund und die katze und das"),
+            (3, "xyzzy plugh qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    res = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
+    assert res[1] == "en" and res[2] == "de" and res[3] == "und"
+
+
+def test_quality_score_gates(spark):
+    from search_engine_spark.operators.textstats import quality_score
+
+    df = spark.createDataFrame(
+        [(1, "word " * 50), (2, "tiny"), (3, ",,,,....!!!!")],
+        "doc_id long, text string",
+    )
+    res = {r["doc_id"]: r for r in quality_score(df).collect()}
+    assert res[1]["quality"] > 0.9
+    assert res[2]["quality"] < 0.2  # too short
+    assert res[3]["quality"] == 0.0  # pure punctuation
+
+
+def test_multimodal_plumbing(spark):
+    from search_engine_spark.operators.multimodal import (
+        attach_fake_binary,
+        decode_image,
+        extract_features,
+        sniff_kind,
+    )
+
+    docs = spark.createDataFrame([(1, "hello"), (2, "world")], "doc_id long, text string")
+    b = attach_fake_binary(docs)
+    sniffed = {r["doc_id"]: r for r in sniff_kind(b).collect()}
+    assert sniffed[1]["kind"] == "png"
+    assert sniffed[1]["n_bytes"] == 6 + 5
+    feats = {r["doc_id"]: r for r in extract_features(b).collect()}
+    assert len(feats[1]["features"]) == 8
+    assert all(0.0 <= x < 1.0 for x in feats[1]["features"])
+    # deterministic: same payload → same features
+    feats2 = {r["doc_id"]: r for r in extract_features(b).collect()}
+    assert feats[1]["features"] == feats2[1]["features"]
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG....")
+
+
+def test_facet_sets(spark):
+    from search_engine_spark.operators.facets import facet_sets
+
+    df = spark.createDataFrame(
+        [(1, "Python", "r1"), (2, "python", "r1"), (3, "go", "r2")],
+        "docid long, lang string, repo string",
+    )
+    res = {
+        (r["facet"], r["value"]): (r["n_docs"], r["docids"])
+        for r in facet_sets(df, ["lang", "repo"]).collect()
+    }
+    assert res[("lang", "python")] == (2, [1, 2])
+    assert res[("repo", "r2")] == (1, [3])

@@ -1,0 +1,109 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() twin on DuckDB at the given sf dir,
+compare row count, column names, and exact values (order-insensitive).
+
+Usage: python tools/check_oracle.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from search_engine_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=repr)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    spark = get_spark(app="check_oracle", cores=8, shuffle_partitions=8)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"✗ {name}: spark error {e}")
+            continue
+        if name not in oracles:
+            print(f"~ {name}: rows-only check, {len(srows)} rows")
+            if len(srows) == 0:
+                failures.append((name, "0 rows (rows-only)"))
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = [d[0] for d in rel.description]
+            drows = [tuple(r) for r in rel.fetchall()]
+        except Exception as e:
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"✗ {name}: duckdb error {e}")
+            continue
+        sc, sr = norm_rows(scols, srows)
+        dc, dr = norm_rows(dcols, drows)
+        if sc != dc:
+            failures.append((name, f"columns {sc} vs {dc}"))
+            print(f"✗ {name}: column mismatch {sc} vs {dc}")
+            continue
+        if len(sr) != len(dr):
+            failures.append((name, f"rowcount {len(sr)} vs {len(dr)}"))
+            print(f"✗ {name}: rowcount {len(sr)} vs {len(dr)}")
+            continue
+        bad = [i for i, (a, b) in enumerate(zip(sr, dr)) if a != b]
+        if bad:
+            i = bad[0]
+            failures.append((name, f"{len(bad)} differing rows; first: {sr[i]} vs {dr[i]}"))
+            print(f"✗ {name}: {len(bad)}/{len(sr)} rows differ; first: \n  S={sr[i]}\n  D={dr[i]}")
+        else:
+            print(f"✓ {name}: {len(sr)} rows match")
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES:")
+        for n, msg in failures:
+            print(f"  {n}: {msg[:200]}")
+        sys.exit(1)
+    print("all checks passed")
+
+
+if __name__ == "__main__":
+    main()
