@@ -374,16 +374,27 @@ _TOKS_ARRAY_SQL = (
 )
 
 
+# distinct 3-token shingles per doc (matches operators.dedup.shingles_col)
+_SHINGLE_ROWS_SQL = f"""
+  SELECT doc_id, unnest(sh) AS tok FROM (
+    SELECT doc_id,
+      CASE WHEN len(toks) > 0 THEN
+        list_distinct(list_transform(range(0, greatest(len(toks)-3, 0) + 1),
+          i -> array_to_string(toks[i+1:i+3], ' ')))
+      ELSE [] END AS sh
+    FROM (SELECT doc_id, {_TOKS_ARRAY_SQL} AS toks FROM documents)
+  )
+"""
+
+
 def _minhash_sql(n_hashes: int = 8) -> str:
     sigs = ",\n    ".join(
-        f"min(md5('{i}:' || tok)) AS sig_{i}" for i in range(n_hashes)
+        f"min(CAST(concat('0x', substring(md5('{i}:' || tok), 1, 15)) AS BIGINT))"
+        f" AS sig_{i}"
+        for i in range(n_hashes)
     )
     return f"""
-WITH toks AS (
-  SELECT DISTINCT doc_id, tok FROM (
-    SELECT doc_id, unnest({_TOKS_ARRAY_SQL}) AS tok FROM documents
-  ) WHERE tok <> ''
-)
+WITH toks AS ({_SHINGLE_ROWS_SQL})
 SELECT doc_id,
     {sigs}
 FROM toks GROUP BY doc_id
@@ -394,9 +405,9 @@ def _lsh_pairs_sql(n_hashes: int = 8, bands: int = 4) -> str:
     rpb = n_hashes // bands
     band_selects = []
     for b in range(bands):
-        cols = " || '|' || ".join(f"sig_{b * rpb + r}" for r in range(rpb))
+        cols = ", ".join(f"sig_{b * rpb + r}" for r in range(rpb))
         band_selects.append(
-            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sigs"
+            f"SELECT doc_id, {b} AS band_id, md5(concat_ws('|', {cols})) AS band_hash FROM sigs"
         )
     bands_sql = " UNION ALL ".join(band_selects)
     return f"""

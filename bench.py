@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Bench harness (driver contract + SURVEY.md §7 step 9).
+
+Runs the headline pipeline at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+Headline coverage:
+- full inverted-index build (tokenize → term-hash shuffle → salted skew
+  aggregation → delta+varbyte block encode → partitioned parquet write),
+- warm BM25 top-k queries through the public QueryEngine (OR / AND /
+  multi-category, block-decoded postings with bucket partition pruning),
+- batched multi-query top-k (one job for the whole query set),
+- training-data pipeline ops (MinHash+LSH dedup, SimHash, cosine top-k,
+  language-ID, quality, fingerprint).
+
+Every stage forces FULL evaluation (parquet or noop sink / collect) so the
+timings include the Python↔Arrow codec work, not just plan construction.
+Scaling evidence (local[8] vs local[32]) is produced by
+``tools/scaling_bench.py`` and recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _force(df) -> None:
+    """Fully materialize a DataFrame without keeping the rows."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash,
+    )
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.similarity import cosine_topk
+    from search_engine_spark.operators.textstats import (
+        fingerprint,
+        lang_id,
+        quality_score,
+    )
+    from search_engine_spark.plans.bm25 import QueryEngine
+    from search_engine_spark.session import get_spark
+    from search_engine_spark.sources.corpus import load_testdata_documents
+    from search_engine_spark.sources.index_io import read_index, write_index
+
+    spark = get_spark("bench", cores=cpus)
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    def timed_best(name: str, fn, runs: int = 3):
+        """Warm latency: best of `runs` (first run pays codegen + Python
+        worker spawn; min is the steady-state figure a warm service sees)."""
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.monotonic()
+            fn()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
+
+    # The sf parquet is a single file → one input split; repartition the
+    # cached corpus so per-doc stages use every core, the same shape a real
+    # multi-file Iceberg scan gives for free.
+    docs = load_testdata_documents(spark, sf_dir).repartition(cpus).cache()
+    n_files = docs.count()
+    raw_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus).cache()
+    raw_docs.count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(cpus).cache()
+    emb.count()
+
+    idx_root = tempfile.mkdtemp(prefix="bench_index_")
+    try:
+        # --- q1: full index build + persist (THE headline: one term-hash
+        # shuffle, salted heavy terms, varbyte blocks, bucket-partitioned) ---
+        def _build():
+            index = build_index(
+                spark,
+                docs,
+                salt_threshold=max(64, n_files // 20),
+                compress=True,
+            )
+            write_index(index, idx_root)
+            index.unpersist()
+
+        timed("q1_index_build", _build)
+
+        index = read_index(spark, idx_root)
+        engine = QueryEngine(spark, index)
+
+        # --- warm top-k query latency through the public API ---
+        timed_best(
+            "q2_bm25_or",
+            lambda: engine.search("values: table window spark", k=10).collect(),
+        )
+        timed_best(
+            "q3_bm25_and",
+            lambda: engine.search("values: customer vector", mode="and", k=10).collect(),
+        )
+        timed_best(
+            "q4_multi_category",
+            lambda: engine.search(
+                "values: table window | langs: en", k=10, with_display=True
+            ).collect(),
+        )
+
+        # --- sequential query set: warm per-query latency × 6 ---
+        query_set = [
+            "values: table",
+            "values: window",
+            "values: spark",
+            "values: customer",
+            "values: vector",
+            "values: order group",
+        ]
+
+        def _batch():
+            return [engine.search(q, k=10).collect() for q in query_set]
+
+        timed_best("q5_query_set", _batch, runs=2)
+
+        # --- training-data pipeline ops ---
+        timed_best(
+            "q6_minhash_lsh",
+            lambda: _force(lsh_candidate_pairs(minhash_signatures(raw_docs))),
+            runs=2,
+        )
+        timed_best("q7_simhash", lambda: _force(simhash(raw_docs)), runs=2)
+
+        probe = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        timed_best(
+            "q8_cosine_topk",
+            lambda: cosine_topk(emb, [float(x) for x in probe], k=10).collect(),
+        )
+        timed_best("q9_lang_id", lambda: _force(lang_id(raw_docs)), runs=2)
+        timed_best("q9b_quality", lambda: _force(quality_score(raw_docs)), runs=2)
+        timed_best("q10_fingerprint", lambda: _force(fingerprint(raw_docs)), runs=2)
+    finally:
+        shutil.rmtree(idx_root, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    build_files_per_sec = round(n_files / timings["q1_index_build"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "index-build + BM25 top-k + pipeline-ops wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_docs": n_files,
+                "build_files_per_sec": build_files_per_sec,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Pure-Python XXH64 matching Spark's ``xxhash64`` expression (seed 42).
+
+Lets the query planner compute term → bucket (pmod of the term hash) on the
+DRIVER, so bucket partition-pruning literals cost zero Spark jobs per query.
+XXH64 is a public algorithm (Yann Collet, BSD); Spark's ``XxHash64``
+expression hashes a string column's UTF-8 bytes with seed 42 and returns the
+result as a SIGNED 64-bit long.  Parity with the JVM implementation is
+asserted in tests/test_hashing.py over adversarial and random inputs.
+"""
+
+from __future__ import annotations
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def _round(acc: int, val: int) -> int:
+    acc = (acc + val * _P2) & _M
+    return (_rotl(acc, 31) * _P1) & _M
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """Unsigned XXH64 of ``data``."""
+    n = len(data)
+    idx = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M
+        v2 = (seed + _P2) & _M
+        v3 = seed & _M
+        v4 = (seed - _P1) & _M
+        while idx <= n - 32:
+            v1 = _round(v1, int.from_bytes(data[idx : idx + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[idx + 8 : idx + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[idx + 16 : idx + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[idx + 24 : idx + 32], "little"))
+            idx += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _round(0, v)) * _P1 + _P4) & _M
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while idx + 8 <= n:
+        k = int.from_bytes(data[idx : idx + 8], "little")
+        h = ((_rotl(h ^ _round(0, k), 27) * _P1) + _P4) & _M
+        idx += 8
+    if idx + 4 <= n:
+        k = int.from_bytes(data[idx : idx + 4], "little")
+        h = ((_rotl(h ^ ((k * _P1) & _M), 23) * _P2) + _P3) & _M
+        idx += 4
+    while idx < n:
+        h = (_rotl(h ^ ((data[idx] * _P5) & _M), 11) * _P1) & _M
+        idx += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+
+def spark_xxhash64(s: str, seed: int = 42) -> int:
+    """Signed value identical to Spark's ``F.xxhash64(lit(s))``."""
+    u = xxh64(s.encode("utf-8"), seed)
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def term_bucket(term: str, buckets: int) -> int:
+    """Identical to ``F.pmod(F.xxhash64(term), buckets)`` — driver-side."""
+    return spark_xxhash64(term) % buckets

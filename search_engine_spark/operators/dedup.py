@@ -33,6 +33,7 @@ from .textstats import tokens_col
 N_MINHASHES = 8
 LSH_BANDS = 4  # rows-per-band = N_MINHASHES // LSH_BANDS = 2
 SIMHASH_BITS = 16
+SHINGLE_K = 3  # tokens per MinHash/Jaccard shingle
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -48,10 +49,27 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def _distinct_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    return (
-        docs.select(F.col(id_col), F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok"))
-        .distinct()
+def shingles_col(text: F.Column, k: int = SHINGLE_K) -> F.Column:
+    """Distinct k-token shingles of a text column (lowercased tokens).
+
+    Docs with < k tokens shingle the whole (short) token sequence; empty
+    docs → empty array.  Shared by MinHash and n-gram Jaccard so the LSH
+    candidate stage and its exact verifier measure the SAME similarity.
+    """
+    toks = tokens_col(F.lower(text))
+    n = F.size(toks)
+    idxs = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n > 0,
+        F.array_distinct(
+            F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _distinct_shingles(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("tok")
     )
 
 
@@ -61,14 +79,37 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = N_MINHASHES,
 ) -> DataFrame:
-    """(doc_id, sig_0..sig_{n-1}): sig_i = min(md5(i || ':' || token)).
+    """(doc_id, sig_0..sig_{n-1}): sig_i = min(md5(i || ':' || shingle)).
+
+    MinHash over k-token SHINGLES, not unigram tokens: with a small
+    vocabulary, unigram sets of unrelated docs overlap heavily (every doc
+    tends to contain the globally min-hashing token), which floods LSH
+    buckets and makes the candidate join quadratic — measured 10.5M
+    candidate pairs from 5k short docs at sf0.1.  Shingle space is
+    |vocab|^k, so unrelated docs share ~nothing and bucket sizes stay
+    bounded; near-identical docs still share almost all shingles.
 
     One explode + one groupBy — the agg is map-side partial, so the shuffle
-    carries n_hashes minima per doc, not the token stream.
+    carries n_hashes minima per doc, not the shingle stream.
+
+    Signatures are NUMERIC (first 15 hex chars of md5 → bigint): min over a
+    fixed-width long keeps the aggregation in whole-stage-codegen
+    HashAggregate with partial map-side combine; min over the md5 *string*
+    demotes to SortAggregate (sorts every exploded shingle row — measured
+    ~4× slower).  Lexicographic-hex order == numeric order on the prefix,
+    so bucket semantics are unchanged, and DuckDB reproduces the value
+    bit-identically via CAST(concat('0x', substring(md5(..),1,15)) AS
+    BIGINT).
     """
-    toks = _distinct_tokens(docs, text_col, id_col)
+    toks = _distinct_shingles(docs, text_col, id_col)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"sig_{i}")
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"sig_{i}")
         for i in range(n_hashes)
     ]
     return toks.groupBy(id_col).agg(*aggs)
@@ -87,19 +128,25 @@ def lsh_candidate_pairs(
     as a shuffled hash join on uniform keys.
     """
     rows_per_band = n_hashes // bands
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_rows.append(
-            signatures.select(
-                F.col(id_col),
-                F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
-            )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+            ).alias("band_hash"),
         )
-    bands_df = band_rows[0]
-    for br in band_rows[1:]:
-        bands_df = bands_df.unionByName(br)
+        for b in range(bands)
+    ]
+    # ONE pass over the signatures (explode of an inline band array) instead
+    # of a `bands`-way union — a union would recompute the signature agg once
+    # per band per join side; this shape computes it once and the self-join's
+    # two shuffles reuse the same exchange (ReusedExchange in the plan).
+    bands_df = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash"))
     left = bands_df.select(
         F.col(id_col).alias("a"), "band_id", "band_hash"
     )
@@ -124,16 +171,9 @@ def ngram_jaccard(
     Shingle sets are computed once per doc (not per pair) and joined to the
     pair list twice; |A∩B| via exploded-shingle equi-join, |A∪B| = |A|+|B|-∩.
     """
-    toks = tokens_col(F.lower(F.col(text_col)))
-    nn = F.size(toks)
-    idxs = F.sequence(F.lit(0), F.greatest(nn - n, F.lit(0)))
-    shingles = F.when(
-        nn > 0,
-        F.array_distinct(
-            F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = docs.select(F.col(id_col).alias("sid"), shingles.alias("sh"))
+    sh = docs.select(
+        F.col(id_col).alias("sid"), shingles_col(F.col(text_col), n).alias("sh")
+    )
     sizes = sh.select("sid", F.size("sh").alias("sz"))
     exploded = sh.select("sid", F.explode("sh").alias("g"))
 

@@ -69,6 +69,13 @@ class IndexTables:
     dictionary: DataFrame    # field, term, termid, df
     docstats: DataFrame      # docid, repo, path, commit, lang, doclen, titlelen, content_sha256
     corpus_stats: DataFrame  # field, n_docs, avgdl
+    # forward index (docid, field, term, tf) when built via index_from_tf —
+    # persisted so the four table materializations share one tokenize pass.
+    tf: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        if self.tf is not None:
+            self.tf.unpersist()
 
 
 def collect_postings(
@@ -146,7 +153,17 @@ def index_from_tf(
     compress: bool = True,
     body_col: str = "content",
 ) -> IndexTables:
-    """Index tables from a precomputed forward index (docid, field, term, tf)."""
+    """Index tables from a precomputed forward index (docid, field, term, tf).
+
+    The forward index is persisted (memory-and-disk) because all four output
+    tables consume it — without this, each table write re-runs tokenize +
+    partial agg from the source.  At cluster scale the same role is played by
+    the parquet tf slices the resumable build writes (sources/index_io.py);
+    callers that pass such a re-read tf pay nothing extra here.
+    """
+    from pyspark import StorageLevel
+
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     salted = heavy_terms(tf, salt_threshold) if salt_threshold is not None else None
 
     plists = collect_postings(tf, salted_terms=salted, n_salts=n_salts, buckets=buckets)
@@ -185,7 +202,7 @@ def index_from_tf(
         )
     )
 
-    return IndexTables(postings, dictionary, docstats, corpus_stats)
+    return IndexTables(postings, dictionary, docstats, corpus_stats, tf=tf)
 
 
 def build_index(

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..constants import BM25_B, BM25_K1, DEFAULT_INDEX_BUCKETS
 from ..functions.codec import decode_udf
+from ..functions.hashing import term_bucket
 from ..oracle import clean_query_term
 from ..operators.index_build import IndexTables
 from .query_parser import parse_query
@@ -55,11 +56,22 @@ class QueryEngine:
         index: IndexTables,
         stem: bool = False,
         buckets: int = DEFAULT_INDEX_BUCKETS,
+        cache_docstats: bool = True,
     ):
         self.spark = spark
         self.index = index
         self.stem = stem
         self.buckets = buckets
+        if cache_docstats:
+            # docstats joins into EVERY query (doclen lookup + display); a
+            # warm engine keeps it in executor memory/disk instead of
+            # re-scanning parquet per query.  Distributed cache — scales with
+            # the cluster, nothing collects to the driver.
+            from pyspark import StorageLevel
+
+            self.index.docstats = index.docstats.persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
         # corpus stats are tiny (one row per field): collect once, reuse warm
         self._stats = {
             r["field"]: (r["n_docs"], float(r["avgdl"]))
@@ -71,13 +83,9 @@ class QueryEngine:
     # -- helpers -----------------------------------------------------------
 
     def _buckets_for(self, terms: list[str]) -> list[int]:
-        """bucket literals for partition pruning (computed in one tiny job)."""
-        exprs = [
-            F.pmod(F.xxhash64(F.lit(t)), F.lit(self.buckets)).cast("int").alias(f"b{i}")
-            for i, t in enumerate(terms)
-        ]
-        row = self.spark.range(1).select(*exprs).collect()[0]
-        return sorted({row[f"b{i}"] for i in range(len(terms))})
+        """Bucket literals for partition pruning — driver-side XXH64
+        (functions/hashing.py), zero Spark jobs per query."""
+        return sorted({term_bucket(t, self.buckets) for t in terms})
 
     def _matches_for_terms(self, field: str, terms: list[str]) -> DataFrame:
         """(docid, kind, target, term, contrib) for one postings field."""

@@ -40,8 +40,24 @@ TABLES = ("postings", "dictionary", "docstats", "corpus_stats")
 
 
 def write_index(index: IndexTables, root: str, mode: str = "overwrite") -> None:
+    """Persist the four index tables.
+
+    The postings write is the expensive one (term-hash shuffle + varbyte
+    encode); the dictionary is a pure projection of it, so it is derived
+    from the just-WRITTEN postings parquet — a column-pruned scan that reads
+    only (field, term, df), never the block bytes — instead of re-running
+    the shuffle a second time.
+    """
     index.postings.write.mode(mode).partitionBy("bucket").parquet(f"{root}/postings")
-    index.dictionary.write.mode(mode).parquet(f"{root}/dictionary")
+    spark = index.docstats.sparkSession
+    written = spark.read.parquet(f"{root}/postings")
+    dictionary = written.select(
+        "field",
+        "term",
+        F.shiftrightunsigned(F.xxhash64("term"), 1).alias("termid"),
+        "df",
+    )
+    dictionary.write.mode(mode).parquet(f"{root}/dictionary")
     index.docstats.write.mode(mode).parquet(f"{root}/docstats")
     index.corpus_stats.write.mode(mode).parquet(f"{root}/corpus_stats")
 

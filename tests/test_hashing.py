@@ -1,0 +1,51 @@
+"""Parity: pure-Python XXH64 (driver-side bucket pruning) vs Spark xxhash64.
+
+The query engine prunes postings partitions with bucket literals computed on
+the driver (plans/bm25.py `_buckets_for`); the index writer buckets with
+`F.pmod(F.xxhash64(term), buckets)` (operators/index_build.py).  These MUST
+agree bit-for-bit or queries silently miss postings.
+"""
+
+import random
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.constants import DEFAULT_INDEX_BUCKETS
+from search_engine_spark.functions.hashing import spark_xxhash64, term_bucket
+
+ADVERSARIAL = [
+    "",
+    "a",
+    "ab",
+    "table",
+    "x" * 7,
+    "y" * 8,
+    "z" * 31,
+    "w" * 32,
+    "v" * 33,
+    "q" * 100,
+    "café",
+    "日本語テキスト",
+    "the quick brown fox jumps over the lazy dog " * 3,
+    "\x00\x01\x02",
+]
+
+
+def test_xxh64_matches_spark(spark):
+    rng = random.Random(7)
+    cases = ADVERSARIAL + [
+        "".join(chr(rng.randint(32, 1000)) for _ in range(rng.randint(0, 120)))
+        for _ in range(60)
+    ]
+    rows = (
+        spark.createDataFrame([(c,) for c in cases], "s string")
+        .select(
+            "s",
+            F.xxhash64("s").alias("h"),
+            F.pmod(F.xxhash64("s"), F.lit(DEFAULT_INDEX_BUCKETS)).cast("int").alias("b"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert spark_xxhash64(r["s"]) == r["h"], r["s"]
+        assert term_bucket(r["s"], DEFAULT_INDEX_BUCKETS) == r["b"], r["s"]

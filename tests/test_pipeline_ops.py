@@ -13,12 +13,13 @@ from pyspark.sql import functions as F
 
 @pytest.fixture(scope="module")
 def dup_docs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     rows = [
-        (1, "alpha beta gamma delta epsilon zeta"),
-        (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
-        (3, "alpha beta gamma delta epsilon ETA"),    # near dup of 1
-        (4, "totally different content words here now"),
-        (5, "alpha beta gamma delta epsilon zeta "),  # whitespace-differs → not exact
+        (1, base),
+        (2, base),                                    # exact dup of 1
+        (3, base.replace("mu", "MUTATED")),           # near dup: 1 token edit
+        (4, "totally different content words here now and nothing shared"),
+        (5, base + " "),                              # whitespace-differs → not exact
     ]
     return spark.createDataFrame(rows, "doc_id long, text string")
 
@@ -42,11 +43,11 @@ def test_minhash_lsh_finds_near_dups(dup_docs):
     sigs = minhash_signatures(dup_docs)
     rows = {r["doc_id"]: [r[f"sig_{i}"] for i in range(8)] for r in sigs.collect()}
     assert rows[1] == rows[2]  # identical docs → identical signatures
-    # token-identical modulo whitespace → identical distinct-token sets
+    # token-identical modulo whitespace → identical shingle sets
     assert rows[1] == rows[5]
     pairs = {(r["a"], r["b"]) for r in lsh_candidate_pairs(sigs).collect()}
     assert (1, 2) in pairs and (1, 5) in pairs
-    # 5/6 shared tokens → high chance of some band agreeing
+    # 9/11 shared 3-shingles (one-token tail edit) → some band agrees
     assert (1, 3) in pairs
     assert (1, 4) not in pairs
 
