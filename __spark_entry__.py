@@ -180,6 +180,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = _bm25_scores(spark, sf, AND_TERMS)
         return _topk(s.where(F.col("n_matched") == len(AND_TERMS)))
 
+    def q_bm25_wand(spark, sf):
+        """Block-max WAND path — must equal the exhaustive BM25 oracle.
+
+        Builds the compressed index over the sf documents (body field only,
+        matching the SQL twin's tf), runs the driver-side WAND traversal,
+        then re-ranks by (round(score,6) DESC, doc_id ASC) so the boundary
+        semantics match the oracle's round-then-order; the k-buffer absorbs
+        raw-vs-rounded boundary flips.
+        """
+        from search_engine_spark.operators.index_build import build_index
+        from search_engine_spark.plans.wand import BlockMaxWand
+        from search_engine_spark.sources.corpus import load_testdata_documents
+
+        docs = load_testdata_documents(spark, sf)
+        index = build_index(spark, docs, compress=True, title_col=None)
+        searcher = BlockMaxWand(index)
+        hits = searcher.search(BM25_TERMS, k=30)
+        index.unpersist()
+        ranked = sorted(
+            ((d, round(s, 6)) for _, d, s in hits), key=lambda x: (-x[1], x[0])
+        )[:10]
+        rows = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+        return spark.createDataFrame(rows, "rank int, doc_id long, score double")
+
     def q_topk_per_query(spark, sf):
         """Batched multi-query top-k via window (SURVEY.md §2.8)."""
         from search_engine_spark.plans.bm25 import bm25_contrib_col, idf_col
@@ -332,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "bm25_topk_or": q_bm25_or,
         "bm25_topk_and": q_bm25_and,
+        "bm25_topk_wand": q_bm25_wand,
         "topk_per_query": q_topk_per_query,
         "facet_sets": q_facet_sets,
         "stopword_tf": q_stopword_tf,
@@ -509,6 +534,8 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
 
     sql["bm25_topk_or"] = _bm25_sql(BM25_TERMS, and_mode=False)
     sql["bm25_topk_and"] = _bm25_sql(AND_TERMS, and_mode=True)
+    # WAND is lossless pruning — its oracle IS the exhaustive BM25 top-k
+    sql["bm25_topk_wand"] = _bm25_sql(BM25_TERMS, and_mode=False)
 
     tlist = ", ".join(f"'{t}'" for t in BATCH_TERMS)
     sql["topk_per_query"] = f"""

@@ -1,0 +1,212 @@
+"""CLI mirroring the reference's command surface (SURVEY.md §2.7 Q6).
+
+Reference: ``/root/reference/main.cpp:7-64`` — flags ``--path``,
+``--print-database``, ``--search <query>``, ``--ui`` plus thread-count knobs
+``--pt/--ft``.  Spark-first equivalents:
+
+    build           ≡ ParseSources (index build job; ``--slices`` replaces
+                      ``--pt/--ft`` — parallelism belongs to Spark, the knob
+                      that remains is checkpoint granularity)
+    search          ≡ --search one-shot query (add --wand for the block-max
+                      pruned path)
+    print-database  ≡ --print-database postings dump
+    ui              ≡ --ui REPL (menu: query / parse / exit, result pager)
+
+Run locally (``python -m search_engine_spark.cli ...``) or on a cluster via
+``spark-submit --py-files search_engine_spark.zip -m`` equivalents — every
+subcommand only needs a SparkSession, never local filesystem state
+[north_rule].
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark("search-engine-cli", cores=args.cores)
+
+
+def _load_docs(spark, path: str):
+    from .operators.index_build import add_docid
+    from .sources.corpus import load_testdata_documents
+
+    df = spark.read.parquet(path)
+    if "doc_id" in df.columns and "text" in df.columns:
+        return load_testdata_documents(spark, path.rsplit("/documents.parquet", 1)[0])
+    return add_docid(df) if "docid" not in df.columns else df
+
+
+def cmd_build(args) -> int:
+    from .operators.index_build import assert_docid_unique, build_index
+    from .sources.index_io import resumable_build, write_index
+
+    spark = _spark(args)
+    docs = _load_docs(spark, args.input)
+    assert_docid_unique(docs)
+    if args.slices > 1:
+        resumable_build(
+            spark,
+            docs,
+            args.output,
+            n_slices=args.slices,
+            salt_threshold=args.salt_threshold,
+            compress=not args.no_compress,
+            stem=args.stem,
+        )
+    else:
+        index = build_index(
+            spark,
+            docs,
+            stem=args.stem,
+            salt_threshold=args.salt_threshold,
+            compress=not args.no_compress,
+        )
+        write_index(index, args.output)
+        index.unpersist()
+    n = spark.read.parquet(f"{args.output}/docstats").count()
+    print(f"indexed {n} documents → {args.output}")
+    return 0
+
+
+def _engine(spark, args):
+    from .plans.bm25 import QueryEngine
+    from .sources.index_io import read_index
+
+    return QueryEngine(spark, read_index(spark, args.index), stem=args.stem)
+
+
+def _print_results(rows) -> None:
+    if not rows:
+        print("no results")
+        return
+    for r in rows:
+        extra = ""
+        if "repo" in r.__fields__ and r["repo"] is not None:
+            extra = f"  {r['repo']}/{r['path']}  [{r['lang']}]"
+        print(f"{r['rank']:>3}  {r['docid']:<20} {r['score']:.6f}{extra}")
+
+
+def cmd_search(args) -> int:
+    spark = _spark(args)
+    if args.wand:
+        from .oracle import clean_query_term
+        from .plans.query_parser import parse_query
+        from .plans.wand import BlockMaxWand
+        from .sources.index_io import read_index
+
+        index = read_index(spark, args.index)
+        terms: list[str] = []
+        for kind, target, raw in parse_query(args.query):
+            if kind == "terms" and target == "content":
+                terms += [c for c in (clean_query_term(t) for t in raw) if c]
+        searcher = BlockMaxWand(index)
+        for rank, docid, score in searcher.search(terms, k=args.k):
+            print(f"{rank:>3}  {docid:<20} {score:.6f}")
+        return 0
+    engine = _engine(spark, args)
+    rows = engine.search(args.query, mode=args.mode, k=args.k, with_display=True).collect()
+    _print_results(rows)
+    return 0
+
+
+def cmd_print_database(args) -> int:
+    spark = _spark(args)
+    post = spark.read.parquet(f"{args.index}/postings")
+    post.select("field", "term", "df").orderBy(F.desc("df"), "term").show(
+        args.limit, truncate=False
+    )
+    print(f"{post.count()} (field, term) posting rows")
+    return 0
+
+
+def cmd_ui(args) -> int:
+    """REPL ≡ reference InitCommandLineInterface (SearchEngine.h:44-100)."""
+    spark = _spark(args)
+    engine = _engine(spark, args)
+    last = []
+    print("commands: query <q> | mode or|and | see N | parse <input> <output> | exit")
+    mode = "or"
+    while True:
+        try:
+            line = input("> ").strip()
+        except EOFError:
+            break
+        if not line:
+            continue
+        cmd, _, rest = line.partition(" ")
+        if cmd == "exit":
+            break
+        if cmd == "mode" and rest in ("or", "and"):
+            mode = rest
+        elif cmd == "query":
+            last = engine.search(rest, mode=mode, k=args.k, with_display=True).collect()
+            _print_results(last)
+        elif cmd == "see" and rest.isdigit():
+            i = int(rest) - 1
+            if 0 <= i < len(last):
+                doc = (
+                    engine.index.docstats.where(F.col("docid") == last[i]["docid"])
+                    .collect()[0]
+                    .asDict()
+                )
+                for k, v in doc.items():
+                    print(f"  {k}: {v}")
+        elif cmd == "parse":
+            inp, _, out = rest.partition(" ")
+            ns = argparse.Namespace(
+                input=inp, output=out or args.index, slices=1, stem=args.stem,
+                salt_threshold=None, no_compress=False, cores=args.cores,
+            )
+            cmd_build(ns)
+            engine = _engine(spark, args)
+        else:
+            print("unknown command")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="search_engine_spark")
+    p.add_argument("--cores", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--input", required=True, help="documents parquet path")
+    b.add_argument("--output", required=True, help="index root directory")
+    b.add_argument("--slices", type=int, default=1, help=">1 → resumable build")
+    b.add_argument("--salt-threshold", type=int, default=None)
+    b.add_argument("--stem", action="store_true")
+    b.add_argument("--no-compress", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search", help="one-shot query")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--mode", choices=("or", "and"), default="or")
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--stem", action="store_true")
+    s.add_argument("--wand", action="store_true", help="block-max WAND path")
+    s.set_defaults(fn=cmd_search)
+
+    d = sub.add_parser("print-database", help="dump postings (term, df)")
+    d.add_argument("--index", required=True)
+    d.add_argument("--limit", type=int, default=50)
+    d.set_defaults(fn=cmd_print_database)
+
+    u = sub.add_parser("ui", help="interactive REPL")
+    u.add_argument("--index", required=True)
+    u.add_argument("-k", type=int, default=10)
+    u.add_argument("--stem", action="store_true")
+    u.set_defaults(fn=cmd_ui)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

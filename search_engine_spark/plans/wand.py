@@ -1,0 +1,240 @@
+"""Block-max WAND top-k pruning over the compressed postings
+(BASELINE.json north_star; SURVEY.md §4.3.4).
+
+The exhaustive DataFrame path (plans/bm25.py) decodes EVERY posting block of
+every query term.  WAND (Broder et al. 2003) with block-max refinement
+(Ding & Suel 2011 — both public algorithms) skips whole blocks whose BM25
+upper bound cannot reach the current top-k threshold, decoding only blocks
+that might matter.  Pruning is LOSSLESS: upper bounds are sound, so the
+returned top-k (docids AND scores) is identical to the exhaustive path —
+asserted per-query in tests/test_wand.py.
+
+Where it runs: per-query traversal is inherently sequential, so it executes
+on the driver over the collected posting rows of the query's terms — the
+same place real engines run their per-query WAND (a query touches a handful
+of terms; the collected bytes are the compressed blocks, bucket-pruned at
+the scan).  Per-doc lengths (BM25 norms) are collected once per searcher —
+the classic in-memory norms array (8+8 bytes/doc; fine to ~10^8 docs per
+query node).  At 10^12 docs the norms and traversal shard by term-bucket
+inside applyInPandas, with the exhaustive plan as the always-correct
+fallback; the sandbox exercises the driver variant.
+
+Upper bound per block: BM25's tf-term is monotone ↑ in tf and ↓ in doclen,
+so ub = idf · (k1+1)·max_tf / (max_tf + k1·(1−b + b·dl_min/avgdl)) with the
+block's max_tf (stored in block meta at index build) and the corpus-global
+minimum doclen.
+
+Determinism: scores accumulate in ascending-term order in float64 — the
+same canonical order the exhaustive plan folds in (SURVEY.md §4.3.3) — and
+ties break by ascending docid.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from ..constants import BM25_B, BM25_K1, FIELD_BODY
+from ..functions.codec import decode_block
+from ..functions.hashing import term_bucket
+
+_INF = (1 << 63) - 1
+
+
+class _TermCursor:
+    """Iterator over one term's compressed posting blocks with skip support."""
+
+    __slots__ = (
+        "term", "idf", "blocks", "meta", "bi", "pos", "docids", "tfs", "ubs",
+        "decodes",
+    )
+
+    def __init__(self, term: str, idf: float, blocks, meta, dl_min: float, avgdl: float):
+        self.term = term
+        self.idf = idf
+        self.blocks = blocks
+        self.meta = meta  # [(first_docid, last_docid, max_tf, count)]
+        self.bi = 0
+        self.pos = 0
+        self.docids: np.ndarray | None = None
+        self.tfs: np.ndarray | None = None
+        self.decodes = 0
+        norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl_min / avgdl)
+        self.ubs = [
+            idf * (m[2] * (BM25_K1 + 1.0)) / (m[2] + norm) for m in meta
+        ]
+
+    @property
+    def term_ub(self) -> float:
+        return max(self.ubs) if self.ubs else 0.0
+
+    def _decode(self) -> None:
+        if self.docids is None:
+            m = self.meta[self.bi]
+            self.docids, self.tfs = decode_block(self.blocks[self.bi], m[0], m[3])
+            self.decodes += 1
+
+    def cur(self) -> int:
+        if self.bi >= len(self.meta):
+            return _INF
+        self._decode()
+        return int(self.docids[self.pos])
+
+    def cur_block_ub(self) -> float:
+        return self.ubs[self.bi] if self.bi < len(self.meta) else 0.0
+
+    def cur_tf(self) -> int:
+        return int(self.tfs[self.pos])
+
+    def step(self) -> None:
+        """Advance one posting."""
+        self._decode()
+        self.pos += 1
+        if self.pos >= len(self.docids):
+            self.bi += 1
+            self.pos = 0
+            self.docids = self.tfs = None
+
+    def advance_to(self, target: int) -> None:
+        """Advance to the first posting with docid >= target.
+
+        Skips whole blocks via meta.last_docid WITHOUT decoding them — the
+        block-max payoff: a block whose ub never survives the threshold is
+        never varbyte-decoded.
+        """
+        while self.bi < len(self.meta) and self.meta[self.bi][1] < target:
+            self.bi += 1
+            self.pos = 0
+            self.docids = self.tfs = None
+        if self.bi >= len(self.meta):
+            return
+        self._decode()
+        self.pos = int(np.searchsorted(self.docids[self.pos :], target)) + self.pos
+
+
+class BlockMaxWand:
+    """Per-field WAND searcher over built index tables.
+
+    Collects per-term compressed postings (bucket-pruned scan) per query and
+    the per-doc norms once at construction.
+    """
+
+    def __init__(self, index, field: str = FIELD_BODY, buckets: int | None = None):
+        from ..constants import DEFAULT_INDEX_BUCKETS
+
+        self.index = index
+        self.field = field
+        self.buckets = buckets or DEFAULT_INDEX_BUCKETS
+        stats = {
+            r["field"]: (r["n_docs"], float(r["avgdl"]))
+            for r in index.corpus_stats.collect()
+        }
+        self.n_docs, self.avgdl = stats[field]
+        dl_col = "doclen" if field == FIELD_BODY else "titlelen"
+        rows = index.docstats.select("docid", dl_col).collect()
+        self.norms = {r["docid"]: float(r[dl_col]) for r in rows}
+        self.dl_min = min(self.norms.values(), default=0.0)
+        # instrumentation for tests: blocks decoded vs total
+        self.blocks_decoded = 0
+        self.blocks_total = 0
+
+    # -- postings access ----------------------------------------------------
+
+    def _cursors(self, terms: list[str]) -> list[_TermCursor]:
+        bks = sorted({term_bucket(t, self.buckets) for t in terms})
+        rows = (
+            self.index.postings.where(
+                (F.col("field") == self.field)
+                & F.col("bucket").isin(bks)
+                & F.col("term").isin(terms)
+            )
+            .select("term", "df", "blocks", "meta")
+            .collect()
+        )
+        cursors = []
+        for r in rows:
+            idf = math.log((self.n_docs - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0)
+            meta = [
+                (m["first_docid"], m["last_docid"], m["max_tf"], m["count"])
+                for m in r["meta"]
+            ]
+            cursors.append(
+                _TermCursor(r["term"], idf, list(r["blocks"]), meta, self.dl_min, self.avgdl)
+            )
+            self.blocks_total += len(meta)
+        return cursors
+
+    def _score_doc(self, docid: int, scoring: list[tuple[str, float, int]]) -> float:
+        """Fold contributions in ascending-term order (canonical float64)."""
+        dl = self.norms[docid]
+        acc = 0.0
+        for _term, idf, tf in sorted(scoring, key=lambda x: x[0]):
+            denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl)
+            acc = acc + idf * tf * (BM25_K1 + 1.0) / denom
+        return acc
+
+    # -- search -------------------------------------------------------------
+
+    def search(self, terms: list[str], k: int = 10) -> list[tuple[int, int, float]]:
+        """→ [(rank, docid, score)] — identical to the exhaustive plan's
+        (score DESC, docid ASC) top-k for the same OR-mode term query."""
+        terms = sorted(set(terms))
+        cursors = self._cursors(terms)
+        if not cursors:
+            return []
+        # min-heap of (score, neg_docid); heap[0] is the WORST kept result
+        heap: list[tuple[float, int]] = []
+        theta = -math.inf
+
+        while True:
+            live = [c for c in cursors if c.cur() != _INF]
+            if not live:
+                break
+            live.sort(key=lambda c: c.cur())
+            # pivot: first prefix whose term-ub sum reaches theta (>= keeps
+            # score==theta docs alive — a tie with a smaller docid wins)
+            thr = theta if len(heap) == k else -math.inf
+            acc = 0.0
+            pivot = None
+            for i, c in enumerate(live):
+                acc += c.term_ub
+                if acc >= thr:
+                    pivot = i
+                    break
+            if pivot is None:
+                break  # even all remaining terms together cannot reach theta
+            pivot_doc = live[pivot].cur()
+
+            if live[0].cur() == pivot_doc:
+                # all preceding cursors aligned — block-max check, then score
+                aligned = [c for c in live if c.cur() == pivot_doc]
+                block_ub = sum(c.cur_block_ub() for c in aligned)
+                if len(heap) == k and block_ub < theta:
+                    for c in aligned:
+                        c.step()
+                    continue
+                scoring = [(c.term, c.idf, c.cur_tf()) for c in aligned]
+                score = self._score_doc(pivot_doc, scoring)
+                entry = (score, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif entry > heap[0]:
+                    heapq.heapreplace(heap, entry)
+                if len(heap) == k:
+                    theta = heap[0][0]
+                for c in aligned:
+                    c.step()
+            else:
+                # advance the highest-ub cursor that is STRICTLY below the
+                # pivot doc (a preceding cursor may already sit on pivot_doc;
+                # advancing it would be a no-op and loop forever)
+                pre = [c for c in live[:pivot] if c.cur() < pivot_doc]
+                adv = max(pre, key=lambda c: c.term_ub)
+                adv.advance_to(pivot_doc)
+
+        self.blocks_decoded += sum(c.decodes for c in cursors)
+        out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+        return [(i + 1, -nd, s) for i, (s, nd) in enumerate(out)]

@@ -1,0 +1,57 @@
+"""Checkpoint/resume build (SURVEY.md §4.3.5, north_star): a build killed
+mid-way resumes from the manifest, skips completed slices, and produces an
+index identical to an uninterrupted build."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.sources.index_io import (
+    read_index,
+    read_manifest,
+    resumable_build,
+)
+
+
+def _index_fingerprint(index):
+    post = {
+        (r["field"], r["term"]): (r["df"], [bytes(b) for b in r["blocks"]])
+        for r in index.postings.select("field", "term", "df", "blocks").collect()
+    }
+    stats = {
+        r["docid"]: (r["doclen"], r["content_sha256"])
+        for r in index.docstats.select("docid", "doclen", "content_sha256").collect()
+    }
+    return post, stats
+
+
+def test_resume_after_injected_failure(spark, tiny_df, tmp_path):
+    clean_root = str(tmp_path / "clean")
+    crash_root = str(tmp_path / "crash")
+
+    clean = resumable_build(spark, tiny_df, clean_root, n_slices=4, compress=True)
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        resumable_build(
+            spark, tiny_df, crash_root, n_slices=4, compress=True, fail_after_slice=2
+        )
+    m = read_manifest(spark, crash_root)
+    done_before = {r["partition_id"] for r in m.where(F.col("status") == "done").collect()}
+    assert len(done_before) == 2  # crashed after committing 2 slices
+
+    resumed = resumable_build(spark, tiny_df, crash_root, n_slices=4, compress=True)
+
+    # manifest shows all 4 slices done, the first 2 NOT rebuilt (one row each)
+    m2 = read_manifest(spark, crash_root).where(F.col("status") == "done")
+    per_slice = {
+        r["partition_id"]: r["cnt"]
+        for r in m2.groupBy("partition_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert set(per_slice) == {0, 1, 2, 3}
+    assert all(c == 1 for c in per_slice.values()), per_slice
+
+    assert _index_fingerprint(resumed) == _index_fingerprint(clean)
+
+    # a re-read of the persisted index matches too (round-trip)
+    assert _index_fingerprint(read_index(spark, crash_root)) == _index_fingerprint(clean)

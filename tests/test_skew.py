@@ -1,0 +1,53 @@
+"""Skew salting correctness (SURVEY.md §4.3.1, north_rule).
+
+The salted two-level aggregation for stopword-heavy terms must produce a
+postings table IDENTICAL to the single-level unsalted plan — same terms,
+same df, same docid-sorted posting arrays, same varbyte bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.index_build import build_index, heavy_terms
+from search_engine_spark.operators.tokenize import doc_terms
+
+
+def _postings_map(index):
+    rows = index.postings.select("field", "term", "df", "blocks", "meta").collect()
+    return {
+        (r["field"], r["term"]): (
+            r["df"],
+            [bytes(b) for b in r["blocks"]],
+            [tuple(m) for m in r["meta"]],
+        )
+        for r in rows
+    }
+
+
+def test_salted_equals_unsalted(spark, tiny_df):
+    # threshold low enough that the planted stopword flood terms are salted
+    tf = doc_terms(tiny_df)
+    heavy = heavy_terms(tf, threshold=30)
+    assert heavy.count() > 0, "fixture must plant heavy terms for this test"
+
+    unsalted = build_index(spark, tiny_df, compress=True)
+    salted = build_index(spark, tiny_df, salt_threshold=30, n_salts=4, compress=True)
+
+    a, b = _postings_map(unsalted), _postings_map(salted)
+    assert a.keys() == b.keys()
+    for key in a:
+        assert a[key] == b[key], f"postings differ for {key}"
+    unsalted.unpersist()
+    salted.unpersist()
+
+
+def test_heavy_terms_are_the_floods(spark, tiny_df):
+    tf = doc_terms(tiny_df)
+    heavy = {r["term"] for r in heavy_terms(tf, threshold=30).collect()}
+    # the planted stopword-like floods and the Zipf vocabulary head must be
+    # flagged; rare planted terms must NOT be
+    from search_engine_spark.fixtures import RARE_TERMS, STOPWORDS
+
+    assert len(heavy & set(STOPWORDS)) >= 10, sorted(heavy)[:10]
+    assert not heavy & set(RARE_TERMS)

@@ -1,0 +1,98 @@
+"""Block-max WAND ≡ exhaustive path (SURVEY.md §4.3.4, north_star).
+
+Pruning must be lossless: for every query the WAND top-k docids are
+IDENTICAL to the exhaustive DataFrame plan's and scores agree to float64
+noise.  A multi-block corpus additionally asserts that pruning actually
+skips block decodes (the point of storing block-max metadata).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from search_engine_spark import fixtures
+from search_engine_spark.plans.bm25 import QueryEngine
+from search_engine_spark.plans.wand import BlockMaxWand
+
+TERM_QUERIES = [
+    ["load_config"],
+    ["parse_json0", "merge_index0"],
+    ["zephyrq0"],
+    ["zephyrq3", "zephyrq4"],
+    ["def", "return", "import"],          # stopword flood — many postings
+    ["qqqqnohit"],                        # zero-hit
+    ["hash_shard0", "scan_tree0", "fill_queue0"],
+    ["zephyrq9", "load_config"],
+]
+
+
+@pytest.fixture(scope="module")
+def searcher(tiny_index):
+    return BlockMaxWand(tiny_index)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_index):
+    return QueryEngine(spark, tiny_index)
+
+
+@pytest.mark.parametrize("terms", TERM_QUERIES, ids=["_".join(t) for t in TERM_QUERIES])
+def test_wand_equals_exhaustive(spark, engine, searcher, terms, k=10):
+    wand = searcher.search(terms, k=k)
+    query = "values: " + " ".join(terms)
+    exhaustive = [
+        (r["rank"], r["docid"], r["score"])
+        for r in engine.search(query, k=k).collect()
+    ]
+    assert [(r, d) for r, d, _ in wand] == [(r, d) for r, d, _ in exhaustive], terms
+    for (_, _, sw), (_, _, se) in zip(wand, exhaustive):
+        assert sw == pytest.approx(se, rel=1e-12, abs=1e-12), terms
+
+
+@pytest.fixture(scope="module")
+def multiblock_index(spark):
+    """2400-doc corpus → stopword-class terms span many 128-entry blocks."""
+    from search_engine_spark.operators.index_build import build_index
+
+    docs = fixtures.with_docids(fixtures.generate_documents(2400, seed=7))
+    df = spark.createDataFrame(docs).select(
+        "docid", "repo", "path", "commit", "lang", "content"
+    )
+    idx = build_index(spark, df, compress=True)
+    for t in (idx.postings, idx.docstats, idx.corpus_stats):
+        t.cache().count()
+    return idx
+
+
+@pytest.mark.parametrize(
+    "terms,k",
+    [
+        (["zephyrq0", "zephyrq1", "def"], 1),            # selective → skips
+        (["zephyrq0", "zephyrq1", "def", "return"], 2),
+        (["zephyrq0", "def", "return", "while"], 10),    # flood-heavy, k=10
+    ],
+    ids=["rare+flood_k1", "rare+floods_k2", "floods_k10"],
+)
+def test_wand_multiblock_equivalence(spark, multiblock_index, terms, k):
+    searcher = BlockMaxWand(multiblock_index)
+    engine = QueryEngine(spark, multiblock_index, cache_docstats=False)
+    wand = searcher.search(terms, k=k)
+    exhaustive = [
+        (r["rank"], r["docid"], r["score"])
+        for r in engine.search("values: " + " ".join(terms), k=k).collect()
+    ]
+    assert [(r, d) for r, d, _ in wand] == [(r, d) for r, d, _ in exhaustive]
+    for (_, _, sw), (_, _, se) in zip(wand, exhaustive):
+        assert sw == pytest.approx(se, rel=1e-12, abs=1e-12)
+
+
+def test_wand_prunes_blocks_multiblock(spark, multiblock_index):
+    # high-idf rare terms put theta far above the flood-term upper bounds:
+    # the flood posting blocks must be skipped WITHOUT varbyte-decoding
+    searcher = BlockMaxWand(multiblock_index)
+    searcher.search(["zephyrq0", "zephyrq1", "def"], k=1)
+    assert searcher.blocks_total > 10
+    assert searcher.blocks_decoded < searcher.blocks_total, (
+        searcher.blocks_decoded,
+        searcher.blocks_total,
+    )

@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Scaling-efficiency harness (BASELINE.json north_rule).
+
+The rule demands ≥0.8 throughput scaling efficiency between N and 4N
+executors.  The sandbox has no cluster, so the sanctioned stand-in is the
+SAME index-build job at two parallelism levels on the SAME input:
+``local[8]`` vs ``local[32]`` (N=8 cores → 4N=32 cores).
+
+    efficiency = (files_sec_high / files_sec_low) / (cores_high / cores_low)
+
+Each level runs in its OWN subprocess (fresh JVM — no cache leakage between
+levels) and reports the best of ``--runs`` warm repetitions (first run pays
+whole-stage-codegen compilation and Python-worker spawn; the host also shows
+multi-second CPU-steal stalls, so min-of-N is the stable statistic).
+
+Corpus: deterministic synthetic documents from fixtures.generate_documents
+(seeded — no external data), written once as a multi-file parquet so the
+scan has real input splits, then reused by both levels.
+
+Usage:
+    python tools/scaling_bench.py [--n-docs 40000] [--runs 2]
+Prints one JSON line; paste the numbers into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+CORES_LOW, CORES_HIGH = 8, 32
+
+
+def make_corpus(path: str, n_docs: int) -> None:
+    from search_engine_spark.fixtures import generate_documents
+    from search_engine_spark.session import get_spark
+
+    spark = get_spark("scale-corpus", cores=CORES_HIGH)
+    rows = generate_documents(n_docs)
+    df = spark.createDataFrame(rows)  # repo, path, commit, lang, content
+    df.repartition(64).write.mode("overwrite").parquet(path)
+    spark.stop()
+
+
+def worker(cores: int, corpus: str, runs: int) -> None:
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.index_build import add_docid, build_index
+    from search_engine_spark.session import get_spark
+    from search_engine_spark.sources.index_io import write_index
+
+    spark = get_spark(f"scale-{cores}", cores=cores, shuffle_partitions=cores)
+    docs = add_docid(spark.read.parquet(corpus))
+    n = docs.count()
+    best = float("inf")
+    for r in range(runs):
+        out = tempfile.mkdtemp(prefix=f"scale_idx_{cores}_")
+        t0 = time.monotonic()
+        index = build_index(
+            spark, docs, salt_threshold=max(64, n // 20), compress=True
+        )
+        write_index(index, out)
+        dt = time.monotonic() - t0
+        index.unpersist()
+        shutil.rmtree(out, ignore_errors=True)
+        best = min(best, dt)
+    print(json.dumps({"cores": cores, "n_docs": n, "build_sec": round(best, 2),
+                      "files_per_sec": round(n / best, 1)}))
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=40000)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--worker-cores", type=int, default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--corpus", default=None, help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.worker_cores is not None:
+        worker(args.worker_cores, args.corpus, args.runs)
+        return
+
+    corpus = os.path.join(tempfile.gettempdir(), f"scale_corpus_{args.n_docs}")
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        make_corpus(corpus, args.n_docs)
+
+    results = {}
+    for cores in (CORES_LOW, CORES_HIGH):
+        out = subprocess.run(
+            [sys.executable, __file__, "--worker-cores", str(cores),
+             "--corpus", corpus, "--runs", str(args.runs)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cores] = json.loads(line)
+        print(line, flush=True)
+
+    lo, hi = results[CORES_LOW], results[CORES_HIGH]
+    eff = (hi["files_per_sec"] / lo["files_per_sec"]) / (CORES_HIGH / CORES_LOW)
+    print(json.dumps({
+        "metric": "index-build scaling efficiency (local[8] → local[32])",
+        "cores_low": CORES_LOW, "cores_high": CORES_HIGH,
+        "files_per_sec_low": lo["files_per_sec"],
+        "files_per_sec_high": hi["files_per_sec"],
+        "speedup": round(hi["files_per_sec"] / lo["files_per_sec"], 3),
+        "efficiency": round(eff, 3),
+        "n_docs": lo["n_docs"],
+    }))
+
+
+if __name__ == "__main__":
+    main()
