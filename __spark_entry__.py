@@ -28,6 +28,9 @@ AND_TERMS = ["customer", "vector"]
 BATCH_TERMS = ["table", "customer", "vector"]
 STOPWORDS = ["the", "a"]
 K1, B = 1.2, 0.75
+# sf embeddings are synthetic-random (no planted dups): τ sits inside the
+# same-bucket cosine tail so the gate exercises real surviving pairs.
+NEAR_DUP_TAU = 0.3
 
 
 # ---------------------------------------------------------------------------
@@ -314,6 +317,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return lsh_buckets(_raw_emb(spark, sf), n_planes=6, dim=64)
 
+    def q_embedding_near_dup(spark, sf):
+        from search_engine_spark.operators.similarity import embedding_near_dup
+
+        return embedding_near_dup(_raw_emb(spark, sf), threshold=NEAR_DUP_TAU)
+
     def q_lang_id(spark, sf):
         from search_engine_spark.operators.textstats import lang_id
 
@@ -368,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_buckets": q_ann_buckets,
+        "embedding_near_dup": q_embedding_near_dup,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "token_count": q_token_count,
@@ -631,6 +640,23 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
     sql["ann_lsh_buckets"] = _ann_buckets_sql()
+
+    sql["embedding_near_dup"] = f"""
+WITH buckets AS ({_ann_buckets_sql()}),
+v AS (
+  SELECT b.vec_id, b.bucket, e.embedding::DOUBLE[] AS ve
+  FROM buckets b JOIN embeddings e ON b.vec_id = e.vec_id
+),
+pairs AS (
+  SELECT l.vec_id AS a, r.vec_id AS b,
+         CASE WHEN sqrt(list_dot_product(l.ve, l.ve)) * sqrt(list_dot_product(r.ve, r.ve)) > 0
+              THEN list_dot_product(l.ve, r.ve)
+                   / (sqrt(list_dot_product(l.ve, l.ve)) * sqrt(list_dot_product(r.ve, r.ve)))
+         END AS cosine
+  FROM v l JOIN v r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT a, b, round(cosine, 6) AS cosine FROM pairs WHERE round(cosine, 6) >= {NEAR_DUP_TAU}
+"""
     sql["lang_id"] = _lang_id_sql()
 
     sql["quality_score"] = f"""

@@ -72,6 +72,8 @@ class IndexTables:
     # forward index (docid, field, term, tf) when built via index_from_tf —
     # persisted so the four table materializations share one tokenize pass.
     tf: DataFrame | None = None
+    # bucket-count the postings were built with (write-time compaction key)
+    n_buckets: int = DEFAULT_INDEX_BUCKETS
 
     def unpersist(self) -> None:
         if self.tf is not None:
@@ -202,7 +204,9 @@ def index_from_tf(
         )
     )
 
-    return IndexTables(postings, dictionary, docstats, corpus_stats, tf=tf)
+    return IndexTables(
+        postings, dictionary, docstats, corpus_stats, tf=tf, n_buckets=buckets
+    )
 
 
 def build_index(

@@ -98,6 +98,56 @@ def lsh_buckets(
     return embeddings.select(F.col(id_col), bucket.alias("bucket"))
 
 
+def _pair_cosine(vec_a: Column, vec_b: Column) -> Column:
+    """Cosine of two array columns — zip_with dot product, fixed fold order."""
+    dot = F.aggregate(
+        F.zip_with(vec_a, vec_b, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = _norm(vec_a) * _norm(vec_b)
+    return F.when(denom > 0, dot / denom)
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = LSH_PLANES,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cosine) with cosine ≥ τ.
+
+    The training-data-pipeline dedup variant (SURVEY-mandated alongside
+    MinHash/SimHash): candidates come from a self-equi-join on the
+    random-hyperplane LSH bucket — near-identical vectors land in the same
+    bucket with high probability — then the exact cosine re-rank keeps only
+    pairs at or above the threshold.  At 10^9 vectors the bucket join is the
+    only shuffle and its keys are uniform by construction (md5-parity
+    hyperplanes), so no skew handling is needed; recall is tuned via
+    n_planes (fewer planes → bigger buckets → higher recall, more exact
+    work).  Capability analogue in the reference: none — its dedup story is
+    docID hashing only (/root/reference/KaggleFinanceSourceEngine.cpp:131).
+    """
+    with_b = lsh_buckets(
+        embeddings, n_planes=n_planes, dim=dim, id_col=id_col, vec_col=vec_col
+    ).join(embeddings, on=id_col)
+    left = with_b.select(
+        F.col(id_col).alias("a"), F.col("bucket"), F.col(vec_col).alias("va")
+    )
+    right = with_b.select(
+        F.col(id_col).alias("b"), F.col("bucket"), F.col(vec_col).alias("vb")
+    )
+    pairs = left.join(right, on="bucket").where(F.col("a") < F.col("b"))
+    return (
+        pairs.select(
+            "a", "b", F.round(_pair_cosine(F.col("va"), F.col("vb")), 6).alias("cosine")
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def ann_topk(
     embeddings: DataFrame,
     probe: list[float],

@@ -34,6 +34,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # v2 committer: task-side file moves instead of a serial driver-side
+        # rename pass at job commit — the commit of a partitioned postings
+        # write is otherwise a non-scaling (Amdahl) term in build wall time
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

@@ -48,7 +48,17 @@ def write_index(index: IndexTables, root: str, mode: str = "overwrite") -> None:
     only (field, term, df), never the block bytes — instead of re-running
     the shuffle a second time.
     """
-    index.postings.write.mode(mode).partitionBy("bucket").parquet(f"{root}/postings")
+    # Compact the dynamic-partition write: without this, every aggregation
+    # task fans its rows across all `buckets` directories → tasks×buckets
+    # small files, and the job-commit/list cost becomes a serial scaling
+    # ceiling.  The encoded rows are tiny (varbyte blocks), so one extra
+    # cheap shuffle keyed by bucket yields ~1 file per bucket.
+    (
+        index.postings.repartition(index.n_buckets, F.col("bucket"))
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(f"{root}/postings")
+    )
     spark = index.docstats.sparkSession
     written = spark.read.parquet(f"{root}/postings")
     dictionary = written.select(
@@ -63,11 +73,15 @@ def write_index(index: IndexTables, root: str, mode: str = "overwrite") -> None:
 
 
 def read_index(spark: SparkSession, root: str) -> IndexTables:
+    n_buckets = len(
+        [d for d in os.listdir(f"{root}/postings") if d.startswith("bucket=")]
+    ) or 1
     return IndexTables(
         postings=spark.read.parquet(f"{root}/postings"),
         dictionary=spark.read.parquet(f"{root}/dictionary"),
         docstats=spark.read.parquet(f"{root}/docstats"),
         corpus_stats=spark.read.parquet(f"{root}/corpus_stats"),
+        n_buckets=n_buckets,
     )
 
 

@@ -1,0 +1,47 @@
+#!/usr/bin/env python
+"""spark-submit entry point (north_rule: multi-executor cluster runs via
+``spark-submit --py-files``).
+
+Unlike ``python -m search_engine_spark``, this script does NOT build its own
+SparkSession master — it picks up whatever ``spark-submit --master`` gave it
+(YARN / k8s / standalone / local[N]), so the same artifact runs on a real
+cluster and in the sandbox::
+
+    python tools/make_submit_zip.py
+    spark-submit --master local[8] \
+        --py-files dist/search_engine_spark.zip \
+        submit_job.py build --input docs.parquet --output /tmp/idx
+    spark-submit ... submit_job.py search --index /tmp/idx --query "values: merge"
+
+Subcommands are the CLI's (build / search / print-database); see
+search_engine_spark/cli.py.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main(argv: list[str]) -> int:
+    # session comes from spark-submit; only decorate, never set master here
+    spark = (
+        SparkSession.builder.appName("search-engine-spark")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    import search_engine_spark.cli as cli
+
+    # reuse the CLI's parser/commands, but inject the submitted session
+    orig = cli._spark
+    cli._spark = lambda args: spark
+    try:
+        return cli.main(argv)
+    finally:
+        cli._spark = orig
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -104,6 +104,29 @@ def test_ann_recall_vs_bruteforce(emb_df):
     assert len(set(exact) & set(approx)) >= 2
 
 
+def test_embedding_near_dup(spark):
+    from search_engine_spark.operators.similarity import embedding_near_dup
+
+    dim = 8
+    base = [1.0, 0.5, -0.25, 0.75, -1.0, 0.1, 0.9, -0.4]
+    rows = [
+        (1, base),
+        (2, [x * 1.01 for x in base]),          # scaled copy → cosine 1.0
+        (3, [x + 0.02 * ((-1) ** i) for i, x in enumerate(base)]),  # tiny perturbation
+        (4, [-x for x in base]),                # antipode → cosine -1
+        (5, [0.0] * (dim - 1) + [1.0]),         # near-orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in embedding_near_dup(emb, threshold=0.95, n_planes=2, dim=dim).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.99
+    assert all(b != 4 and a != 4 for a, b in pairs)  # antipode lands in another bucket or fails τ
+    assert (1, 5) not in pairs
+
+
 def test_lang_id_markers(spark):
     from search_engine_spark.operators.textstats import lang_id
 

@@ -1,0 +1,38 @@
+#!/usr/bin/env python
+"""Package search_engine_spark for cluster submission (north_rule: the build
+"runs via spark-submit --py-files on multi-executor clusters").
+
+Creates a zip of the package (source only, no caches) suitable for::
+
+    spark-submit --master <cluster> \
+        --py-files dist/search_engine_spark.zip \
+        submit_job.py build --input <iceberg/parquet docs> --output <index root>
+
+``tools/submit_smoke.py`` exercises exactly that command line against a
+local-mode master as the sandbox stand-in for a cluster submit.
+"""
+
+from __future__ import annotations
+
+import sys
+import zipfile
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+def make_zip(out: Path | None = None) -> Path:
+    out = out or ROOT / "dist" / "search_engine_spark.zip"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    pkg = ROOT / "search_engine_spark"
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for py in sorted(pkg.rglob("*.py")):
+            if "__pycache__" in py.parts:
+                continue
+            zf.write(py, py.relative_to(ROOT))
+    return out
+
+
+if __name__ == "__main__":
+    dest = Path(sys.argv[1]) if len(sys.argv) > 1 else None
+    print(make_zip(dest))

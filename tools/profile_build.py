@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Phase-level profile of the index build — finds the non-scaling (serial)
+component that caps N→4N efficiency.  Run per core-count in a subprocess.
+
+Usage: python tools/profile_build.py --cores 32 --corpus /tmp/scale_corpus_200000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--corpus", required=True)
+    args = ap.parse_args()
+
+    from pyspark import StorageLevel
+
+    from search_engine_spark.operators.index_build import (
+        add_docid,
+        collect_postings,
+        encode_posting_blocks,
+        heavy_terms,
+    )
+    from search_engine_spark.operators.tokenize import doc_terms
+    from search_engine_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(f"profile-{args.cores}", cores=args.cores,
+                      shuffle_partitions=args.cores)
+    docs = add_docid(spark.read.parquet(args.corpus))
+    n = docs.count()
+    out = tempfile.mkdtemp(prefix=f"profile_idx_{args.cores}_")
+    t: dict[str, float] = {}
+
+    def phase(name):
+        class _P:
+            def __enter__(self):
+                self.t0 = time.monotonic()
+
+            def __exit__(self, *a):
+                t[name] = round(time.monotonic() - self.t0, 2)
+
+        return _P()
+
+    with phase("a_tokenize_tf_persist"):
+        tf = doc_terms(docs).persist(StorageLevel.MEMORY_AND_DISK)
+        tf.count()
+    with phase("b_heavy_terms"):
+        heavy = heavy_terms(tf, max(64, n // 20))
+        heavy.count()
+    with phase("c_collect_postings"):
+        plists = collect_postings(tf, salted_terms=heavy)
+        plists.write.mode("overwrite").format("noop").save()
+    with phase("d_encode_noop"):
+        enc = encode_posting_blocks(plists)
+        enc.write.mode("overwrite").format("noop").save()
+    with phase("e_write_postings"):
+        enc.write.mode("overwrite").partitionBy("bucket").parquet(f"{out}/postings")
+    with phase("f_dictionary"):
+        written = spark.read.parquet(f"{out}/postings")
+        written.select(
+            "field", "term",
+            F.shiftrightunsigned(F.xxhash64("term"), 1).alias("termid"), "df",
+        ).write.mode("overwrite").parquet(f"{out}/dictionary")
+    with phase("g_docstats"):
+        lens = (
+            tf.groupBy("docid").pivot("field", ["content", "title"]).agg(F.sum("tf"))
+            .select("docid",
+                    F.coalesce(F.col("content"), F.lit(0)).cast("long").alias("doclen"),
+                    F.coalesce(F.col("title"), F.lit(0)).cast("long").alias("titlelen"))
+        )
+        (
+            docs.select("docid", "repo", "path", "commit", "lang",
+                        F.sha2(F.col("content"), 256).alias("content_sha256"))
+            .join(lens, on="docid", how="left")
+            .na.fill({"doclen": 0, "titlelen": 0})
+            .write.mode("overwrite").parquet(f"{out}/docstats")
+        )
+    with phase("h_corpus_stats"):
+        (
+            tf.groupBy("field").agg(F.sum("tf").alias("total_terms"))
+            .crossJoin(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+            .select("field", "n_docs",
+                    (F.col("total_terms") / F.col("n_docs")).alias("avgdl"))
+            .write.mode("overwrite").parquet(f"{out}/corpus_stats")
+        )
+
+    n_files = sum(1 for _ in Path(out, "postings").rglob("*.parquet"))
+    shutil.rmtree(out, ignore_errors=True)
+    print(json.dumps({"cores": args.cores, "n_docs": n,
+                      "postings_files": n_files,
+                      "total": round(sum(t.values()), 2), "phases": t}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Smoke-check the cluster submission path (north_rule evidence).
+
+Builds dist/search_engine_spark.zip, then runs the REAL ``spark-submit
+--py-files`` command line — build then search — against a tiny deterministic
+corpus with a local-mode master standing in for the cluster.  The package is
+imported ONLY from the zip (cwd moved to a scratch dir), proving the artifact
+is self-contained.
+
+Usage: python tools/submit_smoke.py [--n-docs 500]
+Prints one JSON line with wall times and the top hit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+
+def run(cmd: list[str], cwd: str) -> tuple[float, str]:
+    t0 = time.monotonic()
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        cmd, cwd=cwd, env=env, capture_output=True, text=True, timeout=560
+    )
+    if out.returncode != 0:
+        sys.stderr.write(out.stdout[-3000:] + "\n" + out.stderr[-3000:])
+        raise SystemExit(f"command failed: {' '.join(cmd)}")
+    return time.monotonic() - t0, out.stdout
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=500)
+    ap.add_argument("--master", default="local[8]")
+    args = ap.parse_args()
+
+    from search_engine_spark.fixtures import generate_documents
+    from search_engine_spark.session import get_spark
+    from tools.make_submit_zip import make_zip
+
+    zip_path = make_zip()
+    scratch = tempfile.mkdtemp(prefix="submit_smoke_")
+    corpus = f"{scratch}/docs.parquet"
+    idx = f"{scratch}/index"
+
+    spark = get_spark("smoke-corpus", cores=8, shuffle_partitions=8)
+    spark.createDataFrame(generate_documents(args.n_docs)).repartition(8).write.parquet(corpus)
+    spark.stop()
+
+    spark_submit = shutil.which("spark-submit") or str(
+        Path(sys.executable).parent / "spark-submit"
+    )
+    base = [
+        spark_submit,
+        "--master", args.master,
+        "--py-files", str(zip_path),
+        str(ROOT / "submit_job.py"),
+    ]
+    try:
+        t_build, _ = run(
+            base + ["build", "--input", corpus, "--output", idx], cwd=scratch
+        )
+        t_search, out = run(
+            base + ["search", "--index", idx, "--query", "values: parse json"],
+            cwd=scratch,
+        )
+        hits = [ln for ln in out.splitlines() if ln.strip().startswith("1 ")]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    print(json.dumps({
+        "metric": "spark-submit --py-files smoke (build + search)",
+        "master": args.master,
+        "n_docs": args.n_docs,
+        "build_sec": round(t_build, 1),
+        "search_sec": round(t_search, 1),
+        "top_hit": hits[0].strip() if hits else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
