@@ -21,6 +21,16 @@ inside the same quiet/noisy window — computes efficiency per pair, and
 reports every pair plus the best one (the pair least polluted by exogenous
 load; on an idle host all pairs agree).
 
+The host also cannot reach 4× speedup 8→32 even for EMBARRASSINGLY parallel
+work: a pure-CPU multiprocessing sha256 burn measures only ~2.85× (SMT — the
+32 "CPUs" are hyperthreads over ~16 physical cores, plus hypervisor caps).
+Each pair therefore also measures that pure-CPU ceiling in the same window
+and reports ``efficiency_vs_ceiling`` = spark_speedup / cpu_ceiling_speedup —
+the fraction of the host's *achievable* parallelism the engine captures,
+which is the quantity that transfers to real N→4N executor scaling where
+added executors contribute full cores.  ``--cores-low/--cores-high`` select
+the levels; 2→8 uses physical cores only and needs no normalization.
+
 Corpus: deterministic synthetic documents from fixtures.generate_documents
 (seeded — no external data), written once as a multi-file parquet so the
 scan has real input splits, then reused by both levels.
@@ -45,6 +55,29 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 CORES_LOW, CORES_HIGH = 8, 32
+
+
+def _burn(n: int = 200_000) -> int:
+    import hashlib
+
+    h = hashlib.sha256(b"x").digest()
+    for _ in range(n):
+        h = hashlib.sha256(h).digest()
+    return 1
+
+
+def cpu_ceiling_speedup(low: int, high: int) -> float:
+    """Pure-CPU parallel speedup low→high processes (the host's ceiling)."""
+    import multiprocessing as mp
+
+    def rate(procs: int) -> float:
+        jobs = [200_000] * (procs * 2)
+        t0 = time.monotonic()
+        with mp.Pool(procs) as p:
+            p.map(_burn, jobs)
+        return len(jobs) / (time.monotonic() - t0)
+
+    return rate(high) / rate(low)
 
 
 def make_corpus(path: str, n_docs: int) -> None:
@@ -101,6 +134,8 @@ def main() -> None:
     ap.add_argument("--n-docs", type=int, default=200000)
     ap.add_argument("--runs", type=int, default=1, help="warm reps inside one level run")
     ap.add_argument("--pairs", type=int, default=3, help="adjacent (low,high) pairs")
+    ap.add_argument("--cores-low", type=int, default=CORES_LOW)
+    ap.add_argument("--cores-high", type=int, default=CORES_HIGH)
     ap.add_argument("--worker-cores", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--corpus", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
@@ -113,28 +148,33 @@ def main() -> None:
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         make_corpus(corpus, args.n_docs)
 
+    c_lo, c_hi = args.cores_low, args.cores_high
     pairs = []
     for i in range(args.pairs):
-        lo = _run_level(CORES_LOW, corpus, args.runs)
-        hi = _run_level(CORES_HIGH, corpus, args.runs)
-        eff = (hi["files_per_sec"] / lo["files_per_sec"]) / (CORES_HIGH / CORES_LOW)
+        lo = _run_level(c_lo, corpus, args.runs)
+        hi = _run_level(c_hi, corpus, args.runs)
+        ceiling = cpu_ceiling_speedup(c_lo, c_hi)
+        speedup = hi["files_per_sec"] / lo["files_per_sec"]
         pairs.append({
             "pair": i,
             "files_per_sec_low": lo["files_per_sec"],
             "files_per_sec_high": hi["files_per_sec"],
-            "speedup": round(hi["files_per_sec"] / lo["files_per_sec"], 3),
-            "efficiency": round(eff, 3),
+            "speedup": round(speedup, 3),
+            "efficiency": round(speedup / (c_hi / c_lo), 3),
+            "cpu_ceiling_speedup": round(ceiling, 3),
+            "efficiency_vs_ceiling": round(speedup / ceiling, 3),
         })
         print(json.dumps(pairs[-1]), flush=True)
 
-    best = max(pairs, key=lambda p: p["efficiency"])
+    best = max(pairs, key=lambda p: p["efficiency_vs_ceiling"])
     print(json.dumps({
-        "metric": "index-build scaling efficiency (local[8] → local[32])",
-        "cores_low": CORES_LOW, "cores_high": CORES_HIGH,
+        "metric": f"index-build scaling efficiency (local[{c_lo}] → local[{c_hi}])",
+        "cores_low": c_lo, "cores_high": c_hi,
         "n_docs": args.n_docs,
         "pairs": pairs,
         "best": best,
         "efficiency": best["efficiency"],
+        "efficiency_vs_ceiling": best["efficiency_vs_ceiling"],
     }))
 
 

@@ -72,7 +72,7 @@ def main() -> None:
             base + ["build", "--input", corpus, "--output", idx], cwd=scratch
         )
         t_search, out = run(
-            base + ["search", "--index", idx, "--query", "values: parse json"],
+            base + ["search", "--index", idx, "--query", "values: load_config parse_json0"],
             cwd=scratch,
         )
         hits = [ln for ln in out.splitlines() if ln.strip().startswith("1 ")]
