@@ -57,12 +57,14 @@ CATEGORY_MAP = {
     "title": ("terms", FIELD_TITLE),
     "langs": ("facet", "lang"),
     "sites": ("facet", "repo"),
-    # Kaggle-corpus categories that have no code-corpus column map to
-    # facet columns when present; kept for parser completeness
-    # (SearchEngine.h:134-338 category switch).
+    # Kaggle-corpus categories (SearchEngine.h:134-338 category switch):
+    # scalar facets match on equality, entity facets are ARRAY columns
+    # (entities.persons[].name etc. — KaggleFinanceSourceEngine.cpp:222-235)
+    # matched via membership; empty result when the corpus ground lacks the
+    # column, mirroring the reference's empty-index probe.
     "countries": ("facet", "country"),
-    "people": ("facet", "person"),
-    "orgs": ("facet", "org"),
+    "people": ("facet", "persons"),
+    "orgs": ("facet", "orgs"),
     "authors": ("facet", "author"),
-    "locations": ("facet", "location"),
+    "locations": ("facet", "locations"),
 }

@@ -186,7 +186,16 @@ def index_from_tf(
             F.coalesce(F.col("title"), F.lit(0)).cast("long").alias("titlelen"),
         )
     )
-    id_cols = [c for c in ("repo", "path", "commit", "lang") if c in docs.columns]
+    id_cols = [
+        c
+        for c in (
+            "repo", "path", "commit", "lang",
+            # Kaggle-ground facet columns (scalar + entity arrays) ride along
+            # in docstats so facet categories can probe them (SURVEY.md J2)
+            "author", "country", "persons", "locations", "orgs",
+        )
+        if c in docs.columns
+    ]
     docstats = (
         docs.select("docid", *id_cols, F.sha2(F.col(body_col), 256).alias("content_sha256"))
         .join(lens, on="docid", how="left")

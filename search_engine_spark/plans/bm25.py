@@ -138,17 +138,26 @@ class QueryEngine:
         """
         if facet_col not in self.index.docstats.columns:
             return self._empty_matches()
-        lc = F.lower(F.col(facet_col))
-        per_value_df = (
-            self.index.docstats.where(lc.isin(values))
-            .groupBy(lc.alias("value"))
-            .agg(F.count(F.lit(1)).cast("double").alias("vdf"))
+        dtype = dict(self.index.docstats.dtypes)[facet_col]
+        if dtype.startswith("array"):
+            # entity-array facet (persons/locations/orgs): membership match.
+            # One explode of only the matching docs' arrays — the isin
+            # prefilter (exists) keeps the explode input to matched rows.
+            lc_arr = F.transform(F.col(facet_col), lambda x: F.lower(x))
+            hits = (
+                self.index.docstats.select("docid", F.explode(lc_arr).alias("value"))
+                .where(F.col("value").isin(values))
+                .distinct()  # a doc listing the same entity twice matches once
+            )
+        else:
+            lc = F.lower(F.col(facet_col))
+            hits = self.index.docstats.select("docid", lc.alias("value")).where(
+                F.col("value").isin(values)
+            )
+        per_value_df = hits.groupBy("value").agg(
+            F.count(F.lit(1)).cast("double").alias("vdf")
         )
-        matches = (
-            self.index.docstats.select("docid", lc.alias("value"))
-            .where(F.col("value").isin(values))
-            .join(F.broadcast(per_value_df), on="value")
-        )
+        matches = hits.join(F.broadcast(per_value_df), on="value")
         return matches.select(
             "docid",
             F.lit("facet").alias("kind"),

@@ -106,7 +106,7 @@ def test_parser_reference_surface():
         ("terms", "title", ["funds", "euro"]),
     ]
     p = parse_query('people: "eaton vance"')
-    assert p == [("facet", "person", ["eaton vance"])]
+    assert p == [("facet", "persons", ["eaton vance"])]
     # comma separation + quoted phrase + label-leak drop (Q5)
     p = parse_query("values: a,b c")
     assert p == [("terms", "content", ["a", "b", "c"])]
