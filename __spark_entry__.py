@@ -317,6 +317,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return lsh_buckets(_raw_emb(spark, sf), n_planes=6, dim=64)
 
+    def q_ann_topk(spark, sf):
+        """LSH-bucketed ANN: probe-bucket candidates, exact cosine re-rank."""
+        from search_engine_spark.operators.similarity import ann_topk
+
+        emb = _raw_emb(spark, sf)
+        probe = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        return ann_topk(emb, [float(x) for x in probe], k=10)
+
+    def q_stemmed_tf(spark, sf):
+        """Porter-stemmed forward index (north_star tokenize/stem path) —
+        vectorized Arrow UDF; no SQL twin (rows-only check)."""
+        from search_engine_spark.operators.tokenize import doc_terms
+
+        docs = _raw_docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), F.col("text").alias("content")
+        )
+        return (
+            doc_terms(docs, stem=True, title_col=None)
+            .select("docid", "term", "tf")
+        )
+
     def q_embedding_near_dup(spark, sf):
         from search_engine_spark.operators.similarity import embedding_near_dup
 
@@ -377,6 +398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_lsh_buckets": q_ann_buckets,
         "embedding_near_dup": q_embedding_near_dup,
+        "ann_topk": q_ann_topk,
+        "stemmed_tf": q_stemmed_tf,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "token_count": q_token_count,
@@ -640,6 +663,23 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
     sql["ann_lsh_buckets"] = _ann_buckets_sql()
+
+    sql["ann_topk"] = f"""
+WITH buckets AS ({_ann_buckets_sql()}),
+p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0),
+pb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS ve
+  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id, pb
+  WHERE b.bucket = pb.bucket
+)
+SELECT vec_id,
+       round(list_dot_product(ve, pe)
+             / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(pe, pe))), 6) AS cosine
+FROM cand, p ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+    # stemmed_tf: Porter stemmer — intentionally no SQL twin (rows-only)
 
     sql["embedding_near_dup"] = f"""
 WITH buckets AS ({_ann_buckets_sql()}),

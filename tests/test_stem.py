@@ -1,0 +1,133 @@
+"""Porter stemmer: algorithm fidelity (canonical vocabulary pairs from
+Porter's published test set — public algorithm, Porter 1980), the Arrow UDF
+parity with the pure-Python form, and the stem=on end-to-end index path
+(north_star: "tokenize/stem content with vectorized Arrow UDFs"; the
+reference itself never stems — SURVEY.md §2.2 P4 — so stem defaults off)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.stem import porter_stem
+
+# (input, expected) — canonical cases from Porter's paper / voc.txt
+CANON = [
+    ("caresses", "caress"),
+    ("ponies", "poni"),
+    ("ties", "ti"),
+    ("caress", "caress"),
+    ("cats", "cat"),
+    ("feed", "feed"),
+    ("agreed", "agre"),
+    ("plastered", "plaster"),
+    ("bled", "bled"),
+    ("motoring", "motor"),
+    ("sing", "sing"),
+    ("conflated", "conflat"),
+    ("troubled", "troubl"),
+    ("sized", "size"),
+    ("hopping", "hop"),
+    ("tanned", "tan"),
+    ("falling", "fall"),
+    ("hissing", "hiss"),
+    ("fizzed", "fizz"),
+    ("failing", "fail"),
+    ("filing", "file"),
+    ("happy", "happi"),
+    ("sky", "sky"),
+    ("relational", "relat"),
+    ("conditional", "condit"),
+    ("rational", "ration"),
+    ("valenci", "valenc"),
+    ("hesitanci", "hesit"),
+    ("digitizer", "digit"),
+    ("conformabli", "conform"),
+    ("radicalli", "radic"),
+    ("differentli", "differ"),
+    ("vileli", "vile"),
+    ("analogousli", "analog"),
+    ("vietnamization", "vietnam"),
+    ("predication", "predic"),
+    ("operator", "oper"),
+    ("feudalism", "feudal"),
+    ("decisiveness", "decis"),
+    ("hopefulness", "hope"),
+    ("callousness", "callous"),
+    ("formaliti", "formal"),
+    ("sensitiviti", "sensit"),
+    ("sensibiliti", "sensibl"),
+    ("triplicate", "triplic"),
+    ("formative", "form"),
+    ("formalize", "formal"),
+    ("electriciti", "electr"),
+    ("electrical", "electr"),
+    ("hopeful", "hope"),
+    ("goodness", "good"),
+    ("revival", "reviv"),
+    ("allowance", "allow"),
+    ("inference", "infer"),
+    ("airliner", "airlin"),
+    ("gyroscopic", "gyroscop"),
+    ("adjustable", "adjust"),
+    ("defensible", "defens"),
+    ("irritant", "irrit"),
+    ("replacement", "replac"),
+    ("adjustment", "adjust"),
+    ("dependent", "depend"),
+    ("adoption", "adopt"),
+    ("homologou", "homolog"),
+    ("communism", "commun"),
+    ("activate", "activ"),
+    ("angulariti", "angular"),
+    ("homologous", "homolog"),
+    ("effective", "effect"),
+    ("bowdlerize", "bowdler"),
+    ("probate", "probat"),
+    ("rate", "rate"),
+    ("cease", "ceas"),
+    ("controll", "control"),
+    ("roll", "roll"),
+]
+
+
+def test_porter_canonical_pairs():
+    for word, want in CANON:
+        assert porter_stem(word) == want, f"{word} → {porter_stem(word)} != {want}"
+
+
+def test_short_words_untouched():
+    for w in ("a", "is", "be", "by", "on"):
+        assert porter_stem(w) == w
+
+
+def test_udf_matches_python(spark):
+    from search_engine_spark.functions.stem import stem_udf
+
+    words = [w for w, _ in CANON] + ["", "x", "running", "connection"]
+    df = spark.createDataFrame([(w,) for w in words], "term string")
+    got = {r["term"]: r["stemmed"] for r in
+           df.select("term", stem_udf()(F.col("term")).alias("stemmed")).collect()}
+    for w in words:
+        assert got[w] == porter_stem(w), w
+
+
+def test_stemmed_index_matches_variants(spark):
+    """stem=on folds inflection variants into one postings row, and the
+    query side stems identically so any variant form finds all docs."""
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.plans.bm25 import QueryEngine
+
+    docs = spark.createDataFrame(
+        [
+            (1, "r", "p1", "c", "en", "the motor was motoring along"),
+            (2, "r", "p2", "c", "en", "motors and motoring and motored"),
+            (3, "r", "p3", "c", "en", "nothing relevant here"),
+        ],
+        "docid long, repo string, path string, commit string, lang string, content string",
+    )
+    idx = build_index(spark, docs, stem=True, title_col=None)
+    eng = QueryEngine(spark, idx, stem=True)
+    hits = {r["docid"] for r in eng.search("values: motoring").collect()}
+    assert hits == {1, 2}
+    hits2 = {r["docid"] for r in eng.search("values: motored").collect()}
+    assert hits2 == {1, 2}
