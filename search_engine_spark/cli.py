@@ -118,10 +118,10 @@ def cmd_search(args) -> int:
 def cmd_print_database(args) -> int:
     spark = _spark(args)
     post = spark.read.parquet(f"{args.index}/postings")
-    post.select("field", "term", "df").orderBy(F.desc("df"), "term").show(
-        args.limit, truncate=False
-    )
-    print(f"{post.count()} (field, term) posting rows")
+    # term-global df: heavy terms span multiple segment rows
+    agg = post.groupBy("field", "term").agg(F.sum("df").alias("df"))
+    agg.orderBy(F.desc("df"), "term").show(args.limit, truncate=False)
+    print(f"{agg.count()} (field, term) dictionary rows; {post.count()} segment rows")
     return 0
 
 

@@ -48,17 +48,27 @@ def add_docid(docs: DataFrame) -> DataFrame:
     )
 
 
-def heavy_terms(tf: DataFrame, threshold: int) -> DataFrame:
+def heavy_terms(
+    tf: DataFrame, threshold: int, sample_frac: float | None = None
+) -> DataFrame:
     """Terms whose df exceeds `threshold` → candidates for salted aggregation.
 
-    At scale this runs on a sample (`tf.sample(0.001)`) with a scaled
-    threshold; on test data it is exact.  Equivalent role: the reference has
+    ``sample_frac`` trades exactness for cost: detection runs on a row sample
+    with a proportionally scaled threshold.  Mis-detection is benign — a
+    false positive salts a light term (harmless extra segment row), a false
+    negative leaves a heavy term unsalted (slow partition, still correct) —
+    so at 10^12 rows a 0.1% sample is the right call; exact by default for
+    the deterministic small-scale tests.  Equivalent role: the reference has
     NO skew handling — its hottest filler shard simply runs longest.
     """
+    src, thr = tf, threshold
+    if sample_frac is not None:
+        src = tf.sample(fraction=sample_frac, seed=42)
+        thr = max(1, int(threshold * sample_frac))
     return (
-        tf.groupBy("field", "term")
+        src.groupBy("field", "term")
         .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > threshold)
+        .where(F.col("df") > thr)
         .select("field", "term")
     )
 
@@ -86,20 +96,33 @@ def collect_postings(
     n_salts: int = 16,
     buckets: int = DEFAULT_INDEX_BUCKETS,
 ) -> DataFrame:
-    """(docid, field, term, tf) → (field, term, bucket, df, postings array).
+    """(docid, field, term, tf) → (field, term, bucket, segment, df, postings).
 
-    Unsalted path: one exchange on (field, term), sorted collect_list.
-    Salted path (for the broadcast-marked heavy terms): aggregate per
-    (field, term, salt = docid % n_salts ... via xxhash), then concatenate
-    the per-salt sorted runs with a final array_sort — correctness proven by
-    test_skew.py equality vs the unsalted plan.
+    Unsalted path: one exchange on (field, term), sorted collect_list,
+    single row with ``segment = 0``.
+
+    Salted path (broadcast-marked heavy terms): salt = the TOP ``log2
+    n_salts`` bits of the 63-bit hash docid.  Because docids are uniform
+    hashes, top-bit ranges are load-balanced like a modulo salt, but they
+    are also ORDERED and DISJOINT — so each per-salt sorted run is a
+    standalone docid-range segment, and the heavy term is emitted as one
+    row PER SEGMENT, never re-merged into a single giant array.  This is
+    the [north_star] segment design ("merge partition segments into a
+    global dictionary + document-frequency table"): a stopword-class term
+    with 10^11 postings stays bounded per row; only its dictionary df is
+    global (summed over segments).  Per-row ``df`` is the SEGMENT length;
+    consumers needing the term-global df aggregate over segments
+    (dictionary build, query idf) — enforced by tests/test_skew.py.
     """
+    if n_salts & (n_salts - 1):
+        raise ValueError(f"n_salts must be a power of two, got {n_salts}")
+    salt_bits = n_salts.bit_length() - 1
     tf = tf.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int"))
 
     if salted_terms is None:
         grouped = tf.groupBy("field", "term", "bucket").agg(
             F.array_sort(F.collect_list(F.struct("docid", "tf"))).alias("postings")
-        )
+        ).withColumn("segment", F.lit(0))
     else:
         marked = tf.join(
             F.broadcast(salted_terms.withColumn("is_heavy", F.lit(True))),
@@ -109,20 +132,18 @@ def collect_postings(
             "salt",
             F.when(
                 F.col("is_heavy").isNotNull(),
-                F.pmod(F.xxhash64("docid"), F.lit(n_salts)).cast("int"),
+                F.shiftrightunsigned(F.col("docid"), 63 - salt_bits).cast("int"),
             ).otherwise(F.lit(0)),
         )
-        partial = marked.groupBy("field", "term", "bucket", "salt").agg(
-            F.array_sort(F.collect_list(F.struct("docid", "tf"))).alias("run")
-        )
-        grouped = partial.groupBy("field", "term", "bucket").agg(
-            F.array_sort(F.flatten(F.collect_list("run"))).alias("postings")
-        )
+        grouped = marked.groupBy("field", "term", "bucket", "salt").agg(
+            F.array_sort(F.collect_list(F.struct("docid", "tf"))).alias("postings")
+        ).withColumnRenamed("salt", "segment")
 
     return grouped.select(
         "field",
         "term",
         "bucket",
+        "segment",
         F.size("postings").cast("long").alias("df"),
         "postings",
     )
@@ -139,6 +160,7 @@ def encode_posting_blocks(postings: DataFrame) -> DataFrame:
             "field",
             "term",
             "bucket",
+            "segment",
             "df",
             F.col("enc.blocks").alias("blocks"),
             F.col("enc.meta").alias("meta"),
@@ -171,8 +193,16 @@ def index_from_tf(
     plists = collect_postings(tf, salted_terms=salted, n_salts=n_salts, buckets=buckets)
     postings = encode_posting_blocks(plists) if compress else plists
 
-    dictionary = plists.select(
-        "field", "term", F.shiftrightunsigned(F.xxhash64("term"), 1).alias("termid"), "df"
+    # dictionary df is TERM-GLOBAL: sum over posting segments [north_star]
+    dictionary = (
+        plists.groupBy("field", "term")
+        .agg(F.sum("df").alias("df"))
+        .select(
+            "field",
+            "term",
+            F.shiftrightunsigned(F.xxhash64("term"), 1).alias("termid"),
+            "df",
+        )
     )
 
     # per-doc stats: body doclen, title len, content identity hash

@@ -95,6 +95,11 @@ class QueryEngine:
             & F.col("bucket").isin(self._buckets_for(terms))
             & F.col("term").isin(terms)
         )
+        # heavy terms are stored as multiple SEGMENT rows; idf needs the
+        # term-GLOBAL df = sum over segments.  The matched row set is tiny
+        # (≤ terms × segments), so this aggregate + broadcast join is free.
+        gdf = p.groupBy("term").agg(F.sum("df").alias("gdf"))
+        p = p.drop("df").join(F.broadcast(gdf), on="term").withColumnRenamed("gdf", "df")
         if self._compressed:
             dec = decode_udf()
             p = p.withColumn("d", dec("blocks", "meta")).select(

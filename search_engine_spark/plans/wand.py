@@ -151,18 +151,31 @@ class BlockMaxWand:
                 & F.col("bucket").isin(bks)
                 & F.col("term").isin(terms)
             )
-            .select("term", "df", "blocks", "meta")
+            .select("term", "segment", "df", "blocks", "meta")
             .collect()
         )
-        cursors = []
+        # heavy terms arrive as multiple SEGMENT rows whose docid ranges are
+        # disjoint and ordered by segment id (top-bit salting — index_build);
+        # concatenating blocks in segment order therefore yields a globally
+        # docid-sorted block sequence, and df sums to the term-global value.
+        by_term: dict[str, list] = {}
         for r in rows:
-            idf = math.log((self.n_docs - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0)
-            meta = [
-                (m["first_docid"], m["last_docid"], m["max_tf"], m["count"])
-                for m in r["meta"]
-            ]
+            by_term.setdefault(r["term"], []).append(r)
+        cursors = []
+        for term, segs in by_term.items():
+            segs.sort(key=lambda r: r["segment"])
+            df = sum(r["df"] for r in segs)
+            blocks: list = []
+            meta: list = []
+            for r in segs:
+                blocks.extend(r["blocks"])
+                meta.extend(
+                    (m["first_docid"], m["last_docid"], m["max_tf"], m["count"])
+                    for m in r["meta"]
+                )
+            idf = math.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
             cursors.append(
-                _TermCursor(r["term"], idf, list(r["blocks"]), meta, self.dl_min, self.avgdl)
+                _TermCursor(term, idf, blocks, meta, self.dl_min, self.avgdl)
             )
             self.blocks_total += len(meta)
         return cursors

@@ -61,11 +61,15 @@ def write_index(index: IndexTables, root: str, mode: str = "overwrite") -> None:
     )
     spark = index.docstats.sparkSession
     written = spark.read.parquet(f"{root}/postings")
-    dictionary = written.select(
-        "field",
-        "term",
-        F.shiftrightunsigned(F.xxhash64("term"), 1).alias("termid"),
-        "df",
+    dictionary = (
+        written.groupBy("field", "term")
+        .agg(F.sum("df").alias("df"))  # term-global df across segments
+        .select(
+            "field",
+            "term",
+            F.shiftrightunsigned(F.xxhash64("term"), 1).alias("termid"),
+            "df",
+        )
     )
     dictionary.write.mode(mode).parquet(f"{root}/dictionary")
     index.docstats.write.mode(mode).parquet(f"{root}/docstats")

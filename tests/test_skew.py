@@ -1,28 +1,40 @@
 """Skew salting correctness (SURVEY.md §4.3.1, north_rule).
 
-The salted two-level aggregation for stopword-heavy terms must produce a
-postings table IDENTICAL to the single-level unsalted plan — same terms,
-same df, same docid-sorted posting arrays, same varbyte bytes.
+Heavy (stopword-flood) terms are stored as per-salt SEGMENT rows whose
+docid ranges are disjoint and ordered (top-bit salting — index_build).
+The salted plan must be SEMANTICALLY identical to the unsalted one: same
+terms, same term-global df, and segment-concatenated decoded postings equal
+to the unsalted docid-sorted list, entry for entry.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from search_engine_spark.functions.codec import decode_postings
 from search_engine_spark.operators.index_build import build_index, heavy_terms
 from search_engine_spark.operators.tokenize import doc_terms
 
 
-def _postings_map(index):
-    rows = index.postings.select("field", "term", "df", "blocks", "meta").collect()
-    return {
-        (r["field"], r["term"]): (
-            r["df"],
-            [bytes(b) for b in r["blocks"]],
-            [tuple(m) for m in r["meta"]],
-        )
-        for r in rows
-    }
+def _decoded_map(index):
+    """(field,term) → (global_df, [(docid, tf), ...]) with segments merged
+    in segment order."""
+    rows = index.postings.select(
+        "field", "term", "segment", "df", "blocks", "meta"
+    ).collect()
+    by_term: dict = {}
+    for r in rows:
+        by_term.setdefault((r["field"], r["term"]), []).append(r)
+    out = {}
+    for key, segs in by_term.items():
+        segs.sort(key=lambda r: r["segment"])
+        blocks, meta = [], []
+        for r in segs:
+            blocks.extend(bytes(b) for b in r["blocks"])
+            meta.extend(tuple(m) for m in r["meta"])
+        d, t = decode_postings(blocks, meta)
+        out[key] = (sum(r["df"] for r in segs), list(zip(d.tolist(), t.tolist())))
+    return out
 
 
 def test_salted_equals_unsalted(spark, tiny_df):
@@ -34,11 +46,44 @@ def test_salted_equals_unsalted(spark, tiny_df):
     unsalted = build_index(spark, tiny_df, compress=True)
     salted = build_index(spark, tiny_df, salt_threshold=30, n_salts=4, compress=True)
 
-    a, b = _postings_map(unsalted), _postings_map(salted)
+    # heavy terms must actually be segmented (multiple rows), light ones not
+    seg_counts = {
+        r["term"]: r["n"]
+        for r in salted.postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    heavy_set = {r["term"] for r in heavy.collect()}
+    assert any(seg_counts[t] > 1 for t in heavy_set if t in seg_counts)
+
+    a, b = _decoded_map(unsalted), _decoded_map(salted)
     assert a.keys() == b.keys()
     for key in a:
         assert a[key] == b[key], f"postings differ for {key}"
     unsalted.unpersist()
+    salted.unpersist()
+
+
+def test_segments_are_disjoint_ordered(spark, tiny_df):
+    """Top-bit salting ⇒ segment docid ranges never interleave, so
+    concatenation in segment order is already globally sorted."""
+    salted = build_index(spark, tiny_df, salt_threshold=30, n_salts=4, compress=True)
+    rows = salted.postings.select("field", "term", "segment", "meta").collect()
+    by_term: dict = {}
+    for r in rows:
+        by_term.setdefault((r["field"], r["term"]), []).append(r)
+    multi = 0
+    for segs in by_term.values():
+        if len(segs) < 2:
+            continue
+        multi += 1
+        segs.sort(key=lambda r: r["segment"])
+        prev_last = -1
+        for r in segs:
+            first, last = r["meta"][0]["first_docid"], r["meta"][-1]["last_docid"]
+            assert first > prev_last, "segment ranges interleave"
+            prev_last = last
+    assert multi > 0
     salted.unpersist()
 
 
