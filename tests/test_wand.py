@@ -86,6 +86,38 @@ def test_wand_multiblock_equivalence(spark, multiblock_index, terms, k):
         assert sw == pytest.approx(se, rel=1e-12, abs=1e-12)
 
 
+def test_wand_on_segmented_index(spark, multiblock_index):
+    """Salted build → heavy terms stored as multiple segment rows; WAND must
+    stitch segments into one sorted cursor and still equal the exhaustive
+    plan (which sums df across segments for idf)."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.index_build import build_index
+
+    docs = fixtures.with_docids(fixtures.generate_documents(2400, seed=7))
+    df = spark.createDataFrame(docs).select(
+        "docid", "repo", "path", "commit", "lang", "content"
+    )
+    seg_idx = build_index(spark, df, salt_threshold=200, n_salts=8, compress=True)
+    n_seg_rows = (
+        seg_idx.postings.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1).count()
+    )
+    assert n_seg_rows > 0, "expected segmented heavy terms"
+    terms = ["zephyrq0", "def", "return"]
+    wand = BlockMaxWand(seg_idx).search(terms, k=10)
+    exhaustive = [
+        (r["rank"], r["docid"], r["score"])
+        for r in QueryEngine(spark, seg_idx, cache_docstats=False)
+        .search("values: " + " ".join(terms), k=10)
+        .collect()
+    ]
+    assert [(r, d) for r, d, _ in wand] == [(r, d) for r, d, _ in exhaustive]
+    for (_, _, sw), (_, _, se) in zip(wand, exhaustive):
+        assert sw == pytest.approx(se, rel=1e-12, abs=1e-12)
+    seg_idx.unpersist()
+
+
 def test_wand_prunes_blocks_multiblock(spark, multiblock_index):
     # high-idf rare terms put theta far above the flood-term upper bounds:
     # the flood posting blocks must be skipped WITHOUT varbyte-decoding
