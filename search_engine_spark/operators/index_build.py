@@ -84,10 +84,14 @@ class IndexTables:
     tf: DataFrame | None = None
     # bucket-count the postings were built with (write-time compaction key)
     n_buckets: int = DEFAULT_INDEX_BUCKETS
+    # single-scan doc base (build_index path) — persisted, unpersist with tf
+    base: DataFrame | None = None
 
     def unpersist(self) -> None:
         if self.tf is not None:
             self.tf.unpersist()
+        if self.base is not None:
+            self.base.unpersist()
 
 
 def collect_postings(
@@ -176,6 +180,7 @@ def index_from_tf(
     buckets: int = DEFAULT_INDEX_BUCKETS,
     compress: bool = True,
     body_col: str = "content",
+    doc_meta: DataFrame | None = None,
 ) -> IndexTables:
     """Index tables from a precomputed forward index (docid, field, term, tf).
 
@@ -216,19 +221,18 @@ def index_from_tf(
             F.coalesce(F.col("title"), F.lit(0)).cast("long").alias("titlelen"),
         )
     )
-    id_cols = [
-        c
-        for c in (
-            "repo", "path", "commit", "lang",
-            # Kaggle-ground facet columns (scalar + entity arrays) ride along
-            # in docstats so facet categories can probe them (SURVEY.md J2)
-            "author", "country", "persons", "locations", "orgs",
+    if doc_meta is None:
+        # standalone path (e.g. resumable finalize): second scan of docs for
+        # identity columns + sha; build_index passes doc_meta from the
+        # single-scan base instead (content read exactly once)
+        from .tokenize import META_COLS
+
+        id_cols = [c for c in META_COLS if c in docs.columns]
+        doc_meta = docs.select(
+            "docid", *id_cols, F.sha2(F.col(body_col), 256).alias("content_sha256")
         )
-        if c in docs.columns
-    ]
     docstats = (
-        docs.select("docid", *id_cols, F.sha2(F.col(body_col), 256).alias("content_sha256"))
-        .join(lens, on="docid", how="left")
+        doc_meta.join(lens, on="docid", how="left")
         .na.fill({"doclen": 0, "titlelen": 0})
     )
 
@@ -265,11 +269,21 @@ def build_index(
     ``salt_threshold=None`` disables salting (small corpora); at scale pass
     e.g. ``corpus_size // 100`` so stopword-class terms split into
     ``n_salts`` partial aggregations.
+
+    The content column is scanned exactly ONCE: ``doc_base`` carries both
+    the raw token arrays and the sha256 identity, persisted so the forward
+    index and docstats derive from the same scan (tokenize.doc_base).
     """
-    tf = doc_terms(
-        docs, stem=stem, stopwords=stopwords, body_col=body_col, title_col=title_col
+    from pyspark import StorageLevel
+
+    from .tokenize import doc_base, doc_terms_from_base
+
+    base = doc_base(docs, body_col=body_col, title_col=title_col).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    return index_from_tf(
+    tf = doc_terms_from_base(base, stem=stem, stopwords=stopwords)
+    meta = base.drop("_body_toks", "_title_toks")
+    index = index_from_tf(
         docs,
         tf,
         salt_threshold=salt_threshold,
@@ -277,7 +291,10 @@ def build_index(
         buckets=buckets,
         compress=compress,
         body_col=body_col,
+        doc_meta=meta,
     )
+    index.base = base
+    return index
 
 
 def assert_docid_unique(docs: DataFrame) -> None:

@@ -74,3 +74,71 @@ def doc_terms(
     return all_terms.groupBy("docid", "field", "term").agg(
         F.count(F.lit(1)).cast("int").alias("tf")
     )
+
+
+# Columns carried through to docstats when present (identity + facets).
+META_COLS = (
+    "repo", "path", "commit", "lang",
+    "author", "country", "persons", "locations", "orgs",
+)
+
+
+def doc_base(
+    docs: DataFrame,
+    body_col: str = "content",
+    title_col: str | None = "path",
+) -> DataFrame:
+    """ONE content scan → (docid, meta cols, content_sha256, raw token arrays).
+
+    The build's two consumers of the (huge) content column — the tokenizer
+    and the sha256 identity hash [input_hint] — read it from the SAME scan;
+    the persisted base replaces a second full-corpus read with a local
+    block-manager read.  At 100 TB the source scan is the dominant IO, so
+    reading content exactly ONCE per build is a first-order saving.
+    """
+    sel = [F.col("docid")]
+    sel += [F.col(c) for c in META_COLS if c in docs.columns]
+    sel.append(F.sha2(F.col(body_col), 256).alias("content_sha256"))
+    sel.append(split_tokens(F.col(body_col)).alias("_body_toks"))
+    if title_col is not None:
+        sel.append(split_tokens(F.col(title_col)).alias("_title_toks"))
+    return docs.select(*sel)
+
+
+def _terms_from_toks(base: DataFrame, toks_col: str, field_name: str, stem: bool) -> DataFrame:
+    t = (
+        base.select("docid", F.explode(F.col(toks_col)).alias("tok"))
+        .where(F.col("tok") != "")
+        .where(is_ascii_token(F.col("tok")))
+        .select("docid", clean_term(F.col("tok")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    if stem:
+        from ..functions.stem import stem_udf
+
+        t = t.select("docid", stem_udf()(F.col("term")).alias("term"))
+    return t.select("docid", F.lit(field_name).alias("field"), "term")
+
+
+def doc_terms_from_base(
+    base: DataFrame,
+    stem: bool = False,
+    stopwords: DataFrame | None = None,
+) -> DataFrame:
+    """Forward index from a ``doc_base`` frame — identical semantics to
+    ``doc_terms`` (same filters/cleaning post-split), without re-scanning
+    the source content column."""
+    body = _terms_from_toks(base, "_body_toks", FIELD_BODY, stem)
+    if stopwords is not None:
+        body = body.join(
+            F.broadcast(stopwords.select(F.col("term"))), on="term", how="left_anti"
+        )
+    parts = [body]
+    if "_title_toks" in base.columns:
+        parts.append(_terms_from_toks(base, "_title_toks", FIELD_TITLE, stem))
+    all_terms = parts[0]
+    for p in parts[1:]:
+        all_terms = all_terms.unionByName(p)
+    return all_terms.groupBy("docid", "field", "term").agg(
+        F.count(F.lit(1)).cast("int").alias("tf")
+    )
