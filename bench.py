@@ -143,6 +143,14 @@ def main() -> None:
 
         timed_best("q5_query_set", _batch, runs=2)
 
+        # same set as ONE DataFrame job (search_batch — SURVEY.md §2.8);
+        # amortizes per-job scheduling across the whole query set
+        timed_best(
+            "q5b_batched_set",
+            lambda: engine.search_batch(query_set, k=10).collect(),
+            runs=2,
+        )
+
         # --- training-data pipeline ops ---
         timed_best(
             "q6_minhash_lsh",

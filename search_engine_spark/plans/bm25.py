@@ -178,14 +178,13 @@ class QueryEngine:
 
     # -- public API --------------------------------------------------------
 
-    def search(
-        self,
-        query: str,
-        mode: str = "or",
-        k: int = 10,
-        with_display: bool = False,
-    ) -> DataFrame:
-        """→ DataFrame(rank, docid, score[, repo, path, lang]) — k rows max."""
+    def _query_matches(self, query: str) -> tuple[DataFrame | None, int]:
+        """Parse + build the union-of-matches frame for one query.
+
+        → (matches(docid, kind, target, term, contrib) | None, n_required)
+        where n_required counts distinct cleaned terms/values (AND-mode
+        intersection cardinality).
+        """
         parsed = parse_query(query)
         parts: list[DataFrame] = []
         n_required = 0
@@ -210,21 +209,39 @@ class QueryEngine:
                 if vals:
                     n_required += len(set(vals))
                     parts.append(self._matches_for_facet(target, sorted(set(vals))))
-
         if not parts:
-            return self._empty_result(with_display)
+            return None, 0
         matches = parts[0]
         for p in parts[1:]:
             matches = matches.unionByName(p)
+        return matches, n_required
 
-        agg = matches.groupBy("docid").agg(
+    @staticmethod
+    def _ordered_score_agg():
+        """Deterministic per-doc fold: contributions sorted by (kind, target,
+        term), summed in float64 — rank-identical across partitionings."""
+        return [
             F.aggregate(
                 F.array_sort(F.collect_list(F.struct("kind", "target", "term", "contrib"))),
                 F.lit(0.0),
                 lambda acc, x: acc + x["contrib"],
             ).alias("score"),
             F.size(F.collect_set(F.struct("kind", "target", "term"))).alias("n_matched"),
-        )
+        ]
+
+    def search(
+        self,
+        query: str,
+        mode: str = "or",
+        k: int = 10,
+        with_display: bool = False,
+    ) -> DataFrame:
+        """→ DataFrame(rank, docid, score[, repo, path, lang]) — k rows max."""
+        matches, n_required = self._query_matches(query)
+        if matches is None:
+            return self._empty_result(with_display)
+
+        agg = matches.groupBy("docid").agg(*self._ordered_score_agg())
         if mode == "and":
             agg = agg.where(F.col("n_matched") >= F.lit(n_required))
 
@@ -245,6 +262,52 @@ class QueryEngine:
                 self.index.docstats.select("docid", *disp_cols), on="docid", how="left"
             ).orderBy("rank")
         return result
+
+    def search_batch(
+        self,
+        queries: list[str | tuple[str, str]],
+        k: int = 10,
+    ) -> DataFrame:
+        """Evaluate a whole query SET in one DataFrame job (SURVEY.md §2.8,
+        north_rule: the reference query set runs as one batched evaluation).
+
+        ``queries``: query strings, or (query, mode) tuples ("or"/"and").
+        → DataFrame(query_id, rank, docid, score), rank ≤ k per query via
+        Window.partitionBy(query_id) — the per-query top-k all computed in a
+        single union plan: every postings bucket is scanned once per
+        (query × its terms), the agg and window shuffle once on
+        (query_id, docid) keys, and the driver collects |queries|·k rows.
+        """
+        parts: list[DataFrame] = []
+        reqs: list[tuple[int, int, str]] = []
+        for qid, q in enumerate(queries):
+            query, mode = q if isinstance(q, tuple) else (q, "or")
+            matches, n_required = self._query_matches(query)
+            if matches is None:
+                continue
+            parts.append(matches.withColumn("query_id", F.lit(qid)))
+            reqs.append((qid, n_required, mode))
+        if not parts:
+            return self.spark.createDataFrame(
+                [], "query_id int, rank int, docid long, score double"
+            )
+        matches = parts[0]
+        for p in parts[1:]:
+            matches = matches.unionByName(p)
+        agg = matches.groupBy("query_id", "docid").agg(*self._ordered_score_agg())
+        req_df = self.spark.createDataFrame(
+            reqs, "query_id int, n_required int, mode string"
+        )
+        agg = agg.join(F.broadcast(req_df), on="query_id").where(
+            (F.col("mode") == "or") | (F.col("n_matched") >= F.col("n_required"))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            agg.select("query_id", "docid", "score")
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "docid", "score")
+        )
 
     def _empty_result(self, with_display: bool) -> DataFrame:
         schema = "rank int, docid long, score double"

@@ -33,6 +33,28 @@ def test_golden_topk(engine, tiny_oracle, query, mode, k):
         assert abs(gs - ws) < 1e-9
 
 
+def test_batched_query_set_matches_golden(engine, tiny_oracle):
+    """The WHOLE reference query set evaluated as ONE DataFrame job
+    (search_batch) must reproduce every per-query golden top-k exactly
+    (SURVEY.md §2.8, north_rule batched evaluation)."""
+    k = 10
+    batch = [(q, mode) for q, mode, _ in REFERENCE_QUERY_SET]
+    rows = engine.search_batch(batch, k=k).collect()
+    by_qid: dict[int, list] = {}
+    for r in rows:
+        by_qid.setdefault(r["query_id"], []).append(
+            (r["rank"], r["docid"], r["score"])
+        )
+    for qid, (query, mode, _) in enumerate(REFERENCE_QUERY_SET):
+        golden = score_query(tiny_oracle, parse_query(query), mode=mode, k=k)
+        got = sorted(by_qid.get(qid, []))
+        assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in golden], (
+            f"batched rank mismatch for {query!r}"
+        )
+        for (_, _, gs), (_, _, ws) in zip(got, golden):
+            assert abs(gs - ws) < 1e-9
+
+
 def test_display_join(engine):
     rows = engine.search("values: zephyrq0", with_display=True).collect()
     assert len(rows) >= 1
