@@ -123,10 +123,16 @@ def resumable_build(
 
     ``fail_after_slice`` is a test hook: raise after committing that many
     slices to simulate a mid-build crash (test_resume.py kills and reruns).
-    Forward-index slices land under <root>/_slices/tf/; the finalize step
-    re-aggregates them into postings (associative merge, SURVEY.md §4.3.5).
+    Per slice, ONE content scan (tokenize.doc_base) produces both the
+    forward-index slice (<root>/_slices/tf/) and the doc-meta slice
+    (<root>/_slices/meta/ — identity cols + sha256); finalize re-aggregates
+    the tf slices into postings (associative merge, SURVEY.md §4.3.5) and
+    unions the meta slices into docstats — the source content column is
+    never read again after a slice commits.
     """
-    from ..operators.tokenize import doc_terms
+    from pyspark import StorageLevel
+
+    from ..operators.tokenize import doc_base, doc_terms_from_base
 
     done = {
         r["partition_id"]
@@ -135,19 +141,23 @@ def resumable_build(
         .collect()
     }
     built = 0
+    base_kwargs = {
+        k: v for k, v in build_kwargs.items() if k in ("body_col", "title_col")
+    }
     tf_kwargs = {
-        k: v
-        for k, v in build_kwargs.items()
-        if k in ("stem", "stopwords", "body_col", "title_col")
+        k: v for k, v in build_kwargs.items() if k in ("stem", "stopwords")
     }
     for pid in range(n_slices):
         if pid in done:
             continue
         t0 = time.monotonic()
         slice_docs = docs.where(F.pmod(F.col("docid"), F.lit(n_slices)) == pid)
-        tf = doc_terms(slice_docs, **tf_kwargs)
+        base = doc_base(slice_docs, **base_kwargs).persist(StorageLevel.MEMORY_AND_DISK)
         out = f"{root}/_slices/tf/snapshot={snapshot_id}/slice={pid}"
-        tf.write.mode("overwrite").parquet(out)
+        meta_out = f"{root}/_slices/meta/snapshot={snapshot_id}/slice={pid}"
+        doc_terms_from_base(base, **tf_kwargs).write.mode("overwrite").parquet(out)
+        base.drop("_body_toks", "_title_toks").write.mode("overwrite").parquet(meta_out)
+        base.unpersist()
         # stats for lineage
         rows = spark.read.parquet(out).count()
         size = sum(
@@ -164,15 +174,22 @@ def resumable_build(
         if fail_after_slice is not None and built >= fail_after_slice:
             raise RuntimeError(f"injected failure after slice {pid}")
 
-    # finalize: merge slice forward indexes → full index tables
-    tf_all = spark.read.parquet(f"{root}/_slices/tf/snapshot={snapshot_id}")
-    index = _finalize_from_tf(spark, docs, tf_all, **build_kwargs)
+    # finalize: merge slice forward indexes + meta → full index tables
+    tf_all = spark.read.parquet(f"{root}/_slices/tf/snapshot={snapshot_id}").drop("slice")
+    meta_all = spark.read.parquet(
+        f"{root}/_slices/meta/snapshot={snapshot_id}"
+    ).drop("slice")
+    index = _finalize_from_tf(spark, docs, tf_all, doc_meta=meta_all, **build_kwargs)
     write_index(index, root)
     return read_index(spark, root)
 
 
 def _finalize_from_tf(
-    spark: SparkSession, docs: DataFrame, tf: DataFrame, **build_kwargs
+    spark: SparkSession,
+    docs: DataFrame,
+    tf: DataFrame,
+    doc_meta: DataFrame | None = None,
+    **build_kwargs,
 ) -> IndexTables:
     """Postings/dictionary/docstats from a precomputed (docid,field,term,tf)."""
     from ..operators.index_build import index_from_tf
@@ -182,4 +199,4 @@ def _finalize_from_tf(
         for k, v in build_kwargs.items()
         if k in ("salt_threshold", "n_salts", "buckets", "compress", "body_col")
     }
-    return index_from_tf(docs, tf, **kwargs)
+    return index_from_tf(docs, tf, doc_meta=doc_meta, **kwargs)
