@@ -55,13 +55,17 @@ class QueryEngine:
         spark: SparkSession,
         index: IndexTables,
         stem: bool = False,
-        buckets: int = DEFAULT_INDEX_BUCKETS,
+        buckets: int | None = None,
         cache_docstats: bool = True,
     ):
         self.spark = spark
         self.index = index
         self.stem = stem
-        self.buckets = buckets
+        # bucket-pruning literals MUST use the bucket count the index was
+        # BUILT with (IndexTables.n_buckets — read_index recovers it from
+        # the partition directories); a mismatched constant would prune the
+        # wrong partitions and silently drop matching terms.
+        self.buckets = buckets or getattr(index, "n_buckets", DEFAULT_INDEX_BUCKETS)
         if cache_docstats:
             # docstats joins into EVERY query (doclen lookup + display); a
             # warm engine keeps it in executor memory/disk instead of

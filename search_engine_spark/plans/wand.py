@@ -127,7 +127,8 @@ class BlockMaxWand:
 
         self.index = index
         self.field = field
-        self.buckets = buckets or DEFAULT_INDEX_BUCKETS
+        # must match the build-time bucket count (see QueryEngine.__init__)
+        self.buckets = buckets or getattr(index, "n_buckets", DEFAULT_INDEX_BUCKETS)
         stats = {
             r["field"]: (r["n_docs"], float(r["avgdl"]))
             for r in index.corpus_stats.collect()

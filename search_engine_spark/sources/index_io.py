@@ -28,6 +28,7 @@ snapshot delta instead of a docid mod, same manifest contract.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -74,12 +75,23 @@ def write_index(index: IndexTables, root: str, mode: str = "overwrite") -> None:
     dictionary.write.mode(mode).parquet(f"{root}/dictionary")
     index.docstats.write.mode(mode).parquet(f"{root}/docstats")
     index.corpus_stats.write.mode(mode).parquet(f"{root}/corpus_stats")
+    # build-time parameters queries must agree on: the bucket count feeds
+    # the query-side xxhash64 pmod — a mismatch silently prunes wrong
+    # partitions, so it is persisted, never inferred from directory listings
+    # (empty buckets produce no directory)
+    with open(f"{root}/_index_meta.json", "w") as f:
+        json.dump({"buckets": index.n_buckets}, f)
 
 
 def read_index(spark: SparkSession, root: str) -> IndexTables:
-    n_buckets = len(
-        [d for d in os.listdir(f"{root}/postings") if d.startswith("bucket=")]
-    ) or 1
+    meta_path = f"{root}/_index_meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            n_buckets = json.load(f)["buckets"]
+    else:  # legacy index without metadata: non-empty dirs lower-bound it
+        n_buckets = len(
+            [d for d in os.listdir(f"{root}/postings") if d.startswith("bucket=")]
+        ) or 1
     return IndexTables(
         postings=spark.read.parquet(f"{root}/postings"),
         dictionary=spark.read.parquet(f"{root}/dictionary"),

@@ -55,3 +55,27 @@ def test_resume_after_injected_failure(spark, tiny_df, tmp_path):
 
     # a re-read of the persisted index matches too (round-trip)
     assert _index_fingerprint(read_index(spark, crash_root)) == _index_fingerprint(clean)
+
+
+def test_nondefault_bucket_count_round_trip(spark, tiny_df, tmp_path):
+    """The query side must prune with the bucket count the index was BUILT
+    with — recovered from persisted metadata, never a constant or a
+    directory listing (empty buckets leave no dir)."""
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.plans.bm25 import QueryEngine
+    from search_engine_spark.plans.wand import BlockMaxWand
+    from search_engine_spark.sources.index_io import write_index
+
+    root = str(tmp_path / "b7")
+    idx = build_index(spark, tiny_df, buckets=7, compress=True)
+    write_index(idx, root)
+    idx.unpersist()
+    got = read_index(spark, root)
+    assert got.n_buckets == 7
+    eng = QueryEngine(spark, got, cache_docstats=False)
+    assert eng.buckets == 7
+    hits = {r["docid"] for r in eng.search("values: zephyrq0").collect()}
+    assert len(hits) == 1  # planted rare term found despite non-default buckets
+    wand = BlockMaxWand(got)
+    assert wand.buckets == 7
+    assert {d for _, d, _ in wand.search(["zephyrq0"], k=5)} == hits
