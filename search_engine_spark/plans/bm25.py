@@ -63,9 +63,9 @@ class QueryEngine:
         self.stem = stem
         # bucket-pruning literals MUST use the bucket count the index was
         # BUILT with (IndexTables.n_buckets — read_index recovers it from
-        # the partition directories); a mismatched constant would prune the
+        # the persisted _index_meta); a mismatched constant would prune the
         # wrong partitions and silently drop matching terms.
-        self.buckets = buckets or getattr(index, "n_buckets", DEFAULT_INDEX_BUCKETS)
+        self.buckets = buckets or index.n_buckets
         if cache_docstats:
             # docstats joins into EVERY query (doclen lookup + display); a
             # warm engine keeps it in executor memory/disk instead of

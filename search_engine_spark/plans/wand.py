@@ -123,12 +123,10 @@ class BlockMaxWand:
     """
 
     def __init__(self, index, field: str = FIELD_BODY, buckets: int | None = None):
-        from ..constants import DEFAULT_INDEX_BUCKETS
-
         self.index = index
         self.field = field
         # must match the build-time bucket count (see QueryEngine.__init__)
-        self.buckets = buckets or getattr(index, "n_buckets", DEFAULT_INDEX_BUCKETS)
+        self.buckets = buckets or index.n_buckets
         stats = {
             r["field"]: (r["n_docs"], float(r["avgdl"]))
             for r in index.corpus_stats.collect()

@@ -28,7 +28,6 @@ snapshot delta instead of a docid mod, same manifest contract.
 
 from __future__ import annotations
 
-import json
 import os
 import time
 
@@ -75,23 +74,39 @@ def write_index(index: IndexTables, root: str, mode: str = "overwrite") -> None:
     dictionary.write.mode(mode).parquet(f"{root}/dictionary")
     index.docstats.write.mode(mode).parquet(f"{root}/docstats")
     index.corpus_stats.write.mode(mode).parquet(f"{root}/corpus_stats")
-    # build-time parameters queries must agree on: the bucket count feeds
+    # Build-time parameters queries must agree on: the bucket count feeds
     # the query-side xxhash64 pmod — a mismatch silently prunes wrong
     # partitions, so it is persisted, never inferred from directory listings
-    # (empty buckets produce no directory)
-    with open(f"{root}/_index_meta.json", "w") as f:
-        json.dump({"buckets": index.n_buckets}, f)
+    # (empty buckets produce no directory).  Written through Spark (works on
+    # any filesystem the tables landed on, atomically via the commit
+    # protocol) and honoring `mode`: a no-op table write must not desync
+    # the metadata from the data it describes.
+    meta_mode = "overwrite" if mode == "overwrite" else "ignore"
+    spark.createDataFrame([(index.n_buckets,)], "buckets int").coalesce(1).write.mode(
+        meta_mode
+    ).json(f"{root}/_index_meta")
 
 
 def read_index(spark: SparkSession, root: str) -> IndexTables:
-    meta_path = f"{root}/_index_meta.json"
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            n_buckets = json.load(f)["buckets"]
-    else:  # legacy index without metadata: non-empty dirs lower-bound it
+    try:
+        n_buckets = int(
+            spark.read.json(f"{root}/_index_meta").collect()[0]["buckets"]
+        )
+    except Exception:
+        # legacy index without metadata: non-empty dirs only LOWER-BOUND the
+        # true bucket count — if any bucket was empty, pruning with this
+        # count silently misses terms, so say so loudly
+        import warnings
+
         n_buckets = len(
             [d for d in os.listdir(f"{root}/postings") if d.startswith("bucket=")]
         ) or 1
+        warnings.warn(
+            f"index at {root} has no _index_meta; inferred buckets={n_buckets} "
+            "from non-empty partition dirs — WRONG if any bucket is empty. "
+            "Re-persist with write_index to record the true count.",
+            stacklevel=2,
+        )
     return IndexTables(
         postings=spark.read.parquet(f"{root}/postings"),
         dictionary=spark.read.parquet(f"{root}/dictionary"),
