@@ -118,6 +118,50 @@ def test_wand_on_segmented_index(spark, multiblock_index):
     seg_idx.unpersist()
 
 
+def _random_queries(n: int, seed: int) -> list[list[str]]:
+    """Seeded random term mixes over the fixture vocabulary: rare terms,
+    stopword floods, Zipf-head/midrange identifiers, dead terms."""
+    import random
+
+    from search_engine_spark.fixtures import RARE_TERMS, STOPWORDS, _vocab
+
+    rng = random.Random(seed)
+    vocab = _vocab(300)
+    pools = [RARE_TERMS, STOPWORDS, vocab[:20], vocab[100:300], ["nohit_xyz"]]
+    out = []
+    for _ in range(n):
+        terms = []
+        for _ in range(rng.randint(1, 5)):
+            pool = rng.choice(pools)
+            terms.append(rng.choice(pool))
+        out.append(sorted(set(terms)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def multiblock_oracle():
+    from search_engine_spark.oracle import build_oracle_index
+
+    return build_oracle_index(fixtures.with_docids(fixtures.generate_documents(2400, seed=7)))
+
+
+def test_wand_random_queries_vs_oracle(spark, multiblock_index, multiblock_oracle):
+    """Randomized (seeded) WAND ≡ pure-Python-oracle equivalence — guards
+    traversal corner cases the hand-picked query list misses (pivot on
+    equal ubs, all-aligned floods, exhausted cursors mid-heap, ...)."""
+    from search_engine_spark.oracle import score_query
+
+    searcher = BlockMaxWand(multiblock_index)
+    for terms in _random_queries(12, seed=31):
+        golden = score_query(
+            multiblock_oracle, [("terms", "content", terms)], mode="or", k=10
+        )
+        wand = searcher.search(terms, k=10)
+        assert [(r, d) for r, d, _ in wand] == [(r, d) for r, d, _ in golden], terms
+        for (_, _, sw), (_, _, se) in zip(wand, golden):
+            assert sw == pytest.approx(se, rel=1e-12, abs=1e-12)
+
+
 def test_wand_prunes_blocks_multiblock(spark, multiblock_index):
     # high-idf rare terms put theta far above the flood-term upper bounds:
     # the flood posting blocks must be skipped WITHOUT varbyte-decoding
