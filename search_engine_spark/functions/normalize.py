@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..constants import ASCII_TOKEN_RE, DELIM_CLASS, MIN_QUERY_TERM_LEN
+from ..constants import DELIM_CLASS, MIN_QUERY_TERM_LEN
 
 
 def split_tokens(col: Column) -> Column:
@@ -21,13 +21,25 @@ def split_tokens(col: Column) -> Column:
 
 
 def is_ascii_token(col: Column) -> Column:
-    """ASCII gate: token rejected if ANY byte is non-ASCII (P2)."""
-    return col.rlike(ASCII_TOKEN_RE)
+    """ASCII gate: token rejected if ANY byte is non-ASCII (P2).
+
+    UTF-8 property: every code point > 0x7F encodes to ≥ 2 bytes, so
+    ``octet_length == char_length`` ⇔ all code points ≤ 0x7F — exactly the
+    reference's any-byte-outside-ASCII rejection
+    (``KaggleFinanceSourceEngine.cpp:137-139``), with no regex in the
+    per-token hot path (measurably cheaper than ``rlike`` at corpus scale;
+    semantic equality is pinned by the oracle-parity tests against
+    ``ASCII_TOKEN_RE``-based DuckDB SQL).
+    """
+    return F.octet_length(col) == F.length(col)
 
 
 def clean_term(col: Column) -> Column:
-    """Strip apostrophes + lowercase (P2, minus the NUL-padding quirk)."""
-    return F.lower(F.regexp_replace(col, "'", ""))
+    """Strip apostrophes + lowercase (P2, minus the NUL-padding quirk).
+
+    ``translate`` is a plain byte-map — no regex engine per token.
+    """
+    return F.lower(F.translate(col, "'", ""))
 
 
 def clean_facet_value(col: Column) -> Column:
