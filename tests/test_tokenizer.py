@@ -74,6 +74,37 @@ def test_reference_sample_docs_parity(spark):
         )
 
 
+def test_fuzz_parity_random_strings(spark):
+    """500 seeded random strings over a hostile charset (delimiters,
+    apostrophes, quotes, 2-byte/3-byte/4-byte unicode, controls) — Spark
+    tokenizer must equal the oracle on every one, in one Spark job."""
+    import random
+
+    rng = random.Random(1234)
+    charset = (
+        "abcXYZ019_-'"
+        + " \t\v\n\r,.?!;:\"/()"
+        + "éïßñ"      # 2-byte UTF-8
+        + "日本語中"   # 3-byte
+        + "🎉😀"      # 4-byte (surrogate-pair territory in UTF-16)
+        + "\x00\x7f"  # boundary bytes
+    )
+    cases = [
+        "".join(rng.choice(charset) for _ in range(rng.randint(0, 60)))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "docid long, content string"
+    )
+    got = doc_terms(df, title_col=None).collect()
+    spark_tf = {}
+    for r in got:
+        spark_tf.setdefault(r["docid"], {})[r["term"]] = r["tf"]
+    for i, s in enumerate(cases):
+        expected = dict(Counter(oracle.tokenize(s)))
+        assert spark_tf.get(i, {}) == expected, f"case {i}: {s!r}"
+
+
 def test_stopwords_body_only(spark):
     """Stop-set drops body tokens but never title tokens
     (KaggleFinanceSourceEngine.cpp:259 vs :237-249)."""
