@@ -263,6 +263,7 @@ def build_index(
     compress: bool = True,
     body_col: str = "content",
     title_col: str | None = "path",
+    tokenizer: str = "native",
 ) -> IndexTables:
     """Full index build over a documents DataFrame (must carry ``docid``).
 
@@ -273,10 +274,37 @@ def build_index(
     The content column is scanned exactly ONCE: ``doc_base`` carries both
     the raw token arrays and the sha256 identity, persisted so the forward
     index and docstats derive from the same scan (tokenize.doc_base).
+
+    ``tokenizer``: "native" (default — pure Catalyst, whole-stage codegen)
+    or "arrow" (mapInPandas Arrow-batch UDF, tokenize_arrow.py) — identical
+    forward indexes, see tokenize_arrow module docstring for when each wins.
     """
     from pyspark import StorageLevel
 
     from .tokenize import doc_base, doc_terms_from_base
+
+    if tokenizer not in ("native", "arrow"):
+        raise ValueError(f"tokenizer must be 'native' or 'arrow', got {tokenizer!r}")
+    if tokenizer == "arrow":
+        from .tokenize_arrow import doc_terms_arrow
+
+        stop = (
+            frozenset(r["term"] for r in stopwords.collect())
+            if stopwords is not None
+            else None
+        )
+        tf = doc_terms_arrow(
+            docs, stem=stem, stopwords=stop, body_col=body_col, title_col=title_col
+        )
+        return index_from_tf(
+            docs,
+            tf,
+            salt_threshold=salt_threshold,
+            n_salts=n_salts,
+            buckets=buckets,
+            compress=compress,
+            body_col=body_col,
+        )
 
     base = doc_base(docs, body_col=body_col, title_col=title_col).persist(
         StorageLevel.MEMORY_AND_DISK

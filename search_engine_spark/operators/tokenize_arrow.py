@@ -1,0 +1,110 @@
+"""Arrow-UDF tokenizer: the north_star's "tokenize/stem content with
+vectorized Arrow UDFs (replacing the C++ parse threads)" path, as a drop-in
+alternative to the pure-Catalyst pipeline in ``tokenize.py``.
+
+Shape: ``mapInPandas`` over Arrow batches — the JVM ships a columnar batch
+of documents to a Python worker, the worker runs the
+normalize → tokenize → optional-stem → per-doc tf count loop (the exact
+work one reference parse thread does per file —
+``KaggleFinanceSourceEngine.cpp:202-267``), and ships back the already
+doc-aggregated ``(docid, field, term, tf)`` rows.  Batching the transfer is
+the vectorization; the per-document inner loop is inherent to tokenization
+(same as the reference's per-file loop).
+
+Which path to use: both are provided and proven equivalent
+(tests/test_tokenize_arrow.py).  Measured on the 100k-doc corpus at 8
+cores (warm): full build 28.5 s native vs 29.7 s arrow — a wash; the
+postings-only job favors arrow (23 s vs 27 s — the native path's doc-base
+persist only pays off once docstats consumes it).  The Catalyst path is
+the default because it keeps the hot loop in whole-stage codegen with zero
+Python and one content scan.  The Arrow path is the extension point: a
+real BPE vocab, a C tokenizer via cffi, language-specific code lexers —
+exactly what the reference's ``SourceEngine`` virtual methods model
+(``SourceEngine.h:39-89``).  Both produce identical forward indexes, so
+the choice is per-build, not per-index.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..constants import DELIM_CLASS, FIELD_BODY, FIELD_TITLE
+
+_SPLIT = re.compile(DELIM_CLASS)
+
+TF_SCHEMA = "docid long, field string, term string, tf int"
+
+
+def _tokenize_one(text: str, stem: bool, stop: frozenset | None) -> Counter:
+    """Reference-parity per-document tokenize+count (oracle semantics)."""
+    if not text:
+        return Counter()
+    counts: Counter = Counter()
+    for tok in _SPLIT.split(text):
+        if not tok or not tok.isascii():
+            continue
+        tok = tok.replace("'", "").lower()
+        if not tok:
+            continue
+        counts[tok] += 1
+    if stop:
+        for t in stop.intersection(counts):
+            del counts[t]
+    if stem:
+        from ..functions.stem import porter_stem
+
+        stemmed: Counter = Counter()
+        cache: dict[str, str] = {}
+        for t, n in counts.items():
+            s = cache.get(t)
+            if s is None:
+                s = porter_stem(t)
+                cache[t] = s
+            stemmed[s] += n
+        return stemmed
+    return counts
+
+
+def doc_terms_arrow(
+    docs: DataFrame,
+    stem: bool = False,
+    stopwords: frozenset | set | None = None,
+    body_col: str = "content",
+    title_col: str | None = "path",
+) -> DataFrame:
+    """documents → (docid, field, term, tf) via mapInPandas Arrow batches.
+
+    Semantics identical to ``tokenize.doc_terms`` (stop-words body-only,
+    stemming both fields).  ``stopwords`` is a plain set here — it rides to
+    the workers inside the closure (broadcast by the task serializer), the
+    moral equivalent of the Catalyst path's broadcast anti-join.
+    """
+    stop = frozenset(stopwords) if stopwords else None
+    cols = ["docid", body_col] + ([title_col] if title_col else [])
+    fields = [(body_col, FIELD_BODY, stop)] + (
+        [(title_col, FIELD_TITLE, None)] if title_col else []
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_docid: list[int] = []
+            out_field: list[str] = []
+            out_term: list[str] = []
+            out_tf: list[int] = []
+            for src, fname, fstop in fields:
+                for docid, text in zip(pdf["docid"], pdf[src]):
+                    for term, tf in _tokenize_one(text, stem, fstop).items():
+                        out_docid.append(docid)
+                        out_field.append(fname)
+                        out_term.append(term)
+                        out_tf.append(tf)
+            yield pd.DataFrame(
+                {"docid": out_docid, "field": out_field, "term": out_term, "tf": out_tf}
+            )
+
+    return docs.select(*cols).mapInPandas(batches, schema=TF_SCHEMA)

@@ -1,0 +1,79 @@
+"""Arrow-UDF tokenizer (tokenize_arrow.py) ≡ Catalyst tokenizer on every
+surface: adversarial strings, the deterministic corpus, stemming, stopwords,
+and a full index build — the two paths must be interchangeable per-build."""
+
+from __future__ import annotations
+
+import pytest
+
+from search_engine_spark.operators.tokenize import doc_terms
+from search_engine_spark.operators.tokenize_arrow import doc_terms_arrow
+
+
+def _tf_map(rows):
+    out = {}
+    for r in rows:
+        out[(r["docid"], r["field"], r["term"])] = r["tf"]
+    return out
+
+
+def test_arrow_equals_native_on_corpus(spark, tiny_df):
+    native = _tf_map(doc_terms(tiny_df).collect())
+    arrow = _tf_map(doc_terms_arrow(tiny_df).collect())
+    assert arrow == native
+
+
+def test_arrow_equals_native_adversarial(spark):
+    from tests.test_tokenizer import ADVERSARIAL
+
+    rows = [(i, s, f"t{i} don't naïve") for i, s in enumerate(ADVERSARIAL)]
+    df = spark.createDataFrame(rows, "docid long, content string, path string")
+    assert _tf_map(doc_terms_arrow(df).collect()) == _tf_map(doc_terms(df).collect())
+
+
+def test_arrow_stem_and_stopwords(spark):
+    df = spark.createDataFrame(
+        [(1, "the motors were motoring the motor", "motoring title")],
+        "docid long, content string, path string",
+    )
+    stop_df = spark.createDataFrame([("the",)], "term string")
+    native = _tf_map(doc_terms(df, stem=True, stopwords=stop_df).collect())
+    arrow = _tf_map(
+        doc_terms_arrow(df, stem=True, stopwords=frozenset({"the"})).collect()
+    )
+    assert arrow == native
+    # stopword dropped from body only; stemming applied to both fields
+    assert (1, "content", "the") not in arrow
+    assert (1, "title", "motor") in arrow
+
+
+def test_arrow_build_matches_native_build(spark, tiny_df):
+    from search_engine_spark.functions.codec import decode_postings
+    from search_engine_spark.operators.index_build import build_index
+
+    def fingerprint(idx):
+        out = {}
+        for r in idx.postings.select("field", "term", "df", "blocks", "meta").collect():
+            meta = [tuple(m) for m in r["meta"]]
+            d, t = decode_postings([bytes(b) for b in r["blocks"]], meta)
+            out[(r["field"], r["term"])] = (r["df"], d.tolist(), t.tolist())
+        return out
+
+    native = build_index(spark, tiny_df, compress=True)
+    arrow = build_index(spark, tiny_df, compress=True, tokenizer="arrow")
+    assert fingerprint(arrow) == fingerprint(native)
+    # docstats identical too (sha path differs: doc_meta vs fallback scan)
+    ns = {r["docid"]: (r["doclen"], r["content_sha256"])
+          for r in native.docstats.collect()}
+    as_ = {r["docid"]: (r["doclen"], r["content_sha256"])
+           for r in arrow.docstats.collect()}
+    assert ns == as_
+    native.unpersist()
+    arrow.unpersist()
+
+
+def test_arrow_rejects_unknown_tokenizer(spark, tiny_df):
+    from search_engine_spark.operators.index_build import build_index
+
+    with pytest.raises(Exception):
+        build_index(spark, tiny_df, tokenizer="nope").postings.count()
