@@ -66,6 +66,7 @@ def cmd_build(args) -> int:
             stem=args.stem,
             salt_threshold=args.salt_threshold,
             compress=not args.no_compress,
+            tokenizer=getattr(args, "tokenizer", "native"),
         )
         write_index(index, args.output)
         index.unpersist()
@@ -182,6 +183,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--salt-threshold", type=int, default=None)
     b.add_argument("--stem", action="store_true")
     b.add_argument("--no-compress", action="store_true")
+    b.add_argument(
+        "--tokenizer", choices=("native", "arrow"), default="native",
+        help="Catalyst expressions (default) or Arrow-UDF batch tokenizer",
+    )
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("search", help="one-shot query")
