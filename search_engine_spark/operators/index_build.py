@@ -118,8 +118,8 @@ def collect_postings(
     consumers needing the term-global df aggregate over segments
     (dictionary build, query idf) — enforced by tests/test_skew.py.
     """
-    if n_salts & (n_salts - 1):
-        raise ValueError(f"n_salts must be a power of two, got {n_salts}")
+    if n_salts < 1 or (n_salts & (n_salts - 1)):
+        raise ValueError(f"n_salts must be a positive power of two, got {n_salts}")
     salt_bits = n_salts.bit_length() - 1
     tf = tf.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int"))
 

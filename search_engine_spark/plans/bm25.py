@@ -25,8 +25,6 @@ Scale notes:
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -66,16 +64,19 @@ class QueryEngine:
         # the persisted _index_meta); a mismatched constant would prune the
         # wrong partitions and silently drop matching terms.
         self.buckets = buckets or index.n_buckets
+        # docstats joins into EVERY query (doclen lookup + display); a warm
+        # engine keeps its OWN persisted handle (never mutating the shared
+        # IndexTables — another consumer built from the same index must not
+        # inherit this engine's cache lifetime).  Distributed cache — scales
+        # with the cluster, nothing collects to the driver.  Release with
+        # close().
+        self._docstats = index.docstats
+        self._cached = False
         if cache_docstats:
-            # docstats joins into EVERY query (doclen lookup + display); a
-            # warm engine keeps it in executor memory/disk instead of
-            # re-scanning parquet per query.  Distributed cache — scales with
-            # the cluster, nothing collects to the driver.
             from pyspark import StorageLevel
 
-            self.index.docstats = index.docstats.persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+            self._docstats = index.docstats.persist(StorageLevel.MEMORY_AND_DISK)
+            self._cached = True
         # corpus stats are tiny (one row per field): collect once, reuse warm
         self._stats = {
             r["field"]: (r["n_docs"], float(r["avgdl"]))
@@ -83,6 +84,12 @@ class QueryEngine:
         }
         self._n_docs = next(iter(self._stats.values()))[0] if self._stats else 0
         self._compressed = "blocks" in index.postings.columns
+
+    def close(self) -> None:
+        """Release the engine's docstats cache (no-op if caching was off)."""
+        if self._cached:
+            self._docstats.unpersist()
+            self._cached = False
 
     # -- helpers -----------------------------------------------------------
 
@@ -122,7 +129,7 @@ class QueryEngine:
             ).select("term", "df", F.col("pp.docid").alias("docid"), F.col("pp.tf").alias("tf"))
 
         dl = F.col("doclen") if field == "content" else F.col("titlelen")
-        stats = self.index.docstats.select("docid", "doclen", "titlelen")
+        stats = self._docstats.select("docid", "doclen", "titlelen")
         return (
             p.join(stats, on="docid", how="inner")
             .select(
@@ -145,22 +152,22 @@ class QueryEngine:
         parquet metadata prunes; an explicit collect_set materialization is
         exposed as operators.facets for parity.
         """
-        if facet_col not in self.index.docstats.columns:
+        if facet_col not in self._docstats.columns:
             return self._empty_matches()
-        dtype = dict(self.index.docstats.dtypes)[facet_col]
+        dtype = dict(self._docstats.dtypes)[facet_col]
         if dtype.startswith("array"):
             # entity-array facet (persons/locations/orgs): membership match.
             # One explode of only the matching docs' arrays — the isin
             # prefilter (exists) keeps the explode input to matched rows.
             lc_arr = F.transform(F.col(facet_col), lambda x: F.lower(x))
             hits = (
-                self.index.docstats.select("docid", F.explode(lc_arr).alias("value"))
+                self._docstats.select("docid", F.explode(lc_arr).alias("value"))
                 .where(F.col("value").isin(values))
                 .distinct()  # a doc listing the same entity twice matches once
             )
         else:
             lc = F.lower(F.col(facet_col))
-            hits = self.index.docstats.select("docid", lc.alias("value")).where(
+            hits = self._docstats.select("docid", lc.alias("value")).where(
                 F.col("value").isin(values)
             )
         per_value_df = hits.groupBy("value").agg(
@@ -185,13 +192,16 @@ class QueryEngine:
     def _query_matches(self, query: str) -> tuple[DataFrame | None, int]:
         """Parse + build the union-of-matches frame for one query.
 
-        → (matches(docid, kind, target, term, contrib) | None, n_required)
-        where n_required counts distinct cleaned terms/values (AND-mode
-        intersection cardinality).
+        → (matches(docid, kind, target, term, contrib) | None, n_required).
+        n_required is the size of the GLOBALLY deduplicated required-key set
+        (kind, target, term) — a term repeated across two segments of the
+        same category counts once, matching oracle.score_query's `required`
+        set; per-segment counting would make such AND queries unsatisfiable
+        (n_matched dedups globally, so it could never reach the sum).
         """
         parsed = parse_query(query)
         parts: list[DataFrame] = []
-        n_required = 0
+        required: set[tuple[str, str, str]] = set()
         for kind, target, raw_terms in parsed:
             if kind == "terms":
                 cleaned = [
@@ -200,7 +210,7 @@ class QueryEngine:
                     if c is not None
                 ]
                 if cleaned:
-                    n_required += len(set(cleaned))
+                    required.update(("terms", target, c) for c in cleaned)
                     parts.append(self._matches_for_terms(target, sorted(set(cleaned))))
             else:
                 vals = []
@@ -211,14 +221,14 @@ class QueryEngine:
                     if v:
                         vals.append(v)
                 if vals:
-                    n_required += len(set(vals))
+                    required.update(("facet", target, v) for v in vals)
                     parts.append(self._matches_for_facet(target, sorted(set(vals))))
         if not parts:
             return None, 0
         matches = parts[0]
         for p in parts[1:]:
             matches = matches.unionByName(p)
-        return matches, n_required
+        return matches, len(required)
 
     @staticmethod
     def _ordered_score_agg():
@@ -260,10 +270,10 @@ class QueryEngine:
         )
         if with_display:
             disp_cols = [
-                c for c in ("repo", "path", "commit", "lang") if c in self.index.docstats.columns
+                c for c in ("repo", "path", "commit", "lang") if c in self._docstats.columns
             ]
             result = result.join(
-                self.index.docstats.select("docid", *disp_cols), on="docid", how="left"
+                self._docstats.select("docid", *disp_cols), on="docid", how="left"
             ).orderBy("rank")
         return result
 
@@ -320,5 +330,3 @@ class QueryEngine:
         return self.spark.createDataFrame([], schema)
 
 
-def oracle_idf(n_docs: int, df: int) -> float:
-    return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)

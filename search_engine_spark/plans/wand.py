@@ -41,7 +41,10 @@ from ..constants import BM25_B, BM25_K1, FIELD_BODY
 from ..functions.codec import decode_block
 from ..functions.hashing import term_bucket
 
-_INF = (1 << 63) - 1
+# Exhausted-cursor sentinel — OUTSIDE the docid domain: docids are
+# shiftrightunsigned(xxhash64, 1) ∈ [0, 2^63-1], so 2^63 can never collide
+# with a real docid (2^63-1 could).
+_INF = 1 << 63
 
 
 class _TermCursor:
@@ -80,20 +83,28 @@ class _TermCursor:
     def cur(self) -> int:
         if self.bi >= len(self.meta):
             return _INF
-        self._decode()
+        if self.docids is None:
+            if self.pos == 0:
+                # block start: meta carries first_docid — no decode needed.
+                # A cursor that merely ENTERS a block (via step/advance past
+                # the previous one) and is then skipped by a block-max or
+                # last_docid check never pays the varbyte decode.
+                return int(self.meta[self.bi][0])
+            self._decode()
         return int(self.docids[self.pos])
 
     def cur_block_ub(self) -> float:
         return self.ubs[self.bi] if self.bi < len(self.meta) else 0.0
 
     def cur_tf(self) -> int:
+        self._decode()
         return int(self.tfs[self.pos])
 
     def step(self) -> None:
-        """Advance one posting."""
-        self._decode()
+        """Advance one posting — block length comes from meta, so stepping
+        through (or out of) an undecoded block stays decode-free."""
         self.pos += 1
-        if self.pos >= len(self.docids):
+        if self.pos >= int(self.meta[self.bi][3]):
             self.bi += 1
             self.pos = 0
             self.docids = self.tfs = None
@@ -122,16 +133,27 @@ class BlockMaxWand:
     the per-doc norms once at construction.
     """
 
-    def __init__(self, index, field: str = FIELD_BODY, buckets: int | None = None):
+    def __init__(
+        self,
+        index,
+        field: str = FIELD_BODY,
+        buckets: int | None = None,
+        stem: bool = False,
+    ):
         self.index = index
         self.field = field
+        self.stem = stem  # must match the build-time stem setting
         # must match the build-time bucket count (see QueryEngine.__init__)
         self.buckets = buckets or index.n_buckets
         stats = {
             r["field"]: (r["n_docs"], float(r["avgdl"]))
             for r in index.corpus_stats.collect()
         }
-        self.n_docs, self.avgdl = stats[field]
+        # same fallback as QueryEngine._matches_for_terms: a field absent
+        # from corpus_stats (e.g. title_col=None build) yields empty results,
+        # not a construction-time KeyError
+        any_n = next(iter(stats.values()))[0] if stats else 0
+        self.n_docs, self.avgdl = stats.get(field, (any_n, 1.0))
         dl_col = "doclen" if field == FIELD_BODY else "titlelen"
         rows = index.docstats.select("docid", dl_col).collect()
         self.norms = {r["docid"]: float(r[dl_col]) for r in rows}
@@ -192,8 +214,17 @@ class BlockMaxWand:
 
     def search(self, terms: list[str], k: int = 10) -> list[tuple[int, int, float]]:
         """→ [(rank, docid, score)] — identical to the exhaustive plan's
-        (score DESC, docid ASC) top-k for the same OR-mode term query."""
-        terms = sorted(set(terms))
+        (score DESC, docid ASC) top-k for the same OR-mode term query.
+
+        Terms receive the SAME query-side normalization as QueryEngine
+        (clean_query_term: apostrophe strip, lowercase, len>2 filter,
+        optional stem) so the two paths agree on what the query even is.
+        """
+        from ..oracle import clean_query_term
+
+        terms = sorted(
+            {c for c in (clean_query_term(t, stem=self.stem) for t in terms) if c}
+        )
         cursors = self._cursors(terms)
         if not cursors:
             return []

@@ -55,6 +55,44 @@ def test_batched_query_set_matches_golden(engine, tiny_oracle):
             assert abs(gs - ws) < 1e-9
 
 
+def test_and_mode_repeated_term_across_segments(engine, tiny_oracle):
+    """A term repeated across two segments of the same category must count
+    ONCE in the AND-mode required set (globally deduped, like the oracle);
+    per-segment counting would make this query unsatisfiable."""
+    q = "values: def | values: def"
+    golden = score_query(tiny_oracle, parse_query(q), mode="and", k=10)
+    assert golden, "oracle must find matches for the sanity of this test"
+    got = [
+        (r["rank"], r["docid"], r["score"])
+        for r in engine.search(q, mode="and", k=10).collect()
+    ]
+    assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in golden]
+    for (_, _, gs), (_, _, ws) in zip(got, golden):
+        assert abs(gs - ws) < 1e-9
+
+
+def test_wand_cleans_query_terms(tiny_index, engine):
+    """WAND applies the same query-side normalization as the engine: short
+    and non-ASCII terms are dropped, not looked up raw."""
+    from search_engine_spark.plans.wand import BlockMaxWand
+
+    searcher = BlockMaxWand(tiny_index)
+    assert searcher.search(["ab", "naïve", "zephyrq0"], k=10) == searcher.search(
+        ["zephyrq0"], k=10
+    )
+    assert searcher.search(["ab"], k=10) == []
+
+
+def test_bad_n_salts_rejected(spark, tiny_df):
+    import pytest as _pytest
+
+    from search_engine_spark.operators.index_build import build_index
+
+    for bad in (0, 3, -4):
+        with _pytest.raises(ValueError, match="power of two"):
+            build_index(spark, tiny_df, salt_threshold=30, n_salts=bad)
+
+
 def test_display_join(engine):
     rows = engine.search("values: zephyrq0", with_display=True).collect()
     assert len(rows) >= 1
