@@ -34,11 +34,13 @@ def _spark(args):
 
 def _load_docs(spark, path: str):
     from .operators.index_build import add_docid
-    from .sources.corpus import load_testdata_documents
+    from .sources.corpus import map_testdata_columns
 
     df = spark.read.parquet(path)
     if "doc_id" in df.columns and "text" in df.columns:
-        return load_testdata_documents(spark, path.rsplit("/documents.parquet", 1)[0])
+        # driver-testdata shape: remap columns on the frame we already read
+        # (no assumption that `path` points at a .../documents.parquet file)
+        return map_testdata_columns(df)
     return add_docid(df) if "docid" not in df.columns else df
 
 
@@ -50,6 +52,13 @@ def cmd_build(args) -> int:
     docs = _load_docs(spark, args.input)
     assert_docid_unique(docs)
     if args.slices > 1:
+        if getattr(args, "tokenizer", "native") != "native":
+            print(
+                "error: --tokenizer arrow is not supported with --slices > 1 "
+                "(resumable slices use the single-scan native path)",
+                file=sys.stderr,
+            )
+            return 2
         resumable_build(
             spark,
             docs,
@@ -96,17 +105,26 @@ def _print_results(rows) -> None:
 def cmd_search(args) -> int:
     spark = _spark(args)
     if args.wand:
-        from .oracle import clean_query_term
         from .plans.query_parser import parse_query
         from .plans.wand import BlockMaxWand
         from .sources.index_io import read_index
 
+        if args.mode == "and":
+            print(
+                "error: --wand implements OR-mode top-k only; "
+                "drop --wand for AND-mode intersection queries",
+                file=sys.stderr,
+            )
+            return 2
         index = read_index(spark, args.index)
         terms: list[str] = []
         for kind, target, raw in parse_query(args.query):
             if kind == "terms" and target == "content":
-                terms += [c for c in (clean_query_term(t) for t in raw) if c]
-        searcher = BlockMaxWand(index)
+                terms += raw
+        # raw terms: BlockMaxWand.search applies clean_query_term itself
+        # (with the engine's stem setting — cleaning here too would
+        # double-stem)
+        searcher = BlockMaxWand(index, stem=args.stem)
         for rank, docid, score in searcher.search(terms, k=args.k):
             print(f"{rank:>3}  {docid:<20} {score:.6f}")
         return 0
@@ -165,6 +183,9 @@ def cmd_ui(args) -> int:
                 salt_threshold=None, no_compress=False, cores=args.cores,
             )
             cmd_build(ns)
+            # serve the index we just built (which may be a NEW root) —
+            # reference semantics: parse feeds the live engine
+            args.index = ns.output
             engine = _engine(spark, args)
         else:
             print("unknown command")

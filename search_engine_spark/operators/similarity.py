@@ -76,7 +76,7 @@ def hyperplane_sign(plane: int, dim: int) -> Column:
 def lsh_buckets(
     embeddings: DataFrame,
     n_planes: int = LSH_PLANES,
-    dim: int = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -85,8 +85,30 @@ def lsh_buckets(
     bit_p = 1 iff Σ_d sign(p,d)·vec[d] >= 0.  Signs are literal arrays
     (built driver-side, ~n_planes × dim lits) — the projection is a single
     zip_with/aggregate per plane, columnar end to end.
+
+    ``dim=None`` infers the dimension from the first row (one tiny job).
+    A WRONG explicit dim would otherwise fail silently: zip_with pads the
+    shorter side with NULLs, NULL-poisoning every projection so all vectors
+    collapse into bucket 0 and the bucket self-join degrades to a full
+    cross product — so a mismatch raises instead.
     """
-    bucket = F.lit(0).cast("long")
+    if dim is None:
+        first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            return embeddings.select(
+                F.col(id_col), F.lit(0).cast("long").alias("bucket")
+            )
+        dim = int(first["d"])
+    guard = F.when(
+        F.size(F.col(vec_col)) != dim,
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_buckets: expected dim={dim}, got "),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        ).cast("long"),
+    )
+    bucket = guard.otherwise(F.lit(0)).cast("long")
     for p in range(n_planes):
         signs = F.array(*[hyperplane_sign(p, d) for d in range(dim)])
         proj = F.aggregate(
@@ -113,7 +135,7 @@ def embedding_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.9,
     n_planes: int = LSH_PLANES,
-    dim: int = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:

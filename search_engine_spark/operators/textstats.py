@@ -54,9 +54,11 @@ def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality components + composite score ∈ [0,1].
 
-    Components (all cheap, columnar): doc length, mean token length,
-    punctuation ratio, stopword ratio.  Composite = product of soft gates —
-    the standard web-corpus filter shape (C4/Gopher-style rules).
+    Component COLUMNS (all cheap, columnar): doc length, mean token length,
+    punctuation ratio, stopword ratio.  The composite `quality` is the
+    product of the length and punctuation soft gates only (C4/Gopher-style
+    rule shape); stop_ratio and mean_tok_len are reported for downstream
+    filters to threshold on, not folded into the score.
     """
     toks = tokens_col(F.col(text_col))
     n_tokens = F.size(toks).cast("double")

@@ -23,9 +23,9 @@ from pyspark.sql import types as T
 from ..operators.index_build import add_docid
 
 
-def load_testdata_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver testdata → engine schema (docid, repo, path, commit, lang, content)."""
-    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def map_testdata_columns(raw: DataFrame) -> DataFrame:
+    """Driver-testdata shape (doc_id, text, lang, source, n_chars) → engine
+    schema (docid, repo, path, commit, lang, content)."""
     return raw.select(
         F.col("doc_id").cast("long").alias("docid"),
         F.col("source").alias("repo"),
@@ -34,6 +34,11 @@ def load_testdata_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("lang"),
         F.col("text").alias("content"),
     )
+
+
+def load_testdata_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver testdata → engine schema (docid, repo, path, commit, lang, content)."""
+    return map_testdata_columns(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def load_iceberg_documents(
@@ -54,9 +59,21 @@ def load_iceberg_documents(
         if snapshot_id is not None:
             reader = reader.option("snapshot-id", str(snapshot_id))
         df = reader.table(table)
-    except Exception:
+    except Exception as e:
         if parquet_fallback is None:
             raise
+        # fallback is for catalog-less sandboxes — say so loudly, because it
+        # silently DROPS the snapshot pin (the fallback reads current state,
+        # so a resumed build could otherwise mix two corpus versions)
+        import warnings
+
+        warnings.warn(
+            f"Iceberg read of {table!r} failed ({type(e).__name__}: {e}); "
+            f"falling back to parquet at {parquet_fallback!r} WITHOUT the "
+            f"snapshot-id={snapshot_id} pin — do not rely on this for "
+            "resumable-build lineage",
+            stacklevel=2,
+        )
         df = spark.read.parquet(parquet_fallback)
     return add_docid(df) if "docid" not in df.columns else df
 

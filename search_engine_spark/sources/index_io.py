@@ -47,7 +47,19 @@ def write_index(index: IndexTables, root: str, mode: str = "overwrite") -> None:
     from the just-WRITTEN postings parquet — a column-pruned scan that reads
     only (field, term, df), never the block bytes — instead of re-running
     the shuffle a second time.
+
+    ``mode='append'`` is rejected: appending postings would make the
+    dictionary derivation aggregate old+new rows and then APPEND that on
+    top of the old dictionary (double-counted df), and corpus_stats would
+    hold conflicting rows per field.  Incremental indexing is
+    ``resumable_build``'s job (slice-committed, associative merge), not an
+    append-mode table write.
     """
+    if mode == "append":
+        raise ValueError(
+            "write_index does not support mode='append' — use resumable_build "
+            "for incremental builds"
+        )
     # Compact the dynamic-partition write: without this, every aggregation
     # task fans its rows across all `buckets` directories → tasks×buckets
     # small files, and the job-commit/list cost becomes a serial scaling
@@ -121,8 +133,8 @@ def read_index(spark: SparkSession, root: str) -> IndexTables:
 # ---------------------------------------------------------------------------
 
 MANIFEST_SCHEMA = (
-    "snapshot_id long, partition_id int, status string, rows long, "
-    "bytes long, wall_ms long"
+    "snapshot_id long, partition_id int, n_slices int, status string, "
+    "rows long, bytes long, wall_ms long"
 )
 
 
@@ -131,10 +143,19 @@ def _manifest_path(root: str) -> str:
 
 
 def read_manifest(spark: SparkSession, root: str) -> DataFrame:
-    path = _manifest_path(root)
-    if os.path.exists(path):
-        return spark.read.parquet(path)
-    return spark.createDataFrame([], MANIFEST_SCHEMA)
+    """Manifest rows, or an empty frame when none exists yet.
+
+    Read through Spark (try/except on the load), not ``os.path`` — the root
+    may be on any filesystem Spark can reach (hdfs/s3a), where local-path
+    existence checks are always False and would silently disable resume.
+    """
+    try:
+        df = spark.read.parquet(_manifest_path(root))
+    except Exception:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+    if "n_slices" not in df.columns:  # pre-n_slices manifests
+        df = df.withColumn("n_slices", F.lit(None).cast("int"))
+    return df
 
 
 def resumable_build(
@@ -161,12 +182,23 @@ def resumable_build(
 
     from ..operators.tokenize import doc_base, doc_terms_from_base
 
-    done = {
-        r["partition_id"]
-        for r in read_manifest(spark, root)
+    prior = (
+        read_manifest(spark, root)
         .where((F.col("snapshot_id") == snapshot_id) & (F.col("status") == "done"))
         .collect()
-    }
+    )
+    # a manifest written with a DIFFERENT n_slices describes incompatible
+    # docid-mod slices: reusing them would double-count (old slice=0 holds
+    # docid%4==0 data, new slice=4 of 8 holds docid%8==4 ⊂ docid%4==0) —
+    # refuse instead of silently corrupting the merge
+    other = {r["n_slices"] for r in prior} - {n_slices, None}
+    if other:
+        raise ValueError(
+            f"manifest at {root} records snapshot {snapshot_id} built with "
+            f"n_slices={sorted(other)}; rerun with the same n_slices or use a "
+            "fresh root/snapshot"
+        )
+    done = {r["partition_id"] for r in prior}
     built = 0
     base_kwargs = {
         k: v for k, v in build_kwargs.items() if k in ("body_col", "title_col")
@@ -185,16 +217,21 @@ def resumable_build(
         doc_terms_from_base(base, **tf_kwargs).write.mode("overwrite").parquet(out)
         base.drop("_body_toks", "_title_toks").write.mode("overwrite").parquet(meta_out)
         base.unpersist()
-        # stats for lineage
+        # stats for lineage (size via os.walk works for local roots only —
+        # on hdfs/s3a it records 0; rows/wall_ms are FS-agnostic)
         rows = spark.read.parquet(out).count()
-        size = sum(
-            os.path.getsize(os.path.join(dp, f))
-            for dp, _, fs in os.walk(out)
-            for f in fs
-        )
+        try:
+            size = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(out)
+                for f in fs
+            )
+        except OSError:
+            size = 0
         wall_ms = int((time.monotonic() - t0) * 1000)
         entry = spark.createDataFrame(
-            [(snapshot_id, pid, "done", rows, size, wall_ms)], MANIFEST_SCHEMA
+            [(snapshot_id, pid, n_slices, "done", rows, size, wall_ms)],
+            MANIFEST_SCHEMA,
         )
         entry.write.mode("append").parquet(_manifest_path(root))
         built += 1

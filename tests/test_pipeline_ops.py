@@ -104,6 +104,17 @@ def test_ann_recall_vs_bruteforce(emb_df):
     assert len(set(exact) & set(approx)) >= 2
 
 
+def test_lsh_buckets_dim_inference_and_guard(spark, emb_df):
+    from search_engine_spark.operators.similarity import lsh_buckets
+
+    # dim inferred (vectors are 8-d); buckets must not all collapse to 0
+    buckets = {r["bucket"] for r in lsh_buckets(emb_df, n_planes=3).collect()}
+    assert len(buckets) > 1
+    # an explicitly WRONG dim raises instead of silently bucketing to 0
+    with pytest.raises(Exception, match="expected dim"):
+        lsh_buckets(emb_df, n_planes=3, dim=64).collect()
+
+
 def test_embedding_near_dup(spark):
     from search_engine_spark.operators.similarity import embedding_near_dup
 

@@ -57,6 +57,21 @@ def test_resume_after_injected_failure(spark, tiny_df, tmp_path):
     assert _index_fingerprint(read_index(spark, crash_root)) == _index_fingerprint(clean)
 
 
+def test_resume_rejects_changed_n_slices(spark, tiny_df, tmp_path):
+    """Slice files are keyed by docid % n_slices — resuming with a different
+    n_slices would double-count docids; the manifest records it and the
+    build refuses."""
+    root = str(tmp_path / "ns")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        resumable_build(
+            spark, tiny_df, root, n_slices=4, compress=True, fail_after_slice=1
+        )
+    with pytest.raises(ValueError, match="n_slices"):
+        resumable_build(spark, tiny_df, root, n_slices=8, compress=True)
+    # same n_slices resumes fine
+    resumable_build(spark, tiny_df, root, n_slices=4, compress=True)
+
+
 def test_nondefault_bucket_count_round_trip(spark, tiny_df, tmp_path):
     """The query side must prune with the bucket count the index was BUILT
     with — recovered from persisted metadata, never a constant or a
