@@ -27,7 +27,10 @@ BM25_TERMS = ["table", "window", "spark"]
 AND_TERMS = ["customer", "vector"]
 BATCH_TERMS = ["table", "customer", "vector"]
 STOPWORDS = ["the", "a"]
-K1, B = 1.2, 0.75
+# single source of truth: the SQL twins must score with the same constants
+# the engine compiles into its Catalyst expressions
+from search_engine_spark.constants import BM25_B as B  # noqa: E402
+from search_engine_spark.constants import BM25_K1 as K1  # noqa: E402
 # sf embeddings are synthetic-random (no planted dups): τ sits inside the
 # same-bucket cosine tail so the gate exercises real surviving pairs.
 NEAR_DUP_TAU = 0.3
@@ -58,8 +61,14 @@ def _tok_tf(docs: DataFrame) -> DataFrame:
     )
 
 
-def _bm25_scores(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFrame:
-    """(doc_id, score, n_matched) for a term set — engine scoring math."""
+def _term_contribs(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFrame:
+    """(term, doc_id, contrib) — unrounded per-term BM25 contributions.
+
+    The single scoring prologue (tf → n_docs/dl/avgdl → df → contrib)
+    shared by the per-doc aggregate (_bm25_scores) and the per-query-term
+    window ranking (q_topk_per_query), so the two gate entries can never
+    silently diverge on the scoring math.
+    """
     from search_engine_spark.plans.bm25 import bm25_contrib_col, idf_col
 
     docs = _raw_docs(spark, sf_dir)
@@ -80,8 +89,13 @@ def _bm25_scores(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFram
     contrib = bm25_contrib_col(
         F.col("tf").cast("double"), F.col("dl"), avgdl, idf_col(n_docs, F.col("df"))
     )
-    return matches.groupBy("doc_id").agg(
-        F.round(F.sum(contrib), 6).alias("score"),
+    return matches.select("term", "doc_id", contrib.alias("contrib"))
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFrame:
+    """(doc_id, score, n_matched) for a term set — engine scoring math."""
+    return _term_contribs(spark, sf_dir, terms).groupBy("doc_id").agg(
+        F.round(F.sum("contrib"), 6).alias("score"),
         F.countDistinct("term").alias("n_matched"),
     )
 
@@ -199,7 +213,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_testdata_documents(spark, sf)
         index = build_index(spark, docs, compress=True, title_col=None)
         searcher = BlockMaxWand(index)
-        hits = searcher.search(BM25_TERMS, k=30)
+        # generous k-buffer: WAND ranks by RAW score, the oracle by the
+        # 6dp-ROUNDED score with doc_id tie-break — raw-vs-rounded boundary
+        # flips move ranks only within a rounding-tie cluster, so a buffer
+        # much larger than any plausible tie cluster at rank 10 keeps the
+        # re-ranked top-10 exact
+        hits = searcher.search(BM25_TERMS, k=100)
         index.unpersist()
         ranked = sorted(
             ((d, round(s, 6)) for _, d, s in hits), key=lambda x: (-x[1], x[0])
@@ -209,33 +228,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_topk_per_query(spark, sf):
         """Batched multi-query top-k via window (SURVEY.md §2.8)."""
-        from search_engine_spark.plans.bm25 import bm25_contrib_col, idf_col
-
-        docs = _raw_docs(spark, sf)
-        tf = _tok_tf(docs)
-        n_docs = docs.count()
-        dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))
-        avgdl = dl.agg(F.sum("dl")).collect()[0][0] / n_docs
-        dfs = (
-            tf.where(F.col("term").isin(BATCH_TERMS))
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).cast("double").alias("df"))
-        )
-        scored = (
-            tf.where(F.col("term").isin(BATCH_TERMS))
-            .join(F.broadcast(dfs), on="term")
-            .join(dl, on="doc_id")
-            .select(
-                F.col("term").alias("query_term"),
-                "doc_id",
-                F.round(
-                    bm25_contrib_col(
-                        F.col("tf").cast("double"), F.col("dl"), avgdl,
-                        idf_col(n_docs, F.col("df")),
-                    ),
-                    6,
-                ).alias("score"),
-            )
+        scored = _term_contribs(spark, sf, BATCH_TERMS).select(
+            F.col("term").alias("query_term"),
+            "doc_id",
+            F.round(F.col("contrib"), 6).alias("score"),
         )
         w = Window.partitionBy("query_term").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
@@ -516,12 +512,16 @@ FROM proj GROUP BY vec_id
 """
 
 
+# generated from the operator's own marker lists — one source of truth
+from search_engine_spark.operators.textstats import (  # noqa: E402
+    LANG_MARKERS,
+    STOPWORD_MARKERS,
+)
+
 _LANG_MARKERS_SQL = {
-    "en": "['the', 'a', 'order', 'group', 'row']",
-    "de": "['der', 'die', 'das', 'und', 'nicht']",
-    "fr": "['le', 'la', 'les', 'et', 'ne']",
-    "es": "['el', 'los', 'las', 'que', 'no']",
+    lg: "[" + ", ".join(f"'{m}'" for m in ms) + "]" for lg, ms in LANG_MARKERS.items()
 }
+_STOP_MARKERS_SQL = "[" + ", ".join(f"'{m}'" for m in STOPWORD_MARKERS) + "]"
 
 
 def _lang_id_sql() -> str:
@@ -711,7 +711,7 @@ m AS (
          CAST(len(toks) AS DOUBLE) AS n_tokens,
          n_chars, n_punct,
          CAST(len(list_filter(toks, t -> list_contains(
-           ['the','a','and','of','to','in','is','it'], lower(t)))) AS DOUBLE) AS n_stop
+           {_STOP_MARKERS_SQL}, lower(t)))) AS DOUBLE) AS n_stop
   FROM base
 )
 SELECT doc_id,
@@ -724,10 +724,12 @@ SELECT doc_id,
 FROM m
 """
 
+    # explicit whitespace class (see textstats.token_count): Java \s
+    # includes \x0B, RE2's does not — spell it out so both engines agree
     sql["token_count"] = f"""
 SELECT doc_id,
        CAST(len({_TOKS_ARRAY_SQL}) AS BIGINT) AS n_tokens,
-       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_pieces
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS BIGINT) AS n_pieces
 FROM documents
 """
 

@@ -61,7 +61,6 @@ def main() -> None:
     )
     from search_engine_spark.plans.bm25 import QueryEngine
     from search_engine_spark.session import get_spark
-    from search_engine_spark.sources.corpus import load_testdata_documents
     from search_engine_spark.sources.index_io import read_index, write_index
 
     spark = get_spark("bench", cores=cpus)
@@ -85,11 +84,15 @@ def main() -> None:
 
     # The sf parquet is a single file → one input split; repartition the
     # cached corpus so per-doc stages use every core, the same shape a real
-    # multi-file Iceberg scan gives for free.
-    docs = load_testdata_documents(spark, sf_dir).repartition(cpus).cache()
-    n_files = docs.count()
+    # multi-file Iceberg scan gives for free.  ONE cached scan of the
+    # source feeds both the engine-schema view and the raw-schema view
+    # (docs is a projection of raw_docs, not a second cache of the text).
+    from search_engine_spark.sources.corpus import map_testdata_columns
+
     raw_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus).cache()
     raw_docs.count()
+    docs = map_testdata_columns(raw_docs)
+    n_files = raw_docs.count()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(cpus).cache()
     emb.count()
 

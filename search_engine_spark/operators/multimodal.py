@@ -43,8 +43,11 @@ FEATURES_SCHEMA = (
 def attach_fake_binary(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic stand-in payload: UTF-8 bytes of the text column with a
     PNG magic prefix — exercises the binary-column path without media libs."""
+    # NULL text → empty payload body (concat would otherwise NULL-poison
+    # the whole payload and crash the feature UDF on sha256(None))
     payload = F.concat(
-        F.lit(b"\x89PNG\r\n"), F.encode(F.col(text_col), "UTF-8")
+        F.lit(b"\x89PNG\r\n"),
+        F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8"),
     )
     return docs.select(F.col(id_col), payload.alias("payload"))
 

@@ -43,7 +43,12 @@ def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     tokenizer's piece count, good for per-doc length budgeting.
     """
     toks = tokens_col(F.col(text_col))
-    pieces = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    # explicit whitespace class, NOT \s: Java's \s includes \x0B (vertical
+    # tab — part of the engine delimiter class) but RE2/DuckDB's does not,
+    # so \s would silently break oracle parity on \x0B-bearing text
+    pieces = F.regexp_count(
+        F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]")
+    )
     return docs.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),

@@ -54,6 +54,11 @@ def main():
     spark = get_spark(app="check_oracle", cores=8, shuffle_partitions=8)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must not silently verify nothing and exit 0
+        print(f"unknown query name(s): {sorted(unknown)}; known: {sorted(qs)}")
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -68,11 +68,17 @@ def main() -> None:
     with phase("e_write_postings"):
         enc.write.mode("overwrite").partitionBy("bucket").parquet(f"{out}/postings")
     with phase("f_dictionary"):
+        # mirror index_io.write_index: term-GLOBAL df over salted segments
         written = spark.read.parquet(f"{out}/postings")
-        written.select(
-            "field", "term",
-            F.shiftrightunsigned(F.xxhash64("term"), 1).alias("termid"), "df",
-        ).write.mode("overwrite").parquet(f"{out}/dictionary")
+        (
+            written.groupBy("field", "term")
+            .agg(F.sum("df").alias("df"))
+            .select(
+                "field", "term",
+                F.shiftrightunsigned(F.xxhash64("term"), 1).alias("termid"), "df",
+            )
+            .write.mode("overwrite").parquet(f"{out}/dictionary")
+        )
     with phase("g_docstats"):
         lens = (
             tf.groupBy("docid").pivot("field", ["content", "title"]).agg(F.sum("tf"))

@@ -67,15 +67,23 @@ def _burn(n: int = 200_000) -> int:
 
 
 def cpu_ceiling_speedup(low: int, high: int) -> float:
-    """Pure-CPU parallel speedup low→high processes (the host's ceiling)."""
+    """Pure-CPU parallel speedup low→high processes (the host's ceiling).
+
+    Pool fork/teardown is excluded from the timed window (warmup map before
+    starting the clock) and each level runs ≥4 jobs per worker — otherwise
+    the fixed overhead deflates the high-proc rate and overstates
+    ``efficiency_vs_ceiling``.
+    """
     import multiprocessing as mp
 
     def rate(procs: int) -> float:
-        jobs = [200_000] * (procs * 2)
-        t0 = time.monotonic()
+        jobs = [300_000] * (procs * 4)
         with mp.Pool(procs) as p:
+            p.map(_burn, [1_000] * procs)  # fork + import warmup, untimed
+            t0 = time.monotonic()
             p.map(_burn, jobs)
-        return len(jobs) / (time.monotonic() - t0)
+            dt = time.monotonic() - t0
+        return len(jobs) / dt
 
     return rate(high) / rate(low)
 

@@ -86,6 +86,10 @@ def main() -> None:
         "search_sec": round(t_search, 1),
         "top_hit": hits[0].strip() if hits else None,
     }))
+    if not hits:
+        # an empty result for a query whose terms are IN the fixture vocab
+        # means the packaged search path regressed — fail the smoke
+        raise SystemExit("smoke search returned no hits")
 
 
 if __name__ == "__main__":
