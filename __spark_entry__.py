@@ -250,6 +250,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q_facet_sets_multi(spark, sf):
+        """operators.facets.facet_sets over two facet columns (A4/J2)."""
+        from search_engine_spark.operators.facets import facet_sets
+
+        docs = _raw_docs(spark, sf).withColumnRenamed("doc_id", "docid")
+        return facet_sets(docs, ["lang", "source"])
+
     def q_stopword_tf(spark, sf):
         return (
             _tok_tf(_raw_docs(spark, sf))
@@ -384,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand": q_bm25_wand,
         "topk_per_query": q_topk_per_query,
         "facet_sets": q_facet_sets,
+        "facet_sets_multi": q_facet_sets_multi,
         "stopword_tf": q_stopword_tf,
         "scan_filter": q_scan_filter,
         "exact_dedup": q_exact_dedup,
@@ -597,6 +605,17 @@ SELECT query_term, rank, doc_id, score FROM ranked WHERE rank <= 3
 SELECT lower(lang) AS value, CAST(count(*) AS BIGINT) AS n_docs,
        list(DISTINCT doc_id ORDER BY doc_id) AS docids
 FROM documents GROUP BY lower(lang)
+"""
+
+    sql["facet_sets_multi"] = """
+SELECT facet, value, CAST(count(*) AS BIGINT) AS n_docs,
+       list(DISTINCT doc_id ORDER BY doc_id) AS docids
+FROM (
+  SELECT 'lang' AS facet, lower(lang) AS value, doc_id FROM documents
+  UNION ALL
+  SELECT 'source' AS facet, lower(source) AS value, doc_id FROM documents
+)
+GROUP BY facet, value
 """
 
     stoplist = ", ".join(f"'{s}'" for s in STOPWORDS)
