@@ -226,6 +226,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rows = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
         return spark.createDataFrame(rows, "rank int, doc_id long, score double")
 
+    def q_bm25_engine(spark, sf):
+        """The REAL engine path — build_index → QueryEngine.search — must
+        match the same SQL twin as the from-scratch DataFrame scoring.
+        Engine ranks by raw score; re-rank the k-buffer by the rounded
+        score (doc_id tie-break) to match the oracle's round-then-order.
+        """
+        from search_engine_spark.operators.index_build import build_index
+        from search_engine_spark.plans.bm25 import QueryEngine
+        from search_engine_spark.sources.corpus import load_testdata_documents
+
+        docs = load_testdata_documents(spark, sf)
+        index = build_index(spark, docs, compress=True, title_col=None)
+        eng = QueryEngine(spark, index, cache_docstats=False)
+        rows = eng.search("values: " + " ".join(BM25_TERMS), k=100).collect()
+        index.unpersist()
+        ranked = sorted(
+            ((r["docid"], round(r["score"], 6)) for r in rows),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        out = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+        return spark.createDataFrame(out, "rank int, doc_id long, score double")
+
     def q_topk_per_query(spark, sf):
         """Batched multi-query top-k via window (SURVEY.md §2.8)."""
         scored = _term_contribs(spark, sf, BATCH_TERMS).select(
@@ -389,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_or": q_bm25_or,
         "bm25_topk_and": q_bm25_and,
         "bm25_topk_wand": q_bm25_wand,
+        "bm25_engine_topk": q_bm25_engine,
         "topk_per_query": q_topk_per_query,
         "facet_sets": q_facet_sets,
         "facet_sets_multi": q_facet_sets_multi,
@@ -574,8 +597,10 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
 
     sql["bm25_topk_or"] = _bm25_sql(BM25_TERMS, and_mode=False)
     sql["bm25_topk_and"] = _bm25_sql(AND_TERMS, and_mode=True)
-    # WAND is lossless pruning — its oracle IS the exhaustive BM25 top-k
+    # WAND is lossless pruning — its oracle IS the exhaustive BM25 top-k;
+    # the persisted-engine path answers the same query, so same twin
     sql["bm25_topk_wand"] = _bm25_sql(BM25_TERMS, and_mode=False)
+    sql["bm25_engine_topk"] = _bm25_sql(BM25_TERMS, and_mode=False)
 
     tlist = ", ".join(f"'{t}'" for t in BATCH_TERMS)
     sql["topk_per_query"] = f"""
