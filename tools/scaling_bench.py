@@ -99,7 +99,7 @@ def make_corpus(path: str, n_docs: int) -> None:
     spark.stop()
 
 
-def worker(cores: int, corpus: str, runs: int) -> None:
+def worker(cores: int, corpus: str, runs: int, noop: bool = False) -> None:
     from pyspark.sql import functions as F
 
     from search_engine_spark.operators.index_build import add_docid, build_index
@@ -116,20 +116,31 @@ def worker(cores: int, corpus: str, runs: int) -> None:
         index = build_index(
             spark, docs, salt_threshold=max(64, n // 20), compress=True
         )
-        write_index(index, out)
+        if noop:
+            # compute-only variant: full tokenize → shuffle → salted agg →
+            # varbyte encode, materialized into the noop sink.  Isolates the
+            # engine's parallel COMPUTE from the sandbox's local-disk sink,
+            # whose throttled fixed bandwidth otherwise caps the measured
+            # speedup (a real cluster writes to distributed storage whose
+            # bandwidth scales with executors).
+            index.postings.write.mode("overwrite").format("noop").save()
+            index.docstats.write.mode("overwrite").format("noop").save()
+        else:
+            write_index(index, out)
         dt = time.monotonic() - t0
         index.unpersist()
         shutil.rmtree(out, ignore_errors=True)
         best = min(best, dt)
     print(json.dumps({"cores": cores, "n_docs": n, "build_sec": round(best, 2),
-                      "files_per_sec": round(n / best, 1)}))
+                      "files_per_sec": round(n / best, 1), "noop": noop}))
     spark.stop()
 
 
-def _run_level(cores: int, corpus: str, runs: int) -> dict:
+def _run_level(cores: int, corpus: str, runs: int, noop: bool = False) -> dict:
     out = subprocess.run(
         [sys.executable, __file__, "--worker-cores", str(cores),
-         "--corpus", corpus, "--runs", str(runs)],
+         "--corpus", corpus, "--runs", str(runs)]
+        + (["--noop"] if noop else []),
         capture_output=True, text=True, check=True,
     )
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
@@ -144,12 +155,17 @@ def main() -> None:
     ap.add_argument("--pairs", type=int, default=3, help="adjacent (low,high) pairs")
     ap.add_argument("--cores-low", type=int, default=CORES_LOW)
     ap.add_argument("--cores-high", type=int, default=CORES_HIGH)
+    ap.add_argument(
+        "--noop", action="store_true",
+        help="compute-only (noop sink): isolates compute scaling from the "
+             "sandbox's throttled local-disk write bandwidth",
+    )
     ap.add_argument("--worker-cores", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--corpus", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args.worker_cores is not None:
-        worker(args.worker_cores, args.corpus, args.runs)
+        worker(args.worker_cores, args.corpus, args.runs, noop=args.noop)
         return
 
     corpus = os.path.join(tempfile.gettempdir(), f"scale_corpus_{args.n_docs}")
@@ -159,8 +175,8 @@ def main() -> None:
     c_lo, c_hi = args.cores_low, args.cores_high
     pairs = []
     for i in range(args.pairs):
-        lo = _run_level(c_lo, corpus, args.runs)
-        hi = _run_level(c_hi, corpus, args.runs)
+        lo = _run_level(c_lo, corpus, args.runs, noop=args.noop)
+        hi = _run_level(c_hi, corpus, args.runs, noop=args.noop)
         ceiling = cpu_ceiling_speedup(c_lo, c_hi)
         speedup = hi["files_per_sec"] / lo["files_per_sec"]
         pairs.append({
