@@ -284,12 +284,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_facet_sets(spark, sf):
+        # the driver canonicalizer sorts result cells — ARRAY cells are
+        # unhashable in pandas, so the docid set ships as its JSON string
+        # (deterministic: sorted ascending, "[1,2,3]" in both engines)
         return (
             _raw_docs(spark, sf)
             .groupBy(F.lower(F.col("lang")).alias("value"))
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
-                F.sort_array(F.collect_set("doc_id")).alias("docids"),
+                F.to_json(F.sort_array(F.collect_set("doc_id"))).alias("docids_json"),
             )
         )
 
@@ -298,7 +301,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from search_engine_spark.operators.facets import facet_sets
 
         docs = _raw_docs(spark, sf).withColumnRenamed("doc_id", "docid")
-        return facet_sets(docs, ["lang", "source"])
+        return facet_sets(docs, ["lang", "source"]).select(
+            "facet",
+            "value",
+            "n_docs",
+            F.to_json(F.col("docids")).alias("docids_json"),
+        )
 
     def q_stopword_tf(spark, sf):
         return (
@@ -373,7 +381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_stemmed_tf(spark, sf):
         """Porter-stemmed forward index (north_star tokenize/stem path) —
-        vectorized Arrow UDF; no SQL twin (rows-only check)."""
+        vectorized Arrow UDF.  SQL twin: generated (term → stem) lookup from
+        the INDEPENDENT second Porter implementation (see oracle_sql)."""
         from search_engine_spark.operators.tokenize import doc_terms
 
         docs = _raw_docs(spark, sf).select(
@@ -416,13 +425,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sniff_kind(b).select("doc_id", "n_bytes", "kind")
 
     def q_mm_features(spark, sf):
-        """mapInPandas feature extraction — no SQL twin (rows-only check)."""
+        """mapInPandas feature extraction — no SQL twin (rows-only check).
+
+        The features vector ships as a rounded JSON string: the driver
+        canonicalizer cannot sort ARRAY cells (round 1 gate error)."""
         from search_engine_spark.operators.multimodal import (
             attach_fake_binary,
             extract_features,
         )
 
-        return extract_features(attach_fake_binary(_raw_docs(spark, sf)))
+        feats = extract_features(attach_fake_binary(_raw_docs(spark, sf)))
+        return feats.select(
+            "doc_id",
+            "n_bytes",
+            "kind",
+            F.to_json(
+                F.transform(F.col("features"), lambda x: F.round(x, 6))
+            ).alias("features_json"),
+        )
 
     return {
         "tokenize_tf": q_tokenize_tf,
@@ -596,6 +616,42 @@ FROM withbest
 """
 
 
+def _stem_lookup_values() -> str:
+    """``('term','stem'), ...`` over the union of all testdata sf vocabularies.
+
+    Generated with DuckDB's tokenizer (the same _TOK_SQL cleaning the twins
+    use) + the independent Porter twin — never the engine's own stemmer, so
+    the lookup is a genuine second opinion.  Covering every sf dir keeps the
+    twin valid whichever scale the driver gates at."""
+    import glob
+
+    from search_engine_spark.functions.porter_ref import porter_stem_ref
+
+    try:
+        import duckdb
+    except ImportError:  # pragma: no cover — duckdb is baked into the sandbox
+        return ""
+    vocab: set[str] = set()
+    for path in sorted(glob.glob("/root/testdata/sf*/documents.parquet")):
+        try:
+            con = duckdb.connect()
+            rows = con.execute(
+                f"""
+                SELECT DISTINCT lower(replace(tok, '''', '')) AS term FROM (
+                  SELECT unnest(regexp_split_to_array(text, '{DELIM_CLASS}')) AS tok
+                  FROM read_parquet(?)
+                ) WHERE tok <> '' AND regexp_matches(tok, '^[\\x00-\\x7F]+$')
+                  AND term <> ''
+                """,
+                [path],
+            ).fetchall()
+            vocab.update(r[0] for r in rows)
+        except Exception:
+            continue
+    safe = sorted(t for t in vocab if "'" not in t)
+    return ", ".join(f"('{t}', '{porter_stem_ref(t)}')" for t in safe)
+
+
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
@@ -651,13 +707,15 @@ SELECT query_term, rank, doc_id, score FROM ranked WHERE rank <= 3
 
     sql["facet_sets"] = """
 SELECT lower(lang) AS value, CAST(count(*) AS BIGINT) AS n_docs,
-       list(DISTINCT doc_id ORDER BY doc_id) AS docids
+       '[' || array_to_string(list(DISTINCT doc_id ORDER BY doc_id), ',') || ']'
+         AS docids_json
 FROM documents GROUP BY lower(lang)
 """
 
     sql["facet_sets_multi"] = """
 SELECT facet, value, CAST(count(*) AS BIGINT) AS n_docs,
-       list(DISTINCT doc_id ORDER BY doc_id) AS docids
+       '[' || array_to_string(list(DISTINCT doc_id ORDER BY doc_id), ',') || ']'
+         AS docids_json
 FROM (
   SELECT 'lang' AS facet, lower(lang) AS value, doc_id FROM documents
   UNION ALL
@@ -746,7 +804,22 @@ SELECT vec_id,
 FROM cand, p ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
-    # stemmed_tf: Porter stemmer — intentionally no SQL twin (rows-only)
+    # stemmed_tf: DuckDB's stem(term,'porter') lives in the fts extension,
+    # which cannot download in this offline sandbox — the twin is a VALUES
+    # (term → stem) lookup over the testdata vocabulary, generated by a
+    # SECOND, independently-written Porter implementation
+    # (functions/porter_ref.py; cross-checked against the engine's stemmer
+    # over ~37k generated words in tests/test_stem.py).  Unseen terms drop
+    # out of the inner join → a loud row-count mismatch, never a silent pass.
+    stem_values = _stem_lookup_values()
+    if stem_values:
+        sql["stemmed_tf"] = f"""
+WITH tf AS ({_TF_SQL}),
+sm AS (SELECT * FROM (VALUES {stem_values}) AS v(term, stem))
+SELECT tf.doc_id AS docid, sm.stem AS term, CAST(sum(tf.tf) AS INT) AS tf
+FROM tf JOIN sm ON tf.term = sm.term
+GROUP BY tf.doc_id, sm.stem
+"""
 
     sql["embedding_near_dup"] = f"""
 WITH buckets AS ({_ann_buckets_sql()}),

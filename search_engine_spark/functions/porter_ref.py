@@ -1,0 +1,155 @@
+"""Second, INDEPENDENTLY-written Porter stemmer — oracle generation only.
+
+Why this exists: the driver's DuckDB gate needs a SQL twin for the stemmed
+forward index, but DuckDB's ``stem(term, 'porter')`` lives in the ``fts``
+extension, which cannot be downloaded in this offline sandbox.  The twin is
+therefore a generated ``VALUES (term, stem)`` lookup table — and generating
+it with the engine's own stemmer (functions/stem.py) would be circular.
+
+This module re-derives the algorithm from the published description
+(Porter, "An algorithm for suffix stripping", Program 14(3), 1980) with a
+deliberately different structure from functions/stem.py: conditions are
+evaluated on a precomputed consonant/vowel ("cv") form string with
+regex-counted measure, and the steps are table-driven rules of
+(suffix, replacement, condition) instead of inline branch chains.  The two
+implementations share no helper code; tests/test_stem.py cross-checks them
+over a large generated vocabulary, so a bug in either shows up as a
+disagreement.
+"""
+
+from __future__ import annotations
+
+import re
+
+_VOWELS = "aeiou"
+
+
+def _cv_form(word: str) -> str:
+    """Letter classes: 'v' vowel / 'c' consonant, with Porter's y rule
+    (y is a consonant at position 0 or after a vowel, else a vowel)."""
+    out: list[str] = []
+    for i, ch in enumerate(word):
+        if ch in _VOWELS:
+            out.append("v")
+        elif ch == "y":
+            out.append("c" if (i == 0 or out[i - 1] == "v") else "v")
+        else:
+            out.append("c")
+    return "".join(out)
+
+
+def _m(stem: str) -> int:
+    """Porter measure: number of VC blocks in [C](VC)^m[V]."""
+    return len(re.findall(r"v+c+", _cv_form(stem)))
+
+
+def _has_vowel(stem: str) -> bool:
+    return "v" in _cv_form(stem)
+
+
+def _ends_dbl_c(stem: str) -> bool:
+    if len(stem) < 2 or stem[-1] != stem[-2]:
+        return False
+    return _cv_form(stem)[-1] == "c"
+
+
+def _ends_cvc(stem: str) -> bool:
+    """*o condition: ends cvc where the final c is not w, x or y."""
+    if len(stem) < 3 or stem[-1] in "wxy":
+        return False
+    return _cv_form(stem)[-3:] == "cvc"
+
+
+def _rule(word: str, rules: list[tuple[str, str, int]]) -> str:
+    """Apply the FIRST rule whose suffix matches (longest listed first, as
+    in the paper's tables); the measure condition applies to the stem left
+    after removing the suffix.  Non-matching condition still consumes the
+    match (Porter: within a step, only the longest-suffix rule is tried)."""
+    for suffix, repl, min_m in rules:
+        if word.endswith(suffix):
+            stem = word[: -len(suffix)]
+            if _m(stem) > min_m:
+                return stem + repl
+            return word
+    return word
+
+
+_STEP2 = [
+    ("ational", "ate", 0), ("tional", "tion", 0), ("enci", "ence", 0),
+    ("anci", "ance", 0), ("izer", "ize", 0), ("abli", "able", 0),
+    ("alli", "al", 0), ("entli", "ent", 0), ("eli", "e", 0),
+    ("ousli", "ous", 0), ("ization", "ize", 0), ("ation", "ate", 0),
+    ("ator", "ate", 0), ("alism", "al", 0), ("iveness", "ive", 0),
+    ("fulness", "ful", 0), ("ousness", "ous", 0), ("aliti", "al", 0),
+    ("iviti", "ive", 0), ("biliti", "ble", 0),
+]
+
+_STEP3 = [
+    ("icate", "ic", 0), ("ative", "", 0), ("alize", "al", 0),
+    ("iciti", "ic", 0), ("ical", "ic", 0), ("ful", "", 0), ("ness", "", 0),
+]
+
+_STEP4 = [
+    ("al", "", 1), ("ance", "", 1), ("ence", "", 1), ("er", "", 1),
+    ("ic", "", 1), ("able", "", 1), ("ible", "", 1), ("ant", "", 1),
+    ("ement", "", 1), ("ment", "", 1), ("ent", "", 1), ("ou", "", 1),
+    ("ism", "", 1), ("ate", "", 1), ("iti", "", 1), ("ous", "", 1),
+    ("ive", "", 1), ("ize", "", 1),
+]
+
+
+def porter_stem_ref(word: str) -> str:
+    """Reference-twin Porter stem (see module docstring)."""
+    if len(word) <= 2:
+        return word
+    w = word
+
+    # -- step 1a ------------------------------------------------------------
+    if w.endswith("sses") or w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+
+    # -- step 1b ------------------------------------------------------------
+    if w.endswith("eed"):
+        if _m(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        stripped = None
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            stripped = w[:-2]
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            stripped = w[:-3]
+        if stripped is not None:
+            w = stripped
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _ends_dbl_c(w) and w[-1] not in "lsz":
+                w = w[:-1]
+            elif _m(w) == 1 and _ends_cvc(w):
+                w += "e"
+
+    # -- step 1c ------------------------------------------------------------
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # -- steps 2-4 (table-driven) -------------------------------------------
+    w = _rule(w, _STEP2)
+    w = _rule(w, _STEP3)
+    before4 = w
+    w = _rule(w, _STEP4)
+    if w == before4 and not any(before4.endswith(s) for s, _, _ in _STEP4):
+        # step 4's special (m>1 and *S or *T) -ion rule
+        if w.endswith("ion") and len(w) > 3 and w[-4] in "st" and _m(w[:-3]) > 1:
+            w = w[:-3]
+
+    # -- step 5a ------------------------------------------------------------
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _m(stem)
+        if m > 1 or (m == 1 and not _ends_cvc(stem)):
+            w = stem
+    # -- step 5b ------------------------------------------------------------
+    if w.endswith("ll") and _m(w) > 1:
+        w = w[:-1]
+    return w

@@ -46,6 +46,12 @@ def terms_for_field(
     return t.select("docid", F.lit(field_name).alias("field"), "term")
 
 
+def _stem_terms(t: DataFrame) -> DataFrame:
+    from ..functions.stem import stem_udf
+
+    return t.withColumn("term", stem_udf()(F.col("term")))
+
+
 def doc_terms(
     docs: DataFrame,
     stem: bool = False,
@@ -58,13 +64,18 @@ def doc_terms(
     Stop-words are dropped from the BODY only via a broadcast left-anti join
     (reference applies the stop-set to `text` tokens only —
     ``KaggleFinanceSourceEngine.cpp:259``; the title loop at ``:237-249``
-    never consults it).
+    never consults it).  Ordering: the stop set is checked against CLEANED,
+    UNSTEMMED tokens (the reference consults it pre-stem; the Arrow path
+    does the same), and stemming runs after — so a stopword like 'motor'
+    drops only literal occurrences, never post-stem collisions ('motoring').
     """
-    body = terms_for_field(docs, body_col, FIELD_BODY, stem=stem)
+    body = terms_for_field(docs, body_col, FIELD_BODY, stem=False)
     if stopwords is not None:
         body = body.join(
             F.broadcast(stopwords.select(F.col("term"))), on="term", how="left_anti"
         )
+    if stem:
+        body = _stem_terms(body)
     parts = [body]
     if title_col is not None:
         parts.append(terms_for_field(docs, title_col, FIELD_TITLE, stem=stem))
@@ -126,13 +137,15 @@ def doc_terms_from_base(
     stopwords: DataFrame | None = None,
 ) -> DataFrame:
     """Forward index from a ``doc_base`` frame — identical semantics to
-    ``doc_terms`` (same filters/cleaning post-split), without re-scanning
-    the source content column."""
-    body = _terms_from_toks(base, "_body_toks", FIELD_BODY, stem)
+    ``doc_terms`` (same filters/cleaning post-split, stopword anti-join on
+    UNSTEMMED terms, stem after), without re-scanning the source content."""
+    body = _terms_from_toks(base, "_body_toks", FIELD_BODY, stem=False)
     if stopwords is not None:
         body = body.join(
             F.broadcast(stopwords.select(F.col("term"))), on="term", how="left_anti"
         )
+    if stem:
+        body = _stem_terms(body)
     parts = [body]
     if "_title_toks" in base.columns:
         parts.append(_terms_from_toks(base, "_title_toks", FIELD_TITLE, stem))

@@ -1,0 +1,45 @@
+"""Driver-contract pins for __spark_entry__ (round-1 gate lesson).
+
+The driver canonicalizes every queries() result with pandas
+``sort_values`` over all columns — ARRAY/MAP/STRUCT cells are unhashable
+there and crash the gate even for rows-only entries (CORRECTNESS_r01:
+facet_sets / facet_sets_multi / mm_features).  Pin: every entry's output
+schema is scalar-only, and every oracle key has a queries() twin.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+_FORBIDDEN = (T.ArrayType, T.MapType, T.StructType)
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = entrymod.queries()
+    extra = set(entrymod.oracle_sql()) - set(qs)
+    assert not extra, f"oracle_sql keys without a queries() entry: {sorted(extra)}"
+
+
+def test_no_complex_types_in_any_query_schema(spark):
+    qs = entrymod.queries()
+    bad: list[str] = []
+    for name, fn in qs.items():
+        df = fn(spark, SF_DIR)
+        for field in df.schema.fields:
+            if isinstance(field.dataType, _FORBIDDEN):
+                bad.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not bad, (
+        "driver canonicalizer cannot sort complex-typed cells — ship arrays "
+        f"as sorted JSON/hash scalars instead: {bad}"
+    )

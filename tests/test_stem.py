@@ -100,6 +100,45 @@ def test_short_words_untouched():
         assert porter_stem(w) == w
 
 
+def test_independent_implementations_agree():
+    """The engine stemmer (step-function form) vs the oracle-generation twin
+    (CV-form table-driven, functions/porter_ref.py) — written independently
+    from the same 1980 paper — must agree over a large hostile vocabulary.
+    This is the verification that stands in for DuckDB's stem() (fts
+    extension unavailable offline)."""
+    import random
+
+    from search_engine_spark.functions.porter_ref import porter_stem_ref
+
+    rng = random.Random(42)
+    stems = [
+        "connect", "relat", "operat", "motor", "run", "hop", "fizz", "happ",
+        "ski", "controll", "roll", "cav", "pla", "tr", "gener", "conflat",
+        "troubl", "siz", "fail", "fil", "feud", "bowdler", "electr",
+        "triplic", "form", "sensit", "decis", "hope", "callous", "rat",
+        "ceas", "communicat", "activ", "angular", "homolog", "effect",
+    ]
+    sufs = [
+        "", "s", "es", "ies", "ed", "ing", "ational", "tional", "enci",
+        "anci", "izer", "abli", "alli", "entli", "eli", "ousli", "ization",
+        "ation", "ator", "alism", "iveness", "fulness", "ousness", "aliti",
+        "iviti", "biliti", "icate", "ative", "alize", "iciti", "ical", "ful",
+        "ness", "al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+        "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous",
+        "ive", "ize", "e", "ll", "eed", "y", "sses", "ss",
+    ]
+    vocab = {s + u for s in stems for u in sufs}
+    for _ in range(10000):
+        n = rng.randint(1, 12)
+        vocab.add("".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(n)))
+    for _ in range(5000):
+        w = "".join(rng.choice("abcdeilmnorstuyz") for _ in range(rng.randint(2, 8)))
+        vocab.add(w + rng.choice(sufs))
+    bad = [(w, porter_stem(w), porter_stem_ref(w))
+           for w in vocab if porter_stem(w) != porter_stem_ref(w)]
+    assert not bad, f"{len(bad)} disagreements, e.g. {bad[:5]}"
+
+
 def test_udf_matches_python(spark):
     from search_engine_spark.functions.stem import stem_udf
 

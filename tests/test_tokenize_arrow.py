@@ -47,6 +47,43 @@ def test_arrow_stem_and_stopwords(spark):
     assert (1, "title", "motor") in arrow
 
 
+def test_stem_sensitive_stopword_parity(spark):
+    """Stopwords filter CLEANED, UNSTEMMED tokens in BOTH paths (ADVICE r1):
+    stopword 'motor' drops literal 'motor' occurrences but never the
+    post-stem collision 'motoring' → 'motor'."""
+    df = spark.createDataFrame(
+        [(1, "motor motoring motors running runs", "p")],
+        "docid long, content string, path string",
+    )
+    stop_df = spark.createDataFrame([("motor",), ("running",)], "term string")
+    native = _tf_map(doc_terms(df, stem=True, stopwords=stop_df, title_col=None).collect())
+    arrow = _tf_map(
+        doc_terms_arrow(
+            df, stem=True, stopwords=frozenset({"motor", "running"}), title_col=None
+        ).collect()
+    )
+    assert arrow == native
+    # literal 'motor' dropped; 'motoring'→motor and 'motors'→motor survive
+    assert native[(1, "content", "motor")] == 2
+    # literal 'running' dropped pre-stem; 'runs'→'run' survives
+    assert native[(1, "content", "run")] == 1
+
+
+def test_stem_sensitive_stopword_parity_from_base(spark):
+    """Same ordering contract on the single-scan doc_base path."""
+    from search_engine_spark.operators.tokenize import doc_base, doc_terms_from_base
+
+    df = spark.createDataFrame(
+        [(1, "motor motoring motors", "p")],
+        "docid long, content string, path string",
+    )
+    stop_df = spark.createDataFrame([("motor",)], "term string")
+    base = doc_base(df, title_col=None)
+    got = _tf_map(doc_terms_from_base(base, stem=True, stopwords=stop_df).collect())
+    assert got == _tf_map(doc_terms(df, stem=True, stopwords=stop_df, title_col=None).collect())
+    assert got[(1, "content", "motor")] == 2
+
+
 def test_arrow_build_matches_native_build(spark, tiny_df):
     from search_engine_spark.functions.codec import decode_postings
     from search_engine_spark.operators.index_build import build_index

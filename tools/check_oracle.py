@@ -28,17 +28,25 @@ def norm_cell(v):
         if math.isnan(v):
             return "nan"
         return round(v, 9)
-    if isinstance(v, (list, tuple)):
-        return tuple(norm_cell(x) for x in v)
     if isinstance(v, (bytes, bytearray)):
         return bytes(v)
     return v
 
 
 def norm_rows(cols, rows):
+    """Canonicalize EXACTLY the way the driver does: a pandas DataFrame
+    sorted by every column via sort_values.  ARRAY-typed cells are
+    unhashable there and must crash here too (round-1 gate lesson — the old
+    tuple-izing comparison passed locally while the driver errored)."""
+    import pandas as pd
+
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    return sorted(cols), sorted(out, key=repr)
+    df = pd.DataFrame(
+        [[norm_cell(r[i]) for i in order] for r in rows], columns=sorted(cols)
+    )
+    if len(df):
+        df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return sorted(cols), [tuple(r) for r in df.itertuples(index=False, name=None)]
 
 
 def main():
@@ -72,6 +80,12 @@ def main():
             print(f"✗ {name}: spark error {e}")
             continue
         if name not in oracles:
+            try:
+                norm_rows(scols, srows)  # driver canonicalizes rows-only too
+            except Exception as e:
+                failures.append((name, f"CANONICALIZE ERROR: {e}"))
+                print(f"✗ {name}: canonicalize error {e}")
+                continue
             print(f"~ {name}: rows-only check, {len(srows)} rows")
             if len(srows) == 0:
                 failures.append((name, "0 rows (rows-only)"))
