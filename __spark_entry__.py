@@ -247,6 +247,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rows = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
         return spark.createDataFrame(rows, "rank int, doc_id long, score double")
 
+    def q_bm25_wand_sharded(spark, sf):
+        """DISTRIBUTED WAND (plans.wand.ShardedWand): traversal sharded by
+        top-bit docid range inside a cogrouped applyInPandas — no
+        corpus-wide norms or postings ever reach the driver (the round-1
+        scale fix).  Must equal the same exhaustive BM25 oracle."""
+        from search_engine_spark.operators.index_build import build_index
+        from search_engine_spark.plans.wand import ShardedWand
+        from search_engine_spark.sources.corpus import load_testdata_documents
+
+        docs = load_testdata_documents(spark, sf)
+        index = build_index(spark, docs, compress=True, title_col=None)
+        searcher = ShardedWand(index, n_shards=4)
+        hits = searcher.search(BM25_TERMS, k=100)
+        searcher.close()
+        index.unpersist()
+        ranked = sorted(
+            ((d, round(s, 6)) for _, d, s in hits), key=lambda x: (-x[1], x[0])
+        )[:10]
+        rows = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+        return spark.createDataFrame(rows, "rank int, doc_id long, score double")
+
     def q_bm25_engine(spark, sf):
         """The REAL engine path — build_index → QueryEngine.search — must
         match the same SQL twin as the from-scratch DataFrame scoring.
@@ -454,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand": q_bm25_wand,
         "bm25_engine_topk": q_bm25_engine,
         "bm25_wand_salted": q_bm25_wand_salted,
+        "bm25_wand_sharded": q_bm25_wand_sharded,
         "topk_per_query": q_topk_per_query,
         "facet_sets": q_facet_sets,
         "facet_sets_multi": q_facet_sets_multi,
@@ -680,6 +702,7 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
     sql["bm25_topk_wand"] = _bm25_sql(BM25_TERMS, and_mode=False)
     sql["bm25_engine_topk"] = _bm25_sql(BM25_TERMS, and_mode=False)
     sql["bm25_wand_salted"] = _bm25_sql(BM25_TERMS, and_mode=False)
+    sql["bm25_wand_sharded"] = _bm25_sql(BM25_TERMS, and_mode=False)
 
     tlist = ", ".join(f"'{t}'" for t in BATCH_TERMS)
     sql["topk_per_query"] = f"""

@@ -104,29 +104,36 @@ def _print_results(rows) -> None:
 
 def cmd_search(args) -> int:
     spark = _spark(args)
-    if args.wand:
+    if args.wand or args.wand_shards:
         from .plans.query_parser import parse_query
-        from .plans.wand import BlockMaxWand
+        from .plans.wand import BlockMaxWand, ShardedWand
         from .sources.index_io import read_index
 
-        if args.mode == "and":
-            print(
-                "error: --wand implements OR-mode top-k only; "
-                "drop --wand for AND-mode intersection queries",
-                file=sys.stderr,
-            )
-            return 2
         index = read_index(spark, args.index)
-        terms: list[str] = []
+        # WAND covers term categories (content + title); facet categories
+        # need the exhaustive engine's union plan — refuse loudly rather
+        # than silently dropping them
+        specs: list[tuple[str, str]] = []
         for kind, target, raw in parse_query(args.query):
-            if kind == "terms" and target == "content":
-                terms += raw
-        # raw terms: BlockMaxWand.search applies clean_query_term itself
-        # (with the engine's stem setting — cleaning here too would
-        # double-stem)
-        searcher = BlockMaxWand(index, stem=args.stem)
-        for rank, docid, score in searcher.search(terms, k=args.k):
+            if kind == "terms":
+                specs += [(target, t) for t in raw]
+            else:
+                print(
+                    f"error: --wand does not support facet category '{target}:'; "
+                    "drop --wand for faceted queries",
+                    file=sys.stderr,
+                )
+                return 2
+        # raw terms: the searcher applies clean_query_term itself (with the
+        # engine's stem setting — cleaning here too would double-stem)
+        if args.wand_shards:
+            searcher = ShardedWand(index, n_shards=args.wand_shards, stem=args.stem)
+        else:
+            searcher = BlockMaxWand(index, stem=args.stem)
+        for rank, docid, score in searcher.search_fields(specs, k=args.k, mode=args.mode):
             print(f"{rank:>3}  {docid:<20} {score:.6f}")
+        if args.wand_shards:
+            searcher.close()
         return 0
     engine = _engine(spark, args)
     rows = engine.search(args.query, mode=args.mode, k=args.k, with_display=True).collect()
@@ -148,6 +155,9 @@ def cmd_ui(args) -> int:
     """REPL ≡ reference InitCommandLineInterface (SearchEngine.h:44-100)."""
     spark = _spark(args)
     engine = _engine(spark, args)
+    # source table for full-document display (S5): the reference's `see`
+    # re-reads the file and prints the text body, not just metadata
+    src_docs = _load_docs(spark, args.docs) if args.docs else None
     last = []
     print("commands: query <q> | mode or|and | see N | parse <input> <output> | exit")
     mode = "or"
@@ -169,13 +179,12 @@ def cmd_ui(args) -> int:
         elif cmd == "see" and rest.isdigit():
             i = int(rest) - 1
             if 0 <= i < len(last):
-                doc = (
-                    engine.index.docstats.where(F.col("docid") == last[i]["docid"])
-                    .collect()[0]
-                    .asDict()
-                )
+                doc = engine.display(last[i]["docid"], docs=src_docs)
+                body = doc.pop("content", None)
                 for k, v in doc.items():
                     print(f"  {k}: {v}")
+                if body is not None:
+                    print(f"  content:\n{body}")
         elif cmd == "parse":
             inp, _, out = rest.partition(" ")
             ns = argparse.Namespace(
@@ -216,7 +225,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--mode", choices=("or", "and"), default="or")
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--stem", action="store_true")
-    s.add_argument("--wand", action="store_true", help="block-max WAND path")
+    s.add_argument("--wand", action="store_true", help="block-max WAND path (driver traversal)")
+    s.add_argument(
+        "--wand-shards", type=int, default=None, metavar="N",
+        help="distributed WAND: traversal sharded by docid range over N "
+        "shards (power of two) inside applyInPandas — the 10^12-doc path",
+    )
     s.set_defaults(fn=cmd_search)
 
     d = sub.add_parser("print-database", help="dump postings (term, df)")
@@ -226,6 +240,11 @@ def main(argv: list[str] | None = None) -> int:
 
     u = sub.add_parser("ui", help="interactive REPL")
     u.add_argument("--index", required=True)
+    u.add_argument(
+        "--docs", default=None,
+        help="source documents parquet — `see N` then prints the text body "
+        "(reference DisplaySource parity), not just docstats metadata",
+    )
     u.add_argument("-k", type=int, default=10)
     u.add_argument("--stem", action="store_true")
     u.set_defaults(fn=cmd_ui)

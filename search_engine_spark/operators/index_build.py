@@ -194,6 +194,34 @@ def index_from_tf(
 
     tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     salted = heavy_terms(tf, salt_threshold) if salt_threshold is not None else None
+    if salted is not None:
+        # top-bit salting assumes docids are uniform non-negative 63-bit
+        # hashes (add_docid).  A negative docid breaks the disjoint-ordered
+        # segment invariant (unsigned top bits vs signed array_sort) that
+        # WAND stitching and the delta codec rely on → refuse; sequential
+        # ids make every heavy posting land in segment 0 (salting silently
+        # no-ops) → warn.  One tiny agg on the already-persisted tf.
+        salt_bits = n_salts.bit_length() - 1
+        rng = tf.agg(F.min("docid").alias("lo"), F.max("docid").alias("hi")).collect()[0]
+        if rng["lo"] is not None and rng["lo"] < 0:
+            raise ValueError(
+                f"salted build requires docids in [0, 2^63), got min={rng['lo']}; "
+                "derive docids with add_docid (63-bit hash)"
+            )
+        if (
+            salt_bits > 0
+            and rng["hi"] is not None
+            and rng["hi"] < (1 << (63 - salt_bits))
+        ):
+            import warnings
+
+            warnings.warn(
+                "all docids have zero top bits (sequential ids?) — top-bit "
+                "salting puts every heavy posting in segment 0, so skew "
+                "splitting is a no-op; use hashed docids (add_docid) for "
+                "salted builds",
+                stacklevel=2,
+            )
 
     plists = collect_postings(tf, salted_terms=salted, n_salts=n_salts, buckets=buckets)
     postings = encode_posting_blocks(plists) if compress else plists

@@ -63,14 +63,25 @@ def cosine_topk(
     )
 
 
-def hyperplane_sign(plane: int, dim: int) -> Column:
+def hyperplane_sign(plane: int, dim: int) -> float:
     """Deterministic ±1: parity of the first hex digit of md5('p<plane>_<dim>').
 
-    Engine-agnostic pseudo-randomness — DuckDB computes the identical sign,
-    so LSH bucket assignments are oracle-checkable.
-    """
-    digit = F.substring(F.md5(F.lit(f"p{plane}_{dim}")), 1, 1)
-    return F.when(F.instr(F.lit("13579bdf"), digit) > 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    Engine-agnostic pseudo-randomness — DuckDB computes the identical sign
+    from the same md5 string, so LSH bucket assignments are oracle-checkable.
+    Computed driver-side (hashlib): signs are CONSTANTS, so they belong in
+    the plan as one flat array literal per plane, not as n_planes × dim
+    nested md5/when expression trees (at dim 1024 those made plan compile
+    time the bottleneck — round-1 verdict)."""
+    import hashlib
+
+    digit = hashlib.md5(f"p{plane}_{dim}".encode()).hexdigest()[0]
+    return 1.0 if digit in "13579bdf" else -1.0
+
+
+def plane_signs(n_planes: int, dim: int) -> list[list[float]]:
+    """Sign matrix [plane][dim] — shared by the Spark plan, the driver-side
+    probe-bucket computation, and (by construction) the SQL oracle."""
+    return [[hyperplane_sign(p, d) for d in range(dim)] for p in range(n_planes)]
 
 
 def lsh_buckets(
@@ -82,9 +93,13 @@ def lsh_buckets(
 ) -> DataFrame:
     """(vec_id, bucket): random-hyperplane signature as an int bucket id.
 
-    bit_p = 1 iff Σ_d sign(p,d)·vec[d] >= 0.  Signs are literal arrays
-    (built driver-side, ~n_planes × dim lits) — the projection is a single
-    zip_with/aggregate per plane, columnar end to end.
+    bit_p = 1 iff Σ_d sign(p,d)·vec[d] >= 0.  Signs are precomputed
+    driver-side (hashlib md5, identical values to the SQL twin) and enter
+    the plan as ONE flat float-array literal per plane — the projection is
+    a single zip_with/aggregate per plane, columnar end to end.  At dim
+    1024 the plan holds n_planes array constants, not n_planes × dim
+    nested hash-expression trees (round-1 verdict: that bloat made
+    CATALYST COMPILATION the bottleneck, not execution).
 
     ``dim=None`` infers the dimension from the first row (one tiny job).
     A WRONG explicit dim would otherwise fail silently: zip_with pads the
@@ -109,10 +124,9 @@ def lsh_buckets(
         ).cast("long"),
     )
     bucket = guard.otherwise(F.lit(0)).cast("long")
-    for p in range(n_planes):
-        signs = F.array(*[hyperplane_sign(p, d) for d in range(dim)])
+    for p, signs in enumerate(plane_signs(n_planes, dim)):
         proj = F.aggregate(
-            F.zip_with(F.col(vec_col), signs, lambda a, s: a.cast("double") * s),
+            F.zip_with(F.col(vec_col), F.lit(signs), lambda a, s: a.cast("double") * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -170,34 +184,55 @@ def embedding_near_dup(
     )
 
 
+def probe_buckets(probe: list[float], n_planes: int, n_probes: int = 1) -> list[int]:
+    """Driver-side multi-probe bucket sequence for a query vector.
+
+    Bucket 0 is the probe's own signature; additional probes flip ONE
+    signature bit each, least-confident plane first (smallest |projection|
+    — the classic multi-probe LSH order, Lv et al. 2007): a near neighbor
+    that straddles a hyperplane almost certainly straddles the one the
+    probe is closest to.
+    """
+    dim = len(probe)
+    projs = []
+    pbucket = 0
+    for p, signs in enumerate(plane_signs(n_planes, dim)):
+        proj = sum(s * float(x) for s, x in zip(signs, probe))
+        projs.append((abs(proj), p))
+        if proj >= 0:
+            pbucket |= 1 << p
+    out = [pbucket]
+    for _, p in sorted(projs):
+        if len(out) >= n_probes:
+            break
+        out.append(pbucket ^ (1 << p))
+    return out
+
+
 def ann_topk(
     embeddings: DataFrame,
     probe: list[float],
     k: int = 10,
     n_planes: int = LSH_PLANES,
+    n_probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """LSH-bucketed ANN: restrict to the probe's bucket, exact re-rank.
+    """LSH-bucketed ANN: restrict to the probe's bucket(s), exact re-rank.
 
-    Recall is tunable via n_planes / multi-probe; the test suite measures
-    recall vs the brute-force baseline rather than asserting equality.
+    ``n_probes > 1`` adds 1-bit-flip neighbor buckets (multi-probe) in
+    least-confident-plane order — recall rises toward brute force at the
+    cost of proportionally more exact re-rank work; the candidate set stays
+    a bucket-pruned sliver of the corpus either way.  The test suite
+    measures recall vs the brute-force baseline rather than asserting
+    equality.
     """
     dim = len(probe)
     with_b = lsh_buckets(embeddings, n_planes=n_planes, dim=dim, id_col=id_col, vec_col=vec_col)
-    # probe bucket computed driver-side with the same md5-parity signs
-    import hashlib
-
-    pbucket = 0
-    for p in range(n_planes):
-        proj = 0.0
-        for d in range(dim):
-            digit = hashlib.md5(f"p{p}_{d}".encode()).hexdigest()[0]
-            sign = 1.0 if digit in "13579bdf" else -1.0
-            proj += sign * float(probe[d])
-        if proj >= 0:
-            pbucket |= 1 << p
+    buckets = probe_buckets(probe, n_planes, n_probes)
     cand = embeddings.join(
-        with_b.where(F.col("bucket") == pbucket).select(id_col), on=id_col, how="left_semi"
+        with_b.where(F.col("bucket").isin(buckets)).select(id_col),
+        on=id_col,
+        how="left_semi",
     )
     return cosine_topk(cand, probe, k=k, id_col=id_col, vec_col=vec_col)

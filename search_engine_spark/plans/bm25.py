@@ -323,6 +323,32 @@ class QueryEngine:
             .select("query_id", "rank", "docid", "score")
         )
 
+    def display(
+        self,
+        docid: int,
+        docs: DataFrame | None = None,
+        body_col: str = "content",
+    ) -> dict:
+        """Full single-document display (SURVEY.md §2.1 S5).
+
+        Reference parity: ``DisplaySource`` re-reads the source and prints
+        the metadata AND the text body
+        (``/root/reference/KaggleFinanceSourceEngine.cpp:109-116``).  The
+        index keeps content OUT of docstats (it would bloat every scan), so
+        the body comes from a point lookup against the SOURCE table — a
+        prunable ``docid`` filter: with the source stored id-sorted /
+        bucketed (Iceberg metadata), this touches one file, not the corpus.
+
+        → docstats fields, plus ``body_col`` when ``docs`` is provided.
+        """
+        rows = self._docstats.where(F.col("docid") == docid).collect()
+        out = dict(rows[0].asDict()) if rows else {"docid": docid}
+        if docs is not None:
+            src = docs.where(F.col("docid") == docid).select(body_col).collect()
+            if src:
+                out[body_col] = src[0][body_col]
+        return out
+
     def _empty_result(self, with_display: bool) -> DataFrame:
         schema = "rank int, docid long, score double"
         if with_display:

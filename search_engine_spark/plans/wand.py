@@ -9,24 +9,41 @@ that might matter.  Pruning is LOSSLESS: upper bounds are sound, so the
 returned top-k (docids AND scores) is identical to the exhaustive path —
 asserted per-query in tests/test_wand.py.
 
-Where it runs: per-query traversal is inherently sequential, so it executes
-on the driver over the collected posting rows of the query's terms — the
-same place real engines run their per-query WAND (a query touches a handful
-of terms; the collected bytes are the compressed blocks, bucket-pruned at
-the scan).  Per-doc lengths (BM25 norms) are collected once per searcher —
-the classic in-memory norms array (8+8 bytes/doc; fine to ~10^8 docs per
-query node).  At 10^12 docs the norms and traversal shard by term-bucket
-inside applyInPandas, with the exhaustive plan as the always-correct
-fallback; the sandbox exercises the driver variant.
+Two executors for the same traversal core (``_TermCursor`` + the
+``_traverse_*`` loops — shared code, so they cannot diverge):
+
+- ``BlockMaxWand`` — single-node, per-query driver traversal over the
+  collected posting rows of the query's terms (bucket-pruned scan), the
+  same place real engines run their per-query WAND.  Per-doc lengths are
+  held as numpy PARALLEL ARRAYS (sorted docid array + float64 length
+  arrays — 24 bytes/doc, no boxed-object dict), fine to ~10^9 docs on one
+  query node.
+- ``ShardedWand`` — the 10^12-doc scale path: the docid space splits into
+  ``n_shards`` top-bit ranges (the same ranges the salted build uses for
+  segments); posting BLOCKS route to the shard(s) their [first_docid,
+  last_docid] span overlaps, per-doc norms live distributed (partitioned by
+  the same shard key, persisted once per searcher), and each shard runs the
+  identical traversal inside a cogrouped ``applyInPandas`` — the driver
+  only ever sees per-shard top-k candidates (≤ n_shards × k rows).
+  Per-shard pruning is lossless (each shard's local top-k contains every
+  global-top-k doc of that docid range; the global merge is exact), and
+  scores are bit-identical to the driver variant because the per-doc fold
+  order (field, term) does not depend on sharding.
 
 Upper bound per block: BM25's tf-term is monotone ↑ in tf and ↓ in doclen,
 so ub = idf · (k1+1)·max_tf / (max_tf + k1·(1−b + b·dl_min/avgdl)) with the
-block's max_tf (stored in block meta at index build) and the corpus-global
-minimum doclen.
+block's max_tf (stored in block meta at index build) and the minimum doclen
+over the traversal scope (corpus-global for the driver variant; SHARD-local
+for the sharded variant — tighter, still sound).
 
-Determinism: scores accumulate in ascending-term order in float64 — the
-same canonical order the exhaustive plan folds in (SURVEY.md §4.3.3) — and
-ties break by ascending docid.
+Modes: OR (classic WAND pivot walk) and AND (leapfrog intersection with
+block-skip + block-max pruning; all (field, term) cursors mandatory).
+Fields: any mix of body/title cursors in one traversal — each cursor scores
+with its own field's (avgdl, doclen), matching the engine's per-field BM25.
+
+Determinism: scores accumulate in ascending-(field, term) order in float64
+— the same canonical order the exhaustive plan folds in (SURVEY.md §4.3.3,
+struct(kind, target, term) sort) — and ties break by ascending docid.
 """
 
 from __future__ import annotations
@@ -35,9 +52,11 @@ import heapq
 import math
 
 import numpy as np
+import pandas as pd
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..constants import BM25_B, BM25_K1, FIELD_BODY
+from ..constants import BM25_B, BM25_K1, FIELD_BODY, FIELD_TITLE
 from ..functions.codec import decode_block
 from ..functions.hashing import term_bucket
 
@@ -46,16 +65,29 @@ from ..functions.hashing import term_bucket
 # with a real docid (2^63-1 could).
 _INF = 1 << 63
 
+_DL_COL = {FIELD_BODY: "doclen", FIELD_TITLE: "titlelen"}
+
 
 class _TermCursor:
-    """Iterator over one term's compressed posting blocks with skip support."""
+    """Iterator over one (field, term)'s compressed posting blocks with skip
+    support."""
 
     __slots__ = (
-        "term", "idf", "blocks", "meta", "bi", "pos", "docids", "tfs", "ubs",
-        "decodes",
+        "field", "term", "idf", "blocks", "meta", "bi", "pos", "docids",
+        "tfs", "ubs", "decodes",
     )
 
-    def __init__(self, term: str, idf: float, blocks, meta, dl_min: float, avgdl: float):
+    def __init__(
+        self,
+        field: str,
+        term: str,
+        idf: float,
+        blocks,
+        meta,
+        dl_min: float,
+        avgdl: float,
+    ):
+        self.field = field
         self.term = term
         self.idf = idf
         self.blocks = blocks
@@ -126,11 +158,180 @@ class _TermCursor:
         self.pos = int(np.searchsorted(self.docids[self.pos :], target)) + self.pos
 
 
-class BlockMaxWand:
-    """Per-field WAND searcher over built index tables.
+# ---------------------------------------------------------------------------
+# traversal core (shared by the driver and sharded executors)
+# ---------------------------------------------------------------------------
 
-    Collects per-term compressed postings (bucket-pruned scan) per query and
-    the per-doc norms once at construction.
+def _score_doc(docid: int, aligned: list[_TermCursor], get_dl, avgdls) -> float:
+    """Fold contributions in ascending-(field, term) order — the canonical
+    float64 order the exhaustive plan's array_sort fold uses."""
+    acc = 0.0
+    for c in sorted(aligned, key=lambda c: (c.field, c.term)):
+        dl = get_dl(c.field, docid)
+        tf = c.cur_tf()
+        denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdls[c.field])
+        acc = acc + c.idf * tf * (BM25_K1 + 1.0) / denom
+    return acc
+
+
+def _traverse_or(
+    cursors: list[_TermCursor], get_dl, avgdls, k: int, hi: int = _INF
+) -> list[tuple[float, int]]:
+    """Classic block-max WAND pivot walk → [(score, -docid)] heap contents.
+
+    ``hi`` bounds the docid range (exclusive) for sharded execution; a
+    cursor at or past ``hi`` is exhausted for this traversal.
+    """
+    if not cursors:
+        return []
+    heap: list[tuple[float, int]] = []
+    theta = -math.inf
+
+    while True:
+        live = [c for c in cursors if c.cur() < hi]
+        if not live:
+            break
+        live.sort(key=lambda c: c.cur())
+        # pivot: first prefix whose term-ub sum reaches theta (>= keeps
+        # score==theta docs alive — a tie with a smaller docid wins)
+        thr = theta if len(heap) == k else -math.inf
+        acc = 0.0
+        pivot = None
+        for i, c in enumerate(live):
+            acc += c.term_ub
+            if acc >= thr:
+                pivot = i
+                break
+        if pivot is None:
+            break  # even all remaining terms together cannot reach theta
+        pivot_doc = live[pivot].cur()
+
+        if live[0].cur() == pivot_doc:
+            # all preceding cursors aligned — block-max check, then score
+            aligned = [c for c in live if c.cur() == pivot_doc]
+            block_ub = sum(c.cur_block_ub() for c in aligned)
+            if len(heap) == k and block_ub < theta:
+                for c in aligned:
+                    c.step()
+                continue
+            score = _score_doc(pivot_doc, aligned, get_dl, avgdls)
+            entry = (score, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+            if len(heap) == k:
+                theta = heap[0][0]
+            for c in aligned:
+                c.step()
+        else:
+            # advance the highest-ub cursor that is STRICTLY below the
+            # pivot doc (a preceding cursor may already sit on pivot_doc;
+            # advancing it would be a no-op and loop forever)
+            pre = [c for c in live[:pivot] if c.cur() < pivot_doc]
+            adv = max(pre, key=lambda c: c.term_ub)
+            adv.advance_to(pivot_doc)
+
+    return heap
+
+
+def _traverse_and(
+    cursors: list[_TermCursor], get_dl, avgdls, k: int, hi: int = _INF
+) -> list[tuple[float, int]]:
+    """Conjunctive traversal: leapfrog intersection with last_docid block
+    skips, block-max pruning on aligned candidates, and a whole-query
+    upper-bound cutoff.  Every cursor is mandatory."""
+    if not cursors:
+        return []
+    heap: list[tuple[float, int]] = []
+    theta = -math.inf
+    sum_term_ub = sum(c.term_ub for c in cursors)
+
+    while True:
+        if len(heap) == k and sum_term_ub < theta:
+            break  # no remaining doc can displace the heap floor
+        m = max(c.cur() for c in cursors)
+        if m >= hi:
+            break
+        if all(c.cur() == m for c in cursors):
+            if len(heap) == k and sum(c.cur_block_ub() for c in cursors) < theta:
+                for c in cursors:
+                    c.step()
+                continue
+            score = _score_doc(m, cursors, get_dl, avgdls)
+            entry = (score, -m)
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+            if len(heap) == k:
+                theta = heap[0][0]
+            for c in cursors:
+                c.step()
+        else:
+            for c in cursors:
+                if c.cur() < m:
+                    c.advance_to(m)
+
+    return heap
+
+
+def _heap_to_ranked(heap: list[tuple[float, int]]) -> list[tuple[int, int, float]]:
+    out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+    return [(i + 1, -nd, s) for i, (s, nd) in enumerate(out)]
+
+
+def _clean_specs(
+    term_specs: list[tuple[str, str]], stem: bool
+) -> list[tuple[str, str]]:
+    """Apply the engine's query-side normalization to (field, raw_term)."""
+    from ..oracle import clean_query_term
+
+    out = set()
+    for field, raw in term_specs:
+        c = clean_query_term(raw, stem=stem)
+        if c:
+            out.add((field, c))
+    return sorted(out)
+
+
+def _group_segments(rows) -> dict[tuple[str, str], tuple[int, list, list]]:
+    """Postings rows → {(field, term): (global_df, blocks, meta)} with heavy
+    terms' SEGMENT rows stitched in segment order (disjoint, ordered docid
+    ranges — index_build's top-bit salting invariant), so concatenation
+    yields a globally docid-sorted block sequence and df sums to the
+    term-global value."""
+    by_key: dict[tuple[str, str], list] = {}
+    for r in rows:
+        by_key.setdefault((r["field"], r["term"]), []).append(r)
+    out = {}
+    for key, segs in by_key.items():
+        segs.sort(key=lambda r: r["segment"])
+        df = sum(r["df"] for r in segs)
+        blocks: list = []
+        meta: list = []
+        for r in segs:
+            blocks.extend(r["blocks"])
+            meta.extend(
+                (m["first_docid"], m["last_docid"], m["max_tf"], m["count"])
+                for m in r["meta"]
+            )
+        out[key] = (df, blocks, meta)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# driver executor
+# ---------------------------------------------------------------------------
+
+class BlockMaxWand:
+    """Per-query driver-side WAND searcher over built index tables.
+
+    Collects per-term compressed postings (bucket-pruned scan) per query;
+    per-doc norms load ONCE at construction as numpy parallel arrays
+    (sorted docid + float64 doclen/titlelen — ~24 bytes/doc, no per-entry
+    Python objects).  For corpora past one node's norms budget use
+    ``ShardedWand`` — same traversal, fully distributed.
     """
 
     def __init__(
@@ -141,7 +342,7 @@ class BlockMaxWand:
         stem: bool = False,
     ):
         self.index = index
-        self.field = field
+        self.field = field  # default field for bare search(terms)
         self.stem = stem  # must match the build-time stem setting
         # must match the build-time bucket count (see QueryEngine.__init__)
         self.buckets = buckets or index.n_buckets
@@ -149,135 +350,287 @@ class BlockMaxWand:
             r["field"]: (r["n_docs"], float(r["avgdl"]))
             for r in index.corpus_stats.collect()
         }
-        # same fallback as QueryEngine._matches_for_terms: a field absent
-        # from corpus_stats (e.g. title_col=None build) yields empty results,
-        # not a construction-time KeyError
         any_n = next(iter(stats.values()))[0] if stats else 0
-        self.n_docs, self.avgdl = stats.get(field, (any_n, 1.0))
-        dl_col = "doclen" if field == FIELD_BODY else "titlelen"
-        rows = index.docstats.select("docid", dl_col).collect()
-        self.norms = {r["docid"]: float(r[dl_col]) for r in rows}
-        self.dl_min = min(self.norms.values(), default=0.0)
+        self._stats = stats
+        self._any_n = any_n
+        # norms as parallel arrays: one toPandas (Arrow transfer), zero
+        # boxed per-doc objects on the driver
+        pdf = index.docstats.select("docid", "doclen", "titlelen").toPandas()
+        order = np.argsort(pdf["docid"].to_numpy())
+        self._doc_arr = pdf["docid"].to_numpy()[order]
+        self._dls = {
+            FIELD_BODY: pdf["doclen"].to_numpy()[order].astype(np.float64),
+            FIELD_TITLE: pdf["titlelen"].to_numpy()[order].astype(np.float64),
+        }
+        self._dl_min = {
+            f: (float(a.min()) if len(a) else 0.0) for f, a in self._dls.items()
+        }
         # instrumentation for tests: blocks decoded vs total
         self.blocks_decoded = 0
         self.blocks_total = 0
 
+    def _field_stats(self, field: str) -> tuple[int, float]:
+        return self._stats.get(field, (self._any_n, 1.0))
+
+    def _get_dl(self, field: str, docid: int) -> float:
+        i = int(np.searchsorted(self._doc_arr, docid))
+        return float(self._dls[field][i])
+
     # -- postings access ----------------------------------------------------
 
-    def _cursors(self, terms: list[str]) -> list[_TermCursor]:
+    def _cursors(self, specs: list[tuple[str, str]]) -> list[_TermCursor]:
+        terms = sorted({t for _, t in specs})
+        fields = sorted({f for f, _ in specs})
         bks = sorted({term_bucket(t, self.buckets) for t in terms})
         rows = (
             self.index.postings.where(
-                (F.col("field") == self.field)
+                F.col("field").isin(fields)
                 & F.col("bucket").isin(bks)
                 & F.col("term").isin(terms)
             )
-            .select("term", "segment", "df", "blocks", "meta")
+            .select("field", "term", "segment", "df", "blocks", "meta")
             .collect()
         )
-        # heavy terms arrive as multiple SEGMENT rows whose docid ranges are
-        # disjoint and ordered by segment id (top-bit salting — index_build);
-        # concatenating blocks in segment order therefore yields a globally
-        # docid-sorted block sequence, and df sums to the term-global value.
-        by_term: dict[str, list] = {}
-        for r in rows:
-            by_term.setdefault(r["term"], []).append(r)
+        want = set(specs)
+        grouped = _group_segments([r for r in rows if (r["field"], r["term"]) in want])
         cursors = []
-        for term, segs in by_term.items():
-            segs.sort(key=lambda r: r["segment"])
-            df = sum(r["df"] for r in segs)
-            blocks: list = []
-            meta: list = []
-            for r in segs:
-                blocks.extend(r["blocks"])
-                meta.extend(
-                    (m["first_docid"], m["last_docid"], m["max_tf"], m["count"])
-                    for m in r["meta"]
-                )
-            idf = math.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        for (field, term), (df, blocks, meta) in grouped.items():
+            n_docs, avgdl = self._field_stats(field)
+            idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
             cursors.append(
-                _TermCursor(term, idf, blocks, meta, self.dl_min, self.avgdl)
+                _TermCursor(
+                    field, term, idf, blocks, meta, self._dl_min[field], avgdl
+                )
             )
             self.blocks_total += len(meta)
         return cursors
 
-    def _score_doc(self, docid: int, scoring: list[tuple[str, float, int]]) -> float:
-        """Fold contributions in ascending-term order (canonical float64)."""
-        dl = self.norms[docid]
-        acc = 0.0
-        for _term, idf, tf in sorted(scoring, key=lambda x: x[0]):
-            denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl)
-            acc = acc + idf * tf * (BM25_K1 + 1.0) / denom
-        return acc
-
     # -- search -------------------------------------------------------------
 
-    def search(self, terms: list[str], k: int = 10) -> list[tuple[int, int, float]]:
-        """→ [(rank, docid, score)] — identical to the exhaustive plan's
-        (score DESC, docid ASC) top-k for the same OR-mode term query.
+    def search(
+        self, terms: list[str], k: int = 10, mode: str = "or"
+    ) -> list[tuple[int, int, float]]:
+        """→ [(rank, docid, score)] over the default field — identical to the
+        exhaustive plan's (score DESC, docid ASC) top-k for the same query.
 
         Terms receive the SAME query-side normalization as QueryEngine
         (clean_query_term: apostrophe strip, lowercase, len>2 filter,
         optional stem) so the two paths agree on what the query even is.
         """
-        from ..oracle import clean_query_term
+        return self.search_fields([(self.field, t) for t in terms], k=k, mode=mode)
 
-        terms = sorted(
-            {c for c in (clean_query_term(t, stem=self.stem) for t in terms) if c}
-        )
-        cursors = self._cursors(terms)
-        if not cursors:
+    def search_fields(
+        self, term_specs: list[tuple[str, str]], k: int = 10, mode: str = "or"
+    ) -> list[tuple[int, int, float]]:
+        """Multi-field WAND: ``term_specs`` = [(field, raw_term)], each
+        cursor scores with its own field's (avgdl, doclen).  mode="and"
+        runs the conjunctive leapfrog (every cursor mandatory — a doc must
+        match ALL (field, term) keys, matching the engine's n_required)."""
+        specs = _clean_specs(term_specs, self.stem)
+        cursors = self._cursors(specs)
+        if mode == "and" and len(cursors) < len(specs):
+            # some required key has no postings at all → empty intersection
+            self.blocks_decoded += sum(c.decodes for c in cursors)
             return []
-        # min-heap of (score, neg_docid); heap[0] is the WORST kept result
-        heap: list[tuple[float, int]] = []
-        theta = -math.inf
-
-        while True:
-            live = [c for c in cursors if c.cur() != _INF]
-            if not live:
-                break
-            live.sort(key=lambda c: c.cur())
-            # pivot: first prefix whose term-ub sum reaches theta (>= keeps
-            # score==theta docs alive — a tie with a smaller docid wins)
-            thr = theta if len(heap) == k else -math.inf
-            acc = 0.0
-            pivot = None
-            for i, c in enumerate(live):
-                acc += c.term_ub
-                if acc >= thr:
-                    pivot = i
-                    break
-            if pivot is None:
-                break  # even all remaining terms together cannot reach theta
-            pivot_doc = live[pivot].cur()
-
-            if live[0].cur() == pivot_doc:
-                # all preceding cursors aligned — block-max check, then score
-                aligned = [c for c in live if c.cur() == pivot_doc]
-                block_ub = sum(c.cur_block_ub() for c in aligned)
-                if len(heap) == k and block_ub < theta:
-                    for c in aligned:
-                        c.step()
-                    continue
-                scoring = [(c.term, c.idf, c.cur_tf()) for c in aligned]
-                score = self._score_doc(pivot_doc, scoring)
-                entry = (score, -pivot_doc)
-                if len(heap) < k:
-                    heapq.heappush(heap, entry)
-                elif entry > heap[0]:
-                    heapq.heapreplace(heap, entry)
-                if len(heap) == k:
-                    theta = heap[0][0]
-                for c in aligned:
-                    c.step()
-            else:
-                # advance the highest-ub cursor that is STRICTLY below the
-                # pivot doc (a preceding cursor may already sit on pivot_doc;
-                # advancing it would be a no-op and loop forever)
-                pre = [c for c in live[:pivot] if c.cur() < pivot_doc]
-                adv = max(pre, key=lambda c: c.term_ub)
-                adv.advance_to(pivot_doc)
-
+        avgdls = {f: self._field_stats(f)[1] for f in (FIELD_BODY, FIELD_TITLE)}
+        traverse = _traverse_and if mode == "and" else _traverse_or
+        heap = traverse(cursors, self._get_dl, avgdls, k)
         self.blocks_decoded += sum(c.decodes for c in cursors)
-        out = sorted(heap, key=lambda e: (-e[0], -e[1]))
-        return [(i + 1, -nd, s) for i, (s, nd) in enumerate(out)]
+        return _heap_to_ranked(heap)
+
+
+# ---------------------------------------------------------------------------
+# sharded (distributed) executor
+# ---------------------------------------------------------------------------
+
+class ShardedWand:
+    """Scale-path WAND: traversal sharded by top-bit docid range inside a
+    cogrouped ``applyInPandas`` — NO corpus-wide state ever reaches the
+    driver (the round-1 scale-killer this replaces).
+
+    - norms: ``docstats`` partitioned by ``shard = docid >> (63 - log2 S)``
+      and persisted distributed, once per searcher (at production scale the
+      same frame is a build-time bucketed table — the query-time shuffle
+      disappears; the traversal code is unchanged);
+    - postings: the query's (bucket-pruned, broadcast-size) term rows
+      explode to BLOCK granularity and route to every shard their
+      [first_docid, last_docid] span overlaps; boundary blocks are masked
+      by the shard's [lo, hi) range inside the traversal, so no doc scores
+      twice;
+    - each shard runs the SAME `_traverse_*` loop with shard-LOCAL dl_min
+      (tighter upper bounds than the global min — still sound: every doc
+      scored in the shard has dl ≥ the shard minimum);
+    - the driver sees only per-shard top-k candidates: ≤ n_shards × k rows.
+
+    Lossless: a global-top-k doc is the top-k of its own shard a fortiori,
+    so the exact global merge (score DESC, docid ASC over the union) equals
+    the single-traversal result — asserted against BlockMaxWand and the
+    exhaustive engine in tests/test_wand.py.
+    """
+
+    def __init__(
+        self,
+        index,
+        n_shards: int = 8,
+        field: str = FIELD_BODY,
+        buckets: int | None = None,
+        stem: bool = False,
+    ):
+        if n_shards < 1 or (n_shards & (n_shards - 1)):
+            raise ValueError(f"n_shards must be a positive power of two, got {n_shards}")
+        from pyspark import StorageLevel
+
+        self.index = index
+        self.field = field
+        self.stem = stem
+        self.buckets = buckets or index.n_buckets
+        self.n_shards = n_shards
+        self._shift = 63 - (n_shards.bit_length() - 1)
+        self._stats = {
+            r["field"]: (r["n_docs"], float(r["avgdl"]))
+            for r in index.corpus_stats.collect()
+        }
+        self._any_n = next(iter(self._stats.values()))[0] if self._stats else 0
+        self._norms = (
+            index.docstats.select(
+                "docid",
+                "doclen",
+                "titlelen",
+                F.shiftrightunsigned(F.col("docid"), self._shift)
+                .cast("int")
+                .alias("shard"),
+            )
+            .repartition(n_shards, "shard")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    def close(self) -> None:
+        self._norms.unpersist()
+
+    def search(
+        self, terms: list[str], k: int = 10, mode: str = "or"
+    ) -> list[tuple[int, int, float]]:
+        return self.search_fields([(self.field, t) for t in terms], k=k, mode=mode)
+
+    def search_fields(
+        self, term_specs: list[tuple[str, str]], k: int = 10, mode: str = "or"
+    ) -> list[tuple[int, int, float]]:
+        specs = _clean_specs(term_specs, self.stem)
+        if not specs:
+            return []
+        terms = sorted({t for _, t in specs})
+        fields = sorted({f for f, _ in specs})
+        bks = sorted({term_bucket(t, self.buckets) for t in terms})
+        pair_pred = None
+        for f, t in specs:
+            p = (F.col("field") == f) & (F.col("term") == t)
+            pair_pred = p if pair_pred is None else (pair_pred | p)
+        matched = self.index.postings.where(
+            F.col("field").isin(fields)
+            & F.col("bucket").isin(bks)
+            & F.col("term").isin(terms)
+            & pair_pred
+        ).select("field", "term", "segment", "df", "blocks", "meta")
+        # term-global df (idf input) without a second scan: window over the
+        # handful of matched segment rows
+        w = Window.partitionBy("field", "term")
+        matched = matched.withColumn("gdf", F.sum("df").over(w))
+        # block granularity + shard fan-out (a block spanning a shard
+        # boundary goes to every overlapped shard; the [lo, hi) mask inside
+        # the worker keeps scoring exactly-once)
+        z = F.explode(F.arrays_zip(F.col("blocks"), F.col("meta"))).alias("z")
+        blocks = (
+            matched.select("field", "term", "gdf", z)
+            .select(
+                "field",
+                "term",
+                "gdf",
+                F.col("z.blocks").alias("block"),
+                F.col("z.meta.first_docid").alias("first_docid"),
+                F.col("z.meta.last_docid").alias("last_docid"),
+                F.col("z.meta.max_tf").alias("max_tf"),
+                F.col("z.meta.count").alias("count"),
+            )
+            .withColumn(
+                "shard",
+                F.explode(
+                    F.sequence(
+                        F.shiftrightunsigned(F.col("first_docid"), self._shift),
+                        F.shiftrightunsigned(F.col("last_docid"), self._shift),
+                    )
+                ),
+            )
+            .withColumn("shard", F.col("shard").cast("int"))
+        )
+
+        shift = self._shift
+        stats = dict(self._stats)
+        any_n = self._any_n
+        required = frozenset(specs)
+        kk = k
+        conj = mode == "and"
+
+        def shard_topk(key, norms_pdf: pd.DataFrame, blocks_pdf: pd.DataFrame):
+            empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                                  "score": pd.Series(dtype="float64")})
+            if blocks_pdf.empty or norms_pdf.empty:
+                return empty
+            shard = int(key[0])
+            lo = shard << shift
+            hi = (shard + 1) << shift
+            # shard-local norms as parallel arrays
+            doc_arr = norms_pdf["docid"].to_numpy()
+            order = np.argsort(doc_arr)
+            doc_arr = doc_arr[order]
+            dls = {
+                FIELD_BODY: norms_pdf["doclen"].to_numpy()[order].astype(np.float64),
+                FIELD_TITLE: norms_pdf["titlelen"].to_numpy()[order].astype(np.float64),
+            }
+            dl_min = {f: (float(a.min()) if len(a) else 0.0) for f, a in dls.items()}
+
+            def get_dl(field: str, docid: int) -> float:
+                return float(dls[field][int(np.searchsorted(doc_arr, docid))])
+
+            cursors: list[_TermCursor] = []
+            present: set[tuple[str, str]] = set()
+            for (field, term), grp in blocks_pdf.groupby(["field", "term"], sort=True):
+                grp = grp.sort_values("first_docid")
+                blocks_list = [bytes(b) for b in grp["block"]]
+                meta = list(
+                    zip(
+                        grp["first_docid"].astype(int),
+                        grp["last_docid"].astype(int),
+                        grp["max_tf"].astype(int),
+                        grp["count"].astype(int),
+                    )
+                )
+                gdf = int(grp["gdf"].iloc[0])
+                n_docs, avgdl = stats.get(field, (any_n, 1.0))
+                idf = math.log((n_docs - gdf + 0.5) / (gdf + 0.5) + 1.0)
+                cur = _TermCursor(field, term, idf, blocks_list, meta, dl_min[field], avgdl)
+                if lo > 0 and meta and meta[0][0] < lo:
+                    cur.advance_to(lo)  # boundary block: mask the range below
+                cursors.append(cur)
+                present.add((field, term))
+            if conj and present != required:
+                return empty  # a mandatory term has no postings in this shard
+            avgdls = {f: stats.get(f, (any_n, 1.0))[1] for f in (FIELD_BODY, FIELD_TITLE)}
+            traverse = _traverse_and if conj else _traverse_or
+            heap = traverse(cursors, get_dl, avgdls, kk, hi=hi)
+            ranked = _heap_to_ranked(heap)
+            return pd.DataFrame(
+                {
+                    "docid": pd.Series([d for _, d, _ in ranked], dtype="int64"),
+                    "score": pd.Series([s for _, _, s in ranked], dtype="float64"),
+                }
+            )
+
+        out = (
+            self._norms.groupby("shard")
+            .cogroup(blocks.groupby("shard"))
+            .applyInPandas(shard_topk, "docid long, score double")
+        )
+        rows = (
+            out.orderBy(F.desc("score"), F.asc("docid")).limit(k).collect()
+        )
+        return [(i + 1, r["docid"], r["score"]) for i, r in enumerate(rows)]

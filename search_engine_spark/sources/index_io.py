@@ -105,14 +105,25 @@ def read_index(spark: SparkSession, root: str) -> IndexTables:
             spark.read.json(f"{root}/_index_meta").collect()[0]["buckets"]
         )
     except Exception:
-        # legacy index without metadata: non-empty dirs only LOWER-BOUND the
-        # true bucket count — if any bucket was empty, pruning with this
-        # count silently misses terms, so say so loudly
+        # legacy index without metadata: non-empty partitions only
+        # LOWER-BOUND the true bucket count — if any bucket was empty,
+        # pruning with this count silently misses terms, so say so loudly.
+        # Local roots use a cheap listdir; remote roots (hdfs/s3a — where
+        # os.listdir raises) fall back to a Spark scan of the partition
+        # column, which works on any filesystem Spark can reach.
         import warnings
 
-        n_buckets = len(
-            [d for d in os.listdir(f"{root}/postings") if d.startswith("bucket=")]
-        ) or 1
+        try:
+            n_buckets = len(
+                [d for d in os.listdir(f"{root}/postings") if d.startswith("bucket=")]
+            ) or 1
+        except OSError:
+            n_buckets = (
+                spark.read.parquet(f"{root}/postings")
+                .select("bucket")
+                .distinct()
+                .count()
+            ) or 1
         warnings.warn(
             f"index at {root} has no _index_meta; inferred buckets={n_buckets} "
             "from non-empty partition dirs — WRONG if any bucket is empty. "
@@ -217,17 +228,23 @@ def resumable_build(
         doc_terms_from_base(base, **tf_kwargs).write.mode("overwrite").parquet(out)
         base.drop("_body_toks", "_title_toks").write.mode("overwrite").parquet(meta_out)
         base.unpersist()
-        # stats for lineage (size via os.walk works for local roots only —
-        # on hdfs/s3a it records 0; rows/wall_ms are FS-agnostic)
-        rows = spark.read.parquet(out).count()
+        # stats for lineage: row counts come from the just-written parquet
+        # FOOTERS (metadata-only, no Spark job — a per-slice count() scan
+        # was one extra job per slice, noise at 10^4 slices).  Footer + size
+        # reads use local-path APIs and record 0 on remote roots (hdfs/s3a);
+        # wall_ms is FS-agnostic either way.
+        rows, size = 0, 0
         try:
-            size = sum(
-                os.path.getsize(os.path.join(dp, f))
-                for dp, _, fs in os.walk(out)
-                for f in fs
-            )
+            import pyarrow.parquet as pq
+
+            for dp, _, fs in os.walk(out):
+                for f in fs:
+                    path = os.path.join(dp, f)
+                    size += os.path.getsize(path)
+                    if f.endswith(".parquet"):
+                        rows += pq.ParquetFile(path).metadata.num_rows
         except OSError:
-            size = 0
+            pass
         wall_ms = int((time.monotonic() - t0) * 1000)
         entry = spark.createDataFrame(
             [(snapshot_id, pid, n_slices, "done", rows, size, wall_ms)],

