@@ -380,6 +380,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return simhash(_raw_docs(spark, sf))
 
+    def q_simhash_near_dup(spark, sf):
+        """Hamming-adjacent SimHash pairs via pigeonhole band bucketing —
+        NO all-pairs join; the oracle IS the brute-force all-pairs spec, so
+        a hash-match proves bucketing completeness."""
+        from search_engine_spark.operators.dedup import simhash, simhash_near_dup
+
+        return simhash_near_dup(simhash(_raw_docs(spark, sf)), max_hamming=2).select(
+            "a", "b", F.col("hamming").cast("int").alias("hamming")
+        )
+
     def q_cosine_topk(spark, sf):
         from search_engine_spark.operators.similarity import cosine_topk
 
@@ -486,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": q_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_buckets": q_ann_buckets,
         "embedding_near_dup": q_embedding_near_dup,
@@ -799,6 +810,14 @@ LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
 """
 
     sql["simhash"] = _simhash_sql()
+
+    sql["simhash_near_dup"] = f"""
+WITH sh AS ({_simhash_sql()})
+SELECT l.doc_id AS a, r.doc_id AS b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 2
+"""
 
     sql["cosine_topk"] = """
 WITH p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0)

@@ -40,6 +40,28 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _cpu_control(cpus: int) -> dict:
+    """Pure-CPU control readings (no Spark): the sandbox host's CPU quota
+    decays over a session (BENCH/BASELINE.md §1 documents identical plans
+    measuring 2-4× apart in different windows), so every bench run records
+    the host's SAME-WINDOW compute capacity alongside the Spark timings —
+    the artifact explains its own variance (round-1 verdict item 7).
+
+    - ``single_sec``: wall time of a fixed single-thread sha256 burn —
+      compare across runs to see the per-core quota of this window;
+    - ``par_speedup``: multiprocessing speedup 1 → ``cpus`` processes on
+      the same burn — the ceiling ANY parallel engine can reach here
+      (hyperthreading + hypervisor caps keep it well under ``cpus``×).
+    """
+    from tools.scaling_bench import _burn, cpu_ceiling_speedup
+
+    t0 = time.monotonic()
+    _burn(1_000_000)
+    single = time.monotonic() - t0
+    speedup = cpu_ceiling_speedup(1, cpus)
+    return {"single_sec": round(single, 3), "par_speedup": round(speedup, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -63,6 +85,7 @@ def main() -> None:
     from search_engine_spark.session import get_spark
     from search_engine_spark.sources.index_io import read_index, write_index
 
+    cpu_start = _cpu_control(cpus)
     spark = get_spark("bench", cores=cpus)
     timings: dict[str, float] = {}
 
@@ -154,6 +177,22 @@ def main() -> None:
             runs=2,
         )
 
+        # --- WAND query paths (north_star block-max pruning) ---
+        from search_engine_spark.plans.wand import BlockMaxWand, ShardedWand
+
+        wand = BlockMaxWand(index)
+        timed_best(
+            "q5c_wand_driver",
+            lambda: wand.search(["table", "window", "spark"], k=10),
+        )
+        sharded = ShardedWand(index, n_shards=8)
+        timed_best(
+            "q5d_wand_sharded",
+            lambda: sharded.search(["table", "window", "spark"], k=10),
+            runs=2,
+        )
+        sharded.close()
+
         # --- training-data pipeline ops ---
         timed_best(
             "q6_minhash_lsh",
@@ -173,6 +212,7 @@ def main() -> None:
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
 
+    cpu_end = _cpu_control(cpus)
     total = round(sum(timings.values()), 3)
     build_files_per_sec = round(n_files / timings["q1_index_build"], 1)
     print(
@@ -186,6 +226,9 @@ def main() -> None:
                 "n_docs": n_files,
                 "build_files_per_sec": build_files_per_sec,
                 "cpus": cpus,
+                # same-window host capacity (see _cpu_control): start/end of
+                # the bench — a decayed end reading flags a throttled window
+                "cpu_ceiling": {"start": cpu_start, "end": cpu_end},
             }
         )
     )

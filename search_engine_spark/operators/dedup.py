@@ -231,3 +231,65 @@ def simhash(
     for j in range(bits):
         sh = sh + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
     return per_doc.select(F.col(id_col), sh.alias("simhash"))
+
+
+def simhash_near_dup(
+    simhashes: DataFrame,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(a, b, hamming): pairs within ``max_hamming`` bits — WITHOUT an
+    all-pairs join (the round-1 acknowledged gap).
+
+    Pigeonhole bucketing (Manku et al. 2007, the public web-dedup design):
+    split the ``bits``-bit fingerprint into ``max_hamming + 1`` disjoint
+    bands — two fingerprints differing in ≤ max_hamming bits must agree
+    EXACTLY on at least one band — then candidates are a per-band equi-join
+    on (band_id, band_value) and the exact popcount(xor) ≤ max_hamming
+    verify keeps true pairs only.  Completeness is guaranteed by the
+    pigeonhole argument; at 10^9 docs each band join shuffles on uniform
+    band values (simhash bits are md5-parity votes), so the only quadratic
+    risk is a band value shared by a degenerate cluster of near-identical
+    docs — which is exactly the output.
+    """
+    n_bands = max_hamming + 1
+    base = bits // n_bands
+    # band b covers [off_b, off_{b+1}); widths differ by ≤1 bit
+    offs = [min(b * base + min(b, bits % n_bands), bits) for b in range(n_bands + 1)]
+    bands = []
+    for b in range(n_bands):
+        lo, hi = offs[b], offs[b + 1]
+        width = hi - lo
+        band_val = F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        bands.append(
+            simhashes.select(
+                F.col(id_col),
+                F.col("simhash"),
+                F.lit(b).alias("band_id"),
+                band_val.alias("band_val"),
+            )
+        )
+    u = bands[0]
+    for p in bands[1:]:
+        u = u.unionByName(p)
+    left = u.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"), "band_id", "band_val"
+    )
+    right = u.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"), "band_id", "band_val"
+    )
+    pairs = (
+        left.join(right, on=["band_id", "band_val"])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair may collide on several bands
+    )
+    return pairs

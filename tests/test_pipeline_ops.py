@@ -104,6 +104,31 @@ def test_ann_recall_vs_bruteforce(emb_df):
     assert len(set(exact) & set(approx)) >= 2
 
 
+def test_simhash_near_dup_complete_vs_bruteforce(spark):
+    """Pigeonhole band bucketing must find EVERY pair within max_hamming —
+    verified against an explicit all-pairs popcount on a corpus with planted
+    near-identical documents."""
+    from search_engine_spark.operators.dedup import simhash, simhash_near_dup
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [(i, base + f"tail{i % 3}") for i in range(30)]  # 3 near-dup clusters
+    rows += [(100 + i, f"completely different text number {i} " * 5) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = simhash(docs)
+    got = {
+        (r["a"], r["b"]) for r in simhash_near_dup(sh, max_hamming=3).collect()
+    }
+    vals = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    want = {
+        (a, b)
+        for a in vals
+        for b in vals
+        if a < b and bin(vals[a] ^ vals[b]).count("1") <= 3
+    }
+    assert got == want
+    assert len(want) > 10, "fixture should plant real near-dup pairs"
+
+
 def test_multiprobe_recall_dominates_single_probe(emb_df):
     """Multi-probe (1-bit flips, least-confident plane first) can only ADD
     candidate buckets, so recall vs brute force is monotone in n_probes and
