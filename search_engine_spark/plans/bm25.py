@@ -309,8 +309,25 @@ class QueryEngine:
         for p in parts[1:]:
             matches = matches.unionByName(p)
         agg = matches.groupBy("query_id", "docid").agg(*self._ordered_score_agg())
-        req_df = self.spark.createDataFrame(
-            reqs, "query_id int, n_required int, mode string"
+        # JVM-only literal frame (createDataFrame from local rows evaluates
+        # through a Python RDD — needless worker spawn in the query path)
+        req_df = (
+            self.spark.range(1)
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(qid).cast("int").alias("query_id"),
+                                F.lit(nreq).cast("int").alias("n_required"),
+                                F.lit(m).alias("mode"),
+                            )
+                            for qid, nreq, m in reqs
+                        ]
+                    )
+                ).alias("r")
+            )
+            .select("r.*")
         )
         agg = agg.join(F.broadcast(req_df), on="query_id").where(
             (F.col("mode") == "or") | (F.col("n_matched") >= F.col("n_required"))

@@ -39,6 +39,63 @@ from ..operators.index_build import IndexTables
 TABLES = ("postings", "dictionary", "docstats", "corpus_stats")
 
 
+# ---------------------------------------------------------------------------
+# tiny-metadata IO (Hadoop FileSystem API)
+#
+# A one-row ``createDataFrame(...).write.json`` costs 6-9 s on this host:
+# local Python rows become a parallelized Python RDD whose evaluation spawns
+# Python workers just to emit one record.  Metadata is not a dataset — it
+# goes through the Hadoop FS API (same abstraction Spark writes through, so
+# hdfs/s3a/local all work), ~3 ms, with a temp-file + rename commit.
+# ---------------------------------------------------------------------------
+
+def _fs_and_path(spark: SparkSession, path_str: str):
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    return path.getFileSystem(conf), path, jvm
+
+
+def write_meta_file(spark: SparkSession, dir_path: str, payload: dict, overwrite: bool) -> None:
+    import json
+
+    fs, d, jvm = _fs_and_path(spark, dir_path)
+    final = jvm.org.apache.hadoop.fs.Path(f"{dir_path}/meta.json")
+    if not overwrite and fs.exists(final):
+        return
+    fs.mkdirs(d)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{dir_path}/.meta.json.tmp")
+    out = fs.create(tmp, True)
+    out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    fs.rename(tmp, final)
+
+
+def read_meta_file(spark: SparkSession, dir_path: str) -> dict:
+    """Parse the first JSON object found under ``dir_path`` — covers both
+    the meta.json written above and legacy ``part-*.json`` files from the
+    old one-row Spark json write."""
+    import json
+
+    fs, d, jvm = _fs_and_path(spark, dir_path)
+    for status in fs.listStatus(d):
+        name = status.getPath().getName()
+        if name.startswith((".", "_")) or status.isDirectory():
+            continue
+        stream = fs.open(status.getPath())
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        for line in text.splitlines():
+            line = line.strip()
+            if line:
+                return json.loads(line)
+    raise FileNotFoundError(f"no metadata json under {dir_path}")
+
+
 def write_index(index: IndexTables, root: str, mode: str = "overwrite") -> None:
     """Persist the four index tables.
 
@@ -89,21 +146,19 @@ def write_index(index: IndexTables, root: str, mode: str = "overwrite") -> None:
     # Build-time parameters queries must agree on: the bucket count feeds
     # the query-side xxhash64 pmod — a mismatch silently prunes wrong
     # partitions, so it is persisted, never inferred from directory listings
-    # (empty buckets produce no directory).  Written through Spark (works on
-    # any filesystem the tables landed on, atomically via the commit
-    # protocol) and honoring `mode`: a no-op table write must not desync
-    # the metadata from the data it describes.
-    meta_mode = "overwrite" if mode == "overwrite" else "ignore"
-    spark.createDataFrame([(index.n_buckets,)], "buckets int").coalesce(1).write.mode(
-        meta_mode
-    ).json(f"{root}/_index_meta")
+    # (empty buckets produce no directory).  Written through the Hadoop FS
+    # API (any filesystem the tables landed on; temp-file + rename commit)
+    # and honoring `mode`: a no-op table write must not desync the metadata
+    # from the data it describes.
+    write_meta_file(
+        spark, f"{root}/_index_meta", {"buckets": index.n_buckets},
+        overwrite=(mode == "overwrite"),
+    )
 
 
 def read_index(spark: SparkSession, root: str) -> IndexTables:
     try:
-        n_buckets = int(
-            spark.read.json(f"{root}/_index_meta").collect()[0]["buckets"]
-        )
+        n_buckets = int(read_meta_file(spark, f"{root}/_index_meta")["buckets"])
     except Exception:
         # legacy index without metadata: non-empty partitions only
         # LOWER-BOUND the true bucket count — if any bucket was empty,
@@ -246,9 +301,17 @@ def resumable_build(
         except OSError:
             pass
         wall_ms = int((time.monotonic() - t0) * 1000)
-        entry = spark.createDataFrame(
-            [(snapshot_id, pid, n_slices, "done", rows, size, wall_ms)],
-            MANIFEST_SCHEMA,
+        # JVM-only one-row frame: createDataFrame from local Python rows
+        # parallelizes through a Python RDD — ~7 s of worker spawn per
+        # slice commit on this host; range+lit stays in the JVM (~0.2 s)
+        entry = spark.range(1).select(
+            F.lit(snapshot_id).cast("long").alias("snapshot_id"),
+            F.lit(pid).cast("int").alias("partition_id"),
+            F.lit(n_slices).cast("int").alias("n_slices"),
+            F.lit("done").alias("status"),
+            F.lit(rows).cast("long").alias("rows"),
+            F.lit(size).cast("long").alias("bytes"),
+            F.lit(wall_ms).cast("long").alias("wall_ms"),
         )
         entry.write.mode("append").parquet(_manifest_path(root))
         built += 1
