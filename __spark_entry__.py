@@ -229,20 +229,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_bm25_wand_salted(spark, sf):
         """WAND over a SALTED index — heavy terms stored as multiple ordered
         docid-range segments — must still equal the exhaustive BM25 oracle
-        (segment stitching + dictionary-level global df)."""
+        (segment stitching + dictionary-level global df).
+
+        Testdata doc_ids are SEQUENTIAL, so top-bit salting over them would
+        put every posting in segment 0 and never exercise stitching
+        (round-1 ADVICE).  The entry therefore indexes under HASHED docids
+        (the engine's production id scheme) so heavy terms genuinely split
+        across segments, then maps the hits back to doc_id for the oracle.
+        """
         from search_engine_spark.operators.index_build import build_index
         from search_engine_spark.plans.wand import BlockMaxWand
         from search_engine_spark.sources.corpus import load_testdata_documents
 
         docs = load_testdata_documents(spark, sf)
-        index = build_index(
-            spark, docs, compress=True, title_col=None, salt_threshold=50, n_salts=4
+        hashed = docs.withColumn(
+            "docid", F.shiftrightunsigned(F.xxhash64(F.col("docid")), 1)
         )
+        back = {
+            r["h"]: r["docid"]
+            for r in docs.select(
+                "docid", F.shiftrightunsigned(F.xxhash64(F.col("docid")), 1).alias("h")
+            ).collect()
+        }
+        index = build_index(
+            spark, hashed, compress=True, title_col=None, salt_threshold=50, n_salts=4
+        )
+        n_seg = (
+            index.postings.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+            .count()
+        )
+        assert n_seg > 0, "salted build must produce multi-segment terms"
         searcher = BlockMaxWand(index)
         hits = searcher.search(BM25_TERMS, k=100)
         index.unpersist()
         ranked = sorted(
-            ((d, round(s, 6)) for _, d, s in hits), key=lambda x: (-x[1], x[0])
+            ((back[d], round(s, 6)) for _, d, s in hits), key=lambda x: (-x[1], x[0])
         )[:10]
         rows = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
         return spark.createDataFrame(rows, "rank int, doc_id long, score double")
@@ -375,6 +398,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return ngram_jaccard(docs, pairs)
 
+    def q_near_dedup(spark, sf):
+        """End-to-end near-dup DECISIONS (minhash → LSH → Jaccard verify →
+        smaller-id-wins drop policy) — the operation a 100-TB training-data
+        pipeline runs for corpus thinning."""
+        from search_engine_spark.operators.dedup import near_dedup
+
+        # dup_of is NULL for kept docs — ship -1 instead: NULL-in-numeric
+        # becomes NaN inside pandas canonicalizers and NaN breaks equality
+        d = near_dedup(_raw_docs(spark, sf), threshold=0.5)
+        return d.select(
+            "doc_id", F.coalesce(F.col("dup_of"), F.lit(-1)).alias("dup_of"), "keep"
+        )
+
     def q_simhash(spark, sf):
         from search_engine_spark.operators.dedup import simhash
 
@@ -495,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash,
         "lsh_candidate_pairs": q_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "near_dedup": q_near_dedup,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "cosine_topk": q_cosine_topk,
@@ -807,6 +844,41 @@ FROM pairs p
 JOIN sizes sa ON sa.doc_id = p.a
 JOIN sizes sb ON sb.doc_id = p.b
 LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+"""
+
+    # near_dedup: the full decision pipeline as one SQL twin — LSH pairs,
+    # exact shingle-Jaccard on candidates only, smaller-id-wins drop rule
+    sql["near_dedup"] = f"""
+WITH cand AS ({_lsh_pairs_sql()}),
+toks AS (SELECT doc_id, {_TOKS_ARRAY_SQL} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0 THEN
+           list_distinct(list_transform(range(0, greatest(len(toks)-3, 0) + 1),
+             i -> array_to_string(toks[i+1:i+3], ' ')))
+         ELSE [] END AS sh
+  FROM toks
+),
+sizes AS (SELECT doc_id, len(sh) AS sz FROM sh),
+ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+inter AS (
+  SELECT p.a, p.b, count(*) AS n_inter
+  FROM cand p JOIN ex ea ON ea.doc_id = p.a JOIN ex eb ON eb.doc_id = p.b AND ea.g = eb.g
+  GROUP BY p.a, p.b
+),
+ver AS (
+  SELECT p.a, p.b,
+         CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+           / CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard
+  FROM cand p
+  JOIN sizes sa ON sa.doc_id = p.a
+  JOIN sizes sb ON sb.doc_id = p.b
+  LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+),
+dropped AS (SELECT b, min(a) AS dup_of FROM ver WHERE jaccard >= 0.5 GROUP BY b)
+SELECT d.doc_id, coalesce(dr.dup_of, -1) AS dup_of,
+       CAST(CASE WHEN dr.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.b
 """
 
     sql["simhash"] = _simhash_sql()

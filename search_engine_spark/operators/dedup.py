@@ -201,6 +201,47 @@ def ngram_jaccard(
     )
 
 
+def near_dedup(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 8,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end near-duplicate DECISIONS — the operation a training-data
+    pipeline actually runs: (doc_id, dup_of, keep).
+
+    Pipeline: MinHash signatures → banded-LSH candidate pairs (never
+    all-pairs) → exact n-gram-Jaccard verify on candidates only → drop
+    policy.  Policy: a document is DROPPED iff some verified near-duplicate
+    with a smaller id exists; ``dup_of`` records the smallest such partner
+    (the kept representative's id chain).  This is the standard
+    smaller-id-wins rule (deterministic, one aggregation — no iterative
+    connected components, whose transitive closure is overkill for corpus
+    thinning and needs an unbounded join loop at 10^12 docs).
+
+    Scale shape: two shuffles end to end (signature groupBy, band
+    self-join) plus the candidate-only verify — candidate count is bounded
+    by LSH collisions, not n².
+    """
+    sigs = minhash_signatures(docs, text_col=text_col, id_col=id_col, n_hashes=n_hashes)
+    pairs = lsh_candidate_pairs(sigs, id_col=id_col, n_hashes=n_hashes, bands=bands)
+    verified = ngram_jaccard(docs, pairs, text_col=text_col, id_col=id_col).where(
+        F.col("jaccard") >= threshold
+    )
+    dropped = verified.groupBy("b").agg(F.min("a").alias("dup_of"))
+    return (
+        docs.select(F.col(id_col))
+        .join(dropped.withColumnRenamed("b", id_col), on=id_col, how="left")
+        .select(
+            id_col,
+            "dup_of",
+            F.col("dup_of").isNull().cast("int").alias("keep"),
+        )
+    )
+
+
 def simhash(
     docs: DataFrame,
     text_col: str = "text",

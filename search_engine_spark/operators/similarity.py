@@ -152,6 +152,7 @@ def embedding_near_dup(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    expand_bits: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, cosine) with cosine ≥ τ.
 
@@ -163,7 +164,13 @@ def embedding_near_dup(
     only shuffle and its keys are uniform by construction (md5-parity
     hyperplanes), so no skew handling is needed; recall is tuned via
     n_planes (fewer planes → bigger buckets → higher recall, more exact
-    work).  Capability analogue in the reference: none — its dedup story is
+    work) and via ``expand_bits``: the LEFT side is additionally indexed
+    under every bucket within that many signature-bit flips (multi-probe
+    for the self-join case), so a near-identical pair straddling up to
+    ``expand_bits`` hyperplanes is still co-bucketed, at the cost of
+    Σ C(n_planes, i≤expand_bits) × more left rows.  ``expand_bits=0``
+    keeps the exact same-bucket contract (the documented recall bound).
+    Capability analogue in the reference: none — its dedup story is
     docID hashing only (/root/reference/KaggleFinanceSourceEngine.cpp:131).
     """
     with_b = lsh_buckets(
@@ -175,7 +182,22 @@ def embedding_near_dup(
     right = with_b.select(
         F.col(id_col).alias("b"), F.col("bucket"), F.col(vec_col).alias("vb")
     )
-    pairs = left.join(right, on="bucket").where(F.col("a") < F.col("b"))
+    if expand_bits > 0:
+        # all XOR masks with ≤ expand_bits set bits over n_planes planes
+        masks = [m for m in range(1 << n_planes) if bin(m).count("1") <= expand_bits]
+        left = left.withColumn(
+            "bucket",
+            F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])),
+        )
+    pairs = (
+        left.join(right, on="bucket")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "va", "vb")
+    )
+    if expand_bits > 0:
+        # a pair can meet in several probe buckets — dedupe on ids only
+        # (vectors ride along; a,b uniquely determine them)
+        pairs = pairs.dropDuplicates(["a", "b"])
     return (
         pairs.select(
             "a", "b", F.round(_pair_cosine(F.col("va"), F.col("vb")), 6).alias("cosine")

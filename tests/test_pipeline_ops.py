@@ -104,6 +104,44 @@ def test_ann_recall_vs_bruteforce(emb_df):
     assert len(set(exact) & set(approx)) >= 2
 
 
+def test_near_dedup_decisions(spark):
+    """End-to-end dedup decisions: planted exact-ish duplicates collapse to
+    the smallest-id representative; unique docs keep."""
+    from search_engine_spark.operators.dedup import near_dedup
+
+    body = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    rows = [(i, body + "shared tail") for i in (5, 2, 9)]          # one dup cluster
+    rows += [(20 + i, f"totally unrelated document {i} " * 8) for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["dup_of"], r["keep"]) for r in near_dedup(docs, 0.8).collect()}
+    assert got[2] == (None, 1)          # smallest id in the cluster keeps
+    assert got[5] == (2, 0) and got[9] == (2, 0)
+    for i in range(4):
+        assert got[20 + i] == (None, 1)
+
+
+def test_embedding_near_dup_expand_bits_superset(spark, emb_df):
+    """Multi-probe expansion can only ADD candidate pairs: expand_bits=1
+    results must be a superset of the same-bucket (expand_bits=0) results,
+    with identical cosines on the shared pairs."""
+    from search_engine_spark.operators.similarity import embedding_near_dup
+
+    tau = 0.1
+    base = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in embedding_near_dup(emb_df, threshold=tau, n_planes=3).collect()
+    }
+    wide = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in embedding_near_dup(
+            emb_df, threshold=tau, n_planes=3, expand_bits=1
+        ).collect()
+    }
+    assert set(base) <= set(wide)
+    for k in base:
+        assert wide[k] == base[k]
+
+
 def test_simhash_near_dup_complete_vs_bruteforce(spark):
     """Pigeonhole band bucketing must find EVERY pair within max_hamming —
     verified against an explicit all-pairs popcount on a corpus with planted

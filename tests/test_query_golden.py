@@ -99,6 +99,33 @@ def test_display_join(engine):
     assert rows[0]["repo"] is not None and rows[0]["path"] is not None
 
 
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_search_strategy_wand_equals_exhaustive(engine, mode):
+    """QueryEngine.search(strategy='wand') must return the same DataFrame
+    contract and identical (rank, docid) with float-identical scores for
+    pure term queries, including multi-field and AND mode."""
+    for q in ("values: zephyrq0 load_config", "values: def return | title: src"):
+        ex = [(r["rank"], r["docid"], r["score"]) for r in engine.search(q, mode=mode).collect()]
+        wd = [
+            (r["rank"], r["docid"], r["score"])
+            for r in engine.search(q, mode=mode, strategy="wand").collect()
+        ]
+        assert [(r, d) for r, d, _ in wd] == [(r, d) for r, d, _ in ex], (q, mode)
+        for (_, _, sw), (_, _, se) in zip(wd, ex):
+            assert sw == pytest.approx(se, rel=1e-12, abs=1e-12)
+
+
+def test_search_strategy_wand_facet_fallback(engine):
+    """Facet categories are not posting cursors — strategy='wand' falls back
+    to the exhaustive plan and must match it exactly."""
+    q = "values: zephyrq0 | langs: go"
+    ex = [(r["rank"], r["docid"]) for r in engine.search(q).collect()]
+    wd = [(r["rank"], r["docid"]) for r in engine.search(q, strategy="wand").collect()]
+    assert wd == ex
+    with pytest.raises(ValueError, match="strategy"):
+        engine.search(q, strategy="nope")
+
+
 def test_display_full_document(engine, tiny_df):
     """S5 parity: `see N` must render metadata AND the text body (reference
     DisplaySource re-reads the file and prints `text` —

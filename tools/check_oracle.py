@@ -46,7 +46,12 @@ def norm_rows(cols, rows):
     )
     if len(df):
         df = df.sort_values(list(df.columns)).reset_index(drop=True)
-    return sorted(cols), [tuple(r) for r in df.itertuples(index=False, name=None)]
+    # post-pandas NaN normalization: None became np.nan inside numeric
+    # columns and nan != nan would fail every row pairwise
+    return sorted(cols), [
+        tuple(norm_cell(v) for v in r)
+        for r in df.itertuples(index=False, name=None)
+    ]
 
 
 def main():
