@@ -51,6 +51,22 @@ def cmd_build(args) -> int:
     spark = _spark(args)
     docs = _load_docs(spark, args.input)
     assert_docid_unique(docs)
+    if getattr(args, "append_snapshot", None) is not None:
+        from .sources.index_io import append_snapshot
+
+        append_snapshot(
+            spark,
+            docs,
+            args.output,
+            snapshot_id=args.append_snapshot,
+            n_slices=max(1, args.slices),
+            salt_threshold=args.salt_threshold,
+            compress=not args.no_compress,
+            stem=args.stem,
+        )
+        n = spark.read.parquet(f"{args.output}/docstats").count()
+        print(f"appended snapshot {args.append_snapshot}; index now covers {n} documents")
+        return 0
     if args.slices > 1:
         if getattr(args, "tokenizer", "native") != "native":
             print(
@@ -210,6 +226,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--input", required=True, help="documents parquet path")
     b.add_argument("--output", required=True, help="index root directory")
     b.add_argument("--slices", type=int, default=1, help=">1 → resumable build")
+    b.add_argument(
+        "--append-snapshot", type=int, default=None, metavar="ID",
+        help="incrementally index --input as a NEW snapshot into an existing "
+        "sliced index root (old content is never re-scanned)",
+    )
     b.add_argument("--salt-threshold", type=int, default=None)
     b.add_argument("--stem", action="store_true")
     b.add_argument("--no-compress", action="store_true")

@@ -244,10 +244,6 @@ def resumable_build(
     unions the meta slices into docstats — the source content column is
     never read again after a slice commits.
     """
-    from pyspark import StorageLevel
-
-    from ..operators.tokenize import doc_base, doc_terms_from_base
-
     prior = (
         read_manifest(spark, root)
         .where((F.col("snapshot_id") == snapshot_id) & (F.col("status") == "done"))
@@ -265,13 +261,34 @@ def resumable_build(
             "fresh root/snapshot"
         )
     done = {r["partition_id"] for r in prior}
-    built = 0
+    _build_slices(
+        spark, docs, root, n_slices, snapshot_id, done, build_kwargs, fail_after_slice
+    )
+    return _finalize_all_snapshots(spark, root, **build_kwargs)
+
+
+def _build_slices(
+    spark: SparkSession,
+    docs: DataFrame,
+    root: str,
+    n_slices: int,
+    snapshot_id: int,
+    done: set[int],
+    build_kwargs: dict,
+    fail_after_slice: int | None = None,
+) -> int:
+    """Tokenize + commit the snapshot's pending slices; → slices built."""
+    from pyspark import StorageLevel
+
+    from ..operators.tokenize import doc_base, doc_terms_from_base
+
     base_kwargs = {
         k: v for k, v in build_kwargs.items() if k in ("body_col", "title_col")
     }
     tf_kwargs = {
         k: v for k, v in build_kwargs.items() if k in ("stem", "stopwords")
     }
+    built = 0
     for pid in range(n_slices):
         if pid in done:
             continue
@@ -317,15 +334,75 @@ def resumable_build(
         built += 1
         if fail_after_slice is not None and built >= fail_after_slice:
             raise RuntimeError(f"injected failure after slice {pid}")
+    return built
 
-    # finalize: merge slice forward indexes + meta → full index tables
-    tf_all = spark.read.parquet(f"{root}/_slices/tf/snapshot={snapshot_id}").drop("slice")
-    meta_all = spark.read.parquet(
-        f"{root}/_slices/meta/snapshot={snapshot_id}"
-    ).drop("slice")
-    index = _finalize_from_tf(spark, docs, tf_all, doc_meta=meta_all, **build_kwargs)
+
+def _finalize_all_snapshots(spark: SparkSession, root: str, **build_kwargs) -> IndexTables:
+    """Merge EVERY committed snapshot's tf/meta slices → full index tables.
+
+    Always cross-snapshot: the tf slices are the upsert log, postings are
+    the compaction — re-finalizing after any snapshot lands is one
+    associative re-aggregation (no content re-scan), and a resumed initial
+    build over a root that already has appended snapshots cannot wipe them.
+    Loudly refuses docid collisions across snapshots (a doc re-ingested in
+    a later snapshot would double-count in postings — upserts need a
+    replace/delete story, not a silent merge).
+    """
+    # the session-wide FileStatusCache remembers this path's listing from
+    # any earlier finalize — a snapshot appended since then would be
+    # silently absent from the merge without an explicit invalidation
+    for sub in ("tf", "meta"):
+        try:
+            spark.catalog.refreshByPath(f"{root}/_slices/{sub}")
+        except Exception:
+            pass
+    tf_all = spark.read.parquet(f"{root}/_slices/tf").drop("slice", "snapshot")
+    meta_all = spark.read.parquet(f"{root}/_slices/meta").drop("slice", "snapshot")
+    dup = meta_all.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("docid").alias("d")
+    ).collect()[0]
+    if dup["n"] != dup["d"]:
+        raise ValueError(
+            f"docid collision across snapshots at {root}: {dup['n']} docs, "
+            f"{dup['d']} distinct docids — re-ingesting an existing document "
+            "requires a replace (new root) rather than an append"
+        )
+    index = _finalize_from_tf(spark, meta_all, tf_all, doc_meta=meta_all, **build_kwargs)
     write_index(index, root)
     return read_index(spark, root)
+
+
+def append_snapshot(
+    spark: SparkSession,
+    docs: DataFrame,
+    root: str,
+    snapshot_id: int,
+    n_slices: int = 1,
+    **build_kwargs,
+) -> IndexTables:
+    """Incrementally index a NEW snapshot's documents into an existing root.
+
+    The Iceberg-growth model [north_star: "resumable from Iceberg snapshot
+    checkpoints"]: each corpus snapshot's documents tokenize ONCE into
+    committed tf/meta slices; the postings re-finalize from the slice log
+    (associative aggregation over already-tokenized rows), so old content
+    is never re-scanned and a crash mid-append resumes from the manifest
+    like any sliced build.
+    """
+    prior = read_manifest(spark, root).where(F.col("status") == "done").collect()
+    if not prior:
+        raise ValueError(
+            f"no sliced build at {root} — run resumable_build first; "
+            "append_snapshot extends an existing slice log"
+        )
+    if any(r["snapshot_id"] == snapshot_id for r in prior):
+        raise ValueError(
+            f"snapshot {snapshot_id} already (partially) ingested at {root}; "
+            "use resumable_build(snapshot_id=...) to resume it, or pick a "
+            "new snapshot id"
+        )
+    _build_slices(spark, docs, root, n_slices, snapshot_id, set(), build_kwargs)
+    return _finalize_all_snapshots(spark, root, **build_kwargs)
 
 
 def _finalize_from_tf(

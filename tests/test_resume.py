@@ -72,6 +72,50 @@ def test_resume_rejects_changed_n_slices(spark, tiny_df, tmp_path):
     resumable_build(spark, tiny_df, root, n_slices=4, compress=True)
 
 
+def test_append_snapshot_equals_full_rebuild(spark, tiny_df, tmp_path):
+    """Incremental snapshot append (Iceberg-growth model): indexing corpus A
+    then appending corpus B must equal one build over A ∪ B — postings,
+    docstats, and query results — WITHOUT re-scanning A's content."""
+    from search_engine_spark.plans.bm25 import QueryEngine
+    from search_engine_spark.sources.index_io import append_snapshot
+
+    docs_a = tiny_df.where(F.col("docid") % 3 != 0)
+    docs_b = tiny_df.where(F.col("docid") % 3 == 0)
+    root = str(tmp_path / "inc")
+    resumable_build(spark, docs_a, root, n_slices=2, compress=True)
+    appended = append_snapshot(spark, docs_b, root, snapshot_id=1, n_slices=2, compress=True)
+
+    full_root = str(tmp_path / "full")
+    full = resumable_build(spark, tiny_df, full_root, n_slices=2, compress=True)
+    assert _index_fingerprint(appended) == _index_fingerprint(full)
+
+    eng = QueryEngine(spark, appended, cache_docstats=False)
+    hits = {r["docid"] for r in eng.search("values: zephyrq0").collect()}
+    assert len(hits) == 1
+
+    # a crashed INITIAL-build resume over a root with appended snapshots
+    # must still merge every snapshot (finalize is always cross-snapshot)
+    refinal = resumable_build(spark, docs_a, root, n_slices=2, compress=True)
+    assert _index_fingerprint(refinal) == _index_fingerprint(full)
+
+
+def test_append_snapshot_guards(spark, tiny_df, tmp_path):
+    from search_engine_spark.sources.index_io import append_snapshot
+
+    root = str(tmp_path / "g")
+    # no slice log yet → refuse
+    with pytest.raises(ValueError, match="no sliced build"):
+        append_snapshot(spark, tiny_df, root, snapshot_id=1)
+    docs_a = tiny_df.where(F.col("docid") % 2 == 0)
+    resumable_build(spark, docs_a, root, n_slices=2, compress=True)
+    # snapshot id already ingested → refuse
+    with pytest.raises(ValueError, match="already"):
+        append_snapshot(spark, tiny_df, root, snapshot_id=0)
+    # re-ingesting the same documents under a new snapshot → docid collision
+    with pytest.raises(ValueError, match="collision"):
+        append_snapshot(spark, docs_a, root, snapshot_id=1)
+
+
 def test_nondefault_bucket_count_round_trip(spark, tiny_df, tmp_path):
     """The query side must prune with the bucket count the index was BUILT
     with — recovered from persisted metadata, never a constant or a
