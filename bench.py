@@ -201,6 +201,14 @@ def main() -> None:
         )
         timed_best("q7_simhash", lambda: _force(simhash(raw_docs)), runs=2)
 
+        from search_engine_spark.operators.dedup import near_dedup
+
+        timed_best(
+            "q6b_near_dedup",
+            lambda: _force(near_dedup(raw_docs, threshold=0.5)),
+            runs=2,
+        )
+
         probe = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
         timed_best(
             "q8_cosine_topk",

@@ -515,9 +515,20 @@ class ShardedWand:
     def search_fields(
         self, term_specs: list[tuple[str, str]], k: int = 10, mode: str = "or"
     ) -> list[tuple[int, int, float]]:
+        frame = self.topk_frame(term_specs, k=k, mode=mode)
+        if frame is None:
+            return []
+        rows = frame.collect()
+        return [(i + 1, r["docid"], r["score"]) for i, r in enumerate(rows)]
+
+    def topk_frame(
+        self, term_specs: list[tuple[str, str]], k: int = 10, mode: str = "or"
+    ):
+        """The (rank-less) top-k DataFrame — exposed so plan tests can pin
+        the cogrouped-traversal physical shape; ``None`` for empty specs."""
         specs = _clean_specs(term_specs, self.stem)
         if not specs:
-            return []
+            return None
         terms = sorted({t for _, t in specs})
         fields = sorted({f for f, _ in specs})
         bks = sorted({term_bucket(t, self.buckets) for t in terms})
@@ -630,7 +641,4 @@ class ShardedWand:
             .cogroup(blocks.groupby("shard"))
             .applyInPandas(shard_topk, "docid long, score double")
         )
-        rows = (
-            out.orderBy(F.desc("score"), F.asc("docid")).limit(k).collect()
-        )
-        return [(i + 1, r["docid"], r["score"]) for i, r in enumerate(rows)]
+        return out.orderBy(F.desc("score"), F.asc("docid")).limit(k)

@@ -109,3 +109,54 @@ def test_stopword_filter_is_broadcast_anti_join(spark, tiny_df):
     stop = spark.createDataFrame([("def",), ("return",)], "term string")
     plan = plan_of(doc_terms(tiny_df, stopwords=stop, title_col=None))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_dedup_pipeline_has_no_cartesian(spark, tiny_df):
+    """near_dedup / simhash_near_dup / embedding_near_dup candidate
+    generation must compile to equi-joins on bucket/band keys — a
+    CartesianProduct or BroadcastNestedLoopJoin anywhere means the LSH
+    bucketing silently degraded to all-pairs (the 10^12-doc killer)."""
+    from search_engine_spark.operators.dedup import (
+        near_dedup,
+        simhash,
+        simhash_near_dup,
+    )
+    from search_engine_spark.operators.similarity import embedding_near_dup
+
+    docs = tiny_df.select(
+        F.col("docid").alias("doc_id"), F.col("content").alias("text")
+    )
+    emb = tiny_df.select(
+        F.col("docid").alias("vec_id"),
+        F.array(*[(F.length("content") % (d + 7)).cast("float") for d in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    for name, df in (
+        ("near_dedup", near_dedup(docs)),
+        ("simhash_near_dup", simhash_near_dup(simhash(docs))),
+        ("embedding_near_dup", embedding_near_dup(emb, threshold=0.5)),
+        ("embedding_near_dup_mp", embedding_near_dup(emb, threshold=0.5, expand_bits=1)),
+    ):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_sharded_wand_plan_is_cogrouped(spark, tiny_index):
+    """The distributed WAND frame must execute the per-shard traversal as a
+    cogrouped FlatMapCoGroupsInPandas and cut the per-shard candidates with
+    TakeOrderedAndProject — never a global sort, never a corpus collect."""
+    from search_engine_spark.plans.wand import ShardedWand
+
+    sw = ShardedWand(tiny_index, n_shards=4)
+    try:
+        frame = sw.topk_frame([("content", "zephyrq0"), ("content", "def")], k=5)
+        plan = plan_of(frame)
+        assert "FlatMapCoGroupsInPandas" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+        res = sw.search(["zephyrq0", "def"], k=5)
+        assert res, "expected hits"
+    finally:
+        sw.close()
