@@ -204,8 +204,9 @@ def cmd_ui(args) -> int:
         elif cmd == "parse":
             inp, _, out = rest.partition(" ")
             ns = argparse.Namespace(
-                input=inp, output=out or args.index, slices=1, stem=args.stem,
-                salt_threshold=None, no_compress=False, cores=args.cores,
+                input=inp, output=out or args.index, slices=1,
+                stem=bool(args.stem), salt_threshold=None, no_compress=False,
+                cores=args.cores,
             )
             cmd_build(ns)
             # serve the index we just built (which may be a NEW root) —
@@ -245,7 +246,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--query", required=True)
     s.add_argument("--mode", choices=("or", "and"), default="or")
     s.add_argument("-k", type=int, default=10)
-    s.add_argument("--stem", action="store_true")
+    s.add_argument(
+        "--stem", action="store_true", default=None,
+        help="override query-term stemming (default: the setting the index "
+        "was built with, recorded in _index_meta)",
+    )
     s.add_argument("--wand", action="store_true", help="block-max WAND path (driver traversal)")
     s.add_argument(
         "--wand-shards", type=int, default=None, metavar="N",
@@ -267,7 +272,7 @@ def main(argv: list[str] | None = None) -> int:
         "(reference DisplaySource parity), not just docstats metadata",
     )
     u.add_argument("-k", type=int, default=10)
-    u.add_argument("--stem", action="store_true")
+    u.add_argument("--stem", action="store_true", default=None)
     u.set_defaults(fn=cmd_ui)
 
     args = p.parse_args(argv)

@@ -84,6 +84,10 @@ class IndexTables:
     tf: DataFrame | None = None
     # bucket-count the postings were built with (write-time compaction key)
     n_buckets: int = DEFAULT_INDEX_BUCKETS
+    # whether terms were Porter-stemmed at build time — the query side MUST
+    # normalize with the same setting (persisted in _index_meta; a mismatch
+    # silently returns zero hits, so consumers default to this value)
+    stem: bool = False
     # single-scan doc base (build_index path) — persisted, unpersist with tf
     base: DataFrame | None = None
 
@@ -181,6 +185,7 @@ def index_from_tf(
     compress: bool = True,
     body_col: str = "content",
     doc_meta: DataFrame | None = None,
+    stem: bool = False,
 ) -> IndexTables:
     """Index tables from a precomputed forward index (docid, field, term, tf).
 
@@ -276,7 +281,8 @@ def index_from_tf(
     )
 
     return IndexTables(
-        postings, dictionary, docstats, corpus_stats, tf=tf, n_buckets=buckets
+        postings, dictionary, docstats, corpus_stats, tf=tf, n_buckets=buckets,
+        stem=stem,
     )
 
 
@@ -332,6 +338,7 @@ def build_index(
             buckets=buckets,
             compress=compress,
             body_col=body_col,
+            stem=stem,
         )
 
     base = doc_base(docs, body_col=body_col, title_col=title_col).persist(
@@ -348,6 +355,7 @@ def build_index(
         compress=compress,
         body_col=body_col,
         doc_meta=meta,
+        stem=stem,
     )
     index.base = base
     return index

@@ -52,13 +52,17 @@ class QueryEngine:
         self,
         spark: SparkSession,
         index: IndexTables,
-        stem: bool = False,
+        stem: bool | None = None,
         buckets: int | None = None,
         cache_docstats: bool = True,
     ):
         self.spark = spark
         self.index = index
-        self.stem = stem
+        # stem=None → use the setting the index was BUILT with (persisted in
+        # _index_meta): querying a stemmed index with unstemmed terms (or
+        # vice versa) silently returns zero hits, so auto-matching is the
+        # only safe default; pass an explicit bool to override
+        self.stem = index.stem if stem is None else stem
         # bucket-pruning literals MUST use the bucket count the index was
         # BUILT with (IndexTables.n_buckets — read_index recovers it from
         # the persisted _index_meta); a mismatched constant would prune the

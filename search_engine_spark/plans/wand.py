@@ -339,11 +339,12 @@ class BlockMaxWand:
         index,
         field: str = FIELD_BODY,
         buckets: int | None = None,
-        stem: bool = False,
+        stem: bool | None = None,
     ):
         self.index = index
         self.field = field  # default field for bare search(terms)
-        self.stem = stem  # must match the build-time stem setting
+        # must match the build-time stem setting; None → the persisted value
+        self.stem = index.stem if stem is None else stem
         # must match the build-time bucket count (see QueryEngine.__init__)
         self.buckets = buckets or index.n_buckets
         stats = {
@@ -474,7 +475,7 @@ class ShardedWand:
         n_shards: int = 8,
         field: str = FIELD_BODY,
         buckets: int | None = None,
-        stem: bool = False,
+        stem: bool | None = None,
     ):
         if n_shards < 1 or (n_shards & (n_shards - 1)):
             raise ValueError(f"n_shards must be a positive power of two, got {n_shards}")
@@ -482,7 +483,7 @@ class ShardedWand:
 
         self.index = index
         self.field = field
-        self.stem = stem
+        self.stem = index.stem if stem is None else stem
         self.buckets = buckets or index.n_buckets
         self.n_shards = n_shards
         self._shift = 63 - (n_shards.bit_length() - 1)

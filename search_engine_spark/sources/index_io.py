@@ -151,14 +151,18 @@ def write_index(index: IndexTables, root: str, mode: str = "overwrite") -> None:
     # and honoring `mode`: a no-op table write must not desync the metadata
     # from the data it describes.
     write_meta_file(
-        spark, f"{root}/_index_meta", {"buckets": index.n_buckets},
+        spark, f"{root}/_index_meta",
+        {"buckets": index.n_buckets, "stem": index.stem},
         overwrite=(mode == "overwrite"),
     )
 
 
 def read_index(spark: SparkSession, root: str) -> IndexTables:
+    stem = False
     try:
-        n_buckets = int(read_meta_file(spark, f"{root}/_index_meta")["buckets"])
+        meta = read_meta_file(spark, f"{root}/_index_meta")
+        n_buckets = int(meta["buckets"])
+        stem = bool(meta.get("stem", False))
     except Exception:
         # legacy index without metadata: non-empty partitions only
         # LOWER-BOUND the true bucket count — if any bucket was empty,
@@ -191,6 +195,7 @@ def read_index(spark: SparkSession, root: str) -> IndexTables:
         docstats=spark.read.parquet(f"{root}/docstats"),
         corpus_stats=spark.read.parquet(f"{root}/corpus_stats"),
         n_buckets=n_buckets,
+        stem=stem,
     )
 
 
@@ -418,6 +423,7 @@ def _finalize_from_tf(
     kwargs = {
         k: v
         for k, v in build_kwargs.items()
-        if k in ("salt_threshold", "n_salts", "buckets", "compress", "body_col")
+        if k in ("salt_threshold", "n_salts", "buckets", "compress", "body_col",
+                 "stem")
     }
     return index_from_tf(docs, tf, doc_meta=doc_meta, **kwargs)

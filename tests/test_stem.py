@@ -150,6 +150,40 @@ def test_udf_matches_python(spark):
         assert got[w] == porter_stem(w), w
 
 
+def test_stem_setting_persists_and_auto_matches(spark, tmp_path):
+    """The build's stem setting rides in _index_meta; a reloaded engine and
+    WAND searcher stem query terms automatically — a silent build/query
+    mismatch (zero hits for every inflected query) cannot happen by
+    default."""
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.plans.bm25 import QueryEngine
+    from search_engine_spark.plans.wand import BlockMaxWand
+    from search_engine_spark.sources.index_io import read_index, write_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "r", "p1", "c", "en", "the motor was motoring along"),
+            (2, "r", "p2", "c", "en", "motors and motoring and motored"),
+            (3, "r", "p3", "c", "en", "nothing relevant here"),
+        ],
+        "docid long, repo string, path string, commit string, lang string, content string",
+    )
+    root = str(tmp_path / "stemmed")
+    idx = build_index(spark, docs, stem=True, title_col=None)
+    write_index(idx, root)
+    idx.unpersist()
+    got = read_index(spark, root)
+    assert got.stem is True
+    # no stem argument anywhere — the engine reads it from the metadata
+    eng = QueryEngine(spark, got, cache_docstats=False)
+    assert {r["docid"] for r in eng.search("values: motoring").collect()} == {1, 2}
+    wand = BlockMaxWand(got)
+    assert {d for _, d, _ in wand.search(["motoring"], k=5)} == {1, 2}
+    # explicit override still wins (and, being mismatched, finds nothing)
+    eng_off = QueryEngine(spark, got, stem=False, cache_docstats=False)
+    assert eng_off.search("values: motoring").collect() == []
+
+
 def test_stemmed_index_matches_variants(spark):
     """stem=on folds inflection variants into one postings row, and the
     query side stems identically so any variant form finds all docs."""
