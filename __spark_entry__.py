@@ -128,6 +128,29 @@ FROM agg ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def _ranked_literal_df(spark: SparkSession, rows: list) -> DataFrame:
+    """(rank, doc_id, score) rows as a JVM-literal frame — createDataFrame
+    from local Python rows evaluates through a parallelized Python RDD
+    (~seconds of worker spawn per gate entry on this host)."""
+    if not rows:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("rank"),
+                F.lit(d).cast("long").alias("doc_id"),
+                F.lit(s).cast("double").alias("score"),
+            )
+            for r, d, s in rows
+        ]
+    )
+    return (
+        spark.range(1)
+        .select(F.explode(arr).alias("x"))
+        .select("x.rank", "x.doc_id", "x.score")
+    )
+
+
 def _topk(scores: DataFrame, k: int = 10) -> DataFrame:
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
@@ -224,7 +247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ((d, round(s, 6)) for _, d, s in hits), key=lambda x: (-x[1], x[0])
         )[:10]
         rows = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
-        return spark.createDataFrame(rows, "rank int, doc_id long, score double")
+        return _ranked_literal_df(spark, rows)
 
     def q_bm25_wand_salted(spark, sf):
         """WAND over a SALTED index — heavy terms stored as multiple ordered
@@ -268,7 +291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ((back[d], round(s, 6)) for _, d, s in hits), key=lambda x: (-x[1], x[0])
         )[:10]
         rows = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
-        return spark.createDataFrame(rows, "rank int, doc_id long, score double")
+        return _ranked_literal_df(spark, rows)
 
     def q_bm25_wand_sharded(spark, sf):
         """DISTRIBUTED WAND (plans.wand.ShardedWand): traversal sharded by
@@ -289,7 +312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ((d, round(s, 6)) for _, d, s in hits), key=lambda x: (-x[1], x[0])
         )[:10]
         rows = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
-        return spark.createDataFrame(rows, "rank int, doc_id long, score double")
+        return _ranked_literal_df(spark, rows)
 
     def q_bm25_engine(spark, sf):
         """The REAL engine path — build_index → QueryEngine.search — must
@@ -311,7 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             key=lambda x: (-x[1], x[0]),
         )[:10]
         out = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
-        return spark.createDataFrame(out, "rank int, doc_id long, score double")
+        return _ranked_literal_df(spark, out)
 
     def q_topk_per_query(spark, sf):
         """Batched multi-query top-k via window (SURVEY.md §2.8)."""

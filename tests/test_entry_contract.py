@@ -25,10 +25,24 @@ pytestmark = pytest.mark.skipif(
 _FORBIDDEN = (T.ArrayType, T.MapType, T.StructType)
 
 
+# entries deliberately WITHOUT a SQL twin (the judge sees rows-only checks):
+# mm_features is the mapInPandas pipeline whose feature fake has no SQL form
+INTENTIONAL_ROWS_ONLY = {"mm_features"}
+
+
 def test_oracle_keys_subset_of_queries():
     qs = entrymod.queries()
     extra = set(entrymod.oracle_sql()) - set(qs)
     assert not extra, f"oracle_sql keys without a queries() entry: {sorted(extra)}"
+
+
+def test_every_entry_value_checked_unless_declared():
+    """A queries() entry silently missing its oracle twin downgrades the
+    driver gate to a rows-only check — every such downgrade must be an
+    explicit declaration here, not an accident."""
+    qs = set(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    assert qs - oracles == INTENTIONAL_ROWS_ONLY
 
 
 def test_no_complex_types_in_any_query_schema(spark):

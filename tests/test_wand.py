@@ -221,6 +221,24 @@ def test_wand_title_field_equals_engine(spark, multiblock_index):
         assert sw == pytest.approx(se, rel=1e-12, abs=1e-12)
 
 
+def test_sharded_random_queries_equal_driver(spark, multiblock_index):
+    """Seeded random term mixes (rare / flood / dead terms) — the sharded
+    traversal must stay bit-identical to the driver traversal on every one,
+    both modes."""
+    from search_engine_spark.plans.wand import ShardedWand
+
+    driver = BlockMaxWand(multiblock_index)
+    sharded = ShardedWand(multiblock_index, n_shards=8)
+    try:
+        for terms in _random_queries(8, seed=77):
+            for mode in ("or", "and"):
+                assert sharded.search(terms, k=10, mode=mode) == driver.search(
+                    terms, k=10, mode=mode
+                ), (terms, mode)
+    finally:
+        sharded.close()
+
+
 def test_sharded_never_collects_corpus_state(spark, multiblock_index, monkeypatch):
     """The scale pin: NOTHING corpus-sized reaches the driver on the
     sharded path — every DataFrame.collect() during construction + search
