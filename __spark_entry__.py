@@ -336,6 +336,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
         return _ranked_literal_df(spark, out)
 
+    def q_bm25_incremental(spark, sf):
+        """Incremental-append correctness from the driver's seat: the corpus
+        ingested as TWO snapshots through the slice log (append_snapshot —
+        old content never re-scanned) must answer the SAME BM25 query with
+        results identical to the whole-corpus oracle."""
+        import shutil
+        import tempfile
+
+        from search_engine_spark.plans.bm25 import QueryEngine
+        from search_engine_spark.sources.corpus import load_testdata_documents
+        from search_engine_spark.sources.index_io import (
+            append_snapshot,
+            read_index,
+            resumable_build,
+        )
+
+        docs = load_testdata_documents(spark, sf)
+        root = tempfile.mkdtemp(prefix="gate_inc_idx_")
+        try:
+            resumable_build(
+                spark, docs.where(F.col("docid") % 2 == 0), root,
+                n_slices=2, compress=True, title_col=None,
+            )
+            append_snapshot(
+                spark, docs.where(F.col("docid") % 2 == 1), root,
+                snapshot_id=1, n_slices=2, compress=True, title_col=None,
+            )
+            eng = QueryEngine(spark, read_index(spark, root), cache_docstats=False)
+            rows = eng.search("values: " + " ".join(BM25_TERMS), k=100).collect()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        ranked = sorted(
+            ((r["docid"], round(r["score"], 6)) for r in rows),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        out = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+        return _ranked_literal_df(spark, out)
+
     def q_topk_per_query(spark, sf):
         """Batched multi-query top-k via window (SURVEY.md §2.8)."""
         scored = _term_contribs(spark, sf, BATCH_TERMS).select(
@@ -545,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_engine_topk": q_bm25_engine,
         "bm25_wand_salted": q_bm25_wand_salted,
         "bm25_wand_sharded": q_bm25_wand_sharded,
+        "bm25_incremental_topk": q_bm25_incremental,
         "topk_per_query": q_topk_per_query,
         "facet_sets": q_facet_sets,
         "facet_sets_multi": q_facet_sets_multi,
@@ -774,6 +813,7 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
     sql["bm25_engine_topk"] = _bm25_sql(BM25_TERMS, and_mode=False)
     sql["bm25_wand_salted"] = _bm25_sql(BM25_TERMS, and_mode=False)
     sql["bm25_wand_sharded"] = _bm25_sql(BM25_TERMS, and_mode=False)
+    sql["bm25_incremental_topk"] = _bm25_sql(BM25_TERMS, and_mode=False)
 
     tlist = ", ".join(f"'{t}'" for t in BATCH_TERMS)
     sql["topk_per_query"] = f"""
