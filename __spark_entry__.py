@@ -472,6 +472,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.coalesce(F.col("dup_of"), F.lit(-1)).alias("dup_of"), "keep"
         )
 
+    def q_corpus_filter(spark, sf):
+        """Capstone training-corpus preparation: quality + language + dedup
+        gates composed into one decision frame (operators.pipeline)."""
+        from search_engine_spark.operators.pipeline import training_corpus_filter
+
+        return training_corpus_filter(
+            _raw_docs(spark, sf), min_quality=0.4, languages=["en", "de"],
+            dedup_threshold=0.5,
+        )
+
     def q_simhash(spark, sf):
         from search_engine_spark.operators.dedup import simhash
 
@@ -594,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": q_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "near_dedup": q_near_dedup,
+        "corpus_filter": q_corpus_filter,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "cosine_topk": q_cosine_topk,
@@ -1067,6 +1078,49 @@ SELECT doc_id,
        'png' AS kind
 FROM documents
 """
+
+    # corpus_filter: quality + language + dedup gates in one SQL twin —
+    # composes the quality_score, lang_id and near_dedup fragments verbatim
+    sql["corpus_filter"] = f"""
+WITH q AS ({sql["quality_score"]}),
+l AS ({_lang_id_sql()}),
+cand AS ({_lsh_pairs_sql()}),
+toks2 AS (SELECT doc_id, {_TOKS_ARRAY_SQL} AS toks FROM documents),
+sh2 AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0 THEN
+           list_distinct(list_transform(range(0, greatest(len(toks)-3, 0) + 1),
+             i -> array_to_string(toks[i+1:i+3], ' ')))
+         ELSE [] END AS sh
+  FROM toks2
+),
+sizes2 AS (SELECT doc_id, len(sh) AS sz FROM sh2),
+ex2 AS (SELECT doc_id, unnest(sh) AS g FROM sh2),
+inter2 AS (
+  SELECT p.a, p.b, count(*) AS n_inter
+  FROM cand p JOIN ex2 ea ON ea.doc_id = p.a JOIN ex2 eb ON eb.doc_id = p.b AND ea.g = eb.g
+  GROUP BY p.a, p.b
+),
+ver2 AS (
+  SELECT p.a, p.b,
+         CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+           / CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard
+  FROM cand p
+  JOIN sizes2 sa ON sa.doc_id = p.a
+  JOIN sizes2 sb ON sb.doc_id = p.b
+  LEFT JOIN inter2 i ON i.a = p.a AND i.b = p.b
+),
+dropped2 AS (SELECT b, min(a) AS dup_of FROM ver2 WHERE jaccard >= 0.5 GROUP BY b)
+SELECT d.doc_id, q.quality, l.pred_lang,
+       coalesce(dr.dup_of, -1) AS dup_of,
+       CAST(CASE WHEN q.quality >= 0.4 AND l.pred_lang IN ('en', 'de')
+                  AND dr.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+FROM documents d
+JOIN q ON d.doc_id = q.doc_id
+JOIN l ON d.doc_id = l.doc_id
+LEFT JOIN dropped2 dr ON d.doc_id = dr.b
+"""
+
 
     # mm_features: mapInPandas pipeline — intentionally no SQL twin
     return sql

@@ -1,0 +1,74 @@
+"""End-to-end training-corpus preparation: quality + language + dedup gates
+composed into ONE decision frame — the operation a 100-TB data pipeline
+actually schedules, not three separate jobs whose outputs someone joins by
+hand.
+
+Composition, all shuffles accounted for:
+- ``quality_score`` and ``lang_id`` are pure per-document column math (no
+  shuffle) over the SAME scan;
+- ``near_dedup`` contributes its two shuffles (minhash signature groupBy,
+  LSH band self-join) + the candidate-only verify;
+- the final assembly joins three per-docid frames on the id — at scale
+  these co-partition on the join key (AQE broadcast for the small drop
+  set), so the pipeline's shuffle budget stays that of dedup alone.
+
+Capability analogue in the reference: none (it indexes everything it
+parses); this is part of the training-data-pipeline surface the build
+brief mandates alongside SURVEY §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import near_dedup
+from .textstats import lang_id, quality_score
+
+
+def training_corpus_filter(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    languages: list[str] | None = None,
+    dedup_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, quality, pred_lang, dup_of, keep) — one row per document.
+
+    ``keep = 1`` iff the document clears ALL gates:
+    - composite quality ≥ ``min_quality`` (C4/Gopher-shape soft gates);
+    - predicted language ∈ ``languages`` (None → any language passes);
+    - not a near-duplicate of a smaller-id document (MinHash → LSH →
+      Jaccard ≥ ``dedup_threshold``, smaller-id-wins policy).
+
+    ``dup_of`` is -1 for non-duplicates (NULL-free output — pandas
+    canonicalizers NaN-poison NULL-in-numeric columns).
+    """
+    q = quality_score(docs, text_col=text_col, id_col=id_col).select(
+        id_col, "quality"
+    )
+    lg = lang_id(docs, text_col=text_col, id_col=id_col).select(id_col, "pred_lang")
+    dd = near_dedup(
+        docs, threshold=dedup_threshold, text_col=text_col, id_col=id_col
+    ).select(id_col, "dup_of", F.col("keep").alias("uniq"))
+    lang_ok = (
+        F.col("pred_lang").isin(languages) if languages else F.lit(True)
+    )
+    return (
+        q.join(lg, on=id_col)
+        .join(dd, on=id_col)
+        .select(
+            id_col,
+            "quality",
+            "pred_lang",
+            F.coalesce(F.col("dup_of"), F.lit(-1)).alias("dup_of"),
+            (
+                (F.col("quality") >= min_quality)
+                & lang_ok
+                & (F.col("uniq") == 1)
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )

@@ -104,6 +104,46 @@ def test_ann_recall_vs_bruteforce(emb_df):
     assert len(set(exact) & set(approx)) >= 2
 
 
+def test_training_corpus_filter_gates(spark):
+    """Composite keep decision: quality AND language AND uniqueness must all
+    hold; each gate's failure flips keep to 0 with the others green."""
+    from search_engine_spark.operators.pipeline import training_corpus_filter
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "with many plain words making a long healthy document " * 3
+    )
+    other = (
+        "this is the story of a mountain village in the north where they "
+        "kept bees and the honey was traded for salt with travelers " * 3
+    )
+    rows = [
+        (1, good + "one"),
+        (2, good + "one"),          # near-dup of 1 → dropped (larger id)
+        (3, other),                 # unique, good quality
+        (4, "x! y! z!"),            # too short / punct-heavy → quality gate
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["keep"], r["dup_of"])
+        for r in training_corpus_filter(
+            docs, min_quality=0.4, languages=["en"], dedup_threshold=0.8
+        ).collect()
+    }
+    assert got[1][0] == 1
+    assert got[2] == (0, 1)   # deduped against doc 1
+    assert got[3][0] == 1
+    assert got[4][0] == 0     # quality gate
+    # language gate: same docs, but no accepted language
+    got_zh = {
+        r["doc_id"]: r["keep"]
+        for r in training_corpus_filter(
+            docs, min_quality=0.4, languages=["zh"], dedup_threshold=0.8
+        ).collect()
+    }
+    assert all(v == 0 for v in got_zh.values())
+
+
 def test_near_dedup_decisions(spark):
     """End-to-end dedup decisions: planted exact-ish duplicates collapse to
     the smallest-id representative; unique docs keep."""
