@@ -157,6 +157,31 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_filter(args) -> int:
+    """Training-corpus preparation: write per-document keep/drop decisions."""
+    from .operators.pipeline import training_corpus_filter
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    id_col = "doc_id" if "doc_id" in docs.columns else "docid"
+    text_col = "text" if "text" in docs.columns else "content"
+    langs = args.langs.split(",") if args.langs else None
+    out = training_corpus_filter(
+        docs,
+        min_quality=args.min_quality,
+        languages=langs,
+        dedup_threshold=args.dedup_threshold,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    kept = written.where(F.col("keep") == 1).count()
+    total = written.count()
+    print(f"kept {kept}/{total} documents → {args.output}")
+    return 0
+
+
 def cmd_print_database(args) -> int:
     spark = _spark(args)
     post = spark.read.parquet(f"{args.index}/postings")
@@ -258,6 +283,16 @@ def main(argv: list[str] | None = None) -> int:
         "shards (power of two) inside applyInPandas — the 10^12-doc path",
     )
     s.set_defaults(fn=cmd_search)
+
+    f = sub.add_parser(
+        "filter", help="training-corpus keep/drop decisions (quality+lang+dedup)"
+    )
+    f.add_argument("--input", required=True, help="documents parquet path")
+    f.add_argument("--output", required=True, help="decisions parquet path")
+    f.add_argument("--min-quality", type=float, default=0.5)
+    f.add_argument("--langs", default=None, help="comma-separated allow-list (default: any)")
+    f.add_argument("--dedup-threshold", type=float, default=0.5)
+    f.set_defaults(fn=cmd_filter)
 
     d = sub.add_parser("print-database", help="dump postings (term, df)")
     d.add_argument("--index", required=True)

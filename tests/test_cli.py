@@ -1,0 +1,83 @@
+"""CLI surface tests driven through ``main(argv)`` (SURVEY.md §2.7 Q6).
+
+These exercise the argparse wiring + command functions end-to-end on tmp
+parquet inputs; the underlying operators have their own unit tests.  The
+CLI's ``get_spark`` uses ``getOrCreate`` so these reuse the session fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.cli import main
+
+
+def test_filter_subcommand_writes_decisions(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river"),
+            (2, "the quick brown fox jumps over the lazy dog near the river"),
+            (3, "pack my box with five dozen liquor jugs before the dawn breaks"),
+            (4, "zz"),  # too short → fails the quality gate
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "decisions")
+    docs.write.parquet(src)
+
+    rc = main(
+        [
+            "filter",
+            "--input", src,
+            "--output", out,
+            "--min-quality", "0.2",
+            "--dedup-threshold", "0.5",
+        ]
+    )
+    assert rc == 0
+
+    dec = spark.read.parquet(out)
+    assert set(dec.columns) == {"doc_id", "quality", "pred_lang", "dup_of", "keep"}
+    rows = {r["doc_id"]: r for r in dec.collect()}
+    assert len(rows) == 4
+    # doc 2 is an exact dup of doc 1 → dropped with dup_of = 1
+    assert rows[2]["keep"] == 0 and rows[2]["dup_of"] == 1
+    assert rows[1]["keep"] == 1
+    assert rows[3]["keep"] == 1
+    # the degenerate doc fails quality, not dedup
+    assert rows[4]["keep"] == 0 and rows[4]["dup_of"] == -1
+    # decisions are NULL-free (downstream joins / canonicalizers)
+    assert dec.where(
+        F.col("quality").isNull()
+        | F.col("pred_lang").isNull()
+        | F.col("dup_of").isNull()
+        | F.col("keep").isNull()
+    ).count() == 0
+
+
+def test_filter_subcommand_lang_allowlist(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "the water and the people were there with this other thing"),
+            (2, "der und die das ist nicht ein eine mit sich auch werden"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "decisions")
+    docs.write.parquet(src)
+
+    rc = main(
+        [
+            "filter",
+            "--input", src,
+            "--output", out,
+            "--min-quality", "0.0",
+            "--langs", "en",
+        ]
+    )
+    assert rc == 0
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows[1]["pred_lang"] == "en" and rows[1]["keep"] == 1
+    assert rows[2]["pred_lang"] != "en" and rows[2]["keep"] == 0
