@@ -563,11 +563,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sniff_kind(b).select("doc_id", "n_bytes", "kind")
 
     def q_mm_features(spark, sf):
-        """mapInPandas feature extraction — no SQL twin (rows-only check).
+        """mapInPandas feature extraction — VALUE-checked against DuckDB.
 
-        The features vector ships as a rounded JSON string: the driver
-        canonicalizer cannot sort ARRAY cells (round 1 gate error)."""
+        The fake features are sha256(hex(payload))-derived (reproducible in
+        any SQL engine), and each of the 8 dims ships as its own rounded
+        scalar column: the driver canonicalizer cannot sort ARRAY cells
+        (round-1 gate error), scalars it hashes fine."""
         from search_engine_spark.operators.multimodal import (
+            FEATURE_DIM,
             attach_fake_binary,
             extract_features,
         )
@@ -577,9 +580,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             "n_bytes",
             "kind",
-            F.to_json(
-                F.transform(F.col("features"), lambda x: F.round(x, 6))
-            ).alias("features_json"),
+            *[
+                F.round(F.col("features")[i], 6).alias(f"f{i}")
+                for i in range(FEATURE_DIM)
+            ],
         )
 
     return {
@@ -1122,5 +1126,27 @@ LEFT JOIN dropped2 dr ON d.doc_id = dr.b
 """
 
 
-    # mm_features: mapInPandas pipeline — intentionally no SQL twin
+    # mm_features: the mapInPandas pipeline's fake features are
+    # sha256(hex(payload))-derived exactly so this twin can exist — hex()
+    # and sha256(varchar) are universal builtins; feature_i parses 8 hex
+    # digest chars as a uint32 and scales by 2^-32 (dyadic rational,
+    # bit-identical across engines before the shared 6dp round)
+    from search_engine_spark.operators.multimodal import FEATURE_DIM
+
+    mm_feats = ",\n       ".join(
+        f"round(CAST(concat('0x', substring(h, {8 * i + 1}, 8)) AS BIGINT)"
+        f" / 4294967296.0, 6) AS f{i}"
+        for i in range(FEATURE_DIM)
+    )
+    sql["mm_features"] = rf"""
+WITH p AS (
+  SELECT doc_id,
+         CAST(6 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         sha256(hex('\x89PNG\x0D\x0A'::BLOB || encode(text))) AS h
+  FROM documents
+)
+SELECT doc_id, n_bytes, 'png' AS kind,
+       {mm_feats}
+FROM p
+"""
     return sql

@@ -75,8 +75,14 @@ def decode_image(payload: bytes) -> object:
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic fake feature vector: sha256-seeded unit-free floats.
     Stands in for a CNN/audio embedding so downstream ANN plumbing is
-    testable end to end."""
-    h = hashlib.sha256(payload).digest()
+    testable end to end.
+
+    Derivation is sha256 over the UPPERCASE HEX of the payload (not the
+    raw bytes): hex() and sha256(varchar) are universal SQL builtins, so an
+    external engine (the DuckDB correctness oracle) reproduces every float
+    bit-identically — the fake is value-checkable, not just shape-checkable.
+    feature_i = uint32(digest[4i:4i+4]) / 2^32 ∈ [0, 1)."""
+    h = hashlib.sha256(payload.hex().upper().encode()).digest()
     return [int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)]
 
 

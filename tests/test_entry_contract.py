@@ -26,8 +26,10 @@ _FORBIDDEN = (T.ArrayType, T.MapType, T.StructType)
 
 
 # entries deliberately WITHOUT a SQL twin (the judge sees rows-only checks):
-# mm_features is the mapInPandas pipeline whose feature fake has no SQL form
-INTENTIONAL_ROWS_ONLY = {"mm_features"}
+# none — every entry, including the mapInPandas mm_features pipeline, has a
+# value-checking DuckDB twin (its fake features are sha256(hex(payload))-
+# derived precisely so the twin could exist)
+INTENTIONAL_ROWS_ONLY: set[str] = set()
 
 
 def test_oracle_keys_subset_of_queries():
