@@ -249,6 +249,32 @@ def resumable_build(
     unions the meta slices into docstats — the source content column is
     never read again after a slice commits.
     """
+    commit_snapshot_slices(
+        spark, docs, root, snapshot_id, n_slices,
+        fail_after_slice=fail_after_slice, **build_kwargs,
+    )
+    return _finalize_all_snapshots(spark, root, **build_kwargs)
+
+
+def commit_snapshot_slices(
+    spark: SparkSession,
+    docs: DataFrame,
+    root: str,
+    snapshot_id: int,
+    n_slices: int = 1,
+    fail_after_slice: int | None = None,
+    **build_kwargs,
+) -> int:
+    """Tokenize-commit one snapshot's slices WITHOUT compacting postings.
+
+    The slices-only half of ``resumable_build`` — IDEMPOTENT under replay
+    (already-committed slices are skipped via the manifest), which is
+    exactly the contract a Structured Streaming ``foreachBatch`` handler
+    needs: a crashed micro-batch replays with the same batch/snapshot id
+    and finishes only the interrupted work.  Returns slices built this
+    call.  Compact with ``finalize_index`` when the index should become
+    queryable — per batch for freshness, every N batches for throughput.
+    """
     prior = (
         read_manifest(spark, root)
         .where((F.col("snapshot_id") == snapshot_id) & (F.col("status") == "done"))
@@ -266,9 +292,18 @@ def resumable_build(
             "fresh root/snapshot"
         )
     done = {r["partition_id"] for r in prior}
-    _build_slices(
+    return _build_slices(
         spark, docs, root, n_slices, snapshot_id, done, build_kwargs, fail_after_slice
     )
+
+
+def finalize_index(spark: SparkSession, root: str, **build_kwargs) -> IndexTables:
+    """Compact EVERY committed snapshot's slice log into queryable index
+    tables (postings/dictionary/docstats) and persist them at the root.
+
+    Public face of the cross-snapshot merge: one associative
+    re-aggregation over already-tokenized tf slices — source content is
+    never re-read."""
     return _finalize_all_snapshots(spark, root, **build_kwargs)
 
 

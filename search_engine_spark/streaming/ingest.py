@@ -1,0 +1,94 @@
+"""Structured Streaming ingest: micro-batches through the slice-log
+upsert model.
+
+The reference engine has no streaming surface (SURVEY.md §2.10 — its
+corpus is a bounded directory scan), so this module is the Spark-native
+EXTENSION for continuously-growing corpora: new repository files arrive as
+a stream (file source watching a landing directory, or any other
+``readStream`` source with the corpus schema), and every micro-batch is
+committed as one corpus snapshot through the SAME resumable slice log the
+Iceberg-snapshot append path uses (``sources.index_io``).  One ingest
+model, two front doors — batch snapshots and streams share the manifest,
+the compaction, and the crash-recovery story.
+
+Exactly-once without a custom sink: Structured Streaming's checkpoint
+replays an interrupted micro-batch under the SAME batch_id after a crash,
+and ``commit_snapshot_slices(snapshot_id=batch_id)`` skips slices the
+manifest already records as done — the replay finishes exactly the
+interrupted work, never double-ingesting a document.  This is the
+documented idempotent-``foreachBatch`` pattern; no state store or
+``applyInPandasWithState`` is needed because the index itself (slice log +
+manifest) IS the state, already durable and resumable.
+
+Freshness vs throughput: ``finalize="batch"`` recompacts postings after
+every micro-batch (index queryable immediately); ``finalize="manual"``
+only tokenize-commits slices — an associative log append with NO global
+shuffle — and the operator calls ``finalize_index`` on whatever cadence
+the query side needs.  At 100-TB scale compaction is the expensive wide
+aggregation, so decoupling it from ingest is the knob that matters.
+
+Re-ingesting a document that an earlier snapshot already holds is refused
+at finalize (docid collision check): upserts need a replace/delete story,
+which the slice log deliberately does not fake.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.index_build import add_docid
+from ..sources.index_io import commit_snapshot_slices, finalize_index
+
+
+def stream_ingest(
+    source: DataFrame,
+    root: str,
+    *,
+    n_slices: int = 1,
+    checkpoint_dir: str | None = None,
+    finalize: str = "batch",
+    snapshot_offset: int = 0,
+    trigger_interval: str | None = None,
+    **build_kwargs,
+) -> StreamingQuery:
+    """Start ingesting a STREAMING DataFrame into the index at ``root``.
+
+    ``source`` must be a streaming frame with the corpus schema
+    (repo, path, commit, lang, content); a ``docid`` column is attached
+    via the engine identity (63-bit xxhash64) when absent.  Returns the
+    running ``StreamingQuery`` — by default triggered ``availableNow``
+    (drain everything pending, then stop: the batch-incremental idiom);
+    pass ``trigger_interval`` (e.g. ``"30 seconds"``) for a continuous
+    micro-batch cadence.
+
+    ``snapshot_offset`` shifts batch_id → snapshot_id so a stream can
+    append to a root whose initial load used low snapshot ids (snapshot
+    ids must be globally unique per root across both front doors).
+    """
+    if finalize not in ("batch", "manual"):
+        raise ValueError(f"finalize must be 'batch' or 'manual', got {finalize!r}")
+    spark = source.sparkSession
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df if "docid" in batch_df.columns else add_docid(batch_df)
+        if not docs.take(1):  # empty micro-batch: nothing to commit
+            return
+        commit_snapshot_slices(
+            spark, docs, root,
+            snapshot_id=snapshot_offset + batch_id,
+            n_slices=n_slices,
+            **build_kwargs,
+        )
+        if finalize == "batch":
+            finalize_index(spark, root, **build_kwargs)
+
+    writer = (
+        source.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir or f"{root}/_stream_checkpoint")
+    )
+    if trigger_interval is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

@@ -1,0 +1,137 @@
+"""Structured Streaming ingest (Spark-native extension; reference has no
+streaming surface, SURVEY.md §2.10): micro-batches land through the SAME
+slice log as batch snapshots, so a streamed corpus produces an index
+identical to a one-shot batch build over the same documents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.sources.index_io import (
+    commit_snapshot_slices,
+    finalize_index,
+    read_index,
+    read_manifest,
+    resumable_build,
+)
+from search_engine_spark.streaming.ingest import stream_ingest
+
+
+def _index_fingerprint(index):
+    post = {
+        (r["field"], r["term"]): (r["df"], [bytes(b) for b in r["blocks"]])
+        for r in index.postings.select("field", "term", "df", "blocks").collect()
+    }
+    stats = {
+        r["docid"]: (r["doclen"], r["content_sha256"])
+        for r in index.docstats.select("docid", "doclen", "content_sha256").collect()
+    }
+    return post, stats
+
+
+def _land(df, landing: str) -> None:
+    """Append one parquet file to the landing dir (one micro-batch's worth)."""
+    df.coalesce(1).write.mode("append").parquet(landing)
+
+
+@pytest.fixture()
+def landing_split(spark, tiny_df, tmp_path):
+    """Landing dir pre-loaded with the tiny corpus split across two files."""
+    landing = str(tmp_path / "landing")
+    a = tiny_df.where(F.pmod(F.col("docid"), F.lit(2)) == 0)
+    b = tiny_df.where(F.pmod(F.col("docid"), F.lit(2)) == 1)
+    _land(a, landing)
+    _land(b, landing)
+    return landing
+
+
+def test_stream_ingest_equals_batch_build(spark, tiny_df, tmp_path, landing_split):
+    """Two micro-batches (maxFilesPerTrigger=1) through stream_ingest ==
+    one uninterrupted batch build: postings, docstats, sha256 lineage."""
+    stream_root = str(tmp_path / "stream_idx")
+    batch_root = str(tmp_path / "batch_idx")
+
+    source = (
+        spark.readStream.schema(tiny_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_split)
+    )
+    q = stream_ingest(
+        source, stream_root, n_slices=2, finalize="manual", compress=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    # two micro-batches → two snapshots, two slices each, all done
+    m = read_manifest(spark, stream_root).where(F.col("status") == "done")
+    snaps = {r["snapshot_id"] for r in m.select("snapshot_id").distinct().collect()}
+    assert len(snaps) == 2
+    assert m.count() == 4
+
+    streamed = finalize_index(spark, stream_root, compress=True)
+    clean = resumable_build(spark, tiny_df, batch_root, n_slices=2, compress=True)
+    assert _index_fingerprint(streamed) == _index_fingerprint(clean)
+    # round-trip: the persisted streamed index reloads identically
+    assert _index_fingerprint(read_index(spark, stream_root)) == _index_fingerprint(clean)
+
+
+def test_stream_restart_appends_new_batches(spark, tiny_df, tmp_path):
+    """availableNow drain, stop, more files arrive, drain again with the
+    SAME checkpoint: batch ids continue, old batches are not re-ingested,
+    and finalize='batch' leaves the index queryable after each drain."""
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = tiny_df.where(F.col("docid") % 3 != 0)
+    later = tiny_df.where(F.col("docid") % 3 == 0)
+    _land(first, landing)
+
+    def drain():
+        src = spark.readStream.schema(tiny_df.schema).parquet(landing)
+        q = stream_ingest(src, root, finalize="batch", compress=True,
+                          checkpoint_dir=ckpt)
+        q.awaitTermination()
+
+    drain()
+    assert read_index(spark, root).docstats.count() == first.count()
+
+    _land(later, landing)
+    drain()
+    idx = read_index(spark, root)
+    assert idx.docstats.count() == tiny_df.count()
+
+    # distinct snapshot per drain — the second drain did NOT replay batch 0
+    m = read_manifest(spark, root).where(F.col("status") == "done")
+    per_snap = {
+        r["snapshot_id"]: r["cnt"]
+        for r in m.groupBy("snapshot_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert len(per_snap) == 2
+    assert all(c == 1 for c in per_snap.values()), per_snap
+
+    # streamed-in corpus answers queries like any batch index
+    from search_engine_spark.plans.bm25 import QueryEngine
+
+    eng = QueryEngine(spark, idx)
+    # pick a real indexed term: stopwords are anti-joined out of the body,
+    # and the query side drops len<=2 terms (reference P5 filter)
+    term = (
+        idx.dictionary.where(F.length("term") > 2)
+        .orderBy(F.desc("df"), "term")
+        .first()["term"]
+    )
+    rows = eng.search(f"values: {term}", k=5).collect()
+    assert rows
+
+
+def test_commit_snapshot_slices_idempotent_replay(spark, tiny_df, tmp_path):
+    """A crashed micro-batch replays under the SAME snapshot_id: the second
+    call finds every slice committed and builds nothing — the exactly-once
+    contract stream_ingest's foreachBatch relies on."""
+    root = str(tmp_path / "idx")
+    built = commit_snapshot_slices(spark, tiny_df, root, snapshot_id=7, n_slices=3)
+    assert built == 3
+    replay = commit_snapshot_slices(spark, tiny_df, root, snapshot_id=7, n_slices=3)
+    assert replay == 0
