@@ -374,6 +374,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
         return _ranked_literal_df(spark, out)
 
+    def q_bm25_streamed(spark, sf):
+        """Structured Streaming ingest correctness from the driver's seat:
+        the corpus landed as TWO micro-batches (file source,
+        maxFilesPerTrigger=1) through streaming.ingest.stream_ingest — each
+        batch a slice-log snapshot, compacted once at the end — must answer
+        the SAME BM25 query identically to the whole-corpus oracle."""
+        import shutil
+        import tempfile
+
+        from search_engine_spark.plans.bm25 import QueryEngine
+        from search_engine_spark.sources.corpus import load_testdata_documents
+        from search_engine_spark.sources.index_io import finalize_index, read_index
+        from search_engine_spark.streaming.ingest import stream_ingest
+
+        docs = load_testdata_documents(spark, sf)
+        work = tempfile.mkdtemp(prefix="gate_stream_idx_")
+        landing, root = f"{work}/landing", f"{work}/idx"
+        try:
+            for parity in (0, 1):
+                (docs.where(F.col("docid") % 2 == parity)
+                     .coalesce(1).write.mode("append").parquet(landing))
+            source = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(landing)
+            )
+            q = stream_ingest(
+                source, root, finalize="manual", compress=True, title_col=None,
+                checkpoint_dir=f"{work}/ckpt",
+            )
+            q.awaitTermination()
+            finalize_index(spark, root, compress=True, title_col=None)
+            eng = QueryEngine(spark, read_index(spark, root), cache_docstats=False)
+            rows = eng.search("values: " + " ".join(BM25_TERMS), k=100).collect()
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        ranked = sorted(
+            ((r["docid"], round(r["score"], 6)) for r in rows),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        out = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+        return _ranked_literal_df(spark, out)
+
     def q_topk_per_query(spark, sf):
         """Batched multi-query top-k via window (SURVEY.md §2.8)."""
         scored = _term_contribs(spark, sf, BATCH_TERMS).select(
@@ -598,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_salted": q_bm25_wand_salted,
         "bm25_wand_sharded": q_bm25_wand_sharded,
         "bm25_incremental_topk": q_bm25_incremental,
+        "bm25_streamed": q_bm25_streamed,
         "topk_per_query": q_topk_per_query,
         "facet_sets": q_facet_sets,
         "facet_sets_multi": q_facet_sets_multi,
@@ -829,6 +873,8 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
     sql["bm25_wand_salted"] = _bm25_sql(BM25_TERMS, and_mode=False)
     sql["bm25_wand_sharded"] = _bm25_sql(BM25_TERMS, and_mode=False)
     sql["bm25_incremental_topk"] = _bm25_sql(BM25_TERMS, and_mode=False)
+    # streamed ingest compacts into the same index tables — same twin
+    sql["bm25_streamed"] = _bm25_sql(BM25_TERMS, and_mode=False)
 
     tlist = ", ".join(f"'{t}'" for t in BATCH_TERMS)
     sql["topk_per_query"] = f"""

@@ -362,9 +362,28 @@ def build_index(
 
 
 def assert_docid_unique(docs: DataFrame) -> None:
-    """Loud failure on docid collision (vs the reference's silent merge)."""
+    """Loud failure on docid collision (vs the reference's silent merge) or
+    out-of-range docid — ONE aggregate job covers both checks.
+
+    Docids must lie in [0, 2^63): the salted build derives segment ids from
+    the TOP bits via ``shiftrightunsigned`` (unsigned) while segment
+    postings sort SIGNED, so a negative user-supplied docid would silently
+    break the disjoint-and-ordered segment invariant that WAND stitching
+    and the delta codec rely on (round-1 ADVICE).  Top-bit salting
+    LOAD-BALANCES only when docids are uniform hashes (the engine's
+    ``add_docid`` scheme); sequential ids stay correct but collapse into
+    one segment per heavy term.
+    """
     row = docs.agg(
-        F.count(F.lit(1)).alias("n"), F.countDistinct("docid").alias("d")
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("docid").alias("d"),
+        F.min("docid").alias("lo"),
     ).collect()[0]
     if row["n"] != row["d"]:
         raise ValueError(f"docid collision: {row['n']} rows, {row['d']} distinct docids")
+    if row["lo"] is not None and row["lo"] < 0:
+        raise ValueError(
+            f"negative docid {row['lo']}: docids must be in [0, 2^63) — the "
+            "salted segment invariant (unsigned top-bit ranges vs signed "
+            "sort) breaks below 0; use add_docid or supply non-negative ids"
+        )

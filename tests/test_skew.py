@@ -96,3 +96,19 @@ def test_heavy_terms_are_the_floods(spark, tiny_df):
 
     assert len(heavy & set(STOPWORDS)) >= 10, sorted(heavy)[:10]
     assert not heavy & set(RARE_TERMS)
+
+
+def test_negative_docid_rejected(spark, tiny_df):
+    """Docid range guards (round-1 ADVICE): negative docids would break the
+    unsigned-top-bit vs signed-sort segment invariant — both the one-job
+    aggregate check and the salted build itself must fail loudly."""
+    import pytest
+
+    from search_engine_spark.operators.index_build import assert_docid_unique
+
+    bad = tiny_df.withColumn("docid", -F.col("docid") - F.lit(1))
+    with pytest.raises(ValueError, match=r"negative docid"):
+        assert_docid_unique(bad)
+    # the salted build refuses negative docids upfront (index_from_tf guard)
+    with pytest.raises(ValueError, match=r"docids in \[0, 2\^63\)"):
+        build_index(spark, bad, salt_threshold=30, n_salts=4)
