@@ -44,6 +44,10 @@ def _raw_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _raw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
 def _raw_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -605,6 +609,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         b = attach_fake_binary(_raw_docs(spark, sf))
         return sniff_kind(b).select("doc_id", "n_bytes", "kind")
 
+    def q_events_windowed(spark, sf):
+        """Tumbling-window event analytics (operators/events.py) — the same
+        call runs streaming with a watermark; batch mode is what the gate
+        value-checks.  Window keys are epoch seconds (engine-neutral)."""
+        from search_engine_spark.operators.events import windowed_event_counts
+
+        return windowed_event_counts(_raw_events(spark, sf), window="5 minutes")
+
+    def q_events_sessionize(spark, sf):
+        """Per-user session windows, 30-minute INCLUSIVE gap (an event at
+        exactly prev_ts + gap extends the session — pinned by
+        tests/test_events.py; the SQL island break is diff > gap)."""
+        from search_engine_spark.operators.events import sessionize
+
+        return sessionize(_raw_events(spark, sf), gap="30 minutes")
+
+    def q_events_stateful_totals(spark, sf):
+        """applyInPandasWithState running totals: the events table streamed
+        as TWO micro-batches through streaming/stateful.py; the FINAL
+        per-user state must equal a batch GROUP BY (the SQL twin)."""
+        import shutil
+        import tempfile
+        import uuid
+
+        from search_engine_spark.streaming.stateful import final_user_totals
+
+        events = _raw_events(spark, sf)
+        work = tempfile.mkdtemp(prefix="gate_stateful_ev_")
+        landing = f"{work}/landing"
+        try:
+            for parity in (0, 1):
+                (events.where(F.col("event_id") % 2 == parity)
+                       .coalesce(1).write.mode("append").parquet(landing))
+            src = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(landing)
+            )
+            totals = final_user_totals(
+                spark, src, f"gate_totals_{uuid.uuid4().hex[:8]}"
+            )
+        finally:
+            # the memory sink holds emitted rows in memory — the landing
+            # dir is only needed while the stream drains
+            shutil.rmtree(work, ignore_errors=True)
+        return totals
+
     def q_mm_features(spark, sf):
         """mapInPandas feature extraction — VALUE-checked against DuckDB.
 
@@ -666,6 +717,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "binary_meta": q_binary_meta,
         "mm_features": q_mm_features,
+        "events_windowed": q_events_windowed,
+        "events_sessionize": q_events_sessionize,
+        "events_stateful_totals": q_events_stateful_totals,
     }
 
 
@@ -875,6 +929,50 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
     sql["bm25_incremental_topk"] = _bm25_sql(BM25_TERMS, and_mode=False)
     # streamed ingest compacts into the same index tables — same twin
     sql["bm25_streamed"] = _bm25_sql(BM25_TERMS, and_mode=False)
+
+    # events analytics: window keys are epoch-second arithmetic, immune to
+    # time_bucket origin conventions.  Spark's window origin is the Unix
+    # epoch, so floor(epoch/width)*width reproduces F.window exactly.
+    sql["events_windowed"] = """
+SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+    # Spark session-window gap is INCLUSIVE (tests/test_events.py pins an
+    # event at exactly prev_ts + gap extending the session) → the island
+    # break here is strictly >, not >=.
+    sql["events_sessionize"] = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+    # the stateful accumulator's FINAL state is exactly a batch GROUP BY
+    sql["events_stateful_totals"] = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY user_id
+"""
 
     tlist = ", ".join(f"'{t}'" for t in BATCH_TERMS)
     sql["topk_per_query"] = f"""

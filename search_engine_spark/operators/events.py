@@ -1,0 +1,89 @@
+"""Event-stream analytics: tumbling windows and session windows.
+
+The reference engine has no event/time surface at all (SURVEY.md §2.8,
+§2.10 — its corpus is a one-shot directory parse), so this module is the
+Spark-native EXTENSION for the `events` table shape a training-data
+pipeline logs around an index build (ingest ticks, query traffic, quality
+rejections): ``(event_id, ts, user_id, event_type, value, props)``.
+
+Both operators are written once and run in BOTH execution modes:
+
+- **batch** — a plain groupBy; this is what the driver's DuckDB gate
+  value-checks (``events_windowed``, ``events_sessionize``).
+- **streaming** — the same call on a ``readStream`` frame; pass
+  ``watermark=`` so Spark can close windows and emit them in append mode,
+  dropping events later than the bound (tested in tests/test_events.py).
+
+Scale: each operator is ONE shuffle with map-side partial aggregation —
+tumbling windows key on (window, event_type) (bounded cardinality:
+windows × types), sessions key on user_id.  Per-user session state is
+O(events of that user in flight); skewed users are real (bots) but the
+session gap bounds how long any one key accumulates.  Window keys ship as
+EPOCH SECONDS (bigint), not timestamps: deterministic across engines and
+immune to session-timezone parquet rebasing (the session runs UTC,
+session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window event counts + value sums per event_type.
+
+    → (window_start: bigint epoch-sec, event_type, n_events, sum_value).
+    Window origin is the Unix epoch (Spark's ``F.window`` default), so
+    ``window_start = floor(epoch(ts) / width) * width`` — the exact
+    arithmetic any SQL twin can reproduce without time_bucket origin
+    ambiguity.  ``sum_value`` rounds to 6dp AFTER the fold (inputs carry
+    2dp, so double error ~1e-12 never sits on a 6dp boundary).
+    """
+    e = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        e.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-user session windows (gap-based): consecutive events of a user
+    belong to one session while each starts within the previous event's
+    ``ts + gap`` INCLUSIVE — an event at exactly ``prev_ts + gap`` still
+    extends the session (pinned by tests/test_events.py; a SQL twin must
+    use ``ts - lag(ts) > gap`` for the island break, not ``>=``).
+
+    → (user_id, session_start: bigint epoch-sec, n_events, sum_value).
+    ``session_start`` floors the first event's timestamp to whole seconds.
+    """
+    e = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )

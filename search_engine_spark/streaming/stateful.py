@@ -1,0 +1,88 @@
+"""Custom stateful streaming operator: running per-user totals via
+``applyInPandasWithState``.
+
+The built-in streaming aggregations (windowed_event_counts / sessionize in
+operators/events.py) cover time-keyed state; this operator is the
+UNBOUNDED-lifetime kind a pipeline dashboard needs — "how much has each
+user done so far, updated every micro-batch" — which plain append-mode
+aggregation cannot express.  State per key is two numbers (count, sum):
+the state store scales with |users|, not |events|, and partitions by the
+grouping key across executors.  For very large key spaces configure the
+RocksDB state store provider (spark.sql.streaming.stateStore.providerClass)
+so state spills off-heap; the operator itself is unchanged.
+
+Emission contract: every micro-batch emits one row per user SEEN IN THAT
+BATCH with the post-batch running totals.  ``n_events`` is strictly
+monotone per user, so a consumer (or the driver gate) recovers the FINAL
+totals from any update-mode sink as the row with max ``n_events`` per
+user — no ordering assumption on the sink.
+
+NOTE: no ``from __future__ import annotations`` here — Arrow-path
+function resolution needs real (non-stringified) type objects.
+"""
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
+STATE_SCHEMA = "n bigint, s double"
+
+
+def _update_totals(
+    key: Tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        # stable in-batch order (rows arrive in file order); double error
+        # ~1e-12 on 2dp inputs never reaches the 6dp consumer rounding
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """STREAMING frame of (user_id, n_events, sum_value) running totals,
+    one update-mode row per (batch, user-seen-in-batch).  Use with
+    ``.writeStream.outputMode("update")``."""
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        _update_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def final_user_totals(spark, events_stream: DataFrame, query_name: str) -> DataFrame:
+    """Drain ``events_stream`` through running_user_totals into a memory
+    sink (availableNow) and return the FINAL per-user totals as a BATCH
+    frame (max-n_events row per user, 6dp-rounded sum) — the shape a
+    batch GROUP BY user_id would produce, which is exactly what the
+    driver's SQL oracle checks."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    q = (
+        running_user_totals(events_stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(query_name)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "n_events", F.round("sum_value", 6).alias("sum_value"))
+    )

@@ -1,0 +1,234 @@
+"""Event-stream analytics (operators/events.py, streaming/stateful.py):
+batch semantics pinned exactly, then stream==batch equivalence through
+real micro-batches, watermark late-drop, and the stateful accumulator."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from search_engine_spark.operators.events import sessionize, windowed_event_counts
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    """rows: (event_id, sec_offset, user_id, event_type, value)."""
+    return spark.createDataFrame(
+        [
+            Row(
+                event_id=i,
+                ts=T0 + dt.timedelta(seconds=sec),
+                user_id=u,
+                event_type=t,
+                value=float(v),
+            )
+            for (i, sec, u, t, v) in rows
+        ]
+    )
+
+
+@pytest.fixture()
+def small_events(spark):
+    return _ev(
+        spark,
+        [
+            (0, 10, 1, "click", 1.25),
+            (1, 70, 1, "click", 2.50),   # second minute
+            (2, 95, 2, "view", 4.00),
+            (3, 130, 1, "error", 8.00),  # third minute
+            (4, 140, 2, "click", 0.50),
+        ],
+    )
+
+
+def test_windowed_counts_batch_exact(spark, small_events):
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(small_events, window="1 minute").collect()
+    }
+    e = int(T0.timestamp())  # session tz is UTC → epoch of 2024-01-01
+    assert got == {
+        (e, "click"): (1, 1.25),
+        (e + 60, "click"): (1, 2.5),
+        (e + 60, "view"): (1, 4.0),
+        (e + 120, "error"): (1, 8.0),
+        (e + 120, "click"): (1, 0.5),
+    }
+
+
+def test_sessionize_gap_boundary(spark):
+    """Spark's session-window gap is INCLUSIVE: an event at exactly
+    prev_ts + gap still extends the session; one microsecond past it opens
+    a new one — the semantics the SQL oracle's island break (diff > gap,
+    strictly) must mirror."""
+    past = 300 + 1e-6  # 120s + 1µs after event #2 at t=180
+    ev = _ev(
+        spark,
+        [
+            (0, 0, 1, "click", 1.0),
+            (1, 60, 1, "click", 1.0),     # inside the 2-min gap: same session
+            (2, 180, 1, "click", 1.0),    # exactly 120s after #1: still same
+            (3, past, 1, "click", 1.0),   # 1µs past #2's gap: NEW session
+            (4, 240, 2, "view", 3.0),     # other user: own session
+        ],
+    )
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["sum_value"])
+        for r in sessionize(ev, gap="2 minutes").collect()
+    )
+    e = int(T0.timestamp())
+    assert got == [(1, e, 3, 3.0), (1, e + 300, 1, 1.0), (2, e + 240, 1, 3.0)]
+
+
+def _stream_through(spark, tmp_path, frames, build_result, name, watermark_flush=None):
+    """Land each frame as one parquet file, stream with maxFilesPerTrigger=1
+    through build_result(stream_df) into a memory sink (append mode),
+    availableNow; return the sink table."""
+    landing = str(tmp_path / "landing")
+    for f in frames:
+        f.coalesce(1).write.mode("append").parquet(landing)
+    src = (
+        spark.readStream.schema(frames[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = (
+        build_result(src)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_windowed_stream_equals_batch(spark, small_events, tmp_path):
+    """Streamed windowed counts (2 micro-batches, 1-minute watermark) equal
+    the batch result over the same events.  A far-future flush event rides
+    in the last batch so the watermark passes every real window (append
+    mode emits a window only once the watermark clears its end); the flush
+    event's own window is the one row allowed to be missing."""
+    flush = _ev(spark, [(99, 10_000, 9, "flush", 0.0)])
+    a = small_events.where(F.col("event_id") < 3)
+    b = small_events.where(F.col("event_id") >= 3).unionByName(flush)
+
+    streamed = _stream_through(
+        spark, tmp_path, [a, b],
+        lambda s: windowed_event_counts(s, window="1 minute", watermark="1 minute"),
+        "win_stream",
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in streamed.collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(small_events, window="1 minute").collect()
+    }
+    assert got == want
+
+
+def test_watermark_drops_late_event(spark, small_events, tmp_path):
+    """An event arriving far behind the watermark is DROPPED from the
+    streamed aggregation (late-data bound), while batch still counts it.
+    Two availableNow drains share one checkpoint so the watermark from
+    drain 1 (advanced to ~2h by the tick event) deterministically precedes
+    the late event's arrival in drain 2 — a single multi-file drain gives
+    no ordering guarantee between landed files."""
+    landing, ckpt = str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    on_time = small_events.unionByName(
+        _ev(spark, [(98, 7_200, 3, "tick", 0.0)])  # advances watermark to 2h
+    )
+    late = _ev(spark, [(99, 15, 1, "click", 100.0)])  # hours behind by drain 2
+    flush = _ev(spark, [(97, 20_000, 9, "flush", 0.0)])
+
+    emitted: list = []
+
+    def drain(df):
+        # memory sink cannot recover from a checkpoint — collect emitted
+        # windows through foreachBatch instead (recovery-capable sink)
+        df.coalesce(1).write.mode("append").parquet(landing)
+        src = spark.readStream.schema(small_events.schema).parquet(landing)
+        q = (
+            windowed_event_counts(src, window="1 minute", watermark="1 minute")
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda b, _id: emitted.extend(b.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain(on_time)
+    drain(late.unionByName(flush))
+    e = int(T0.timestamp())
+    row = [
+        r for r in emitted
+        if r["window_start"] == e and r["event_type"] == "click"
+    ]
+    # the late 100.0-value click never reaches the window; batch does count it
+    assert [(r["n_events"], r["sum_value"]) for r in row] == [(1, 1.25)]
+    batch_row = (
+        windowed_event_counts(on_time.unionByName(late), window="1 minute")
+        .where((F.col("window_start") == e) & (F.col("event_type") == "click"))
+        .collect()
+    )
+    assert [(r["n_events"], r["sum_value"]) for r in batch_row] == [(2, 101.25)]
+
+
+def test_sessionize_stream_equals_batch(spark, small_events, tmp_path):
+    flush = _ev(spark, [(99, 50_000, 9, "flush", 0.0)])
+    a = small_events.where(F.col("event_id") % 2 == 0)
+    b = small_events.where(F.col("event_id") % 2 == 1).unionByName(flush)
+    streamed = _stream_through(
+        spark, tmp_path, [a, b],
+        lambda s: sessionize(s, gap="2 minutes", watermark="1 minute"),
+        "sess_stream",
+    )
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["sum_value"])
+        for r in streamed.where(F.col("user_id") != 9).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["sum_value"])
+        for r in sessionize(small_events, gap="2 minutes").collect()
+    )
+    assert got == want
+
+
+def test_stateful_running_totals(spark, small_events, tmp_path):
+    """applyInPandasWithState accumulator across two micro-batches: final
+    per-user totals equal a batch GROUP BY, and intermediate updates are
+    monotone in n_events."""
+    from search_engine_spark.streaming.stateful import final_user_totals
+
+    landing = str(tmp_path / "landing")
+    for parity in (0, 1):
+        (small_events.where(F.col("event_id") % 2 == parity)
+         .coalesce(1).write.mode("append").parquet(landing))
+    src = (
+        spark.readStream.schema(small_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    got = sorted(
+        (r["user_id"], r["n_events"], r["sum_value"])
+        for r in final_user_totals(spark, src, "totals_stream").collect()
+    )
+    want = sorted(
+        (r["user_id"], r["n_events"], r["sum_value"])
+        for r in small_events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .collect()
+    )
+    assert got == want
+    # update-mode sink holds one row per (batch, user): strictly more rows
+    # than users whenever a user spans batches
+    assert spark.table("totals_stream").count() >= len(want)
