@@ -29,7 +29,11 @@ aggregation, so decoupling it from ingest is the knob that matters.
 
 Re-ingesting a document that an earlier snapshot already holds is refused
 at finalize (docid collision check): upserts need a replace/delete story,
-which the slice log deliberately does not fake.
+which the slice log deliberately does not fake.  ``skip_existing=True``
+instead SKIPS re-landed docids per micro-batch (anti-join against
+manifest-committed meta) — the right mode for landing zones where files
+overlap; identical content under a new docid is still ingested (use the
+dedup operators for content-level thinning).
 """
 
 from __future__ import annotations
@@ -41,6 +45,48 @@ from ..operators.index_build import add_docid
 from ..sources.index_io import commit_snapshot_slices, finalize_index
 
 
+def _drop_already_indexed(spark, docs: DataFrame, root: str) -> DataFrame:
+    """Anti-join a micro-batch against every docid the slice log has
+    committed (any snapshot) so re-landed documents are skipped instead of
+    tripping finalize's docid-collision refusal.
+
+    The seen-set is restricted to slices the MANIFEST marks done — a meta
+    file orphaned by a crash between its write and the manifest append
+    must NOT suppress its docs, or the replayed slice would rebuild empty
+    (the docs would be lost).  The manifest is tiny → broadcast semi-join.
+
+    Scale posture: the seen-set is the committed ``_slices/meta`` parquet
+    read with docid-only column pruning; the anti-join broadcasts or
+    shuffles the SEEN side depending on size.  At extreme corpus sizes
+    (seen >> memory) the right design is a bloom pre-filter on docid in
+    front of this exact join — the join stays as the precise backstop.
+    ``refreshByPath`` first: the FileStatusCache serves stale listings
+    after earlier batches added snapshot partitions under the same path.
+    """
+    from pyspark.sql import functions as F
+
+    from ..sources.index_io import read_manifest
+
+    meta_path = f"{root}/_slices/meta"
+    try:
+        spark.catalog.refreshByPath(meta_path)
+        committed = spark.read.parquet(meta_path)
+        done = (
+            read_manifest(spark, root)
+            .where(F.col("status") == "done")
+            .select(
+                F.col("snapshot_id").alias("snapshot"),
+                F.col("partition_id").alias("slice"),
+            )
+        )
+        seen = committed.join(
+            F.broadcast(done), on=["snapshot", "slice"], how="left_semi"
+        ).select("docid")
+    except Exception:  # first batch: nothing committed yet
+        return docs
+    return docs.join(seen, "docid", "left_anti")
+
+
 def stream_ingest(
     source: DataFrame,
     root: str,
@@ -50,6 +96,7 @@ def stream_ingest(
     finalize: str = "batch",
     snapshot_offset: int = 0,
     trigger_interval: str | None = None,
+    skip_existing: bool = False,
     **build_kwargs,
 ) -> StreamingQuery:
     """Start ingesting a STREAMING DataFrame into the index at ``root``.
@@ -72,6 +119,8 @@ def stream_ingest(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         docs = batch_df if "docid" in batch_df.columns else add_docid(batch_df)
+        if skip_existing:
+            docs = _drop_already_indexed(spark, docs, root)
         if not docs.take(1):  # empty micro-batch: nothing to commit
             return
         commit_snapshot_slices(

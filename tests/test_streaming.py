@@ -135,3 +135,34 @@ def test_commit_snapshot_slices_idempotent_replay(spark, tiny_df, tmp_path):
     assert built == 3
     replay = commit_snapshot_slices(spark, tiny_df, root, snapshot_id=7, n_slices=3)
     assert replay == 0
+
+
+def test_skip_existing_tolerates_overlapping_files(spark, tiny_df, tmp_path):
+    """skip_existing=True: a landing file that re-delivers already-indexed
+    docs (plus new ones) ingests ONLY the new docs — the final index equals
+    a clean one-shot batch build, where the default mode would refuse the
+    docid collision at finalize."""
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = tiny_df.where(F.col("docid") % 3 != 0)
+    overlap = tiny_df.where(  # re-delivers half of `first` + all new docs
+        (F.col("docid") % 3 == 0) | (F.col("docid") % 2 == 0)
+    )
+
+    def drain(df):
+        _land(df, landing)
+        src = spark.readStream.schema(tiny_df.schema).parquet(landing)
+        q = stream_ingest(src, root, finalize="manual", compress=True,
+                          skip_existing=True, checkpoint_dir=ckpt)
+        q.awaitTermination()
+
+    drain(first)
+    drain(overlap)
+    streamed = finalize_index(spark, root, compress=True)
+
+    clean = resumable_build(
+        spark, tiny_df, str(tmp_path / "batch_idx"), n_slices=1, compress=True
+    )
+    assert _index_fingerprint(streamed) == _index_fingerprint(clean)
