@@ -217,6 +217,20 @@ def main() -> None:
         timed_best("q9_lang_id", lambda: _force(lang_id(raw_docs)), runs=2)
         timed_best("q9b_quality", lambda: _force(quality_score(raw_docs)), runs=2)
         timed_best("q10_fingerprint", lambda: _force(fingerprint(raw_docs)), runs=2)
+
+        # --- event-stream analytics (batch mode of the streaming ops) ---
+        from search_engine_spark.operators.events import (
+            sessionize,
+            windowed_event_counts,
+        )
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(cpus).cache()
+        events.count()
+        timed_best(
+            "q11_events_windowed",
+            lambda: _force(windowed_event_counts(events)), runs=2,
+        )
+        timed_best("q11b_sessionize", lambda: _force(sessionize(events)), runs=2)
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
 

@@ -182,6 +182,44 @@ def cmd_filter(args) -> int:
     return 0
 
 
+def cmd_ingest_stream(args) -> int:
+    """Drain a landing directory into an index root through Structured
+    Streaming micro-batches (streaming/ingest.py) — one availableNow pass;
+    re-run as new files land (the checkpoint skips drained ones)."""
+    from .sources.corpus import map_testdata_columns
+    from .sources.index_io import finalize_index
+    from .streaming.ingest import stream_ingest
+
+    spark = _spark(args)
+    # file streams need an explicit schema: sample it from a batch read
+    schema = spark.read.parquet(args.landing).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", args.max_files_per_trigger)
+        .parquet(args.landing)
+    )
+    if "doc_id" in src.columns and "text" in src.columns:
+        src = map_testdata_columns(src)
+    q = stream_ingest(
+        src,
+        args.output,
+        n_slices=max(1, args.slices),
+        finalize="manual",
+        skip_existing=args.skip_existing,
+        snapshot_offset=args.snapshot_offset,
+        checkpoint_dir=args.checkpoint,
+        compress=not args.no_compress,
+        stem=args.stem,
+    )
+    q.awaitTermination()
+    # one compaction after the drain (cheaper than per-batch for a catch-up
+    # pass; the slice log is already durable either way)
+    finalize_index(spark, args.output, compress=not args.no_compress, stem=args.stem)
+    n = spark.read.parquet(f"{args.output}/docstats").count()
+    print(f"index covers {n} documents → {args.output}")
+    return 0
+
+
 def cmd_print_database(args) -> int:
     spark = _spark(args)
     post = spark.read.parquet(f"{args.index}/postings")
@@ -293,6 +331,33 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--langs", default=None, help="comma-separated allow-list (default: any)")
     f.add_argument("--dedup-threshold", type=float, default=0.5)
     f.set_defaults(fn=cmd_filter)
+
+    st = sub.add_parser(
+        "ingest-stream",
+        help="drain a parquet landing dir into an index via Structured Streaming",
+    )
+    st.add_argument("--landing", required=True, help="landing directory to watch")
+    st.add_argument("--output", required=True, help="index root directory")
+    st.add_argument("--slices", type=int, default=1, help="slices per micro-batch")
+    st.add_argument(
+        "--checkpoint", default=None,
+        help="stream checkpoint dir (default: <output>/_stream_checkpoint)",
+    )
+    st.add_argument(
+        "--max-files-per-trigger", type=int, default=1,
+        help="files per micro-batch (default 1)",
+    )
+    st.add_argument(
+        "--skip-existing", action="store_true",
+        help="skip re-landed docids instead of refusing the collision",
+    )
+    st.add_argument(
+        "--snapshot-offset", type=int, default=0,
+        help="shift batch ids when appending to a root with existing snapshots",
+    )
+    st.add_argument("--stem", action="store_true")
+    st.add_argument("--no-compress", action="store_true")
+    st.set_defaults(fn=cmd_ingest_stream)
 
     d = sub.add_parser("print-database", help="dump postings (term, df)")
     d.add_argument("--index", required=True)

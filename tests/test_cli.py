@@ -81,3 +81,39 @@ def test_filter_subcommand_lang_allowlist(spark, tmp_path):
     rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
     assert rows[1]["pred_lang"] == "en" and rows[1]["keep"] == 1
     assert rows[2]["pred_lang"] != "en" and rows[2]["keep"] == 0
+
+
+def test_ingest_stream_subcommand(spark, tiny_df, tmp_path, capsys):
+    """ingest-stream drains a landing dir into a queryable index; a second
+    drain with --skip-existing tolerates a re-landed overlap file."""
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "idx")
+
+    first = tiny_df.where(F.col("docid") % 2 == 0)
+    rest = tiny_df  # full corpus: overlaps `first`
+    first.coalesce(1).write.mode("append").parquet(landing)
+
+    rc = main(["--cores", "8", "ingest-stream", "--landing", landing,
+               "--output", root])
+    assert rc == 0
+    assert f"index covers {first.count()} documents" in capsys.readouterr().out
+
+    rest.coalesce(1).write.mode("append").parquet(landing)
+    rc = main(["--cores", "8", "ingest-stream", "--landing", landing,
+               "--output", root, "--skip-existing"])
+    assert rc == 0
+    assert f"index covers {tiny_df.count()} documents" in capsys.readouterr().out
+
+    # the streamed-in index answers searches through the normal CLI path
+    from search_engine_spark.sources.index_io import read_index
+
+    term = (
+        read_index(spark, root).dictionary
+        .where(F.length("term") > 2)
+        .orderBy(F.desc("df"), "term")
+        .first()["term"]
+    )
+    rc = main(["--cores", "8", "search", "--index", root,
+               "--query", f"values: {term}"])
+    assert rc == 0
+    assert capsys.readouterr().out.strip()
