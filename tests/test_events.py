@@ -232,3 +232,51 @@ def test_stateful_running_totals(spark, small_events, tmp_path):
     # update-mode sink holds one row per (batch, user): strictly more rows
     # than users whenever a user spans batches
     assert spark.table("totals_stream").count() >= len(want)
+
+
+def test_sessionize_randomized_parity(spark):
+    """Seeded fuzz: sessionize over random micro-timestamped events equals
+    a pure-Python gaps-and-islands model with the INCLUSIVE gap rule
+    (diff <= gap merges; diff > gap breaks) — the exact contract the
+    events_sessionize SQL oracle encodes."""
+    import random
+
+    rng = random.Random(0xE7)
+    gap_s = 120.0
+    rows = []
+    for i in range(300):
+        u = rng.randrange(8)
+        # cluster arrivals so plenty of diffs land both sides of the gap
+        sec = rng.uniform(0, 6_000) if rng.random() < 0.7 else rng.uniform(0, 600)
+        rows.append((i, round(sec, 6), u, "e", round(rng.uniform(0, 9), 2)))
+
+    ev = _ev(spark, rows)
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["sum_value"])
+        for r in sessionize(ev, gap="2 minutes").collect()
+    )
+
+    per_user: dict[int, list[tuple[float, float]]] = {}
+    for (_i, sec, u, _t, v) in rows:
+        per_user.setdefault(u, []).append((sec, v))
+    want = []
+    for u, evs in per_user.items():
+        evs.sort()
+        cur: list[tuple[float, float]] = []
+        for sec, v in evs:
+            if cur and sec - cur[-1][0] > gap_s:
+                want.append((u, cur))
+                cur = []
+            cur.append((sec, v))
+        want.append((u, cur))
+    e = int(T0.timestamp())
+    expect = sorted(
+        (
+            u,
+            e + int(sess[0][0]),  # floor to whole seconds
+            len(sess),
+            round(sum(v for _, v in sess), 6),
+        )
+        for u, sess in want
+    )
+    assert got == expect
