@@ -26,6 +26,9 @@ from search_engine_spark.functions.normalize import (
 BM25_TERMS = ["table", "window", "spark"]
 AND_TERMS = ["customer", "vector"]
 BATCH_TERMS = ["table", "customer", "vector"]
+# mid-frequency bigram in the sf corpora: present in ~9% of docs at sf0.01,
+# including one doc with TWO occurrences (exercises multi-occurrence tf)
+PHRASE_TERMS = ["table", "hash"]
 STOPWORDS = ["the", "a"]
 # single source of truth: the SQL twins must score with the same constants
 # the engine compiles into its Catalyst expressions
@@ -578,6 +581,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("docid", "term", "tf")
         )
 
+    def q_positions_tf(spark, sf):
+        """Positional forward stream: ordinal in the surviving cleaned
+        token stream (operators/positions.py).  SQL twin: unnest +
+        generate_subscripts over the same cleaned list."""
+        from search_engine_spark.operators.positions import token_stream
+
+        docs = _raw_docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), F.col("text").alias("content")
+        )
+        return token_stream(docs).select(
+            F.col("docid").alias("doc_id"), "pos", "term"
+        )
+
+    def q_phrase_match(spark, sf):
+        """Exact-phrase occurrence counts via positional postings
+        (plans/phrase.py) — array_intersect adjacency, no explode."""
+        from search_engine_spark.operators.positions import build_positions
+        from search_engine_spark.plans.phrase import phrase_match
+
+        docs = _raw_docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), F.col("text").alias("content")
+        )
+        pos = build_positions(docs)
+        return phrase_match(pos, " ".join(PHRASE_TERMS)).select(
+            F.col("docid").alias("doc_id"), "phrase_tf"
+        )
+
+    def q_phrase_topk(spark, sf):
+        """BM25-scored phrase top-k through the full positional index
+        (build_index(positions=True) → phrase_topk)."""
+        from search_engine_spark.operators.index_build import build_index
+        from search_engine_spark.plans.phrase import phrase_topk
+
+        docs = _raw_docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), F.col("text").alias("content")
+        )
+        idx = build_index(spark, docs, title_col=None, positions=True)
+        return phrase_topk(idx, " ".join(PHRASE_TERMS), k=10).select(
+            "rank", F.col("docid").alias("doc_id"), "score"
+        )
+
     def q_embedding_near_dup(spark, sf):
         from search_engine_spark.operators.similarity import embedding_near_dup
 
@@ -711,6 +755,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk": q_ann_topk,
         "stemmed_tf": q_stemmed_tf,
+        "positions_tf": q_positions_tf,
+        "phrase_match": q_phrase_match,
+        "phrase_topk": q_phrase_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "token_count": q_token_count,
@@ -743,6 +790,37 @@ _TOKS_ARRAY_SQL = (
     "list_filter(regexp_split_to_array(lower(text), "
     f"'{DELIM_CLASS}'), t -> t <> '')"
 )
+
+# surviving cleaned token stream WITH 0-based ordinals — the positional
+# semantics of operators/positions.py (generate_subscripts + unnest of the
+# same list zip row-wise in DuckDB)
+_POS_SQL = f"""
+  SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS INT) AS pos,
+         unnest(toks) AS term
+  FROM (
+    SELECT doc_id, list_filter(list_transform(
+      regexp_split_to_array(text, '{DELIM_CLASS}'),
+      t -> CASE WHEN t <> '' AND regexp_matches(t, '^[\\x00-\\x7F]+$')
+           THEN lower(replace(t, '''', '')) ELSE '' END), t -> t <> '') AS toks
+    FROM documents
+  )
+"""
+
+
+def _phrase_match_sql(terms: list[str]) -> str:
+    """Exact-phrase (doc_id, phrase_tf) via positional self-joins."""
+    joins = "".join(
+        f" JOIN p p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i}"
+        f" AND p{i}.term = '{t}'"
+        for i, t in enumerate(terms[1:], start=1)
+    )
+    return f"""
+WITH p AS ({_POS_SQL})
+SELECT p0.doc_id, CAST(count(*) AS INT) AS phrase_tf
+FROM p p0{joins}
+WHERE p0.term = '{terms[0]}'
+GROUP BY p0.doc_id
+"""
 
 
 # distinct 3-token shingles per doc (matches operators.dedup.shingles_col)
@@ -916,6 +994,35 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
 SELECT (SELECT count(*) FROM documents) AS n_docs,
        round((SELECT CAST(sum(tf) AS DOUBLE) FROM ({_TF_SQL}))
              / (SELECT count(*) FROM documents), 6) AS avgdl
+"""
+
+    sql["positions_tf"] = f"SELECT doc_id, pos, term FROM ({_POS_SQL})"
+
+    sql["phrase_match"] = _phrase_match_sql(PHRASE_TERMS)
+
+    # phrase as ONE pseudo-term: tf = occurrence count, df = matching docs;
+    # doclen/avgdl from the same tf table the term engine uses
+    sql["phrase_topk"] = f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM tf) / (SELECT count(*) FROM documents) AS avgdl
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+m AS (
+  SELECT doc_id, CAST(phrase_tf AS DOUBLE) AS ptf
+  FROM ({_phrase_match_sql(PHRASE_TERMS)})
+),
+dfs AS (SELECT CAST(count(*) AS DOUBLE) AS df FROM m),
+scored AS (
+  SELECT m.doc_id,
+         round(ln((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+           * m.ptf * {K1 + 1.0}
+           / (m.ptf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)), 6) AS score
+  FROM m JOIN dl ON m.doc_id = dl.doc_id, stats, dfs
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """
 
     sql["bm25_topk_or"] = _bm25_sql(BM25_TERMS, and_mode=False)

@@ -51,6 +51,16 @@ def cmd_build(args) -> int:
     spark = _spark(args)
     docs = _load_docs(spark, args.input)
     assert_docid_unique(docs)
+    if getattr(args, "positions", False) and (
+        args.slices > 1 or getattr(args, "append_snapshot", None) is not None
+    ):
+        print(
+            "error: --positions requires a single-shot build (no --slices/"
+            "--append-snapshot yet — the slice log does not carry the "
+            "positional table)",
+            file=sys.stderr,
+        )
+        return 2
     if getattr(args, "append_snapshot", None) is not None:
         from .sources.index_io import append_snapshot
 
@@ -92,6 +102,7 @@ def cmd_build(args) -> int:
             salt_threshold=args.salt_threshold,
             compress=not args.no_compress,
             tokenizer=getattr(args, "tokenizer", "native"),
+            positions=getattr(args, "positions", False),
         )
         write_index(index, args.output)
         index.unpersist()
@@ -120,6 +131,30 @@ def _print_results(rows) -> None:
 
 def cmd_search(args) -> int:
     spark = _spark(args)
+    if getattr(args, "phrase", None) is not None:
+        from .plans.phrase import phrase_topk
+        from .sources.index_io import read_index
+
+        if args.query is not None or args.wand or args.wand_shards:
+            print(
+                "error: --phrase is a standalone query (no --query/--wand)",
+                file=sys.stderr,
+            )
+            return 2
+        index = read_index(spark, args.index)
+        try:
+            rows = phrase_topk(index, args.phrase, k=args.k, stem=args.stem).collect()
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        for r in rows:
+            print(f"{r['rank']:>3}  {r['docid']:<20} {r['score']:.6f}")
+        if not rows:
+            print("no results")
+        return 0
+    if args.query is None:
+        print("error: one of --query/--phrase is required", file=sys.stderr)
+        return 2
     if args.wand or args.wand_shards:
         from .plans.query_parser import parse_query
         from .plans.wand import BlockMaxWand, ShardedWand
@@ -299,6 +334,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--stem", action="store_true")
     b.add_argument("--no-compress", action="store_true")
     b.add_argument(
+        "--positions", action="store_true",
+        help="also build positional postings (enables search --phrase)",
+    )
+    b.add_argument(
         "--tokenizer", choices=("native", "arrow"), default="native",
         help="Catalyst expressions (default) or Arrow-UDF batch tokenizer",
     )
@@ -306,7 +345,11 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("search", help="one-shot query")
     s.add_argument("--index", required=True)
-    s.add_argument("--query", required=True)
+    s.add_argument("--query", default=None)
+    s.add_argument(
+        "--phrase", default=None,
+        help="exact-phrase BM25 query (index must be built with --positions)",
+    )
     s.add_argument("--mode", choices=("or", "and"), default="or")
     s.add_argument("-k", type=int, default=10)
     s.add_argument(

@@ -90,6 +90,10 @@ class IndexTables:
     stem: bool = False
     # single-scan doc base (build_index path) — persisted, unpersist with tf
     base: DataFrame | None = None
+    # positional postings (field, term, bucket, docid, positions, tf) —
+    # present only when the build requested phrase support
+    # (operators/positions.py); None → phrase queries raise
+    positions: DataFrame | None = None
 
     def unpersist(self) -> None:
         if self.tf is not None:
@@ -298,6 +302,7 @@ def build_index(
     body_col: str = "content",
     title_col: str | None = "path",
     tokenizer: str = "native",
+    positions: bool = False,
 ) -> IndexTables:
     """Full index build over a documents DataFrame (must carry ``docid``).
 
@@ -312,6 +317,11 @@ def build_index(
     ``tokenizer``: "native" (default — pure Catalyst, whole-stage codegen)
     or "arrow" (mapInPandas Arrow-batch UDF, tokenize_arrow.py) — identical
     forward indexes, see tokenize_arrow module docstring for when each wins.
+
+    ``positions=True`` additionally builds the positional postings table
+    (operators/positions.py) enabling exact phrase queries (plans/phrase).
+    On the native path it reuses the persisted doc_base scan; positions are
+    never stopword-filtered (phrase slots must see every surviving token).
     """
     from pyspark import StorageLevel
 
@@ -330,7 +340,7 @@ def build_index(
         tf = doc_terms_arrow(
             docs, stem=stem, stopwords=stop, body_col=body_col, title_col=title_col
         )
-        return index_from_tf(
+        index = index_from_tf(
             docs,
             tf,
             salt_threshold=salt_threshold,
@@ -340,6 +350,13 @@ def build_index(
             body_col=body_col,
             stem=stem,
         )
+        if positions:
+            from .positions import build_positions
+
+            index.positions = build_positions(
+                docs, stem=stem, buckets=buckets, body_col=body_col
+            )
+        return index
 
     base = doc_base(docs, body_col=body_col, title_col=title_col).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -358,6 +375,14 @@ def build_index(
         stem=stem,
     )
     index.base = base
+    if positions:
+        from .positions import position_postings, token_stream_from_base
+
+        # positional stream derives from the SAME persisted doc_base scan
+        # as the forward index — no second read of the content column
+        index.positions = position_postings(
+            token_stream_from_base(base, stem=stem), buckets=buckets
+        )
     return index
 
 

@@ -1,0 +1,144 @@
+"""Positional forward/inverted index: documents → (term → docid, positions).
+
+Capability extension beyond the reference: the reference's query language
+accepts quoted phrases (``SearchEngine.h:110-131``) but its indexer splits
+on spaces, so a spaced phrase can never match term postings — quirk Q4,
+preserved by default in the BM25 engine.  This module adds what a user of a
+fulltext index actually wants from that syntax: TRUE positional phrase
+matching, the standard inverted-index design (Lucene's prox files,
+IIR §2.4.2 "positional postings").
+
+Position semantics — ordinal in the SURVIVING cleaned token stream
+(== index into ``oracle.tokenize(text)``): raw split tokens that are empty,
+non-ASCII, or clean to empty consume NO position, so "New, York" matches
+the phrase "new york".  This is the analyzed-token-stream convention; a
+dropped token therefore joins its neighbours (documented, tested).
+
+Spark-first plan: the cleaned stream is built ARRAY-SIDE with
+``filter(transform(split(...)))`` so ``posexplode`` yields ordinals
+directly — no per-doc window, no shuffle before the one groupBy that
+assembles postings.  Everything whole-stage-codegens; stemming (optional)
+is the only Python, batched through the existing vectorized pandas UDF.
+
+At 100 TB: positional postings are the index-size cost of phrase queries
+(~2-3× the docid/tf postings).  They live in their own bucket-partitioned
+table — built with the same ONE term-hash exchange pattern as the main
+postings, pruned at query time by the same driver-side XXH64 bucket
+literals — and are only scanned by phrase queries, so non-phrase traffic
+pays nothing.  Positions are stored as sorted int arrays; parquet
+delta-encodes monotone ints well, so a custom varbyte pass is not worth a
+Python round-trip here (the docid/tf blocks keep the existing codec).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import DEFAULT_INDEX_BUCKETS, FIELD_BODY
+from ..functions.normalize import clean_term, is_ascii_token, split_tokens
+
+
+def cleaned_stream_from_toks(toks: Column) -> Column:
+    """Raw split-token array → surviving cleaned terms, in order."""
+    return F.filter(
+        F.transform(
+            toks,
+            lambda t: F.when(
+                (t != "") & is_ascii_token(t), clean_term(t)
+            ).otherwise(F.lit("")),
+        ),
+        lambda t: t != "",
+    )
+
+
+def cleaned_stream_col(source: Column) -> Column:
+    """Array of surviving cleaned terms, in order (== oracle.tokenize)."""
+    return cleaned_stream_from_toks(split_tokens(source))
+
+
+def token_stream(
+    docs: DataFrame,
+    source_col: str = "content",
+    field_name: str = FIELD_BODY,
+    stem: bool = False,
+) -> DataFrame:
+    """→ (docid, field, pos, term): one row per surviving token occurrence.
+
+    ``pos`` is the 0-based ordinal in the surviving stream.  Stemming maps
+    terms 1:1 and never drops a token, so positions are stem-invariant.
+    """
+    out = docs.select(
+        "docid",
+        F.posexplode(cleaned_stream_col(F.col(source_col))).alias("pos", "term"),
+    )
+    if stem:
+        from ..functions.stem import stem_udf
+
+        out = out.withColumn("term", stem_udf()(F.col("term")))
+    return out.select(
+        "docid", F.lit(field_name).alias("field"), F.col("pos").cast("int"), "term"
+    )
+
+
+def token_stream_from_base(
+    base: DataFrame,
+    field_name: str = FIELD_BODY,
+    stem: bool = False,
+    toks_col: str = "_body_toks",
+) -> DataFrame:
+    """Like token_stream, but over doc_base's already-split token arrays —
+    the build path reuses the ONE content scan (tokenize.doc_base) instead
+    of re-reading the corpus."""
+    out = base.select(
+        "docid",
+        F.posexplode(cleaned_stream_from_toks(F.col(toks_col))).alias("pos", "term"),
+    )
+    if stem:
+        from ..functions.stem import stem_udf
+
+        out = out.withColumn("term", stem_udf()(F.col("term")))
+    return out.select(
+        "docid", F.lit(field_name).alias("field"), F.col("pos").cast("int"), "term"
+    )
+
+
+def position_postings(
+    stream: DataFrame,
+    buckets: int = DEFAULT_INDEX_BUCKETS,
+) -> DataFrame:
+    """(docid, field, pos, term) → (field, term, bucket, docid, positions, tf).
+
+    One exchange on (field, term, docid) with map-side partial
+    ``collect_list`` — the positional analogue of ``collect_postings``.
+    ``positions`` is sorted ascending; ``tf == size(positions)`` is stored
+    so phrase scoring never re-materializes the array just for a length.
+
+    No salting: a positional row is per (term, docid), so even a
+    stopword-class term spreads across the hash space by docid — there is
+    no single giant row to split, unlike the docid/tf posting arrays.
+    """
+    return (
+        stream.groupBy("field", "term", "docid")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .select(
+            "field",
+            "term",
+            F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int").alias("bucket"),
+            "docid",
+            "positions",
+            F.size("positions").alias("tf"),
+        )
+    )
+
+
+def build_positions(
+    docs: DataFrame,
+    stem: bool = False,
+    buckets: int = DEFAULT_INDEX_BUCKETS,
+    body_col: str = "content",
+) -> DataFrame:
+    """documents (with docid) → positional postings for the body field."""
+    return position_postings(
+        token_stream(docs, source_col=body_col, stem=stem), buckets=buckets
+    )

@@ -1,0 +1,158 @@
+"""Positional phrase matching + BM25-scored phrase top-k.
+
+The reference parses quoted phrases (``SearchEngine.h:110-131``) but can
+never match them against term postings (quirk Q4 — its indexer split on
+spaces).  This plan completes the capability over the positional postings
+table (operators/positions.py):
+
+    broadcast-literal term probe (bucket-pruned scan per phrase slot)
+      → inner-join the n slots on docid
+      → start-positions = fold of array_intersect(p0, p_i shifted by -i)
+      → phrase_tf = size(starts)  [> 0 ⇔ the exact phrase occurs]
+      → BM25 score with the phrase as one pseudo-term
+        (tf = phrase_tf, df = |matching docs|) → TakeOrderedAndProject(k)
+
+Scale notes:
+- each slot probe is pruned by the driver-side XXH64 bucket literal AND a
+  ``term = lit`` row-group filter — a 3-word phrase touches ≤3 bucket
+  directories of the positions table regardless of corpus size;
+- the docid joins carry ONLY matched posting rows (the rarest word bounds
+  the result: Catalyst/AQE broadcasts small sides at runtime);
+- the adjacency check is pure array math (array_intersect + transform) in
+  whole-stage codegen — no Python, no explode of position lists;
+- df for the pseudo-term is a single-partition count over MATCHED docs
+  only (the window never sees the corpus).
+
+Duplicate words ("buffalo buffalo") work: each slot probes the same
+posting row and the shifted intersections enforce true self-overlap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..constants import FIELD_BODY
+from ..functions.hashing import term_bucket
+from ..oracle import tokenize
+from ..operators.index_build import IndexTables
+from .bm25 import bm25_contrib_col, idf_col
+
+
+def phrase_terms(phrase: str, stem: bool = False) -> list[str]:
+    """Phrase → ordered surviving cleaned terms (== positions semantics).
+
+    Cleaning matches the INDEXED stream exactly (oracle.tokenize): a word
+    that is dropped there (non-ASCII, cleans to empty) is dropped here too,
+    so the phrase matches what the index can actually see.  The query-side
+    len>2 filter (P5) deliberately does NOT apply: phrase slots are matched
+    positionally, not scored per-term, and dropping a short word would
+    silently change which texts count as "the exact phrase".
+    """
+    return tokenize(phrase, stem=stem)
+
+
+def phrase_match(
+    positions: DataFrame,
+    phrase: str,
+    field: str = FIELD_BODY,
+    stem: bool = False,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """→ (docid, phrase_tf) for every doc containing the exact phrase.
+
+    ``positions`` is the positional postings table
+    (field, term, bucket, docid, positions, tf).  ``n_buckets`` enables
+    partition pruning (pass the build-time bucket count; None scans all
+    buckets — correct, just unpruned).
+    """
+    terms = phrase_terms(phrase, stem=stem)
+    if not terms:
+        return positions.sparkSession.range(0).select(
+            F.col("id").alias("docid"), F.lit(0).alias("phrase_tf")
+        )
+    probe = positions.where(F.col("field") == field)
+    if n_buckets is not None:
+        probe = probe.where(
+            F.col("bucket").isin(sorted({term_bucket(t, n_buckets) for t in terms}))
+        )
+    slots = [
+        probe.where(F.col("term") == t).select(
+            "docid", F.col("positions").alias(f"p{i}")
+        )
+        for i, t in enumerate(terms)
+    ]
+    joined = slots[0]
+    for s in slots[1:]:
+        joined = joined.join(s, on="docid")
+    def _shifted(col_name: str, k: int) -> F.Column:
+        # NB: the lambda must take exactly ONE parameter — pyspark calls a
+        # two-parameter callable with (element, array_index), which would
+        # silently replace the slot offset with the element's index
+        return F.transform(F.col(col_name), lambda x: x - F.lit(k))
+
+    starts = F.col("p0")
+    for i in range(1, len(terms)):
+        starts = F.array_intersect(starts, _shifted(f"p{i}", i))
+    return (
+        joined.select("docid", F.size(starts).alias("phrase_tf"))
+        .where(F.col("phrase_tf") > 0)
+    )
+
+
+def phrase_topk(
+    index: IndexTables,
+    phrase: str,
+    k: int = 10,
+    field: str = FIELD_BODY,
+    stem: bool | None = None,
+) -> DataFrame:
+    """→ (rank, docid, score): BM25 top-k for the phrase as one pseudo-term.
+
+    tf = number of phrase occurrences in the doc, df = number of docs
+    containing the phrase — the standard phrase-scoring reduction (IIR
+    §2.4).  Doclen/avgdl come from the same docstats/corpus_stats the term
+    engine uses, so phrase and term scores are directly comparable.
+    """
+    if index.positions is None:
+        raise ValueError(
+            "index has no positional postings — build with positions=True "
+            "(build_index) or build_positions()"
+        )
+    use_stem = index.stem if stem is None else stem
+    matches = phrase_match(
+        index.positions, phrase, field=field, stem=use_stem,
+        n_buckets=index.n_buckets,
+    )
+    stats = {
+        r["field"]: (r["n_docs"], float(r["avgdl"]))
+        for r in index.corpus_stats.collect()
+    }
+    n_docs, avgdl = stats[field]
+    dl_col = "doclen" if field == FIELD_BODY else "titlelen"
+    dl = index.docstats.select("docid", F.col(dl_col).cast("double").alias("dl"))
+    scored = (
+        matches.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).cast("double")
+        )
+        .join(dl, on="docid")
+        .select(
+            "docid",
+            F.round(
+                bm25_contrib_col(
+                    F.col("phrase_tf").cast("double"),
+                    F.col("dl"),
+                    avgdl,
+                    idf_col(n_docs, F.col("df")),
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "docid", "score")
+    )

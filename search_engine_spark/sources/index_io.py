@@ -143,6 +143,14 @@ def write_index(index: IndexTables, root: str, mode: str = "overwrite") -> None:
     dictionary.write.mode(mode).parquet(f"{root}/dictionary")
     index.docstats.write.mode(mode).parquet(f"{root}/docstats")
     index.corpus_stats.write.mode(mode).parquet(f"{root}/corpus_stats")
+    if index.positions is not None:
+        # same compaction rationale as postings: ~1 file per bucket dir
+        (
+            index.positions.repartition(index.n_buckets, F.col("bucket"))
+            .write.mode(mode)
+            .partitionBy("bucket")
+            .parquet(f"{root}/positions")
+        )
     # Build-time parameters queries must agree on: the bucket count feeds
     # the query-side xxhash64 pmod — a mismatch silently prunes wrong
     # partitions, so it is persisted, never inferred from directory listings
@@ -152,17 +160,23 @@ def write_index(index: IndexTables, root: str, mode: str = "overwrite") -> None:
     # from the data it describes.
     write_meta_file(
         spark, f"{root}/_index_meta",
-        {"buckets": index.n_buckets, "stem": index.stem},
+        {
+            "buckets": index.n_buckets,
+            "stem": index.stem,
+            "positions": index.positions is not None,
+        },
         overwrite=(mode == "overwrite"),
     )
 
 
 def read_index(spark: SparkSession, root: str) -> IndexTables:
     stem = False
+    has_positions = False
     try:
         meta = read_meta_file(spark, f"{root}/_index_meta")
         n_buckets = int(meta["buckets"])
         stem = bool(meta.get("stem", False))
+        has_positions = bool(meta.get("positions", False))
     except Exception:
         # legacy index without metadata: non-empty partitions only
         # LOWER-BOUND the true bucket count — if any bucket was empty,
@@ -196,6 +210,12 @@ def read_index(spark: SparkSession, root: str) -> IndexTables:
         corpus_stats=spark.read.parquet(f"{root}/corpus_stats"),
         n_buckets=n_buckets,
         stem=stem,
+        # the meta flag (not a directory probe) decides: a missing table
+        # with positions=true should fail loudly at first phrase query,
+        # not silently degrade to "no phrase support"
+        positions=(
+            spark.read.parquet(f"{root}/positions") if has_positions else None
+        ),
     )
 
 

@@ -117,3 +117,53 @@ def test_ingest_stream_subcommand(spark, tiny_df, tmp_path, capsys):
                "--query", f"values: {term}"])
     assert rc == 0
     assert capsys.readouterr().out.strip()
+
+
+def test_build_positions_and_phrase_search(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [
+            (1, "r", "a.py", "c1", "en", "merge group table hash for the build"),
+            (2, "r", "b.py", "c2", "en", "hash table is reversed here"),
+            (3, "r", "c.py", "c3", "en", "table hash table hash twice"),
+        ],
+        "docid long, repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    src = str(tmp_path / "docs")
+    root = str(tmp_path / "idx")
+    docs.write.parquet(src)
+
+    rc = main(["--cores", "8", "build", "--input", src, "--output", root,
+               "--positions"])
+    assert rc == 0
+    capsys.readouterr()  # flush the build's "indexed N documents" line
+
+    rc = main(["--cores", "8", "search", "--index", root,
+               "--phrase", "table hash"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.strip().splitlines() if ln.strip()]
+    # docs 1 and 3 contain the exact phrase; doc 2 only reversed
+    docids = [int(ln.split()[1]) for ln in lines]
+    assert sorted(docids) == [1, 3]
+    # tf=2 occurrence (doc 3) must outscore tf=1 at equal df
+    assert docids[0] == 3
+
+    # an index without positions refuses --phrase loudly
+    root2 = str(tmp_path / "idx2")
+    rc = main(["--cores", "8", "build", "--input", src, "--output", root2])
+    assert rc == 0
+    rc = main(["--cores", "8", "search", "--index", root2,
+               "--phrase", "table hash"])
+    assert rc == 2
+    assert "positional" in capsys.readouterr().err
+
+    # --phrase + --query is a usage error
+    rc = main(["--cores", "8", "search", "--index", root,
+               "--phrase", "table hash", "--query", "values: table"])
+    assert rc == 2
+
+    # --positions + --slices is a usage error (slice log has no positions)
+    rc = main(["--cores", "8", "build", "--input", src, "--output", root2,
+               "--positions", "--slices", "2"])
+    assert rc == 2

@@ -1,0 +1,214 @@
+"""Positional index + phrase matching (operators/positions, plans/phrase).
+
+Ground truth is a pure-Python scan over ``oracle.tokenize`` streams — an
+independent model of the surviving-token position semantics the module
+docstring commits to.
+"""
+
+from __future__ import annotations
+
+import re
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark import fixtures, oracle
+from search_engine_spark.operators.index_build import build_index
+from search_engine_spark.operators.positions import (
+    build_positions,
+    position_postings,
+    token_stream,
+)
+from search_engine_spark.plans.phrase import phrase_match, phrase_terms, phrase_topk
+from search_engine_spark.sources.index_io import read_index, write_index
+
+HAND_ROWS = [
+    (1, "r", "a.py", "c", "en", "New, York New Yorkers love new york pizza"),
+    (2, "r", "b.py", "c", "en", "the york of new; nothing adjacent here new"),
+    (3, "r", "c.py", "c", "en", "spark spark spark"),
+    # café is non-ASCII → dropped from the stream, so "new york" IS adjacent
+    (4, "r", "d.py", "c", "en", "café new york café"),
+]
+HAND_SCHEMA = (
+    "docid long, repo string, path string, commit string, lang string, content string"
+)
+
+
+def py_phrase_tf(text: str, phrase: str, stem: bool = False) -> int:
+    """Independent model: count start offsets in the tokenize stream."""
+    toks = oracle.tokenize(text, stem=stem)
+    terms = oracle.tokenize(phrase, stem=stem)
+    if not terms:
+        return 0
+    return sum(
+        1
+        for i in range(len(toks) - len(terms) + 1)
+        if toks[i : i + len(terms)] == terms
+    )
+
+
+@pytest.fixture(scope="module")
+def hand_positions(spark):
+    docs = spark.createDataFrame(HAND_ROWS, HAND_SCHEMA)
+    pos = build_positions(docs)
+    pos.cache().count()
+    return pos
+
+
+def _matches(pos, phrase, **kw):
+    return {
+        r["docid"]: r["phrase_tf"]
+        for r in phrase_match(pos, phrase, **kw).collect()
+    }
+
+
+def test_hand_semantics(hand_positions):
+    # doc1: occurrences at stream offsets 0 and 5; doc4: adjacency across a
+    # dropped non-ASCII token
+    assert _matches(hand_positions, "new york") == {1: 2, 4: 1}
+    # overlapping self-match: "spark spark spark" has 2 bigram starts
+    assert _matches(hand_positions, "spark spark") == {3: 2}
+    assert _matches(hand_positions, "york new yorkers") == {1: 1}
+    # absent phrase, words present individually (doc2 has york and new)
+    assert _matches(hand_positions, "adjacent nothing") == {}
+    # single-word phrase == plain tf (doc2 contains 'new' twice)
+    assert _matches(hand_positions, "new") == {1: 3, 2: 2, 4: 1}
+    # phrase whose words all clean away → no matches, no crash
+    assert _matches(hand_positions, "''' '") == {}
+
+
+def test_hand_semantics_matches_python_model(hand_positions):
+    for phrase in ["new york", "spark spark", "new", "york new", "love new york"]:
+        expect = {
+            d: tf
+            for d, (_, _, _, _, _, text) in zip(
+                (r[0] for r in HAND_ROWS), HAND_ROWS
+            )
+            if (tf := py_phrase_tf(text, phrase)) > 0
+        }
+        assert _matches(hand_positions, phrase) == expect, phrase
+
+
+def test_positions_match_tokenize_stream(spark):
+    """Every (docid, pos, term) row == the oracle.tokenize list, exactly."""
+    docs_py = fixtures.with_docids(fixtures.generate_documents(40, seed=7))
+    docs = spark.createDataFrame(docs_py).select(
+        "docid", "repo", "path", "commit", "lang", "content"
+    )
+    got = {}
+    for r in token_stream(docs).collect():
+        got.setdefault(r["docid"], {})[r["pos"]] = r["term"]
+    for d in docs_py:
+        toks = oracle.tokenize(d["content"])
+        stream = got.get(d["docid"], {})
+        assert [stream[i] for i in range(len(toks))] == toks
+
+
+def test_fuzz_phrases_against_python_model(spark):
+    """Random bigrams/trigrams drawn FROM the corpus + absent ones."""
+    import random
+
+    rng = random.Random(99)
+    docs_py = fixtures.with_docids(fixtures.generate_documents(120, seed=13))
+    docs = spark.createDataFrame(docs_py).select(
+        "docid", "repo", "path", "commit", "lang", "content"
+    )
+    pos = build_positions(docs)
+    pos.cache().count()
+    phrases = []
+    for _ in range(12):
+        d = rng.choice(docs_py)
+        toks = oracle.tokenize(d["content"])
+        n = rng.choice([2, 2, 3])
+        i = rng.randrange(0, max(1, len(toks) - n))
+        phrases.append(" ".join(toks[i : i + n]))
+    phrases += ["zzz absent phrase", "the the"]
+    for phrase in phrases:
+        expect = {
+            d["docid"]: tf
+            for d in docs_py
+            if (tf := py_phrase_tf(d["content"], phrase)) > 0
+        }
+        assert _matches(pos, phrase) == expect, phrase
+    pos.unpersist()
+
+
+def test_duplicate_word_phrase_uses_true_overlap(hand_positions):
+    # "spark spark spark" must NOT count [0,1,2] as 3 bigrams of a
+    # 3-word phrase; trigram "spark spark spark" occurs exactly once
+    assert _matches(hand_positions, "spark spark spark") == {3: 1}
+
+
+def test_persist_roundtrip_and_topk(spark):
+    docs = spark.createDataFrame(HAND_ROWS, HAND_SCHEMA)
+    idx = build_index(spark, docs, positions=True)
+    root = tempfile.mkdtemp(prefix="posidx_")
+    write_index(idx, root)
+    idx2 = read_index(spark, root)
+    assert idx2.positions is not None
+    rows = phrase_topk(idx2, "new york", k=10).collect()
+    assert [r["docid"] for r in rows] == [4, 1] or [r["docid"] for r in rows] == [1, 4]
+    # hand-check BM25: tf=phrase_tf, df=2 matching docs, dl from docstats
+    dls = {r["docid"]: r["doclen"] for r in idx2.docstats.collect()}
+    n_docs = idx2.corpus_stats.where(F.col("field") == "content").collect()[0]
+    avgdl = float(n_docs["avgdl"])
+    idf = oracle.bm25_idf(n_docs["n_docs"], 2)
+    expect = {
+        d: round(idf * oracle.bm25_tf_norm(tf, dls[d], avgdl), 6)
+        for d, tf in ((1, 2), (4, 1))
+    }
+    assert {r["docid"]: r["score"] for r in rows} == expect
+    # ranking is deterministic: score desc, docid asc
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_topk_requires_positions(spark):
+    docs = spark.createDataFrame(HAND_ROWS, HAND_SCHEMA)
+    idx = build_index(spark, docs)  # positions NOT requested
+    with pytest.raises(ValueError, match="positional"):
+        phrase_topk(idx, "new york")
+
+
+def test_stemmed_phrase(spark):
+    rows = [
+        (1, "r", "a.py", "c", "en", "running quickly through fields"),
+        (2, "r", "b.py", "c", "en", "runs quick through field"),
+        (3, "r", "c.py", "c", "en", "walked slowly through fields"),
+    ]
+    docs = spark.createDataFrame(rows, HAND_SCHEMA)
+    pos = build_positions(docs, stem=True)
+    # both docs stem to (run, quick*) — 'quickly'→'quickli' vs 'quick', so
+    # only the adjacency that truly survives stemming matches
+    got = _matches(pos, "run through", stem=True)
+    expect = {
+        r[0]: tf
+        for r in rows
+        if (tf := py_phrase_tf(r[5], "run through", stem=True)) > 0
+    }
+    assert got == expect
+
+
+def test_phrase_terms_drops_nonsurviving_words():
+    assert phrase_terms("new '' york") == ["new", "york"]
+    assert phrase_terms("café york") == ["york"]
+    # short words are KEPT (no P5 len filter on phrase slots)
+    assert phrase_terms("of it") == ["of", "it"]
+
+
+def test_phrase_plan_prunes_buckets(spark):
+    """The positions scan must carry bucket partition filters + term pushdown."""
+    docs = spark.createDataFrame(HAND_ROWS, HAND_SCHEMA)
+    idx = build_index(spark, docs, positions=True)
+    root = tempfile.mkdtemp(prefix="posplan_")
+    write_index(idx, root)
+    idx2 = read_index(spark, root)
+    plan = (
+        phrase_match(idx2.positions, "new york", n_buckets=idx2.n_buckets)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert re.search(r"PartitionFilters: \[.*bucket.*IN \(\d", plan), plan
+    assert "PushedFilters" in plan and "EqualTo(term" in plan, plan
