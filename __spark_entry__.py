@@ -29,6 +29,10 @@ BATCH_TERMS = ["table", "customer", "vector"]
 # mid-frequency bigram in the sf corpora: present in ~9% of docs at sf0.01,
 # including one doc with TWO occurrences (exercises multi-occurrence tf)
 PHRASE_TERMS = ["table", "hash"]
+# the plain term riding alongside the phrase in the mixed engine query
+MIXED_TERM = "window"
+# proximity gate: ordered chain with inter-term distance in [1, PROX_GAP]
+PROX_GAP = 3
 STOPWORDS = ["the", "a"]
 # single source of truth: the SQL twins must score with the same constants
 # the engine compiles into its Catalyst expressions
@@ -622,6 +626,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rank", F.col("docid").alias("doc_id"), "score"
         )
 
+    def q_proximity_match(spark, sf):
+        """Ordered proximity (plans/phrase.near_match, gap=PROX_GAP):
+        chain-completing end-position counts.  SQL twin: range self-joins
+        + count(DISTINCT last.pos)."""
+        from search_engine_spark.operators.positions import build_positions
+        from search_engine_spark.plans.phrase import near_match
+
+        docs = _raw_docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), F.col("text").alias("content")
+        )
+        pos = build_positions(docs)
+        return near_match(pos, " ".join(PHRASE_TERMS), gap=PROX_GAP).select(
+            F.col("docid").alias("doc_id"), "near_tf"
+        )
+
+    def q_bm25_phrase_mixed(spark, sf):
+        """The ENGINE's positional-phrase path: QueryEngine.search with a
+        mixed query (plain term + quoted phrase, phrases="positional") —
+        term contribution from the tf postings, phrase pseudo-term
+        contribution from the positional postings, one OR accumulation.
+        Engine ranks by raw score; re-rank the k-buffer by the rounded
+        score (doc_id tie-break) to match the oracle's round-then-order."""
+        from search_engine_spark.operators.index_build import build_index
+        from search_engine_spark.plans.bm25 import QueryEngine
+        from search_engine_spark.sources.corpus import load_testdata_documents
+
+        docs = load_testdata_documents(spark, sf)
+        index = build_index(spark, docs, compress=True, title_col=None, positions=True)
+        eng = QueryEngine(spark, index, cache_docstats=False)
+        phrase = " ".join(PHRASE_TERMS)
+        rows = eng.search(
+            f'values: {MIXED_TERM} "{phrase}"', k=100, phrases="positional"
+        ).collect()
+        index.unpersist()
+        ranked = sorted(
+            ((r["docid"], round(r["score"], 6)) for r in rows),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        out = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+        return _ranked_literal_df(spark, out)
+
     def q_embedding_near_dup(spark, sf):
         from search_engine_spark.operators.similarity import embedding_near_dup
 
@@ -758,6 +803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "positions_tf": q_positions_tf,
         "phrase_match": q_phrase_match,
         "phrase_topk": q_phrase_topk,
+        "proximity_match": q_proximity_match,
+        "bm25_phrase_mixed": q_bm25_phrase_mixed,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "token_count": q_token_count,
@@ -804,6 +851,24 @@ _POS_SQL = f"""
            THEN lower(replace(t, '''', '')) ELSE '' END), t -> t <> '') AS toks
     FROM documents
   )
+"""
+
+
+def _near_match_sql(terms: list[str], gap: int) -> str:
+    """Ordered proximity (doc_id, near_tf): range self-join chain, counting
+    DISTINCT chain-completing end positions — the near_match fold."""
+    joins = "".join(
+        f" JOIN p p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos > p{i - 1}.pos"
+        f" AND p{i}.pos <= p{i - 1}.pos + {gap} AND p{i}.term = '{t}'"
+        for i, t in enumerate(terms[1:], start=1)
+    )
+    last = len(terms) - 1
+    return f"""
+WITH p AS ({_POS_SQL})
+SELECT p0.doc_id, CAST(count(DISTINCT p{last}.pos) AS INT) AS near_tf
+FROM p p0{joins}
+WHERE p0.term = '{terms[0]}'
+GROUP BY p0.doc_id
 """
 
 
@@ -1000,6 +1065,8 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
 
     sql["phrase_match"] = _phrase_match_sql(PHRASE_TERMS)
 
+    sql["proximity_match"] = _near_match_sql(PHRASE_TERMS, PROX_GAP)
+
     # phrase as ONE pseudo-term: tf = occurrence count, df = matching docs;
     # doclen/avgdl from the same tf table the term engine uses
     sql["phrase_topk"] = f"""
@@ -1023,6 +1090,43 @@ scored AS (
 )
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # mixed query: term contribution (tf postings) + phrase pseudo-term
+    # contribution (positional postings), OR-accumulated per doc — the
+    # engine's phrases="positional" semantics
+    sql["bm25_phrase_mixed"] = f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM tf) / (SELECT count(*) FROM documents) AS avgdl
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+tdfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+         WHERE term = '{MIXED_TERM}' GROUP BY term),
+tscored AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - tdfs.df + 0.5) / (tdfs.df + 0.5) + 1.0)
+           * tf.tf * {K1 + 1.0}
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS contrib
+  FROM tf JOIN tdfs ON tf.term = tdfs.term JOIN dl ON tf.doc_id = dl.doc_id, stats
+),
+pm AS ({_phrase_match_sql(PHRASE_TERMS)}),
+pdf AS (SELECT CAST(count(*) AS DOUBLE) AS df FROM pm),
+pscored AS (
+  SELECT pm.doc_id,
+         ln((stats.n_docs - pdf.df + 0.5) / (pdf.df + 0.5) + 1.0)
+           * pm.phrase_tf * {K1 + 1.0}
+           / (pm.phrase_tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS contrib
+  FROM pm JOIN dl ON pm.doc_id = dl.doc_id, stats, pdf
+),
+agg AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score
+  FROM (SELECT * FROM tscored UNION ALL SELECT * FROM pscored)
+  GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
+FROM agg ORDER BY score DESC, doc_id LIMIT 10
 """
 
     sql["bm25_topk_or"] = _bm25_sql(BM25_TERMS, and_mode=False)

@@ -193,6 +193,29 @@ def main() -> None:
         )
         sharded.close()
 
+        # --- positional index + phrase queries (plans/phrase.py) ---
+        from search_engine_spark.operators.positions import build_positions
+
+        pos_root = os.path.join(idx_root, "positions")
+
+        def _posbuild():
+            (
+                build_positions(docs, buckets=index.n_buckets)
+                .repartition(index.n_buckets, F.col("bucket"))
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(pos_root)
+            )
+
+        timed("q5e_positions_build", _posbuild)
+        index.positions = spark.read.parquet(pos_root)
+        timed_best(
+            "q5f_phrase_mixed",
+            lambda: engine.search(
+                'values: window "table hash"', k=10, phrases="positional"
+            ).collect(),
+        )
+
         # --- training-data pipeline ops ---
         timed_best(
             "q6_minhash_lsh",

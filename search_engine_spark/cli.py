@@ -143,7 +143,10 @@ def cmd_search(args) -> int:
             return 2
         index = read_index(spark, args.index)
         try:
-            rows = phrase_topk(index, args.phrase, k=args.k, stem=args.stem).collect()
+            rows = phrase_topk(
+                index, args.phrase, k=args.k, stem=args.stem,
+                gap=getattr(args, "near_gap", 1),
+            ).collect()
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
@@ -160,6 +163,13 @@ def cmd_search(args) -> int:
         from .plans.wand import BlockMaxWand, ShardedWand
         from .sources.index_io import read_index
 
+        if getattr(args, "positional_phrases", False):
+            print(
+                "error: --positional-phrases needs the exhaustive engine; "
+                "drop --wand (phrase matches are not posting cursors)",
+                file=sys.stderr,
+            )
+            return 2
         index = read_index(spark, args.index)
         # WAND covers term categories (content + title); facet categories
         # need the exhaustive engine's union plan — refuse loudly rather
@@ -187,7 +197,14 @@ def cmd_search(args) -> int:
             searcher.close()
         return 0
     engine = _engine(spark, args)
-    rows = engine.search(args.query, mode=args.mode, k=args.k, with_display=True).collect()
+    phrases = "positional" if getattr(args, "positional_phrases", False) else "quirk"
+    try:
+        rows = engine.search(
+            args.query, mode=args.mode, k=args.k, with_display=True, phrases=phrases
+        ).collect()
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     _print_results(rows)
     return 0
 
@@ -349,6 +366,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument(
         "--phrase", default=None,
         help="exact-phrase BM25 query (index must be built with --positions)",
+    )
+    s.add_argument(
+        "--near-gap", type=int, default=1,
+        help="with --phrase: allow up to GAP positions between consecutive "
+        "words (ordered proximity; 1 = exact phrase)",
+    )
+    s.add_argument(
+        "--positional-phrases", action="store_true",
+        help='score quoted phrases inside --query positionally (default: '
+        "reference quirk Q4 — quoted phrases never match)",
     )
     s.add_argument("--mode", choices=("or", "and"), default="or")
     s.add_argument("-k", type=int, default=10)

@@ -354,7 +354,8 @@ def build_index(
             from .positions import build_positions
 
             index.positions = build_positions(
-                docs, stem=stem, buckets=buckets, body_col=body_col
+                docs, stem=stem, buckets=buckets, body_col=body_col,
+                title_col=title_col,
             )
         return index
 
@@ -376,13 +377,19 @@ def build_index(
     )
     index.base = base
     if positions:
+        from ..constants import FIELD_TITLE
         from .positions import position_postings, token_stream_from_base
 
         # positional stream derives from the SAME persisted doc_base scan
         # as the forward index — no second read of the content column
-        index.positions = position_postings(
-            token_stream_from_base(base, stem=stem), buckets=buckets
-        )
+        stream = token_stream_from_base(base, stem=stem)
+        if "_title_toks" in base.columns:
+            stream = stream.unionByName(
+                token_stream_from_base(
+                    base, field_name=FIELD_TITLE, stem=stem, toks_col="_title_toks"
+                )
+            )
+        index.positions = position_postings(stream, buckets=buckets)
     return index
 
 

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..constants import DEFAULT_INDEX_BUCKETS, FIELD_BODY
+from ..constants import DEFAULT_INDEX_BUCKETS, FIELD_BODY, FIELD_TITLE
 from ..functions.normalize import clean_term, is_ascii_token, split_tokens
 
 
@@ -137,8 +137,14 @@ def build_positions(
     stem: bool = False,
     buckets: int = DEFAULT_INDEX_BUCKETS,
     body_col: str = "content",
+    title_col: str | None = None,
 ) -> DataFrame:
-    """documents (with docid) → positional postings for the body field."""
-    return position_postings(
-        token_stream(docs, source_col=body_col, stem=stem), buckets=buckets
-    )
+    """documents (with docid) → positional postings for the body field
+    (plus the title field when ``title_col`` is given — titles are short,
+    so the extra stream is a rounding error next to the body)."""
+    stream = token_stream(docs, source_col=body_col, stem=stem)
+    if title_col is not None:
+        stream = stream.unionByName(
+            token_stream(docs, source_col=title_col, field_name=FIELD_TITLE, stem=stem)
+        )
+    return position_postings(stream, buckets=buckets)

@@ -67,6 +67,10 @@ class OracleIndex:
     titlelen: dict[int, int] = field(default_factory=dict)
     postings: dict[str, dict[str, dict[int, int]]] = field(default_factory=dict)
     facets: dict[str, dict[str, set[int]]] = field(default_factory=dict)
+    # full surviving token streams per field (positions semantics —
+    # operators/positions.py): NEVER stopword-filtered, phrase slots must
+    # see every surviving token even when tf postings drop stopwords
+    streams: dict[str, dict[int, list[str]]] = field(default_factory=dict)
 
     @property
     def avgdl(self) -> float:
@@ -91,16 +95,19 @@ def build_oracle_index(
     idx = OracleIndex()
     idx.postings = {"content": {}, "title": {}}
     idx.facets = {"lang": {}, "repo": {}}
+    idx.streams = {"content": {}, "title": {}}
     for d in docs:
         docid = d["docid"]
         idx.n_docs += 1
         body = tokenize(d.get("content", ""), stem=stem)
+        idx.streams["content"][docid] = body
         if stopwords:
             body = [t for t in body if t not in stopwords]
         idx.doclen[docid] = len(body)
         for term, tf in Counter(body).items():
             idx.postings["content"].setdefault(term, {})[docid] = tf
         title = tokenize(d.get("path", ""), stem=stem)
+        idx.streams["title"][docid] = title
         idx.titlelen[docid] = len(title)
         for term, tf in Counter(title).items():
             idx.postings["title"].setdefault(term, {})[docid] = tf
@@ -121,12 +128,23 @@ def bm25_tf_norm(tf: int, dl: int, avgdl: float) -> float:
     return tf * (BM25_K1 + 1.0) / denom
 
 
+def phrase_tf_in_stream(stream: list[str], terms: list[str]) -> int:
+    """Exact-phrase occurrence count over a surviving token stream."""
+    n = len(terms)
+    if n == 0:
+        return 0
+    return sum(
+        1 for i in range(len(stream) - n + 1) if stream[i : i + n] == terms
+    )
+
+
 def score_query(
     idx: OracleIndex,
     parsed: list[tuple[str, str, list[str]]],
     mode: str = "or",
     k: int = 10,
     stem: bool = False,
+    phrases: str = "quirk",
 ) -> list[tuple[int, int, float]]:
     """Score a parsed query → [(rank, docid, score)].
 
@@ -138,6 +156,13 @@ def score_query(
     mode "and": doc must match EVERY cleaned term of every category.
     Deterministic summation: per-doc contributions are summed in sorted
     (kind, target, term) order, float64 — rank-identical across partitionings.
+
+    ``phrases``: "quirk" (default) keeps the reference's Q4 behavior — a
+    quoted multi-word token probes the postings as one term and can never
+    match; "positional" scores it as a pseudo-term over the positional
+    streams (tf = exact-phrase occurrences, df = matching docs, same
+    doclen norm), the model plans/phrase.py and the engine's
+    phrases="positional" must reproduce.
     """
     per_doc: dict[int, list[tuple[tuple, float]]] = {}
     matched_terms: dict[int, set[tuple]] = {}
@@ -148,8 +173,33 @@ def score_query(
             avgdl = idx.avgdl if target == "content" else idx.avg_titlelen
             lens = idx.doclen if target == "content" else idx.titlelen
             plist = idx.postings[target]
+            words = terms
+            if phrases == "positional":
+                words = [t for t in terms if " " not in t.strip()]
+                for raw in terms:
+                    if " " not in raw.strip():
+                        continue
+                    pterms = tokenize(raw, stem=stem)
+                    if not pterms:
+                        continue
+                    key = ("phrase", target, " ".join(pterms))
+                    if key in required:
+                        continue
+                    required.add(key)
+                    tfs = {
+                        docid: ptf
+                        for docid, stream in idx.streams[target].items()
+                        if (ptf := phrase_tf_in_stream(stream, pterms)) > 0
+                    }
+                    if not tfs:
+                        continue
+                    idf = bm25_idf(idx.n_docs, len(tfs))
+                    for docid, ptf in tfs.items():
+                        w = idf * bm25_tf_norm(ptf, lens[docid], avgdl)
+                        per_doc.setdefault(docid, []).append((key, w))
+                        matched_terms.setdefault(docid, set()).add(key)
             cleaned = sorted(
-                {c for c in (clean_query_term(t, stem=stem) for t in terms) if c}
+                {c for c in (clean_query_term(t, stem=stem) for t in words) if c}
             )
             for term in cleaned:
                 required.add(("terms", target, term))

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from ..constants import BM25_B, BM25_K1, DEFAULT_INDEX_BUCKETS
 from ..functions.codec import decode_udf
 from ..functions.hashing import term_bucket
-from ..oracle import clean_query_term
+from ..oracle import clean_query_term, tokenize
 from ..operators.index_build import IndexTables
 from .query_parser import parse_query
 
@@ -186,6 +186,49 @@ class QueryEngine:
             idf_col(self._n_docs, F.col("vdf")).alias("contrib"),
         )
 
+    def _matches_for_phrase(self, field: str, canon: str) -> DataFrame:
+        """Exact-phrase pseudo-term match over the positional postings
+        (plans/phrase.py): tf = occurrence count, df = matching docs, same
+        doclen norm as a body/title term — the oracle.score_query
+        phrases="positional" model.
+
+        ``canon`` is the already-cleaned (and, if the index stems, already-
+        stemmed) space-joined phrase, so phrase_match re-cleans with
+        stem=False — re-stemming a stemmed term would corrupt it.
+        Scale: the per-slot probes are bucket-pruned; matched rows are
+        bounded by the rarest slot's df, so the df window's single
+        partition sees only that bounded set.
+        """
+        from .phrase import phrase_match
+
+        if self.index.positions is None:
+            raise ValueError(
+                "phrases='positional' needs positional postings — build the "
+                "index with positions=True (quoted phrases are otherwise a "
+                "preserved reference no-op, quirk Q4)"
+            )
+        n_docs, avgdl = self._stats.get(field, (self._n_docs, 1.0))
+        m = phrase_match(
+            self.index.positions, canon, field=field, stem=False,
+            n_buckets=self.buckets,
+        )
+        m = m.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).cast("double")
+        )
+        dl = F.col("doclen") if field == "content" else F.col("titlelen")
+        return m.join(
+            self._docstats.select("docid", "doclen", "titlelen"), on="docid"
+        ).select(
+            "docid",
+            F.lit("phrase").alias("kind"),
+            F.lit(field).alias("target"),
+            F.lit(canon).alias("term"),
+            bm25_contrib_col(
+                F.col("phrase_tf").cast("double"), dl.cast("double"), avgdl,
+                idf_col(n_docs, F.col("df")),
+            ).alias("contrib"),
+        )
+
     def _empty_matches(self) -> DataFrame:
         return self.spark.createDataFrame(
             [], "docid long, kind string, target string, term string, contrib double"
@@ -193,7 +236,9 @@ class QueryEngine:
 
     # -- public API --------------------------------------------------------
 
-    def _query_matches(self, query: str) -> tuple[DataFrame | None, int]:
+    def _query_matches(
+        self, query: str, phrases: str = "quirk"
+    ) -> tuple[DataFrame | None, int]:
         """Parse + build the union-of-matches frame for one query.
 
         → (matches(docid, kind, target, term, contrib) | None, n_required).
@@ -202,15 +247,37 @@ class QueryEngine:
         same category counts once, matching oracle.score_query's `required`
         set; per-segment counting would make such AND queries unsatisfiable
         (n_matched dedups globally, so it could never reach the sum).
+
+        ``phrases="positional"`` scores quoted multi-word tokens as phrase
+        pseudo-terms (_matches_for_phrase); the default preserves the
+        reference's Q4 quirk (a spaced token probes postings as one term
+        and never matches — but still counts as required in AND mode,
+        exactly like the reference's unsatisfiable intersection).
         """
         parsed = parse_query(query)
         parts: list[DataFrame] = []
         required: set[tuple[str, str, str]] = set()
         for kind, target, raw_terms in parsed:
             if kind == "terms":
+                words = raw_terms
+                if phrases == "positional":
+                    words = [t for t in raw_terms if " " not in t.strip()]
+                    seen_phrases: set[str] = set()
+                    for raw in raw_terms:
+                        if " " not in raw.strip():
+                            continue
+                        pterms = tokenize(raw, stem=self.stem)
+                        if not pterms:
+                            continue
+                        canon = " ".join(pterms)
+                        if canon in seen_phrases:
+                            continue
+                        seen_phrases.add(canon)
+                        required.add(("phrase", target, canon))
+                        parts.append(self._matches_for_phrase(target, canon))
                 cleaned = [
                     c
-                    for c in (clean_query_term(t, stem=self.stem) for t in raw_terms)
+                    for c in (clean_query_term(t, stem=self.stem) for t in words)
                     if c is not None
                 ]
                 if cleaned:
@@ -254,6 +321,7 @@ class QueryEngine:
         k: int = 10,
         with_display: bool = False,
         strategy: str = "exhaustive",
+        phrases: str = "quirk",
     ) -> DataFrame:
         """→ DataFrame(rank, docid, score[, repo, path, lang]) — k rows max.
 
@@ -266,15 +334,30 @@ class QueryEngine:
           DataFrame machinery and decodes only surviving blocks.  Queries
           with facet categories fall back to exhaustive automatically —
           facet contributions are not posting cursors.
+
+        ``phrases``: "quirk" (default — reference Q4: quoted phrases never
+        match) or "positional" — score quoted phrases as pseudo-terms over
+        the positional index (requires build_index(positions=True)).
+        Queries carrying a positional phrase run exhaustive — phrase
+        matches are not posting cursors WAND can traverse.
         """
         if strategy not in ("exhaustive", "wand"):
             raise ValueError(f"strategy must be 'exhaustive' or 'wand', got {strategy!r}")
+        if phrases not in ("quirk", "positional"):
+            raise ValueError(f"phrases must be 'quirk' or 'positional', got {phrases!r}")
         if strategy == "wand":
             parsed = parse_query(query)
-            if all(kind == "terms" for kind, _, _ in parsed) and parsed:
+            has_phrase = phrases == "positional" and any(
+                " " in t.strip() for _, _, raw in parsed for t in raw
+            )
+            if (
+                all(kind == "terms" for kind, _, _ in parsed)
+                and parsed
+                and not has_phrase
+            ):
                 return self._search_wand(parsed, mode, k, with_display)
-            # facet categories present → exhaustive is the correct engine
-        matches, n_required = self._query_matches(query)
+            # facet categories / positional phrases → exhaustive engine
+        matches, n_required = self._query_matches(query, phrases=phrases)
         if matches is None:
             return self._empty_result(with_display)
 
@@ -304,6 +387,7 @@ class QueryEngine:
         self,
         queries: list[str | tuple[str, str]],
         k: int = 10,
+        phrases: str = "quirk",
     ) -> DataFrame:
         """Evaluate a whole query SET in one DataFrame job (SURVEY.md §2.8,
         north_rule: the reference query set runs as one batched evaluation).
@@ -319,7 +403,7 @@ class QueryEngine:
         reqs: list[tuple[int, int, str]] = []
         for qid, q in enumerate(queries):
             query, mode = q if isinstance(q, tuple) else (q, "or")
-            matches, n_required = self._query_matches(query)
+            matches, n_required = self._query_matches(query, phrases=phrases)
             if matches is None:
                 continue
             parts.append(matches.withColumn("query_id", F.lit(qid)))

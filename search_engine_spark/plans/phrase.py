@@ -100,12 +100,69 @@ def phrase_match(
     )
 
 
+def near_match(
+    positions: DataFrame,
+    phrase: str,
+    gap: int = 3,
+    field: str = FIELD_BODY,
+    stem: bool = False,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Ordered proximity match → (docid, near_tf) for docs where the terms
+    occur IN ORDER with each consecutive pair within ``gap`` positions
+    (distance ∈ [1, gap]).  ``gap=1`` is exactly ``phrase_match`` — pinned
+    by a test.  ``near_tf`` counts distinct positions of the LAST term that
+    complete such a chain (deterministic, SQL-expressible: the DuckDB twin
+    chains range self-joins and counts DISTINCT end positions).
+
+    Same plan shape as phrase_match — bucket-pruned slot probes, docid
+    equi-joins bounded by the rarest word — with the adjacency equality
+    relaxed to a range test in a folded filter/exists (still pure
+    whole-stage-codegen array math, no explode).
+    """
+    if gap < 1:
+        raise ValueError(f"gap must be >= 1, got {gap}")
+    terms = phrase_terms(phrase, stem=stem)
+    if not terms:
+        return positions.sparkSession.range(0).select(
+            F.col("id").alias("docid"), F.lit(0).alias("near_tf")
+        )
+    probe = positions.where(F.col("field") == field)
+    if n_buckets is not None:
+        probe = probe.where(
+            F.col("bucket").isin(sorted({term_bucket(t, n_buckets) for t in terms}))
+        )
+    slots = [
+        probe.where(F.col("term") == t).select(
+            "docid", F.col("positions").alias(f"p{i}")
+        )
+        for i, t in enumerate(terms)
+    ]
+    joined = slots[0]
+    for s in slots[1:]:
+        joined = joined.join(s, on="docid")
+    # fold: ends_i = positions of term i reachable from some end of term i-1
+    # within (0, gap]; position arrays are distinct so filter keeps them so
+    ends = F.col("p0")
+    for i in range(1, len(terms)):
+        prev = ends
+        ends = F.filter(
+            F.col(f"p{i}"),
+            lambda y: F.exists(prev, lambda x: (y > x) & (y <= x + F.lit(gap))),
+        )
+    return (
+        joined.select("docid", F.size(ends).alias("near_tf"))
+        .where(F.col("near_tf") > 0)
+    )
+
+
 def phrase_topk(
     index: IndexTables,
     phrase: str,
     k: int = 10,
     field: str = FIELD_BODY,
     stem: bool | None = None,
+    gap: int = 1,
 ) -> DataFrame:
     """→ (rank, docid, score): BM25 top-k for the phrase as one pseudo-term.
 
@@ -113,6 +170,9 @@ def phrase_topk(
     containing the phrase — the standard phrase-scoring reduction (IIR
     §2.4).  Doclen/avgdl come from the same docstats/corpus_stats the term
     engine uses, so phrase and term scores are directly comparable.
+
+    ``gap > 1`` relaxes exact adjacency to ordered proximity (near_match):
+    tf becomes the chain-completing end-position count.
     """
     if index.positions is None:
         raise ValueError(
@@ -120,10 +180,16 @@ def phrase_topk(
             "(build_index) or build_positions()"
         )
     use_stem = index.stem if stem is None else stem
-    matches = phrase_match(
-        index.positions, phrase, field=field, stem=use_stem,
-        n_buckets=index.n_buckets,
-    )
+    if gap == 1:
+        matches = phrase_match(
+            index.positions, phrase, field=field, stem=use_stem,
+            n_buckets=index.n_buckets,
+        )
+    else:
+        matches = near_match(
+            index.positions, phrase, gap=gap, field=field, stem=use_stem,
+            n_buckets=index.n_buckets,
+        ).withColumnRenamed("near_tf", "phrase_tf")
     stats = {
         r["field"]: (r["n_docs"], float(r["avgdl"]))
         for r in index.corpus_stats.collect()

@@ -167,3 +167,40 @@ def test_build_positions_and_phrase_search(spark, tmp_path, capsys):
     rc = main(["--cores", "8", "build", "--input", src, "--output", root2,
                "--positions", "--slices", "2"])
     assert rc == 2
+    capsys.readouterr()
+
+    # proximity: doc1 "merge group table" — merge→table distance 2, so the
+    # exact phrase misses but --near-gap 2 hits
+    rc = main(["--cores", "8", "search", "--index", root,
+               "--phrase", "merge table"])
+    assert rc == 0
+    assert "no results" in capsys.readouterr().out
+    rc = main(["--cores", "8", "search", "--index", root,
+               "--phrase", "merge table", "--near-gap", "2"])
+    assert rc == 0
+    near_out = capsys.readouterr().out
+    assert [int(ln.split()[1]) for ln in near_out.strip().splitlines()] == [1]
+
+    # quoted phrase inside --query: default preserves quirk Q4 (no match),
+    # --positional-phrases scores it through the positional index
+    rc = main(["--cores", "8", "search", "--index", root,
+               "--query", 'values: "table hash"'])
+    assert rc == 0
+    assert "no results" in capsys.readouterr().out
+    rc = main(["--cores", "8", "search", "--index", root,
+               "--query", 'values: "table hash"', "--positional-phrases"])
+    assert rc == 0
+    out_lines = [ln for ln in capsys.readouterr().out.strip().splitlines()
+                 if ln.strip() and "no results" not in ln]
+    assert sorted(int(ln.split()[1]) for ln in out_lines) == [1, 3]
+
+    # --positional-phrases on a positions-less index fails loudly
+    rc = main(["--cores", "8", "search", "--index", root2,
+               "--query", 'values: "table hash"', "--positional-phrases"])
+    assert rc == 2
+    assert "positions" in capsys.readouterr().err
+
+    # --positional-phrases + --wand is a usage error
+    rc = main(["--cores", "8", "search", "--index", root, "--wand",
+               "--query", 'values: "table hash"', "--positional-phrases"])
+    assert rc == 2

@@ -197,6 +197,133 @@ def test_phrase_terms_drops_nonsurviving_words():
     assert phrase_terms("of it") == ["of", "it"]
 
 
+# ---------------------------------------------------------------------------
+# QueryEngine integration: quoted phrases in the reference query surface
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pos_engine(spark, tiny_df):
+    from search_engine_spark.plans.bm25 import QueryEngine
+
+    idx = build_index(spark, tiny_df, positions=True)
+    idx.positions.cache().count()
+    eng = QueryEngine(spark, idx)
+    yield eng
+    eng.close()
+    idx.positions.unpersist()
+
+
+def _corpus_bigram(tiny_docs, field="content", want_multi_doc=True):
+    """A bigram that actually occurs in the tiny corpus (and, if asked, in
+    more than one doc) — derived from the oracle streams so the test can't
+    go stale if the fixture generator changes."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for d in tiny_docs:
+        toks = oracle.tokenize(d[field if field == "content" else "path"])
+        for a, b in set(zip(toks, toks[1:])):
+            counts[(a, b)] += 1
+    for (a, b), n in counts.most_common():
+        if not want_multi_doc or n > 1:
+            return f"{a} {b}"
+    raise AssertionError("fixture corpus has no repeated bigram")
+
+
+def _assert_engine_matches_oracle(engine, tiny_oracle, query, mode, phrases):
+    from search_engine_spark.plans.query_parser import parse_query
+
+    golden = oracle.score_query(
+        tiny_oracle, parse_query(query), mode=mode, k=10, phrases=phrases
+    )
+    got = [
+        (r["rank"], r["docid"], r["score"])
+        for r in engine.search(query, mode=mode, k=10, phrases=phrases).collect()
+    ]
+    assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in golden], query
+    for (_, _, gs), (_, _, ws) in zip(got, golden):
+        assert abs(gs - ws) < 1e-9
+    return golden
+
+
+def test_engine_positional_phrase_matches_oracle(pos_engine, tiny_oracle, tiny_docs):
+    bigram = _corpus_bigram(tiny_docs)
+    queries = [
+        (f'values: "{bigram}"', "or"),
+        (f'values: zephyrq0 "{bigram}"', "or"),          # phrase + rare term
+        (f'values: "{bigram}" | langs: en', "or"),       # phrase + facet
+        (f'values: "{bigram}", "{bigram}"', "or"),       # duplicate phrase dedups
+    ]
+    for q, mode in queries:
+        golden = _assert_engine_matches_oracle(
+            pos_engine, tiny_oracle, q, mode, "positional"
+        )
+        assert golden, f"oracle found no matches for {q!r} — vacuous test"
+
+
+def test_engine_positional_phrase_and_mode(pos_engine, tiny_oracle, tiny_docs):
+    bigram = _corpus_bigram(tiny_docs)
+    # AND: doc must match BOTH the phrase and the term
+    first_word = bigram.split()[0]
+    q = f'values: {first_word} "{bigram}"'
+    golden = _assert_engine_matches_oracle(pos_engine, tiny_oracle, q, "and", "positional")
+    assert golden, "phrase-matching docs necessarily contain the word too"
+    # every returned doc truly contains the exact phrase
+    for _, docid, _ in golden:
+        stream = tiny_oracle.streams["content"][docid]
+        assert py_phrase_tf(" ".join(stream), bigram) > 0
+
+
+def test_engine_quirk_default_preserved(pos_engine, tiny_oracle, tiny_docs):
+    """Default phrases='quirk': a quoted phrase probes postings as ONE term
+    and never matches (reference Q4) — even on a positions-enabled index."""
+    bigram = _corpus_bigram(tiny_docs)
+    q = f'values: zephyrq0 "{bigram}"'
+    _assert_engine_matches_oracle(pos_engine, tiny_oracle, q, "or", "quirk")
+    # and in AND mode the unmatched phrase makes the query unsatisfiable
+    golden = _assert_engine_matches_oracle(pos_engine, tiny_oracle, q, "and", "quirk")
+    assert golden == []
+
+
+def test_engine_title_phrase(pos_engine, tiny_oracle, tiny_docs):
+    bigram = _corpus_bigram(tiny_docs, field="title")
+    golden = _assert_engine_matches_oracle(
+        pos_engine, tiny_oracle, f'title: "{bigram}"', "or", "positional"
+    )
+    assert golden, "title bigram must match some doc"
+
+
+def test_engine_phrase_requires_positions(spark, tiny_index):
+    from search_engine_spark.plans.bm25 import QueryEngine
+
+    eng = QueryEngine(spark, tiny_index, cache_docstats=False)
+    with pytest.raises(ValueError, match="positions"):
+        eng.search('values: "new york"', phrases="positional")
+    # quirk mode stays fine on a positions-less index
+    eng.search('values: "new york"', phrases="quirk").collect()
+
+
+def test_search_batch_positional_phrases(pos_engine, tiny_oracle, tiny_docs):
+    from search_engine_spark.plans.query_parser import parse_query
+
+    bigram = _corpus_bigram(tiny_docs)
+    batch = [f'values: "{bigram}"', (f'values: zephyrq0 "{bigram}"', "or")]
+    rows = pos_engine.search_batch(batch, k=10, phrases="positional").collect()
+    by_qid: dict[int, list] = {}
+    for r in rows:
+        by_qid.setdefault(r["query_id"], []).append((r["rank"], r["docid"], r["score"]))
+    for qid, q in enumerate(batch):
+        query, mode = q if isinstance(q, tuple) else (q, "or")
+        golden = oracle.score_query(
+            tiny_oracle, parse_query(query), mode=mode, k=10, phrases="positional"
+        )
+        got = sorted(by_qid.get(qid, []))
+        assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in golden], query
+        for (_, _, gs), (_, _, ws) in zip(got, golden):
+            assert abs(gs - ws) < 1e-9
+
+
 def test_phrase_plan_prunes_buckets(spark):
     """The positions scan must carry bucket partition filters + term pushdown."""
     docs = spark.createDataFrame(HAND_ROWS, HAND_SCHEMA)

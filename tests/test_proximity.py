@@ -1,0 +1,123 @@
+"""Ordered proximity matching (plans/phrase.near_match).
+
+Ground truth is an independent pure-Python fold over oracle.tokenize
+streams; gap=1 must coincide with exact phrase_match everywhere.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from search_engine_spark import fixtures, oracle
+from search_engine_spark.operators.positions import build_positions
+from search_engine_spark.plans.phrase import near_match, phrase_match
+
+HAND_ROWS = [
+    (1, "r", "a.py", "c", "en", "merge the sorted runs quickly"),
+    (2, "r", "b.py", "c", "en", "merge runs"),
+    (3, "r", "c.py", "c", "en", "runs merge nothing here"),
+    (4, "r", "d.py", "c", "en", "merge a b c runs far apart merge x runs"),
+]
+HAND_SCHEMA = (
+    "docid long, repo string, path string, commit string, lang string, content string"
+)
+
+
+def py_near_tf(text: str, phrase: str, gap: int) -> int:
+    """Independent fold model: ends_i = positions of term i reachable from
+    some end of term i-1 within (0, gap]."""
+    toks = oracle.tokenize(text)
+    terms = oracle.tokenize(phrase)
+    if not terms:
+        return 0
+    ends = [i for i, t in enumerate(toks) if t == terms[0]]
+    for t in terms[1:]:
+        pos_t = [i for i, x in enumerate(toks) if x == t]
+        ends = [p for p in pos_t if any(0 < p - e <= gap for e in ends)]
+    return len(ends)
+
+
+@pytest.fixture(scope="module")
+def hand_positions(spark):
+    docs = spark.createDataFrame(HAND_ROWS, HAND_SCHEMA)
+    pos = build_positions(docs)
+    pos.cache().count()
+    yield pos
+    pos.unpersist()
+
+
+def _near(pos, phrase, gap, **kw):
+    return {
+        r["docid"]: r["near_tf"]
+        for r in near_match(pos, phrase, gap=gap, **kw).collect()
+    }
+
+
+def test_hand_gaps(hand_positions):
+    # "merge runs": doc2 adjacent; doc1 distance 3 ("the sorted" between);
+    # doc4 chains merge@0->runs@4 (distance 4) and merge@7->runs@9 (distance 2)
+    assert _near(hand_positions, "merge runs", gap=1) == {2: 1}
+    assert _near(hand_positions, "merge runs", gap=2) == {2: 1, 4: 1}
+    assert _near(hand_positions, "merge runs", gap=3) == {1: 1, 2: 1, 4: 1}
+    assert _near(hand_positions, "merge runs", gap=4) == {1: 1, 2: 1, 4: 2}
+    # order matters: doc3 has "runs merge" only
+    assert _near(hand_positions, "runs merge", gap=1) == {3: 1}
+
+
+def test_gap1_equals_phrase_match(hand_positions):
+    for phrase in ["merge runs", "sorted runs", "merge", "runs far apart"]:
+        exact = {
+            r["docid"]: r["phrase_tf"]
+            for r in phrase_match(hand_positions, phrase).collect()
+        }
+        assert _near(hand_positions, phrase, gap=1) == exact, phrase
+
+
+def test_fuzz_against_python_model(spark):
+    import random
+
+    rng = random.Random(7)
+    docs_py = fixtures.with_docids(fixtures.generate_documents(80, seed=21))
+    docs = spark.createDataFrame(docs_py).select(
+        "docid", "repo", "path", "commit", "lang", "content"
+    )
+    pos = build_positions(docs)
+    pos.cache().count()
+    cases = []
+    for _ in range(8):
+        n = rng.choice([2, 3])
+        toks: list[str] = []
+        while len(toks) < 2 * n + 4:
+            d = rng.choice(docs_py)
+            toks = oracle.tokenize(d["content"])
+        i = rng.randrange(0, max(1, len(toks) - 2 * n))
+        # sample non-adjacent words so proximity differs from exact phrase
+        words = [toks[i + j * rng.choice([1, 2])] for j in range(n)]
+        cases.append((" ".join(words), rng.choice([1, 2, 3, 5])))
+    cases.append(("zzz absent words", 3))
+    for phrase, gap in cases:
+        expect = {
+            d["docid"]: tf
+            for d in docs_py
+            if (tf := py_near_tf(d["content"], phrase, gap)) > 0
+        }
+        assert _near(pos, phrase, gap) == expect, (phrase, gap)
+    pos.unpersist()
+
+
+def test_gap_validation(hand_positions):
+    with pytest.raises(ValueError, match="gap"):
+        near_match(hand_positions, "merge runs", gap=0)
+
+
+def test_phrase_topk_gap(spark):
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.plans.phrase import phrase_topk
+
+    docs = spark.createDataFrame(HAND_ROWS, HAND_SCHEMA)
+    idx = build_index(spark, docs, positions=True)
+    # gap=3 admits doc1 ("merge the sorted runs") alongside doc2/doc4
+    rows = phrase_topk(idx, "merge runs", k=10, gap=3).collect()
+    assert sorted(r["docid"] for r in rows) == [1, 2, 4]
+    exact = phrase_topk(idx, "merge runs", k=10).collect()
+    assert [r["docid"] for r in exact] == [2]
