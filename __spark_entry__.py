@@ -571,6 +571,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         probe = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
         return ann_topk(emb, [float(x) for x in probe], k=10)
 
+    def q_ivf_assign(spark, sf):
+        """IVF cell assignment (operators/similarity.py) — md5-seeded
+        deterministic centroids so the DuckDB twin reproduces the exact
+        same cells (round-2 ANN scale path alongside LSH)."""
+        from search_engine_spark.operators.similarity import ivf_assign
+
+        return ivf_assign(_raw_emb(spark, sf), n_cells=8)
+
+    def q_ivf_topk(spark, sf):
+        """IVF ANN: 2-probe nearest-cell candidates, exact cosine re-rank."""
+        from search_engine_spark.operators.similarity import ivf_topk
+
+        emb = _raw_emb(spark, sf)
+        probe = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        return ivf_topk(emb, [float(x) for x in probe], k=10, n_cells=8, n_probes=2)
+
+    def q_hash_split(spark, sf):
+        """Deterministic md5 train/val/test split (operators/pipeline.py)."""
+        from search_engine_spark.operators.pipeline import hash_split
+
+        return hash_split(_raw_docs(spark, sf))
+
     def q_stemmed_tf(spark, sf):
         """Porter-stemmed forward index (north_star tokenize/stem path) —
         vectorized Arrow UDF.  SQL twin: generated (term → stem) lookup from
@@ -745,6 +767,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shutil.rmtree(work, ignore_errors=True)
         return totals
 
+    def q_pii_redact(spark, sf):
+        """Regex PII redaction (operators/scrub.py).  The sf word-soup has
+        no PII, so the entry INJECTS deterministic doc_id-derived PII with
+        the identical expression on both engines — the operator is
+        value-checked on genuinely non-trivial input; the redacted text
+        ships as sha256 (scalar, driver-canonicalizer-safe)."""
+        from search_engine_spark.operators.scrub import pii_redact
+
+        docs = _raw_docs(spark, sf)
+        did = F.col("doc_id")
+        inject = (
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit("user"), did.cast("string"), F.lit("@example.com ")),
+            )
+            .when(
+                did % 3 == 1,
+                F.concat(
+                    F.lit("10."), (did % 256).cast("string"),
+                    F.lit(".0."), (did % 100).cast("string"), F.lit(" "),
+                ),
+            )
+            .otherwise(F.lit("+1 555 867 5309 "))
+        )
+        dirty = docs.select("doc_id", F.concat(inject, F.col("text")).alias("text"))
+        return pii_redact(dirty).select(
+            "doc_id",
+            "n_emails",
+            "n_ipv4",
+            "n_phones",
+            F.sha2(F.col("redacted"), 256).alias("redacted_sha256"),
+        )
+
+    def q_repetition(spark, sf):
+        """Gopher-style repetition profile (operators/scrub.py)."""
+        from search_engine_spark.operators.scrub import repetition_stats
+
+        return repetition_stats(_raw_docs(spark, sf))
+
     def q_mm_features(spark, sf):
         """mapInPandas feature extraction — VALUE-checked against DuckDB.
 
@@ -799,6 +860,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_ann_buckets,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk": q_ann_topk,
+        "ivf_assign": q_ivf_assign,
+        "ivf_topk": q_ivf_topk,
+        "hash_split": q_hash_split,
         "stemmed_tf": q_stemmed_tf,
         "positions_tf": q_positions_tf,
         "phrase_match": q_phrase_match,
@@ -811,6 +875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "binary_meta": q_binary_meta,
         "mm_features": q_mm_features,
+        "pii_redact": q_pii_redact,
+        "repetition_stats": q_repetition,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "events_stateful_totals": q_events_stateful_totals,
@@ -1351,6 +1417,64 @@ SELECT vec_id,
 FROM cand, p ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
+    # IVF: centroid seeds = the n_cells rows with the smallest
+    # md5(CAST(vec_id AS VARCHAR)) (ties → smaller id) — identical sample
+    # in both engines; assignment = argmax of the 6dp-rounded cosine with
+    # smaller-cell-id tie-break (the exact comparator ivf_assign compiles)
+    _COS = (
+        "coalesce(round(CASE WHEN sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})) > 0"
+        " THEN list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+        " END, 6), -2.0)"
+    )
+    _IVF_SEEDS = """
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+"""
+    _IVF_ASSIGN = f"""
+  SELECT vec_id, cid AS cell, {_COS.format(a="e.embedding::DOUBLE[]", b="s.cvec")} AS cell_cos
+  FROM embeddings e CROSS JOIN ({_IVF_SEEDS}) s
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id
+    ORDER BY {_COS.format(a="e.embedding::DOUBLE[]", b="s.cvec")} DESC, cid ASC
+  ) = 1
+"""
+
+    sql["ivf_assign"] = f"SELECT vec_id, cell, cell_cos FROM ({_IVF_ASSIGN})"
+
+    sql["ivf_topk"] = f"""
+WITH p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0),
+cells AS (
+  SELECT s.cid FROM ({_IVF_SEEDS}) s, p
+  ORDER BY {_COS.format(a="pe", b="s.cvec")} DESC, s.cid ASC LIMIT 2
+),
+assigned AS ({_IVF_ASSIGN}),
+cand AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS ve
+  FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+  WHERE a.cell IN (SELECT cid FROM cells)
+)
+SELECT vec_id,
+       round(list_dot_product(ve, pe)
+             / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(pe, pe))), 6) AS cosine
+FROM cand, p ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+    # hash_split: u is a dyadic rational (32-bit md5 prefix / 2^32) —
+    # bit-identical across engines, so split boundaries cannot flip
+    sql["hash_split"] = """
+WITH u AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id, round(u, 6) AS u,
+       CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split
+FROM u
+"""
+
     # stemmed_tf: DuckDB's stem(term,'porter') lives in the fts extension,
     # which cannot download in this offline sandbox — the twin is a VALUES
     # (term → stem) lookup over the testdata vocabulary, generated by a
@@ -1480,6 +1604,89 @@ JOIN l ON d.doc_id = l.doc_id
 LEFT JOIN dropped2 dr ON d.doc_id = dr.b
 """
 
+
+    # pii_redact: same doc_id-derived injection, then the same three
+    # redaction passes in the same order.  The regexes live in
+    # operators/scrub.py and are restricted to Java-regex ∩ RE2 syntax.
+    from search_engine_spark.operators.scrub import (
+        EMAIL_RE,
+        EMAIL_TOKEN,
+        IPV4_RE,
+        IPV4_TOKEN,
+        PHONE_RE,
+        PHONE_TOKEN,
+    )
+
+    sql["pii_redact"] = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         concat(CASE WHEN doc_id % 3 = 0
+                     THEN concat('user', CAST(doc_id AS VARCHAR), '@example.com ')
+                     WHEN doc_id % 3 = 1
+                     THEN concat('10.', CAST(doc_id % 256 AS VARCHAR), '.0.',
+                                 CAST(doc_id % 100 AS VARCHAR), ' ')
+                     ELSE '+1 555 867 5309 ' END, text) AS text
+  FROM documents
+),
+r1 AS (
+  SELECT doc_id, len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+         regexp_replace(text, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g') AS t
+  FROM dirty
+),
+r2 AS (
+  SELECT doc_id, n_emails, len(regexp_extract_all(t, '{IPV4_RE}')) AS n_ipv4,
+         regexp_replace(t, '{IPV4_RE}', '{IPV4_TOKEN}', 'g') AS t
+  FROM r1
+),
+r3 AS (
+  SELECT doc_id, n_emails, n_ipv4,
+         len(regexp_extract_all(t, '{PHONE_RE}')) AS n_phones,
+         regexp_replace(t, '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS t
+  FROM r2
+)
+SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_ipv4 AS BIGINT) AS n_ipv4, CAST(n_phones AS BIGINT) AS n_phones,
+       sha256(t) AS redacted_sha256
+FROM r3
+"""
+
+    sql["repetition_stats"] = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS_ARRAY_SQL} AS toks,
+         list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+                     s -> s <> '') AS lines
+  FROM documents
+),
+lf AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(lines) > 0
+              THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+              ELSE 0.0 END AS dlf
+  FROM base
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM lf)
+  GROUP BY doc_id, tok
+),
+agg AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(tf) AS BIGINT) AS top_tf
+  FROM tf GROUP BY doc_id
+)
+SELECT l.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_distinct, 0) AS n_distinct,
+       coalesce(a.top_tf, 0) AS top_tf,
+       round(CASE WHEN coalesce(a.n_tokens, 0) > 0
+                  THEN CAST(a.n_distinct AS DOUBLE) / a.n_tokens ELSE 0.0 END, 6)
+         AS distinct_ratio,
+       round(CASE WHEN coalesce(a.n_tokens, 0) > 0
+                  THEN CAST(a.top_tf AS DOUBLE) / a.n_tokens ELSE 0.0 END, 6)
+         AS top_token_frac,
+       round(l.dlf, 6) AS dup_line_frac
+FROM lf l LEFT JOIN agg a ON l.doc_id = a.doc_id
+"""
 
     # mm_features: the mapInPandas pipeline's fake features are
     # sha256(hex(payload))-derived exactly so this twin can exist — hex()

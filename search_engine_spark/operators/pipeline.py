@@ -72,3 +72,40 @@ def training_corpus_filter(
             .alias("keep"),
         )
     )
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """→ (id, u, split) — deterministic train/val/test assignment.
+
+    u = first-8-hex-chars of md5('<salt>:<id>') / 2^32 ∈ [0, 1); the split
+    is the first label whose cumulative weight exceeds u.  Properties a
+    training pipeline needs and a Spark ``randomSplit`` does NOT give:
+    - stable across runs, partitionings, and engines (md5 of a string —
+      the SQL twin reproduces u bit-identically; dyadic rational, so the
+      6-dp round is exact);
+    - a document keeps its split when the corpus grows (assignment depends
+      only on id + salt, never on row order or sampling state);
+    - map-only: rides the scan, no shuffle, no RNG state to coordinate
+      across 1000 executors.
+    Default weights: train 0.9 / val 0.05 / test 0.05.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double") / F.lit(4294967296.0)
+    expr = F.lit(list(weights)[-1])
+    cum = 0.0
+    bounds = []
+    for name, w in weights.items():
+        cum += w
+        bounds.append((name, cum))
+    for name, b in reversed(bounds[:-1]):
+        expr = F.when(u < b, F.lit(name)).otherwise(expr)
+    return docs.select(F.col(id_col), F.round(u, 6).alias("u"), expr.alias("split"))

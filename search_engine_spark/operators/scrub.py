@@ -1,0 +1,136 @@
+"""Content-scrubbing operators for a training-data pipeline: PII
+redaction and repetition analysis (Gopher-style quality gates).
+
+Both are standard corpus-preparation passes a 100-TB pipeline runs before
+training (C4/CCNet redact emails/IPs; Gopher drops high-repetition docs):
+
+- ``pii_redact`` — regex-based email / IPv4 / phone redaction with typed
+  placeholders and per-doc hit counts.  Pure Catalyst ``regexp_replace`` /
+  ``regexp_count`` — whole-stage codegen, zero shuffle, linear in input
+  splits.  The regexes are restricted to the syntax subset Java regex and
+  RE2 (DuckDB) interpret identically, so the oracle twin is exact.
+- ``repetition_stats`` — per-doc token-repetition profile: distinct-token
+  ratio, most-frequent-token share, duplicate-line share.  The token tf
+  pass reuses the A1 forward-index shape (explode → two-level hash agg,
+  map-side partial before the one (doc_id) exchange); the line pass stays
+  columnar (array ops, no shuffle).
+
+Reference ground: the reference has no corpus-quality surface at all
+(its only filter is the stop-word probe, KaggleFinanceSourceEngine.cpp:259);
+these extend the engine the way SURVEY.md §2's training-pipeline section
+mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens_col
+
+# Patterns deliberately use only Java-regex ∩ RE2 syntax (char classes,
+# bounded repetition, \b ASCII word boundary) so Spark and DuckDB agree
+# byte-for-byte.  Order matters: emails first (their domains contain dots
+# an IP pattern could half-match), then IPs, then phones.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\+[0-9]{1,2}[ -][0-9]{3}[ -][0-9]{3,4}[ -][0-9]{4}"
+
+EMAIL_TOKEN = "<EMAIL>"
+IPV4_TOKEN = "<IP>"
+PHONE_TOKEN = "<PHONE>"
+
+
+def pii_redact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_emails, n_ipv4, n_phones, redacted) — typed-placeholder PII
+    redaction.
+
+    ``redacted`` is the text with every match replaced by its placeholder;
+    counts are per-doc match counts BEFORE replacement.  Columnar regexp
+    only — at 100 TB this is a map-only stage that rides the document scan.
+    """
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(EMAIL_RE))
+    redacted = F.regexp_replace(t, EMAIL_RE, EMAIL_TOKEN)
+    n_ipv4 = F.regexp_count(redacted, F.lit(IPV4_RE))
+    redacted = F.regexp_replace(redacted, IPV4_RE, IPV4_TOKEN)
+    n_phones = F.regexp_count(redacted, F.lit(PHONE_RE))
+    redacted = F.regexp_replace(redacted, PHONE_RE, PHONE_TOKEN)
+    return docs.select(
+        F.col(id_col),
+        n_emails.cast("long").alias("n_emails"),
+        n_ipv4.cast("long").alias("n_ipv4"),
+        n_phones.cast("long").alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_tokens, n_distinct, top_tf, distinct_ratio, top_token_frac,
+    dup_line_frac) — Gopher-style repetition profile.
+
+    distinct_ratio = distinct tokens / total tokens (low ⇒ repetitive);
+    top_token_frac = share of the single most frequent token;
+    dup_line_frac = share of non-empty lines that are duplicates of an
+    earlier line.  Token stats go through the forward-index agg shape
+    (explode → groupBy(doc, tok) → groupBy(doc), both hash aggs partial
+    map-side); line stats are pure array expressions on the scan.
+    """
+    toks = tokens_col(F.lower(F.col(text_col)))
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+
+    base = docs.select(
+        F.col(id_col), toks.alias("toks"), dup_line_frac.alias("dup_line_frac")
+    )
+    tf = (
+        base.select(id_col, "dup_line_frac", F.explode("toks").alias("tok"))
+        .groupBy(id_col, "dup_line_frac", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    per_doc = tf.groupBy(id_col, "dup_line_frac").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("tf").cast("long").alias("top_tf"),
+    )
+    # docs whose token stream is empty never reach the explode — restore
+    # them with zero stats so the operator is total over the corpus
+    empty = base.where(F.size("toks") == 0).select(
+        id_col,
+        "dup_line_frac",
+        F.lit(0).cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_distinct"),
+        F.lit(0).cast("long").alias("top_tf"),
+    )
+    return per_doc.unionByName(empty).select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        "top_tf",
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_distinct").cast("double") / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("distinct_ratio"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("top_tf").cast("double") / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_token_frac"),
+        F.round(F.col("dup_line_frac"), 6).alias("dup_line_frac"),
+    )

@@ -258,3 +258,168 @@ def ann_topk(
         how="left_semi",
     )
     return cosine_topk(cand, probe, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second SURVEY-mandated scale path
+# ---------------------------------------------------------------------------
+
+def ivf_seed_centroids(
+    embeddings: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic data-derived centroid seeds: the ``n_cells`` rows with
+    the smallest ``md5(CAST(id AS STRING))`` (ties → smaller id).
+
+    md5-order sampling is engine-agnostic (DuckDB computes the identical
+    sample), uniform over the corpus, and free of RNG state — the IVF
+    analogue of the hyperplane-sign trick above.  Returns [(cell_id, vec)]
+    where cell_id is the seed row's own id (stable, no renumbering).
+    """
+    rows = (
+        embeddings.select(id_col, vec_col, F.md5(F.col(id_col).cast("string")).alias("h"))
+        .orderBy("h", id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    return [(r[id_col], [float(x) for x in r[vec_col]]) for r in rows]
+
+
+def _cell_argmax(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """struct(cos6, -cell) argmax over literal centroids — deterministic:
+    cosine rounded to 6 dp BEFORE comparison (cross-engine float safety),
+    ties to the smaller cell id.  Zero-norm rows score -2 (below any cos)."""
+    scored = [
+        F.struct(
+            F.coalesce(
+                F.round(
+                    F.when(
+                        _norm(vec_col) * F.lit(_l2(c)) > 0,
+                        _dot_with_literal(vec_col, c) / (_norm(vec_col) * F.lit(_l2(c))),
+                    ),
+                    6,
+                ),
+                F.lit(-2.0),
+            ).alias("cos"),
+            F.lit(-cell).cast("long").alias("ncell"),
+        )
+        for cell, c in centroids
+    ]
+    best = F.array_max(F.array(*scored))
+    return F.struct((-best["ncell"]).alias("cell"), best["cos"].alias("cell_cos"))
+
+
+def _l2(v: list[float]) -> float:
+    import math
+
+    return math.sqrt(sum(float(x) * float(x) for x in v))
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """(id, cell, cell_cos): nearest-centroid (max-cosine) cell assignment.
+
+    Map-only against broadcast literal centroids (k·dim doubles in the plan
+    — at k=4096, dim=1024 that is ~32 MB of constants; beyond that ship
+    centroids as a broadcast DataFrame crossJoin instead).  At 10^9 vectors
+    this pass rides the scan: no shuffle; ``cell`` then becomes the
+    partition/bucket key so a query touches nprobe cells, not the corpus.
+    """
+    cents = centroids or ivf_seed_centroids(embeddings, n_cells, id_col, vec_col)
+    best = _cell_argmax(F.col(vec_col), cents)
+    return embeddings.select(
+        F.col(id_col),
+        best["cell"].alias("cell"),
+        best["cell_cos"].alias("cell_cos"),
+    )
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd refinement of the md5-seeded centroids (k-means on cosine
+    cells): assign → per-cell per-dimension mean → repeat.
+
+    Each iteration is ONE distributed pass: posexplode to (cell, dim, val),
+    hash-agg mean (partial map-side), collect k·dim doubles to the driver.
+    Cell ids stay the original seed ids.  Empty cells keep their previous
+    centroid.  Deterministic: assignment tie-breaks are fixed and the mean
+    is order-insensitive per (cell, dim) up to float addition order —
+    refined centroids are for RECALL, exactness is asserted only on the
+    seeded (iteration-0) path, which the oracle twin reproduces.
+    """
+    cents = ivf_seed_centroids(embeddings, n_cells, id_col, vec_col)
+    for _ in range(n_iters):
+        assigned = ivf_assign(embeddings, id_col=id_col, vec_col=vec_col, centroids=cents)
+        means = (
+            assigned.join(embeddings, on=id_col)
+            .select("cell", F.posexplode(F.col(vec_col)).alias("d", "x"))
+            .groupBy("cell", "d")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+            .select("cell", F.transform("dm", lambda s: s["m"]).alias("cvec"))
+            .collect()
+        )
+        by_cell = {r["cell"]: [float(x) for x in r["cvec"]] for r in means}
+        cents = [(cell, by_cell.get(cell, prev)) for cell, prev in cents]
+    return cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF ANN: probe the ``n_probes`` nearest cells, exact cosine re-rank.
+
+    The probe's cell ranking happens driver-side on the (tiny) centroid
+    list with the SAME 6-dp-rounded cosine + smaller-id tie-break the
+    distributed assignment uses, so probe and corpus agree on boundaries.
+    Candidates = rows assigned to those cells (bucket-pruned scan at scale);
+    the re-rank is the exact ``cosine_topk`` over that sliver.
+    """
+    cents = centroids or ivf_seed_centroids(embeddings, n_cells, id_col, vec_col)
+    pn = _l2(probe)
+    ranked = sorted(
+        (
+            (
+                round(
+                    (
+                        sum(float(a) * float(b) for a, b in zip(probe, cv))
+                        / (pn * _l2(cv))
+                    ),
+                    6,
+                )
+                if pn * _l2(cv) > 0
+                else -2.0,
+                -cell,
+            )
+            for cell, cv in cents
+        ),
+        reverse=True,
+    )
+    cells = [-ncell for _, ncell in ranked[:n_probes]]
+    assigned = ivf_assign(embeddings, id_col=id_col, vec_col=vec_col, centroids=cents)
+    cand = embeddings.join(
+        assigned.where(F.col("cell").isin(cells)).select(id_col),
+        on=id_col,
+        how="left_semi",
+    )
+    return cosine_topk(cand, probe, k=k, id_col=id_col, vec_col=vec_col)

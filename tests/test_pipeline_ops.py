@@ -345,3 +345,137 @@ def test_facet_sets(spark):
     }
     assert res[("lang", "python")] == (2, [1, 2])
     assert res[("repo", "r2")] == (1, [3])
+
+
+def test_pii_redact_counts_and_placeholders(spark):
+    from search_engine_spark.operators.scrub import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org and ann@a.io please"),
+            (2, "server at 10.0.255.3 and 192.168.1.1 responded"),
+            (3, "call +1 555 867 5309 today"),
+            (4, "nothing sensitive here"),
+            # email domain contains digits-and-dots — must redact as EMAIL,
+            # never leave a half-matched IP behind
+            (5, "a@10.0.0.1.example.com then 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+    res = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    assert (res[1]["n_emails"], res[1]["n_ipv4"], res[1]["n_phones"]) == (2, 0, 0)
+    assert "<EMAIL>" in res[1]["redacted"] and "@" not in res[1]["redacted"]
+    assert res[2]["n_ipv4"] == 2 and res[2]["redacted"].count("<IP>") == 2
+    assert res[3]["n_phones"] == 1 and "<PHONE>" in res[3]["redacted"]
+    assert res[4]["redacted"] == "nothing sensitive here"
+    assert res[5]["n_emails"] == 1 and res[5]["n_ipv4"] == 1
+
+
+def test_repetition_stats_profile(spark):
+    from search_engine_spark.operators.scrub import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),                       # 1 distinct / 4
+            (2, "all four tokens differ"),                    # 4 distinct / 4
+            (3, "dup line\ndup line\nunique line\n\n"),       # 1 of 3 lines dup
+            (4, ""),                                          # empty → zeros
+            (5, "Case case CASE"),                            # lowercased → 1 distinct
+        ],
+        "doc_id long, text string",
+    )
+    res = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert res[1]["n_tokens"] == 4 and res[1]["n_distinct"] == 1
+    assert res[1]["top_token_frac"] == 1.0 and res[1]["distinct_ratio"] == 0.25
+    assert res[2]["distinct_ratio"] == 1.0 and res[2]["top_tf"] == 1
+    assert abs(res[3]["dup_line_frac"] - 1.0 / 3.0) < 1e-6
+    assert res[4]["n_tokens"] == 0 and res[4]["top_token_frac"] == 0.0
+    assert res[5]["n_distinct"] == 1 and res[5]["top_tf"] == 3
+
+
+def test_ivf_assign_total_and_exact(emb_df):
+    """Every vector gets exactly one cell; cells are seed ids; assignment
+    equals a pure-Python argmax over the same centroids (6dp round,
+    smaller-id tie-break)."""
+    from search_engine_spark.operators.similarity import (
+        ivf_assign,
+        ivf_seed_centroids,
+    )
+
+    cents = ivf_seed_centroids(emb_df, 4)
+    assert len(cents) == 4
+    rows = ivf_assign(emb_df, centroids=cents).collect()
+    assert len(rows) == 50
+    vecs = {r["vec_id"]: r["embedding"] for r in emb_df.collect()}
+
+    def _cos(a, b):
+        import math
+
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return round(dot / (na * nb), 6) if na * nb > 0 else -2.0
+
+    for r in rows:
+        want = max(
+            ((_cos(vecs[r["vec_id"]], cv), -cell) for cell, cv in cents),
+        )
+        assert r["cell"] == -want[1] and abs(r["cell_cos"] - want[0]) < 1e-9
+
+
+def test_ivf_topk_all_probes_equals_bruteforce(emb_df):
+    from search_engine_spark.operators.similarity import cosine_topk, ivf_topk
+
+    probe = emb_df.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    brute = [(r["vec_id"], r["cosine"]) for r in cosine_topk(emb_df, probe, k=5).collect()]
+    full = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_topk(emb_df, probe, k=5, n_cells=4, n_probes=4).collect()
+    ]
+    assert full == brute
+    # single-probe: a bucket-pruned sliver that still contains the probe's
+    # own vector (it is assigned to its nearest cell by construction)
+    one = ivf_topk(emb_df, probe, k=5, n_cells=4, n_probes=1).collect()
+    assert one[0]["vec_id"] == 7
+
+
+def test_ivf_train_recovers_planted_clusters(spark):
+    from search_engine_spark.operators.similarity import ivf_assign, ivf_train
+
+    rows = [(i, [10.0 + 0.01 * i, 0.1]) for i in range(6)]
+    rows += [(100 + i, [0.1, 10.0 + 0.01 * i]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_train(emb, n_cells=2, n_iters=2)
+    assert len(cents) == 2 and all(len(cv) == 2 for _, cv in cents)
+    assigned = {r["vec_id"]: r["cell"] for r in ivf_assign(emb, centroids=cents).collect()}
+    a_cells = {assigned[i] for i in range(6)}
+    b_cells = {assigned[100 + i] for i in range(6)}
+    assert len(a_cells) == 1 and len(b_cells) == 1 and a_cells != b_cells
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from search_engine_spark.operators.pipeline import hash_split
+
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    s1 = {r["doc_id"]: (r["split"], r["u"]) for r in hash_split(docs).collect()}
+    s2 = {r["doc_id"]: (r["split"], r["u"]) for r in hash_split(docs).collect()}
+    assert s1 == s2  # stable across runs
+    # growing the corpus never reassigns existing ids
+    s3 = {
+        r["doc_id"]: (r["split"], r["u"])
+        for r in hash_split(
+            spark.range(0, 3000).select(F.col("id").alias("doc_id"))
+        ).collect()
+    }
+    assert all(s3[k] == v for k, v in s1.items())
+    from collections import Counter
+
+    frac = Counter(v[0] for v in s1.values())
+    assert abs(frac["train"] / 2000 - 0.9) < 0.03
+    assert abs(frac["val"] / 2000 - 0.05) < 0.02
+    # a different salt is an independent assignment
+    s4 = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, salt="other").collect()
+    }
+    assert any(s4[k] != s1[k][0] for k in s4)
