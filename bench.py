@@ -241,6 +241,30 @@ def main() -> None:
         timed_best("q9b_quality", lambda: _force(quality_score(raw_docs)), runs=2)
         timed_best("q10_fingerprint", lambda: _force(fingerprint(raw_docs)), runs=2)
 
+        # --- content scrubbing + split (round-2 pipeline ops) ---
+        from search_engine_spark.operators.pipeline import hash_split
+        from search_engine_spark.operators.scrub import pii_redact, repetition_stats
+
+        timed_best("q10b_pii_redact", lambda: _force(pii_redact(raw_docs)), runs=2)
+        timed_best(
+            "q10c_repetition", lambda: _force(repetition_stats(raw_docs)), runs=2
+        )
+        timed_best("q10d_hash_split", lambda: _force(hash_split(raw_docs)), runs=2)
+
+        # --- IVF ANN (seed + assign once, then warm probe latency) ---
+        from search_engine_spark.operators.similarity import (
+            ivf_seed_centroids,
+            ivf_topk,
+        )
+
+        cents = ivf_seed_centroids(emb, 16)
+        timed_best(
+            "q8b_ivf_topk",
+            lambda: ivf_topk(
+                emb, [float(x) for x in probe], k=10, centroids=cents, n_probes=2
+            ).collect(),
+        )
+
         # --- event-stream analytics (batch mode of the streaming ops) ---
         from search_engine_spark.operators.events import (
             sessionize,

@@ -73,11 +73,26 @@ def _distinct_shingles(docs: DataFrame, text_col: str, id_col: str) -> DataFrame
     )
 
 
+def doc_shingles(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sh: array<string>) — the per-doc distinct shingle arrays.
+
+    Compute ONCE and pass to ``minhash_signatures`` / ``ngram_jaccard``
+    (both accept ``shingles=``) when composing them: the shingle transform
+    is the single most expensive expression in the dedup pipeline, and the
+    composed ``near_dedup`` would otherwise evaluate it four times (minhash
+    explode, size lookup, and both sides of the intersection join).
+    """
+    return docs.select(F.col(id_col), shingles_col(F.col(text_col)).alias("sh"))
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hashes: int = N_MINHASHES,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig_0..sig_{n-1}): sig_i = min(md5(i || ':' || shingle)).
 
@@ -101,7 +116,10 @@ def minhash_signatures(
     bit-identically via CAST(concat('0x', substring(md5(..),1,15)) AS
     BIGINT).
     """
-    toks = _distinct_shingles(docs, text_col, id_col)
+    if shingles is not None:
+        toks = shingles.select(F.col(id_col), F.explode("sh").alias("tok"))
+    else:
+        toks = _distinct_shingles(docs, text_col, id_col)
     aggs = [
         F.min(
             F.conv(
@@ -165,15 +183,21 @@ def ngram_jaccard(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs → (a, b, jaccard).
 
     Shingle sets are computed once per doc (not per pair) and joined to the
     pair list twice; |A∩B| via exploded-shingle equi-join, |A∪B| = |A|+|B|-∩.
+    Pass a (persisted) ``shingles`` frame from ``doc_shingles`` to avoid
+    re-deriving the arrays on each of the three consuming branches.
     """
-    sh = docs.select(
-        F.col(id_col).alias("sid"), shingles_col(F.col(text_col), n).alias("sh")
-    )
+    if shingles is not None and n == SHINGLE_K:
+        sh = shingles.select(F.col(id_col).alias("sid"), "sh")
+    else:
+        sh = docs.select(
+            F.col(id_col).alias("sid"), shingles_col(F.col(text_col), n).alias("sh")
+        )
     sizes = sh.select("sid", F.size("sh").alias("sz"))
     exploded = sh.select("sid", F.explode("sh").alias("g"))
 
@@ -224,13 +248,35 @@ def near_dedup(
     Scale shape: two shuffles end to end (signature groupBy, band
     self-join) plus the candidate-only verify — candidate count is bounded
     by LSH collisions, not n².
+
+    The candidate set is MATERIALIZED (persist + count) before the verify:
+    downstream, ``pairs`` feeds both the intersection branch and the final
+    assembly, and each lazy instance would re-run the whole
+    signature+band-join subtree — measured 109-192 s vs ~8 s at sf0.1 for
+    the identical answer.  At 100 TB this is the stage boundary you'd
+    checkpoint to distributed storage anyway (the candidate list is the
+    small, expensive-to-recompute artifact; re-deriving it per consumer
+    multiplies the two big shuffles by the consumer count).
     """
-    sigs = minhash_signatures(docs, text_col=text_col, id_col=id_col, n_hashes=n_hashes)
-    pairs = lsh_candidate_pairs(sigs, id_col=id_col, n_hashes=n_hashes, bands=bands)
-    verified = ngram_jaccard(docs, pairs, text_col=text_col, id_col=id_col).where(
-        F.col("jaccard") >= threshold
-    )
-    dropped = verified.groupBy("b").agg(F.min("a").alias("dup_of"))
+    sh = doc_shingles(docs, text_col=text_col, id_col=id_col).persist()
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(docs, id_col=id_col, n_hashes=n_hashes, shingles=sh),
+        id_col=id_col, n_hashes=n_hashes, bands=bands,
+    ).persist()
+    try:
+        pairs.count()  # cut the lineage NOW — one signature pass total
+        verified = ngram_jaccard(
+            docs, pairs, text_col=text_col, id_col=id_col, shingles=sh
+        ).where(F.col("jaccard") >= threshold)
+        # materialize the drop map (tiny: dropped docs only) while the
+        # candidate/shingle caches are alive; it STAYS persisted so
+        # re-evaluating the returned frame re-runs one cheap left join,
+        # never the pipeline
+        dropped = verified.groupBy("b").agg(F.min("a").alias("dup_of")).persist()
+        dropped.count()
+    finally:
+        pairs.unpersist()
+        sh.unpersist()
     return (
         docs.select(F.col(id_col))
         .join(dropped.withColumnRenamed("b", id_col), on=id_col, how="left")
