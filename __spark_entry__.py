@@ -428,6 +428,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
         return _ranked_literal_df(spark, out)
 
+    def q_facet_counts(spark, sf):
+        """Faceted-search counts (QueryEngine.facet_counts): per-facet-value
+        doc counts over the FULL OR-match set of a term query."""
+        from search_engine_spark.operators.index_build import build_index
+        from search_engine_spark.plans.bm25 import QueryEngine
+        from search_engine_spark.sources.corpus import load_testdata_documents
+
+        docs = load_testdata_documents(spark, sf)
+        index = build_index(spark, docs, compress=True, title_col=None)
+        eng = QueryEngine(spark, index, cache_docstats=False)
+        out = eng.facet_counts("values: " + " ".join(BM25_TERMS), ["lang"])
+        return out
+
     def q_topk_per_query(spark, sf):
         """Batched multi-query top-k via window (SURVEY.md §2.8)."""
         scored = _term_contribs(spark, sf, BATCH_TERMS).select(
@@ -844,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_incremental_topk": q_bm25_incremental,
         "bm25_streamed": q_bm25_streamed,
         "topk_per_query": q_topk_per_query,
+        "search_facet_counts": q_facet_counts,
         "facet_sets": q_facet_sets,
         "facet_sets_multi": q_facet_sets_multi,
         "stopword_tf": q_stopword_tf,
@@ -1249,6 +1263,18 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 6) AS sum_value
 FROM events GROUP BY user_id
+"""
+
+    # facet_counts: the OR match set is docs containing ANY query term
+    # (body tf > 0 under the engine tokenizer = _TF_SQL), counted per
+    # lowercased facet value
+    fc_tlist = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    sql["search_facet_counts"] = f"""
+WITH tf AS ({_TF_SQL}),
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({fc_tlist}))
+SELECT 'lang' AS facet, lower(d.lang) AS value, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN m ON d.doc_id = m.doc_id
+GROUP BY lower(d.lang)
 """
 
     tlist = ", ".join(f"'{t}'" for t in BATCH_TERMS)

@@ -485,6 +485,66 @@ class QueryEngine:
             ).orderBy("rank")
         return result
 
+    def facet_counts(
+        self,
+        query: str,
+        facets: list[str],
+        mode: str = "or",
+        phrases: str = "quirk",
+    ) -> DataFrame:
+        """→ DataFrame(facet, value, n_docs): per-facet-value counts over the
+        FULL match set of ``query`` (not just the top-k) — the faceted-search
+        sidebar every production engine renders next to results.
+
+        Plan: the same bucket-pruned match union as ``search``, aggregated
+        WITHOUT the scoring fold (only the distinct required-key count for
+        AND semantics — cheaper than scoring), then one docstats join and a
+        per-facet union counted map-side.  Scalar facet columns count
+        lowercased values; entity-array columns count each distinct member
+        once per doc (matching _matches_for_facet's membership semantics).
+        Capability analogue in the reference: none — its facet maps answer
+        value→docids probes only (SearchEngine.h:184-320), never
+        result-distribution counts.
+        """
+        matches, n_required = self._query_matches(query, phrases=phrases)
+        if matches is None:
+            return self.spark.createDataFrame(
+                [], "facet string, value string, n_docs long"
+            )
+        agg = matches.groupBy("docid").agg(
+            F.size(F.collect_set(F.struct("kind", "target", "term"))).alias("n_matched")
+        )
+        if mode == "and":
+            agg = agg.where(F.col("n_matched") >= F.lit(n_required))
+        hits = agg.select("docid").join(self._docstats, on="docid")
+        dtypes = dict(self._docstats.dtypes)
+        parts: list[DataFrame] = []
+        for fc in facets:
+            if fc not in dtypes:
+                continue
+            if dtypes[fc].startswith("array"):
+                vals = hits.select(
+                    "docid",
+                    F.explode(
+                        F.array_distinct(
+                            F.transform(F.col(fc), lambda x: F.lower(x))
+                        )
+                    ).alias("value"),
+                )
+            else:
+                vals = hits.select("docid", F.lower(F.col(fc)).alias("value"))
+            parts.append(vals.select(F.lit(fc).alias("facet"), "value"))
+        if not parts:
+            return self.spark.createDataFrame(
+                [], "facet string, value string, n_docs long"
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u.groupBy("facet", "value").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        )
+
     def display(
         self,
         docid: int,

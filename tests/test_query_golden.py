@@ -153,3 +153,50 @@ def test_uncompressed_index_same_results(spark, tiny_df, tiny_oracle):
     golden = score_query(tiny_oracle, parse_query(q), mode="or", k=10)
     got = [(r["rank"], r["docid"]) for r in eng.search(q).collect()]
     assert got == [(r, d) for r, d, _ in golden]
+
+
+def test_facet_counts_match_python_model(engine, tiny_docs):
+    """facet_counts must equal a pure-Python recount: OR match set = docs
+    whose tokenized content contains any query term; counts per lowercased
+    facet value over that set."""
+    from collections import Counter
+
+    from search_engine_spark.oracle import tokenize
+
+    terms = {"merge_index0", "scan_block0"}
+    want_lang: Counter = Counter()
+    want_repo: Counter = Counter()
+    for d in tiny_docs:
+        if terms & set(tokenize(d["content"])):
+            want_lang[d["lang"].lower()] += 1
+            want_repo[d["repo"].lower()] += 1
+    assert sum(want_lang.values()) > 0, "fixture must match some docs"
+    got = {
+        (r["facet"], r["value"]): r["n_docs"]
+        for r in engine.facet_counts("values: merge_index0 scan_block0", ["lang", "repo"]).collect()
+    }
+    want = {("lang", v): n for v, n in want_lang.items()}
+    want |= {("repo", v): n for v, n in want_repo.items()}
+    assert got == want
+
+
+def test_facet_counts_and_mode_subset(engine, tiny_docs):
+    """AND-mode counts only docs matching EVERY required key — a subset of
+    the OR counts, equal to the python intersection model."""
+    from collections import Counter
+
+    from search_engine_spark.oracle import tokenize
+
+    want: Counter = Counter()
+    for d in tiny_docs:
+        toks = set(tokenize(d["content"]))
+        if "merge_index0" in toks and "scan_block0" in toks:
+            want[d["lang"].lower()] += 1
+    assert sum(want.values()) > 0, "fixture must have conjunctive matches"
+    got = {
+        r["value"]: r["n_docs"]
+        for r in engine.facet_counts(
+            "values: merge_index0 scan_block0", ["lang"], mode="and"
+        ).collect()
+    }
+    assert got == dict(want)
