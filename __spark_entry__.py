@@ -676,6 +676,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("docid").alias("doc_id"), "near_tf"
         )
 
+    def q_snippet_windows(spark, sf):
+        """Distributed best-passage selection (plans/snippet.best_windows):
+        per matching doc, the 8-token window covering the most distinct
+        query terms, earliest occurrence-anchored start on ties."""
+        from search_engine_spark.operators.positions import build_positions
+        from search_engine_spark.plans.snippet import best_windows
+
+        docs = _raw_docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), F.col("text").alias("content")
+        )
+        pos = build_positions(docs)
+        return best_windows(pos, BM25_TERMS, width=8).select(
+            F.col("docid").alias("doc_id"), "win_start", "n_terms"
+        )
+
     def q_bm25_phrase_mixed(spark, sf):
         """The ENGINE's positional-phrase path: QueryEngine.search with a
         mixed query (plain term + quoted phrase, phrases="positional") —
@@ -883,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": q_phrase_topk,
         "proximity_match": q_proximity_match,
         "bm25_phrase_mixed": q_bm25_phrase_mixed,
+        "snippet_windows": q_snippet_windows,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "token_count": q_token_count,
@@ -1146,6 +1162,25 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
     sql["phrase_match"] = _phrase_match_sql(PHRASE_TERMS)
 
     sql["proximity_match"] = _near_match_sql(PHRASE_TERMS, PROX_GAP)
+
+    # snippet_windows: occurrence-anchored best-coverage window; ties →
+    # highest distinct-term count, then earliest start (the exact struct
+    # argmax best_windows compiles)
+    sw_tlist = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    sql["snippet_windows"] = f"""
+WITH p AS ({_POS_SQL}),
+occ AS (SELECT doc_id, term, pos FROM p WHERE term IN ({sw_tlist})),
+starts AS (SELECT DISTINCT doc_id, pos AS win_start FROM occ),
+scored AS (
+  SELECT s.doc_id, s.win_start, CAST(count(DISTINCT o.term) AS INT) AS n_terms
+  FROM starts s JOIN occ o ON o.doc_id = s.doc_id
+   AND o.pos >= s.win_start AND o.pos < s.win_start + 8
+  GROUP BY s.doc_id, s.win_start
+)
+SELECT doc_id, CAST(win_start AS INT) AS win_start, n_terms
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY n_terms DESC, win_start ASC) = 1
+"""
 
     # phrase as ONE pseudo-term: tf = occurrence count, df = matching docs;
     # doclen/avgdl from the same tf table the term engine uses

@@ -545,6 +545,57 @@ class QueryEngine:
             F.count(F.lit(1)).cast("long").alias("n_docs")
         )
 
+    def snippets(
+        self,
+        query: str,
+        docs: DataFrame,
+        k: int = 10,
+        width: int = 10,
+        mode: str = "or",
+    ) -> list[dict]:
+        """Search + best-passage snippets: [{rank, docid, score, snippet}].
+
+        Needs positional postings (build_index(positions=True)) — window
+        selection runs distributed over the bucket-pruned positional probe
+        for the k result docs only (plans/snippet.py); rendering is k rows
+        of driver-side string work against one prunable point lookup.
+        """
+        from .snippet import best_windows, render_snippets
+
+        if self.index.positions is None:
+            raise ValueError(
+                "snippets need positional postings — build the index with "
+                "positions=True"
+            )
+        hits = self.search(query, mode=mode, k=k).collect()
+        if not hits:
+            return []
+        terms = [
+            t
+            for kind, _, raw in parse_query(query)
+            if kind == "terms"
+            for t in raw
+            if " " not in t.strip()
+        ]
+        wins = best_windows(
+            self.index.positions,
+            terms,
+            width=width,
+            n_buckets=self.buckets,
+            stem=self.stem,
+            docids=[r["docid"] for r in hits],
+        ).collect()
+        rendered = render_snippets(docs, wins, terms, width=width, stem=self.stem)
+        return [
+            {
+                "rank": r["rank"],
+                "docid": r["docid"],
+                "score": r["score"],
+                "snippet": rendered.get(r["docid"], ""),
+            }
+            for r in hits
+        ]
+
     def display(
         self,
         docid: int,

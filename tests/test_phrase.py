@@ -339,3 +339,61 @@ def test_phrase_plan_prunes_buckets(spark):
     )
     assert re.search(r"PartitionFilters: \[.*bucket.*IN \(\d", plan), plan
     assert "PushedFilters" in plan and "EqualTo(term" in plan, plan
+
+
+def test_best_windows_matches_bruteforce(spark):
+    """Distributed window selection ≡ exhaustive python scan over every
+    possible start (not just occurrence-anchored ones) — proves the
+    occurrence-anchor pruning is lossless."""
+    from search_engine_spark.operators.positions import build_positions
+    from search_engine_spark.oracle import tokenize
+    from search_engine_spark.plans.snippet import best_windows
+
+    rows = [
+        (1, "alpha beta x x gamma x alpha beta gamma x x"),
+        (2, "x x x alpha x x x x x x beta x gamma"),
+        (3, "gamma x beta x alpha"),
+        (4, "nothing relevant here"),
+    ]
+    docs = spark.createDataFrame(rows, "docid long, content string")
+    pos = build_positions(docs)
+    terms = ["alpha", "beta", "gamma"]
+    width = 5
+    got = {
+        r["docid"]: (r["win_start"], r["n_terms"])
+        for r in best_windows(pos, terms, width=width).collect()
+    }
+    for did, text in rows:
+        toks = tokenize(text)
+        hits = [(i, t) for i, t in enumerate(toks) if t in terms]
+        if not hits:
+            assert did not in got
+            continue
+
+        def cov(s):
+            return len({t for i, t in hits if s <= i < s + width})
+
+        # coverage must be maximal over ALL starts (anchor pruning is
+        # lossless for coverage)...
+        best_cov = max(cov(s) for s in range(len(toks)))
+        assert got[did][1] == best_cov, f"doc {did} coverage"
+        # ...and the start is the earliest OCCURRENCE achieving it (the
+        # documented anchored tie-break)
+        want_start = min(i for i, _ in hits if cov(i) == best_cov)
+        assert got[did][0] == want_start, f"doc {did} start"
+
+
+def test_engine_snippets_render(spark, tiny_df):
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.plans.bm25 import QueryEngine
+
+    idx = build_index(spark, tiny_df, positions=True)
+    eng = QueryEngine(spark, idx, cache_docstats=False)
+    out = eng.snippets("values: merge_index0 scan_block0", tiny_df, k=3, width=8)
+    assert len(out) == 3
+    for row in out:
+        assert row["snippet"], "every hit renders a snippet"
+        assert "**" in row["snippet"], "query term highlighted"
+        body = row["snippet"].strip("… ").replace("**", "")
+        assert 1 <= len(body.split()) <= 8
+    idx.unpersist()
