@@ -33,6 +33,10 @@ PHRASE_TERMS = ["table", "hash"]
 MIXED_TERM = "window"
 # proximity gate: ordered chain with inter-term distance in [1, PROX_GAP]
 PROX_GAP = 3
+# trigram-index gates: literal substring + regex with a mandatory literal
+# run (the anchor 'table ' / ' window' prefilters via the gram postings)
+SUBSTR_PATTERN = "table window"
+REGEX_PATTERN = r"table \w+ window"
 STOPWORDS = ["the", "a"]
 # single source of truth: the SQL twins must score with the same constants
 # the engine compiles into its Catalyst expressions
@@ -691,6 +695,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("docid").alias("doc_id"), "win_start", "n_terms"
         )
 
+    def q_substring_search(spark, sf):
+        """Trigram-index substring search (operators/trigrams.py): build the
+        gram postings, intersect the pattern's required trigrams, verify
+        candidates with an exact contains — identical to a full scan."""
+        from search_engine_spark.operators.trigrams import (
+            build_trigrams,
+            substring_search,
+            trigram_df,
+        )
+
+        docs = _raw_docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), F.col("text").alias("content")
+        )
+        grams = build_trigrams(docs)
+        return substring_search(
+            docs, SUBSTR_PATTERN, grams=grams, gram_df=trigram_df(grams),
+            max_grams=4,
+        ).select(F.col("docid").alias("doc_id"), "n_occurrences")
+
+    def q_regex_search(spark, sf):
+        """Literal-anchored regex search: trigram candidates from the
+        longest mandatory literal run, rlike-verified."""
+        from search_engine_spark.operators.trigrams import (
+            build_trigrams,
+            regex_search,
+        )
+
+        docs = _raw_docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), F.col("text").alias("content")
+        )
+        return regex_search(docs, REGEX_PATTERN, grams=build_trigrams(docs)).select(
+            F.col("docid").alias("doc_id")
+        )
+
     def q_bm25_phrase_mixed(spark, sf):
         """The ENGINE's positional-phrase path: QueryEngine.search with a
         mixed query (plain term + quoted phrase, phrases="positional") —
@@ -899,6 +937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_match": q_proximity_match,
         "bm25_phrase_mixed": q_bm25_phrase_mixed,
         "snippet_windows": q_snippet_windows,
+        "substring_search": q_substring_search,
+        "regex_search": q_regex_search,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "token_count": q_token_count,
@@ -1180,6 +1220,20 @@ scored AS (
 SELECT doc_id, CAST(win_start AS INT) AS win_start, n_terms
 FROM scored
 QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY n_terms DESC, win_start ASC) = 1
+"""
+
+    # trigram substring/regex search: the oracle is the brute-force scan —
+    # the trigram index is a pruning device, results must be identical
+    sql["substring_search"] = f"""
+SELECT doc_id,
+       CAST((length(text) - length(replace(text, '{SUBSTR_PATTERN}', '')))
+            / length('{SUBSTR_PATTERN}') AS INT) AS n_occurrences
+FROM documents
+WHERE contains(text, '{SUBSTR_PATTERN}')
+"""
+
+    sql["regex_search"] = f"""
+SELECT doc_id FROM documents WHERE regexp_matches(text, '{REGEX_PATTERN}')
 """
 
     # phrase as ONE pseudo-term: tf = occurrence count, df = matching docs;

@@ -216,6 +216,37 @@ def main() -> None:
             ).collect(),
         )
 
+        # --- snippets: search + distributed best-window + k-row render ---
+        timed_best(
+            "q5g_snippets",
+            lambda: engine.snippets("values: table window spark", docs, k=10, width=8),
+            runs=2,
+        )
+
+        # --- trigram index: substring search over code (operators/trigrams) ---
+        from search_engine_spark.operators.trigrams import (
+            build_trigrams,
+            substring_search,
+        )
+
+        tri_root = os.path.join(idx_root, "trigrams")
+
+        def _tribuild():
+            (
+                build_trigrams(docs)
+                .repartition(index.n_buckets, F.col("bucket"))
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(tri_root)
+            )
+
+        timed("q5h_trigrams_build", _tribuild)
+        tri = spark.read.parquet(tri_root)
+        timed_best(
+            "q5i_substring",
+            lambda: substring_search(docs, "table window", grams=tri).collect(),
+        )
+
         # --- training-data pipeline ops ---
         timed_best(
             "q6_minhash_lsh",

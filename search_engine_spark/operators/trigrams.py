@@ -1,0 +1,293 @@
+"""Trigram index: substring (and literal-anchored regex) search over code.
+
+Capability extension for the code-corpus grounding (``input_hint``: the
+corpus is source code).  Term postings answer token queries; what a CODE
+search engine additionally needs is exact substring / regex matching
+(``foo_bar(``, ``->next``), which tokenized postings cannot serve.  The
+standard scale design is the trigram index of Google Code Search
+(R. Cox, "Regular Expression Matching with a Trigram Index", 2012, public
+writeup swtch.com/~rsc/regexp/regexp4.html): index every distinct 3-byte
+substring per document, turn a query into a conjunction of required
+trigrams, intersect those posting lists, and verify only the candidate
+documents against the raw pattern.
+
+Spark-first plan:
+- build: one columnar pass — ``array_distinct(transform(sequence(...)))``
+  per document then ``explode`` — no Python, no pre-shuffle; rows are
+  ``(gram, bucket, docid)`` with ``bucket = pmod(xxhash64(gram), B)`` so
+  the persisted table is partition-pruned at query time by driver-side
+  XXH64 literals, exactly like the term postings (functions/hashing.py).
+- query: filter the gram table to the pattern's required trigrams
+  (bucket-pruned scan), ONE groupBy(docid) counting distinct grams ==
+  n_required (the AND intersection), then verify candidates with a plain
+  ``contains``/``rlike`` against the docs table.  Only candidate rows ever
+  reach the verifier; the corpus is never regex-scanned.
+- stop-grams: common trigrams (``"   "``, ``"the"``) have huge df.  When a
+  ``gram_df`` table is supplied the planner keeps only the ``max_grams``
+  RAREST required trigrams — soundness is unaffected (any subset of the
+  conjunction over-approximates candidates; the verify step is exact) and
+  the scan cost drops to the rare grams' postings.
+
+At 100 TB: the gram table is ~|distinct trigrams per doc| rows — bounded
+by content bytes, in practice far smaller (array_distinct); ASCII code has
+< ~200k distinct trigrams corpus-wide, so ``gram_df`` is a broadcast-sized
+dimension.  Case-sensitive by design (code); case-insensitive search =
+build over ``lower(content)`` and lower the pattern (``case_sensitive``
+flag on both ends, tested).
+
+Reference ground: the reference has no substring search at all (its only
+text probe is the hash-exact term lookup, ``SearchEngine.h:137-144``);
+this module is a first-class extension, same status as BM25/WAND.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import DEFAULT_INDEX_BUCKETS
+from ..functions.hashing import term_bucket
+
+GRAM_LEN = 3
+
+
+def doc_trigrams_col(source: Column) -> Column:
+    """Array of DISTINCT trigrams of ``source`` (empty when len < 3).
+
+    ``sequence(1, n)`` would count DOWN for n < 1 (Spark's default step is
+    -1 when start > stop), so short strings are gated explicitly.
+    """
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(source) - F.lit(GRAM_LEN - 1)),
+            lambda i: source.substr(i, F.lit(GRAM_LEN)),
+        )
+    )
+    return F.when(F.length(source) >= GRAM_LEN, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def build_trigrams(
+    docs: DataFrame,
+    buckets: int = DEFAULT_INDEX_BUCKETS,
+    source_col: str = "content",
+    case_sensitive: bool = True,
+) -> DataFrame:
+    """documents (with docid) → (gram, bucket, docid) distinct-gram postings.
+
+    Persist with ``.repartition(buckets, "bucket").write.partitionBy("bucket")``
+    for the pruned-scan layout (same recipe as the positional table).
+    """
+    src = F.col(source_col) if case_sensitive else F.lower(F.col(source_col))
+    return docs.select(
+        "docid", F.explode(doc_trigrams_col(src)).alias("gram")
+    ).select(
+        "gram",
+        F.pmod(F.xxhash64("gram"), F.lit(buckets)).cast("int").alias("bucket"),
+        "docid",
+    )
+
+
+def trigram_df(grams: DataFrame) -> DataFrame:
+    """→ (gram, df): per-trigram document frequency — the tiny dimension the
+    planner uses to drop stop-grams (rows are already distinct per doc)."""
+    return grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+
+
+def required_trigrams(pattern: str) -> list[str]:
+    """Distinct trigrams a document MUST contain to contain ``pattern``."""
+    return sorted(
+        {pattern[i : i + GRAM_LEN] for i in range(len(pattern) - GRAM_LEN + 1)}
+    )
+
+
+def _select_grams(
+    req: list[str],
+    gram_df: DataFrame | None,
+    max_grams: int | None,
+) -> list[str]:
+    """Keep the ``max_grams`` rarest required trigrams (df lookup is one
+    tiny bucket-prunable job over the gram dimension).  A gram absent from
+    ``gram_df`` has df 0 — rarest possible, kept first (and the candidate
+    intersection then correctly returns no docs)."""
+    if max_grams is None or gram_df is None or len(req) <= max_grams:
+        return req
+    known = {
+        r["gram"]: r["df"]
+        for r in gram_df.where(F.col("gram").isin(req)).collect()
+    }
+    ranked = sorted(req, key=lambda g: (known.get(g, 0), g))
+    return sorted(ranked[:max_grams])
+
+
+def candidate_docids(
+    grams: DataFrame,
+    pattern: str,
+    n_buckets: int = DEFAULT_INDEX_BUCKETS,
+    gram_df: DataFrame | None = None,
+    max_grams: int | None = None,
+) -> DataFrame:
+    """→ (docid): docs containing ALL selected required trigrams of
+    ``pattern`` — an over-approximation of the true match set (exact after
+    the caller's verify step).  Requires ``len(pattern) >= 3``."""
+    req = _select_grams(required_trigrams(pattern), gram_df, max_grams)
+    if not req:
+        raise ValueError("pattern shorter than a trigram — scan instead")
+    buckets = sorted({term_bucket(g, n_buckets) for g in req})
+    hits = grams.where(
+        F.col("bucket").isin(buckets) & F.col("gram").isin(req)
+    )
+    return (
+        hits.groupBy("docid")
+        .agg(F.countDistinct("gram").alias("_ng"))
+        .where(F.col("_ng") == len(req))
+        .select("docid")
+    )
+
+
+def _occurrences(src: Column, pattern: str) -> Column:
+    """Non-overlapping occurrence count of a literal pattern — pure
+    length arithmetic, no regex."""
+    return (
+        (F.length(src) - F.length(F.replace(src, F.lit(pattern), F.lit(""))))
+        / F.lit(len(pattern))
+    ).cast("int")
+
+
+def substring_search(
+    docs: DataFrame,
+    pattern: str,
+    grams: DataFrame | None = None,
+    n_buckets: int = DEFAULT_INDEX_BUCKETS,
+    gram_df: DataFrame | None = None,
+    max_grams: int | None = None,
+    source_col: str = "content",
+    case_sensitive: bool = True,
+) -> DataFrame:
+    """→ (docid, n_occurrences): docs whose ``source_col`` contains the
+    LITERAL ``pattern``, with its non-overlapping occurrence count.
+
+    With a ``grams`` table (built by :func:`build_trigrams` with the same
+    ``case_sensitive``) only trigram-intersection candidates are verified;
+    without one (or for patterns shorter than a trigram) it falls back to
+    the exact full scan — identical results either way (tested).
+    """
+    pat = pattern if case_sensitive else pattern.lower()
+    src = F.col(source_col) if case_sensitive else F.lower(F.col(source_col))
+    scope = docs
+    if grams is not None and len(pat) >= GRAM_LEN:
+        cand = candidate_docids(
+            grams, pat, n_buckets=n_buckets, gram_df=gram_df, max_grams=max_grams
+        )
+        scope = docs.join(cand, "docid")
+    return scope.where(src.contains(pat)).select(
+        "docid", _occurrences(src, pat).alias("n_occurrences")
+    )
+
+
+# --- literal-anchored regex -------------------------------------------------
+
+_QUANTS = "*+?{"
+
+
+def literal_runs(pattern: str) -> list[str]:
+    """Literal substrings every match of the (Java-syntax) regex must
+    contain, extracted conservatively: alternation/groups/classes/escapes
+    reset the run; a quantifier drops the (possibly optional) last char.
+    Over-approximation-safe — when unsure, returns fewer/shorter runs."""
+    if re.search(r"\((?!\?:)|\|", re.sub(r"\\.", "", pattern)):
+        # alternation or capturing groups: a literal may be optional in
+        # ways local scanning can't see — require nothing
+        return []
+    runs: list[str] = []
+    cur = ""
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            # escaped metachar is a literal char; \d etc. are classes
+            nxt = pattern[i + 1] if i + 1 < len(pattern) else ""
+            if nxt and not nxt.isalnum():
+                nxt_is_quant = i + 2 < len(pattern) and pattern[i + 2] in _QUANTS
+                if nxt_is_quant:
+                    runs.append(cur)
+                    cur = ""
+                    i += 2
+                    continue
+                cur += nxt
+                i += 2
+                continue
+            runs.append(cur)
+            cur = ""
+            i += 2
+            continue
+        if c in _QUANTS:
+            # previous char is optional/repeated — drop it from the run
+            runs.append(cur[:-1])
+            cur = ""
+            i += 1
+            if c == "{":  # skip {m,n}
+                end = pattern.find("}", i)
+                i = len(pattern) if end == -1 else end + 1
+            continue
+        if c in "[(":
+            runs.append(cur)
+            cur = ""
+            close = "]" if c == "[" else ")"
+            depth = 1
+            i += 1
+            while i < len(pattern) and depth:
+                if pattern[i] == "\\":
+                    i += 2
+                    continue
+                if pattern[i] == c and c == "(":
+                    depth += 1
+                elif pattern[i] == close:
+                    depth -= 1
+                i += 1
+            # the class/group may itself carry a quantifier
+            if i < len(pattern) and pattern[i] in _QUANTS:
+                i += 1
+            continue
+        if c in ".^$)":
+            runs.append(cur)
+            cur = ""
+            i += 1
+            continue
+        cur += c
+        i += 1
+    runs.append(cur)
+    return [r for r in runs if len(r) >= GRAM_LEN]
+
+
+def regex_search(
+    docs: DataFrame,
+    pattern: str,
+    grams: DataFrame | None = None,
+    n_buckets: int = DEFAULT_INDEX_BUCKETS,
+    gram_df: DataFrame | None = None,
+    max_grams: int | None = None,
+    source_col: str = "content",
+) -> DataFrame:
+    """→ (docid): docs whose ``source_col`` matches the Java regex
+    ``pattern`` (``rlike`` semantics, unanchored).
+
+    When the regex contains a mandatory literal run of ≥3 chars and a
+    ``grams`` table is given, candidates come from the trigram intersection
+    of the LONGEST such run and only they are regex-verified; otherwise the
+    scan is exact over the corpus (same results, tested).
+    """
+    scope = docs
+    if grams is not None:
+        runs = literal_runs(pattern)
+        if runs:
+            anchor = max(runs, key=len)
+            cand = candidate_docids(
+                grams, anchor, n_buckets=n_buckets, gram_df=gram_df,
+                max_grams=max_grams,
+            )
+            scope = docs.join(cand, "docid")
+    return scope.where(F.col(source_col).rlike(pattern)).select("docid")

@@ -1,0 +1,154 @@
+"""Trigram index: substring/regex search ≡ exact corpus scan.
+
+The invariant under test everywhere: the trigram-candidate path returns
+EXACTLY what the brute-force scan returns — the index is a pruning device,
+never a semantics change (operators/trigrams.py).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.trigrams import (
+    build_trigrams,
+    candidate_docids,
+    literal_runs,
+    regex_search,
+    required_trigrams,
+    substring_search,
+    trigram_df,
+)
+
+
+@pytest.fixture(scope="module")
+def grams(spark, tiny_df):
+    g = build_trigrams(tiny_df).cache()
+    g.count()
+    return g
+
+
+@pytest.fixture(scope="module")
+def gdf(grams):
+    d = trigram_df(grams).cache()
+    d.count()
+    return d
+
+
+def _brute(tiny_docs, pattern):
+    return {
+        (d["docid"], d["content"].count(pattern))
+        for d in tiny_docs
+        if pattern in d["content"]
+    }
+
+
+def _patterns(tiny_docs):
+    """Substrings actually present (sampled deterministically from doc
+    content at varied lengths/offsets) + absent and short ones."""
+    pats = []
+    for i, d in enumerate(tiny_docs[:10]):
+        text = d["content"]
+        off = (i * 37) % max(1, len(text) - 24)
+        for ln in (3, 18):
+            p = text[off : off + ln]
+            if len(p) == ln:
+                pats.append(p)
+    pats += ["definitely_not_in_corpus_xyzzy", "zz9"]
+    return pats
+
+
+def test_substring_search_matches_bruteforce(spark, tiny_df, tiny_docs, grams, gdf):
+    for pat in _patterns(tiny_docs):
+        got = {
+            (r["docid"], r["n_occurrences"])
+            for r in substring_search(tiny_df, pat, grams=grams, gram_df=gdf).collect()
+        }
+        assert got == _brute(tiny_docs, pat), f"pattern {pat!r}"
+
+
+def test_stop_gram_selection_is_lossless(spark, tiny_df, tiny_docs, grams, gdf):
+    """max_grams drops common trigrams from the conjunction — results must
+    not change (verify step is exact)."""
+    pat = tiny_docs[3]["content"][10:40]
+    full = {r["docid"] for r in substring_search(tiny_df, pat, grams=grams).collect()}
+    rare2 = {
+        r["docid"]
+        for r in substring_search(
+            tiny_df, pat, grams=grams, gram_df=gdf, max_grams=2
+        ).collect()
+    }
+    assert full == rare2 == {d for d, _ in _brute(tiny_docs, pat)}
+    # and the pruned conjunction really is smaller
+    assert len(required_trigrams(pat)) > 2
+
+
+def test_short_pattern_falls_back_to_scan(spark, tiny_df, tiny_docs, grams):
+    got = {r["docid"] for r in substring_search(tiny_df, "a_", grams=grams).collect()}
+    assert got == {d["docid"] for d in tiny_docs if "a_" in d["content"]}
+
+
+def test_case_insensitive_mode(spark, tiny_df, tiny_docs):
+    ci_grams = build_trigrams(tiny_df, case_sensitive=False).cache()
+    pat = tiny_docs[0]["content"][5:15].upper()
+    got = {
+        r["docid"]
+        for r in substring_search(
+            tiny_df, pat, grams=ci_grams, case_sensitive=False
+        ).collect()
+    }
+    want = {
+        d["docid"] for d in tiny_docs if pat.lower() in d["content"].lower()
+    }
+    assert got and got == want
+    ci_grams.unpersist()
+
+
+def test_candidates_superset_and_bucket_pruned(spark, tiny_df, tiny_docs, grams):
+    pat = tiny_docs[7]["content"][0:12]
+    cand = {r["docid"] for r in candidate_docids(grams, pat).collect()}
+    true = {d for d, _ in _brute(tiny_docs, pat)}
+    assert true <= cand
+    # the persisted layout prunes: plan over a bucket-partitioned copy
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="grams_")
+    grams.repartition(32, "bucket").write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(root)
+    disk = spark.read.parquet(root)
+    plan = candidate_docids(disk, pat)._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[.*bucket.*(IN|isin|=)", plan), plan
+
+
+def test_literal_runs_extraction():
+    assert literal_runs(r"foo_bar\(") == ["foo_bar("]
+    assert literal_runs(r"abc+def") == ["def"]  # 'ab' < 3 chars dropped
+    assert literal_runs(r"load_\d+_config") == ["load_", "_config"]
+    assert literal_runs(r"(a|b)xyz") == []  # groups/alternation: no anchor
+    assert literal_runs(r"merge.index") == ["merge", "index"]
+    assert literal_runs(r"hash{2,3}shard") == ["has", "shard"]
+    assert literal_runs(r"[abc]needle[xyz]*") == ["needle"]
+
+
+def test_regex_search_matches_bruteforce(spark, tiny_df, tiny_docs, grams, gdf):
+    for pat in (r"merge_index\d", r"load_\w+0 scan", r"zz9_nothing\d*"):
+        got = {
+            r["docid"]
+            for r in regex_search(tiny_df, pat, grams=grams, gram_df=gdf).collect()
+        }
+        want = {d["docid"] for d in tiny_docs if re.search(pat, d["content"])}
+        assert got == want, f"regex {pat!r}"
+        # with at least one anchored literal the scan is candidate-scoped
+        if literal_runs(pat):
+            anchor = max(literal_runs(pat), key=len)
+            cand = candidate_docids(grams, anchor).count()
+            assert cand <= tiny_df.count()
+
+
+def test_trigram_build_is_columnar(spark, tiny_df):
+    plan = build_trigrams(tiny_df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" in plan  # the one explode
