@@ -695,6 +695,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("docid").alias("doc_id"), "win_start", "n_terms"
         )
 
+    def q_code_tokens(spark, sf):
+        """Code-identifier analyzer forward index (operators/code_tokens.py):
+        camel/acronym boundaries split, lowercased, non-alnum delimiters."""
+        from search_engine_spark.operators.code_tokens import code_doc_terms
+
+        docs = _raw_docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), F.col("text").alias("content")
+        )
+        return code_doc_terms(docs, title_col=None).select(
+            F.col("docid").alias("doc_id"), "term", "tf"
+        )
+
     def q_substring_search(spark, sf):
         """Trigram-index substring search (operators/trigrams.py): build the
         gram postings, intersect the pattern's required trigrams, verify
@@ -939,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet_windows": q_snippet_windows,
         "substring_search": q_substring_search,
         "regex_search": q_regex_search,
+        "code_tokens": q_code_tokens,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "token_count": q_token_count,
@@ -1234,6 +1247,18 @@ WHERE contains(text, '{SUBSTR_PATTERN}')
 
     sql["regex_search"] = f"""
 SELECT doc_id FROM documents WHERE regexp_matches(text, '{REGEX_PATTERN}')
+"""
+
+    # code-identifier analyzer: acronym boundary, camel boundary, lowercase,
+    # split on non-alnum (twin semantics pinned by test_code_tokens.py)
+    sql["code_tokens"] = r"""
+SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM (
+  SELECT doc_id, unnest(list_filter(string_split_regex(
+    lower(regexp_replace(regexp_replace(text, '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
+                         '([a-z0-9])([A-Z])', '\1 \2', 'g')),
+    '[^a-z0-9]+'), t -> t <> '')) AS term
+  FROM documents
+) GROUP BY doc_id, term
 """
 
     # phrase as ONE pseudo-term: tf = occurrence count, df = matching docs;

@@ -135,6 +135,15 @@ def main() -> None:
 
         timed("q1_index_build", _build)
 
+        # code-identifier analyzer forward index (camel/snake subtokens)
+        from search_engine_spark.operators.code_tokens import code_doc_terms
+
+        timed_best(
+            "q1b_code_tokens",
+            lambda: _force(code_doc_terms(docs, title_col=None)),
+            runs=2,
+        )
+
         index = read_index(spark, idx_root)
         engine = QueryEngine(spark, index)
 

@@ -1,0 +1,118 @@
+"""Code-identifier analyzer: camelCase / snake_case / punctuation splitting.
+
+Capability extension for the code-corpus grounding (``input_hint``: the
+documents are source code).  The reference tokenizer splits on prose
+delimiters (``KaggleFinanceSourceEngine.cpp:212`` — ``_`` and case changes
+are NOT delimiters), so ``parseJsonConfig`` / ``merge_index`` are single
+opaque terms and a user searching ``json`` or ``index`` finds nothing.
+Every code search engine splits identifiers into subtokens (Sourcegraph /
+GitHub code search / OpenGrok all do); this module is that analyzer.
+
+Semantics (one source of truth, mirrored by :func:`code_tokenize` for the
+query side and by the DuckDB twin in the driver gate):
+1. acronym boundary: ``HTTPServer`` → ``HTTP Server``  (``([A-Z]+)([A-Z][a-z])``)
+2. camel boundary:   ``parseJson2X`` → ``parse Json2 X`` (``([a-z0-9])([A-Z])``)
+3. lowercase, then split on any non-``[a-z0-9]`` run (covers ``_``, ``-``,
+   ``.``, brackets, operators, unicode — everything that is not an ASCII
+   alphanumeric is a delimiter).
+
+Spark-first: two ``regexp_replace`` + ``split`` — pure Catalyst, whole-stage
+codegen, no Python in the build path.  The output forward index has the
+exact (docid, field, term, tf) shape of ``tokenize.doc_terms``, so the
+whole downstream engine — salted inverted build, varbyte blocks, BM25,
+WAND, bucket pruning — composes unchanged via ``index_from_tf``
+(:func:`build_code_index`).
+
+At 100 TB: identical dataflow to the reference-semantics build (one content
+scan, map-side partial agg, ONE term-hash exchange); subtokens shrink the
+vocabulary's tail (fewer hapax identifiers) and fatten common stems —
+exactly the skew the existing salting path handles.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import FIELD_BODY, FIELD_TITLE
+
+_ACRO_RE = "([A-Z]+)([A-Z][a-z])"
+_CAMEL_RE = "([a-z0-9])([A-Z])"
+_SPLIT_RE = "[^a-z0-9]+"
+
+
+def split_identifiers_col(col: Column) -> Column:
+    """Insert spaces at acronym and camelCase boundaries (steps 1-2)."""
+    return F.regexp_replace(
+        F.regexp_replace(col, _ACRO_RE, r"$1 $2"), _CAMEL_RE, r"$1 $2"
+    )
+
+
+def code_token_array(col: Column) -> Column:
+    """Ordered array of lowercased code subtokens of ``col``."""
+    return F.filter(
+        F.split(F.lower(split_identifiers_col(col)), _SPLIT_RE),
+        lambda t: t != "",
+    )
+
+
+def code_tokenize(s: str) -> list[str]:
+    """Pure-Python mirror of :func:`code_token_array` — query-side analyzer
+    (and test oracle).  ``code_tokenize('parseJsonConfig')`` →
+    ``['parse', 'json', 'config']``."""
+    spaced = re.sub(_CAMEL_RE, r"\1 \2", re.sub(_ACRO_RE, r"\1 \2", s))
+    return [t for t in re.split(_SPLIT_RE, spaced.lower()) if t]
+
+
+def code_query(raw: str) -> str:
+    """Raw identifier-ish user query → engine query string over subtokens
+    (``values:`` category), e.g. ``parseJsonConfig`` →
+    ``"values: parse json config"``."""
+    toks = code_tokenize(raw)
+    if not toks:
+        raise ValueError(f"no code tokens in query {raw!r}")
+    return "values: " + " ".join(toks)
+
+
+def code_terms_for_field(
+    docs: DataFrame, source_col: str, field_name: str
+) -> DataFrame:
+    """→ (docid, field, term) one row per subtoken occurrence."""
+    return docs.select(
+        "docid", F.explode(code_token_array(F.col(source_col))).alias("term")
+    ).select("docid", F.lit(field_name).alias("field"), "term")
+
+
+def code_doc_terms(
+    docs: DataFrame,
+    body_col: str = "content",
+    title_col: str | None = "path",
+) -> DataFrame:
+    """documents → (docid, field, term, tf) forward index under the code
+    analyzer — drop-in replacement for ``tokenize.doc_terms``."""
+    t = code_terms_for_field(docs, body_col, FIELD_BODY)
+    if title_col is not None:
+        t = t.unionByName(code_terms_for_field(docs, title_col, FIELD_TITLE))
+    return t.groupBy("docid", "field", "term").agg(
+        F.count(F.lit(1)).cast("int").alias("tf")
+    )
+
+
+def build_code_index(
+    spark,
+    docs: DataFrame,
+    body_col: str = "content",
+    title_col: str | None = "path",
+    **index_kwargs,
+):
+    """Full index (postings/dictionary/docstats/corpus_stats) over the code
+    analyzer — everything downstream of the forward index is the SAME code
+    path as the reference-semantics build (salting, varbyte, buckets), so
+    BM25/WAND/persist/resume all work unchanged.  Query with
+    :func:`code_query` so the query side applies the same analyzer."""
+    from .index_build import index_from_tf
+
+    tf = code_doc_terms(docs, body_col=body_col, title_col=title_col)
+    return index_from_tf(docs, tf, body_col=body_col, **index_kwargs)

@@ -1,0 +1,82 @@
+"""Code-identifier analyzer (operators/code_tokens.py): Spark ≡ Python
+mirror, and the full engine composes over the code forward index."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.code_tokens import (
+    build_code_index,
+    code_doc_terms,
+    code_query,
+    code_token_array,
+    code_tokenize,
+)
+
+ADVERSARIAL = [
+    "parseJsonConfig merge_index0 HTTPServer2 a-b XMLHttpRequest fooBAR",
+    "snake_case_id x9Y café Éclair9 __dunder__ kebab-case-id",
+    "ALLCAPS mixedUPDown 3startsDigit trailing_ CamelCase",
+    "op+=1; ptr->next, vec[i]  (call)  {block}",
+    "",
+    "   ",
+    "ÅngstromÜber",  # non-ASCII uppercase never splits, becomes delimiter
+]
+
+
+def test_spark_analyzer_matches_python_mirror(spark):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(ADVERSARIAL)], "docid long, content string"
+    )
+    rows = df.select(
+        "docid", code_token_array(F.col("content")).alias("toks")
+    ).collect()
+    got = {r["docid"]: list(r["toks"]) for r in rows}
+    for i, s in enumerate(ADVERSARIAL):
+        assert got[i] == code_tokenize(s), f"case {i}: {s!r}"
+
+
+def test_code_tokenize_examples():
+    assert code_tokenize("parseJsonConfig") == ["parse", "json", "config"]
+    assert code_tokenize("merge_index0") == ["merge", "index0"]
+    assert code_tokenize("HTTPServer") == ["http", "server"]
+    assert code_query("XMLHttpRequest") == "values: xml http request"
+
+
+def test_code_forward_index_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "fooBar foo_bar FOOBar"), (2, "bar")], "docid long, content string"
+    )
+    tf = {
+        (r["docid"], r["term"]): r["tf"]
+        for r in code_doc_terms(df, title_col=None).collect()
+    }
+    # FOOBar → acronym boundary → FOO Bar → foo bar
+    assert tf == {(1, "foo"): 3, (1, "bar"): 3, (2, "bar"): 1}
+
+
+def test_engine_composes_over_code_index(spark, tiny_df):
+    """build_code_index → QueryEngine: a subtoken query finds the
+    snake_case identifiers the reference tokenizer keeps opaque."""
+    idx = build_code_index(spark, tiny_df, compress=True)
+    from search_engine_spark.plans.bm25 import QueryEngine
+
+    eng = QueryEngine(spark, idx, cache_docstats=False)
+    hits = eng.search(code_query("mergeIndex0"), k=10).collect()
+    assert hits, "subtoken query matches snake_case corpus identifiers"
+    # ground truth: docs whose code tokens contain both subtokens rank
+    rows = tiny_df.select("docid", "content").collect()
+    truth = {
+        r["docid"]
+        for r in rows
+        if {"merge", "index0"} <= set(code_tokenize(r["content"]))
+    }
+    assert {h["docid"] for h in hits} <= truth
+    idx.unpersist()
+
+
+def test_code_analyzer_is_columnar(spark, tiny_df):
+    plan = (
+        code_doc_terms(tiny_df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
