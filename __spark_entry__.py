@@ -37,6 +37,8 @@ PROX_GAP = 3
 # run (the anchor 'table ' / ' window' prefilters via the gram postings)
 SUBSTR_PATTERN = "table window"
 REGEX_PATTERN = r"table \w+ window"
+# fuzzy gate: a 1-deletion typo of 'table' (transpositions are dist 2)
+FUZZY_TYPO = "tabl"
 STOPWORDS = ["the", "a"]
 # single source of truth: the SQL twins must score with the same constants
 # the engine compiles into its Catalyst expressions
@@ -695,6 +697,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("docid").alias("doc_id"), "win_start", "n_terms"
         )
 
+    def q_fuzzy_terms(spark, sf):
+        """SymSpell deletion-neighborhood fuzzy match (plans/fuzzy.py):
+        dictionary terms within levenshtein 1 of the typo FUZZY_TYPO, found
+        via the deletion-key equi-join + exact verify (the oracle is the
+        brute full-dictionary scan — results must be identical)."""
+        from search_engine_spark.plans.fuzzy import (
+            deletion_index,
+            fuzzy_candidates,
+        )
+
+        dictionary = (
+            _tok_tf(_raw_docs(spark, sf))
+            .groupBy("term")
+            .agg(F.countDistinct("doc_id").cast("int").alias("df"))
+            .select(F.lit("content").alias("field"), "term", "df")
+        )
+        return fuzzy_candidates(
+            deletion_index(dictionary, max_edit=1), FUZZY_TYPO, max_edit=1
+        )
+
     def q_code_tokens(spark, sf):
         """Code-identifier analyzer forward index (operators/code_tokens.py):
         camel/acronym boundaries split, lowercased, non-alnum delimiters."""
@@ -952,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_search": q_substring_search,
         "regex_search": q_regex_search,
         "code_tokens": q_code_tokens,
+        "fuzzy_terms": q_fuzzy_terms,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "token_count": q_token_count,
@@ -1247,6 +1270,15 @@ WHERE contains(text, '{SUBSTR_PATTERN}')
 
     sql["regex_search"] = f"""
 SELECT doc_id FROM documents WHERE regexp_matches(text, '{REGEX_PATTERN}')
+"""
+
+    # fuzzy terms: the oracle is the brute-force dictionary levenshtein scan
+    sql["fuzzy_terms"] = f"""
+WITH tf AS ({_TF_SQL}),
+dict AS (SELECT term, CAST(count(DISTINCT doc_id) AS INT) AS df
+         FROM tf GROUP BY term)
+SELECT term, df, CAST(levenshtein(term, '{FUZZY_TYPO}') AS INT) AS dist
+FROM dict WHERE levenshtein(term, '{FUZZY_TYPO}') <= 1
 """
 
     # code-identifier analyzer: acronym boundary, camel boundary, lowercase,

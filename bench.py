@@ -232,6 +232,13 @@ def main() -> None:
             runs=2,
         )
 
+        # --- did-you-mean (first call builds + persists the deletion index) ---
+        timed_best(
+            "q5j_did_you_mean",
+            lambda: engine.did_you_mean("values: tabl windoq"),
+            runs=2,
+        )
+
         # --- trigram index: substring search over code (operators/trigrams) ---
         from search_engine_spark.operators.trigrams import (
             build_trigrams,

@@ -206,6 +206,10 @@ def cmd_search(args) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
     _print_results(rows)
+    if not rows:
+        dym = engine.did_you_mean(args.query)
+        if dym is not None:
+            print(f"did you mean: {dym[0]}")
     return 0
 
 
@@ -307,6 +311,10 @@ def cmd_ui(args) -> int:
         elif cmd == "query":
             last = engine.search(rest, mode=mode, k=args.k, with_display=True).collect()
             _print_results(last)
+            if not last:
+                dym = engine.did_you_mean(rest)
+                if dym is not None:
+                    print(f"did you mean: {dym[0]}")
         elif cmd == "see" and rest.isdigit():
             i = int(rest) - 1
             if 0 <= i < len(last):

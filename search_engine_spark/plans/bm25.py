@@ -88,12 +88,18 @@ class QueryEngine:
         }
         self._n_docs = next(iter(self._stats.values()))[0] if self._stats else 0
         self._compressed = "blocks" in index.postings.columns
+        # SymSpell deletion indexes (plans/fuzzy.py), built lazily per
+        # max_edit on first did_you_mean call and kept warm like docstats
+        self._del_idx: dict[int, DataFrame] = {}
 
     def close(self) -> None:
         """Release the engine's docstats cache (no-op if caching was off)."""
         if self._cached:
             self._docstats.unpersist()
             self._cached = False
+        for di in self._del_idx.values():
+            di.unpersist()
+        self._del_idx.clear()
 
     # -- helpers -----------------------------------------------------------
 
@@ -595,6 +601,77 @@ class QueryEngine:
             }
             for r in hits
         ]
+
+    def _deletion_index(self, max_edit: int) -> DataFrame:
+        if max_edit not in self._del_idx:
+            from pyspark import StorageLevel
+
+            from .fuzzy import deletion_index
+
+            self._del_idx[max_edit] = deletion_index(
+                self.index.dictionary, max_edit=max_edit, buckets=self.buckets
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        return self._del_idx[max_edit]
+
+    def did_you_mean(
+        self, query: str, max_edit: int = 1
+    ) -> tuple[str, dict[str, str]] | None:
+        """Spell suggestion from the index's own vocabulary (plans/fuzzy.py).
+
+        Returns ``(corrected_query, {missing_term: suggestion})`` when some
+        body-field query term is absent from the dictionary and a term
+        within ``max_edit`` Levenshtein exists; None otherwise.  Suggestions
+        are dictionary forms — under a stemmed index they are stems, which
+        re-clean to themselves on the corrected query's search path.
+
+        Scale: the dictionary membership check is one broadcast-sized probe;
+        candidates come from the deletion-key equi-join (never a dictionary
+        scan), kept warm per engine like the docstats cache.
+        """
+        from .fuzzy import best_suggestion, fuzzy_candidates
+
+        raw_by_clean: dict[str, list[str]] = {}
+        for kind, _target, raws in parse_query(query):
+            if kind != "terms":
+                continue
+            for raw in raws:
+                if " " in raw.strip():
+                    continue
+                c = clean_query_term(raw, stem=self.stem)
+                if c is not None:
+                    raw_by_clean.setdefault(c, []).append(raw)
+        if not raw_by_clean:
+            return None
+        known = {
+            r["term"]
+            for r in self.index.dictionary.where(
+                (F.col("field") == "content")
+                & F.col("term").isin(list(raw_by_clean))
+            )
+            .select("term")
+            .collect()
+        }
+        missing = sorted(set(raw_by_clean) - known)
+        if not missing:
+            return None
+        corrections: dict[str, str] = {}
+        for m in missing:
+            row = best_suggestion(
+                fuzzy_candidates(
+                    self._deletion_index(max_edit), m, max_edit=max_edit,
+                    n_buckets=self.buckets,
+                ),
+                exclude=m,
+            )
+            if row is not None:
+                corrections[m] = row["term"]
+        if not corrections:
+            return None
+        corrected = query
+        for c, sugg in corrections.items():
+            for raw in raw_by_clean[c]:
+                corrected = corrected.replace(raw, sugg)
+        return corrected, corrections
 
     def display(
         self,

@@ -1,0 +1,151 @@
+"""Fuzzy term matching / "did you mean" via SymSpell deletion neighborhoods.
+
+Capability extension: the reference's term probe is hash-exact
+(``SearchEngine.h:137-144``) — a typo returns zero hits silently.  A search
+engine wants spell suggestions from its own vocabulary.  The classic scale
+design is SymSpell (W. Garbe, public algorithm): pre-compute every
+``≤ max_edit``-character-DELETION variant of every dictionary term; at query
+time generate the query term's deletion variants (driver-side, tiny) and
+EQUI-JOIN — two terms are within edit distance *d* iff their delete-*d*
+neighborhoods intersect — then verify candidates with true Levenshtein.
+No corpus scan, no dictionary scan, no quadratic work at query time.
+
+Spark-first:
+- ``deletion_index`` — one columnar pass over the dictionary
+  (``transform(sequence(...))`` deletions, explode), keyed + bucketed with
+  the same XXH64 layout as the postings, so the persisted table partition-
+  prunes from driver-side literals (functions/hashing.py).  Size is
+  O(|V| · avg_len^max_edit) rows of short strings — a dimension table even
+  at 10^8-term code vocabularies.
+- ``fuzzy_candidates`` — bucket-pruned probe of that index with the query's
+  deletion keys, ``levenshtein() <= max_edit`` verify, df-ranked.
+- ``fuzzy_scan`` — the always-correct brute fallback (full dictionary
+  ``levenshtein`` filter); the deletion path must return EXACTLY this set
+  (pinned by tests over sampled + adversarial typos; the driver gate's
+  DuckDB twin is the same brute scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import DEFAULT_INDEX_BUCKETS, FIELD_BODY
+from ..functions.hashing import term_bucket
+
+
+def _delete1_col(col):
+    """Array of all single-character deletions of a string column."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.concat(
+            col.substr(F.lit(1), i - F.lit(1)),
+            col.substr(i + F.lit(1), F.length(col)),
+        ),
+    )
+
+
+def deletion_keys_col(col, max_edit: int = 1):
+    """Distinct deletion-neighborhood keys of ``col``: the term itself plus
+    every variant reachable by ≤ ``max_edit`` character deletions."""
+    if max_edit not in (1, 2):
+        raise ValueError("max_edit must be 1 or 2")
+    d1 = _delete1_col(col)
+    keys = F.array_union(F.array(col), d1)
+    if max_edit == 2:
+        d2 = F.flatten(F.transform(d1, lambda v: _delete1_col(v)))
+        keys = F.array_union(keys, F.array_distinct(d2))
+    return keys
+
+
+def py_deletion_keys(term: str, max_edit: int = 1) -> list[str]:
+    """Driver-side mirror of :func:`deletion_keys_col` for the query term."""
+    keys = {term}
+    frontier = {term}
+    for _ in range(max_edit):
+        frontier = {
+            v[:i] + v[i + 1 :] for v in frontier for i in range(len(v))
+        }
+        keys |= frontier
+    return sorted(keys)
+
+
+def deletion_index(
+    dictionary: DataFrame,
+    max_edit: int = 1,
+    buckets: int = DEFAULT_INDEX_BUCKETS,
+    field: str = FIELD_BODY,
+) -> DataFrame:
+    """dictionary (field, term, df) → (key, bucket, term, df).
+
+    Persist with ``.repartition(buckets, "bucket").write.partitionBy("bucket")``
+    alongside the index for the pruned-probe layout; rebuilding it inline is
+    one cheap pass over the (small) dictionary."""
+    return (
+        dictionary.where(F.col("field") == field)
+        .select("term", "df", F.explode(deletion_keys_col(F.col("term"), max_edit)).alias("key"))
+        .select(
+            "key",
+            F.pmod(F.xxhash64("key"), F.lit(buckets)).cast("int").alias("bucket"),
+            "term",
+            "df",
+        )
+    )
+
+
+def fuzzy_candidates(
+    del_idx: DataFrame,
+    qterm: str,
+    max_edit: int = 1,
+    n_buckets: int = DEFAULT_INDEX_BUCKETS,
+) -> DataFrame:
+    """→ (term, df, dist): dictionary terms within ``max_edit`` Levenshtein
+    of ``qterm``, via the deletion-key equi-join + exact verify.
+
+    Two strings are within distance *d* iff their delete-*d* neighborhoods
+    intersect (SymSpell completeness), so the join over-approximates and
+    the ``levenshtein`` filter makes it exact — ≡ :func:`fuzzy_scan`,
+    pinned by tests."""
+    keys = py_deletion_keys(qterm, max_edit)
+    bks = sorted({term_bucket(k, n_buckets) for k in keys})
+    return (
+        del_idx.where(F.col("bucket").isin(bks) & F.col("key").isin(keys))
+        .groupBy("term", "df")
+        .agg(F.count(F.lit(1)))  # dedup shared keys without a distinct shuffle
+        .select(
+            "term",
+            "df",
+            F.levenshtein(F.col("term"), F.lit(qterm)).cast("int").alias("dist"),
+        )
+        .where(F.col("dist") <= max_edit)
+    )
+
+
+def fuzzy_scan(
+    dictionary: DataFrame,
+    qterm: str,
+    max_edit: int = 1,
+    field: str = FIELD_BODY,
+) -> DataFrame:
+    """Brute-force twin: full-dictionary ``levenshtein`` filter."""
+    return (
+        dictionary.where(F.col("field") == field)
+        .select(
+            "term",
+            "df",
+            F.levenshtein(F.col("term"), F.lit(qterm)).cast("int").alias("dist"),
+        )
+        .where(F.col("dist") <= max_edit)
+    )
+
+
+def best_suggestion(candidates: DataFrame, exclude: str | None = None):
+    """Deterministic top suggestion: nearest, then most frequent, then
+    lexicographic.  Returns a Row (term, df, dist) or None."""
+    c = candidates
+    if exclude is not None:
+        c = c.where(F.col("term") != exclude)
+    rows = c.orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
+    ).limit(1).collect()
+    return rows[0] if rows else None

@@ -200,6 +200,14 @@ def test_build_positions_and_phrase_search(spark, tmp_path, capsys):
     assert rc == 2
     assert "positions" in capsys.readouterr().err
 
+    # a typo'd term returns no results + a did-you-mean from the vocabulary
+    rc = main(["--cores", "8", "search", "--index", root,
+               "--query", "values: tablz"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "no results" in out
+    assert "did you mean: values: table" in out
+
     # --positional-phrases + --wand is a usage error
     rc = main(["--cores", "8", "search", "--index", root, "--wand",
                "--query", 'values: "table hash"', "--positional-phrases"])

@@ -1,0 +1,133 @@
+"""Fuzzy matching (plans/fuzzy.py): deletion-join path ≡ brute levenshtein
+scan, and the engine's did-you-mean surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.plans.fuzzy import (
+    best_suggestion,
+    deletion_index,
+    deletion_keys_col,
+    fuzzy_candidates,
+    fuzzy_scan,
+    py_deletion_keys,
+)
+
+
+def test_deletion_keys_spark_matches_python(spark):
+    terms = ["table", "a", "ab", "merge_index0", "xxhash64"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    for me in (1, 2):
+        rows = df.select(
+            "term", F.array_sort(deletion_keys_col(F.col("term"), me)).alias("k")
+        ).collect()
+        got = {r["term"]: list(r["k"]) for r in rows}
+        for t in terms:
+            assert got[t] == py_deletion_keys(t, me), (t, me)
+
+
+@pytest.fixture(scope="module")
+def del_idx(spark, tiny_index):
+    d1 = deletion_index(tiny_index.dictionary, max_edit=1).cache()
+    d1.count()
+    return d1
+
+
+def _typos(tiny_index):
+    """Dictionary terms mutated by substitution / deletion / insertion /
+    transposition, plus garbage."""
+    terms = sorted(
+        r["term"]
+        for r in tiny_index.dictionary.where(F.col("field") == "content")
+        .select("term")
+        .limit(8)
+        .collect()
+    )
+    out = []
+    for t in terms[:4]:
+        if len(t) < 4:
+            continue
+        out.append(t[:-1] + ("z" if t[-1] != "z" else "q"))  # substitution
+        out.append(t[1:])  # deletion
+        out.append(t + "x")  # insertion
+        out.append(t[1] + t[0] + t[2:])  # transposition (dist 2)
+    out += ["zzzzqqqq", terms[0]]  # no-match + exact
+    return out
+
+
+def test_deletion_join_equals_brute_scan(spark, tiny_index, del_idx):
+    for q in _typos(tiny_index):
+        got = {
+            (r["term"], r["df"], r["dist"])
+            for r in fuzzy_candidates(del_idx, q, max_edit=1).collect()
+        }
+        want = {
+            (r["term"], r["df"], r["dist"])
+            for r in fuzzy_scan(tiny_index.dictionary, q, max_edit=1).collect()
+        }
+        assert got == want, f"typo {q!r}"
+
+
+def test_deletion_join_max_edit_2(spark, tiny_index):
+    d2 = deletion_index(tiny_index.dictionary, max_edit=2)
+    for q in _typos(tiny_index)[:6]:
+        got = {
+            (r["term"], r["dist"])
+            for r in fuzzy_candidates(d2, q, max_edit=2).collect()
+        }
+        want = {
+            (r["term"], r["dist"])
+            for r in fuzzy_scan(tiny_index.dictionary, q, max_edit=2).collect()
+        }
+        assert got == want, f"typo {q!r}"
+
+
+def test_best_suggestion_deterministic(spark, tiny_index, del_idx):
+    q = "tabl"  # not a fixture token; suggestion = nearest, then highest df
+    cands = fuzzy_candidates(del_idx, q, max_edit=1)
+    row = best_suggestion(cands, exclude=q)
+    brute = sorted(
+        fuzzy_scan(tiny_index.dictionary, q, max_edit=1).collect(),
+        key=lambda r: (r["dist"], -r["df"], r["term"]),
+    )
+    brute = [r for r in brute if r["term"] != q]
+    assert (row is None) == (not brute)
+    if row is not None:
+        assert (row["term"], row["dist"]) == (brute[0]["term"], brute[0]["dist"])
+
+
+def test_engine_did_you_mean(spark, tiny_index):
+    from search_engine_spark.plans.bm25 import QueryEngine
+
+    eng = QueryEngine(spark, tiny_index, cache_docstats=False)
+    # a real fixture term with one substituted char
+    term = sorted(
+        r["term"]
+        for r in tiny_index.dictionary.where(
+            (F.col("field") == "content") & (F.length("term") >= 6)
+        ).select("term").limit(1).collect()
+    )[0]
+    typo = term[:-1] + ("z" if term[-1] != "z" else "q")
+    out = eng.did_you_mean(f"values: {typo}")
+    assert out is not None
+    corrected, corrections = out
+    # the suggestion is the deterministic brute-force best (may be a
+    # different dist-1 neighbour than `term`, e.g. merge_index1 vs _index0)
+    brute = sorted(
+        (
+            r
+            for r in fuzzy_scan(tiny_index.dictionary, typo, max_edit=1).collect()
+            if r["term"] != typo
+        ),
+        key=lambda r: (r["dist"], -r["df"], r["term"]),
+    )
+    assert corrections[typo] == brute[0]["term"]
+    assert corrections[typo] in corrected
+    # the corrected query actually matches documents
+    assert eng.search(corrected, k=5).count() > 0
+    # a fully-known query needs no correction
+    assert eng.did_you_mean(f"values: {term}") is None
+    eng.close()
+    assert not eng._del_idx
