@@ -391,6 +391,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
         return _ranked_literal_df(spark, out)
 
+    def q_bm25_after_delete(spark, sf):
+        """Lazy tombstones (sources/deletes.py): after delete_docs, deleted
+        docs stop matching but df/N/avgdl keep pre-delete values (Lucene
+        semantics) — the twin scores with FULL-corpus stats and excludes
+        deleted ids from results only."""
+        import shutil
+        import tempfile
+
+        from search_engine_spark.operators.index_build import build_index
+        from search_engine_spark.plans.bm25 import QueryEngine
+        from search_engine_spark.sources.corpus import load_testdata_documents
+        from search_engine_spark.sources.deletes import delete_docs
+        from search_engine_spark.sources.index_io import read_index, write_index
+
+        docs = load_testdata_documents(spark, sf)
+        root = tempfile.mkdtemp(prefix="gate_del_idx_")
+        try:
+            idx = build_index(spark, docs, compress=True, title_col=None)
+            write_index(idx, root)
+            idx.unpersist()
+            delete_docs(
+                spark, root, docs.where(F.col("docid") % 7 == 0).select("docid")
+            )
+            eng = QueryEngine(spark, read_index(spark, root), cache_docstats=False)
+            rows = eng.search("values: " + " ".join(BM25_TERMS), k=100).collect()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        ranked = sorted(
+            ((r["docid"], round(r["score"], 6)) for r in rows),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        return _ranked_literal_df(
+            spark, [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+        )
+
+    def q_bm25_after_compact(spark, sf):
+        """Compaction (sources/deletes.py): rewrite without tombstoned docs
+        + EXACT recomputed stats — must equal BM25 over the surviving
+        documents only (the twin recomputes every stat over them)."""
+        import shutil
+        import tempfile
+
+        from search_engine_spark.operators.index_build import build_index
+        from search_engine_spark.plans.bm25 import QueryEngine
+        from search_engine_spark.sources.corpus import load_testdata_documents
+        from search_engine_spark.sources.deletes import compact_index, delete_docs
+        from search_engine_spark.sources.index_io import read_index, write_index
+
+        docs = load_testdata_documents(spark, sf)
+        root = tempfile.mkdtemp(prefix="gate_cmp_idx_")
+        try:
+            idx = build_index(spark, docs, compress=True, title_col=None)
+            write_index(idx, root)
+            idx.unpersist()
+            delete_docs(
+                spark, root, docs.where(F.col("docid") % 7 == 0).select("docid")
+            )
+            compact_index(spark, root, f"{root}_out")
+            eng = QueryEngine(
+                spark, read_index(spark, f"{root}_out"), cache_docstats=False
+            )
+            rows = eng.search("values: " + " ".join(BM25_TERMS), k=100).collect()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+            shutil.rmtree(f"{root}_out", ignore_errors=True)
+        ranked = sorted(
+            ((r["docid"], round(r["score"], 6)) for r in rows),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        return _ranked_literal_df(
+            spark, [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+        )
+
     def q_bm25_streamed(spark, sf):
         """Structured Streaming ingest correctness from the driver's seat:
         the corpus landed as TWO micro-batches (file source,
@@ -943,6 +1016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_sharded": q_bm25_wand_sharded,
         "bm25_incremental_topk": q_bm25_incremental,
         "bm25_streamed": q_bm25_streamed,
+        "bm25_after_delete": q_bm25_after_delete,
+        "bm25_after_compact": q_bm25_after_compact,
         "topk_per_query": q_topk_per_query,
         "search_facet_counts": q_facet_counts,
         "facet_sets": q_facet_sets,
@@ -1364,6 +1439,36 @@ FROM agg ORDER BY score DESC, doc_id LIMIT 10
     sql["bm25_wand_salted"] = _bm25_sql(BM25_TERMS, and_mode=False)
     sql["bm25_wand_sharded"] = _bm25_sql(BM25_TERMS, and_mode=False)
     sql["bm25_incremental_topk"] = _bm25_sql(BM25_TERMS, and_mode=False)
+
+    # lazy delete: FULL-corpus stats (df/N/avgdl pre-delete), deleted ids
+    # excluded from results only — Lucene semantics until compaction
+    _del_tlist = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    sql["bm25_after_delete"] = f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM tf) / (SELECT count(*) FROM documents) AS avgdl
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf WHERE term IN ({_del_tlist}) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+           * tf.tf * {K1 + 1.0}
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS contrib
+  FROM tf JOIN dfs ON tf.term = dfs.term JOIN dl ON tf.doc_id = dl.doc_id, stats
+  WHERE tf.doc_id % 7 != 0
+),
+agg AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
+FROM agg ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # compaction: every statistic recomputed over the SURVIVORS — identical
+    # to the plain BM25 twin with the documents view pre-filtered
+    sql["bm25_after_compact"] = _bm25_sql(BM25_TERMS, and_mode=False).replace(
+        "FROM documents", "FROM documents WHERE doc_id % 7 != 0"
+    )
     # streamed ingest compacts into the same index tables — same twin
     sql["bm25_streamed"] = _bm25_sql(BM25_TERMS, and_mode=False)
 

@@ -276,6 +276,35 @@ def cmd_ingest_stream(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Lazy tombstones (sources/deletes.py): docids stop matching
+    immediately; stats converge at `compact`."""
+    from .sources.deletes import delete_docs
+
+    spark = _spark(args)
+    ids = [int(d) for d in args.docids.split(",") if d.strip()]
+    if not ids:
+        print("error: --docids needs a comma-separated id list", file=sys.stderr)
+        return 2
+    delete_docs(spark, args.index, ids)
+    live = spark.read.parquet(f"{args.index}/docstats").join(
+        spark.read.parquet(f"{args.index}/_tombstones"), on="docid", how="left_anti"
+    ).count()
+    print(f"tombstoned {len(ids)} docids; {live} live documents remain")
+    return 0
+
+
+def cmd_compact(args) -> int:
+    """Rewrite the index without tombstoned docs + exact recomputed stats."""
+    from .sources.deletes import compact_index
+
+    spark = _spark(args)
+    compact_index(spark, args.index, args.output)
+    n = spark.read.parquet(f"{args.output}/docstats").count()
+    print(f"compacted → {args.output} ({n} documents)")
+    return 0
+
+
 def cmd_print_database(args) -> int:
     spark = _spark(args)
     post = spark.read.parquet(f"{args.index}/postings")
@@ -436,6 +465,18 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--stem", action="store_true")
     st.add_argument("--no-compress", action="store_true")
     st.set_defaults(fn=cmd_ingest_stream)
+
+    dl = sub.add_parser("delete", help="tombstone documents (lazy delete)")
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--docids", required=True, help="comma-separated docids")
+    dl.set_defaults(fn=cmd_delete)
+
+    cp = sub.add_parser(
+        "compact", help="rewrite the index without tombstoned docs"
+    )
+    cp.add_argument("--index", required=True)
+    cp.add_argument("--output", required=True)
+    cp.set_defaults(fn=cmd_compact)
 
     d = sub.add_parser("print-database", help="dump postings (term, df)")
     d.add_argument("--index", required=True)

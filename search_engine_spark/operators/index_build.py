@@ -94,6 +94,14 @@ class IndexTables:
     # present only when the build requested phrase support
     # (operators/positions.py); None → phrase queries raise
     positions: DataFrame | None = None
+    # lazy-delete tombstones (docid) — attached by read_index when deletes
+    # were recorded (sources/deletes.py).  docstats is served ALREADY
+    # tombstone-filtered, so every scoring path (term/facet/phrase joins,
+    # WAND norm lookups) drops deleted docs, while df/N/avgdl keep their
+    # pre-delete values until compact_index rewrites the root (Lucene
+    # lazy-delete semantics: deleted docs stop matching immediately, stats
+    # converge at compaction)
+    tombstones: DataFrame | None = None
 
     def unpersist(self) -> None:
         if self.tf is not None:

@@ -162,12 +162,18 @@ class _TermCursor:
 # traversal core (shared by the driver and sharded executors)
 # ---------------------------------------------------------------------------
 
-def _score_doc(docid: int, aligned: list[_TermCursor], get_dl, avgdls) -> float:
+def _score_doc(docid: int, aligned: list[_TermCursor], get_dl, avgdls) -> float | None:
     """Fold contributions in ascending-(field, term) order — the canonical
-    float64 order the exhaustive plan's array_sort fold uses."""
+    float64 order the exhaustive plan's array_sort fold uses.
+
+    ``None`` when the docid has no norms row — i.e. it was tombstoned
+    (sources/deletes.py): postings still carry the doc until compaction,
+    but it must not be a candidate."""
     acc = 0.0
     for c in sorted(aligned, key=lambda c: (c.field, c.term)):
         dl = get_dl(c.field, docid)
+        if dl is None:
+            return None
         tf = c.cur_tf()
         denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdls[c.field])
         acc = acc + c.idf * tf * (BM25_K1 + 1.0) / denom
@@ -215,13 +221,14 @@ def _traverse_or(
                     c.step()
                 continue
             score = _score_doc(pivot_doc, aligned, get_dl, avgdls)
-            entry = (score, -pivot_doc)
-            if len(heap) < k:
-                heapq.heappush(heap, entry)
-            elif entry > heap[0]:
-                heapq.heapreplace(heap, entry)
-            if len(heap) == k:
-                theta = heap[0][0]
+            if score is not None:  # None = tombstoned doc, not a candidate
+                entry = (score, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif entry > heap[0]:
+                    heapq.heapreplace(heap, entry)
+                if len(heap) == k:
+                    theta = heap[0][0]
             for c in aligned:
                 c.step()
         else:
@@ -259,13 +266,14 @@ def _traverse_and(
                     c.step()
                 continue
             score = _score_doc(m, cursors, get_dl, avgdls)
-            entry = (score, -m)
-            if len(heap) < k:
-                heapq.heappush(heap, entry)
-            elif entry > heap[0]:
-                heapq.heapreplace(heap, entry)
-            if len(heap) == k:
-                theta = heap[0][0]
+            if score is not None:  # None = tombstoned doc, not a candidate
+                entry = (score, -m)
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif entry > heap[0]:
+                    heapq.heapreplace(heap, entry)
+                if len(heap) == k:
+                    theta = heap[0][0]
             for c in cursors:
                 c.step()
         else:
@@ -373,8 +381,10 @@ class BlockMaxWand:
     def _field_stats(self, field: str) -> tuple[int, float]:
         return self._stats.get(field, (self._any_n, 1.0))
 
-    def _get_dl(self, field: str, docid: int) -> float:
+    def _get_dl(self, field: str, docid: int) -> float | None:
         i = int(np.searchsorted(self._doc_arr, docid))
+        if i >= len(self._doc_arr) or int(self._doc_arr[i]) != docid:
+            return None  # tombstoned: postings row without a norms row
         return float(self._dls[field][i])
 
     # -- postings access ----------------------------------------------------
@@ -600,8 +610,11 @@ class ShardedWand:
             }
             dl_min = {f: (float(a.min()) if len(a) else 0.0) for f, a in dls.items()}
 
-            def get_dl(field: str, docid: int) -> float:
-                return float(dls[field][int(np.searchsorted(doc_arr, docid))])
+            def get_dl(field: str, docid: int) -> float | None:
+                i = int(np.searchsorted(doc_arr, docid))
+                if i >= len(doc_arr) or int(doc_arr[i]) != docid:
+                    return None  # tombstoned (see _score_doc)
+                return float(dls[field][i])
 
             cursors: list[_TermCursor] = []
             present: set[tuple[str, str]] = set()

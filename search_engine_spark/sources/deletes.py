@@ -1,0 +1,137 @@
+"""Document deletion: lazy tombstones + compaction.
+
+Completes the index lifecycle (build → append → DELETE → compact).  The
+reference can only rebuild from scratch (``ClearRuntimeDatabase``,
+``/root/reference/KaggleFinanceSourceEngine.cpp:118-129``); a persistent
+index needs removal without a full rebuild.  The design is Lucene's
+lazy-delete model (public: Lucene's liveDocs bitset + segment merges):
+
+- :func:`delete_docs` appends docids to ``<root>/_tombstones`` and flips a
+  flag in ``_index_meta``.  O(deleted) work, no index rewrite.  From the
+  next ``read_index`` on, ``docstats`` is served tombstone-filtered, and
+  since EVERY scoring path resolves doclen through docstats (term/facet/
+  phrase joins are inner; WAND norm lookups skip missing docids), deleted
+  docs stop matching immediately.  df / N / avgdl intentionally keep their
+  pre-delete values — exactly Lucene's semantics between delete and merge.
+- :func:`compact_index` rewrites the index without the deleted docs and
+  with EXACT recomputed statistics: decode the postings back to a forward
+  index (one bucket-parallel pass), anti-join tombstones, and run the
+  normal ``index_from_tf`` build into a fresh root.  Compaction ≡ a fresh
+  build over the surviving documents (pinned by tests).
+
+At 100 TB: tombstones are a broadcast-sized docid set (deletes are rare
+relative to corpus); the docstats anti-join broadcasts it.  Compaction is
+one postings scan + the standard ONE term-hash exchange — the same cost
+profile as a build, run rarely, and can target a new root while readers
+stay on the old one (atomic cutover by path swap).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.index_build import IndexTables, index_from_tf
+from .index_io import read_index, read_meta_file, write_index, write_meta_file
+
+
+def delete_docs(
+    spark: SparkSession, root: str, docids: DataFrame | Iterable[int]
+) -> None:
+    """Record lazy deletes for an index root (repeat calls accumulate;
+    deleting an already-deleted or unknown docid is a harmless no-op)."""
+    if isinstance(docids, DataFrame):
+        df = docids.select(F.col("docid").cast("long"))
+    else:
+        ids = sorted({int(d) for d in docids})
+        if not ids:
+            return
+        # literal explode over range(1): a local-list createDataFrame costs
+        # a Python-RDD evaluation round (see index_io metadata-IO note)
+        df = spark.range(1).select(
+            F.explode(
+                F.array(*[F.lit(i).cast("long") for i in ids])
+            ).alias("docid")
+        )
+    df.write.mode("append").parquet(f"{root}/_tombstones")
+    # new files under a previously-listed path: invalidate the status cache
+    spark.catalog.refreshByPath(f"{root}/_tombstones")
+    meta = read_meta_file(spark, f"{root}/_index_meta")
+    meta["tombstones"] = True
+    write_meta_file(spark, f"{root}/_index_meta", meta, overwrite=True)
+
+
+def decoded_tf(index: IndexTables) -> DataFrame:
+    """Postings → the forward index (docid, field, term, tf) they encode.
+
+    Works on compressed (varbyte blocks) and raw (posting arrays) layouts;
+    segment rows of salted heavy terms union back naturally (disjoint docid
+    ranges).  This is the exact inverse of ``collect_postings`` +
+    ``encode_posting_blocks`` — pinned by the codec round-trip tests and
+    the compaction ≡ rebuild test."""
+    p = index.postings
+    if "blocks" in p.columns:
+        from ..functions.codec import decode_udf
+
+        dec = decode_udf()
+        p = (
+            p.withColumn("d", dec("blocks", "meta"))
+            .select(
+                "field",
+                "term",
+                F.explode(F.arrays_zip(F.col("d.docids"), F.col("d.tfs"))).alias("pp"),
+            )
+            .select(
+                "field",
+                "term",
+                F.col("pp.docids").alias("docid"),
+                F.col("pp.tfs").alias("tf"),
+            )
+        )
+    else:
+        p = p.select("field", "term", F.explode("postings").alias("pp")).select(
+            "field", "term", F.col("pp.docid").alias("docid"), F.col("pp.tf").alias("tf")
+        )
+    return p.select("docid", "field", "term", F.col("tf").cast("int").alias("tf"))
+
+
+def compact_index(
+    spark: SparkSession,
+    root: str,
+    out_root: str,
+    salt_threshold: int | None = None,
+    n_salts: int = 16,
+) -> None:
+    """Rewrite ``root`` without tombstoned docs into ``out_root``, with
+    exact recomputed statistics (df, n_docs, avgdl, doclen) — equivalent to
+    a fresh build over the surviving documents.
+
+    The new root carries no tombstones; readers cut over by path.  Salting
+    is re-decided from ``salt_threshold`` (pass the same policy the build
+    used; None = unsalted)."""
+    idx = read_index(spark, root)
+    tf = decoded_tf(idx)
+    if idx.tombstones is not None:
+        tf = tf.join(F.broadcast(idx.tombstones), on="docid", how="left_anti")
+    # idx.docstats is already tombstone-filtered: it is both the surviving
+    # doc dimension (n_docs count) and the identity/meta source
+    doc_meta = idx.docstats.drop("doclen", "titlelen")
+    new = index_from_tf(
+        idx.docstats,
+        tf,
+        salt_threshold=salt_threshold,
+        n_salts=n_salts,
+        buckets=idx.n_buckets,
+        compress="blocks" in idx.postings.columns,
+        doc_meta=doc_meta,
+        stem=idx.stem,
+    )
+    if idx.positions is not None:
+        pos = idx.positions
+        if idx.tombstones is not None:
+            pos = pos.join(F.broadcast(idx.tombstones), on="docid", how="left_anti")
+        new.positions = pos
+    write_index(new, out_root)
+    new.unpersist()

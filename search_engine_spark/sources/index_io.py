@@ -172,11 +172,13 @@ def write_index(index: IndexTables, root: str, mode: str = "overwrite") -> None:
 def read_index(spark: SparkSession, root: str) -> IndexTables:
     stem = False
     has_positions = False
+    has_tombstones = False
     try:
         meta = read_meta_file(spark, f"{root}/_index_meta")
         n_buckets = int(meta["buckets"])
         stem = bool(meta.get("stem", False))
         has_positions = bool(meta.get("positions", False))
+        has_tombstones = bool(meta.get("tombstones", False))
     except Exception:
         # legacy index without metadata: non-empty partitions only
         # LOWER-BOUND the true bucket count — if any bucket was empty,
@@ -203,10 +205,18 @@ def read_index(spark: SparkSession, root: str) -> IndexTables:
             "Re-persist with write_index to record the true count.",
             stacklevel=2,
         )
+    docstats = spark.read.parquet(f"{root}/docstats")
+    tombstones = None
+    if has_tombstones:
+        # lazy deletes (sources/deletes.py): docstats is served tombstone-
+        # filtered so every scoring path's docstats join/lookup drops
+        # deleted docs; df/N/avgdl stay pre-delete until compact_index
+        tombstones = spark.read.parquet(f"{root}/_tombstones")
+        docstats = docstats.join(tombstones, on="docid", how="left_anti")
     return IndexTables(
         postings=spark.read.parquet(f"{root}/postings"),
         dictionary=spark.read.parquet(f"{root}/dictionary"),
-        docstats=spark.read.parquet(f"{root}/docstats"),
+        docstats=docstats,
         corpus_stats=spark.read.parquet(f"{root}/corpus_stats"),
         n_buckets=n_buckets,
         stem=stem,
@@ -216,6 +226,7 @@ def read_index(spark: SparkSession, root: str) -> IndexTables:
         positions=(
             spark.read.parquet(f"{root}/positions") if has_positions else None
         ),
+        tombstones=tombstones,
     )
 
 

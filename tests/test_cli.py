@@ -212,3 +212,44 @@ def test_build_positions_and_phrase_search(spark, tmp_path, capsys):
     rc = main(["--cores", "8", "search", "--index", root, "--wand",
                "--query", 'values: "table hash"', "--positional-phrases"])
     assert rc == 2
+
+
+def test_delete_and_compact_subcommands(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [
+            (1, "r", "a.py", "c1", "en", "merge table hash merge merge"),
+            (2, "r", "b.py", "c2", "en", "merge table once"),
+            (3, "r", "c.py", "c3", "en", "nothing relevant"),
+        ],
+        "docid long, repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    src = str(tmp_path / "docs")
+    root = str(tmp_path / "idx")
+    out_root = str(tmp_path / "idx_c")
+    docs.write.parquet(src)
+    assert main(["--cores", "8", "build", "--input", src, "--output", root]) == 0
+    capsys.readouterr()
+
+    def hit_ids():
+        rc = main(["--cores", "8", "search", "--index", root if not
+                   hit_ids.compacted else out_root, "--query", "values: merge"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        return sorted(int(ln.split()[1]) for ln in out.strip().splitlines()
+                      if ln.strip() and "no results" not in ln
+                      and "did you mean" not in ln)
+
+    hit_ids.compacted = False
+    assert hit_ids() == [1, 2]
+
+    rc = main(["delete", "--index", root, "--docids", "1"])
+    assert rc == 0
+    assert "2 live documents" in capsys.readouterr().out
+    assert hit_ids() == [2]
+
+    rc = main(["compact", "--index", root, "--output", out_root])
+    assert rc == 0
+    assert "2 documents" in capsys.readouterr().out
+    hit_ids.compacted = True
+    assert hit_ids() == [2]

@@ -1,0 +1,146 @@
+"""Lazy deletes + compaction (sources/deletes.py).
+
+Invariants:
+- after delete_docs, NO query path returns a tombstoned doc (engine OR/AND,
+  facets, WAND driver + sharded, phrase) while live docs keep their
+  pre-delete scores (stats unchanged — Lucene lazy semantics);
+- compact_index(root) ≡ a fresh build over the surviving documents, table
+  by table;
+- repeated / unknown / DataFrame-input deletes behave.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.index_build import build_index
+from search_engine_spark.plans.bm25 import QueryEngine
+from search_engine_spark.sources.deletes import (
+    compact_index,
+    decoded_tf,
+    delete_docs,
+)
+from search_engine_spark.sources.index_io import read_index, write_index
+
+QUERY = "values: merge_index0 scan_block0 load_config0"
+
+
+@pytest.fixture(scope="module")
+def roots(spark, tiny_df, tmp_path_factory):
+    """One persisted index (with positions) + the docids we tombstone."""
+    root = str(tmp_path_factory.mktemp("del_idx"))
+    idx = build_index(spark, tiny_df, compress=True, positions=True)
+    write_index(idx, root)
+    idx.unpersist()
+    # delete the top-2 hits of QUERY so the result set visibly changes
+    eng = QueryEngine(spark, read_index(spark, root), cache_docstats=False)
+    pre = eng.search(QUERY, k=100).collect()
+    deleted = [r["docid"] for r in pre[:2]]
+    delete_docs(spark, root, deleted)
+    return root, set(deleted), {r["docid"]: r["score"] for r in pre}
+
+
+def test_engine_excludes_deleted_keeps_scores(spark, roots):
+    root, deleted, pre_scores = roots
+    eng = QueryEngine(spark, read_index(spark, root), cache_docstats=False)
+    rows = eng.search(QUERY, k=100).collect()
+    got = {r["docid"]: r["score"] for r in rows}
+    assert not (set(got) & deleted)
+    # live docs score EXACTLY as before (df/N/avgdl untouched until compact)
+    assert got == {d: s for d, s in pre_scores.items() if d not in deleted}
+
+
+def test_wand_paths_exclude_deleted(spark, roots):
+    from search_engine_spark.plans.wand import BlockMaxWand, ShardedWand
+
+    root, deleted, pre_scores = roots
+    idx = read_index(spark, root)
+    live_top = sorted(
+        ((d, s) for d, s in pre_scores.items() if d not in deleted),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    terms = ["merge_index0", "scan_block0", "load_config0"]
+    hits = BlockMaxWand(idx).search(terms, k=5)
+    assert [(d, round(s, 9)) for _, d, s in hits] == [
+        (d, round(s, 9)) for d, s in live_top
+    ]
+    sharded = ShardedWand(idx, n_shards=4)
+    hits2 = sharded.search(terms, k=5)
+    sharded.close()
+    assert [d for _, d, _ in hits2] == [d for d, _ in live_top]
+
+
+def test_phrase_and_facets_exclude_deleted(spark, roots, tiny_df):
+    from search_engine_spark.plans.phrase import phrase_topk
+
+    root, deleted, _ = roots
+    idx = read_index(spark, root)
+    eng = QueryEngine(spark, idx, cache_docstats=False)
+    # facet query: every doc has a lang — deleted docs must not appear
+    f_rows = eng.search("langs: python", k=1000).collect()
+    assert f_rows and not ({r["docid"] for r in f_rows} & deleted)
+    # phrase over positional postings (may legitimately be empty if the
+    # bigram only occurred in deleted docs — assert exclusion, not hits)
+    p_rows = phrase_topk(idx, "merge_index0 scan_block0", k=1000).collect()
+    assert not ({r["docid"] for r in p_rows} & deleted)
+
+
+def test_delete_accumulates_and_dataframe_input(spark, tiny_df, tmp_path):
+    root = str(tmp_path / "idx")
+    idx = build_index(spark, tiny_df.limit(20), compress=True)
+    write_index(idx, root)
+    idx.unpersist()
+    all_ids = [r["docid"] for r in tiny_df.limit(20).select("docid").collect()]
+    delete_docs(spark, root, [all_ids[0]])
+    delete_docs(spark, root, [all_ids[0], all_ids[1], 424242])  # repeat + unknown
+    delete_docs(
+        spark, root,
+        spark.range(1).select(F.lit(all_ids[2]).cast("long").alias("docid")),
+    )
+    idx2 = read_index(spark, root)
+    live = {r["docid"] for r in idx2.docstats.select("docid").collect()}
+    assert live == set(all_ids[3:])
+    assert idx2.tombstones is not None
+
+
+def test_compact_equals_fresh_build(spark, tiny_df, roots):
+    root, deleted, _ = roots
+    out = root + "_compacted"
+    compact_index(spark, root, out)
+    survivors = tiny_df.join(
+        F.broadcast(
+            read_index(spark, root).tombstones.select("docid")
+        ),
+        on="docid",
+        how="left_anti",
+    )
+    fresh = build_index(spark, survivors, compress=True, positions=True)
+    compacted = read_index(spark, out)
+
+    def tf_set(ix):
+        return {
+            (r["docid"], r["field"], r["term"], r["tf"])
+            for r in decoded_tf(ix).collect()
+        }
+
+    assert tf_set(compacted) == tf_set(fresh)
+    for name in ("dictionary", "docstats", "corpus_stats"):
+        a = {tuple(r) for r in getattr(compacted, name).collect()}
+        b = {tuple(r) for r in getattr(fresh, name).collect()}
+        assert a == b, name
+    pos_a = {
+        (r["docid"], r["field"], r["term"], tuple(r["positions"]))
+        for r in compacted.positions.collect()
+    }
+    pos_b = {
+        (r["docid"], r["field"], r["term"], tuple(r["positions"]))
+        for r in fresh.positions.collect()
+    }
+    assert pos_a == pos_b
+    # compacted root carries no tombstones and answers queries
+    assert compacted.tombstones is None
+    eng = QueryEngine(spark, compacted, cache_docstats=False)
+    got = {r["docid"] for r in eng.search(QUERY, k=100).collect()}
+    assert got and not (got & deleted)
+    fresh.unpersist()
