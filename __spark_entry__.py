@@ -39,6 +39,9 @@ SUBSTR_PATTERN = "table window"
 REGEX_PATTERN = r"table \w+ window"
 # fuzzy gate: a 1-deletion typo of 'table' (transpositions are dist 2)
 FUZZY_TYPO = "tabl"
+# more-like-this gate: seed document + term budget
+MLT_SEED = 7
+MLT_TERMS = 10
 STOPWORDS = ["the", "a"]
 # single source of truth: the SQL twins must score with the same constants
 # the engine compiles into its Catalyst expressions
@@ -390,6 +393,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )[:10]
         out = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
         return _ranked_literal_df(spark, out)
+
+    def q_more_like_this(spark, sf):
+        """Similar-document retrieval (QueryEngine.more_like_this): seed
+        doc MLT_SEED re-tokenized, terms ranked by tf·idf, top-MLT_TERMS
+        BM25 query excluding the seed — the twin replays the whole pipeline
+        in SQL (same selection formula, same tie-breaks)."""
+        from search_engine_spark.operators.index_build import build_index
+        from search_engine_spark.plans.bm25 import QueryEngine
+        from search_engine_spark.sources.corpus import load_testdata_documents
+
+        docs = load_testdata_documents(spark, sf)
+        index = build_index(spark, docs, compress=True, title_col=None)
+        eng = QueryEngine(spark, index, cache_docstats=False)
+        rows = eng.more_like_this(
+            MLT_SEED, docs, k=100, max_terms=MLT_TERMS
+        ).collect()
+        index.unpersist()
+        ranked = sorted(
+            ((r["docid"], round(r["score"], 6)) for r in rows),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        return _ranked_literal_df(
+            spark, [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+        )
 
     def q_bm25_after_delete(spark, sf):
         """Lazy tombstones (sources/deletes.py): after delete_docs, deleted
@@ -1018,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_streamed": q_bm25_streamed,
         "bm25_after_delete": q_bm25_after_delete,
         "bm25_after_compact": q_bm25_after_compact,
+        "more_like_this": q_more_like_this,
         "topk_per_query": q_topk_per_query,
         "search_facet_counts": q_facet_counts,
         "facet_sets": q_facet_sets,
@@ -1458,6 +1486,37 @@ scored AS (
            / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS contrib
   FROM tf JOIN dfs ON tf.term = dfs.term JOIN dl ON tf.doc_id = dl.doc_id, stats
   WHERE tf.doc_id % 7 != 0
+),
+agg AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
+FROM agg ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # more-like-this: tf·idf term selection from the seed doc, then BM25
+    # over the selected terms excluding the seed — the full pipeline in SQL
+    sql["more_like_this"] = f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM tf) / (SELECT count(*) FROM documents) AS avgdl
+),
+alldfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+sel AS (
+  SELECT tf.term
+  FROM tf JOIN alldfs USING (term), stats
+  WHERE tf.doc_id = {MLT_SEED} AND length(tf.term) > 2
+  ORDER BY tf.tf * ln((stats.n_docs - alldfs.df + 0.5) / (alldfs.df + 0.5) + 1.0) DESC,
+           tf.term ASC
+  LIMIT {MLT_TERMS}
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+scored AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - alldfs.df + 0.5) / (alldfs.df + 0.5) + 1.0)
+           * tf.tf * {K1 + 1.0}
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS contrib
+  FROM tf JOIN sel USING (term) JOIN alldfs USING (term) JOIN dl USING (doc_id), stats
+  WHERE tf.doc_id != {MLT_SEED}
 ),
 agg AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY doc_id)
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score

@@ -232,6 +232,14 @@ def main() -> None:
             runs=2,
         )
 
+        # --- more-like-this: seed lookup + term selection + BM25 ---
+        seed = raw_docs.select("doc_id").orderBy("doc_id").first()["doc_id"]
+        timed_best(
+            "q5k_more_like_this",
+            lambda: engine.more_like_this(int(seed), docs, k=10).collect(),
+            runs=2,
+        )
+
         # --- did-you-mean (first call builds + persists the deletion index) ---
         timed_best(
             "q5j_did_you_mean",

@@ -673,6 +673,70 @@ class QueryEngine:
                 corrected = corrected.replace(raw, sugg)
         return corrected, corrections
 
+    def more_like_this(
+        self,
+        docid: int,
+        docs: DataFrame,
+        k: int = 10,
+        max_terms: int = 10,
+        mode: str = "or",
+    ) -> DataFrame:
+        """Similar-document retrieval (Lucene MoreLikeThis design, public):
+        re-tokenize the seed doc (ONE prunable point lookup), rank its terms
+        by tf·idf against the index's own df, query BM25 with the top
+        ``max_terms`` terms, exclude the seed → (rank, docid, score).
+
+        Deterministic: term selection orders by (weight DESC, term ASC)
+        with the engine's Lucene idf; the downstream search is the standard
+        deterministic top-k.  Scale: seed tokenization is one document; the
+        df lookup broadcasts ≤ |seed vocabulary| dictionary rows; the query
+        itself is a normal bucket-pruned ``max_terms``-term probe.
+        """
+        import math
+
+        from ..operators.tokenize import doc_terms
+
+        seed_tf = {
+            r["term"]: r["tf"]
+            for r in doc_terms(
+                docs.where(F.col("docid") == docid), stem=self.stem,
+                title_col=None,
+            ).collect()
+        }
+        if not seed_tf:
+            raise ValueError(f"docid {docid} not found or has no terms")
+        # len>2 mirrors the query-side P5 filter — a shorter selected term
+        # would be silently dropped by search() and desync the term budget
+        cand = [t for t in seed_tf if len(t) > 2]
+        dfs = {
+            r["term"]: r["df"]
+            for r in self.index.dictionary.where(
+                (F.col("field") == "content") & F.col("term").isin(cand)
+            ).collect()
+        }
+        n_docs, _ = self._stats.get("content", (self._n_docs, 1.0))
+        weighted = sorted(
+            (
+                (
+                    -seed_tf[t]
+                    * math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0),
+                    t,
+                )
+                for t, df in dfs.items()
+            ),
+        )[:max_terms]
+        terms = sorted(t for _, t in weighted)
+        hits = self.search(
+            "values: " + " ".join(terms), mode=mode, k=k + 1
+        ).where(F.col("docid") != docid)
+        w = Window.orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            hits.select("docid", "score")
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("rank", "docid", "score")
+        )
+
     def display(
         self,
         docid: int,

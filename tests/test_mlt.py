@@ -1,0 +1,59 @@
+"""More-like-this (QueryEngine.more_like_this) ≡ a pure-Python oracle
+reimplementation of the whole pipeline (seed tokenize → tf·idf term
+selection → BM25 → seed exclusion)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from search_engine_spark.oracle import score_query, tokenize
+from search_engine_spark.plans.bm25 import QueryEngine
+
+
+def _oracle_mlt(tiny_docs, oracle, seed_docid, k=10, max_terms=10):
+    seed = next(d for d in tiny_docs if d["docid"] == seed_docid)
+    toks = tokenize(seed["content"])
+    tf = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    n = oracle.n_docs
+    weighted = sorted(
+        (
+            (
+                -tf[t] * math.log((n - len(oracle.postings["content"][t]) + 0.5)
+                                  / (len(oracle.postings["content"][t]) + 0.5) + 1.0),
+                t,
+            )
+            for t in tf
+            if len(t) > 2 and t in oracle.postings["content"]
+        )
+    )[:max_terms]
+    terms = sorted(t for _, t in weighted)
+    hits = score_query(oracle, [("terms", "content", terms)], k=k + 1)
+    out = [(d, s) for _, d, s in hits if d != seed_docid][:k]
+    return terms, [(i + 1, d, s) for i, (d, s) in enumerate(out)]
+
+
+@pytest.mark.parametrize("seed_i", [0, 7, 23])
+def test_mlt_matches_python_oracle(spark, tiny_df, tiny_docs, tiny_index,
+                                   tiny_oracle, seed_i):
+    seed_docid = tiny_docs[seed_i]["docid"]
+    eng = QueryEngine(spark, tiny_index, cache_docstats=False)
+    got = [
+        (r["rank"], r["docid"], r["score"])
+        for r in eng.more_like_this(seed_docid, tiny_df, k=10).collect()
+    ]
+    _, want = _oracle_mlt(tiny_docs, tiny_oracle, seed_docid, k=10)
+    assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in want]
+    for (_, _, gs), (_, _, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+    # the seed never appears in its own similars
+    assert seed_docid not in {d for _, d, _ in got}
+
+
+def test_mlt_unknown_docid_raises(spark, tiny_df, tiny_index):
+    eng = QueryEngine(spark, tiny_index, cache_docstats=False)
+    with pytest.raises(ValueError):
+        eng.more_like_this(-424242, tiny_df)
