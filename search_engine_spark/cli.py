@@ -51,6 +51,38 @@ def cmd_build(args) -> int:
     spark = _spark(args)
     docs = _load_docs(spark, args.input)
     assert_docid_unique(docs)
+    if getattr(args, "analyzer", "reference") == "code":
+        if (
+            args.slices > 1
+            or getattr(args, "append_snapshot", None) is not None
+            or getattr(args, "positions", False)
+            or args.stem
+            or getattr(args, "tokenizer", "native") != "native"
+        ):
+            print(
+                "error: --analyzer code is a single-shot native build "
+                "(no --slices/--append-snapshot/--positions/--stem/"
+                "--tokenizer)",
+                file=sys.stderr,
+            )
+            return 2
+        from .operators.code_tokens import build_code_index
+
+        index = build_code_index(
+            spark,
+            docs,
+            salt_threshold=args.salt_threshold,
+            compress=not args.no_compress,
+        )
+        write_index(index, args.output)
+        index.unpersist()
+        if getattr(args, "trigrams", False):
+            from .operators.trigrams import write_trigrams
+
+            write_trigrams(spark, docs, args.output)
+        n = spark.read.parquet(f"{args.output}/docstats").count()
+        print(f"indexed {n} documents (code analyzer) → {args.output}")
+        return 0
     if getattr(args, "positions", False) and (
         args.slices > 1 or getattr(args, "append_snapshot", None) is not None
     ):
@@ -58,6 +90,13 @@ def cmd_build(args) -> int:
             "error: --positions requires a single-shot build (no --slices/"
             "--append-snapshot yet — the slice log does not carry the "
             "positional table)",
+            file=sys.stderr,
+        )
+        return 2
+    if getattr(args, "trigrams", False) and getattr(args, "append_snapshot", None) is not None:
+        print(
+            "error: --trigrams with --append-snapshot would re-scan the whole "
+            "corpus; rebuild the trigram table separately after appends",
             file=sys.stderr,
         )
         return 2
@@ -106,6 +145,10 @@ def cmd_build(args) -> int:
         )
         write_index(index, args.output)
         index.unpersist()
+    if getattr(args, "trigrams", False):
+        from .operators.trigrams import write_trigrams
+
+        write_trigrams(spark, docs, args.output)
     n = spark.read.parquet(f"{args.output}/docstats").count()
     print(f"indexed {n} documents → {args.output}")
     return 0
@@ -131,6 +174,58 @@ def _print_results(rows) -> None:
 
 def cmd_search(args) -> int:
     spark = _spark(args)
+    if getattr(args, "substring", None) or getattr(args, "regex", None):
+        from .operators.trigrams import (
+            read_trigrams,
+            regex_search,
+            substring_search,
+        )
+        from .sources.index_io import read_meta_file
+
+        if args.query is not None or getattr(args, "phrase", None) or args.wand:
+            print(
+                "error: --substring/--regex are standalone (no --query/"
+                "--phrase/--wand)",
+                file=sys.stderr,
+            )
+            return 2
+        if not getattr(args, "docs", None):
+            print(
+                "error: --substring/--regex need --docs (the verify step "
+                "reads document content)",
+                file=sys.stderr,
+            )
+            return 2
+        docs = _load_docs(spark, args.docs)
+        tri = read_trigrams(spark, args.index)
+        grams, gdf = tri if tri is not None else (None, None)
+        try:
+            buckets = int(read_meta_file(spark, f"{args.index}/_index_meta")["buckets"])
+        except Exception:
+            buckets = 32
+        if args.substring:
+            rows = substring_search(
+                docs, args.substring, grams=grams, gram_df=gdf, max_grams=8,
+                n_buckets=buckets,
+            ).orderBy(F.desc("n_occurrences"), "docid").limit(args.k).collect()
+            for r in rows:
+                print(f"{r['docid']:<20} x{r['n_occurrences']}")
+        else:
+            rows = regex_search(
+                docs, args.regex, grams=grams, gram_df=gdf, max_grams=8,
+                n_buckets=buckets,
+            ).orderBy("docid").limit(args.k).collect()
+            for r in rows:
+                print(f"{r['docid']}")
+        if not rows:
+            print("no results")
+        if tri is None:
+            print(
+                "(no trigram table at this root — full scan; "
+                "build with --trigrams to prune)",
+                file=sys.stderr,
+            )
+        return 0
     if getattr(args, "phrase", None) is not None:
         from .plans.phrase import phrase_topk
         from .sources.index_io import read_index
@@ -395,6 +490,17 @@ def main(argv: list[str] | None = None) -> int:
         "--tokenizer", choices=("native", "arrow"), default="native",
         help="Catalyst expressions (default) or Arrow-UDF batch tokenizer",
     )
+    b.add_argument(
+        "--trigrams", action="store_true",
+        help="also build the trigram table (enables pruned search "
+        "--substring/--regex)",
+    )
+    b.add_argument(
+        "--analyzer", choices=("reference", "code"), default="reference",
+        help="term analyzer: reference semantics (default) or code-identifier "
+        "subtokens (camelCase/snake_case split); persisted — queries split "
+        "the same way automatically",
+    )
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("search", help="one-shot query")
@@ -420,6 +526,20 @@ def main(argv: list[str] | None = None) -> int:
         "--stem", action="store_true", default=None,
         help="override query-term stemming (default: the setting the index "
         "was built with, recorded in _index_meta)",
+    )
+    s.add_argument(
+        "--substring", default=None, metavar="PAT",
+        help="literal substring search over document content (trigram-pruned "
+        "when the index was built with --trigrams); needs --docs",
+    )
+    s.add_argument(
+        "--regex", default=None, metavar="RE",
+        help="regex search (rlike) with trigram pruning via the longest "
+        "mandatory literal run; needs --docs",
+    )
+    s.add_argument(
+        "--docs", default=None,
+        help="source documents parquet (content verify for --substring/--regex)",
     )
     s.add_argument("--wand", action="store_true", help="block-max WAND path (driver traversal)")
     s.add_argument(

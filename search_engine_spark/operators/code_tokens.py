@@ -115,4 +115,8 @@ def build_code_index(
     from .index_build import index_from_tf
 
     tf = code_doc_terms(docs, body_col=body_col, title_col=title_col)
-    return index_from_tf(docs, tf, body_col=body_col, **index_kwargs)
+    idx = index_from_tf(docs, tf, body_col=body_col, **index_kwargs)
+    # persisted in _index_meta by write_index; read_index + QueryEngine
+    # then split query tokens with the same analyzer automatically
+    idx.analyzer = "code"
+    return idx

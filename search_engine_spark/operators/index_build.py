@@ -88,6 +88,12 @@ class IndexTables:
     # normalize with the same setting (persisted in _index_meta; a mismatch
     # silently returns zero hits, so consumers default to this value)
     stem: bool = False
+    # which analyzer produced the terms: "reference" (P2-P4 semantics) or
+    # "code" (operators/code_tokens.py camel/snake subtokens).  Persisted in
+    # _index_meta like stem, for the same reason: the query side must split
+    # query tokens the way the index split content ("parseJson" must probe
+    # [parse, json] against a code index)
+    analyzer: str = "reference"
     # single-scan doc base (build_index path) — persisted, unpersist with tf
     base: DataFrame | None = None
     # positional postings (field, term, bucket, docid, positions, tf) —

@@ -188,6 +188,56 @@ def substring_search(
     )
 
 
+# --- persistence alongside an index root ------------------------------------
+
+
+def write_trigrams(
+    spark,
+    docs: DataFrame,
+    root: str,
+    buckets: int = DEFAULT_INDEX_BUCKETS,
+    source_col: str = "content",
+    case_sensitive: bool = True,
+) -> None:
+    """Persist the gram postings + gram-df dimension under an index root
+    (``<root>/trigrams`` bucket-partitioned for pruned probes,
+    ``<root>/trigram_df``) and flag it in ``_index_meta``."""
+    from ..sources.index_io import read_meta_file, write_meta_file
+
+    g = build_trigrams(
+        docs, buckets=buckets, source_col=source_col, case_sensitive=case_sensitive
+    )
+    (
+        g.repartition(buckets, F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{root}/trigrams")
+    )
+    spark.catalog.refreshByPath(f"{root}/trigrams")
+    trigram_df(spark.read.parquet(f"{root}/trigrams")).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/trigram_df")
+    meta = read_meta_file(spark, f"{root}/_index_meta")
+    meta["trigrams"] = True
+    write_meta_file(spark, f"{root}/_index_meta", meta, overwrite=True)
+
+
+def read_trigrams(spark, root: str):
+    """→ (grams, gram_df) if the root carries a trigram table, else None."""
+    from ..sources.index_io import read_meta_file
+
+    try:
+        meta = read_meta_file(spark, f"{root}/_index_meta")
+    except Exception:
+        return None
+    if not meta.get("trigrams", False):
+        return None
+    return (
+        spark.read.parquet(f"{root}/trigrams"),
+        spark.read.parquet(f"{root}/trigram_df"),
+    )
+
+
 # --- literal-anchored regex -------------------------------------------------
 
 _QUANTS = "*+?{"

@@ -63,6 +63,10 @@ class QueryEngine:
         # vice versa) silently returns zero hits, so auto-matching is the
         # only safe default; pass an explicit bool to override
         self.stem = index.stem if stem is None else stem
+        # analyzer follows the index (persisted in _index_meta): a "code"
+        # index splits identifiers into subtokens, so query tokens must be
+        # split the same way ("parseJson" → probe [parse, json])
+        self.analyzer = index.analyzer
         # bucket-pruning literals MUST use the bucket count the index was
         # BUILT with (IndexTables.n_buckets — read_index recovers it from
         # the persisted _index_meta); a mismatched constant would prune the
@@ -281,6 +285,18 @@ class QueryEngine:
                         seen_phrases.add(canon)
                         required.add(("phrase", target, canon))
                         parts.append(self._matches_for_phrase(target, canon))
+                if self.analyzer == "code":
+                    # split single query tokens like the build did; quoted
+                    # phrase tokens keep quirk Q4 semantics untouched
+                    from ..operators.code_tokens import code_tokenize
+
+                    words = [
+                        s
+                        for w in words
+                        for s in (
+                            code_tokenize(w) if " " not in w.strip() else [w]
+                        )
+                    ]
                 cleaned = [
                     c
                     for c in (clean_query_term(t, stem=self.stem) for t in words)

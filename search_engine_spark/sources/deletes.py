@@ -128,6 +128,7 @@ def compact_index(
         doc_meta=doc_meta,
         stem=idx.stem,
     )
+    new.analyzer = idx.analyzer
     if idx.positions is not None:
         pos = idx.positions
         if idx.tombstones is not None:

@@ -164,6 +164,7 @@ def write_index(index: IndexTables, root: str, mode: str = "overwrite") -> None:
             "buckets": index.n_buckets,
             "stem": index.stem,
             "positions": index.positions is not None,
+            "analyzer": index.analyzer,
         },
         overwrite=(mode == "overwrite"),
     )
@@ -173,12 +174,14 @@ def read_index(spark: SparkSession, root: str) -> IndexTables:
     stem = False
     has_positions = False
     has_tombstones = False
+    analyzer = "reference"
     try:
         meta = read_meta_file(spark, f"{root}/_index_meta")
         n_buckets = int(meta["buckets"])
         stem = bool(meta.get("stem", False))
         has_positions = bool(meta.get("positions", False))
         has_tombstones = bool(meta.get("tombstones", False))
+        analyzer = str(meta.get("analyzer", "reference"))
     except Exception:
         # legacy index without metadata: non-empty partitions only
         # LOWER-BOUND the true bucket count — if any bucket was empty,
@@ -220,6 +223,7 @@ def read_index(spark: SparkSession, root: str) -> IndexTables:
         corpus_stats=spark.read.parquet(f"{root}/corpus_stats"),
         n_buckets=n_buckets,
         stem=stem,
+        analyzer=analyzer,
         # the meta flag (not a directory probe) decides: a missing table
         # with positions=true should fail loudly at first phrase query,
         # not silently degrade to "no phrase support"

@@ -80,3 +80,57 @@ def test_code_analyzer_is_columnar(spark, tiny_df):
         code_doc_terms(tiny_df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_analyzer_persists_and_splits_queries(spark, tiny_df, tmp_path):
+    """write_index → read_index round-trips analyzer='code'; a RAW camel
+    query then matches snake_case corpus identifiers with no caller-side
+    splitting (the engine applies the analyzer)."""
+    from search_engine_spark.plans.bm25 import QueryEngine
+    from search_engine_spark.sources.index_io import read_index, write_index
+
+    root = str(tmp_path / "code_idx")
+    idx = build_code_index(spark, tiny_df, compress=True)
+    write_index(idx, root)
+    idx.unpersist()
+    reloaded = read_index(spark, root)
+    assert reloaded.analyzer == "code"
+    eng = QueryEngine(spark, reloaded, cache_docstats=False)
+    hits = eng.search("values: mergeIndex0", k=10).collect()
+    assert hits
+    rows = tiny_df.select("docid", "content").collect()
+    truth = {
+        r["docid"]
+        for r in rows
+        if {"merge", "index0"} <= set(code_tokenize(r["content"]))
+    }
+    assert {h["docid"] for h in hits} <= truth
+    # reference-analyzer indexes keep default behavior (meta back-compat)
+    from search_engine_spark.operators.index_build import build_index
+
+    root2 = str(tmp_path / "ref_idx")
+    ref = build_index(spark, tiny_df, compress=True)
+    write_index(ref, root2)
+    ref.unpersist()
+    assert read_index(spark, root2).analyzer == "reference"
+
+
+def test_cli_build_code_analyzer(spark, tiny_df, tmp_path, capsys):
+    from search_engine_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    root = str(tmp_path / "idx")
+    tiny_df.write.parquet(src)
+    rc = main(["--cores", "8", "build", "--input", src, "--output", root,
+               "--analyzer", "code"])
+    assert rc == 0
+    assert "code analyzer" in capsys.readouterr().out
+    rc = main(["--cores", "8", "search", "--index", root,
+               "--query", "values: mergeIndex0"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.strip() and "no results" not in out
+    # refused combos fail loudly
+    rc = main(["--cores", "8", "build", "--input", src, "--output", root,
+               "--analyzer", "code", "--positions"])
+    assert rc == 2

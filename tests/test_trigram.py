@@ -152,3 +152,57 @@ def test_trigram_build_is_columnar(spark, tiny_df):
     plan = build_trigrams(tiny_df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Generate" in plan  # the one explode
+
+
+def test_cli_trigram_build_and_search(spark, tmp_path, capsys):
+    from search_engine_spark.cli import main
+
+    docs = spark.createDataFrame(
+        [
+            (1, "r", "a.py", "c1", "en", "def foo_bar(x): return x+1"),
+            (2, "r", "b.py", "c2", "en", "foo_bar(7) and foo_bar(9)"),
+            (3, "r", "c.py", "c3", "en", "unrelated content here"),
+        ],
+        "docid long, repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    src = str(tmp_path / "docs")
+    root = str(tmp_path / "idx")
+    docs.write.parquet(src)
+    rc = main(["--cores", "8", "build", "--input", src, "--output", root,
+               "--trigrams"])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main(["--cores", "8", "search", "--index", root,
+               "--substring", "foo_bar(", "--docs", src])
+    assert rc == 0
+    cap = capsys.readouterr()
+    got = {ln.split()[0]: ln.split()[1] for ln in cap.out.strip().splitlines()}
+    assert got == {"1": "x1", "2": "x2"}
+    assert "full scan" not in cap.err  # pruned path was used
+
+    rc = main(["--cores", "8", "search", "--index", root,
+               "--regex", r"foo_bar\(\d\)", "--docs", src])
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert sorted(cap.out.split()) == ["2"]
+
+    # an index without a trigram table still answers (full scan + notice)
+    root2 = str(tmp_path / "idx2")
+    assert main(["--cores", "8", "build", "--input", src,
+                 "--output", root2]) == 0
+    capsys.readouterr()
+    rc = main(["--cores", "8", "search", "--index", root2,
+               "--substring", "foo_bar(", "--docs", src])
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "full scan" in cap.err
+    assert {ln.split()[0] for ln in cap.out.strip().splitlines()} == {"1", "2"}
+
+    # usage errors
+    rc = main(["--cores", "8", "search", "--index", root,
+               "--substring", "foo", "--query", "values: foo"])
+    assert rc == 2
+    rc = main(["--cores", "8", "search", "--index", root, "--substring", "foo"])
+    assert rc == 2
