@@ -394,6 +394,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
         return _ranked_literal_df(spark, out)
 
+    def q_bm25_paginated(spark, sf):
+        """search_after pagination: ten sequential 10-row pages through the
+        cursor must reconstruct the same global top ranking as one query —
+        compared against the standard BM25 twin."""
+        from search_engine_spark.operators.index_build import build_index
+        from search_engine_spark.plans.bm25 import QueryEngine
+        from search_engine_spark.sources.corpus import load_testdata_documents
+
+        docs = load_testdata_documents(spark, sf)
+        index = build_index(spark, docs, compress=True, title_col=None)
+        eng = QueryEngine(spark, index, cache_docstats=False)
+        q = "values: " + " ".join(BM25_TERMS)
+        rows, cursor = [], None
+        for _ in range(10):
+            page = eng.search(q, k=10, after=cursor).collect()
+            if not page:
+                break
+            rows += page
+            cursor = (page[-1]["score"], page[-1]["docid"])
+        index.unpersist()
+        ranked = sorted(
+            ((r["docid"], round(r["score"], 6)) for r in rows),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        return _ranked_literal_df(
+            spark, [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+        )
+
     def q_more_like_this(spark, sf):
         """Similar-document retrieval (QueryEngine.more_like_this): seed
         doc MLT_SEED re-tokenized, terms ranked by tf·idf, top-MLT_TERMS
@@ -1046,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_after_delete": q_bm25_after_delete,
         "bm25_after_compact": q_bm25_after_compact,
         "more_like_this": q_more_like_this,
+        "bm25_paginated": q_bm25_paginated,
         "topk_per_query": q_topk_per_query,
         "search_facet_counts": q_facet_counts,
         "facet_sets": q_facet_sets,
@@ -1530,6 +1559,8 @@ FROM agg ORDER BY score DESC, doc_id LIMIT 10
     )
     # streamed ingest compacts into the same index tables — same twin
     sql["bm25_streamed"] = _bm25_sql(BM25_TERMS, and_mode=False)
+    # pagination reconstructs the same global ranking → same twin
+    sql["bm25_paginated"] = _bm25_sql(BM25_TERMS, and_mode=False)
 
     # events analytics: window keys are epoch-second arithmetic, immune to
     # time_bucket origin conventions.  Spark's window origin is the Unix

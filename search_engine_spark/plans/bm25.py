@@ -344,6 +344,7 @@ class QueryEngine:
         with_display: bool = False,
         strategy: str = "exhaustive",
         phrases: str = "quirk",
+        after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """→ DataFrame(rank, docid, score[, repo, path, lang]) — k rows max.
 
@@ -362,11 +363,21 @@ class QueryEngine:
         the positional index (requires build_index(positions=True)).
         Queries carrying a positional phrase run exhaustive — phrase
         matches are not posting cursors WAND can traverse.
+
+        ``after``: deterministic pagination cursor — the (score, docid) of
+        the LAST row of the previous page (Elasticsearch ``search_after``
+        design, public).  Returns the next k results strictly after it in
+        the (score DESC, docid ASC) total order.  Sound because scores are
+        bit-deterministic across partitionings (the ordered float64 fold),
+        so the cursor comparison is exact, and stateless — no scroll
+        context to keep server-side, each page is an independent top-k.
         """
         if strategy not in ("exhaustive", "wand"):
             raise ValueError(f"strategy must be 'exhaustive' or 'wand', got {strategy!r}")
         if phrases not in ("quirk", "positional"):
             raise ValueError(f"phrases must be 'quirk' or 'positional', got {phrases!r}")
+        if after is not None and strategy == "wand":
+            raise ValueError("after= pagination needs the exhaustive engine")
         if strategy == "wand":
             parsed = parse_query(query)
             has_phrase = phrases == "positional" and any(
@@ -386,6 +397,15 @@ class QueryEngine:
         agg = matches.groupBy("docid").agg(*self._ordered_score_agg())
         if mode == "and":
             agg = agg.where(F.col("n_matched") >= F.lit(n_required))
+        if after is not None:
+            a_score, a_docid = float(after[0]), int(after[1])
+            agg = agg.where(
+                (F.col("score") < F.lit(a_score))
+                | (
+                    (F.col("score") == F.lit(a_score))
+                    & (F.col("docid") > F.lit(a_docid))
+                )
+            )
 
         topk = (
             agg.select("docid", "score")

@@ -200,3 +200,33 @@ def test_facet_counts_and_mode_subset(engine, tiny_docs):
         ).collect()
     }
     assert got == dict(want)
+
+
+def test_search_after_pagination(spark, tiny_index):
+    """Pages of 3 concatenated ≡ one big top-k (same raw scores, same
+    order); the cursor is exact because scores are bit-deterministic."""
+    from search_engine_spark.plans.bm25 import QueryEngine
+
+    eng = QueryEngine(spark, tiny_index, cache_docstats=False)
+    q = "values: merge_index0 scan_block0 load_config0"
+    full = [(r["docid"], r["score"]) for r in eng.search(q, k=100000).collect()]
+    assert len(full) >= 7, "fixture query must match enough docs to page"
+
+    paged, cursor = [], None
+    while True:
+        rows = eng.search(q, k=3, after=cursor).collect()
+        if not rows:
+            break
+        paged += [(r["docid"], r["score"]) for r in rows]
+        cursor = (rows[-1]["score"], rows[-1]["docid"])
+        if len(rows) < 3:
+            break
+    assert paged == full
+    # page-relative ranks restart at 1
+    page2 = eng.search(q, k=3, after=(full[2][1], full[2][0])).collect()
+    assert [r["rank"] for r in page2] == [1, 2, 3]
+    # wand strategy refuses pagination loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        eng.search(q, strategy="wand", after=(1.0, 0))
