@@ -42,6 +42,8 @@ FUZZY_TYPO = "tabl"
 # more-like-this gate: seed document + term budget
 MLT_SEED = 7
 MLT_TERMS = 10
+# boost gate: multiplier on the lang-facet contribution
+BOOST_LANG = 2.5
 STOPWORDS = ["the", "a"]
 # single source of truth: the SQL twins must score with the same constants
 # the engine compiles into its Catalyst expressions
@@ -413,6 +415,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 break
             rows += page
             cursor = (page[-1]["score"], page[-1]["docid"])
+        index.unpersist()
+        ranked = sorted(
+            ((r["docid"], round(r["score"], 6)) for r in rows),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        return _ranked_literal_df(
+            spark, [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+        )
+
+    def q_bm25_boosted(spark, sf):
+        """BM25F-style target boosts: 'values: … | langs: en' with the lang
+        facet contribution ×{BOOST} — the twin recomputes term contribs at
+        weight 1 and the facet idf at the boost weight."""
+        from search_engine_spark.operators.index_build import build_index
+        from search_engine_spark.plans.bm25 import QueryEngine
+        from search_engine_spark.sources.corpus import load_testdata_documents
+
+        docs = load_testdata_documents(spark, sf)
+        index = build_index(spark, docs, compress=True, title_col=None)
+        eng = QueryEngine(spark, index, cache_docstats=False)
+        rows = eng.search(
+            "values: " + " ".join(BM25_TERMS) + " | langs: en",
+            k=100,
+            boosts={"lang": BOOST_LANG},
+        ).collect()
         index.unpersist()
         ranked = sorted(
             ((r["docid"], round(r["score"], 6)) for r in rows),
@@ -1075,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_after_compact": q_bm25_after_compact,
         "more_like_this": q_more_like_this,
         "bm25_paginated": q_bm25_paginated,
+        "bm25_boosted": q_bm25_boosted,
         "topk_per_query": q_topk_per_query,
         "search_facet_counts": q_facet_counts,
         "facet_sets": q_facet_sets,
@@ -1561,6 +1589,39 @@ FROM agg ORDER BY score DESC, doc_id LIMIT 10
     sql["bm25_streamed"] = _bm25_sql(BM25_TERMS, and_mode=False)
     # pagination reconstructs the same global ranking → same twin
     sql["bm25_paginated"] = _bm25_sql(BM25_TERMS, and_mode=False)
+
+    # boosted mixed query: term contribs at weight 1 + facet idf × boost
+    # (this twin also pins the facet-contribution formula in SQL)
+    _b_tlist = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    sql["bm25_boosted"] = f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM tf) / (SELECT count(*) FROM documents) AS avgdl
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf WHERE term IN ({_b_tlist}) GROUP BY term),
+term_scored AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+           * tf.tf * {K1 + 1.0}
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS contrib
+  FROM tf JOIN dfs ON tf.term = dfs.term JOIN dl ON tf.doc_id = dl.doc_id, stats
+),
+fdf AS (SELECT CAST(count(*) AS DOUBLE) AS vdf FROM documents WHERE lower(lang) = 'en'),
+facet_scored AS (
+  SELECT d.doc_id,
+         ln((stats.n_docs - fdf.vdf + 0.5) / (fdf.vdf + 0.5) + 1.0) * {BOOST_LANG} AS contrib
+  FROM documents d, stats, fdf WHERE lower(d.lang) = 'en'
+),
+agg AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score
+  FROM (SELECT * FROM term_scored UNION ALL SELECT * FROM facet_scored)
+  GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
+FROM agg ORDER BY score DESC, doc_id LIMIT 10
+"""
 
     # events analytics: window keys are epoch-second arithmetic, immune to
     # time_bucket origin conventions.  Spark's window origin is the Unix

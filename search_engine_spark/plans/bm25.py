@@ -247,7 +247,10 @@ class QueryEngine:
     # -- public API --------------------------------------------------------
 
     def _query_matches(
-        self, query: str, phrases: str = "quirk"
+        self,
+        query: str,
+        phrases: str = "quirk",
+        boosts: dict[str, float] | None = None,
     ) -> tuple[DataFrame | None, int]:
         """Parse + build the union-of-matches frame for one query.
 
@@ -267,6 +270,14 @@ class QueryEngine:
         parsed = parse_query(query)
         parts: list[DataFrame] = []
         required: set[tuple[str, str, str]] = set()
+        boosts = boosts or {}
+
+        def _boosted(df: DataFrame, target: str) -> DataFrame:
+            b = float(boosts.get(target, 1.0))
+            if b == 1.0:
+                return df
+            return df.withColumn("contrib", F.col("contrib") * F.lit(b))
+
         for kind, target, raw_terms in parsed:
             if kind == "terms":
                 words = raw_terms
@@ -284,7 +295,9 @@ class QueryEngine:
                             continue
                         seen_phrases.add(canon)
                         required.add(("phrase", target, canon))
-                        parts.append(self._matches_for_phrase(target, canon))
+                        parts.append(
+                            _boosted(self._matches_for_phrase(target, canon), target)
+                        )
                 if self.analyzer == "code":
                     # split single query tokens like the build did; quoted
                     # phrase tokens keep quirk Q4 semantics untouched
@@ -304,7 +317,12 @@ class QueryEngine:
                 ]
                 if cleaned:
                     required.update(("terms", target, c) for c in cleaned)
-                    parts.append(self._matches_for_terms(target, sorted(set(cleaned))))
+                    parts.append(
+                        _boosted(
+                            self._matches_for_terms(target, sorted(set(cleaned))),
+                            target,
+                        )
+                    )
             else:
                 vals = []
                 for t in raw_terms:
@@ -315,7 +333,12 @@ class QueryEngine:
                         vals.append(v)
                 if vals:
                     required.update(("facet", target, v) for v in vals)
-                    parts.append(self._matches_for_facet(target, sorted(set(vals))))
+                    parts.append(
+                        _boosted(
+                            self._matches_for_facet(target, sorted(set(vals))),
+                            target,
+                        )
+                    )
         if not parts:
             return None, 0
         matches = parts[0]
@@ -345,6 +368,7 @@ class QueryEngine:
         strategy: str = "exhaustive",
         phrases: str = "quirk",
         after: tuple[float, int] | None = None,
+        boosts: dict[str, float] | None = None,
     ) -> DataFrame:
         """→ DataFrame(rank, docid, score[, repo, path, lang]) — k rows max.
 
@@ -371,6 +395,10 @@ class QueryEngine:
         bit-deterministic across partitionings (the ordered float64 fold),
         so the cursor comparison is exact, and stateless — no scroll
         context to keep server-side, each page is an independent top-k.
+
+        ``boosts``: per-target score multipliers keyed by FIELD ("content",
+        "title") or facet column ("lang", "repo", …) — BM25F-style field
+        weighting (`title^2` ≡ {"title": 2.0}).  Exhaustive engine only.
         """
         if strategy not in ("exhaustive", "wand"):
             raise ValueError(f"strategy must be 'exhaustive' or 'wand', got {strategy!r}")
@@ -378,6 +406,8 @@ class QueryEngine:
             raise ValueError(f"phrases must be 'quirk' or 'positional', got {phrases!r}")
         if after is not None and strategy == "wand":
             raise ValueError("after= pagination needs the exhaustive engine")
+        if boosts and strategy == "wand":
+            raise ValueError("boosts= need the exhaustive engine")
         if strategy == "wand":
             parsed = parse_query(query)
             has_phrase = phrases == "positional" and any(
@@ -390,7 +420,9 @@ class QueryEngine:
             ):
                 return self._search_wand(parsed, mode, k, with_display)
             # facet categories / positional phrases → exhaustive engine
-        matches, n_required = self._query_matches(query, phrases=phrases)
+        matches, n_required = self._query_matches(
+            query, phrases=phrases, boosts=boosts
+        )
         if matches is None:
             return self._empty_result(with_display)
 

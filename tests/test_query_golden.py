@@ -230,3 +230,56 @@ def test_search_after_pagination(spark, tiny_index):
 
     with _pytest.raises(ValueError):
         eng.search(q, strategy="wand", after=(1.0, 0))
+
+
+def test_field_and_facet_boosts(spark, tiny_index, tiny_oracle):
+    """boosts={} multiplies per-target contributions — verified against a
+    python recomposition from the oracle's per-category scores."""
+    from search_engine_spark.oracle import score_query
+    from search_engine_spark.plans.bm25 import QueryEngine
+
+    eng = QueryEngine(spark, tiny_index, cache_docstats=False)
+
+    def part(parsed):
+        return {d: s for _, d, s in score_query(tiny_oracle, parsed, k=100000)}
+
+    # title^2 over a mixed field query
+    c = part([("terms", "content", ["merge_index0"])])
+    t = part([("terms", "title", ["file_0"])])
+    exp = {
+        d: c.get(d, 0.0) + 2.0 * t.get(d, 0.0) for d in set(c) | set(t)
+    }
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = eng.search(
+        "values: merge_index0 | title: file_0", k=10, boosts={"title": 2.0}
+    ).collect()
+    assert [(r["docid"]) for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert abs(r["score"] - s) < 1e-9
+
+    # facet boost (lang^2.5)
+    f = part([("facet", "lang", ["go"])])
+    exp2 = {
+        d: c.get(d, 0.0) + 2.5 * f.get(d, 0.0) for d in set(c) | set(f)
+    }
+    want2 = sorted(exp2.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got2 = eng.search(
+        "values: merge_index0 | langs: go", k=10, boosts={"lang": 2.5}
+    ).collect()
+    assert [r["docid"] for r in got2] == [d for d, _ in want2]
+    for r, (_, s) in zip(got2, want2):
+        assert abs(r["score"] - s) < 1e-9
+
+    # no boosts ≡ boosts absent, bit-identical
+    a = eng.search("values: merge_index0 | title: file_0", k=10).collect()
+    b = eng.search(
+        "values: merge_index0 | title: file_0", k=10, boosts={}
+    ).collect()
+    assert [(r["docid"], r["score"]) for r in a] == [
+        (r["docid"], r["score"]) for r in b
+    ]
+    # wand refuses boosts
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        eng.search("values: merge_index0", strategy="wand", boosts={"title": 2.0})
