@@ -44,6 +44,8 @@ MLT_SEED = 7
 MLT_TERMS = 10
 # boost gate: multiplier on the lang-facet contribution
 BOOST_LANG = 2.5
+# filter gate: inclusive lower bound on tokenized doclen
+FILTER_DOCLEN_LO = 50
 STOPWORDS = ["the", "a"]
 # single source of truth: the SQL twins must score with the same constants
 # the engine compiles into its Catalyst expressions
@@ -448,6 +450,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _ranked_literal_df(
             spark, [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
         )
+
+    def q_bm25_filtered(spark, sf):
+        """Non-scoring filter clause: equality on lang + inclusive doclen
+        range — results are the unfiltered ranking restricted to qualifying
+        docs, scores unchanged (bool-filter semantics)."""
+        from search_engine_spark.operators.index_build import build_index
+        from search_engine_spark.plans.bm25 import QueryEngine
+        from search_engine_spark.sources.corpus import load_testdata_documents
+
+        docs = load_testdata_documents(spark, sf)
+        index = build_index(spark, docs, compress=True, title_col=None)
+        eng = QueryEngine(spark, index, cache_docstats=False)
+        rows = eng.search(
+            "values: " + " ".join(BM25_TERMS),
+            k=100,
+            filters={"lang": "en", "doclen": (FILTER_DOCLEN_LO, None)},
+        ).collect()
+        index.unpersist()
+        ranked = sorted(
+            ((r["docid"], round(r["score"], 6)) for r in rows),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        return _ranked_literal_df(
+            spark, [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+        )
+
+    def q_match_count(spark, sf):
+        """Total-match count ("about N results") through the engine."""
+        from search_engine_spark.operators.index_build import build_index
+        from search_engine_spark.plans.bm25 import QueryEngine
+        from search_engine_spark.sources.corpus import load_testdata_documents
+
+        docs = load_testdata_documents(spark, sf)
+        index = build_index(spark, docs, compress=True, title_col=None)
+        eng = QueryEngine(spark, index, cache_docstats=False)
+        n = eng.match_count("values: " + " ".join(BM25_TERMS))
+        index.unpersist()
+        return spark.range(1).select(F.lit(int(n)).cast("long").alias("n"))
 
     def q_more_like_this(spark, sf):
         """Similar-document retrieval (QueryEngine.more_like_this): seed
@@ -1103,6 +1143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": q_more_like_this,
         "bm25_paginated": q_bm25_paginated,
         "bm25_boosted": q_bm25_boosted,
+        "bm25_filtered": q_bm25_filtered,
+        "match_count": q_match_count,
         "topk_per_query": q_topk_per_query,
         "search_facet_counts": q_facet_counts,
         "facet_sets": q_facet_sets,
@@ -1547,6 +1589,40 @@ scored AS (
 agg AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY doc_id)
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
 FROM agg ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # filter clause: the plain BM25 ranking restricted to qualifying docs —
+    # same contributions, rows dropped by lang equality + doclen range
+    _f_tlist = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    sql["bm25_filtered"] = f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM tf) / (SELECT count(*) FROM documents) AS avgdl
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf WHERE term IN ({_f_tlist}) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+           * tf.tf * {K1 + 1.0}
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS contrib
+  FROM tf JOIN dfs ON tf.term = dfs.term JOIN dl ON tf.doc_id = dl.doc_id, stats
+),
+agg AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY doc_id),
+flt AS (
+  SELECT a.doc_id, a.score
+  FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+       JOIN dl ON a.doc_id = dl.doc_id
+  WHERE lower(d.lang) = 'en' AND dl.dl >= {FILTER_DOCLEN_LO}
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
+FROM flt ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    sql["match_count"] = f"""
+SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+FROM ({_TF_SQL}) WHERE term IN ({_f_tlist})
 """
 
     # more-like-this: tf·idf term selection from the seed doc, then BM25

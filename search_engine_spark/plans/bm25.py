@@ -158,6 +158,56 @@ class QueryEngine:
             )
         )
 
+    def _filter_docids(self, filters: dict) -> DataFrame:
+        """Non-scoring filter clause → docid frame for the semi-join.
+
+        {col: value} = lowercased equality (array columns: membership);
+        {col: (lo, hi)} = inclusive range (None = open end)."""
+        dtypes = dict(self._docstats.dtypes)
+        cond = F.lit(True)
+        for col, spec in sorted(filters.items()):
+            if col not in dtypes:
+                raise ValueError(f"unknown filter column {col!r}")
+            if isinstance(spec, (tuple, list)):
+                if len(spec) != 2:
+                    raise ValueError(f"range filter {col!r} needs (lo, hi)")
+                lo, hi = spec
+                if lo is not None:
+                    cond = cond & (F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    cond = cond & (F.col(col) <= F.lit(hi))
+            elif dtypes[col].startswith("array"):
+                cond = cond & F.array_contains(
+                    F.transform(F.col(col), lambda x: F.lower(x)),
+                    str(spec).lower(),
+                )
+            else:
+                cond = cond & (
+                    F.lower(F.col(col).cast("string")) == F.lit(str(spec).lower())
+                )
+        return self._docstats.where(cond).select("docid")
+
+    def match_count(
+        self,
+        query: str,
+        mode: str = "or",
+        phrases: str = "quirk",
+        filters: dict | None = None,
+    ) -> int:
+        """Total number of matching documents ("about N results") — the
+        same match set search() ranks, without the top-k cut."""
+        matches, n_required = self._query_matches(query, phrases=phrases)
+        if matches is None:
+            return 0
+        if filters:
+            matches = matches.join(
+                self._filter_docids(filters), on="docid", how="left_semi"
+            )
+        agg = matches.groupBy("docid").agg(*self._ordered_score_agg())
+        if mode == "and":
+            agg = agg.where(F.col("n_matched") >= F.lit(n_required))
+        return agg.count()
+
     def _matches_for_facet(self, facet_col: str, values: list[str]) -> DataFrame:
         """Facet match: contributes idf of the facet value (tf-free).
 
@@ -369,6 +419,7 @@ class QueryEngine:
         phrases: str = "quirk",
         after: tuple[float, int] | None = None,
         boosts: dict[str, float] | None = None,
+        filters: dict | None = None,
     ) -> DataFrame:
         """→ DataFrame(rank, docid, score[, repo, path, lang]) — k rows max.
 
@@ -399,6 +450,15 @@ class QueryEngine:
         ``boosts``: per-target score multipliers keyed by FIELD ("content",
         "title") or facet column ("lang", "repo", …) — BM25F-style field
         weighting (`title^2` ≡ {"title": 2.0}).  Exhaustive engine only.
+
+        ``filters``: non-SCORING restrictions (the bool-filter clause of
+        Lucene/Elasticsearch, public design): {facet_col: value} for exact
+        (lowercased) equality, or {"doclen": (lo, hi)} for an inclusive
+        numeric range on a docstats column.  Filters restrict the match set
+        and never contribute to the score — unlike facet CATEGORIES in the
+        query string, which score (reference semantics).  Applied as a
+        docstats semi-join, so parquet/Iceberg metadata prunes the scan.
+        Exhaustive engine only.
         """
         if strategy not in ("exhaustive", "wand"):
             raise ValueError(f"strategy must be 'exhaustive' or 'wand', got {strategy!r}")
@@ -408,6 +468,8 @@ class QueryEngine:
             raise ValueError("after= pagination needs the exhaustive engine")
         if boosts and strategy == "wand":
             raise ValueError("boosts= need the exhaustive engine")
+        if filters and strategy == "wand":
+            raise ValueError("filters= need the exhaustive engine")
         if strategy == "wand":
             parsed = parse_query(query)
             has_phrase = phrases == "positional" and any(
@@ -426,6 +488,10 @@ class QueryEngine:
         if matches is None:
             return self._empty_result(with_display)
 
+        if filters:
+            matches = matches.join(
+                self._filter_docids(filters), on="docid", how="left_semi"
+            )
         agg = matches.groupBy("docid").agg(*self._ordered_score_agg())
         if mode == "and":
             agg = agg.where(F.col("n_matched") >= F.lit(n_required))

@@ -283,3 +283,49 @@ def test_field_and_facet_boosts(spark, tiny_index, tiny_oracle):
 
     with _pytest.raises(ValueError):
         eng.search("values: merge_index0", strategy="wand", boosts={"title": 2.0})
+
+
+def test_filters_and_match_count(spark, tiny_index, tiny_docs, tiny_oracle):
+    """filters= restrict without scoring: results ≡ unfiltered results
+    restricted to qualifying docs, scores unchanged; match_count ≡ python
+    recount."""
+    from search_engine_spark.oracle import tokenize
+    from search_engine_spark.plans.bm25 import QueryEngine
+
+    eng = QueryEngine(spark, tiny_index, cache_docstats=False)
+    q = "values: merge_index0 scan_block0"
+    full = [(r["docid"], r["score"]) for r in eng.search(q, k=100000).collect()]
+    lang_of = {d["docid"]: d["lang"] for d in tiny_docs}
+    doclen = {
+        d["docid"]: len(tokenize(d["content"])) for d in tiny_docs
+    }
+
+    # equality filter: same scores, restricted set, order preserved
+    got = [
+        (r["docid"], r["score"])
+        for r in eng.search(q, k=100000, filters={"lang": "go"}).collect()
+    ]
+    want = [(d, s) for d, s in full if lang_of[d] == "go"]
+    assert got == want and got and len(got) < len(full)
+
+    # range filter on doclen (inclusive, open top end)
+    got_r = {
+        r["docid"]
+        for r in eng.search(q, k=100000, filters={"doclen": (40, None)}).collect()
+    }
+    assert got_r == {d for d, _ in full if doclen[d] >= 40}
+
+    # match_count ≡ python recount of the OR match set
+    terms = {"merge_index0", "scan_block0"}
+    n = sum(1 for d in tiny_docs if terms & set(tokenize(d["content"])))
+    assert eng.match_count(q) == n == len(full)
+    assert eng.match_count(q, filters={"lang": "go"}) == len(want)
+    assert eng.match_count("values: zzz_not_a_term") == 0
+
+    # unknown filter column fails loudly; wand refuses filters
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown filter column"):
+        eng.search(q, filters={"nope": "x"})
+    with _pytest.raises(ValueError, match="filters"):
+        eng.search(q, strategy="wand", filters={"lang": "go"})
