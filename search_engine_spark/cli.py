@@ -93,13 +93,6 @@ def cmd_build(args) -> int:
             file=sys.stderr,
         )
         return 2
-    if getattr(args, "trigrams", False) and getattr(args, "append_snapshot", None) is not None:
-        print(
-            "error: --trigrams with --append-snapshot would re-scan the whole "
-            "corpus; rebuild the trigram table separately after appends",
-            file=sys.stderr,
-        )
-        return 2
     if getattr(args, "append_snapshot", None) is not None:
         from .sources.index_io import append_snapshot
 
@@ -113,6 +106,12 @@ def cmd_build(args) -> int:
             compress=not args.no_compress,
             stem=args.stem,
         )
+        if getattr(args, "trigrams", False):
+            # incremental: gram rows for the NEW docs only; old content is
+            # never re-scanned (operators/trigrams.append_trigrams)
+            from .operators.trigrams import append_trigrams
+
+            append_trigrams(spark, docs, args.output)
         n = spark.read.parquet(f"{args.output}/docstats").count()
         print(f"appended snapshot {args.append_snapshot}; index now covers {n} documents")
         return 0

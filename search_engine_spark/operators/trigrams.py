@@ -222,6 +222,42 @@ def write_trigrams(
     write_meta_file(spark, f"{root}/_index_meta", meta, overwrite=True)
 
 
+def append_trigrams(
+    spark,
+    new_docs: DataFrame,
+    root: str,
+    source_col: str = "content",
+    case_sensitive: bool = True,
+) -> None:
+    """Incremental trigram maintenance: gram rows are per (gram, docid), so
+    appending the NEW docs' rows is exact — old content is never re-scanned.
+    The gram-df dimension is recomputed from the gram table itself (one
+    scan of the small gram table, no content scan)."""
+    from ..sources.index_io import read_meta_file
+
+    meta = read_meta_file(spark, f"{root}/_index_meta")
+    if not meta.get("trigrams", False):
+        raise ValueError(
+            f"{root} has no trigram table — build one with write_trigrams first"
+        )
+    buckets = int(meta["buckets"])
+    g = build_trigrams(
+        new_docs, buckets=buckets, source_col=source_col,
+        case_sensitive=case_sensitive,
+    )
+    (
+        g.repartition(buckets, F.col("bucket"))
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{root}/trigrams")
+    )
+    spark.catalog.refreshByPath(f"{root}/trigrams")
+    trigram_df(spark.read.parquet(f"{root}/trigrams")).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/trigram_df")
+    spark.catalog.refreshByPath(f"{root}/trigram_df")
+
+
 def read_trigrams(spark, root: str):
     """→ (grams, gram_df) if the root carries a trigram table, else None."""
     from ..sources.index_io import read_meta_file

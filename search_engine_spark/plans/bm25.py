@@ -830,33 +830,31 @@ class QueryEngine:
 
         from ..operators.tokenize import doc_terms
 
-        seed_tf = {
-            r["term"]: r["tf"]
-            for r in doc_terms(
-                docs.where(F.col("docid") == docid), stem=self.stem,
-                title_col=None,
-            ).collect()
-        }
-        if not seed_tf:
+        # ONE driver round-trip: seed tokenize+tf joined to the dictionary
+        # df in the same job (the seed frame is one doc — broadcast side)
+        seed_tf = doc_terms(
+            docs.where(F.col("docid") == docid), stem=self.stem, title_col=None
+        )
+        rows = (
+            F.broadcast(seed_tf)
+            .join(self.index.dictionary, on=["field", "term"])
+            # len>2 mirrors the query-side P5 filter — a shorter selected
+            # term would be dropped by search() and desync the term budget
+            .where(F.length("term") > 2)
+            .select("term", "tf", "df")
+            .collect()
+        )
+        if not rows and docs.where(F.col("docid") == docid).isEmpty():
             raise ValueError(f"docid {docid} not found or has no terms")
-        # len>2 mirrors the query-side P5 filter — a shorter selected term
-        # would be silently dropped by search() and desync the term budget
-        cand = [t for t in seed_tf if len(t) > 2]
-        dfs = {
-            r["term"]: r["df"]
-            for r in self.index.dictionary.where(
-                (F.col("field") == "content") & F.col("term").isin(cand)
-            ).collect()
-        }
         n_docs, _ = self._stats.get("content", (self._n_docs, 1.0))
         weighted = sorted(
             (
                 (
-                    -seed_tf[t]
-                    * math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0),
-                    t,
+                    -r["tf"]
+                    * math.log((n_docs - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0),
+                    r["term"],
                 )
-                for t, df in dfs.items()
+                for r in rows
             ),
         )[:max_terms]
         terms = sorted(t for _, t in weighted)

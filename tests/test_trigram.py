@@ -206,3 +206,48 @@ def test_cli_trigram_build_and_search(spark, tmp_path, capsys):
     assert rc == 2
     rc = main(["--cores", "8", "search", "--index", root, "--substring", "foo"])
     assert rc == 2
+
+
+def test_append_trigrams_incremental(spark, tiny_df, tmp_path):
+    """Appending gram rows for NEW docs ≡ building the table over the whole
+    corpus (gram rows are per (gram, docid) — exact under append)."""
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.trigrams import (
+        append_trigrams,
+        read_trigrams,
+        write_trigrams,
+    )
+    from search_engine_spark.sources.index_io import write_index
+
+    root = str(tmp_path / "idx")
+    first = tiny_df.where(F.col("docid") % 2 == 0)
+    rest = tiny_df.where(F.col("docid") % 2 == 1)
+    idx = build_index(spark, first, compress=True)
+    write_index(idx, root)
+    idx.unpersist()
+    write_trigrams(spark, first, root)
+    append_trigrams(spark, rest, root)
+
+    grams, gdf = read_trigrams(spark, root)
+    full = build_trigrams(tiny_df)
+
+    def keyset(df):
+        return {
+            (r["gram"], r["bucket"], r["docid"]) for r in df.collect()
+        }
+
+    assert keyset(grams) == keyset(full)
+    # gram_df was recomputed over the combined table
+    want_df = {
+        (r["gram"], r["df"]) for r in trigram_df(full).collect()
+    }
+    assert {(r["gram"], r["df"]) for r in gdf.collect()} == want_df
+    # appending to a root without a trigram table fails loudly
+    import pytest as _pytest
+
+    root2 = str(tmp_path / "idx2")
+    idx2 = build_index(spark, first, compress=True)
+    write_index(idx2, root2)
+    idx2.unpersist()
+    with _pytest.raises(ValueError, match="no trigram table"):
+        append_trigrams(spark, rest, root2)
