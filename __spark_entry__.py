@@ -46,6 +46,8 @@ MLT_TERMS = 10
 BOOST_LANG = 2.5
 # filter gate: inclusive lower bound on tokenized doclen
 FILTER_DOCLEN_LO = 50
+# hybrid gate: per-leg rank depth for RRF fusion
+HYBRID_DEPTH = 50
 STOPWORDS = ["the", "a"]
 # single source of truth: the SQL twins must score with the same constants
 # the engine compiles into its Catalyst expressions
@@ -488,6 +490,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n = eng.match_count("values: " + " ".join(BM25_TERMS))
         index.unpersist()
         return spark.range(1).select(F.lit(int(n)).cast("long").alias("n"))
+
+    def q_hybrid_rrf(spark, sf):
+        """Hybrid retrieval (plans/hybrid.py): BM25 leg ⊕ cosine leg fused
+        with RRF (k0=60).  The bm leg's ranks use the rounded-score order
+        (the twin's convention); fusion itself runs distributed
+        (rrf_fuse)."""
+        from search_engine_spark.operators.index_build import build_index
+        from search_engine_spark.operators.similarity import cosine_topk
+        from search_engine_spark.plans.bm25 import QueryEngine
+        from search_engine_spark.plans.hybrid import rrf_fuse, with_ranks
+        from search_engine_spark.sources.corpus import load_testdata_documents
+
+        docs = load_testdata_documents(spark, sf)
+        index = build_index(spark, docs, compress=True, title_col=None)
+        eng = QueryEngine(spark, index, cache_docstats=False)
+        bm_rows = eng.search(
+            "values: " + " ".join(BM25_TERMS), k=HYBRID_DEPTH + 50
+        ).collect()
+        index.unpersist()
+        bm_ranked = sorted(
+            ((r["docid"], round(r["score"], 6)) for r in bm_rows),
+            key=lambda x: (-x[1], x[0]),
+        )[:HYBRID_DEPTH]
+        bm = spark.range(1).select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).cast("long").alias("docid"),
+                            F.lit(i + 1).cast("int").alias("rank"),
+                        )
+                        for i, (d, _) in enumerate(bm_ranked)
+                    ]
+                )
+            ).alias("s")
+        ).select("s.docid", "s.rank")
+        emb = _raw_emb(spark, sf)
+        probe = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        cos = with_ranks(
+            cosine_topk(emb, [float(x) for x in probe], k=HYBRID_DEPTH),
+            order_cols=[F.desc("cosine"), F.asc("vec_id")],
+            id_col="vec_id",
+        )
+        return rrf_fuse([bm, cos], k=10).select(
+            "rank", F.col("docid").alias("doc_id"), "rrf_score"
+        )
 
     def q_more_like_this(spark, sf):
         """Similar-document retrieval (QueryEngine.more_like_this): seed
@@ -1145,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boosted": q_bm25_boosted,
         "bm25_filtered": q_bm25_filtered,
         "match_count": q_match_count,
+        "hybrid_rrf": q_hybrid_rrf,
         "topk_per_query": q_topk_per_query,
         "search_facet_counts": q_facet_counts,
         "facet_sets": q_facet_sets,
@@ -1623,6 +1672,50 @@ FROM flt ORDER BY score DESC, doc_id LIMIT 10
     sql["match_count"] = f"""
 SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
 FROM ({_TF_SQL}) WHERE term IN ({_f_tlist})
+"""
+
+    # hybrid RRF: bm25 leg ranked by rounded score, cosine leg ranked by
+    # rounded cosine, fused with 1/(60+rank) sums
+    _h_tlist = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    sql["hybrid_rrf"] = f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM tf) / (SELECT count(*) FROM documents) AS avgdl
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf WHERE term IN ({_h_tlist}) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+           * tf.tf * {K1 + 1.0}
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS contrib
+  FROM tf JOIN dfs ON tf.term = dfs.term JOIN dl ON tf.doc_id = dl.doc_id, stats
+),
+bm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM (SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY doc_id)
+  QUALIFY rank <= {HYBRID_DEPTH}
+),
+p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0),
+cosd AS (
+  SELECT vec_id AS doc_id,
+         round(list_dot_product(embedding::DOUBLE[], pe)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(pe, pe))), 6) AS cosine
+  FROM embeddings, p
+),
+cosr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank
+  FROM cosd QUALIFY rank <= {HYBRID_DEPTH}
+),
+fused AS (
+  SELECT doc_id, round(sum(1.0 / (60 + rank)), 9) AS rrf_score
+  FROM (SELECT * FROM bm UNION ALL SELECT * FROM cosr) GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS rank,
+       doc_id, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
 """
 
     # more-like-this: tf·idf term selection from the seed doc, then BM25

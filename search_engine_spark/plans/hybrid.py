@@ -1,0 +1,80 @@
+"""Hybrid retrieval: BM25 ⊕ vector ranks fused with Reciprocal Rank Fusion.
+
+Capability extension: a modern engine serves LEXICAL (BM25) and SEMANTIC
+(embedding cosine) retrieval together.  The standard parameter-free fusion
+is RRF (Cormack, Clarke & Büttcher, SIGIR 2009, public):
+``score(d) = Σ_legs 1 / (k0 + rank_leg(d))`` with k0 = 60 — rank-based, so
+the legs' incomparable score scales never need calibration.
+
+Spark-first: each leg is an independent distributed top-``depth``
+(TakeOrderedAndProject); fusion unions ≤ legs×depth tiny rank rows, one
+hash-agg, one top-k.  Nothing corpus-sized flows into the fusion.
+Deterministic: integer ranks, float64 fold, ties → ascending docid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RRF_K0 = 60
+
+
+def with_ranks(df: DataFrame, order_cols: list, id_col: str = "docid",
+               depth: int | None = None) -> DataFrame:
+    """→ (docid, rank) by the given order columns.  The input is expected to
+    be an already-cut top-k frame (≤ depth rows) — the single-partition
+    window is bounded, never corpus-sized."""
+    w = Window.orderBy(*order_cols)
+    out = df.select(
+        F.col(id_col).alias("docid"), F.row_number().over(w).alias("rank")
+    )
+    if depth is not None:
+        out = out.where(F.col("rank") <= depth)
+    return out
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], k: int = 10, k0: int = RRF_K0
+) -> DataFrame:
+    """Rank frames [(docid, rank), …] → (rank, docid, rrf_score) top-k."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    legs = rankings[0].select("docid", "rank")
+    for r in rankings[1:]:
+        legs = legs.unionByName(r.select("docid", "rank"))
+    fused = legs.groupBy("docid").agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(k0)) + F.col("rank"))), 9
+        ).alias("rrf_score")
+    )
+    topk = fused.orderBy(F.desc("rrf_score"), F.asc("docid")).limit(k)
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("docid"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "docid", "rrf_score"
+    )
+
+
+def hybrid_search(
+    engine,
+    embeddings: DataFrame,
+    query: str,
+    probe: list[float],
+    k: int = 10,
+    depth: int = 100,
+    k0: int = RRF_K0,
+    mode: str = "or",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """BM25 leg (QueryEngine.search) ⊕ cosine leg (similarity.cosine_topk)
+    → RRF top-k.  ``embeddings[id_col]`` must share the docid space of the
+    index (one embedding per document)."""
+    from ..operators.similarity import cosine_topk
+
+    bm = engine.search(query, mode=mode, k=depth).select("docid", "rank")
+    cos = with_ranks(
+        cosine_topk(embeddings, probe, k=depth, id_col=id_col),
+        order_cols=[F.desc("cosine"), F.asc(id_col)],
+        id_col=id_col,
+    )
+    return rrf_fuse([bm, cos], k=k, k0=k0)

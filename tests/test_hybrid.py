@@ -1,0 +1,79 @@
+"""Hybrid BM25 ⊕ cosine RRF fusion (plans/hybrid.py) ≡ python model."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from search_engine_spark.plans.bm25 import QueryEngine
+from search_engine_spark.plans.hybrid import hybrid_search, rrf_fuse
+
+QUERY = "values: merge_index0 scan_block0"
+DIM = 8
+
+
+def _vec(docid: int) -> list[float]:
+    """Deterministic small-integer components — exact in float32, so the
+    python double-precision model matches Spark bit-for-bit."""
+    h = hashlib.md5(f"v{docid}".encode()).hexdigest()
+    return [float(int(h[i], 16) % 10) for i in range(DIM)]
+
+
+@pytest.fixture(scope="module")
+def emb(spark, tiny_df):
+    rows = [(r["docid"], _vec(r["docid"]))
+            for r in tiny_df.select("docid").collect()]
+    df = spark.createDataFrame(rows, f"vec_id long, embedding array<float>")
+    df.cache().count()
+    return df
+
+
+def test_hybrid_matches_python_model(spark, tiny_df, tiny_index, emb):
+    eng = QueryEngine(spark, tiny_index, cache_docstats=False)
+    depth, k0 = 20, 60
+    probe_id = sorted(r["vec_id"] for r in emb.select("vec_id").collect())[0]
+    probe = _vec(probe_id)
+
+    got = [
+        (r["rank"], r["docid"], r["rrf_score"])
+        for r in hybrid_search(eng, emb, QUERY, probe, k=10, depth=depth).collect()
+    ]
+
+    # python model: bm leg from the engine itself (raw ranks), cosine leg
+    # recomputed in double precision with the operator's round-6
+    bm_rank = {
+        r["docid"]: r["rank"] for r in eng.search(QUERY, k=depth).collect()
+    }
+    pn = sum(x * x for x in probe) ** 0.5
+    cos = []
+    for r in emb.collect():
+        v = [float(x) for x in r["embedding"]]
+        vn = sum(x * x for x in v) ** 0.5
+        if vn * pn > 0:
+            cos.append((round(sum(a * b for a, b in zip(v, probe)) / (vn * pn), 6),
+                        r["vec_id"]))
+    cos.sort(key=lambda t: (-t[0], t[1]))
+    cos_rank = {d: i + 1 for i, (_, d) in enumerate(cos[:depth])}
+
+    rrf: dict[int, float] = {}
+    for d, rk in bm_rank.items():
+        rrf[d] = rrf.get(d, 0.0) + 1.0 / (k0 + rk)
+    for d, rk in cos_rank.items():
+        rrf[d] = rrf.get(d, 0.0) + 1.0 / (k0 + rk)
+    want = sorted(
+        ((round(s, 9), d) for d, s in rrf.items()), key=lambda t: (-t[0], t[1])
+    )[:10]
+    assert [(d, s) for _, d, s in got] == [(d, s) for s, d in want]
+    assert [r for r, _, _ in got] == list(range(1, len(got) + 1))
+    # docs in BOTH legs must outrank equal-rank single-leg docs
+    both = set(bm_rank) & set(cos_rank)
+    if both and len(got) > 1:
+        assert got[0][1] in both or rrf[got[0][1]] >= max(
+            rrf.get(d, 0) for d in both
+        )
+
+
+def test_rrf_fuse_validates(spark):
+    with pytest.raises(ValueError):
+        rrf_fuse([])
