@@ -199,9 +199,18 @@ def cmd_search(args) -> int:
         tri = read_trigrams(spark, args.index)
         grams, gdf = tri if tri is not None else (None, None)
         try:
-            buckets = int(read_meta_file(spark, f"{args.index}/_index_meta")["buckets"])
+            meta = read_meta_file(spark, f"{args.index}/_index_meta")
         except Exception:
-            buckets = 32
+            meta = {}
+        buckets = int(meta.get("buckets", 32))
+        if meta.get("tombstones", False):
+            # honor lazy deletes here too — the verify scan must not
+            # resurrect tombstoned docs the term engine already excludes
+            docs = docs.join(
+                spark.read.parquet(f"{args.index}/_tombstones"),
+                on="docid",
+                how="left_anti",
+            )
         if args.substring:
             rows = substring_search(
                 docs, args.substring, grams=grams, gram_df=gdf, max_grams=8,
@@ -381,9 +390,11 @@ def cmd_delete(args) -> int:
         print("error: --docids needs a comma-separated id list", file=sys.stderr)
         return 2
     delete_docs(spark, args.index, ids)
-    live = spark.read.parquet(f"{args.index}/docstats").join(
-        spark.read.parquet(f"{args.index}/_tombstones"), on="docid", how="left_anti"
-    ).count()
+    # read_index serves docstats already tombstone-filtered — one source
+    # of truth for the filtering rule
+    from .sources.index_io import read_index
+
+    live = read_index(spark, args.index).docstats.count()
     print(f"tombstoned {len(ids)} docids; {live} live documents remain")
     return 0
 

@@ -279,6 +279,20 @@ def read_trigrams(spark, root: str):
 _QUANTS = "*+?{"
 
 
+def _skip_quantifier(pattern: str, i: int) -> int:
+    """``i`` at a possible quantifier → index after it ({m,n} skipped to its
+    '}', lazy/possessive '?'/'+' modifiers included); unchanged if none."""
+    if i < len(pattern) and pattern[i] in _QUANTS:
+        if pattern[i] == "{":
+            end = pattern.find("}", i)
+            i = len(pattern) if end == -1 else end + 1
+        else:
+            i += 1
+        if i < len(pattern) and pattern[i] in "?+":
+            i += 1
+    return i
+
+
 def literal_runs(pattern: str) -> list[str]:
     """Literal substrings every match of the (Java-syntax) regex must
     contain, extracted conservatively: alternation/groups/classes/escapes
@@ -314,10 +328,7 @@ def literal_runs(pattern: str) -> list[str]:
             # previous char is optional/repeated — drop it from the run
             runs.append(cur[:-1])
             cur = ""
-            i += 1
-            if c == "{":  # skip {m,n}
-                end = pattern.find("}", i)
-                i = len(pattern) if end == -1 else end + 1
+            i = _skip_quantifier(pattern, i)
             continue
         if c in "[(":
             runs.append(cur)
@@ -334,9 +345,8 @@ def literal_runs(pattern: str) -> list[str]:
                 elif pattern[i] == close:
                     depth -= 1
                 i += 1
-            # the class/group may itself carry a quantifier
-            if i < len(pattern) and pattern[i] in _QUANTS:
-                i += 1
+            # the class/group may itself carry a quantifier ({m,n} included)
+            i = _skip_quantifier(pattern, i)
             continue
         if c in ".^$)":
             runs.append(cur)

@@ -771,9 +771,16 @@ class QueryEngine:
             for raw in raws:
                 if " " in raw.strip():
                     continue
-                c = clean_query_term(raw, stem=self.stem)
-                if c is not None:
-                    raw_by_clean.setdefault(c, []).append(raw)
+                # a code index holds subtokens — probe what search() probes
+                pieces = [raw]
+                if self.analyzer == "code":
+                    from ..operators.code_tokens import code_tokenize
+
+                    pieces = code_tokenize(raw) or [raw]
+                for piece in pieces:
+                    c = clean_query_term(piece, stem=self.stem)
+                    if c is not None:
+                        raw_by_clean.setdefault(c, []).append(raw)
         if not raw_by_clean:
             return None
         known = {
@@ -801,10 +808,36 @@ class QueryEngine:
                 corrections[m] = row["term"]
         if not corrections:
             return None
-        corrected = query
-        for c, sugg in corrections.items():
-            for raw in raw_by_clean[c]:
-                corrected = corrected.replace(raw, sugg)
+
+        # Rebuild the query by WHOLE whitespace tokens — str.replace would
+        # also rewrite the missing term as a substring of other tokens
+        # ('tabl' inside 'tables').  Under the code analyzer a token's
+        # subtokens are corrected individually and re-joined.
+        def _correct_token(tok: str) -> str:
+            base = tok.rstrip(",")
+            suffix = tok[len(base):]
+            if not base or base.endswith(":"):
+                return tok  # category label / punctuation-only
+            if self.analyzer == "code":
+                from ..operators.code_tokens import code_tokenize
+
+                pieces = code_tokenize(base) or [base]
+                fixed = []
+                changed = False
+                for p in pieces:
+                    c = clean_query_term(p, stem=self.stem)
+                    if c is not None and c in corrections:
+                        fixed.append(corrections[c])
+                        changed = True
+                    else:
+                        fixed.append(p)
+                return (" ".join(fixed) + suffix) if changed else tok
+            c = clean_query_term(base, stem=self.stem)
+            if c is not None and c in corrections:
+                return corrections[c] + suffix
+            return tok
+
+        corrected = " ".join(_correct_token(t) for t in query.split(" "))
         return corrected, corrections
 
     def more_like_this(
@@ -831,10 +864,17 @@ class QueryEngine:
         from ..operators.tokenize import doc_terms
 
         # ONE driver round-trip: seed tokenize+tf joined to the dictionary
-        # df in the same job (the seed frame is one doc — broadcast side)
-        seed_tf = doc_terms(
-            docs.where(F.col("docid") == docid), stem=self.stem, title_col=None
-        )
+        # df in the same job (the seed frame is one doc — broadcast side).
+        # The seed MUST be analyzed the way the index was built — a code
+        # index's dictionary holds subtokens, so reference-tokenized whole
+        # identifiers would join to nothing.
+        seed_frame = docs.where(F.col("docid") == docid)
+        if self.analyzer == "code":
+            from ..operators.code_tokens import code_doc_terms
+
+            seed_tf = code_doc_terms(seed_frame, title_col=None)
+        else:
+            seed_tf = doc_terms(seed_frame, stem=self.stem, title_col=None)
         rows = (
             F.broadcast(seed_tf)
             .join(self.index.dictionary, on=["field", "term"])

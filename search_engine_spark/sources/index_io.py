@@ -158,15 +158,27 @@ def write_index(index: IndexTables, root: str, mode: str = "overwrite") -> None:
     # API (any filesystem the tables landed on; temp-file + rename commit)
     # and honoring `mode`: a no-op table write must not desync the metadata
     # from the data it describes.
+    meta = {
+        "buckets": index.n_buckets,
+        "stem": index.stem,
+        "positions": index.positions is not None,
+        "analyzer": index.analyzer,
+    }
+    # Lifecycle flags describe SIDE tables this write does not touch
+    # (_tombstones from delete_docs, trigrams from write_trigrams).  An
+    # in-place rewrite — append_snapshot's finalize writes into the SAME
+    # root — must carry them forward, or deleted docs silently resurrect
+    # and the trigram table goes invisible.  The side tables are still on
+    # disk, so the flags still describe reality.
+    try:
+        old = read_meta_file(spark, f"{root}/_index_meta")
+        for flag in ("tombstones", "trigrams"):
+            if old.get(flag, False):
+                meta[flag] = True
+    except Exception:
+        pass  # fresh root: no prior meta to preserve
     write_meta_file(
-        spark, f"{root}/_index_meta",
-        {
-            "buckets": index.n_buckets,
-            "stem": index.stem,
-            "positions": index.positions is not None,
-            "analyzer": index.analyzer,
-        },
-        overwrite=(mode == "overwrite"),
+        spark, f"{root}/_index_meta", meta, overwrite=(mode == "overwrite")
     )
 
 

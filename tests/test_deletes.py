@@ -144,3 +144,56 @@ def test_compact_equals_fresh_build(spark, tiny_df, roots):
     got = {r["docid"] for r in eng.search(QUERY, k=100).collect()}
     assert got and not (got & deleted)
     fresh.unpersist()
+
+
+def test_append_snapshot_preserves_lifecycle_flags(spark, tiny_df, tmp_path):
+    """write_index's in-place meta rewrite (append_snapshot finalize) must
+    carry the tombstones/trigrams flags — deleted docs must NOT resurrect
+    and the trigram table must stay visible (review finding r2)."""
+    from search_engine_spark.operators.trigrams import read_trigrams, write_trigrams
+    from search_engine_spark.sources.index_io import (
+        append_snapshot,
+        read_index,
+        resumable_build,
+    )
+
+    root = str(tmp_path / "idx")
+    first = tiny_df.where(F.col("docid") % 2 == 0)
+    rest = tiny_df.where(F.col("docid") % 2 == 1)
+    resumable_build(spark, first, root, n_slices=2, compress=True)
+    write_trigrams(spark, first, root)
+    victims = [r["docid"] for r in first.select("docid").limit(2).collect()]
+    delete_docs(spark, root, victims)
+
+    append_snapshot(spark, rest, root, snapshot_id=1, n_slices=2, compress=True)
+
+    idx = read_index(spark, root)
+    assert idx.tombstones is not None, "tombstones flag wiped by finalize"
+    live = {r["docid"] for r in idx.docstats.select("docid").collect()}
+    assert not (set(victims) & live), "deleted docs resurrected after append"
+    assert read_trigrams(spark, root) is not None, "trigrams flag wiped"
+
+
+def test_cli_substring_honors_tombstones(spark, tmp_path, capsys):
+    from search_engine_spark.cli import main
+
+    docs = spark.createDataFrame(
+        [(1, "r", "a.py", "c", "en", "needle_here x"),
+         (2, "r", "b.py", "c", "en", "needle_here y"),
+         (3, "r", "c.py", "c", "en", "nothing")],
+        "docid long, repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    src = str(tmp_path / "docs")
+    root = str(tmp_path / "idx")
+    docs.write.parquet(src)
+    assert main(["--cores", "8", "build", "--input", src, "--output", root,
+                 "--trigrams"]) == 0
+    assert main(["delete", "--index", root, "--docids", "1"]) == 0
+    capsys.readouterr()
+    rc = main(["--cores", "8", "search", "--index", root,
+               "--substring", "needle_here", "--docs", src])
+    assert rc == 0
+    out = capsys.readouterr().out
+    ids = {ln.split()[0] for ln in out.strip().splitlines() if ln[0].isdigit()}
+    assert ids == {"2"}, out

@@ -131,3 +131,46 @@ def test_engine_did_you_mean(spark, tiny_index):
     assert eng.did_you_mean(f"values: {term}") is None
     eng.close()
     assert not eng._del_idx
+
+
+def test_did_you_mean_token_boundaries(spark, tmp_path):
+    """The corrected query replaces WHOLE tokens only — a missing term that
+    is a substring of another query token must not corrupt it."""
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.plans.bm25 import QueryEngine
+
+    docs = spark.createDataFrame(
+        [(1, "table tables tabulate"), (2, "tables everywhere")],
+        "docid long, content string",
+    )
+    idx = build_index(spark, docs, title_col=None, compress=True)
+    eng = QueryEngine(spark, idx, cache_docstats=False)
+    out = eng.did_you_mean("values: tabl tables")
+    assert out is not None
+    corrected, corrections = out
+    assert corrections == {"tabl": "table"}
+    assert corrected == "values: table tables"
+    idx.unpersist()
+
+
+def test_did_you_mean_code_analyzer(spark, tiny_df):
+    """On a code index, membership and corrections work on SUBTOKENS; the
+    corrected query re-joins the fixed subtokens."""
+    from search_engine_spark.operators.code_tokens import build_code_index
+    from search_engine_spark.plans.bm25 import QueryEngine
+
+    idx = build_code_index(spark, tiny_df, compress=True)
+    eng = QueryEngine(spark, idx, cache_docstats=False)
+    # all subtokens known → no correction needed
+    assert eng.did_you_mean("values: mergeIndex0") is None
+    # typo in one subtoken → that subtoken corrected, token re-joined
+    out = eng.did_you_mean("values: mergzIndex0")
+    assert out is not None
+    corrected, corrections = out
+    assert "mergz" in corrections
+    assert corrected.startswith("values: ")
+    assert "index0" in corrected and corrections["mergz"] in corrected
+    # the corrected query actually finds documents
+    assert eng.search(corrected, k=5).count() > 0
+    eng.close()
+    idx.unpersist()

@@ -57,3 +57,17 @@ def test_mlt_unknown_docid_raises(spark, tiny_df, tiny_index):
     eng = QueryEngine(spark, tiny_index, cache_docstats=False)
     with pytest.raises(ValueError):
         eng.more_like_this(-424242, tiny_df)
+
+
+def test_mlt_code_analyzer_index(spark, tiny_df):
+    """On a code index, the seed is analyzed with the SAME code analyzer —
+    whole-identifier reference tokens would join to nothing."""
+    from search_engine_spark.operators.code_tokens import build_code_index
+
+    idx = build_code_index(spark, tiny_df, compress=True)
+    eng = QueryEngine(spark, idx, cache_docstats=False)
+    seed = tiny_df.select("docid").orderBy("docid").first()["docid"]
+    got = eng.more_like_this(seed, tiny_df, k=5).collect()
+    assert got, "code-analyzed seed must produce matches"
+    assert seed not in {r["docid"] for r in got}
+    idx.unpersist()

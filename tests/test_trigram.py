@@ -251,3 +251,11 @@ def test_append_trigrams_incremental(spark, tiny_df, tmp_path):
     idx2.unpersist()
     with _pytest.raises(ValueError, match="no trigram table"):
         append_trigrams(spark, rest, root2)
+
+
+def test_literal_runs_quantifier_bodies():
+    """{m,n} after classes/groups must not leak into runs (review r2)."""
+    assert literal_runs(r"[abc]{2}needle!") == ["needle!"]
+    assert literal_runs(r"(?:abc){2}tail") == ["tail"]
+    assert literal_runs(r"foo{2,3}?bar") == ["bar"]
+    assert literal_runs(r"a++bcd") == ["bcd"]
