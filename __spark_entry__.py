@@ -48,6 +48,8 @@ BOOST_LANG = 2.5
 FILTER_DOCLEN_LO = 50
 # hybrid gate: per-leg rank depth for RRF fusion
 HYBRID_DEPTH = 50
+# prefix gate: expands to the sf vocabulary's 'tab…' terms (e.g. table)
+PREFIX_BASE = "tab"
 STOPWORDS = ["the", "a"]
 # single source of truth: the SQL twins must score with the same constants
 # the engine compiles into its Catalyst expressions
@@ -490,6 +492,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n = eng.match_count("values: " + " ".join(BM25_TERMS))
         index.unpersist()
         return spark.range(1).select(F.lit(int(n)).cast("long").alias("n"))
+
+    def q_bm25_prefix(spark, sf):
+        """Prefix query ('{PREFIX_BASE}*'): dictionary-expanded to ≤64
+        terms (term-ascending cap), each scoring with its own df — the twin
+        replays the expansion with LIKE + ORDER BY term LIMIT 64."""
+        from search_engine_spark.operators.index_build import build_index
+        from search_engine_spark.plans.bm25 import QueryEngine
+        from search_engine_spark.sources.corpus import load_testdata_documents
+
+        docs = load_testdata_documents(spark, sf)
+        index = build_index(spark, docs, compress=True, title_col=None)
+        eng = QueryEngine(spark, index, cache_docstats=False)
+        rows = eng.search(f"values: {PREFIX_BASE}*", k=100).collect()
+        index.unpersist()
+        ranked = sorted(
+            ((r["docid"], round(r["score"], 6)) for r in rows),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        return _ranked_literal_df(
+            spark, [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+        )
 
     def q_hybrid_rrf(spark, sf):
         """Hybrid retrieval (plans/hybrid.py): BM25 leg ⊕ cosine leg fused
@@ -1194,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered": q_bm25_filtered,
         "match_count": q_match_count,
         "hybrid_rrf": q_hybrid_rrf,
+        "bm25_prefix": q_bm25_prefix,
         "topk_per_query": q_topk_per_query,
         "search_facet_counts": q_facet_counts,
         "facet_sets": q_facet_sets,
@@ -1672,6 +1696,35 @@ FROM flt ORDER BY score DESC, doc_id LIMIT 10
     sql["match_count"] = f"""
 SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
 FROM ({_TF_SQL}) WHERE term IN ({_f_tlist})
+"""
+
+    # prefix query: LIKE-expanded term set (ascending cap 64), then the
+    # standard per-term BM25 sum
+    sql["bm25_prefix"] = f"""
+WITH tf AS ({_TF_SQL}),
+pterms AS (
+  SELECT term FROM (SELECT DISTINCT term FROM tf WHERE term LIKE '{PREFIX_BASE}%')
+  ORDER BY term LIMIT 64
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM tf) / (SELECT count(*) FROM documents) AS avgdl
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+dfs AS (
+  SELECT tf.term, CAST(count(*) AS DOUBLE) AS df
+  FROM tf JOIN pterms ON tf.term = pterms.term GROUP BY tf.term
+),
+scored AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+           * tf.tf * {K1 + 1.0}
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS contrib
+  FROM tf JOIN dfs ON tf.term = dfs.term JOIN dl ON tf.doc_id = dl.doc_id, stats
+),
+agg AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
+FROM agg ORDER BY score DESC, doc_id LIMIT 10
 """
 
     # hybrid RRF: bm25 leg ranked by rounded score, cosine leg ranked by

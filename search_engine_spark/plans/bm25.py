@@ -208,6 +208,37 @@ class QueryEngine:
             agg = agg.where(F.col("n_matched") >= F.lit(n_required))
         return agg.count()
 
+    def _expand_prefix(
+        self, field: str, base: str, max_expansions: int = 64
+    ) -> list[str]:
+        """Dictionary terms starting with ``base`` — the Lucene PrefixQuery
+        rewrite set, capped deterministically (term-ascending) so the query
+        cost is bounded no matter how hot the prefix.  One tiny job over the
+        dictionary dimension."""
+        rows = (
+            self.index.dictionary.where(
+                (F.col("field") == field) & F.col("term").startswith(base)
+            )
+            .select("term")
+            .orderBy("term")
+            .limit(max_expansions)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def _matches_for_prefix(
+        self, field: str, base: str, expansions: list[str]
+    ) -> DataFrame:
+        """Prefix match = the expansion terms' BM25 contributions (each with
+        its own df — Lucene's scoring-boolean rewrite), keyed under ONE
+        required key ("prefix", field, base) so AND-mode counts the prefix
+        once, satisfied by any expansion."""
+        return (
+            self._matches_for_terms(field, expansions)
+            .withColumn("kind", F.lit("prefix"))
+            .withColumn("term", F.lit(base))
+        )
+
     def _matches_for_facet(self, facet_col: str, values: list[str]) -> DataFrame:
         """Facet match: contributes idf of the facet value (tf-free).
 
@@ -348,6 +379,36 @@ class QueryEngine:
                         parts.append(
                             _boosted(self._matches_for_phrase(target, canon), target)
                         )
+                # prefix tokens ('merge_*'): Lucene PrefixQuery rewrite —
+                # expand against the dictionary BEFORE analyzers touch the
+                # token (the '*' is not part of any analyzed form).  The
+                # prefix is matched against INDEXED term forms (unstemmed
+                # cleaning — stemming a prefix would corrupt it).
+                plain = []
+                for w in words:
+                    s = w.strip()
+                    if s.endswith("*") and " " not in s and len(s) > 1:
+                        base = clean_query_term(s[:-1], stem=False)
+                        if base is None:
+                            continue
+                        key = ("prefix", target, base)
+                        if key in required:
+                            continue
+                        # required even with zero expansions: an unmatched
+                        # prefix makes an AND query unsatisfiable (same
+                        # contract as quirk phrases)
+                        required.add(key)
+                        exp = self._expand_prefix(target, base)
+                        if exp:
+                            parts.append(
+                                _boosted(
+                                    self._matches_for_prefix(target, base, exp),
+                                    target,
+                                )
+                            )
+                    else:
+                        plain.append(w)
+                words = plain
                 if self.analyzer == "code":
                     # split single query tokens like the build did; quoted
                     # phrase tokens keep quirk Q4 semantics untouched

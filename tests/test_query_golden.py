@@ -329,3 +329,52 @@ def test_filters_and_match_count(spark, tiny_index, tiny_docs, tiny_oracle):
         eng.search(q, filters={"nope": "x"})
     with _pytest.raises(ValueError, match="filters"):
         eng.search(q, strategy="wand", filters={"lang": "go"})
+
+
+def test_prefix_queries(spark, tiny_index, tiny_oracle):
+    """'base*' expands to the dictionary terms with that prefix (Lucene
+    PrefixQuery scoring rewrite): scores ≡ an OR query over the expansion
+    set; AND mode counts the prefix as ONE required key."""
+    from search_engine_spark.plans.bm25 import QueryEngine
+
+    eng = QueryEngine(spark, tiny_index, cache_docstats=False)
+    base = "merge_ind"
+    exp = sorted(
+        t for t in tiny_oracle.postings["content"] if t.startswith(base)
+    )[:64]
+    assert len(exp) > 1, "fixture must have multiple expansions"
+    golden = score_query(tiny_oracle, [("terms", "content", exp)], k=10)
+    got = [
+        (r["rank"], r["docid"], r["score"])
+        for r in eng.search(f"values: {base}*", k=10).collect()
+    ]
+    assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in golden]
+    for (_, _, gs), (_, _, ws) in zip(got, golden):
+        assert abs(gs - ws) < 1e-9
+
+    # AND: prefix satisfied by ANY expansion + a mandatory plain term
+    all_sc = {
+        d: s
+        for _, d, s in score_query(
+            tiny_oracle, [("terms", "content", exp + ["def"])], k=100000
+        )
+    }
+    def_docs = set(tiny_oracle.postings["content"].get("def", {}))
+    exp_docs = {
+        d for t in exp for d in tiny_oracle.postings["content"].get(t, {})
+    }
+    want = sorted(
+        ((d, all_sc[d]) for d in def_docs & exp_docs),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    got2 = [
+        (r["docid"], r["score"])
+        for r in eng.search(f"values: {base}* def", mode="and", k=10).collect()
+    ]
+    assert [(d,) for d, _ in got2] == [(d,) for d, _ in want]
+    for (_, gs), (_, ws) in zip(got2, want):
+        assert abs(gs - ws) < 1e-9
+
+    # a zero-expansion prefix: AND unsatisfiable, OR falls back to the rest
+    assert eng.search("values: zzz_nothing* def", mode="and", k=10).count() == 0
+    assert eng.search("values: zzz_nothing* def", mode="or", k=10).count() > 0
