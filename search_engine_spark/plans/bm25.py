@@ -208,17 +208,25 @@ class QueryEngine:
             agg = agg.where(F.col("n_matched") >= F.lit(n_required))
         return agg.count()
 
-    def _expand_prefix(
-        self, field: str, base: str, max_expansions: int = 64
+    def _expand_wildcard(
+        self, field: str, pattern: str, max_expansions: int = 64
     ) -> list[str]:
-        """Dictionary terms starting with ``base`` — the Lucene PrefixQuery
-        rewrite set, capped deterministically (term-ascending) so the query
-        cost is bounded no matter how hot the prefix.  One tiny job over the
-        dictionary dimension."""
+        """Dictionary terms matching a ``*``-wildcard pattern — the Lucene
+        Prefix/WildcardQuery rewrite set, capped deterministically
+        (term-ascending) so the query cost is bounded no matter how hot the
+        pattern.  Pure prefixes push down as StartsWith; general patterns
+        anchor-regex over the dictionary dimension (a dictionary scan, never
+        a postings or corpus scan)."""
+        import re as _re
+
+        segs = pattern.split("*")
+        if "*" not in pattern[1:] and pattern.endswith("*"):
+            cond = F.col("term").startswith(segs[0])
+        else:
+            rx = "^" + ".*".join(_re.escape(s) for s in segs) + "$"
+            cond = F.col("term").rlike(rx)
         rows = (
-            self.index.dictionary.where(
-                (F.col("field") == field) & F.col("term").startswith(base)
-            )
+            self.index.dictionary.where((F.col("field") == field) & cond)
             .select("term")
             .orderBy("term")
             .limit(max_expansions)
@@ -226,17 +234,17 @@ class QueryEngine:
         )
         return [r["term"] for r in rows]
 
-    def _matches_for_prefix(
-        self, field: str, base: str, expansions: list[str]
+    def _matches_for_wildcard(
+        self, field: str, pattern: str, expansions: list[str]
     ) -> DataFrame:
-        """Prefix match = the expansion terms' BM25 contributions (each with
-        its own df — Lucene's scoring-boolean rewrite), keyed under ONE
-        required key ("prefix", field, base) so AND-mode counts the prefix
-        once, satisfied by any expansion."""
+        """Wildcard match = the expansion terms' BM25 contributions (each
+        with its own df — Lucene's scoring-boolean rewrite), keyed under ONE
+        required key ("wildcard", field, pattern) so AND-mode counts the
+        pattern once, satisfied by any expansion."""
         return (
             self._matches_for_terms(field, expansions)
-            .withColumn("kind", F.lit("prefix"))
-            .withColumn("term", F.lit(base))
+            .withColumn("kind", F.lit("wildcard"))
+            .withColumn("term", F.lit(pattern))
         )
 
     def _matches_for_facet(self, facet_col: str, values: list[str]) -> DataFrame:
@@ -379,30 +387,35 @@ class QueryEngine:
                         parts.append(
                             _boosted(self._matches_for_phrase(target, canon), target)
                         )
-                # prefix tokens ('merge_*'): Lucene PrefixQuery rewrite —
-                # expand against the dictionary BEFORE analyzers touch the
-                # token (the '*' is not part of any analyzed form).  The
-                # prefix is matched against INDEXED term forms (unstemmed
-                # cleaning — stemming a prefix would corrupt it).
+                # wildcard tokens ('merge_*', '*index0', 'merge*0'): Lucene
+                # Prefix/WildcardQuery rewrite — expand against the
+                # dictionary BEFORE analyzers touch the token (the '*' is
+                # not part of any analyzed form).  Matched against INDEXED
+                # term forms (unstemmed cleaning — stemming a pattern
+                # fragment would corrupt it).  The longest literal segment
+                # must clear the P5 length filter, mirroring plain terms.
                 plain = []
                 for w in words:
                     s = w.strip()
-                    if s.endswith("*") and " " not in s and len(s) > 1:
-                        base = clean_query_term(s[:-1], stem=False)
-                        if base is None:
+                    if "*" in s and " " not in s and s.replace("*", ""):
+                        if any(ord(ch) > 127 for ch in s):
                             continue
-                        key = ("prefix", target, base)
+                        pat = s.replace("'", "").lower()
+                        segs = [x for x in pat.split("*") if x]
+                        if not segs or max(len(x) for x in segs) <= 2:
+                            continue
+                        key = ("wildcard", target, pat)
                         if key in required:
                             continue
                         # required even with zero expansions: an unmatched
-                        # prefix makes an AND query unsatisfiable (same
+                        # wildcard makes an AND query unsatisfiable (same
                         # contract as quirk phrases)
                         required.add(key)
-                        exp = self._expand_prefix(target, base)
+                        exp = self._expand_wildcard(target, pat)
                         if exp:
                             parts.append(
                                 _boosted(
-                                    self._matches_for_prefix(target, base, exp),
+                                    self._matches_for_wildcard(target, pat, exp),
                                     target,
                                 )
                             )

@@ -378,3 +378,29 @@ def test_prefix_queries(spark, tiny_index, tiny_oracle):
     # a zero-expansion prefix: AND unsatisfiable, OR falls back to the rest
     assert eng.search("values: zzz_nothing* def", mode="and", k=10).count() == 0
     assert eng.search("values: zzz_nothing* def", mode="or", k=10).count() > 0
+
+
+def test_wildcard_queries(spark, tiny_index, tiny_oracle):
+    """Suffix and infix wildcards expand via the dictionary like prefixes
+    (≡ OR over the fnmatch expansion set, term-ascending ≤64 cap)."""
+    import fnmatch
+
+    from search_engine_spark.plans.bm25 import QueryEngine
+
+    eng = QueryEngine(spark, tiny_index, cache_docstats=False)
+    vocab = sorted(tiny_oracle.postings["content"])
+    for pat in ("*index0", "merge*0", "*_block*"):
+        exp = sorted(t for t in vocab if fnmatch.fnmatchcase(t, pat))[:64]
+        assert exp, f"fixture must expand {pat!r}"
+        golden = score_query(tiny_oracle, [("terms", "content", exp)], k=10)
+        got = [
+            (r["rank"], r["docid"], r["score"])
+            for r in eng.search(f"values: {pat}", k=10).collect()
+        ]
+        assert [(r, d) for r, d, _ in got] == [
+            (r, d) for r, d, _ in golden
+        ], pat
+        for (_, _, gs), (_, _, ws) in zip(got, golden):
+            assert abs(gs - ws) < 1e-9
+    # a too-short longest segment is dropped like a short plain term
+    assert eng.search("values: ab*", k=10).count() == 0

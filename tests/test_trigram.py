@@ -259,3 +259,42 @@ def test_literal_runs_quantifier_bodies():
     assert literal_runs(r"(?:abc){2}tail") == ["tail"]
     assert literal_runs(r"foo{2,3}?bar") == ["bar"]
     assert literal_runs(r"a++bcd") == ["bcd"]
+
+
+def test_literal_runs_soundness_fuzz():
+    """Property: if re.search(pattern, text) matches, every extracted run
+    is a substring of text — the exact property that makes trigram
+    pruning lossless.  Patterns are built from random atoms."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    atoms = [
+        "abc", "de", "f", r"\d", r"\w", "[xy]", "(?:gh)", ".",
+        "*", "+", "?", "{1,2}", "needle", "_tail", r"\(",
+    ]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.sampled_from(atoms), min_size=1, max_size=6),
+           st.integers(0, 10**6))
+    def run(parts, seed):
+        pattern = "".join(parts)
+        try:
+            rx = re.compile(pattern)
+        except re.error:
+            return
+        runs = literal_runs(pattern)
+        rng = random.Random(seed)
+        # synthesize candidate texts around the pattern's literal pieces
+        texts = [
+            "abcdefg needle_tail (x) 12 gh xyz",
+            "".join(rng.choice("abcdef_ghxy needle(tail)123") for _ in range(40)),
+            "needle" * 3 + "_tail" + "abc12gh",
+        ]
+        for text in texts:
+            if rx.search(text):
+                for r in runs:
+                    assert r in text, (pattern, r, text)
+
+    run()
