@@ -428,7 +428,11 @@ def cmd_ui(args) -> int:
     # re-reads the file and prints the text body, not just metadata
     src_docs = _load_docs(spark, args.docs) if args.docs else None
     last = []
-    print("commands: query <q> | mode or|and | see N | parse <input> <output> | exit")
+    last_query = ""
+    print(
+        "commands: query <q> | mode or|and | see N | explain N | "
+        "parse <input> <output> | exit"
+    )
     mode = "or"
     while True:
         try:
@@ -443,12 +447,22 @@ def cmd_ui(args) -> int:
         if cmd == "mode" and rest in ("or", "and"):
             mode = rest
         elif cmd == "query":
+            last_query = rest
             last = engine.search(rest, mode=mode, k=args.k, with_display=True).collect()
             _print_results(last)
             if not last:
                 dym = engine.did_you_mean(rest)
                 if dym is not None:
                     print(f"did you mean: {dym[0]}")
+        elif cmd == "explain" and rest.isdigit():
+            i = int(rest) - 1
+            if 0 <= i < len(last):
+                for e in engine.explain(last_query, last[i]["docid"]):
+                    print(
+                        f"  {e['kind']:<8} {e['target']:<8} "
+                        f"{e['term']:<24} {e['contrib']:+.6f}"
+                    )
+                print(f"  total = {last[i]['score']:.6f}")
         elif cmd == "see" and rest.isdigit():
             i = int(rest) - 1
             if 0 <= i < len(last):

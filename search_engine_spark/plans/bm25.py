@@ -983,6 +983,43 @@ class QueryEngine:
             .select("rank", "docid", "score")
         )
 
+    def explain(
+        self,
+        query: str,
+        docid: int,
+        phrases: str = "quirk",
+        boosts: dict[str, float] | None = None,
+    ) -> list[dict]:
+        """Per-contribution score breakdown for one result document —
+        [{kind, target, term, contrib}], in the engine's canonical fold
+        order.  ``sum(contrib)`` equals the document's search() score
+        bit-for-bit (same expressions, same float64 order; pinned by test).
+        One bucket-pruned probe filtered to the single docid."""
+        matches, _ = self._query_matches(query, phrases=phrases, boosts=boosts)
+        if matches is None:
+            return []
+        rows = (
+            matches.where(F.col("docid") == docid)
+            .select("kind", "target", "term", "contrib")
+            .collect()
+        )
+        return [
+            {
+                "kind": r["kind"],
+                "target": r["target"],
+                "term": r["term"],
+                "contrib": r["contrib"],
+            }
+            # contrib in the key: the engine's array_sort orders same-key
+            # entries (wildcard expansions) by contrib too, and the fold
+            # sums in exactly that order — python sum over this order is
+            # bit-identical
+            for r in sorted(
+                rows,
+                key=lambda r: (r["kind"], r["target"], r["term"], r["contrib"]),
+            )
+        ]
+
     def display(
         self,
         docid: int,

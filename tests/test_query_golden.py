@@ -404,3 +404,28 @@ def test_wildcard_queries(spark, tiny_index, tiny_oracle):
             assert abs(gs - ws) < 1e-9
     # a too-short longest segment is dropped like a short plain term
     assert eng.search("values: ab*", k=10).count() == 0
+
+
+def test_explain_sums_to_score(spark, tiny_index):
+    """explain()'s contributions sum bit-exactly to the search() score,
+    across term, facet, boost, and wildcard-expansion contributions."""
+    from search_engine_spark.plans.bm25 import QueryEngine
+
+    eng = QueryEngine(spark, tiny_index, cache_docstats=False)
+    cases = [
+        ("values: merge_index0 scan_block0", None),
+        ("values: merge_ind* | langs: go", None),
+        ("values: merge_index0 | title: file_0", {"title": 2.0}),
+    ]
+    for q, boosts in cases:
+        hits = eng.search(q, k=3, boosts=boosts).collect()
+        assert hits, q
+        for h in hits:
+            parts = eng.explain(q, h["docid"], boosts=boosts)
+            assert parts
+            acc = 0.0
+            for e in parts:
+                acc += e["contrib"]
+            assert acc == h["score"], (q, h["docid"])
+    # a doc that doesn't match explains to empty
+    assert eng.explain("values: merge_index0", -1) == []
