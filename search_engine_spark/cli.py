@@ -410,6 +410,21 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    """Verify cross-table invariants of a persisted index root."""
+    from .sources.fsck import verify_index
+
+    spark = _spark(args)
+    results = verify_index(spark, args.index)
+    ok = True
+    for name, res in results.items():
+        mark = "ok" if res["ok"] else f"FAIL ({res['bad']} bad rows)"
+        print(f"  {name:<16} {mark}")
+        ok = ok and res["ok"]
+    print("index OK" if ok else "index CORRUPT")
+    return 0 if ok else 1
+
+
 def cmd_print_database(args) -> int:
     spark = _spark(args)
     post = spark.read.parquet(f"{args.index}/postings")
@@ -621,6 +636,10 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--index", required=True)
     cp.add_argument("--output", required=True)
     cp.set_defaults(fn=cmd_compact)
+
+    fs = sub.add_parser("fsck", help="verify index cross-table invariants")
+    fs.add_argument("--index", required=True)
+    fs.set_defaults(fn=cmd_fsck)
 
     d = sub.add_parser("print-database", help="dump postings (term, df)")
     d.add_argument("--index", required=True)

@@ -1,0 +1,89 @@
+"""Index integrity checker: cross-table invariants of a persisted root.
+
+Operational completeness: a persisted index that drifts (partial write,
+manual tampering, version skew) should be detectable without re-running a
+build.  Every check is a distributed aggregation — nothing corpus-sized is
+collected; each returns the COUNT of violating rows, so a 10^12-row index
+checks in a handful of scans.
+
+Invariants (the same ones the test suite pins on freshly-built indexes):
+- dictionary.df (term-global) == count of decoded postings rows per
+  (field, term) — segments of salted heavy terms sum correctly;
+- docstats.doclen / titlelen == per-doc sum of decoded tf for LIVE docs
+  (tombstoned docs legitimately remain in postings until compaction);
+- corpus_stats.n_docs == docstats rows on disk (pre-tombstone corpus);
+- positional rows (when present) carry tf == size(positions);
+- _index_meta flags point at side tables that actually exist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .deletes import decoded_tf
+from .index_io import read_index, read_meta_file
+
+
+def verify_index(spark: SparkSession, root: str) -> dict[str, dict]:
+    """→ {check: {"ok": bool, "bad": n_violations}} for the root."""
+    idx = read_index(spark, root)
+    out: dict[str, dict] = {}
+    tf = decoded_tf(idx)
+
+    # 1. dictionary term-global df == decoded postings row count
+    counted = tf.groupBy("field", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    bad_df = (
+        idx.dictionary.join(counted, on=["field", "term"], how="full")
+        .where(
+            F.col("df").isNull()
+            | F.col("n").isNull()
+            | (F.col("df") != F.col("n"))
+        )
+        .count()
+    )
+    out["dictionary_df"] = {"ok": bad_df == 0, "bad": bad_df}
+
+    # 2. docstats lengths == per-doc tf sums (live docs only; a missing tf
+    # side means the doc had zero indexable tokens → lengths must be 0)
+    lens = tf.groupBy("docid").pivot("field", ["content", "title"]).agg(
+        F.sum("tf")
+    )
+    joined = idx.docstats.select("docid", "doclen", "titlelen").join(
+        lens, on="docid", how="left"
+    )
+    bad_len = joined.where(
+        (F.coalesce(F.col("content"), F.lit(0)) != F.col("doclen"))
+        | (F.coalesce(F.col("title"), F.lit(0)) != F.col("titlelen"))
+    ).count()
+    out["doc_lengths"] = {"ok": bad_len == 0, "bad": bad_len}
+
+    # 3. corpus_stats n_docs == docstats rows ON DISK (stats are lazy w.r.t.
+    # tombstones, so compare against the unfiltered table)
+    raw_docs = spark.read.parquet(f"{root}/docstats").count()
+    stats_n = {
+        r["field"]: r["n_docs"] for r in idx.corpus_stats.collect()
+    }
+    bad_n = sum(1 for n in stats_n.values() if n != raw_docs)
+    out["corpus_n_docs"] = {"ok": bad_n == 0, "bad": bad_n}
+
+    # 4. positional tf == size(positions)
+    if idx.positions is not None:
+        bad_pos = idx.positions.where(
+            F.col("tf") != F.size("positions")
+        ).count()
+        out["positions_tf"] = {"ok": bad_pos == 0, "bad": bad_pos}
+
+    # 5. meta flags vs side tables
+    meta = read_meta_file(spark, f"{root}/_index_meta")
+    for flag, sub in (("tombstones", "_tombstones"), ("trigrams", "trigrams")):
+        if meta.get(flag, False):
+            try:
+                spark.read.parquet(f"{root}/{sub}").limit(1).count()
+                ok = True
+            except Exception:
+                ok = False
+            out[f"meta_{flag}"] = {"ok": ok, "bad": 0 if ok else 1}
+    return out

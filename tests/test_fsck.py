@@ -1,0 +1,59 @@
+"""Index integrity checker (sources/fsck.py): healthy roots pass, tampered
+roots are detected, and tombstoned roots stay consistent."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.index_build import build_index
+from search_engine_spark.sources.deletes import delete_docs
+from search_engine_spark.sources.fsck import verify_index
+from search_engine_spark.sources.index_io import write_index
+
+
+def _build(spark, tiny_df, root, **kw):
+    idx = build_index(spark, tiny_df, compress=True, **kw)
+    write_index(idx, root)
+    idx.unpersist()
+
+
+def test_healthy_index_passes(spark, tiny_df, tmp_path):
+    root = str(tmp_path / "idx")
+    _build(spark, tiny_df, root, positions=True)
+    res = verify_index(spark, root)
+    assert res and all(r["ok"] for r in res.values()), res
+    assert "positions_tf" in res
+
+
+def test_tombstoned_index_stays_consistent(spark, tiny_df, tmp_path):
+    root = str(tmp_path / "idx")
+    _build(spark, tiny_df, root)
+    victims = [r["docid"] for r in tiny_df.select("docid").limit(3).collect()]
+    delete_docs(spark, root, victims)
+    res = verify_index(spark, root)
+    assert all(r["ok"] for r in res.values()), res
+    assert "meta_tombstones" in res
+
+
+def test_tampered_dictionary_detected(spark, tiny_df, tmp_path, capsys):
+    from search_engine_spark.cli import main
+
+    root = str(tmp_path / "idx")
+    _build(spark, tiny_df, root)
+    # corrupt: double every df in the dictionary
+    d = spark.read.parquet(f"{root}/dictionary")
+    (
+        d.withColumn("df", F.col("df") * 2)
+        .write.mode("overwrite")
+        .parquet(f"{root}/dictionary_tmp")
+    )
+    import shutil
+
+    shutil.rmtree(f"{root}/dictionary")
+    shutil.move(f"{root}/dictionary_tmp", f"{root}/dictionary")
+    spark.catalog.refreshByPath(f"{root}/dictionary")
+    res = verify_index(spark, root)
+    assert not res["dictionary_df"]["ok"] and res["dictionary_df"]["bad"] > 0
+    # CLI surfaces it with a nonzero exit
+    assert main(["--cores", "8", "fsck", "--index", root]) == 1
+    assert "CORRUPT" in capsys.readouterr().out
