@@ -55,6 +55,8 @@ class QueryEngine:
         stem: bool | None = None,
         buckets: int | None = None,
         cache_docstats: bool = True,
+        wand_driver_max_docs: int = 5_000_000,
+        wand_shards: int = 8,
     ):
         self.spark = spark
         self.index = index
@@ -92,6 +94,13 @@ class QueryEngine:
         }
         self._n_docs = next(iter(self._stats.values()))[0] if self._stats else 0
         self._compressed = "blocks" in index.postings.columns
+        # strategy="wand" routing threshold: BlockMaxWand pulls ~24 B/doc of
+        # norms to the driver at construction — fine to a few million docs,
+        # a driver-memory incident at 10^9.  Above the threshold the SAME
+        # strategy flag routes to ShardedWand (cogrouped applyInPandas, no
+        # corpus-wide driver state).  Ctor-tunable; 0 forces sharded always.
+        self.wand_driver_max_docs = wand_driver_max_docs
+        self.wand_shards = wand_shards
         # SymSpell deletion indexes (plans/fuzzy.py), built lazily per
         # max_edit on first did_you_mean call and kept warm like docstats
         self._del_idx: dict[int, DataFrame] = {}
@@ -220,7 +229,9 @@ class QueryEngine:
         import re as _re
 
         segs = pattern.split("*")
-        if "*" not in pattern[1:] and pattern.endswith("*"):
+        if pattern.endswith("*") and "*" not in pattern[:-1]:
+            # pure prefix ('merge*'): its only '*' is the FINAL char, so the
+            # test excludes it via [:-1] — StartsWith pushes into the scan
             cond = F.col("term").startswith(segs[0])
         else:
             rx = "^" + ".*".join(_re.escape(s) for s in segs) + "$"
@@ -294,9 +305,10 @@ class QueryEngine:
         ``canon`` is the already-cleaned (and, if the index stems, already-
         stemmed) space-joined phrase, so phrase_match re-cleans with
         stem=False — re-stemming a stemmed term would corrupt it.
-        Scale: the per-slot probes are bucket-pruned; matched rows are
-        bounded by the rarest slot's df, so the df window's single
-        partition sees only that bounded set.
+        Scale: the per-slot probes are bucket-pruned; the pseudo-term df is
+        a map-side-combined agg broadcast back onto the match set (same
+        shape as the gdf join) — a stopword-ish phrase at 10^9 docs never
+        funnels its match set through one window partition.
         """
         from .phrase import phrase_match
 
@@ -311,9 +323,8 @@ class QueryEngine:
             self.index.positions, canon, field=field, stem=False,
             n_buckets=self.buckets,
         )
-        m = m.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).cast("double")
-        )
+        pdf = m.agg(F.count(F.lit(1)).cast("double").alias("df"))
+        m = m.crossJoin(F.broadcast(pdf))
         dl = F.col("doclen") if field == "content" else F.col("titlelen")
         return m.join(
             self._docstats.select("docid", "doclen", "titlelen"), on="docid"
@@ -664,13 +675,29 @@ class QueryEngine:
     def _search_wand(
         self, parsed, mode: str, k: int, with_display: bool
     ) -> DataFrame:
-        """Term-only query via the cached BlockMaxWand searcher, result
-        wrapped back into the engine's DataFrame contract (JVM-literal
-        frame — no Python RDD for k rows)."""
-        if getattr(self, "_wand", None) is None:
-            from .wand import BlockMaxWand
+        """Term-only query via the cached WAND searcher, result wrapped
+        back into the engine's DataFrame contract (JVM-literal frame — no
+        Python RDD for k rows).
 
-            self._wand = BlockMaxWand(self.index, buckets=self.buckets, stem=self.stem)
+        Executor choice is corpus-sized, not caller-chosen: up to
+        ``wand_driver_max_docs`` the driver traversal (BlockMaxWand, norms
+        as numpy parallel arrays) wins on latency; past it the SAME query
+        routes to ShardedWand — distributed cogrouped traversal whose
+        driver footprint is ≤ shards×k rows — so ``strategy="wand"`` can
+        never become a driver-memory incident at 10^9+ docs.
+        """
+        if getattr(self, "_wand", None) is None:
+            from .wand import BlockMaxWand, ShardedWand
+
+            if self._n_docs > self.wand_driver_max_docs:
+                self._wand = ShardedWand(
+                    self.index, n_shards=self.wand_shards,
+                    buckets=self.buckets, stem=self.stem,
+                )
+            else:
+                self._wand = BlockMaxWand(
+                    self.index, buckets=self.buckets, stem=self.stem
+                )
         specs = [(target, t) for kind, target, raw in parsed for t in raw]
         hits = self._wand.search_fields(specs, k=k, mode=mode)
         if not hits:
@@ -857,13 +884,16 @@ class QueryEngine:
                         raw_by_clean.setdefault(c, []).append(raw)
         if not raw_by_clean:
             return None
+        # membership across ALL indexed fields: a term living only under
+        # title still matches the query (search() probes both targets), so
+        # proposing a "correction" for it would rewrite a working query
         known = {
             r["term"]
             for r in self.index.dictionary.where(
-                (F.col("field") == "content")
-                & F.col("term").isin(list(raw_by_clean))
+                F.col("term").isin(list(raw_by_clean))
             )
             .select("term")
+            .distinct()
             .collect()
         }
         missing = sorted(set(raw_by_clean) - known)
@@ -949,17 +979,26 @@ class QueryEngine:
             seed_tf = code_doc_terms(seed_frame, title_col=None)
         else:
             seed_tf = doc_terms(seed_frame, stem=self.stem, title_col=None)
-        rows = (
+        enriched = (
             F.broadcast(seed_tf)
             .join(self.index.dictionary, on=["field", "term"])
             # len>2 mirrors the query-side P5 filter — a shorter selected
             # term would be dropped by search() and desync the term budget
             .where(F.length("term") > 2)
+            .select("docid", "term", "tf", "df")
+        )
+        # LEFT join from the seed row itself folds the existence check into
+        # this same job: zero rows ⇔ unknown docid, a single all-NULL row ⇔
+        # known doc with no qualifying terms — no second point-lookup job
+        rows = (
+            seed_frame.select("docid")
+            .join(enriched, on="docid", how="left")
             .select("term", "tf", "df")
             .collect()
         )
-        if not rows and docs.where(F.col("docid") == docid).isEmpty():
+        if not rows:
             raise ValueError(f"docid {docid} not found or has no terms")
+        rows = [r for r in rows if r["term"] is not None]
         n_docs, _ = self._stats.get("content", (self._n_docs, 1.0))
         weighted = sorted(
             (

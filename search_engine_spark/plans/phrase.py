@@ -197,10 +197,12 @@ def phrase_topk(
     n_docs, avgdl = stats[field]
     dl_col = "doclen" if field == FIELD_BODY else "titlelen"
     dl = index.docstats.select("docid", F.col(dl_col).cast("double").alias("dl"))
+    # pseudo-term df as a 1-row agg broadcast onto the match set — a window
+    # over partitionBy(lit(1)) would funnel every matching doc through ONE
+    # partition (a stopword-ish phrase at scale = single-task bottleneck)
+    pdf = matches.agg(F.count(F.lit(1)).cast("double").alias("df"))
     scored = (
-        matches.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).cast("double")
-        )
+        matches.crossJoin(F.broadcast(pdf))
         .join(dl, on="docid")
         .select(
             "docid",

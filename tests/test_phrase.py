@@ -397,3 +397,31 @@ def test_engine_snippets_render(spark, tiny_df):
         body = row["snippet"].strip("… ").replace("**", "")
         assert 1 <= len(body.split()) <= 8
     idx.unpersist()
+
+
+def test_phrase_plan_has_no_single_partition_window(spark, pos_engine, tiny_docs):
+    """VERDICT r2 #3: the phrase pseudo-term df must be an agg + broadcast
+    crossJoin, never a Window over partitionBy(lit(1)) — a stopword-ish
+    phrase at 10^9 docs would funnel the whole match set through ONE task.
+    Pins BOTH phrase paths (standalone phrase_topk and the engine's
+    positional pseudo-term scorer): no count-aggregating Window in either
+    plan (the rank row_number window is fine — it sees ≤ k rows post-limit)."""
+    import re as _re
+
+    def _count_windows(plan: str) -> list[str]:
+        # physical Window nodes whose function list aggregates (count),
+        # e.g. "Window [count(1) windowspecdefinition(...)]"
+        return [
+            ln for ln in plan.splitlines()
+            if _re.search(r"\bWindow\b.*\bcount\(", ln)
+        ]
+
+    bigram = _corpus_bigram(tiny_docs)
+
+    plan1 = phrase_topk(pos_engine.index, bigram, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert not _count_windows(plan1), "phrase_topk still computes df via a window"
+    assert "BroadcastExchange" in plan1, "pseudo-term df should broadcast"
+
+    df = pos_engine.search(f'values: "{bigram}"', phrases="positional", k=10)
+    plan2 = df._jdf.queryExecution().executedPlan().toString()
+    assert not _count_windows(plan2), "engine phrase path still computes df via a window"
