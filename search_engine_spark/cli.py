@@ -106,11 +106,27 @@ def cmd_build(args) -> int:
             compress=not args.no_compress,
             stem=args.stem,
         )
-        if getattr(args, "trigrams", False):
+        from .sources.index_io import read_meta_file as _read_meta
+
+        try:
+            _meta = _read_meta(spark, f"{args.output}/_index_meta")
+        except Exception:
+            _meta = {}
+        if getattr(args, "trigrams", False) or _meta.get("trigrams", False):
             # incremental: gram rows for the NEW docs only; old content is
-            # never re-scanned (operators/trigrams.append_trigrams)
+            # never re-scanned (operators/trigrams.append_trigrams).  When
+            # the root already carries a gram table this runs AUTOMATICALLY
+            # even without --trigrams — appending docs without their gram
+            # rows would make later --substring/--regex silently prune the
+            # new documents out (unsound, not just slow).
             from .operators.trigrams import append_trigrams
 
+            if not getattr(args, "trigrams", False):
+                print(
+                    "note: root carries a trigram table — appending gram "
+                    "rows for the new docs (soundness requires it)",
+                    file=sys.stderr,
+                )
             append_trigrams(spark, docs, args.output)
         n = spark.read.parquet(f"{args.output}/docstats").count()
         print(f"appended snapshot {args.append_snapshot}; index now covers {n} documents")
@@ -195,9 +211,13 @@ def cmd_search(args) -> int:
                 file=sys.stderr,
             )
             return 2
+        from .operators.trigrams import trigram_settings
+
         docs = _load_docs(spark, args.docs)
         tri = read_trigrams(spark, args.index)
         grams, gdf = tri if tri is not None else (None, None)
+        tset = trigram_settings(spark, args.index) or {}
+        tri_case = bool(tset.get("case_sensitive", True))
         try:
             meta = read_meta_file(spark, f"{args.index}/_index_meta")
         except Exception:
@@ -212,13 +232,23 @@ def cmd_search(args) -> int:
                 how="left_anti",
             )
         if args.substring:
+            # probe with the PERSISTED build setting — a cased probe into a
+            # lowercased gram table (or vice versa) is unsound pruning
             rows = substring_search(
                 docs, args.substring, grams=grams, gram_df=gdf, max_grams=8,
-                n_buckets=buckets,
+                n_buckets=buckets, case_sensitive=tri_case,
             ).orderBy(F.desc("n_occurrences"), "docid").limit(args.k).collect()
             for r in rows:
                 print(f"{r['docid']:<20} x{r['n_occurrences']}")
         else:
+            if not tri_case and grams is not None:
+                # regex literal runs are cased; probing a lowercased gram
+                # table with them is unsound — verify-scan without pruning
+                print(
+                    "note: trigram table is lowercased; regex runs unpruned",
+                    file=sys.stderr,
+                )
+                grams, gdf = None, None
             rows = regex_search(
                 docs, args.regex, grams=grams, gram_df=gdf, max_grams=8,
                 n_buckets=buckets,

@@ -219,6 +219,12 @@ def write_trigrams(
     ).parquet(f"{root}/trigram_df")
     meta = read_meta_file(spark, f"{root}/_index_meta")
     meta["trigrams"] = True
+    # the build settings are part of the table's identity: probing a
+    # lowercased gram table with a cased pattern (or vice versa) is
+    # UNSOUND pruning — silently dropped true matches.  Persist them so
+    # append/read paths can validate instead of trusting caller defaults.
+    meta["trigram_case_sensitive"] = case_sensitive
+    meta["trigram_source_col"] = source_col
     write_meta_file(spark, f"{root}/_index_meta", meta, overwrite=True)
 
 
@@ -226,19 +232,41 @@ def append_trigrams(
     spark,
     new_docs: DataFrame,
     root: str,
-    source_col: str = "content",
-    case_sensitive: bool = True,
+    source_col: str | None = None,
+    case_sensitive: bool | None = None,
 ) -> None:
     """Incremental trigram maintenance: gram rows are per (gram, docid), so
     appending the NEW docs' rows is exact — old content is never re-scanned.
     The gram-df dimension is recomputed from the gram table itself (one
-    scan of the small gram table, no content scan)."""
+    scan of the small gram table, no content scan).
+
+    ``source_col``/``case_sensitive`` default to the settings persisted by
+    write_trigrams; passing a MISMATCHED value raises — mixing cased and
+    lowercased grams in one table makes pruning unsound (silently dropped
+    matches), never just slow."""
     from ..sources.index_io import read_meta_file
 
     meta = read_meta_file(spark, f"{root}/_index_meta")
     if not meta.get("trigrams", False):
         raise ValueError(
             f"{root} has no trigram table — build one with write_trigrams first"
+        )
+    want_case = bool(meta.get("trigram_case_sensitive", True))
+    want_src = str(meta.get("trigram_source_col", "content"))
+    if case_sensitive is None:
+        case_sensitive = want_case
+    elif case_sensitive != want_case:
+        raise ValueError(
+            f"trigram table at {root} was built with case_sensitive="
+            f"{want_case}; appending with {case_sensitive} would mix cased "
+            "and lowercased grams (unsound pruning)"
+        )
+    if source_col is None:
+        source_col = want_src
+    elif source_col != want_src:
+        raise ValueError(
+            f"trigram table at {root} was built over column {want_src!r}; "
+            f"appending rows from {source_col!r} would corrupt it"
         )
     buckets = int(meta["buckets"])
     g = build_trigrams(
@@ -272,6 +300,24 @@ def read_trigrams(spark, root: str):
         spark.read.parquet(f"{root}/trigrams"),
         spark.read.parquet(f"{root}/trigram_df"),
     )
+
+
+def trigram_settings(spark, root: str) -> dict | None:
+    """→ {"case_sensitive", "source_col"} the persisted gram table was built
+    with (None if the root has no trigram table).  Probes must use the SAME
+    settings or pruning is unsound."""
+    from ..sources.index_io import read_meta_file
+
+    try:
+        meta = read_meta_file(spark, f"{root}/_index_meta")
+    except Exception:
+        return None
+    if not meta.get("trigrams", False):
+        return None
+    return {
+        "case_sensitive": bool(meta.get("trigram_case_sensitive", True)),
+        "source_col": str(meta.get("trigram_source_col", "content")),
+    }
 
 
 # --- literal-anchored regex -------------------------------------------------

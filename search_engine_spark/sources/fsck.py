@@ -86,4 +86,26 @@ def verify_index(spark: SparkSession, root: str) -> dict[str, dict]:
             except Exception:
                 ok = False
             out[f"meta_{flag}"] = {"ok": ok, "bad": 0 if ok else 1}
+
+    # 6. trigram docid coverage: every live doc with ≥1 trigram-length
+    # content must appear in the gram table — a doc missing from it gets
+    # silently PRUNED OUT of --substring/--regex results (the failure mode
+    # of appending snapshots without appending gram rows).  Docs shorter
+    # than a trigram legitimately have no gram rows, and doclen is a token
+    # count not a char count, so only doclen ≥ 3 docs (conservative: any
+    # 3-token doc has ≥3 source chars) are required to be covered.
+    if meta.get("trigrams", False):
+        try:
+            gram_docs = (
+                spark.read.parquet(f"{root}/trigrams").select("docid").distinct()
+            )
+            uncovered = (
+                idx.docstats.select("docid", "doclen")
+                .where(F.col("doclen") >= 3)
+                .join(gram_docs, on="docid", how="left_anti")
+                .count()
+            )
+            out["trigram_coverage"] = {"ok": uncovered == 0, "bad": uncovered}
+        except Exception:
+            out["trigram_coverage"] = {"ok": False, "bad": -1}
     return out

@@ -96,8 +96,24 @@ def read_meta_file(spark: SparkSession, dir_path: str) -> dict:
     raise FileNotFoundError(f"no metadata json under {dir_path}")
 
 
-def write_index(index: IndexTables, root: str, mode: str = "overwrite") -> None:
+def write_index(
+    index: IndexTables,
+    root: str,
+    mode: str = "overwrite",
+    carry_side_tables: bool = False,
+) -> None:
     """Persist the four index tables.
+
+    ``carry_side_tables``: the lifecycle flags (_tombstones from
+    delete_docs, trigrams from write_trigrams) describe SIDE tables this
+    write does not touch.  Only an IN-PLACE rewrite of the same logical
+    index — append_snapshot/finalize_index writing back into the root it
+    read — may carry them forward (the side tables still describe reality).
+    A FULL REBUILD into a reused root must not: docids are content-hash-
+    stable, so stale tombstones would silently hide rebuilt docs, and a
+    stale trigram table's unsound pruning would make --substring/--regex
+    miss new documents.  Default False: stale side tables are DELETED and
+    their flags cleared.
 
     The postings write is the expensive one (term-hash shuffle + varbyte
     encode); the dictionary is a pure projection of it, so it is derived
@@ -164,19 +180,28 @@ def write_index(index: IndexTables, root: str, mode: str = "overwrite") -> None:
         "positions": index.positions is not None,
         "analyzer": index.analyzer,
     }
-    # Lifecycle flags describe SIDE tables this write does not touch
-    # (_tombstones from delete_docs, trigrams from write_trigrams).  An
-    # in-place rewrite — append_snapshot's finalize writes into the SAME
-    # root — must carry them forward, or deleted docs silently resurrect
-    # and the trigram table goes invisible.  The side tables are still on
-    # disk, so the flags still describe reality.
-    try:
-        old = read_meta_file(spark, f"{root}/_index_meta")
-        for flag in ("tombstones", "trigrams"):
-            if old.get(flag, False):
-                meta[flag] = True
-    except Exception:
-        pass  # fresh root: no prior meta to preserve
+    if carry_side_tables:
+        # in-place finalize: the side tables still describe reality — keep
+        # their flags (and the trigram build settings) alive
+        try:
+            old = read_meta_file(spark, f"{root}/_index_meta")
+            for flag in ("tombstones", "trigrams"):
+                if old.get(flag, False):
+                    meta[flag] = True
+            for key in ("trigram_case_sensitive", "trigram_source_col"):
+                if key in old:
+                    meta[key] = old[key]
+        except Exception:
+            pass  # fresh root: no prior meta to preserve
+    else:
+        # fresh (re)build into this root: any leftover side tables were
+        # computed from the OLD corpus — delete them so nothing can consult
+        # them (flags are absent from the fresh meta either way)
+        fs, _, jvm = _fs_and_path(spark, root)
+        for sub in ("_tombstones", "trigrams", "trigram_df"):
+            p = jvm.org.apache.hadoop.fs.Path(f"{root}/{sub}")
+            if fs.exists(p):
+                fs.delete(p, True)
     write_meta_file(
         spark, f"{root}/_index_meta", meta, overwrite=(mode == "overwrite")
     )
@@ -455,7 +480,10 @@ def _finalize_all_snapshots(spark: SparkSession, root: str, **build_kwargs) -> I
             "requires a replace (new root) rather than an append"
         )
     index = _finalize_from_tf(spark, meta_all, tf_all, doc_meta=meta_all, **build_kwargs)
-    write_index(index, root)
+    # in-place rewrite of the root the slice log lives in — the side tables
+    # (tombstones/trigrams) were maintained against this same logical index,
+    # so their flags carry forward (write_index clears them otherwise)
+    write_index(index, root, carry_side_tables=True)
     return read_index(spark, root)
 
 

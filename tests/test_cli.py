@@ -253,3 +253,41 @@ def test_delete_and_compact_subcommands(spark, tmp_path, capsys):
     assert "2 documents" in capsys.readouterr().out
     hit_ids.compacted = True
     assert hit_ids() == [2]
+
+
+def test_append_snapshot_auto_appends_trigrams(spark, tmp_path, capsys):
+    """ADVICE r2: a root carrying a gram table must get gram rows for
+    appended docs even WITHOUT --trigrams — otherwise --substring silently
+    prunes the new documents out."""
+    docs = spark.createDataFrame(
+        [(1, "r", "a.py", "c1", "en", "first needle_alpha body"),
+         (2, "r", "b.py", "c2", "en", "second needle_alpha body")],
+        "docid long, repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    new_docs = spark.createDataFrame(
+        [(3, "r", "c.py", "c3", "en", "third needle_alpha appended")],
+        "docid long, repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    src, src2 = str(tmp_path / "docs"), str(tmp_path / "docs2")
+    allsrc = str(tmp_path / "docs_all")
+    root = str(tmp_path / "idx")
+    docs.write.parquet(src)
+    new_docs.write.parquet(src2)
+    docs.unionByName(new_docs).write.parquet(allsrc)
+
+    assert main(["--cores", "8", "build", "--input", src, "--output", root,
+                 "--slices", "2", "--trigrams"]) == 0
+    # append WITHOUT --trigrams: gram rows must appear anyway
+    assert main(["--cores", "8", "build", "--input", src2, "--output", root,
+                 "--append-snapshot", "1"]) == 0
+    capsys.readouterr()
+    assert main(["--cores", "8", "search", "--index", root,
+                 "--substring", "needle_alpha", "--docs", allsrc]) == 0
+    out = capsys.readouterr().out
+    assert "3" in out.split(), f"appended doc pruned out: {out!r}"
+    # and fsck agrees the gram table covers every doc
+    from search_engine_spark.sources.fsck import verify_index
+
+    assert verify_index(spark, root)["trigram_coverage"]["ok"]

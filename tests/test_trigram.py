@@ -298,3 +298,99 @@ def test_literal_runs_soundness_fuzz():
                     assert r in text, (pattern, r, text)
 
     run()
+
+
+def test_rebuild_into_reused_root_clears_stale_side_tables(spark, tiny_df, tmp_path):
+    """ADVICE r2: a FULL REBUILD (write_index without carry_side_tables)
+    into a root that previously carried tombstones + trigrams must clear
+    both — stale tombstones would hide rebuilt docs (docids are
+    content-hash-stable) and a stale gram table's pruning would silently
+    miss new documents."""
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.trigrams import read_trigrams, write_trigrams
+    from search_engine_spark.sources.deletes import delete_docs
+    from search_engine_spark.sources.index_io import read_index, write_index
+
+    root = str(tmp_path / "idx")
+    first = tiny_df.where(F.col("docid") % 2 == 0)
+    idx = build_index(spark, first, compress=True)
+    write_index(idx, root)
+    idx.unpersist()
+    write_trigrams(spark, first, root)
+    victims = [r["docid"] for r in first.select("docid").limit(2).collect()]
+    delete_docs(spark, root, victims)
+    assert read_index(spark, root).tombstones is not None
+
+    # full rebuild over the WHOLE corpus into the same root
+    idx2 = build_index(spark, tiny_df, compress=True)
+    write_index(idx2, root)
+    idx2.unpersist()
+
+    fresh = read_index(spark, root)
+    assert fresh.tombstones is None, "stale tombstones survived a rebuild"
+    assert read_trigrams(spark, root) is None, "stale trigram flag survived"
+    # and the previously-'deleted' docs answer queries again
+    live = {r["docid"] for r in fresh.docstats.select("docid").collect()}
+    assert set(victims) <= live
+
+
+def test_append_trigrams_validates_persisted_settings(spark, tiny_df, tmp_path):
+    """ADVICE r2: the gram table's case_sensitive/source_col are persisted;
+    appending with a mismatched setting must raise (mixing cased and
+    lowercased grams = unsound pruning), and omitting them must reuse the
+    persisted values."""
+    import pytest as _pytest
+
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.trigrams import (
+        append_trigrams,
+        trigram_settings,
+        write_trigrams,
+    )
+    from search_engine_spark.sources.index_io import write_index
+
+    root = str(tmp_path / "idx")
+    first = tiny_df.where(F.col("docid") % 2 == 0)
+    rest = tiny_df.where(F.col("docid") % 2 == 1)
+    idx = build_index(spark, first, compress=True)
+    write_index(idx, root)
+    idx.unpersist()
+    write_trigrams(spark, first, root, case_sensitive=False)
+    assert trigram_settings(spark, root) == {
+        "case_sensitive": False, "source_col": "content",
+    }
+    with _pytest.raises(ValueError, match="case_sensitive"):
+        append_trigrams(spark, rest, root, case_sensitive=True)
+    with _pytest.raises(ValueError, match="column"):
+        append_trigrams(spark, rest, root, source_col="title")
+    # defaults pull the persisted settings — lowercased grams for rest
+    append_trigrams(spark, rest, root)
+    grams = spark.read.parquet(f"{root}/trigrams")
+    assert grams.where(F.col("gram") != F.lower(F.col("gram"))).count() == 0
+
+
+def test_fsck_flags_missing_trigram_coverage(spark, tiny_df, tmp_path):
+    """fsck trigram_coverage: appending docs WITHOUT their gram rows is the
+    silent-wrong-results failure mode — verify_index must flag it, and a
+    proper append_trigrams must clear it."""
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.trigrams import append_trigrams, write_trigrams
+    from search_engine_spark.sources.fsck import verify_index
+    from search_engine_spark.sources.index_io import (
+        append_snapshot,
+        resumable_build,
+    )
+
+    root = str(tmp_path / "idx")
+    first = tiny_df.where(F.col("docid") % 2 == 0)
+    rest = tiny_df.where(F.col("docid") % 2 == 1)
+    resumable_build(spark, first, root, n_slices=1, compress=True)
+    write_trigrams(spark, first, root)
+    assert verify_index(spark, root)["trigram_coverage"]["ok"]
+
+    append_snapshot(spark, rest, root, snapshot_id=1, n_slices=1, compress=True)
+    bad = verify_index(spark, root)["trigram_coverage"]
+    assert not bad["ok"] and bad["bad"] > 0
+
+    append_trigrams(spark, rest, root)
+    assert verify_index(spark, root)["trigram_coverage"]["ok"]
