@@ -377,6 +377,36 @@ def ivf_train(
     return cents
 
 
+def _rank_probe_cells(
+    probe: list[float],
+    centroids: list[tuple[int, list[float]]],
+    n_probes: int,
+) -> list[int]:
+    """Driver-side probe→cell ranking over the (tiny) centroid list, using
+    the SAME 6-dp-rounded cosine + smaller-id tie-break the distributed
+    assignment compiles — probe and corpus agree on cell boundaries."""
+    pn = _l2(probe)
+    ranked = sorted(
+        (
+            (
+                round(
+                    (
+                        sum(float(a) * float(b) for a, b in zip(probe, cv))
+                        / (pn * _l2(cv))
+                    ),
+                    6,
+                )
+                if pn * _l2(cv) > 0
+                else -2.0,
+                -cell,
+            )
+            for cell, cv in centroids
+        ),
+        reverse=True,
+    )
+    return [-ncell for _, ncell in ranked[:n_probes]]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     probe: list[float],
@@ -396,30 +426,101 @@ def ivf_topk(
     the re-rank is the exact ``cosine_topk`` over that sliver.
     """
     cents = centroids or ivf_seed_centroids(embeddings, n_cells, id_col, vec_col)
-    pn = _l2(probe)
-    ranked = sorted(
-        (
-            (
-                round(
-                    (
-                        sum(float(a) * float(b) for a, b in zip(probe, cv))
-                        / (pn * _l2(cv))
-                    ),
-                    6,
-                )
-                if pn * _l2(cv) > 0
-                else -2.0,
-                -cell,
-            )
-            for cell, cv in cents
-        ),
-        reverse=True,
-    )
-    cells = [-ncell for _, ncell in ranked[:n_probes]]
+    cells = _rank_probe_cells(probe, cents, n_probes)
     assigned = ivf_assign(embeddings, id_col=id_col, vec_col=vec_col, centroids=cents)
     cand = embeddings.join(
         assigned.where(F.col("cell").isin(cells)).select(id_col),
         on=id_col,
         how="left_semi",
     )
+    return cosine_topk(cand, probe, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index — the artifact the per-query paths above lack
+# ---------------------------------------------------------------------------
+
+def write_ivf(
+    spark,
+    embeddings: DataFrame,
+    root: str,
+    n_cells: int = 16,
+    n_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> None:
+    """Persist a CELL-PARTITIONED vector table + centroid metadata.
+
+    This is the build-once artifact `ivf_topk` was missing (r2 verdict:
+    recomputing the corpus assignment per query is a full map pass over all
+    vectors every call).  Layout mirrors the postings/trigram persist
+    pattern (sources/index_io.py, operators/trigrams.py):
+
+    - ``<root>/vectors`` parquet partitioned by ``cell`` — ONE assignment
+      pass at build time; a query's scan is PARTITION-PRUNED to its
+      n_probes cells (directory-level pruning, never a corpus scan);
+    - ``<root>/_ivf_meta`` JSON: centroids + column names via the Hadoop FS
+      helper (k·dim doubles — driver-sized by construction).
+
+    ``n_iters > 0`` Lloyd-refines the md5 seeds first (recall knob;
+    iteration-0 seeds keep the cross-engine oracle twin exact).
+    """
+    from ..sources.index_io import write_meta_file
+
+    cents = centroids or (
+        ivf_train(embeddings, n_cells, n_iters, id_col, vec_col)
+        if n_iters > 0
+        else ivf_seed_centroids(embeddings, n_cells, id_col, vec_col)
+    )
+    assigned = ivf_assign(embeddings, id_col=id_col, vec_col=vec_col, centroids=cents)
+    (
+        embeddings.join(assigned.select(id_col, "cell"), on=id_col)
+        # ~1 file per cell dir (same compaction rationale as postings)
+        .repartition(len(cents), F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{root}/vectors")
+    )
+    write_meta_file(
+        spark,
+        f"{root}/_ivf_meta",
+        {
+            "n_cells": len(cents),
+            "id_col": id_col,
+            "vec_col": vec_col,
+            # json floats round-trip exactly (repr-based) → assignment
+            # recomputed anywhere agrees bit-for-bit
+            "centroids": [[int(c), [float(x) for x in v]] for c, v in cents],
+        },
+        overwrite=True,
+    )
+
+
+def read_ivf(spark, root: str) -> tuple[DataFrame, list[tuple[int, list[float]]], str, str]:
+    """→ (vectors, centroids, id_col, vec_col) for a persisted IVF root."""
+    from ..sources.index_io import read_meta_file
+
+    meta = read_meta_file(spark, f"{root}/_ivf_meta")
+    vectors = spark.read.parquet(f"{root}/vectors")
+    cents = [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]]
+    return vectors, cents, str(meta["id_col"]), str(meta["vec_col"])
+
+
+def ivf_topk_persisted(
+    spark,
+    root: str,
+    probe: list[float],
+    k: int = 10,
+    n_probes: int = 1,
+) -> DataFrame:
+    """IVF ANN over the PERSISTED index: rank cells driver-side against the
+    stored centroids (zero jobs — they live in _ivf_meta), then an exact
+    cosine re-rank over a scan partition-pruned to those cells.
+
+    Per query at 10^12 vectors: read n_probes/n_cells of the corpus, one
+    TakeOrderedAndProject — no assignment job, no join, no shuffle."""
+    vectors, cents, id_col, vec_col = read_ivf(spark, root)
+    cells = _rank_probe_cells(probe, cents, n_probes)
+    cand = vectors.where(F.col("cell").isin(cells))
     return cosine_topk(cand, probe, k=k, id_col=id_col, vec_col=vec_col)

@@ -65,15 +65,41 @@ def hybrid_search(
     k0: int = RRF_K0,
     mode: str = "or",
     id_col: str = "vec_id",
+    vector_leg: str = "exact",
+    **leg_kwargs,
 ) -> DataFrame:
-    """BM25 leg (QueryEngine.search) ⊕ cosine leg (similarity.cosine_topk)
-    → RRF top-k.  ``embeddings[id_col]`` must share the docid space of the
-    index (one embedding per document)."""
-    from ..operators.similarity import cosine_topk
+    """BM25 leg (QueryEngine.search) ⊕ vector leg → RRF top-k.
+    ``embeddings[id_col]`` must share the docid space of the index (one
+    embedding per document).
+
+    ``vector_leg`` picks the semantic leg's retrieval path (r2 verdict:
+    the ANN paths exist — make them pluggable):
+    - "exact" (default): brute-force ``cosine_topk`` — the oracle-checked
+      baseline; at 10^12 vectors this leg is the bottleneck;
+    - "ann": LSH-bucketed ``ann_topk`` (``n_probes=`` via leg_kwargs);
+    - "ivf": ``ivf_topk`` (``n_cells=``/``n_probes=`` via leg_kwargs);
+    - a CALLABLE ``(embeddings, probe, k, id_col) -> DataFrame(id, cosine)``
+      for anything else (e.g. ``ivf_topk_persisted`` closed over a root).
+    ANN legs trade leg recall for a partition-pruned scan; RRF itself is
+    unchanged — fusion only ever sees ≤ legs×depth rank rows.
+    """
+    from ..operators.similarity import ann_topk, cosine_topk, ivf_topk
 
     bm = engine.search(query, mode=mode, k=depth).select("docid", "rank")
+    if callable(vector_leg):
+        vec = vector_leg(embeddings, probe, depth, id_col)
+    elif vector_leg == "exact":
+        vec = cosine_topk(embeddings, probe, k=depth, id_col=id_col)
+    elif vector_leg == "ann":
+        vec = ann_topk(embeddings, probe, k=depth, id_col=id_col, **leg_kwargs)
+    elif vector_leg == "ivf":
+        vec = ivf_topk(embeddings, probe, k=depth, id_col=id_col, **leg_kwargs)
+    else:
+        raise ValueError(
+            f"vector_leg must be 'exact', 'ann', 'ivf' or a callable — got {vector_leg!r}"
+        )
     cos = with_ranks(
-        cosine_topk(embeddings, probe, k=depth, id_col=id_col),
+        vec,
         order_cols=[F.desc("cosine"), F.asc(id_col)],
         id_col=id_col,
     )

@@ -77,3 +77,47 @@ def test_hybrid_matches_python_model(spark, tiny_df, tiny_index, emb):
 def test_rrf_fuse_validates(spark):
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_hybrid_ann_leg_recall(spark, tiny_index, emb):
+    """VERDICT r2 #5: the vector leg is pluggable.  The ANN/IVF legs must
+    run end-to-end and their fused top-k must overlap the exact-leg fusion
+    substantially (ANN trades leg recall for a pruned scan; on this tiny
+    corpus the probe's own bucket/cell holds its true neighbours)."""
+    eng = QueryEngine(spark, tiny_index, cache_docstats=False)
+    probe_id = sorted(r["vec_id"] for r in emb.select("vec_id").collect())[0]
+    probe = _vec(probe_id)
+
+    exact = {r["docid"] for r in
+             hybrid_search(eng, emb, QUERY, probe, k=10, depth=20).collect()}
+    ann = {r["docid"] for r in
+           hybrid_search(eng, emb, QUERY, probe, k=10, depth=20,
+                         vector_leg="ann", n_probes=2).collect()}
+    ivf = {r["docid"] for r in
+           hybrid_search(eng, emb, QUERY, probe, k=10, depth=20,
+                         vector_leg="ivf", n_cells=4, n_probes=4).collect()}
+    assert len(exact) == 10
+    # all-cells IVF probe ≡ brute force → identical fusion
+    assert ivf == exact
+    assert len(ann & exact) >= 6, (sorted(ann), sorted(exact))
+
+    # callable leg: persisted-IVF closure plugs in unchanged
+    import tempfile
+
+    from search_engine_spark.operators.similarity import (
+        ivf_topk_persisted,
+        write_ivf,
+    )
+
+    root = tempfile.mkdtemp(prefix="hyb_ivf_")
+    write_ivf(spark, emb, root, n_cells=4)
+    leg = lambda e, p, depth, id_col: ivf_topk_persisted(
+        spark, root, p, k=depth, n_probes=4
+    )
+    persisted = {r["docid"] for r in
+                 hybrid_search(eng, emb, QUERY, probe, k=10, depth=20,
+                               vector_leg=leg).collect()}
+    assert persisted == exact
+
+    with pytest.raises(ValueError, match="vector_leg"):
+        hybrid_search(eng, emb, QUERY, probe, vector_leg="nope")

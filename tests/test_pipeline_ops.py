@@ -479,3 +479,54 @@ def test_hash_split_deterministic_and_proportional(spark):
         for r in hash_split(docs, salt="other").collect()
     }
     assert any(s4[k] != s1[k][0] for k in s4)
+
+
+def test_ivf_persisted_equals_per_query(emb_df, tmp_path):
+    """VERDICT r2 #4: the persisted IVF artifact (write_ivf → cell-
+    partitioned vectors + centroid meta) must answer identically to the
+    per-query ivf_topk path on the same seeded centroids, for every
+    n_probes."""
+    from search_engine_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_persisted,
+        write_ivf,
+    )
+
+    spark = emb_df.sparkSession
+    root = str(tmp_path / "ivf")
+    write_ivf(spark, emb_df, root, n_cells=4)
+    probe = emb_df.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    probe = [float(x) for x in probe]
+    for n_probes in (1, 2, 4):
+        got = [
+            (r["vec_id"], r["cosine"])
+            for r in ivf_topk_persisted(spark, root, probe, k=5, n_probes=n_probes).collect()
+        ]
+        want = [
+            (r["vec_id"], r["cosine"])
+            for r in ivf_topk(emb_df, probe, k=5, n_cells=4, n_probes=n_probes).collect()
+        ]
+        assert got == want, n_probes
+
+
+def test_ivf_persisted_query_is_partition_pruned(emb_df, tmp_path):
+    """The scale pin: a query against the persisted IVF index must be a
+    PARTITION-PRUNED scan of the n_probes cells — no corpus-wide assignment
+    job, no join.  Asserted on the physical plan: the scan carries a cell
+    partition filter, and the plan has no Join/Exchange at all (scan →
+    project → TakeOrderedAndProject)."""
+    from search_engine_spark.operators.similarity import (
+        ivf_topk_persisted,
+        write_ivf,
+    )
+
+    spark = emb_df.sparkSession
+    root = str(tmp_path / "ivf")
+    write_ivf(spark, emb_df, root, n_cells=4)
+    probe = [float(x) for x in emb_df.where(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    df = ivf_topk_persisted(spark, root, probe, k=5, n_probes=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters:")[1].split("]")[0], plan
+    for op in ("Join", "Exchange"):
+        assert op not in plan, f"unexpected {op} in persisted-IVF query plan:\n{plan}"
+    assert df.count() == 5
