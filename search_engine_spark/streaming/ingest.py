@@ -55,14 +55,48 @@ def _drop_already_indexed(spark, docs: DataFrame, root: str) -> DataFrame:
     must NOT suppress its docs, or the replayed slice would rebuild empty
     (the docs would be lost).  The manifest is tiny → broadcast semi-join.
 
-    Scale posture: the seen-set is the committed ``_slices/meta`` parquet
-    read with docid-only column pruning; the anti-join broadcasts or
-    shuffles the SEEN side depending on size.  At extreme corpus sizes
-    (seen >> memory) the right design is a bloom pre-filter on docid in
-    front of this exact join — the join stays as the precise backstop.
+    Scale posture: a BLOOM PREFILTER (streaming/bloom.py) screens the batch
+    first — the bloom is a persisted superset of committed docids (updated
+    before every commit), so bloom-NEGATIVE rows are definitely new and
+    skip the seen-set entirely; only bloom-positive "suspects" reach the
+    exact anti-join backstop, and a batch with no suspects never scans the
+    committed meta at all.  The seen-set itself is the committed
+    ``_slices/meta`` parquet read with docid-only column pruning.
     ``refreshByPath`` first: the FileStatusCache serves stale listings
     after earlier batches added snapshot partitions under the same path.
     """
+    from pyspark.sql import functions as F
+
+    from . import bloom as bloom_mod
+
+    blo = bloom_mod.read_bloom(spark, root)
+    if blo is None:
+        suspects, clean = docs, None
+    else:
+        bitmap, hdr = blo
+        bc = spark.sparkContext.broadcast(bitmap)
+        might = bloom_mod.might_contain(
+            F.col("docid"), bc, int(hdr["m"]), int(hdr["k"])
+        )
+        flagged = docs.withColumn("__might_seen", might)
+        suspects = flagged.where(F.col("__might_seen")).drop("__might_seen")
+        clean = flagged.where(~F.col("__might_seen")).drop("__might_seen")
+        if not suspects.take(1):
+            # nothing in this batch can be committed — skip the seen scan
+            return clean
+    seen = _committed_docids(spark, root)
+    if seen is None:  # first batch: nothing committed yet
+        return docs
+    kept = suspects.join(seen, "docid", "left_anti")
+    return kept if clean is None else clean.unionByName(kept)
+
+
+def _committed_docids(spark, root: str) -> DataFrame | None:
+    """docids of every slice the MANIFEST marks done (any snapshot), or
+    None when nothing has committed yet.  Restricting to done slices
+    matters: a meta file orphaned by a crash between its write and the
+    manifest append must NOT suppress its docs, or the replayed slice
+    would rebuild empty.  The manifest is tiny → broadcast semi-join."""
     from pyspark.sql import functions as F
 
     from ..sources.index_io import read_manifest
@@ -79,12 +113,11 @@ def _drop_already_indexed(spark, docs: DataFrame, root: str) -> DataFrame:
                 F.col("partition_id").alias("slice"),
             )
         )
-        seen = committed.join(
+        return committed.join(
             F.broadcast(done), on=["snapshot", "slice"], how="left_semi"
         ).select("docid")
-    except Exception:  # first batch: nothing committed yet
-        return docs
-    return docs.join(seen, "docid", "left_anti")
+    except Exception:
+        return None
 
 
 def stream_ingest(
@@ -123,6 +156,15 @@ def stream_ingest(
             docs = _drop_already_indexed(spark, docs, root)
         if not docs.take(1):  # empty micro-batch: nothing to commit
             return
+        if skip_existing:
+            # bloom BEFORE commit: a crash between the two leaves the bloom
+            # a superset of committed docids — false positives only, which
+            # the exact anti-join backstop resolves.  The reverse order
+            # could leave committed docids bloom-negative → re-ingest →
+            # finalize collision.  (streaming/bloom.py)
+            from .bloom import update_bloom
+
+            update_bloom(spark, root, docs.select("docid"))
         commit_snapshot_slices(
             spark, docs, root,
             snapshot_id=snapshot_offset + batch_id,

@@ -166,3 +166,86 @@ def test_skip_existing_tolerates_overlapping_files(spark, tiny_df, tmp_path):
         spark, tiny_df, str(tmp_path / "batch_idx"), n_slices=1, compress=True
     )
     assert _index_fingerprint(streamed) == _index_fingerprint(clean)
+
+
+def test_bloom_prefilter_soundness_and_persistence(spark, tmp_path):
+    """streaming/bloom.py: no false negatives EVER (every inserted docid is
+    bloom-positive — the soundness contract), low false-positive rate on
+    fresh ids, exact persistence roundtrip, and update_bloom keeps the
+    superset invariant across increments."""
+    from search_engine_spark.streaming.bloom import (
+        _params,
+        build_bitmap,
+        might_contain,
+        read_bloom,
+        update_bloom,
+    )
+
+    root = str(tmp_path / "idx")
+    ids_a = spark.range(0, 500).select((F.col("id") * 7919 + 13).alias("docid"))
+    ids_b = spark.range(500, 900).select((F.col("id") * 7919 + 13).alias("docid"))
+    fresh = spark.range(0, 2000).select((F.col("id") * 104729 + 5).alias("docid"))
+
+    update_bloom(spark, root, ids_a, expected=2000, fpp=0.01)
+    update_bloom(spark, root, ids_b, expected=2000, fpp=0.01)
+    bitmap, hdr = read_bloom(spark, root)
+    assert hdr["n_added"] == 900
+    m, k = int(hdr["m"]), int(hdr["k"])
+    assert (m, k) == _params(2000, 0.01)
+
+    bc = spark.sparkContext.broadcast(bitmap)
+    seen = ids_a.unionByName(ids_b)
+    n_pos = seen.where(might_contain(F.col("docid"), bc, m, k)).count()
+    assert n_pos == 900, "false negative — soundness contract broken"
+    # fresh ids: overwhelmingly negative (fpp=1% at half capacity)
+    fp = fresh.join(seen, "docid", "left_anti") \
+              .where(might_contain(F.col("docid"), bc, m, k)).count()
+    assert fp < 100, f"false-positive rate implausibly high: {fp}/2000"
+    # roundtrip == rebuild from scratch
+    rebuilt = build_bitmap(seen, m, k)
+    import numpy as np
+
+    assert np.array_equal(bitmap, rebuilt)
+
+
+def test_bloom_skips_seen_scan_for_fresh_batches(spark, tiny_df, tmp_path, monkeypatch):
+    """VERDICT r2 #6 'done' condition: with a bloom present, a batch of
+    entirely-fresh docids must be admitted WITHOUT scanning the committed
+    seen-set (the exact anti-join is reserved for bloom-positive suspects);
+    a re-landed batch must still skip its duplicates through the backstop."""
+    from search_engine_spark.streaming import ingest as ingest_mod
+
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    first = tiny_df.where(F.col("docid") % 3 == 0)
+    fresh = tiny_df.where(F.col("docid") % 3 == 1)
+
+    calls = []
+    real = ingest_mod._committed_docids
+
+    def counting(spark_, root_):
+        calls.append(root_)
+        return real(spark_, root_)
+
+    monkeypatch.setattr(ingest_mod, "_committed_docids", counting)
+
+    def drain(df):
+        _land(df, landing)
+        src = spark.readStream.schema(tiny_df.schema).parquet(landing)
+        q = stream_ingest(src, root, finalize="manual", compress=True,
+                          skip_existing=True, checkpoint_dir=ckpt)
+        q.awaitTermination()
+
+    drain(first)          # no bloom yet → exact path allowed
+    calls.clear()
+    drain(fresh)          # bloom present, zero overlap → NO seen scan
+    assert calls == [], "fresh batch scanned the committed seen-set"
+
+    drain(first)          # fully re-landed → suspects path, all skipped
+    assert calls, "re-landed batch must hit the exact anti-join backstop"
+    streamed = finalize_index(spark, root, compress=True)
+    want = {r["docid"] for r in
+            first.unionByName(fresh).select("docid").collect()}
+    got = {r["docid"] for r in streamed.docstats.select("docid").collect()}
+    assert got == want
