@@ -213,7 +213,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_tokenize_tf(spark, sf):
-        return _tok_tf(_raw_docs(spark, sf))
+        """Forward index under BOTH analyzers in one entry, tagged by
+        ``analyzer`` (r2 gate-slimming: the former tokenize_tf /
+        stemmed_tf keys): 'plain' = the reference tokenizer semantics;
+        'porter' = the vectorized Arrow stemming path, whose SQL twin is a
+        generated (term -> stem) lookup from the INDEPENDENT second Porter
+        implementation (functions/porter_ref.py)."""
+        from search_engine_spark.operators.tokenize import doc_terms
+
+        plain = _tok_tf(_raw_docs(spark, sf)).select(
+            F.lit("plain").alias("analyzer"), "doc_id", "term", "tf"
+        )
+        docs = _raw_docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), F.col("text").alias("content")
+        )
+        stemmed = doc_terms(docs, stem=True, title_col=None).select(
+            F.lit("porter").alias("analyzer"),
+            F.col("docid").alias("doc_id"), "term", "tf",
+        )
+        return plain.unionByName(stemmed)
 
     def q_dictionary(spark, sf):
         return (
@@ -249,50 +267,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _topk(s.where(F.col("n_matched") == len(AND_TERMS)))
 
     def q_bm25_wand(spark, sf):
-        """Block-max WAND path — must equal the exhaustive BM25 oracle.
+        """ALL THREE WAND paths in one gate entry (r2 gate-slimming: the
+        former bm25_topk_wand / bm25_wand_salted / bm25_wand_sharded keys),
+        each asserted IDENTICAL in-entry, one result hash-checked against
+        the exhaustive BM25 oracle:
 
-        Builds the compressed index over the sf documents (body field only,
-        matching the SQL twin's tf), runs the driver-side WAND traversal,
-        then re-ranks by (round(score,6) DESC, doc_id ASC) so the boundary
-        semantics match the oracle's round-then-order; the k-buffer absorbs
-        raw-vs-rounded boundary flips.
+        1. driver BlockMaxWand over the compressed index;
+        2. BlockMaxWand over a SALTED index under HASHED docids (heavy
+           terms genuinely split into multiple ordered docid-range
+           segments — sequential testdata ids would all land in segment 0,
+           round-1 ADVICE), hits mapped back to doc_id;
+        3. distributed ShardedWand (cogrouped applyInPandas — no
+           corpus-wide driver state).
+
+        Every path ranks by RAW score; the k-buffer re-rank by
+        (round(score,6) DESC, doc_id ASC) matches the oracle's
+        round-then-order (boundary flips stay inside rounding-tie
+        clusters, far smaller than the 100-row buffer).
         """
         from search_engine_spark.operators.index_build import build_index
-        from search_engine_spark.plans.wand import BlockMaxWand
+        from search_engine_spark.plans.wand import BlockMaxWand, ShardedWand
         from search_engine_spark.sources.corpus import load_testdata_documents
+
+        def rerank(hits, back=None):
+            return sorted(
+                (((back[d] if back else d), round(s, 6)) for _, d, s in hits),
+                key=lambda x: (-x[1], x[0]),
+            )[:10]
 
         docs = load_testdata_documents(spark, sf)
         index = build_index(spark, docs, compress=True, title_col=None)
-        searcher = BlockMaxWand(index)
-        # generous k-buffer: WAND ranks by RAW score, the oracle by the
-        # 6dp-ROUNDED score with doc_id tie-break — raw-vs-rounded boundary
-        # flips move ranks only within a rounding-tie cluster, so a buffer
-        # much larger than any plausible tie cluster at rank 10 keeps the
-        # re-ranked top-10 exact
-        hits = searcher.search(BM25_TERMS, k=100)
+        driver_ranked = rerank(BlockMaxWand(index).search(BM25_TERMS, k=100))
+
+        sharded = ShardedWand(index, n_shards=4)
+        sharded_ranked = rerank(sharded.search(BM25_TERMS, k=100))
+        sharded.close()
         index.unpersist()
-        ranked = sorted(
-            ((d, round(s, 6)) for _, d, s in hits), key=lambda x: (-x[1], x[0])
-        )[:10]
-        rows = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
-        return _ranked_literal_df(spark, rows)
+        assert sharded_ranked == driver_ranked, "sharded WAND diverged"
 
-    def q_bm25_wand_salted(spark, sf):
-        """WAND over a SALTED index — heavy terms stored as multiple ordered
-        docid-range segments — must still equal the exhaustive BM25 oracle
-        (segment stitching + dictionary-level global df).
-
-        Testdata doc_ids are SEQUENTIAL, so top-bit salting over them would
-        put every posting in segment 0 and never exercise stitching
-        (round-1 ADVICE).  The entry therefore indexes under HASHED docids
-        (the engine's production id scheme) so heavy terms genuinely split
-        across segments, then maps the hits back to doc_id for the oracle.
-        """
-        from search_engine_spark.operators.index_build import build_index
-        from search_engine_spark.plans.wand import BlockMaxWand
-        from search_engine_spark.sources.corpus import load_testdata_documents
-
-        docs = load_testdata_documents(spark, sf)
         hashed = docs.withColumn(
             "docid", F.shiftrightunsigned(F.xxhash64(F.col("docid")), 1)
         )
@@ -302,44 +314,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "docid", F.shiftrightunsigned(F.xxhash64(F.col("docid")), 1).alias("h")
             ).collect()
         }
-        index = build_index(
+        salted_idx = build_index(
             spark, hashed, compress=True, title_col=None, salt_threshold=50, n_salts=4
         )
         n_seg = (
-            index.postings.groupBy("term")
+            salted_idx.postings.groupBy("term")
             .agg(F.count(F.lit(1)).alias("n"))
             .where(F.col("n") > 1)
             .count()
         )
         assert n_seg > 0, "salted build must produce multi-segment terms"
-        searcher = BlockMaxWand(index)
-        hits = searcher.search(BM25_TERMS, k=100)
-        index.unpersist()
-        ranked = sorted(
-            ((back[d], round(s, 6)) for _, d, s in hits), key=lambda x: (-x[1], x[0])
-        )[:10]
-        rows = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
-        return _ranked_literal_df(spark, rows)
+        salted_ranked = rerank(
+            BlockMaxWand(salted_idx).search(BM25_TERMS, k=100), back=back
+        )
+        salted_idx.unpersist()
+        assert salted_ranked == driver_ranked, "salted WAND diverged"
 
-    def q_bm25_wand_sharded(spark, sf):
-        """DISTRIBUTED WAND (plans.wand.ShardedWand): traversal sharded by
-        top-bit docid range inside a cogrouped applyInPandas — no
-        corpus-wide norms or postings ever reach the driver (the round-1
-        scale fix).  Must equal the same exhaustive BM25 oracle."""
-        from search_engine_spark.operators.index_build import build_index
-        from search_engine_spark.plans.wand import ShardedWand
-        from search_engine_spark.sources.corpus import load_testdata_documents
-
-        docs = load_testdata_documents(spark, sf)
-        index = build_index(spark, docs, compress=True, title_col=None)
-        searcher = ShardedWand(index, n_shards=4)
-        hits = searcher.search(BM25_TERMS, k=100)
-        searcher.close()
-        index.unpersist()
-        ranked = sorted(
-            ((d, round(s, 6)) for _, d, s in hits), key=lambda x: (-x[1], x[0])
-        )[:10]
-        rows = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+        rows = [(i + 1, d, s) for i, (d, s) in enumerate(driver_ranked)]
         return _ranked_literal_df(spark, rows)
 
     def q_bm25_engine(spark, sf):
@@ -365,10 +356,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _ranked_literal_df(spark, out)
 
     def q_bm25_incremental(spark, sf):
-        """Incremental-append correctness from the driver's seat: the corpus
-        ingested as TWO snapshots through the slice log (append_snapshot —
-        old content never re-scanned) must answer the SAME BM25 query with
-        results identical to the whole-corpus oracle."""
+        """BOTH incremental front doors in one gate entry (r2 gate-slimming:
+        the former bm25_incremental_topk / bm25_streamed keys), asserted
+        identical in-entry, hash-checked against the whole-corpus oracle:
+
+        1. batch appends: two snapshots through the slice log
+           (append_snapshot — old content never re-scanned);
+        2. Structured Streaming: the same corpus landed as two micro-batches
+           (file source, maxFilesPerTrigger=1) via stream_ingest, compacted
+           once at the end.
+        """
         import shutil
         import tempfile
 
@@ -380,7 +377,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             resumable_build,
         )
 
+        from search_engine_spark.sources.index_io import finalize_index
+        from search_engine_spark.streaming.ingest import stream_ingest
+
+        def rerank(rows):
+            return sorted(
+                ((r["docid"], round(r["score"], 6)) for r in rows),
+                key=lambda x: (-x[1], x[0]),
+            )[:10]
+
         docs = load_testdata_documents(spark, sf)
+        q = "values: " + " ".join(BM25_TERMS)
         root = tempfile.mkdtemp(prefix="gate_inc_idx_")
         try:
             resumable_build(
@@ -392,20 +399,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 snapshot_id=1, n_slices=2, compress=True, title_col=None,
             )
             eng = QueryEngine(spark, read_index(spark, root), cache_docstats=False)
-            rows = eng.search("values: " + " ".join(BM25_TERMS), k=100).collect()
+            inc_ranked = rerank(eng.search(q, k=100).collect())
         finally:
             shutil.rmtree(root, ignore_errors=True)
-        ranked = sorted(
-            ((r["docid"], round(r["score"], 6)) for r in rows),
-            key=lambda x: (-x[1], x[0]),
-        )[:10]
-        out = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+
+        work = tempfile.mkdtemp(prefix="gate_stream_idx_")
+        landing, sroot = f"{work}/landing", f"{work}/idx"
+        try:
+            for parity in (0, 1):
+                (docs.where(F.col("docid") % 2 == parity)
+                     .coalesce(1).write.mode("append").parquet(landing))
+            source = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(landing)
+            )
+            sq = stream_ingest(
+                source, sroot, finalize="manual", compress=True, title_col=None,
+                checkpoint_dir=f"{work}/ckpt",
+            )
+            sq.awaitTermination()
+            finalize_index(spark, sroot, compress=True, title_col=None)
+            eng = QueryEngine(spark, read_index(spark, sroot), cache_docstats=False)
+            stream_ranked = rerank(eng.search(q, k=100).collect())
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        assert stream_ranked == inc_ranked, "streamed ingest diverged from append"
+
+        out = [(i + 1, d, s) for i, (d, s) in enumerate(inc_ranked)]
         return _ranked_literal_df(spark, out)
 
-    def q_bm25_paginated(spark, sf):
-        """search_after pagination: ten sequential 10-row pages through the
-        cursor must reconstruct the same global top ranking as one query —
-        compared against the standard BM25 twin."""
+    def q_bm25_variants(spark, sf):
+        """Three engine search variants in one gate entry, tagged by a
+        ``variant`` column and value-checked against a UNION ALL oracle
+        (r2 gate-slimming: the former bm25_paginated / bm25_boosted /
+        bm25_filtered keys).  ONE index build serves all three:
+
+        - 'paginated': ten sequential search_after pages reconstruct the
+          same global top ranking as one query (plain BM25 twin);
+        - 'boosted': 'values: … | langs: en' with the lang facet
+          contribution ×BOOST_LANG (twin recomputes facet idf at the boost
+          weight);
+        - 'filtered': non-scoring lang equality + doclen range filter
+          (twin restricts the plain ranking to qualifying docs).
+        """
         from search_engine_spark.operators.index_build import build_index
         from search_engine_spark.plans.bm25 import QueryEngine
         from search_engine_spark.sources.corpus import load_testdata_documents
@@ -414,71 +451,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         index = build_index(spark, docs, compress=True, title_col=None)
         eng = QueryEngine(spark, index, cache_docstats=False)
         q = "values: " + " ".join(BM25_TERMS)
-        rows, cursor = [], None
+
+        def rerank(rows):
+            return sorted(
+                ((r["docid"], round(r["score"], 6)) for r in rows),
+                key=lambda x: (-x[1], x[0]),
+            )[:10]
+
+        pag_rows, cursor = [], None
         for _ in range(10):
             page = eng.search(q, k=10, after=cursor).collect()
             if not page:
                 break
-            rows += page
+            pag_rows += page
             cursor = (page[-1]["score"], page[-1]["docid"])
-        index.unpersist()
-        ranked = sorted(
-            ((r["docid"], round(r["score"], 6)) for r in rows),
-            key=lambda x: (-x[1], x[0]),
-        )[:10]
-        return _ranked_literal_df(
-            spark, [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
-        )
-
-    def q_bm25_boosted(spark, sf):
-        """BM25F-style target boosts: 'values: … | langs: en' with the lang
-        facet contribution ×{BOOST} — the twin recomputes term contribs at
-        weight 1 and the facet idf at the boost weight."""
-        from search_engine_spark.operators.index_build import build_index
-        from search_engine_spark.plans.bm25 import QueryEngine
-        from search_engine_spark.sources.corpus import load_testdata_documents
-
-        docs = load_testdata_documents(spark, sf)
-        index = build_index(spark, docs, compress=True, title_col=None)
-        eng = QueryEngine(spark, index, cache_docstats=False)
-        rows = eng.search(
-            "values: " + " ".join(BM25_TERMS) + " | langs: en",
-            k=100,
-            boosts={"lang": BOOST_LANG},
+        boost_rows = eng.search(
+            q + " | langs: en", k=100, boosts={"lang": BOOST_LANG}
+        ).collect()
+        filt_rows = eng.search(
+            q, k=100, filters={"lang": "en", "doclen": (FILTER_DOCLEN_LO, None)}
         ).collect()
         index.unpersist()
-        ranked = sorted(
-            ((r["docid"], round(r["score"], 6)) for r in rows),
-            key=lambda x: (-x[1], x[0]),
-        )[:10]
-        return _ranked_literal_df(
-            spark, [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
-        )
-
-    def q_bm25_filtered(spark, sf):
-        """Non-scoring filter clause: equality on lang + inclusive doclen
-        range — results are the unfiltered ranking restricted to qualifying
-        docs, scores unchanged (bool-filter semantics)."""
-        from search_engine_spark.operators.index_build import build_index
-        from search_engine_spark.plans.bm25 import QueryEngine
-        from search_engine_spark.sources.corpus import load_testdata_documents
-
-        docs = load_testdata_documents(spark, sf)
-        index = build_index(spark, docs, compress=True, title_col=None)
-        eng = QueryEngine(spark, index, cache_docstats=False)
-        rows = eng.search(
-            "values: " + " ".join(BM25_TERMS),
-            k=100,
-            filters={"lang": "en", "doclen": (FILTER_DOCLEN_LO, None)},
-        ).collect()
-        index.unpersist()
-        ranked = sorted(
-            ((r["docid"], round(r["score"], 6)) for r in rows),
-            key=lambda x: (-x[1], x[0]),
-        )[:10]
-        return _ranked_literal_df(
-            spark, [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
-        )
+        parts = []
+        for tag, rows in (
+            ("paginated", pag_rows), ("boosted", boost_rows), ("filtered", filt_rows)
+        ):
+            ranked = rerank(rows)
+            parts.append(
+                _ranked_literal_df(
+                    spark, [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+                ).select(F.lit(tag).alias("variant"), "rank", "doc_id", "score")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def q_match_count(spark, sf):
         """Total-match count ("about N results") through the engine."""
@@ -584,45 +591,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
         )
 
-    def q_bm25_after_delete(spark, sf):
-        """Lazy tombstones (sources/deletes.py): after delete_docs, deleted
-        docs stop matching but df/N/avgdl keep pre-delete values (Lucene
-        semantics) — the twin scores with FULL-corpus stats and excludes
-        deleted ids from results only."""
-        import shutil
-        import tempfile
+    def q_bm25_deletes(spark, sf):
+        """Delete lifecycle in one gate entry, tagged by ``variant`` and
+        value-checked against a UNION ALL oracle (r2 gate-slimming: the
+        former bm25_after_delete / bm25_after_compact keys).  ONE build +
+        ONE delete_docs serve both stages:
 
-        from search_engine_spark.operators.index_build import build_index
-        from search_engine_spark.plans.bm25 import QueryEngine
-        from search_engine_spark.sources.corpus import load_testdata_documents
-        from search_engine_spark.sources.deletes import delete_docs
-        from search_engine_spark.sources.index_io import read_index, write_index
-
-        docs = load_testdata_documents(spark, sf)
-        root = tempfile.mkdtemp(prefix="gate_del_idx_")
-        try:
-            idx = build_index(spark, docs, compress=True, title_col=None)
-            write_index(idx, root)
-            idx.unpersist()
-            delete_docs(
-                spark, root, docs.where(F.col("docid") % 7 == 0).select("docid")
-            )
-            eng = QueryEngine(spark, read_index(spark, root), cache_docstats=False)
-            rows = eng.search("values: " + " ".join(BM25_TERMS), k=100).collect()
-        finally:
-            shutil.rmtree(root, ignore_errors=True)
-        ranked = sorted(
-            ((r["docid"], round(r["score"], 6)) for r in rows),
-            key=lambda x: (-x[1], x[0]),
-        )[:10]
-        return _ranked_literal_df(
-            spark, [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
-        )
-
-    def q_bm25_after_compact(spark, sf):
-        """Compaction (sources/deletes.py): rewrite without tombstoned docs
-        + EXACT recomputed stats — must equal BM25 over the surviving
-        documents only (the twin recomputes every stat over them)."""
+        - 'delete': lazy tombstones (sources/deletes.py) — deleted docs
+          stop matching but df/N/avgdl keep pre-delete values (Lucene
+          semantics); the twin scores with FULL-corpus stats and excludes
+          deleted ids from results only;
+        - 'compact': rewrite without tombstoned docs + EXACT recomputed
+          stats — the twin recomputes every stat over the survivors.
+        """
         import shutil
         import tempfile
 
@@ -632,8 +613,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from search_engine_spark.sources.deletes import compact_index, delete_docs
         from search_engine_spark.sources.index_io import read_index, write_index
 
+        def rerank(rows):
+            return sorted(
+                ((r["docid"], round(r["score"], 6)) for r in rows),
+                key=lambda x: (-x[1], x[0]),
+            )[:10]
+
         docs = load_testdata_documents(spark, sf)
-        root = tempfile.mkdtemp(prefix="gate_cmp_idx_")
+        q = "values: " + " ".join(BM25_TERMS)
+        root = tempfile.mkdtemp(prefix="gate_del_idx_")
         try:
             idx = build_index(spark, docs, compress=True, title_col=None)
             write_index(idx, root)
@@ -641,64 +629,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             delete_docs(
                 spark, root, docs.where(F.col("docid") % 7 == 0).select("docid")
             )
+            eng = QueryEngine(spark, read_index(spark, root), cache_docstats=False)
+            del_ranked = rerank(eng.search(q, k=100).collect())
             compact_index(spark, root, f"{root}_out")
             eng = QueryEngine(
                 spark, read_index(spark, f"{root}_out"), cache_docstats=False
             )
-            rows = eng.search("values: " + " ".join(BM25_TERMS), k=100).collect()
+            cmp_ranked = rerank(eng.search(q, k=100).collect())
         finally:
             shutil.rmtree(root, ignore_errors=True)
             shutil.rmtree(f"{root}_out", ignore_errors=True)
-        ranked = sorted(
-            ((r["docid"], round(r["score"], 6)) for r in rows),
-            key=lambda x: (-x[1], x[0]),
-        )[:10]
-        return _ranked_literal_df(
-            spark, [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
-        )
-
-    def q_bm25_streamed(spark, sf):
-        """Structured Streaming ingest correctness from the driver's seat:
-        the corpus landed as TWO micro-batches (file source,
-        maxFilesPerTrigger=1) through streaming.ingest.stream_ingest — each
-        batch a slice-log snapshot, compacted once at the end — must answer
-        the SAME BM25 query identically to the whole-corpus oracle."""
-        import shutil
-        import tempfile
-
-        from search_engine_spark.plans.bm25 import QueryEngine
-        from search_engine_spark.sources.corpus import load_testdata_documents
-        from search_engine_spark.sources.index_io import finalize_index, read_index
-        from search_engine_spark.streaming.ingest import stream_ingest
-
-        docs = load_testdata_documents(spark, sf)
-        work = tempfile.mkdtemp(prefix="gate_stream_idx_")
-        landing, root = f"{work}/landing", f"{work}/idx"
-        try:
-            for parity in (0, 1):
-                (docs.where(F.col("docid") % 2 == parity)
-                     .coalesce(1).write.mode("append").parquet(landing))
-            source = (
-                spark.readStream.schema(docs.schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(landing)
+        parts = []
+        for tag, ranked in (("delete", del_ranked), ("compact", cmp_ranked)):
+            parts.append(
+                _ranked_literal_df(
+                    spark, [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+                ).select(F.lit(tag).alias("variant"), "rank", "doc_id", "score")
             )
-            q = stream_ingest(
-                source, root, finalize="manual", compress=True, title_col=None,
-                checkpoint_dir=f"{work}/ckpt",
-            )
-            q.awaitTermination()
-            finalize_index(spark, root, compress=True, title_col=None)
-            eng = QueryEngine(spark, read_index(spark, root), cache_docstats=False)
-            rows = eng.search("values: " + " ".join(BM25_TERMS), k=100).collect()
-        finally:
-            shutil.rmtree(work, ignore_errors=True)
-        ranked = sorted(
-            ((r["docid"], round(r["score"], 6)) for r in rows),
-            key=lambda x: (-x[1], x[0]),
-        )[:10]
-        out = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
-        return _ranked_literal_df(spark, out)
+        return parts[0].unionByName(parts[1])
 
     def q_facet_counts(spark, sf):
         """Faceted-search counts (QueryEngine.facet_counts): per-facet-value
@@ -725,19 +673,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= 3)
             .select("query_term", "rank", "doc_id", "score")
-        )
-
-    def q_facet_sets(spark, sf):
-        # the driver canonicalizer sorts result cells — ARRAY cells are
-        # unhashable in pandas, so the docid set ships as its JSON string
-        # (deterministic: sorted ascending, "[1,2,3]" in both engines)
-        return (
-            _raw_docs(spark, sf)
-            .groupBy(F.lower(F.col("lang")).alias("value"))
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.to_json(F.sort_array(F.collect_set("doc_id"))).alias("docids_json"),
-            )
         )
 
     def q_facet_sets_multi(spark, sf):
@@ -836,25 +771,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "a", "b", F.col("hamming").cast("int").alias("hamming")
         )
 
-    def q_cosine_topk(spark, sf):
-        from search_engine_spark.operators.similarity import cosine_topk
+    def q_vector_topk(spark, sf):
+        """Vector top-k retrieval in one entry, tagged by ``variant`` (r2
+        gate-slimming: the former cosine_topk / ann_topk / ivf_topk keys):
+
+        - 'exact': brute-force cosine (scan -> project ->
+          TakeOrderedAndProject, zero Python);
+        - 'ann': LSH-bucketed candidates, exact cosine re-rank;
+        - 'ivf': 2-probe nearest-cell candidates (md5-seeded deterministic
+          centroids), exact cosine re-rank.
+        """
+        from search_engine_spark.operators.similarity import (
+            ann_topk,
+            cosine_topk,
+            ivf_topk,
+        )
 
         emb = _raw_emb(spark, sf)
-        probe = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
-        return cosine_topk(emb, [float(x) for x in probe], k=10)
+        probe = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        ex = cosine_topk(emb, probe, k=10).select(
+            F.lit("exact").alias("variant"), "vec_id", "cosine"
+        )
+        an = ann_topk(emb, probe, k=10).select(
+            F.lit("ann").alias("variant"), "vec_id", "cosine"
+        )
+        iv = ivf_topk(emb, probe, k=10, n_cells=8, n_probes=2).select(
+            F.lit("ivf").alias("variant"), "vec_id", "cosine"
+        )
+        return ex.unionByName(an).unionByName(iv)
+
+    def q_ivf_topk_persisted(spark, sf):
+        """The PERSISTED IVF artifact (r2 verdict #4): write_ivf builds the
+        cell-partitioned vector table + centroid meta ONCE; the query ranks
+        cells driver-side against the stored centroids and runs an exact
+        cosine re-rank over a partition-pruned scan — no per-query corpus
+        assignment job (plan pinned by
+        tests/test_pipeline_ops.py::test_ivf_persisted_query_is_partition_pruned).
+        Same oracle as the per-query IVF path."""
+        import shutil
+        import tempfile
+
+        from search_engine_spark.operators.similarity import (
+            ivf_topk_persisted,
+            write_ivf,
+        )
+
+        emb = _raw_emb(spark, sf)
+        probe = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        root = tempfile.mkdtemp(prefix="gate_ivf_")
+        try:
+            write_ivf(spark, emb, root, n_cells=8)
+            rows = [
+                (r["vec_id"], r["cosine"])
+                for r in ivf_topk_persisted(spark, root, probe, k=10, n_probes=2).collect()
+            ]
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(v).cast("long").alias("vec_id"),
+                    F.lit(c).cast("double").alias("cosine"),
+                )
+                for v, c in rows
+            ]
+        )
+        if not rows:
+            return spark.createDataFrame([], "vec_id long, cosine double")
+        return (
+            spark.range(1)
+            .select(F.explode(arr).alias("x"))
+            .select("x.vec_id", "x.cosine")
+        )
 
     def q_ann_buckets(spark, sf):
         from search_engine_spark.operators.similarity import lsh_buckets
 
         return lsh_buckets(_raw_emb(spark, sf), n_planes=6, dim=64)
-
-    def q_ann_topk(spark, sf):
-        """LSH-bucketed ANN: probe-bucket candidates, exact cosine re-rank."""
-        from search_engine_spark.operators.similarity import ann_topk
-
-        emb = _raw_emb(spark, sf)
-        probe = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
-        return ann_topk(emb, [float(x) for x in probe], k=10)
 
     def q_ivf_assign(spark, sf):
         """IVF cell assignment (operators/similarity.py) — md5-seeded
@@ -864,33 +857,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ivf_assign(_raw_emb(spark, sf), n_cells=8)
 
-    def q_ivf_topk(spark, sf):
-        """IVF ANN: 2-probe nearest-cell candidates, exact cosine re-rank."""
-        from search_engine_spark.operators.similarity import ivf_topk
-
-        emb = _raw_emb(spark, sf)
-        probe = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
-        return ivf_topk(emb, [float(x) for x in probe], k=10, n_cells=8, n_probes=2)
-
     def q_hash_split(spark, sf):
         """Deterministic md5 train/val/test split (operators/pipeline.py)."""
         from search_engine_spark.operators.pipeline import hash_split
 
         return hash_split(_raw_docs(spark, sf))
-
-    def q_stemmed_tf(spark, sf):
-        """Porter-stemmed forward index (north_star tokenize/stem path) —
-        vectorized Arrow UDF.  SQL twin: generated (term → stem) lookup from
-        the INDEPENDENT second Porter implementation (see oracle_sql)."""
-        from search_engine_spark.operators.tokenize import doc_terms
-
-        docs = _raw_docs(spark, sf).select(
-            F.col("doc_id").alias("docid"), F.col("text").alias("content")
-        )
-        return (
-            doc_terms(docs, stem=True, title_col=None)
-            .select("docid", "term", "tf")
-        )
 
     def q_positions_tf(spark, sf):
         """Positional forward stream: ordinal in the surviving cleaned
@@ -905,48 +876,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("docid").alias("doc_id"), "pos", "term"
         )
 
-    def q_phrase_match(spark, sf):
-        """Exact-phrase occurrence counts via positional postings
-        (plans/phrase.py) — array_intersect adjacency, no explode."""
+    def q_phrase_occurrences(spark, sf):
+        """Positional occurrence counting in one entry, tagged by
+        ``variant`` (r2 gate-slimming: the former phrase_match /
+        proximity_match keys); ONE positional build serves both:
+
+        - 'phrase': exact-phrase counts via positional postings
+          (plans/phrase.phrase_match — array_intersect adjacency);
+        - 'proximity': ordered near-match counts (near_match, gap=PROX_GAP
+          — chain-completing end positions; twin: range self-joins +
+          count(DISTINCT last.pos)).
+        """
         from search_engine_spark.operators.positions import build_positions
-        from search_engine_spark.plans.phrase import phrase_match
+        from search_engine_spark.plans.phrase import near_match, phrase_match
 
         docs = _raw_docs(spark, sf).select(
             F.col("doc_id").alias("docid"), F.col("text").alias("content")
         )
         pos = build_positions(docs)
-        return phrase_match(pos, " ".join(PHRASE_TERMS)).select(
-            F.col("docid").alias("doc_id"), "phrase_tf"
+        pos.cache()
+        ph = phrase_match(pos, " ".join(PHRASE_TERMS)).select(
+            F.lit("phrase").alias("variant"),
+            F.col("docid").alias("doc_id"),
+            F.col("phrase_tf").alias("n"),
         )
+        nm = near_match(pos, " ".join(PHRASE_TERMS), gap=PROX_GAP).select(
+            F.lit("proximity").alias("variant"),
+            F.col("docid").alias("doc_id"),
+            F.col("near_tf").alias("n"),
+        )
+        return ph.unionByName(nm)
 
-    def q_phrase_topk(spark, sf):
-        """BM25-scored phrase top-k through the full positional index
-        (build_index(positions=True) → phrase_topk)."""
+    def q_phrase_ranked(spark, sf):
+        """Phrase SCORING in one entry, tagged by ``variant`` (r2
+        gate-slimming: the former phrase_topk / bm25_phrase_mixed keys):
+
+        - 'phrase_only': BM25-scored phrase top-k (plans/phrase.phrase_topk
+          — the phrase as a single pseudo-term over the positional index);
+        - 'mixed': the ENGINE's phrases="positional" path — plain term +
+          quoted phrase in one OR accumulation (QueryEngine.search),
+          k-buffer re-ranked by the rounded score to match the oracle.
+        """
         from search_engine_spark.operators.index_build import build_index
+        from search_engine_spark.plans.bm25 import QueryEngine
         from search_engine_spark.plans.phrase import phrase_topk
+        from search_engine_spark.sources.corpus import load_testdata_documents
 
-        docs = _raw_docs(spark, sf).select(
-            F.col("doc_id").alias("docid"), F.col("text").alias("content")
+        phrase = " ".join(PHRASE_TERMS)
+        full = load_testdata_documents(spark, sf)
+        index = build_index(spark, full, compress=True, title_col=None, positions=True)
+        ph = phrase_topk(index, phrase, k=10).select(
+            F.lit("phrase_only").alias("variant"),
+            "rank", F.col("docid").alias("doc_id"), "score",
         )
-        idx = build_index(spark, docs, title_col=None, positions=True)
-        return phrase_topk(idx, " ".join(PHRASE_TERMS), k=10).select(
-            "rank", F.col("docid").alias("doc_id"), "score"
+        ph_rows = [(r["rank"], r["doc_id"], r["score"]) for r in ph.collect()]
+        eng = QueryEngine(spark, index, cache_docstats=False)
+        rows = eng.search(
+            f'values: {MIXED_TERM} "{phrase}"', k=100, phrases="positional"
+        ).collect()
+        index.unpersist()
+        ranked = sorted(
+            ((r["docid"], round(r["score"], 6)) for r in rows),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        mixed = _ranked_literal_df(
+            spark, [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+        ).select(F.lit("mixed").alias("variant"), "rank", "doc_id", "score")
+        ph_lit = _ranked_literal_df(spark, ph_rows).select(
+            F.lit("phrase_only").alias("variant"), "rank", "doc_id", "score"
         )
-
-    def q_proximity_match(spark, sf):
-        """Ordered proximity (plans/phrase.near_match, gap=PROX_GAP):
-        chain-completing end-position counts.  SQL twin: range self-joins
-        + count(DISTINCT last.pos)."""
-        from search_engine_spark.operators.positions import build_positions
-        from search_engine_spark.plans.phrase import near_match
-
-        docs = _raw_docs(spark, sf).select(
-            F.col("doc_id").alias("docid"), F.col("text").alias("content")
-        )
-        pos = build_positions(docs)
-        return near_match(pos, " ".join(PHRASE_TERMS), gap=PROX_GAP).select(
-            F.col("docid").alias("doc_id"), "near_tf"
-        )
+        return ph_lit.unionByName(mixed)
 
     def q_snippet_windows(spark, sf):
         """Distributed best-passage selection (plans/snippet.best_windows):
@@ -995,12 +994,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("docid").alias("doc_id"), "term", "tf"
         )
 
-    def q_substring_search(spark, sf):
-        """Trigram-index substring search (operators/trigrams.py): build the
-        gram postings, intersect the pattern's required trigrams, verify
-        candidates with an exact contains — identical to a full scan."""
+    def q_trigram_search(spark, sf):
+        """Trigram-index code search in one entry, tagged by ``variant``
+        (r2 gate-slimming: the former substring_search / regex_search
+        keys); ONE gram build serves both.  The oracle is the brute-force
+        scan — the trigram index is a pruning device, results must be
+        identical:
+
+        - 'substring': literal pattern, candidates = docs containing ALL
+          required trigrams, exact contains verify + occurrence count;
+        - 'regex': literal-anchored candidates from the longest mandatory
+          literal run, rlike verify (no occurrence count -> n = -1).
+        """
         from search_engine_spark.operators.trigrams import (
             build_trigrams,
+            regex_search,
             substring_search,
             trigram_df,
         )
@@ -1009,82 +1017,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id").alias("docid"), F.col("text").alias("content")
         )
         grams = build_trigrams(docs)
-        return substring_search(
-            docs, SUBSTR_PATTERN, grams=grams, gram_df=trigram_df(grams),
-            max_grams=4,
-        ).select(F.col("docid").alias("doc_id"), "n_occurrences")
-
-    def q_regex_search(spark, sf):
-        """Literal-anchored regex search: trigram candidates from the
-        longest mandatory literal run, rlike-verified."""
-        from search_engine_spark.operators.trigrams import (
-            build_trigrams,
-            regex_search,
+        grams.cache()
+        gdf = trigram_df(grams)
+        sub = substring_search(
+            docs, SUBSTR_PATTERN, grams=grams, gram_df=gdf, max_grams=4
+        ).select(
+            F.lit("substring").alias("variant"),
+            F.col("docid").alias("doc_id"),
+            F.col("n_occurrences").cast("int").alias("n"),
         )
-
-        docs = _raw_docs(spark, sf).select(
-            F.col("doc_id").alias("docid"), F.col("text").alias("content")
+        rex = regex_search(
+            docs, REGEX_PATTERN, grams=grams, gram_df=gdf
+        ).select(
+            F.lit("regex").alias("variant"),
+            F.col("docid").alias("doc_id"),
+            F.lit(-1).cast("int").alias("n"),
         )
-        return regex_search(docs, REGEX_PATTERN, grams=build_trigrams(docs)).select(
-            F.col("docid").alias("doc_id")
-        )
-
-    def q_bm25_phrase_mixed(spark, sf):
-        """The ENGINE's positional-phrase path: QueryEngine.search with a
-        mixed query (plain term + quoted phrase, phrases="positional") —
-        term contribution from the tf postings, phrase pseudo-term
-        contribution from the positional postings, one OR accumulation.
-        Engine ranks by raw score; re-rank the k-buffer by the rounded
-        score (doc_id tie-break) to match the oracle's round-then-order."""
-        from search_engine_spark.operators.index_build import build_index
-        from search_engine_spark.plans.bm25 import QueryEngine
-        from search_engine_spark.sources.corpus import load_testdata_documents
-
-        docs = load_testdata_documents(spark, sf)
-        index = build_index(spark, docs, compress=True, title_col=None, positions=True)
-        eng = QueryEngine(spark, index, cache_docstats=False)
-        phrase = " ".join(PHRASE_TERMS)
-        rows = eng.search(
-            f'values: {MIXED_TERM} "{phrase}"', k=100, phrases="positional"
-        ).collect()
-        index.unpersist()
-        ranked = sorted(
-            ((r["docid"], round(r["score"], 6)) for r in rows),
-            key=lambda x: (-x[1], x[0]),
-        )[:10]
-        out = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
-        return _ranked_literal_df(spark, out)
+        return sub.unionByName(rex)
 
     def q_embedding_near_dup(spark, sf):
         from search_engine_spark.operators.similarity import embedding_near_dup
 
         return embedding_near_dup(_raw_emb(spark, sf), threshold=NEAR_DUP_TAU)
 
-    def q_lang_id(spark, sf):
-        from search_engine_spark.operators.textstats import lang_id
+    def q_text_stats(spark, sf):
+        """The full per-document text-analysis profile in ONE entry, the
+        four operators joined on doc_id (r2 gate-slimming: the former
+        lang_id / quality_score / token_count / fingerprint keys).  All
+        four are map-only columnar passes over the same scan; the join
+        keys are unique per frame so the row count stays n_docs.
 
-        return lang_id(_raw_docs(spark, sf))
+        Columns: pred_lang + per-language marker scores (lang_id), token/
+        quality components (quality_score), BPE-ish piece count
+        (token_count), min-shingle-hash fingerprint (fingerprint)."""
+        from search_engine_spark.operators.textstats import (
+            fingerprint,
+            lang_id,
+            quality_score,
+            token_count,
+        )
 
-    def q_quality(spark, sf):
-        from search_engine_spark.operators.textstats import quality_score
-
-        return quality_score(_raw_docs(spark, sf))
-
-    def q_token_count(spark, sf):
-        from search_engine_spark.operators.textstats import token_count
-
-        return token_count(_raw_docs(spark, sf))
-
-    def q_fingerprint(spark, sf):
-        from search_engine_spark.operators.textstats import fingerprint
-
-        return fingerprint(_raw_docs(spark, sf))
-
-    def q_binary_meta(spark, sf):
-        from search_engine_spark.operators.multimodal import attach_fake_binary, sniff_kind
-
-        b = attach_fake_binary(_raw_docs(spark, sf))
-        return sniff_kind(b).select("doc_id", "n_bytes", "kind")
+        docs = _raw_docs(spark, sf)
+        docs.cache()
+        li = lang_id(docs)
+        qs = quality_score(docs)
+        tc = token_count(docs).select("doc_id", "n_pieces")
+        fp = fingerprint(docs).select("doc_id", "fingerprint")
+        return li.join(qs, "doc_id").join(tc, "doc_id").join(fp, "doc_id")
 
     def q_events_windowed(spark, sf):
         """Tumbling-window event analytics (operators/events.py) — the same
@@ -1133,15 +1112,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shutil.rmtree(work, ignore_errors=True)
         return totals
 
-    def q_pii_redact(spark, sf):
-        """Regex PII redaction (operators/scrub.py).  The sf word-soup has
-        no PII, so the entry INJECTS deterministic doc_id-derived PII with
-        the identical expression on both engines — the operator is
-        value-checked on genuinely non-trivial input; the redacted text
-        ships as sha256 (scalar, driver-canonicalizer-safe)."""
-        from search_engine_spark.operators.scrub import pii_redact
+    def q_scrub_stats(spark, sf):
+        """PII redaction + Gopher-style repetition profile joined on doc_id
+        (r2 gate-slimming: the former pii_redact / repetition_stats keys).
+
+        The sf word-soup has no PII, so the entry INJECTS deterministic
+        doc_id-derived PII with the identical expression on both engines —
+        the redaction operator is value-checked on genuinely non-trivial
+        input; the redacted text ships as sha256 (scalar, driver-
+        canonicalizer-safe).  The repetition profile runs over the ORIGINAL
+        text (operators/scrub.py)."""
+        from search_engine_spark.operators.scrub import pii_redact, repetition_stats
 
         docs = _raw_docs(spark, sf)
+        docs.cache()
         did = F.col("doc_id")
         inject = (
             F.when(
@@ -1158,27 +1142,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .otherwise(F.lit("+1 555 867 5309 "))
         )
         dirty = docs.select("doc_id", F.concat(inject, F.col("text")).alias("text"))
-        return pii_redact(dirty).select(
+        pii = pii_redact(dirty).select(
             "doc_id",
             "n_emails",
             "n_ipv4",
             "n_phones",
             F.sha2(F.col("redacted"), 256).alias("redacted_sha256"),
         )
-
-    def q_repetition(spark, sf):
-        """Gopher-style repetition profile (operators/scrub.py)."""
-        from search_engine_spark.operators.scrub import repetition_stats
-
-        return repetition_stats(_raw_docs(spark, sf))
+        rep = repetition_stats(docs)
+        return pii.join(rep, "doc_id")
 
     def q_mm_features(spark, sf):
-        """mapInPandas feature extraction — VALUE-checked against DuckDB.
+        """mapInPandas multimodal pipeline — VALUE-checked against DuckDB
+        (also subsumes the former binary_meta key: n_bytes + kind ride
+        along).
 
-        The fake features are sha256(hex(payload))-derived (reproducible in
-        any SQL engine), and each of the 8 dims ships as its own rounded
-        scalar column: the driver canonicalizer cannot sort ARRAY cells
-        (round-1 gate error), scalars it hashes fine."""
+        The synthetic payload is a STRUCTURALLY VALID PNG (signature +
+        IHDR with doc_id-derived width/height), so the REAL pure-Python
+        header decoder (decode_png_meta, r2 verdict #7) contributes
+        non-synthetic signal: width/height/bit_depth/color_type are parsed
+        from the binary, and the twin re-derives them from doc_id.  The
+        fake features are sha256(hex(payload))-derived (reproducible in
+        any SQL engine), each dim shipped as its own rounded scalar column
+        (the driver canonicalizer cannot sort ARRAY cells)."""
         from search_engine_spark.operators.multimodal import (
             FEATURE_DIM,
             attach_fake_binary,
@@ -1190,6 +1176,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             "n_bytes",
             "kind",
+            "width",
+            "height",
+            "bit_depth",
+            "color_type",
             *[
                 F.round(F.col("features")[i], 6).alias(f"f{i}")
                 for i in range(FEATURE_DIM)
@@ -1197,33 +1187,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     return {
+        # --- previously driver-unverified content first (r2 verdict #1) ---
+        "trigram_search": q_trigram_search,
+        "code_tokens": q_code_tokens,
+        "fuzzy_terms": q_fuzzy_terms,
+        "text_stats": q_text_stats,
+        "scrub_stats": q_scrub_stats,
+        "mm_features": q_mm_features,
+        "events_windowed": q_events_windowed,
+        "events_sessionize": q_events_sessionize,
+        "events_stateful_totals": q_events_stateful_totals,
+        "ivf_topk_persisted": q_ivf_topk_persisted,
+        # --- core build + query surface ---
         "tokenize_tf": q_tokenize_tf,
         "dictionary_df": q_dictionary,
         "docstats": q_docstats,
         "corpus_stats": q_corpus_stats,
         "bm25_topk_or": q_bm25_or,
         "bm25_topk_and": q_bm25_and,
-        "bm25_topk_wand": q_bm25_wand,
+        "bm25_wand_paths": q_bm25_wand,
         "bm25_engine_topk": q_bm25_engine,
-        "bm25_wand_salted": q_bm25_wand_salted,
-        "bm25_wand_sharded": q_bm25_wand_sharded,
-        "bm25_incremental_topk": q_bm25_incremental,
-        "bm25_streamed": q_bm25_streamed,
-        "bm25_after_delete": q_bm25_after_delete,
-        "bm25_after_compact": q_bm25_after_compact,
+        "bm25_ingest_paths": q_bm25_incremental,
+        "bm25_deletes": q_bm25_deletes,
+        "bm25_variants": q_bm25_variants,
         "more_like_this": q_more_like_this,
-        "bm25_paginated": q_bm25_paginated,
-        "bm25_boosted": q_bm25_boosted,
-        "bm25_filtered": q_bm25_filtered,
         "match_count": q_match_count,
         "hybrid_rrf": q_hybrid_rrf,
         "bm25_prefix": q_bm25_prefix,
         "topk_per_query": q_topk_per_query,
         "search_facet_counts": q_facet_counts,
-        "facet_sets": q_facet_sets,
         "facet_sets_multi": q_facet_sets_multi,
         "stopword_tf": q_stopword_tf,
         "scan_filter": q_scan_filter,
+        # --- positional / snippets ---
+        "positions_tf": q_positions_tf,
+        "phrase_occurrences": q_phrase_occurrences,
+        "phrase_ranked": q_phrase_ranked,
+        "snippet_windows": q_snippet_windows,
+        # --- training-data pipeline ---
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash,
         "lsh_candidate_pairs": q_lsh_pairs,
@@ -1232,35 +1233,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
-        "cosine_topk": q_cosine_topk,
+        "vector_topk": q_vector_topk,
         "ann_lsh_buckets": q_ann_buckets,
         "embedding_near_dup": q_embedding_near_dup,
-        "ann_topk": q_ann_topk,
         "ivf_assign": q_ivf_assign,
-        "ivf_topk": q_ivf_topk,
         "hash_split": q_hash_split,
-        "stemmed_tf": q_stemmed_tf,
-        "positions_tf": q_positions_tf,
-        "phrase_match": q_phrase_match,
-        "phrase_topk": q_phrase_topk,
-        "proximity_match": q_proximity_match,
-        "bm25_phrase_mixed": q_bm25_phrase_mixed,
-        "snippet_windows": q_snippet_windows,
-        "substring_search": q_substring_search,
-        "regex_search": q_regex_search,
-        "code_tokens": q_code_tokens,
-        "fuzzy_terms": q_fuzzy_terms,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality,
-        "token_count": q_token_count,
-        "fingerprint": q_fingerprint,
-        "binary_meta": q_binary_meta,
-        "mm_features": q_mm_features,
-        "pii_redact": q_pii_redact,
-        "repetition_stats": q_repetition,
-        "events_windowed": q_events_windowed,
-        "events_sessionize": q_events_sessionize,
-        "events_stateful_totals": q_events_stateful_totals,
     }
 
 
@@ -1490,7 +1467,21 @@ def _stem_lookup_values() -> str:
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
-    sql["tokenize_tf"] = _TF_SQL
+    # merged plain + porter forward index (analyzer tag) — the porter twin
+    # is the generated (term → stem) lookup from the INDEPENDENT second
+    # Porter implementation (see the stemmed_tf note below)
+    stem_values = _stem_lookup_values()
+    sql["tokenize_tf"] = f"""
+SELECT 'plain' AS analyzer, doc_id, term, tf FROM ({_TF_SQL})
+UNION ALL
+SELECT 'porter' AS analyzer, doc_id, term, tf FROM (
+  WITH tf AS ({_TF_SQL}),
+  sm AS (SELECT * FROM (VALUES {stem_values}) AS v(term, stem))
+  SELECT tf.doc_id, sm.stem AS term, CAST(sum(tf.tf) AS INT) AS tf
+  FROM tf JOIN sm ON tf.term = sm.term
+  GROUP BY tf.doc_id, sm.stem
+)
+""" if stem_values else f"SELECT 'plain' AS analyzer, doc_id, term, tf FROM ({_TF_SQL})"
 
     sql["dictionary_df"] = (
         f"SELECT term, CAST(count(*) AS BIGINT) AS df FROM ({_TF_SQL}) GROUP BY term"
@@ -1510,9 +1501,13 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
 
     sql["positions_tf"] = f"SELECT doc_id, pos, term FROM ({_POS_SQL})"
 
-    sql["phrase_match"] = _phrase_match_sql(PHRASE_TERMS)
-
-    sql["proximity_match"] = _near_match_sql(PHRASE_TERMS, PROX_GAP)
+    sql["phrase_occurrences"] = f"""
+SELECT 'phrase' AS variant, doc_id, CAST(phrase_tf AS INT) AS n
+FROM ({_phrase_match_sql(PHRASE_TERMS)})
+UNION ALL
+SELECT 'proximity' AS variant, doc_id, CAST(near_tf AS INT) AS n
+FROM ({_near_match_sql(PHRASE_TERMS, PROX_GAP)})
+"""
 
     # snippet_windows: occurrence-anchored best-coverage window; ties →
     # highest distinct-term count, then earliest start (the exact struct
@@ -1535,16 +1530,15 @@ QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY n_terms DESC, win_start 
 
     # trigram substring/regex search: the oracle is the brute-force scan —
     # the trigram index is a pruning device, results must be identical
-    sql["substring_search"] = f"""
-SELECT doc_id,
+    sql["trigram_search"] = f"""
+SELECT 'substring' AS variant, doc_id,
        CAST((length(text) - length(replace(text, '{SUBSTR_PATTERN}', '')))
-            / length('{SUBSTR_PATTERN}') AS INT) AS n_occurrences
+            / length('{SUBSTR_PATTERN}') AS INT) AS n
 FROM documents
 WHERE contains(text, '{SUBSTR_PATTERN}')
-"""
-
-    sql["regex_search"] = f"""
-SELECT doc_id FROM documents WHERE regexp_matches(text, '{REGEX_PATTERN}')
+UNION ALL
+SELECT 'regex' AS variant, doc_id, CAST(-1 AS INT) AS n
+FROM documents WHERE regexp_matches(text, '{REGEX_PATTERN}')
 """
 
     # fuzzy terms: the oracle is the brute-force dictionary levenshtein scan
@@ -1570,7 +1564,8 @@ SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM (
 
     # phrase as ONE pseudo-term: tf = occurrence count, df = matching docs;
     # doclen/avgdl from the same tf table the term engine uses
-    sql["phrase_topk"] = f"""
+    sql["phrase_ranked"] = f"""
+SELECT 'phrase_only' AS variant, rank, doc_id, score FROM (
 WITH tf AS ({_TF_SQL}),
 stats AS (
   SELECT (SELECT count(*) FROM documents) AS n_docs,
@@ -1591,12 +1586,9 @@ scored AS (
 )
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
-"""
-
-    # mixed query: term contribution (tf postings) + phrase pseudo-term
-    # contribution (positional postings), OR-accumulated per doc — the
-    # engine's phrases="positional" semantics
-    sql["bm25_phrase_mixed"] = f"""
+)
+UNION ALL
+SELECT 'mixed' AS variant, rank, doc_id, score FROM (
 WITH tf AS ({_TF_SQL}),
 stats AS (
   SELECT (SELECT count(*) FROM documents) AS n_docs,
@@ -1628,22 +1620,28 @@ agg AS (
 )
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
 FROM agg ORDER BY score DESC, doc_id LIMIT 10
+)
 """
 
     sql["bm25_topk_or"] = _bm25_sql(BM25_TERMS, and_mode=False)
     sql["bm25_topk_and"] = _bm25_sql(AND_TERMS, and_mode=True)
-    # WAND is lossless pruning — its oracle IS the exhaustive BM25 top-k;
-    # the persisted-engine path answers the same query, so same twin
-    sql["bm25_topk_wand"] = _bm25_sql(BM25_TERMS, and_mode=False)
+    # WAND is lossless pruning — the oracle for all three WAND paths
+    # (driver / salted / sharded, asserted identical in-entry) IS the
+    # exhaustive BM25 top-k; same for the persisted-engine path and both
+    # incremental front doors (append ≡ streamed, asserted in-entry)
+    sql["bm25_wand_paths"] = _bm25_sql(BM25_TERMS, and_mode=False)
     sql["bm25_engine_topk"] = _bm25_sql(BM25_TERMS, and_mode=False)
-    sql["bm25_wand_salted"] = _bm25_sql(BM25_TERMS, and_mode=False)
-    sql["bm25_wand_sharded"] = _bm25_sql(BM25_TERMS, and_mode=False)
-    sql["bm25_incremental_topk"] = _bm25_sql(BM25_TERMS, and_mode=False)
+    sql["bm25_ingest_paths"] = _bm25_sql(BM25_TERMS, and_mode=False)
 
     # lazy delete: FULL-corpus stats (df/N/avgdl pre-delete), deleted ids
     # excluded from results only — Lucene semantics until compaction
     _del_tlist = ", ".join(f"'{t}'" for t in BM25_TERMS)
-    sql["bm25_after_delete"] = f"""
+    # delete + compact lifecycle in one tagged twin (bm25_deletes)
+    _compact_twin = _bm25_sql(BM25_TERMS, and_mode=False).replace(
+        "FROM documents", "FROM documents WHERE doc_id % 7 != 0"
+    )
+    sql["bm25_deletes"] = f"""
+SELECT 'delete' AS variant, rank, doc_id, score FROM (
 WITH tf AS ({_TF_SQL}),
 stats AS (
   SELECT (SELECT count(*) FROM documents) AS n_docs,
@@ -1662,37 +1660,14 @@ scored AS (
 agg AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY doc_id)
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
 FROM agg ORDER BY score DESC, doc_id LIMIT 10
+)
+UNION ALL
+SELECT 'compact' AS variant, rank, doc_id, score FROM ({_compact_twin})
 """
 
     # filter clause: the plain BM25 ranking restricted to qualifying docs —
     # same contributions, rows dropped by lang equality + doclen range
     _f_tlist = ", ".join(f"'{t}'" for t in BM25_TERMS)
-    sql["bm25_filtered"] = f"""
-WITH tf AS ({_TF_SQL}),
-stats AS (
-  SELECT (SELECT count(*) FROM documents) AS n_docs,
-         (SELECT CAST(sum(tf) AS DOUBLE) FROM tf) / (SELECT count(*) FROM documents) AS avgdl
-),
-dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
-dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf WHERE term IN ({_f_tlist}) GROUP BY term),
-scored AS (
-  SELECT tf.doc_id,
-         ln((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
-           * tf.tf * {K1 + 1.0}
-           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS contrib
-  FROM tf JOIN dfs ON tf.term = dfs.term JOIN dl ON tf.doc_id = dl.doc_id, stats
-),
-agg AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY doc_id),
-flt AS (
-  SELECT a.doc_id, a.score
-  FROM agg a JOIN documents d ON a.doc_id = d.doc_id
-       JOIN dl ON a.doc_id = dl.doc_id
-  WHERE lower(d.lang) = 'en' AND dl.dl >= {FILTER_DOCLEN_LO}
-)
-SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
-FROM flt ORDER BY score DESC, doc_id LIMIT 10
-"""
-
     sql["match_count"] = f"""
 SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
 FROM ({_TF_SQL}) WHERE term IN ({_f_tlist})
@@ -1802,27 +1777,22 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc
 FROM agg ORDER BY score DESC, doc_id LIMIT 10
 """
 
-    # compaction: every statistic recomputed over the SURVIVORS — identical
-    # to the plain BM25 twin with the documents view pre-filtered
-    sql["bm25_after_compact"] = _bm25_sql(BM25_TERMS, and_mode=False).replace(
-        "FROM documents", "FROM documents WHERE doc_id % 7 != 0"
-    )
-    # streamed ingest compacts into the same index tables — same twin
-    sql["bm25_streamed"] = _bm25_sql(BM25_TERMS, and_mode=False)
-    # pagination reconstructs the same global ranking → same twin
-    sql["bm25_paginated"] = _bm25_sql(BM25_TERMS, and_mode=False)
-
-    # boosted mixed query: term contribs at weight 1 + facet idf × boost
-    # (this twin also pins the facet-contribution formula in SQL)
-    _b_tlist = ", ".join(f"'{t}'" for t in BM25_TERMS)
-    sql["bm25_boosted"] = f"""
+    # three engine variants, one tagged twin (bm25_variants):
+    # paginated reconstructs the plain ranking; boosted = term contribs
+    # at weight 1 + facet idf x boost; filtered = plain ranking
+    # restricted to lang/doclen-qualifying docs
+    _plain_twin = _bm25_sql(BM25_TERMS, and_mode=False)
+    sql["bm25_variants"] = f"""
+SELECT 'paginated' AS variant, rank, doc_id, score FROM ({_plain_twin})
+UNION ALL
+SELECT 'boosted' AS variant, rank, doc_id, score FROM (
 WITH tf AS ({_TF_SQL}),
 stats AS (
   SELECT (SELECT count(*) FROM documents) AS n_docs,
          (SELECT CAST(sum(tf) AS DOUBLE) FROM tf) / (SELECT count(*) FROM documents) AS avgdl
 ),
 dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
-dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf WHERE term IN ({_b_tlist}) GROUP BY term),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf WHERE term IN ({_f_tlist}) GROUP BY term),
 term_scored AS (
   SELECT tf.doc_id,
          ln((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
@@ -1843,6 +1813,33 @@ agg AS (
 )
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
 FROM agg ORDER BY score DESC, doc_id LIMIT 10
+)
+UNION ALL
+SELECT 'filtered' AS variant, rank, doc_id, score FROM (
+WITH tf AS ({_TF_SQL}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM tf) / (SELECT count(*) FROM documents) AS avgdl
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf WHERE term IN ({_f_tlist}) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+           * tf.tf * {K1 + 1.0}
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS contrib
+  FROM tf JOIN dfs ON tf.term = dfs.term JOIN dl ON tf.doc_id = dl.doc_id, stats
+),
+agg AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY doc_id),
+flt AS (
+  SELECT a.doc_id, a.score
+  FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+       JOIN dl ON a.doc_id = dl.doc_id
+  WHERE lower(d.lang) = 'en' AND dl.dl >= {FILTER_DOCLEN_LO}
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
+FROM flt ORDER BY score DESC, doc_id LIMIT 10
+)
 """
 
     # events analytics: window keys are epoch-second arithmetic, immune to
@@ -1923,13 +1920,6 @@ ranked AS (
   FROM scored
 )
 SELECT query_term, rank, doc_id, score FROM ranked WHERE rank <= 3
-"""
-
-    sql["facet_sets"] = """
-SELECT lower(lang) AS value, CAST(count(*) AS BIGINT) AS n_docs,
-       '[' || array_to_string(list(DISTINCT doc_id ORDER BY doc_id), ',') || ']'
-         AS docids_json
-FROM documents GROUP BY lower(lang)
 """
 
     sql["facet_sets_multi"] = """
@@ -2040,32 +2030,7 @@ FROM sh l JOIN sh r ON l.doc_id < r.doc_id
 WHERE bit_count(xor(l.simhash, r.simhash)) <= 2
 """
 
-    sql["cosine_topk"] = """
-WITH p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0)
-SELECT vec_id,
-       round(list_dot_product(embedding::DOUBLE[], pe)
-             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                * sqrt(list_dot_product(pe, pe))), 6) AS cosine
-FROM embeddings, p
-ORDER BY cosine DESC, vec_id LIMIT 10
-"""
-
     sql["ann_lsh_buckets"] = _ann_buckets_sql()
-
-    sql["ann_topk"] = f"""
-WITH buckets AS ({_ann_buckets_sql()}),
-p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0),
-pb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
-cand AS (
-  SELECT e.vec_id, e.embedding::DOUBLE[] AS ve
-  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id, pb
-  WHERE b.bucket = pb.bucket
-)
-SELECT vec_id,
-       round(list_dot_product(ve, pe)
-             / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(pe, pe))), 6) AS cosine
-FROM cand, p ORDER BY cosine DESC, vec_id LIMIT 10
-"""
 
     # IVF: centroid seeds = the n_cells rows with the smallest
     # md5(CAST(vec_id AS VARCHAR)) (ties → smaller id) — identical sample
@@ -2093,7 +2058,55 @@ FROM cand, p ORDER BY cosine DESC, vec_id LIMIT 10
 
     sql["ivf_assign"] = f"SELECT vec_id, cell, cell_cos FROM ({_IVF_ASSIGN})"
 
-    sql["ivf_topk"] = f"""
+    # exact / LSH-ANN / IVF top-k, one tagged twin (vector_topk); the
+    # persisted-IVF entry answers the identical IVF query from its
+    # cell-partitioned artifact, so it reuses the IVF body verbatim
+    sql["vector_topk"] = f"""
+SELECT 'exact' AS variant, vec_id, cosine FROM (
+WITH p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], pe)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(pe, pe))), 6) AS cosine
+FROM embeddings, p
+ORDER BY cosine DESC, vec_id LIMIT 10
+)
+UNION ALL
+SELECT 'ann' AS variant, vec_id, cosine FROM (
+WITH buckets AS ({_ann_buckets_sql()}),
+p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0),
+pb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS ve
+  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id, pb
+  WHERE b.bucket = pb.bucket
+)
+SELECT vec_id,
+       round(list_dot_product(ve, pe)
+             / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(pe, pe))), 6) AS cosine
+FROM cand, p ORDER BY cosine DESC, vec_id LIMIT 10
+)
+UNION ALL
+SELECT 'ivf' AS variant, vec_id, cosine FROM (
+WITH p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0),
+cells AS (
+  SELECT s.cid FROM ({_IVF_SEEDS}) s, p
+  ORDER BY {_COS.format(a="pe", b="s.cvec")} DESC, s.cid ASC LIMIT 2
+),
+assigned AS ({_IVF_ASSIGN}),
+cand AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS ve
+  FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+  WHERE a.cell IN (SELECT cid FROM cells)
+)
+SELECT vec_id,
+       round(list_dot_product(ve, pe)
+             / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(pe, pe))), 6) AS cosine
+FROM cand, p ORDER BY cosine DESC, vec_id LIMIT 10
+)
+"""
+
+    sql["ivf_topk_persisted"] = f"""
 WITH p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0),
 cells AS (
   SELECT s.cid FROM ({_IVF_SEEDS}) s, p
@@ -2125,23 +2138,6 @@ SELECT doc_id, round(u, 6) AS u,
 FROM u
 """
 
-    # stemmed_tf: DuckDB's stem(term,'porter') lives in the fts extension,
-    # which cannot download in this offline sandbox — the twin is a VALUES
-    # (term → stem) lookup over the testdata vocabulary, generated by a
-    # SECOND, independently-written Porter implementation
-    # (functions/porter_ref.py; cross-checked against the engine's stemmer
-    # over ~37k generated words in tests/test_stem.py).  Unseen terms drop
-    # out of the inner join → a loud row-count mismatch, never a silent pass.
-    stem_values = _stem_lookup_values()
-    if stem_values:
-        sql["stemmed_tf"] = f"""
-WITH tf AS ({_TF_SQL}),
-sm AS (SELECT * FROM (VALUES {stem_values}) AS v(term, stem))
-SELECT tf.doc_id AS docid, sm.stem AS term, CAST(sum(tf.tf) AS INT) AS tf
-FROM tf JOIN sm ON tf.term = sm.term
-GROUP BY tf.doc_id, sm.stem
-"""
-
     sql["embedding_near_dup"] = f"""
 WITH buckets AS ({_ann_buckets_sql()}),
 v AS (
@@ -2158,9 +2154,9 @@ pairs AS (
 )
 SELECT a, b, round(cosine, 6) AS cosine FROM pairs WHERE round(cosine, 6) >= {NEAR_DUP_TAU}
 """
-    sql["lang_id"] = _lang_id_sql()
-
-    sql["quality_score"] = f"""
+    # text-analysis fragments (composed into the consolidated text_stats
+    # twin below and into corpus_filter)
+    _quality_sql = f"""
 WITH base AS (
   SELECT doc_id, text, {_TOKS_ARRAY_SQL} AS toks,
          CAST(length(text) AS DOUBLE) AS n_chars,
@@ -2187,14 +2183,14 @@ FROM m
 
     # explicit whitespace class (see textstats.token_count): Java \s
     # includes \x0B, RE2's does not — spell it out so both engines agree
-    sql["token_count"] = f"""
+    _token_count_sql = f"""
 SELECT doc_id,
        CAST(len({_TOKS_ARRAY_SQL}) AS BIGINT) AS n_tokens,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS BIGINT) AS n_pieces
 FROM documents
 """
 
-    sql["fingerprint"] = f"""
+    _fingerprint_sql = f"""
 WITH toks AS (SELECT doc_id, {_TOKS_ARRAY_SQL} AS toks FROM documents)
 SELECT doc_id,
        CASE WHEN len(toks) > 0 THEN
@@ -2205,17 +2201,26 @@ SELECT doc_id,
 FROM toks
 """
 
-    sql["binary_meta"] = r"""
-SELECT doc_id,
-       CAST(6 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       'png' AS kind
-FROM documents
+    # consolidated text_stats twin (r2 gate-slimming: former lang_id /
+    # quality_score / token_count / fingerprint keys) — same four
+    # fragments, joined on doc_id exactly like the Spark entry
+    sql["text_stats"] = f"""
+WITH l AS ({_lang_id_sql()}),
+q AS ({_quality_sql}),
+t AS ({_token_count_sql}),
+f AS ({_fingerprint_sql})
+SELECT l.*, q.n_tokens, q.mean_tok_len, q.punct_ratio, q.stop_ratio, q.quality,
+       t.n_pieces, f.fingerprint
+FROM l
+JOIN q USING (doc_id)
+JOIN t USING (doc_id)
+JOIN f USING (doc_id)
 """
 
     # corpus_filter: quality + language + dedup gates in one SQL twin —
     # composes the quality_score, lang_id and near_dedup fragments verbatim
     sql["corpus_filter"] = f"""
-WITH q AS ({sql["quality_score"]}),
+WITH q AS ({_quality_sql}),
 l AS ({_lang_id_sql()}),
 cand AS ({_lsh_pairs_sql()}),
 toks2 AS (SELECT doc_id, {_TOKS_ARRAY_SQL} AS toks FROM documents),
@@ -2267,7 +2272,7 @@ LEFT JOIN dropped2 dr ON d.doc_id = dr.b
         PHONE_TOKEN,
     )
 
-    sql["pii_redact"] = f"""
+    _pii_sql = f"""
 WITH dirty AS (
   SELECT doc_id,
          concat(CASE WHEN doc_id % 3 = 0
@@ -2300,7 +2305,7 @@ SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
 FROM r3
 """
 
-    sql["repetition_stats"] = f"""
+    _repetition_sql = f"""
 WITH base AS (
   SELECT doc_id, {_TOKS_ARRAY_SQL} AS toks,
          list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
@@ -2338,12 +2343,32 @@ SELECT l.doc_id,
 FROM lf l LEFT JOIN agg a ON l.doc_id = a.doc_id
 """
 
+    # consolidated scrub_stats twin (r2 gate-slimming: former pii_redact /
+    # repetition_stats keys), joined on doc_id exactly like the Spark entry
+    sql["scrub_stats"] = f"""
+WITH p AS ({_pii_sql}),
+r AS ({_repetition_sql})
+SELECT p.*, r.n_tokens, r.n_distinct, r.top_tf, r.distinct_ratio,
+       r.top_token_frac, r.dup_line_frac
+FROM p JOIN r USING (doc_id)
+"""
+
     # mm_features: the mapInPandas pipeline's fake features are
     # sha256(hex(payload))-derived exactly so this twin can exist — hex()
     # and sha256(varchar) are universal builtins; feature_i parses 8 hex
     # digest chars as a uint32 and scales by 2^-32 (dyadic rational,
-    # bit-identical across engines before the shared 6dp round)
-    from search_engine_spark.operators.multimodal import FEATURE_DIM
+    # bit-identical across engines before the shared 6dp round).
+    # The payload is the structurally-valid PNG from attach_fake_binary:
+    # 8-byte signature + 25-byte IHDR chunk (width/height derived from
+    # doc_id with the same unhex(lpad(hex(...))) big-endian encode) + the
+    # UTF-8 text bytes; width/height/bit_depth/color_type in the SELECT
+    # re-derive what the Spark side's REAL decode_png_meta parses back out
+    # of the binary.
+    from search_engine_spark.operators.multimodal import (
+        FEATURE_DIM,
+        PNG_H_MOD,
+        PNG_W_MOD,
+    )
 
     mm_feats = ",\n       ".join(
         f"round(CAST(concat('0x', substring(h, {8 * i + 1}, 8)) AS BIGINT)"
@@ -2351,13 +2376,29 @@ FROM lf l LEFT JOIN agg a ON l.doc_id = a.doc_id
         for i in range(FEATURE_DIM)
     )
     sql["mm_features"] = rf"""
-WITH p AS (
+WITH dims AS (
   SELECT doc_id,
-         CAST(6 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         sha256(hex('\x89PNG\x0D\x0A'::BLOB || encode(text))) AS h
+         1 + doc_id % {PNG_W_MOD} AS width,
+         1 + doc_id % {PNG_H_MOD} AS height
   FROM documents
+),
+p AS (
+  SELECT d.doc_id, dims.width, dims.height,
+         CAST(33 + octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+         sha256(hex(
+           '\x89PNG\x0D\x0A\x1A\x0A'::BLOB
+           || '\x00\x00\x00\x0D'::BLOB || 'IHDR'::BLOB
+           || unhex(lpad(hex(dims.width), 8, '0'))
+           || unhex(lpad(hex(dims.height), 8, '0'))
+           || '\x08\x02\x00\x00\x00'::BLOB
+           || '\xDE\xAD\xBE\xEF'::BLOB
+           || encode(d.text)
+         )) AS h
+  FROM documents d JOIN dims USING (doc_id)
 )
 SELECT doc_id, n_bytes, 'png' AS kind,
+       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(8 AS INT) AS bit_depth, CAST(2 AS INT) AS color_type,
        {mm_feats}
 FROM p
 """

@@ -321,15 +321,53 @@ def test_multimodal_plumbing(spark):
     b = attach_fake_binary(docs)
     sniffed = {r["doc_id"]: r for r in sniff_kind(b).collect()}
     assert sniffed[1]["kind"] == "png"
-    assert sniffed[1]["n_bytes"] == 6 + 5
+    assert sniffed[1]["n_bytes"] == 8 + 25 + 5  # sig + IHDR chunk + body
     feats = {r["doc_id"]: r for r in extract_features(b).collect()}
     assert len(feats[1]["features"]) == 8
     assert all(0.0 <= x < 1.0 for x in feats[1]["features"])
+    # the REAL IHDR decode recovers the derived dimensions end-to-end
+    assert feats[1]["width"] == 1 + 1 % 640 and feats[1]["height"] == 1 + 1 % 480
+    assert feats[2]["width"] == 1 + 2 % 640
+    assert feats[1]["bit_depth"] == 8 and feats[1]["color_type"] == 2
     # deterministic: same payload → same features
     feats2 = {r["doc_id"]: r for r in extract_features(b).collect()}
     assert feats[1]["features"] == feats2[1]["features"]
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG....")
+
+
+def test_decode_png_meta_on_genuine_png(spark):
+    """decode_png_meta against a GENUINELY valid PNG (built with real zlib
+    CRCs + IDAT — openable by any viewer), plus malformed-input contracts."""
+    import struct
+    import zlib
+
+    from search_engine_spark.operators.multimodal import (
+        PNG_SIG,
+        decode_png_meta,
+        extract_features,
+    )
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    w, h = 3, 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x10\x20\x30" * w for _ in range(h))
+    png = (PNG_SIG + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    meta = decode_png_meta(png)
+    assert meta == {"width": 3, "height": 2, "bit_depth": 8, "color_type": 2}
+    assert decode_png_meta(b"not a png") is None
+    assert decode_png_meta(PNG_SIG + b"\x00\x00") is None  # truncated
+    # and through the distributed pipeline: real PNG bytes in a DataFrame
+    df = spark.createDataFrame([(7, bytearray(png)), (8, bytearray(b"RIFFxxxx"))],
+                               "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in extract_features(df).collect()}
+    assert (rows[7]["kind"], rows[7]["width"], rows[7]["height"]) == ("png", 3, 2)
+    assert rows[8]["kind"] == "riff" and rows[8]["width"] is None
 
 
 def test_facet_sets(spark):
