@@ -333,6 +333,86 @@ def main() -> None:
             lambda: _force(windowed_event_counts(events)), runs=2,
         )
         timed_best("q11b_sessionize", lambda: _force(sessionize(events)), runs=2)
+
+        # --- q12: standing large-scale row (r2 verdict #8 — BENCH §3b
+        # promoted into every round's bench).  40× the sf corpus via
+        # JVM-side replication (explode over a rep sequence — doc text
+        # reused, docid/path shifted; build cost scales with token volume,
+        # not distinct texts), salted build, then warm query latency at
+        # scale.  Timings live in a SEPARATE `scale` object so the headline
+        # `value`/`queries` stay comparable to the recorded sf0.1 baseline.
+        # SPARK_GRAFT_SCALE_REPS=0 skips (throttled-window escape hatch).
+        scale: dict = {}
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "40"))
+        if reps > 1:
+            scale_timings: dict[str, float] = {}
+
+            def timed_scale(name: str, fn, runs: int = 1):
+                best = float("inf")
+                for _ in range(runs):
+                    t0 = time.monotonic()
+                    fn()
+                    best = min(best, time.monotonic() - t0)
+                scale_timings[name] = round(best, 3)
+
+            big_root = tempfile.mkdtemp(prefix="bench_scale_")
+            big_src = os.path.join(big_root, "docs")
+            (
+                docs.withColumn(
+                    "rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1)))
+                )
+                .select(
+                    (F.col("docid") + F.col("rep") * F.lit(n_files)).alias("docid"),
+                    "repo",
+                    F.concat_ws(
+                        "/", F.col("rep").cast("string"), F.col("path")
+                    ).alias("path"),
+                    "commit",
+                    "lang",
+                    "content",
+                )
+                .repartition(cpus)
+                .write.mode("overwrite")
+                .parquet(big_src)
+            )
+            big = spark.read.parquet(big_src)
+            n_big = big.count()
+            big_idx = os.path.join(big_root, "index")
+
+            def _scale_build():
+                bidx = build_index(
+                    spark,
+                    big,
+                    salt_threshold=max(64, n_big // 100),
+                    n_salts=8,
+                    compress=True,
+                )
+                write_index(bidx, big_idx)
+                bidx.unpersist()
+
+            try:
+                timed_scale("build", _scale_build)
+                bidx = read_index(spark, big_idx)
+                beng = QueryEngine(spark, bidx)
+                timed_scale(
+                    "bm25_or",
+                    lambda: beng.search("values: table window spark", k=10).collect(),
+                    runs=2,
+                )
+                bsharded = ShardedWand(bidx, n_shards=16)
+                timed_scale(
+                    "wand_sharded",
+                    lambda: bsharded.search(["table", "window", "spark"], k=10),
+                    runs=2,
+                )
+                bsharded.close()
+            finally:
+                shutil.rmtree(big_root, ignore_errors=True)
+            scale = {
+                "n_docs": n_big,
+                "queries": scale_timings,
+                "build_files_per_sec": round(n_big / scale_timings["build"], 1),
+            }
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
 
@@ -353,6 +433,9 @@ def main() -> None:
                 # same-window host capacity (see _cpu_control): start/end of
                 # the bench — a decayed end reading flags a throttled window
                 "cpu_ceiling": {"start": cpu_start, "end": cpu_end},
+                # standing 40×-scale point (build + warm queries at ~200k
+                # docs) — regressions become visible round-over-round
+                "scale": scale,
             }
         )
     )
