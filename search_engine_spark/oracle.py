@@ -138,6 +138,59 @@ def phrase_tf_in_stream(stream: list[str], terms: list[str]) -> int:
     )
 
 
+def score_bm25f(
+    idx: OracleIndex,
+    terms: list[str],
+    k: int = 10,
+    weights: dict[str, float] | None = None,
+    b: dict[str, float] | None = None,
+    k1: float = BM25_K1,
+    stem: bool = False,
+) -> list[tuple[int, int, float]]:
+    """BM25F ground truth (Robertson & Zaragoza 2009 §3.3 — the model
+    plans/bm25f.py must reproduce bit-for-bit):
+
+        tf~(d,t) = sum_f w_f * tf_f / ((1-b_f) + b_f * dl_f/avgdl_f)
+        score(d) = sum_t idf_any(t) * tf~ / (k1 + tf~)
+
+    idf_any uses the CROSS-field df.  Float64 fold orders mirror the Spark
+    plan exactly: per-(doc,term) wtf values summed ascending, per-doc term
+    contributions summed in term order.
+    """
+    weights = weights or {"content": 1.0, "title": 2.0}
+    b = b or {}
+    cleaned = sorted(
+        {c for c in (clean_query_term(t, stem=stem) for t in terms) if c}
+    )
+    per_doc: dict[int, dict[str, list[float]]] = {}
+    df_any: dict[str, set[int]] = {}
+    for field_name, w in sorted(weights.items()):
+        plist = idx.postings.get(field_name)
+        if plist is None:
+            continue
+        avgdl = idx.avgdl if field_name == "content" else idx.avg_titlelen
+        lens = idx.doclen if field_name == "content" else idx.titlelen
+        bf = b.get(field_name, BM25_B)
+        for term in cleaned:
+            for docid, tf in plist.get(term, {}).items():
+                bfc = (1.0 - bf) + bf * lens[docid] / avgdl if avgdl else 1.0 - bf
+                per_doc.setdefault(docid, {}).setdefault(term, []).append(
+                    w * tf / bfc
+                )
+                df_any.setdefault(term, set()).add(docid)
+    results = []
+    for docid, by_term in per_doc.items():
+        score = 0.0
+        for term in sorted(by_term):
+            tfw = 0.0
+            for wtf in sorted(by_term[term]):
+                tfw += wtf
+            score += bm25_idf(idx.n_docs, len(df_any[term])) * tfw / (k1 + tfw)
+        results.append((docid, score))
+    results.sort(key=lambda r: (-r[1], r[0]))
+    return [(rank + 1, docid, score) for rank, (docid, score) in enumerate(results[:k])]
+
+
 def score_query(
     idx: OracleIndex,
     parsed: list[tuple[str, str, list[str]]],

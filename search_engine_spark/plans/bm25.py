@@ -121,9 +121,10 @@ class QueryEngine:
         (functions/hashing.py), zero Spark jobs per query."""
         return sorted({term_bucket(t, self.buckets) for t in terms})
 
-    def _matches_for_terms(self, field: str, terms: list[str]) -> DataFrame:
-        """(docid, kind, target, term, contrib) for one postings field."""
-        n_docs, avgdl = self._stats.get(field, (self._n_docs, 1.0))
+    def _postings_tf(self, field: str, terms: list[str]) -> DataFrame:
+        """(term, df, docid, tf) — the bucket-pruned postings probe for one
+        field, segments decoded and re-merged, df term-GLOBAL.  Shared by
+        the BM25 scorer below and the BM25F scorer (plans/bm25f.py)."""
         p = self.index.postings.where(
             (F.col("field") == field)
             & F.col("bucket").isin(self._buckets_for(terms))
@@ -136,7 +137,7 @@ class QueryEngine:
         p = p.drop("df").join(F.broadcast(gdf), on="term").withColumnRenamed("gdf", "df")
         if self._compressed:
             dec = decode_udf()
-            p = p.withColumn("d", dec("blocks", "meta")).select(
+            return p.withColumn("d", dec("blocks", "meta")).select(
                 "term",
                 "df",
                 F.explode(F.arrays_zip(F.col("d.docids"), F.col("d.tfs"))).alias("pp"),
@@ -146,11 +147,14 @@ class QueryEngine:
                 F.col("pp.docids").alias("docid"),
                 F.col("pp.tfs").alias("tf"),
             )
-        else:
-            p = p.select(
-                "term", "df", F.explode("postings").alias("pp")
-            ).select("term", "df", F.col("pp.docid").alias("docid"), F.col("pp.tf").alias("tf"))
+        return p.select(
+            "term", "df", F.explode("postings").alias("pp")
+        ).select("term", "df", F.col("pp.docid").alias("docid"), F.col("pp.tf").alias("tf"))
 
+    def _matches_for_terms(self, field: str, terms: list[str]) -> DataFrame:
+        """(docid, kind, target, term, contrib) for one postings field."""
+        n_docs, avgdl = self._stats.get(field, (self._n_docs, 1.0))
+        p = self._postings_tf(field, terms)
         dl = F.col("doclen") if field == "content" else F.col("titlelen")
         stats = self._docstats.select("docid", "doclen", "titlelen")
         return (

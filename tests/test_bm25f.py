@@ -1,0 +1,118 @@
+"""BM25F field-weighted ranking (plans/bm25f.py) vs the pure-Python oracle."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from search_engine_spark.oracle import score_bm25f
+from search_engine_spark.plans.bm25 import QueryEngine
+from search_engine_spark.plans.bm25f import bm25f_topk
+
+QUERIES = [
+    ["table", "window", "spark"],
+    ["src"],                      # title-heavy: 'src' lives in every path
+    ["merge", "file"],            # body + title mix
+    ["customer", "vector", "order", "group"],
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_index):
+    eng = QueryEngine(spark, tiny_index)
+    yield eng
+    eng.close()
+
+
+def test_bm25f_matches_oracle(engine, tiny_oracle):
+    for terms in QUERIES:
+        got = bm25f_topk(engine, terms, k=10).collect()
+        want = score_bm25f(tiny_oracle, terms, k=10)
+        assert [(r["rank"], r["docid"]) for r in got] == [
+            (rk, d) for rk, d, _ in want
+        ], terms
+        for r, (_, _, s) in zip(got, want):
+            assert math.isclose(r["score"], s, rel_tol=0, abs_tol=1e-12), terms
+
+
+def test_bm25f_weights_change_ranking(engine, tiny_oracle):
+    """Raising the title weight must raise title-hit docs; weights propagate."""
+    flat = bm25f_topk(engine, ["src"], k=5, weights={"content": 1.0, "title": 1.0})
+    heavy = bm25f_topk(engine, ["src"], k=5, weights={"content": 1.0, "title": 9.0})
+    sf = {r["docid"]: r["score"] for r in flat.collect()}
+    sh = {r["docid"]: r["score"] for r in heavy.collect()}
+    assert sh and sf
+    # 'src' appears only in titles → every score strictly rises with w_title
+    common = set(sf) & set(sh)
+    assert common and all(sh[d] > sf[d] for d in common)
+    for w in ({"content": 1.0, "title": 9.0},):
+        want = score_bm25f(tiny_oracle, ["src"], k=5, weights=w)
+        got = bm25f_topk(engine, ["src"], k=5, weights=w).collect()
+        assert [(r["rank"], r["docid"]) for r in got] == [
+            (rk, d) for rk, d, _ in want
+        ]
+
+
+def test_bm25f_saturates_cross_field(spark):
+    """The defining BM25F property: a doc hit in BOTH fields scores LESS
+    than the sum of two independently-saturated per-field BM25 scores
+    (per-field summing over-counts; the merged tf~ saturates once).  The
+    tiny fixture's paths never share vocab with bodies, so this builds its
+    own corpus with body words embedded in the title."""
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.oracle import (
+        bm25_idf,
+        bm25_tf_norm,
+        build_oracle_index,
+        score_bm25f,
+    )
+
+    docs = [
+        {
+            "docid": i,
+            "repo": "r",
+            "path": ("merge/tool.py" if i % 3 == 0 else f"other/f{i}.py"),
+            "commit": f"{i:040d}",
+            "lang": "py",
+            "content": ("merge sort table " * (1 + i % 4)) + f"filler{i} pad",
+        }
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(docs).select(
+        "docid", "repo", "path", "commit", "lang", "content"
+    )
+    idx = build_index(spark, df, compress=True)
+    oracle = build_oracle_index(docs)
+    term = "merge"
+    body = oracle.postings["content"][term]
+    title = oracle.postings["title"][term]
+    both = set(body) & set(title)
+    assert both
+    eng = QueryEngine(spark, idx, cache_docstats=False)
+    try:
+        rows = bm25f_topk(
+            eng, [term], k=100, weights={"content": 1.0, "title": 1.0}
+        ).collect()
+        got = {r["docid"]: r["score"] for r in rows}
+        want = score_bm25f(
+            oracle, [term], k=100, weights={"content": 1.0, "title": 1.0}
+        )
+        assert [(r["rank"], r["docid"]) for r in rows] == [
+            (rk, d) for rk, d, _ in want
+        ]
+        d = sorted(both)[0]
+        per_field_sum = bm25_idf(
+            oracle.n_docs, len(body)
+        ) * bm25_tf_norm(body[d], oracle.doclen[d], oracle.avgdl) + bm25_idf(
+            oracle.n_docs, len(title)
+        ) * bm25_tf_norm(title[d], oracle.titlelen[d], oracle.avg_titlelen)
+        assert got[d] < per_field_sum
+    finally:
+        eng.close()
+        idx.unpersist()
+
+
+def test_bm25f_empty_and_short_terms(engine):
+    assert bm25f_topk(engine, [], k=5).count() == 0
+    assert bm25f_topk(engine, ["ab"], k=5).count() == 0  # len>2 filter
