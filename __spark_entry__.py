@@ -1065,6 +1065,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fp = fingerprint(docs).select("doc_id", "fingerprint")
         return li.join(qs, "doc_id").join(tc, "doc_id").join(fp, "doc_id")
 
+    def q_bm25f(spark, sf):
+        """BM25F field-weighted top-10 (plans/bm25f.py — Robertson &
+        Zaragoza 2009 §3.3): per-field tfs merged BEFORE k1 saturation,
+        idf from the cross-field df.  The testdata has no title column, so
+        the title is synthesized as the first 60 chars of the body with the
+        IDENTICAL expression on both engines (substring can cut a token
+        mid-word — consistently, so the twins agree).  w_title=2.0.
+        k=100 buffer then round-rerank to 10, the standard raw-vs-rounded
+        boundary absorber."""
+        from search_engine_spark.operators.index_build import build_index
+        from search_engine_spark.plans.bm25 import QueryEngine
+        from search_engine_spark.plans.bm25f import bm25f_topk
+        from search_engine_spark.sources.corpus import load_testdata_documents
+
+        docs = load_testdata_documents(spark, sf).withColumn(
+            "title", F.substring("content", 1, 60)
+        )
+        index = build_index(spark, docs, compress=True, title_col="title")
+        eng = QueryEngine(spark, index, cache_docstats=False)
+        rows = bm25f_topk(
+            eng, BM25_TERMS, k=100, weights={"content": 1.0, "title": 2.0}
+        ).collect()
+        index.unpersist()
+        ranked = sorted(
+            ((r["docid"], round(r["score"], 6)) for r in rows),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        return _ranked_literal_df(
+            spark, [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+        )
+
     def q_events_windowed(spark, sf):
         """Tumbling-window event analytics (operators/events.py) — the same
         call runs streaming with a watermark; batch mode is what the gate
@@ -1194,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "scrub_stats": q_scrub_stats,
         "mm_features": q_mm_features,
+        "bm25f_topk": q_bm25f,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "events_stateful_totals": q_events_stateful_totals,
@@ -1671,6 +1703,57 @@ SELECT 'compact' AS variant, rank, doc_id, score FROM ({_compact_twin})
     sql["match_count"] = f"""
 SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
 FROM ({_TF_SQL}) WHERE term IN ({_f_tlist})
+"""
+
+    # BM25F twin: title = substring(text, 1, 60) through the same
+    # tokenizer; per-field normalized tfs merged before saturation, idf
+    # from the cross-field distinct-doc df (plans/bm25f.py)
+    _bm25f_tlist = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    sql["bm25f_topk"] = f"""
+WITH tokb AS ({_TF_SQL}),
+tokt AS (
+  SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM (
+    SELECT doc_id, lower(replace(tok, '''', '')) AS term FROM (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(substring(text, 1, 60), '{DELIM_CLASS}')) AS tok
+      FROM documents
+    ) WHERE tok <> '' AND regexp_matches(tok, '^[\\x00-\\x7F]+$')
+  ) WHERE term <> '' GROUP BY doc_id, term
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM tokb)
+           / (SELECT count(*) FROM documents) AS avgdl_b,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM tokt)
+           / (SELECT count(*) FROM documents) AS avgdl_t
+),
+dlb AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tokb GROUP BY doc_id),
+dlt AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tokt GROUP BY doc_id),
+wrows AS (
+  SELECT b.doc_id, b.term,
+         1.0 * b.tf / (1.0 - {B} + {B} * dlb.dl / stats.avgdl_b) AS wtf
+  FROM tokb b JOIN dlb ON b.doc_id = dlb.doc_id, stats
+  WHERE b.term IN ({_bm25f_tlist})
+  UNION ALL
+  SELECT t.doc_id, t.term,
+         2.0 * t.tf / (1.0 - {B} + {B} * dlt.dl / stats.avgdl_t) AS wtf
+  FROM tokt t JOIN dlt ON t.doc_id = dlt.doc_id, stats
+  WHERE t.term IN ({_bm25f_tlist})
+),
+merged AS (SELECT doc_id, term, sum(wtf) AS tfw FROM wrows GROUP BY doc_id, term),
+dfany AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM merged GROUP BY term
+),
+scored AS (
+  SELECT m.doc_id,
+         ln((stats.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * m.tfw / ({K1} + m.tfw) AS contrib
+  FROM merged m JOIN dfany d ON m.term = d.term, stats
+),
+agg AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
+FROM agg ORDER BY score DESC, doc_id LIMIT 10
 """
 
     # prefix query: LIKE-expanded term set (ascending cap 64), then the
