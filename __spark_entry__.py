@@ -1096,6 +1096,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
         )
 
+    def q_bm25_collapsed(spark, sf):
+        """Field-collapsed top-10 (QueryEngine.search_collapsed — the
+        Lucene/ES collapse design): best doc per source repo, each row
+        carrying the group and its total match count.  The engine collapses
+        DISTRIBUTED on raw scores with a per_group=2 / k=200 buffer; the
+        gate re-collapses driver-side on 6dp-ROUNDED scores so raw-vs-
+        rounded near-ties inside a group resolve exactly like the twin's
+        rounded window (the k-buffer convention, group-shaped)."""
+        from search_engine_spark.operators.index_build import build_index
+        from search_engine_spark.plans.bm25 import QueryEngine
+        from search_engine_spark.sources.corpus import load_testdata_documents
+
+        docs = load_testdata_documents(spark, sf)
+        index = build_index(spark, docs, compress=True, title_col=None)
+        eng = QueryEngine(spark, index, cache_docstats=False)
+        rows = eng.search_collapsed(
+            "values: " + " ".join(BM25_TERMS),
+            group_col="repo",
+            k=200,
+            per_group=2,
+        ).collect()
+        index.unpersist()
+        by_group: dict[str, list] = {}
+        for r in rows:
+            by_group.setdefault(r["group"], []).append(
+                (r["docid"], round(r["score"], 6), r["group_hits"])
+            )
+        winners = []
+        for g, members in by_group.items():
+            members.sort(key=lambda x: (-x[1], x[0]))
+            d, s, hits = members[0]
+            winners.append((d, s, g, hits))
+        winners.sort(key=lambda x: (-x[1], x[0]))
+        winners = winners[:10]
+        if not winners:
+            return spark.createDataFrame(
+                [], "rank int, doc_id long, score double, group string, group_hits long"
+            )
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(i + 1).cast("int").alias("rank"),
+                    F.lit(d).cast("long").alias("doc_id"),
+                    F.lit(s).cast("double").alias("score"),
+                    F.lit(g).cast("string").alias("group"),
+                    F.lit(h).cast("long").alias("group_hits"),
+                )
+                for i, (d, s, g, h) in enumerate(winners)
+            ]
+        )
+        return (
+            spark.range(1)
+            .select(F.explode(arr).alias("x"))
+            .select("x.rank", "x.doc_id", "x.score", "x.group", "x.group_hits")
+        )
+
     def q_events_windowed(spark, sf):
         """Tumbling-window event analytics (operators/events.py) — the same
         call runs streaming with a watermark; batch mode is what the gate
@@ -1226,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_stats": q_scrub_stats,
         "mm_features": q_mm_features,
         "bm25f_topk": q_bm25f,
+        "bm25_collapsed": q_bm25_collapsed,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "events_stateful_totals": q_events_stateful_totals,
@@ -1754,6 +1811,41 @@ scored AS (
 agg AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY doc_id)
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
 FROM agg ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # collapse twin: the full scored set (no top-k cut), best row per
+    # source via a per-group window on the ROUNDED score, plus the group's
+    # total match count
+    _col_tlist = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    sql["bm25_collapsed"] = f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM tf) / (SELECT count(*) FROM documents) AS avgdl
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf WHERE term IN ({_col_tlist}) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+           * tf.tf * {K1 + 1.0}
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS contrib
+  FROM tf JOIN dfs ON tf.term = dfs.term JOIN dl ON tf.doc_id = dl.doc_id, stats
+),
+agg AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY doc_id),
+g AS (
+  SELECT a.doc_id, a.score, d.source AS grp
+  FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+),
+c AS (
+  SELECT doc_id, score, grp,
+         row_number() OVER (PARTITION BY grp ORDER BY score DESC, doc_id) AS gr,
+         CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS group_hits
+  FROM g
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+       doc_id, score, grp AS "group", group_hits
+FROM c WHERE gr = 1 ORDER BY score DESC, doc_id LIMIT 10
 """
 
     # prefix query: LIKE-expanded term set (ascending cap 64), then the

@@ -498,6 +498,82 @@ class QueryEngine:
             F.size(F.collect_set(F.struct("kind", "target", "term"))).alias("n_matched"),
         ]
 
+    def score_matches(
+        self,
+        query: str,
+        mode: str = "or",
+        phrases: str = "quirk",
+        boosts: dict[str, float] | None = None,
+        filters: dict | None = None,
+    ) -> DataFrame | None:
+        """The DISTRIBUTED scored match set — (docid, score) for every
+        matching doc, no top-k cut.  None when the query parses to nothing.
+        Shared by search(), search_collapsed() and facet histogramming;
+        downstream consumers add their own rank/cut so the scoring plan
+        (probe → decode → fold) is built exactly once per feature."""
+        matches, n_required = self._query_matches(
+            query, phrases=phrases, boosts=boosts
+        )
+        if matches is None:
+            return None
+        if filters:
+            matches = matches.join(
+                self._filter_docids(filters), on="docid", how="left_semi"
+            )
+        agg = matches.groupBy("docid").agg(*self._ordered_score_agg())
+        if mode == "and":
+            agg = agg.where(F.col("n_matched") >= F.lit(n_required))
+        return agg
+
+    def search_collapsed(
+        self,
+        query: str,
+        group_col: str = "repo",
+        k: int = 10,
+        per_group: int = 1,
+        mode: str = "or",
+    ) -> DataFrame:
+        """Field-collapsed top-k (the Lucene/Elasticsearch ``collapse``
+        design, public): at most ``per_group`` results per distinct value
+        of a docstats column, each row carrying its group value and the
+        group's TOTAL match count.
+
+        → DataFrame(rank, docid, score, group, group_hits), ≤k rows.
+
+        Scale shape: the scored match set shuffles ONCE on the group
+        column; per-group ordering is a window over that exchange (groups
+        are facet-cardinality — repos, langs — so no single-partition
+        funnel), then a global TakeOrderedAndProject.  group_hits rides
+        the same window exchange for free.
+        """
+        if group_col not in self._docstats.columns:
+            raise ValueError(f"group_col {group_col!r} not in docstats")
+        agg = self.score_matches(query, mode=mode)
+        empty_schema = (
+            "rank int, docid long, score double, group string, group_hits long"
+        )
+        if agg is None:
+            return self.spark.createDataFrame([], empty_schema)
+        joined = agg.select("docid", "score").join(
+            self._docstats.select("docid", F.col(group_col).alias("group")),
+            on="docid",
+            how="inner",
+        )
+        wg = Window.partitionBy("group").orderBy(F.desc("score"), F.asc("docid"))
+        top = (
+            joined.withColumn("group_rank", F.row_number().over(wg))
+            .withColumn(
+                "group_hits", F.count(F.lit(1)).over(Window.partitionBy("group"))
+            )
+            .where(F.col("group_rank") <= F.lit(int(per_group)))
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(k)
+        )
+        w = Window.orderBy(F.desc("score"), F.asc("docid"))
+        return top.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "docid", "score", "group", "group_hits"
+        )
+
     def search(
         self,
         query: str,
@@ -571,19 +647,11 @@ class QueryEngine:
             ):
                 return self._search_wand(parsed, mode, k, with_display)
             # facet categories / positional phrases → exhaustive engine
-        matches, n_required = self._query_matches(
-            query, phrases=phrases, boosts=boosts
+        agg = self.score_matches(
+            query, mode=mode, phrases=phrases, boosts=boosts, filters=filters
         )
-        if matches is None:
+        if agg is None:
             return self._empty_result(with_display)
-
-        if filters:
-            matches = matches.join(
-                self._filter_docids(filters), on="docid", how="left_semi"
-            )
-        agg = matches.groupBy("docid").agg(*self._ordered_score_agg())
-        if mode == "and":
-            agg = agg.where(F.col("n_matched") >= F.lit(n_required))
         if after is not None:
             a_score, a_docid = float(after[0]), int(after[1])
             agg = agg.where(

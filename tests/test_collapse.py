@@ -1,0 +1,83 @@
+"""Field-collapsed top-k (QueryEngine.search_collapsed) vs a pure-Python
+collapse over the oracle's full scored set."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from search_engine_spark.oracle import score_query
+from search_engine_spark.plans.bm25 import QueryEngine
+from search_engine_spark.plans.query_parser import parse_query
+
+QUERY = "values: parse_json0 merge_index0 load_config0"
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_index):
+    eng = QueryEngine(spark, tiny_index)
+    yield eng
+    eng.close()
+
+
+def _oracle_collapse(tiny_oracle, tiny_docs, query, group_col, k, per_group, mode="or"):
+    scored = score_query(tiny_oracle, parse_query(query), mode=mode, k=10**9)
+    group_of = {d["docid"]: d[group_col] for d in tiny_docs}
+    by_group: dict[str, list] = {}
+    for _, docid, score in scored:
+        by_group.setdefault(group_of[docid], []).append((docid, score))
+    rows = []
+    for g, members in by_group.items():
+        members.sort(key=lambda x: (-x[1], x[0]))
+        for docid, score in members[:per_group]:
+            rows.append((docid, score, g, len(members)))
+    rows.sort(key=lambda x: (-x[1], x[0]))
+    return [
+        (i + 1, docid, score, g, hits)
+        for i, (docid, score, g, hits) in enumerate(rows[:k])
+    ]
+
+
+@pytest.mark.parametrize("per_group", [1, 2])
+@pytest.mark.parametrize("group_col", ["repo", "lang"])
+def test_collapsed_matches_oracle(engine, tiny_oracle, tiny_docs, group_col, per_group):
+    got = engine.search_collapsed(
+        QUERY, group_col=group_col, k=10, per_group=per_group
+    ).collect()
+    want = _oracle_collapse(
+        tiny_oracle, tiny_docs, QUERY, group_col, k=10, per_group=per_group
+    )
+    assert want, "query must hit the fixture corpus"
+    assert [
+        (r["rank"], r["docid"], r["group"], r["group_hits"]) for r in got
+    ] == [(rk, d, g, h) for rk, d, _, g, h in want]
+    for r, (_, _, s, _, _) in zip(got, want):
+        assert math.isclose(r["score"], s, rel_tol=0, abs_tol=1e-9)
+
+
+def test_collapsed_respects_per_group(engine):
+    rows = engine.search_collapsed(QUERY, group_col="repo", k=100, per_group=2).collect()
+    from collections import Counter
+
+    per = Counter(r["group"] for r in rows)
+    assert per and max(per.values()) <= 2
+    # ranks are 1..n dense and ordered by (score desc, docid asc)
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    scores = [(r["score"], -r["docid"]) for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_collapsed_and_mode(engine, tiny_oracle, tiny_docs):
+    q = "values: parse_json0 merge_index0"
+    got = engine.search_collapsed(q, group_col="repo", k=10, per_group=1, mode="and").collect()
+    want = _oracle_collapse(tiny_oracle, tiny_docs, q, "repo", 10, 1, mode="and")
+    assert [(r["rank"], r["docid"], r["group_hits"]) for r in got] == [
+        (rk, d, h) for rk, d, _, _, h in want
+    ]
+
+
+def test_collapsed_validation_and_empty(engine):
+    with pytest.raises(ValueError):
+        engine.search_collapsed(QUERY, group_col="nope")
+    assert engine.search_collapsed("values: ab", group_col="repo").count() == 0
