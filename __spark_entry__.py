@@ -1152,6 +1152,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("x.rank", "x.doc_id", "x.score", "x.group", "x.group_hits")
         )
 
+    def q_bm25_synonyms(spark, sf):
+        """Synonym-group scoring (Lucene SynonymQuery semantics): 'table'
+        expands to {table, hash, scan} as ONE blended pseudo-term (member
+        tfs sum per doc, df = docs matching any member) alongside the plain
+        term 'spark'.  k=100 buffer + rounded rerank."""
+        from search_engine_spark.operators.index_build import build_index
+        from search_engine_spark.plans.bm25 import QueryEngine
+        from search_engine_spark.sources.corpus import load_testdata_documents
+
+        docs = load_testdata_documents(spark, sf)
+        index = build_index(spark, docs, compress=True, title_col=None)
+        eng = QueryEngine(spark, index, cache_docstats=False)
+        rows = eng.search(
+            "values: table spark",
+            k=100,
+            synonyms={"table": ["hash", "scan"]},
+        ).collect()
+        index.unpersist()
+        ranked = sorted(
+            ((r["docid"], round(r["score"], 6)) for r in rows),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        return _ranked_literal_df(
+            spark, [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+        )
+
     def q_events_windowed(spark, sf):
         """Tumbling-window event analytics (operators/events.py) — the same
         call runs streaming with a watermark; batch mode is what the gate
@@ -1283,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": q_mm_features,
         "bm25f_topk": q_bm25f,
         "bm25_collapsed": q_bm25_collapsed,
+        "bm25_synonyms": q_bm25_synonyms,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "events_stateful_totals": q_events_stateful_totals,
@@ -1809,6 +1836,43 @@ scored AS (
   FROM merged m JOIN dfany d ON m.term = d.term, stats
 ),
 agg AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
+FROM agg ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # synonym twin: the 'table' group {table, hash, scan} blends (tf sum,
+    # union df), 'spark' scores plain; contributions union before the fold
+    sql["bm25_synonyms"] = f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM tf) / (SELECT count(*) FROM documents) AS avgdl
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+pdfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf WHERE term = 'spark' GROUP BY term),
+plain AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - pdfs.df + 0.5) / (pdfs.df + 0.5) + 1.0)
+           * tf.tf * {K1 + 1.0}
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS contrib
+  FROM tf JOIN pdfs ON tf.term = pdfs.term JOIN dl ON tf.doc_id = dl.doc_id, stats
+),
+gtf AS (
+  SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS tfg
+  FROM tf WHERE term IN ('table', 'hash', 'scan') GROUP BY doc_id
+),
+gdf AS (SELECT CAST(count(*) AS DOUBLE) AS df FROM gtf),
+syn AS (
+  SELECT g.doc_id,
+         ln((stats.n_docs - gdf.df + 0.5) / (gdf.df + 0.5) + 1.0)
+           * g.tfg * {K1 + 1.0}
+           / (g.tfg + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS contrib
+  FROM gtf g JOIN dl ON g.doc_id = dl.doc_id, stats, gdf
+),
+agg AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score
+  FROM (SELECT * FROM plain UNION ALL SELECT * FROM syn) GROUP BY doc_id
+)
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
 FROM agg ORDER BY score DESC, doc_id LIMIT 10
 """

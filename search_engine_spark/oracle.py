@@ -198,8 +198,14 @@ def score_query(
     k: int = 10,
     stem: bool = False,
     phrases: str = "quirk",
+    synonyms: dict[str, list[str]] | None = None,
 ) -> list[tuple[int, int, float]]:
     """Score a parsed query → [(rank, docid, score)].
+
+    ``synonyms``: {term: [members...]} — a query term with an entry scores
+    as ONE blended pseudo-term (Lucene SynonymQuery, public): tf = sum of
+    member tfs per doc, df = |docs matching any member|, key ("synonym",
+    target, canonical term).
 
     ``parsed``: list of (kind, target, terms) per category — kind "terms"
     (BM25 field) or "facet" (exact facet value match; contributes idf of the
@@ -220,6 +226,18 @@ def score_query(
     per_doc: dict[int, list[tuple[tuple, float]]] = {}
     matched_terms: dict[int, set[tuple]] = {}
     required: set[tuple] = set()
+
+    syn_cleaned: dict[str, list[str]] = {}
+    for skey, members in (synonyms or {}).items():
+        ck = clean_query_term(skey, stem=stem)
+        if ck is None:
+            continue
+        cms = sorted(
+            {c for c in (clean_query_term(m, stem=stem) for m in members) if c}
+            | {ck}
+        )
+        if len(cms) > 1:
+            syn_cleaned[ck] = cms
 
     for kind, target, terms in parsed:
         if kind == "terms":
@@ -255,6 +273,20 @@ def score_query(
                 {c for c in (clean_query_term(t, stem=stem) for t in words) if c}
             )
             for term in cleaned:
+                if term in syn_cleaned:
+                    key = ("synonym", target, term)
+                    required.add(key)
+                    group_tf: dict[int, int] = {}
+                    for m in syn_cleaned[term]:
+                        for docid, tf in plist.get(m, {}).items():
+                            group_tf[docid] = group_tf.get(docid, 0) + tf
+                    for docid, tf in group_tf.items():
+                        w = bm25_idf(idx.n_docs, len(group_tf)) * bm25_tf_norm(
+                            tf, lens[docid], avgdl
+                        )
+                        per_doc.setdefault(docid, []).append((key, w))
+                        matched_terms.setdefault(docid, set()).add(key)
+                    continue
                 required.add(("terms", target, term))
                 for docid, tf in plist.get(term, {}).items():
                     w = bm25_idf(idx.n_docs, len(plist[term])) * bm25_tf_norm(

@@ -262,6 +262,60 @@ class QueryEngine:
             .withColumn("term", F.lit(pattern))
         )
 
+    def _matches_for_synonyms(
+        self, field: str, groups: dict[str, list[str]]
+    ) -> DataFrame:
+        """(docid, kind, target, term, contrib) for synonym GROUPS — the
+        Lucene SynonymQuery design (public): members of a group score as
+        ONE pseudo-term with blended statistics,
+
+            tf_group = sum of member tfs in the doc
+            df_group = |docs matching ANY member|  (computed over the
+                       probed postings — every matching doc is already in
+                       the probe result, so this is exact and bounded by
+                       the match set, never a second corpus pass)
+
+        so a doc is not rewarded for matching three spellings of the same
+        concept more than for matching the concept three times.
+
+        ``groups``: canonical cleaned term → all cleaned member terms
+        (including itself).  kind="synonym", term=the canonical key.
+        """
+        n_docs, avgdl = self._stats.get(field, (self._n_docs, 1.0))
+        member_to_group = {
+            m: g for g, members in groups.items() for m in members
+        }
+        all_terms = sorted(member_to_group)
+        p = self._postings_tf(field, all_terms)
+        gmap = F.create_map(
+            *[F.lit(x) for kv in member_to_group.items() for x in kv]
+        )
+        grouped = (
+            p.select(
+                "docid", gmap[F.col("term")].alias("term"), "tf"
+            )
+            .groupBy("docid", "term")
+            .agg(F.sum("tf").alias("tf"))
+        )
+        gdf = grouped.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df")  # docid unique per group post-agg
+        )
+        grouped = grouped.join(F.broadcast(gdf), on="term")
+        dl = F.col("doclen") if field == "content" else F.col("titlelen")
+        stats = self._docstats.select("docid", "doclen", "titlelen")
+        return grouped.join(stats, on="docid", how="inner").select(
+            "docid",
+            F.lit("synonym").alias("kind"),
+            F.lit(field).alias("target"),
+            "term",
+            bm25_contrib_col(
+                F.col("tf").cast("double"),
+                dl.cast("double"),
+                avgdl,
+                idf_col(n_docs, F.col("df").cast("double")),
+            ).alias("contrib"),
+        )
+
     def _matches_for_facet(self, facet_col: str, values: list[str]) -> DataFrame:
         """Facet match: contributes idf of the facet value (tf-free).
 
@@ -355,6 +409,7 @@ class QueryEngine:
         query: str,
         phrases: str = "quirk",
         boosts: dict[str, float] | None = None,
+        synonyms: dict[str, list[str]] | None = None,
     ) -> tuple[DataFrame | None, int]:
         """Parse + build the union-of-matches frame for one query.
 
@@ -375,6 +430,26 @@ class QueryEngine:
         parts: list[DataFrame] = []
         required: set[tuple[str, str, str]] = set()
         boosts = boosts or {}
+        # synonym config cleaned ONCE per call (keys and members go through
+        # the same normalization as query terms — a stemmed index must see
+        # stems on both sides)
+        syn_cleaned: dict[str, list[str]] = {}
+        for key, members in (synonyms or {}).items():
+            ck = clean_query_term(key, stem=self.stem)
+            if ck is None:
+                continue
+            cms = sorted(
+                {
+                    c
+                    for c in (
+                        clean_query_term(m, stem=self.stem) for m in members
+                    )
+                    if c is not None
+                }
+                | {ck}
+            )
+            if len(cms) > 1:
+                syn_cleaned[ck] = cms
 
         def _boosted(df: DataFrame, target: str) -> DataFrame:
             b = float(boosts.get(target, 1.0))
@@ -455,13 +530,28 @@ class QueryEngine:
                     if c is not None
                 ]
                 if cleaned:
-                    required.update(("terms", target, c) for c in cleaned)
-                    parts.append(
-                        _boosted(
-                            self._matches_for_terms(target, sorted(set(cleaned))),
-                            target,
+                    syn_groups = {
+                        c: syn_cleaned[c] for c in cleaned if c in syn_cleaned
+                    }
+                    plain = sorted({c for c in cleaned if c not in syn_groups})
+                    if syn_groups:
+                        required.update(
+                            ("synonym", target, g) for g in syn_groups
                         )
-                    )
+                        parts.append(
+                            _boosted(
+                                self._matches_for_synonyms(target, syn_groups),
+                                target,
+                            )
+                        )
+                    if plain:
+                        required.update(("terms", target, c) for c in plain)
+                        parts.append(
+                            _boosted(
+                                self._matches_for_terms(target, plain),
+                                target,
+                            )
+                        )
             else:
                 vals = []
                 for t in raw_terms:
@@ -505,6 +595,7 @@ class QueryEngine:
         phrases: str = "quirk",
         boosts: dict[str, float] | None = None,
         filters: dict | None = None,
+        synonyms: dict[str, list[str]] | None = None,
     ) -> DataFrame | None:
         """The DISTRIBUTED scored match set — (docid, score) for every
         matching doc, no top-k cut.  None when the query parses to nothing.
@@ -512,7 +603,7 @@ class QueryEngine:
         downstream consumers add their own rank/cut so the scoring plan
         (probe → decode → fold) is built exactly once per feature."""
         matches, n_required = self._query_matches(
-            query, phrases=phrases, boosts=boosts
+            query, phrases=phrases, boosts=boosts, synonyms=synonyms
         )
         if matches is None:
             return None
@@ -585,6 +676,7 @@ class QueryEngine:
         after: tuple[float, int] | None = None,
         boosts: dict[str, float] | None = None,
         filters: dict | None = None,
+        synonyms: dict[str, list[str]] | None = None,
     ) -> DataFrame:
         """→ DataFrame(rank, docid, score[, repo, path, lang]) — k rows max.
 
@@ -624,6 +716,12 @@ class QueryEngine:
         query string, which score (reference semantics).  Applied as a
         docstats semi-join, so parquet/Iceberg metadata prunes the scan.
         Exhaustive engine only.
+
+        ``synonyms``: {term: [members...]} — a query term with an entry
+        scores as ONE blended pseudo-term (Lucene SynonymQuery): member
+        tfs sum per doc, df = docs matching any member, so three spellings
+        of a concept rank like three hits of the concept, not three
+        independent terms.  Exhaustive engine only.
         """
         if strategy not in ("exhaustive", "wand"):
             raise ValueError(f"strategy must be 'exhaustive' or 'wand', got {strategy!r}")
@@ -635,6 +733,8 @@ class QueryEngine:
             raise ValueError("boosts= need the exhaustive engine")
         if filters and strategy == "wand":
             raise ValueError("filters= need the exhaustive engine")
+        if synonyms and strategy == "wand":
+            raise ValueError("synonyms= need the exhaustive engine")
         if strategy == "wand":
             parsed = parse_query(query)
             has_phrase = phrases == "positional" and any(
@@ -648,7 +748,12 @@ class QueryEngine:
                 return self._search_wand(parsed, mode, k, with_display)
             # facet categories / positional phrases → exhaustive engine
         agg = self.score_matches(
-            query, mode=mode, phrases=phrases, boosts=boosts, filters=filters
+            query,
+            mode=mode,
+            phrases=phrases,
+            boosts=boosts,
+            filters=filters,
+            synonyms=synonyms,
         )
         if agg is None:
             return self._empty_result(with_display)

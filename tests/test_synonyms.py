@@ -1,0 +1,90 @@
+"""Synonym-group scoring (Lucene SynonymQuery semantics) vs the oracle."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from search_engine_spark.oracle import score_query
+from search_engine_spark.plans.bm25 import QueryEngine
+from search_engine_spark.plans.query_parser import parse_query
+
+SYNS = {"parse_json0": ["merge_index0", "load_config0"]}
+QUERY = "values: parse_json0 scan_config0"
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_index):
+    eng = QueryEngine(spark, tiny_index)
+    yield eng
+    eng.close()
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_synonyms_match_oracle(engine, tiny_oracle, mode):
+    golden = score_query(
+        tiny_oracle, parse_query(QUERY), mode=mode, k=10, synonyms=SYNS
+    )
+    assert golden, "fixture must match"
+    got = engine.search(QUERY, mode=mode, k=10, synonyms=SYNS).collect()
+    assert [(r["rank"], r["docid"]) for r in got] == [
+        (rk, d) for rk, d, _ in golden
+    ]
+    for r, (_, _, s) in zip(got, golden):
+        assert math.isclose(r["score"], s, rel_tol=0, abs_tol=1e-9)
+
+
+def test_synonyms_blend_not_double_count(engine, tiny_oracle):
+    """A doc matching two members of one group must score via the blended
+    pseudo-term — never the sum of two independent term scores."""
+    q = "values: parse_json0"
+    syns = {"parse_json0": ["merge_index0"]}
+    blended = {
+        r["docid"]: r["score"]
+        for r in engine.search(q, k=100, synonyms=syns).collect()
+    }
+    plain_two = {
+        d: s
+        for _, d, s in score_query(
+            tiny_oracle, parse_query("values: parse_json0 merge_index0"), k=10**9
+        )
+    }
+    both = set()
+    for d in blended:
+        in_a = d in tiny_oracle.postings["content"].get("parse_json0", {})
+        in_b = d in tiny_oracle.postings["content"].get("merge_index0", {})
+        if in_a and in_b:
+            both.add(d)
+    assert both, "fixture must contain a doc matching both members"
+    for d in both:
+        assert blended[d] < plain_two[d]
+
+
+def test_synonyms_expand_recall(engine, tiny_oracle):
+    """Docs matching ONLY a member term surface for the canonical query."""
+    q = "values: parse_json0"
+    syns = {"parse_json0": ["merge_index0"]}
+    hits = {r["docid"] for r in engine.search(q, k=10**6, synonyms=syns).collect()}
+    only_member = set(tiny_oracle.postings["content"].get("merge_index0", {})) - set(
+        tiny_oracle.postings["content"].get("parse_json0", {})
+    )
+    assert only_member and only_member <= hits
+    # and without synonyms those docs do NOT match
+    base = {r["docid"] for r in engine.search(q, k=10**6).collect()}
+    assert not (only_member & base)
+
+
+def test_synonyms_and_mode_group_counts_once(engine, tiny_oracle):
+    """AND mode: a group satisfied by ANY member counts as one required key
+    — identical doc sets between engine and oracle."""
+    golden = score_query(
+        tiny_oracle, parse_query(QUERY), mode="and", k=10**9, synonyms=SYNS
+    )
+    got = engine.search(QUERY, mode="and", k=10**6, synonyms=SYNS).collect()
+    assert {r["docid"] for r in got} == {d for _, d, _ in golden}
+
+
+def test_synonyms_rejected_on_wand(engine):
+    with pytest.raises(ValueError):
+        engine.search(QUERY, strategy="wand", synonyms=SYNS)
