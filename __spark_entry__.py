@@ -1178,6 +1178,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
         )
 
+    def q_facet_histogram(spark, sf):
+        """Numeric facet histogram over the match set (Lucene
+        RangeFacetCounts design): doclen distribution of docs matching the
+        standard OR query, width-20 bins.  Count aggregation — no float
+        boundary risk, returned as the live distributed frame."""
+        from search_engine_spark.operators.index_build import build_index
+        from search_engine_spark.plans.bm25 import QueryEngine
+        from search_engine_spark.sources.corpus import load_testdata_documents
+
+        docs = load_testdata_documents(spark, sf)
+        index = build_index(spark, docs, compress=True, title_col=None)
+        eng = QueryEngine(spark, index, cache_docstats=False)
+        out = eng.facet_histogram(
+            "values: " + " ".join(BM25_TERMS), col="doclen", bin_width=20
+        ).select("bin_lo", F.col("n").cast("long").alias("n"))
+        return out
+
     def q_events_windowed(spark, sf):
         """Tumbling-window event analytics (operators/events.py) — the same
         call runs streaming with a watermark; batch mode is what the gate
@@ -1310,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_topk": q_bm25f,
         "bm25_collapsed": q_bm25_collapsed,
         "bm25_synonyms": q_bm25_synonyms,
+        "facet_histogram": q_facet_histogram,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "events_stateful_totals": q_events_stateful_totals,
@@ -1875,6 +1893,19 @@ agg AS (
 )
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
 FROM agg ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # facet_histogram twin: distinct matching docs -> doclen -> width-20
+    # bins; pure counting, no score arithmetic
+    _fh_tlist = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    sql["facet_histogram"] = f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({_fh_tlist})),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id)
+SELECT CAST(floor(dl.dl / 20.0) AS BIGINT) * 20 AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM matched m JOIN dl ON m.doc_id = dl.doc_id
+GROUP BY 1 ORDER BY 1
 """
 
     # collapse twin: the full scored set (no top-k cut), best row per

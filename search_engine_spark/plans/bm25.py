@@ -963,6 +963,88 @@ class QueryEngine:
             F.count(F.lit(1)).cast("long").alias("n_docs")
         )
 
+    def facet_histogram(
+        self,
+        query: str,
+        col: str = "doclen",
+        bin_width: int = 50,
+        mode: str = "or",
+        ranges: list[tuple[float | None, float | None]] | None = None,
+    ) -> DataFrame:
+        """Numeric facet distribution over the MATCH SET (the Lucene
+        RangeFacetCounts design, public): how matching docs spread across a
+        numeric docstats column.
+
+        Default: fixed-width bins → DataFrame(bin_lo long, n long), one row
+        per non-empty bin, ascending.  With ``ranges`` (list of inclusive
+        (lo, hi), either side None-open): one row per range, in the given
+        order → DataFrame(range_id int, lo double, hi double, n long) —
+        ranges may overlap, each is counted independently (conditional
+        aggregation, one pass).
+
+        Scale: the scored match set aggregates straight to ≤n_bins rows —
+        map-side partial agg, one tiny exchange; never a window.
+        """
+        if col not in self._docstats.columns:
+            raise ValueError(f"col {col!r} not in docstats")
+        agg = self.score_matches(query, mode=mode)
+        if agg is None:
+            if ranges is not None:
+                return self.spark.createDataFrame(
+                    [], "range_id int, lo double, hi double, n long"
+                )
+            return self.spark.createDataFrame([], "bin_lo long, n long")
+        vals = agg.select("docid").join(
+            self._docstats.select("docid", F.col(col).alias("v")),
+            on="docid",
+            how="inner",
+        )
+        if ranges is not None:
+            conds = []
+            for i, (lo, hi) in enumerate(ranges):
+                c = F.lit(True)
+                if lo is not None:
+                    c = c & (F.col("v") >= F.lit(float(lo)))
+                if hi is not None:
+                    c = c & (F.col("v") <= F.lit(float(hi)))
+                conds.append(
+                    F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(f"r{i}")
+                )
+            row = vals.agg(*conds)
+            out = row.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).cast("int").alias("range_id"),
+                                F.lit(
+                                    float(lo) if lo is not None else float("-inf")
+                                ).alias("lo"),
+                                F.lit(
+                                    float(hi) if hi is not None else float("inf")
+                                ).alias("hi"),
+                                F.col(f"r{i}").alias("n"),
+                            )
+                            for i, (lo, hi) in enumerate(ranges)
+                        ]
+                    )
+                ).alias("x")
+            )
+            return out.select("x.range_id", "x.lo", "x.hi", "x.n")
+        bw = int(bin_width)
+        if bw <= 0:
+            raise ValueError("bin_width must be positive")
+        return (
+            vals.select(
+                (F.floor(F.col("v") / F.lit(bw)) * F.lit(bw))
+                .cast("long")
+                .alias("bin_lo")
+            )
+            .groupBy("bin_lo")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("bin_lo")
+        )
+
     def snippets(
         self,
         query: str,

@@ -1,0 +1,65 @@
+"""Numeric facet histograms over the match set vs a pure-Python count."""
+
+from __future__ import annotations
+
+import pytest
+
+from search_engine_spark.oracle import score_query
+from search_engine_spark.plans.bm25 import QueryEngine
+from search_engine_spark.plans.query_parser import parse_query
+
+QUERY = "values: parse_json0 merge_index0"
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_index):
+    eng = QueryEngine(spark, tiny_index)
+    yield eng
+    eng.close()
+
+
+def _matched_doclens(tiny_oracle, mode="or"):
+    scored = score_query(tiny_oracle, parse_query(QUERY), mode=mode, k=10**9)
+    return [tiny_oracle.doclen[d] for _, d, _ in scored]
+
+
+@pytest.mark.parametrize("width", [10, 50])
+def test_histogram_matches_oracle(engine, tiny_oracle, width):
+    got = {
+        r["bin_lo"]: r["n"]
+        for r in engine.facet_histogram(QUERY, col="doclen", bin_width=width).collect()
+    }
+    want: dict[int, int] = {}
+    for dl in _matched_doclens(tiny_oracle):
+        want[(dl // width) * width] = want.get((dl // width) * width, 0) + 1
+    assert want and got == want
+
+
+def test_histogram_ranges(engine, tiny_oracle):
+    ranges = [(None, 100), (50, 200), (200, None)]
+    rows = engine.facet_histogram(QUERY, col="doclen", ranges=ranges).collect()
+    dls = _matched_doclens(tiny_oracle)
+    want = [
+        sum(1 for d in dls if d <= 100),
+        sum(1 for d in dls if 50 <= d <= 200),
+        sum(1 for d in dls if d >= 200),
+    ]
+    assert [r["n"] for r in sorted(rows, key=lambda r: r["range_id"])] == want
+    # overlapping ranges count independently
+    assert sum(want) >= len(dls)
+
+
+def test_histogram_and_mode_and_validation(engine, tiny_oracle):
+    got = {
+        r["bin_lo"]: r["n"]
+        for r in engine.facet_histogram(QUERY, bin_width=25, mode="and").collect()
+    }
+    want: dict[int, int] = {}
+    for dl in _matched_doclens(tiny_oracle, mode="and"):
+        want[(dl // 25) * 25] = want.get((dl // 25) * 25, 0) + 1
+    assert got == want
+    with pytest.raises(ValueError):
+        engine.facet_histogram(QUERY, col="nope")
+    with pytest.raises(ValueError):
+        engine.facet_histogram(QUERY, bin_width=0)
+    assert engine.facet_histogram("values: ab").count() == 0
