@@ -844,6 +844,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("x.vec_id", "x.cosine")
         )
 
+    def q_pq_topk(spark, sf):
+        """Product-quantized ANN (Jégou et al. 2011): write_pq persists the
+        codes table (4 subspaces × 16 md5-seeded codes over the 64-dim
+        embeddings) once; the query scores every vector as 4 LUT lookups
+        over the codes (ADC), cuts to a refine×k candidate list on the
+        6dp-rounded ADC with id tie-break, and exact-cosine re-ranks.  The
+        twin reproduces seeds, encode argmin, LUT, cut, and re-rank."""
+        import shutil
+        import tempfile
+
+        from search_engine_spark.operators.similarity import (
+            pq_topk_persisted,
+            write_pq,
+        )
+
+        emb = _raw_emb(spark, sf)
+        probe = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        ]
+        root = tempfile.mkdtemp(prefix="gate_pq_")
+        try:
+            write_pq(spark, emb, root, m=4, n_codes=16)
+            rows = [
+                (r["vec_id"], r["cosine"])
+                for r in pq_topk_persisted(
+                    spark, root, emb, probe, k=10, refine=4
+                ).collect()
+            ]
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        if not rows:
+            return spark.createDataFrame([], "vec_id long, cosine double")
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(v).cast("long").alias("vec_id"),
+                    F.lit(c).cast("double").alias("cosine"),
+                )
+                for v, c in rows
+            ]
+        )
+        return (
+            spark.range(1)
+            .select(F.explode(arr).alias("x"))
+            .select("x.vec_id", "x.cosine")
+        )
+
     def q_ann_buckets(spark, sf):
         from search_engine_spark.operators.similarity import lsh_buckets
 
@@ -1328,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_collapsed": q_bm25_collapsed,
         "bm25_synonyms": q_bm25_synonyms,
         "facet_histogram": q_facet_histogram,
+        "pq_topk": q_pq_topk,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "events_stateful_totals": q_events_stateful_totals,
@@ -2392,6 +2441,57 @@ SELECT vec_id,
        round(list_dot_product(ve, pe)
              / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(pe, pe))), 6) AS cosine
 FROM cand, p ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+    # pq_topk twin: md5-order seeds → per-subspace codebooks (list slices)
+    # → encode argmin on the 6dp-rounded squared L2 (ties to smaller code)
+    # → ADC via the LUT join → rounded-ADC candidate cut → exact re-rank.
+    # Mirrors operators/similarity.py pq_* with m=4, n_codes=16, d=16,
+    # refine*k=40 over the 64-dim embeddings.
+    sql["pq_topk"] = """
+WITH p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
+         embedding::DOUBLE[] AS e
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+subs AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+cb AS (
+  SELECT s.sub, seeds.j, seeds.e[s.sub * 16 + 1 : s.sub * 16 + 16] AS cvec
+  FROM seeds, subs s
+),
+vs AS (
+  SELECT v.vec_id, s.sub,
+         (v.embedding::DOUBLE[])[s.sub * 16 + 1 : s.sub * 16 + 16] AS sv
+  FROM embeddings v, subs s
+),
+dists AS (
+  SELECT vs.vec_id, vs.sub, cb.j,
+         round(list_sum(list_transform(range(1, 17),
+               i -> (vs.sv[i] - cb.cvec[i]) * (vs.sv[i] - cb.cvec[i]))), 6) AS dist
+  FROM vs JOIN cb ON vs.sub = cb.sub
+),
+codes AS (
+  SELECT vec_id, sub, j FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, j) = 1
+),
+lut AS (
+  SELECT cb.sub, cb.j,
+         list_dot_product(p.pe[cb.sub * 16 + 1 : cb.sub * 16 + 16], cb.cvec) AS v
+  FROM cb, p
+),
+adc AS (
+  SELECT c.vec_id, sum(l.v) AS adc
+  FROM codes c JOIN lut l ON c.sub = l.sub AND c.j = l.j
+  GROUP BY c.vec_id
+),
+cand AS (SELECT vec_id FROM adc ORDER BY round(adc, 6) DESC, vec_id LIMIT 40)
+SELECT e.vec_id,
+       round(list_dot_product(e.embedding::DOUBLE[], p.pe)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(p.pe, p.pe))), 6) AS cosine
+FROM embeddings e JOIN cand USING (vec_id), p
+ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
     # hash_split: u is a dyadic rational (32-bit md5 prefix / 2^32) —

@@ -524,3 +524,203 @@ def ivf_topk_persisted(
     cells = _rank_probe_cells(probe, cents, n_probes)
     cand = vectors.where(F.col("cell").isin(cells))
     return cosine_topk(cand, probe, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): memory-compressed ADC search
+# ---------------------------------------------------------------------------
+# Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor Search"
+# (TPAMI 2011, public).  The vector is split into M subspaces; each
+# subvector is replaced by the id of its nearest codebook entry, so a
+# 64-dim float32 vector (256 B) stores as M small ints (M bytes at K<=256).
+# A query builds an M x K lookup table of subspace dot products ONCE
+# driver-side, and every candidate scores as M table lookups (ADC —
+# asymmetric distance computation) — no float vector is read until the
+# exact re-rank of the short candidate list.
+#
+# Determinism (cross-engine gate contract): codebook entries come from the
+# md5-order seed rows (ivf_seed_centroids' trick — no RNG, any SQL engine
+# reproduces them); encode argmin uses the 6dp-ROUNDED squared L2 with
+# ties to the smaller code id; the ADC candidate cut orders by
+# (round(adc, 6) DESC, id ASC).
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """cb[sub][j] = the j-th md5-order seed row's sub-th subvector.
+
+    One driver-sized collect of ``n_codes`` rows (the K seed vectors serve
+    ALL M subspaces — deterministic and cheap; Lloyd refinement per
+    subspace is the recall knob a real deployment adds, exactly like
+    ivf_train vs ivf_seed_centroids)."""
+    seeds = ivf_seed_centroids(embeddings, n_codes, id_col, vec_col)
+    dim = len(seeds[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    return [
+        [list(vec[sub * d : (sub + 1) * d]) for _, vec in seeds]
+        for sub in range(m)
+    ]
+
+
+def _l2sq_to_literal(sub_col: Column, entry: list[float]) -> Column:
+    lit_vec = F.array(*[F.lit(float(x)) for x in entry])
+    diffs = F.zip_with(
+        sub_col, lit_vec, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (id, codes array<int>) — fully columnar argmin per subspace.
+
+    Map-only: rides the scan, no shuffle, no UDF; at 10^12 vectors this is
+    the one full pass a PQ build costs (then queries touch codes only)."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    code_cols = []
+    for sub in range(m):
+        sub_col = F.slice(F.col(vec_col), sub * d + 1, d)
+        scored = [
+            F.struct(
+                F.round(_l2sq_to_literal(sub_col, entry), 6).alias("dist"),
+                F.lit(j).cast("int").alias("j"),
+            )
+            for j, entry in enumerate(codebooks[sub])
+        ]
+        code_cols.append(F.array_min(F.array(*scored))["j"])
+    return embeddings.select(
+        F.col(id_col), F.array(*code_cols).alias("codes")
+    )
+
+
+def pq_lut(probe: list[float], codebooks: list[list[list[float]]]) -> list[list[float]]:
+    """ADC lookup table: lut[sub][j] = <probe_sub, cb[sub][j]> (driver-side
+    python floats — M*K values, trivially small)."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    lut = []
+    for sub in range(m):
+        ps = probe[sub * d : (sub + 1) * d]
+        lut.append(
+            [sum(float(a) * float(b) for a, b in zip(ps, entry)) for entry in codebooks[sub]]
+        )
+    return lut
+
+
+def pq_adc(codes: DataFrame, lut: list[list[float]], id_col: str = "vec_id") -> DataFrame:
+    """→ (id, adc double): approximate <probe, vec> as M literal-array
+    lookups — whole-stage-codegen'd, reads only the codes column."""
+    terms = [
+        F.element_at(
+            F.array(*[F.lit(float(v)) for v in lut[sub]]),
+            F.col("codes")[sub] + F.lit(1),
+        )
+        for sub in range(len(lut))
+    ]
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
+    return codes.select(F.col(id_col), adc.alias("adc"))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """PQ ANN: ADC over codes → top refine*k candidates → exact cosine
+    re-rank.  Pass ``codes``/``codebooks`` (from pq_encode / a persisted
+    root) to skip the in-line encode; without them this encodes on the fly
+    (correct, but the build pass belongs at write time — see write_pq)."""
+    cb = codebooks or pq_codebooks(embeddings, m, n_codes, id_col, vec_col)
+    cds = codes if codes is not None else pq_encode(embeddings, cb, id_col, vec_col)
+    cand_ids = (
+        pq_adc(cds, pq_lut(probe, cb), id_col)
+        .orderBy(F.desc(F.round(F.col("adc"), 6)), F.asc(id_col))
+        .limit(int(refine) * k)
+        .select(id_col)
+    )
+    cand = embeddings.join(cand_ids, on=id_col, how="left_semi")
+    return cosine_topk(cand, probe, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def write_pq(
+    spark,
+    embeddings: DataFrame,
+    root: str,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the PQ artifact: codes parquet + codebook meta.
+
+    The codes table is the whole point — M small ints per vector, so the
+    per-query ADC scan reads ~M bytes/vector instead of the raw floats
+    (16x-64x less IO); raw vectors are touched only for the candidate
+    re-rank (id-join point lookups against the source table)."""
+    from ..sources.index_io import write_meta_file
+
+    cb = pq_codebooks(embeddings, m, n_codes, id_col, vec_col)
+    pq_encode(embeddings, cb, id_col, vec_col).write.mode("overwrite").parquet(
+        f"{root}/codes"
+    )
+    write_meta_file(
+        spark,
+        f"{root}/_pq_meta",
+        {
+            "m": m,
+            "n_codes": n_codes,
+            "id_col": id_col,
+            "codebooks": [[[float(x) for x in e] for e in sub] for sub in cb],
+        },
+        overwrite=True,
+    )
+
+
+def pq_topk_persisted(
+    spark,
+    root: str,
+    embeddings: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    refine: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN over a persisted root: codes scan + M lookups + short exact
+    re-rank against the raw table.  No encode job, no shuffle beyond the
+    TakeOrderedAndProject candidate cut."""
+    from ..sources.index_io import read_meta_file
+
+    meta = read_meta_file(spark, f"{root}/_pq_meta")
+    cb = [[list(map(float, e)) for e in sub] for sub in meta["codebooks"]]
+    codes = spark.read.parquet(f"{root}/codes")
+    return pq_topk(
+        embeddings,
+        probe,
+        k=k,
+        refine=refine,
+        id_col=str(meta["id_col"]),
+        vec_col=vec_col,
+        codebooks=cb,
+        codes=codes,
+    )

@@ -1,0 +1,121 @@
+"""Product quantization (operators/similarity.py PQ section)."""
+
+from __future__ import annotations
+
+import math
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.similarity import (
+    cosine_topk,
+    pq_adc,
+    pq_codebooks,
+    pq_encode,
+    pq_lut,
+    pq_topk,
+    pq_topk_persisted,
+    write_pq,
+)
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rows = []
+    for i in range(80):
+        vec = [math.sin(0.1 * i * (d + 1)) + 0.01 * ((i * 7 + d) % 5) for d in range(16)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df.cache().count()
+    return df
+
+
+def test_codebook_shape_and_dim_guard(emb_df):
+    cb = pq_codebooks(emb_df, m=4, n_codes=8)
+    assert len(cb) == 4 and all(len(sub) == 8 for sub in cb)
+    assert all(len(e) == 4 for sub in cb for e in sub)
+    with pytest.raises(ValueError):
+        pq_codebooks(emb_df, m=5)
+
+
+def test_encode_deterministic_and_bounded(emb_df):
+    cb = pq_codebooks(emb_df, m=4, n_codes=8)
+    a = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb_df, cb).collect()}
+    b = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb_df, cb).collect()}
+    assert a == b
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in a.values())
+    # a seed row encodes to ITSELF in every subspace (distance 0)
+    seed_ids = [
+        r["vec_id"]
+        for r in emb_df.select(
+            "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(8)
+        .collect()
+    ]
+    for j, sid in enumerate(seed_ids):
+        assert a[sid] == [j] * 4
+
+
+def test_adc_approximates_dot(emb_df):
+    cb = pq_codebooks(emb_df, m=4, n_codes=8)
+    codes = pq_encode(emb_df, cb)
+    probe = emb_df.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    adc = {r["vec_id"]: r["adc"] for r in pq_adc(codes, pq_lut(probe, cb)).collect()}
+    rows = emb_df.collect()
+    errs = []
+    for r in rows:
+        true_dot = sum(a * b for a, b in zip(r["embedding"], probe))
+        errs.append(abs(adc[r["vec_id"]] - true_dot))
+    # quantization error is bounded, not zero: ADC must track the true dot
+    # (true dots here are O(8); 8 codes over 80 vectors quantize coarsely)
+    assert sum(errs) / len(errs) < 2.0
+    # and for a seed row (codes = its own subvectors) ADC is EXACT
+    seed = emb_df.select(
+        "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h")
+    ).orderBy("h", "vec_id").limit(1).collect()[0]["vec_id"]
+    seed_vec = [r["embedding"] for r in rows if r["vec_id"] == seed][0]
+    true_dot = sum(a * b for a, b in zip(seed_vec, probe))
+    assert abs(adc[seed] - true_dot) < 1e-9
+
+
+def test_pq_topk_recall_and_rerank_exactness(emb_df):
+    probe = emb_df.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in cosine_topk(emb_df, probe, k=10).collect()]
+    got = pq_topk(emb_df, probe, k=10, m=4, n_codes=8, refine=4).collect()
+    got_ids = [r["vec_id"] for r in got]
+    # candidate re-rank is exact cosine → returned cosines must equal the
+    # brute-force cosine for those ids
+    vecs = {r["vec_id"]: r["embedding"] for r in emb_df.collect()}
+    pn = math.sqrt(sum(x * x for x in probe))
+    for r in got:
+        v = vecs[r["vec_id"]]
+        c = sum(a * b for a, b in zip(v, probe)) / (
+            math.sqrt(sum(x * x for x in v)) * pn
+        )
+        assert abs(r["cosine"] - round(c, 6)) < 1e-6
+    # recall@10 against brute force — PQ with refine=4 on this corpus
+    overlap = len(set(exact) & set(got_ids))
+    assert overlap >= 5, (exact, got_ids)
+
+
+def test_pq_persisted_roundtrip(spark, emb_df):
+    probe = emb_df.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    root = tempfile.mkdtemp(prefix="pq_root_")
+    write_pq(spark, emb_df, root, m=4, n_codes=8)
+    a = [
+        (r["vec_id"], r["cosine"])
+        for r in pq_topk_persisted(spark, root, emb_df, probe, k=10).collect()
+    ]
+    b = [
+        (r["vec_id"], r["cosine"])
+        for r in pq_topk(emb_df, probe, k=10, m=4, n_codes=8, refine=4).collect()
+    ]
+    assert a == b
+    # the persisted path runs NO encode: its plan reads the codes parquet
+    from search_engine_spark.sources.index_io import read_meta_file
+
+    meta = read_meta_file(spark, f"{root}/_pq_meta")
+    assert meta["m"] == 4 and meta["n_codes"] == 8
