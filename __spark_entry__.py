@@ -1243,6 +1243,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("bin_lo", F.col("n").cast("long").alias("n"))
         return out
 
+    def q_streamed_dedup(spark, sf):
+        """Streaming near-dedup at ingest (streaming/dedup.py): batch 0 =
+        the sf corpus; batch 1 = injected near-copies (every 10th doc + one
+        extra token; every 20th doc twice, exercising both the
+        store-suppression and the intra-batch smaller-id-wins paths).
+        stream_ingest(skip_near_dups=0.6) drains the two micro-batches; the
+        entry reports (doc_id, batch, kept) for the whole union corpus,
+        kept = committed to the slice log.  The MinHash component estimator
+        is integer arithmetic (k/8), so the twin's replay is bit-exact."""
+        import shutil
+        import tempfile
+
+        from search_engine_spark.sources.corpus import load_testdata_documents
+        from search_engine_spark.streaming.ingest import (
+            _committed_docids,
+            stream_ingest,
+        )
+
+        docs = load_testdata_documents(spark, sf)
+
+        def _copy(offset, suffix, modulo):
+            return docs.where(F.col("docid") % modulo == 0).select(
+                (F.col("docid") + F.lit(offset)).alias("docid"),
+                "repo",
+                F.concat(F.lit(f"copy{offset}/"), F.col("path")).alias("path"),
+                "commit",
+                "lang",
+                F.concat(F.col("content"), F.lit(suffix)).alias("content"),
+            )
+
+        batch1 = _copy(1000000000, " extrazz", 10).unionByName(
+            _copy(2000000000, " extrazz extraqq", 20)
+        )
+        work = tempfile.mkdtemp(prefix="gate_sdedup_")
+        landing = f"{work}/landing"
+        root = f"{work}/idx"
+        try:
+            docs.coalesce(1).write.mode("append").parquet(landing)
+            batch1.coalesce(1).write.mode("append").parquet(landing)
+            src = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(landing)
+            )
+            q = stream_ingest(
+                src,
+                root,
+                finalize="manual",
+                compress=True,
+                skip_near_dups=0.6,
+                checkpoint_dir=f"{work}/ckpt",
+            )
+            q.awaitTermination()
+            # id-only collect (corpus-bounded but tiny: one long per doc);
+            # the output frame itself derives from the persistent testdata
+            # parquet, so it survives the temp-root cleanup below
+            kept_ids = [r["docid"] for r in _committed_docids(spark, root).collect()]
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        corpus = docs.select("docid", F.lit(0).alias("batch")).unionByName(
+            batch1.select("docid", F.lit(1).alias("batch"))
+        )
+        return corpus.select(
+            F.col("docid").alias("doc_id"),
+            "batch",
+            F.when(F.col("docid").isin(kept_ids), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("kept"),
+        )
+
     def q_events_windowed(spark, sf):
         """Tumbling-window event analytics (operators/events.py) — the same
         call runs streaming with a watermark; batch mode is what the gate
@@ -1377,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_synonyms": q_bm25_synonyms,
         "facet_histogram": q_facet_histogram,
         "pq_topk": q_pq_topk,
+        "streamed_dedup": q_streamed_dedup,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "events_stateful_totals": q_events_stateful_totals,
@@ -2441,6 +2513,83 @@ SELECT vec_id,
        round(list_dot_product(ve, pe)
              / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(pe, pe))), 6) AS cosine
 FROM cand, p ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+    # streamed_dedup twin: replay the two-micro-batch near-dedup in SQL —
+    # sigs over the injected union corpus, banded candidates, the k/8
+    # component estimator, batch-0 intra drops, then batch-1 drops vs the
+    # kept-0 "store" plus batch-1 intra (streaming/dedup.py semantics)
+    _sd_sigs = _minhash_sql().replace("FROM documents", "FROM corpus")
+    _sd_bands = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5(concat_ws('|', sig_{r0}, sig_{r1}))"
+        " AS band_hash FROM sigs".format(b=b, r0=2 * b, r1=2 * b + 1)
+        for b in range(4)
+    )
+    _sd_est = (
+        "("
+        + " + ".join(
+            f"CASE WHEN l.sig_{i} = r.sig_{i} THEN 1 ELSE 0 END" for i in range(8)
+        )
+        + ") / 8.0"
+    )
+    sql["streamed_dedup"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text, 0 AS batch FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, text || ' extrazz' AS text, 1 AS batch
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000000 AS doc_id, text || ' extrazz extraqq' AS text, 1 AS batch
+  FROM documents WHERE doc_id % 20 = 0
+),
+sigs AS ({_sd_sigs}),
+bands AS ({_sd_bands}),
+bband AS (SELECT b.*, c.batch FROM bands b JOIN corpus c USING (doc_id)),
+cand0 AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bband l JOIN bband r ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+  WHERE l.batch = 0 AND r.batch = 0 AND l.doc_id < r.doc_id
+),
+drops0 AS (
+  SELECT DISTINCT c.b AS doc_id FROM cand0 c
+  JOIN sigs l ON l.doc_id = c.a JOIN sigs r ON r.doc_id = c.b
+  WHERE {_sd_est} >= 0.6
+),
+kept0 AS (
+  SELECT doc_id FROM corpus WHERE batch = 0
+    AND doc_id NOT IN (SELECT doc_id FROM drops0)
+),
+cand1s AS (
+  SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS old_id
+  FROM bband l JOIN bband r ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+  WHERE l.batch = 1 AND r.batch = 0
+    AND r.doc_id IN (SELECT doc_id FROM kept0)
+),
+drops1s AS (
+  SELECT DISTINCT c.new_id AS doc_id FROM cand1s c
+  JOIN sigs l ON l.doc_id = c.new_id JOIN sigs r ON r.doc_id = c.old_id
+  WHERE {_sd_est} >= 0.6
+),
+cand1i AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bband l JOIN bband r ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+  WHERE l.batch = 1 AND r.batch = 1 AND l.doc_id < r.doc_id
+),
+drops1i AS (
+  SELECT DISTINCT c.b AS doc_id FROM cand1i c
+  JOIN sigs l ON l.doc_id = c.a JOIN sigs r ON r.doc_id = c.b
+  WHERE {_sd_est} >= 0.6
+),
+kept AS (
+  SELECT doc_id FROM kept0
+  UNION ALL
+  SELECT doc_id FROM corpus WHERE batch = 1
+    AND doc_id NOT IN (SELECT doc_id FROM drops1s)
+    AND doc_id NOT IN (SELECT doc_id FROM drops1i)
+)
+SELECT c.doc_id, CAST(c.batch AS INT) AS batch,
+       CAST(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM corpus c LEFT JOIN kept k ON c.doc_id = k.doc_id
 """
 
     # pq_topk twin: md5-order seeds → per-subspace codebooks (list slices)

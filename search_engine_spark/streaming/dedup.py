@@ -1,0 +1,174 @@
+"""Streaming near-duplicate suppression at ingest.
+
+Batch-mode near-dedup (operators/dedup.py) answers "which docs in THIS
+corpus duplicate each other"; a landing zone needs the incremental
+question — "is this NEW doc a near-duplicate of anything already
+ingested" — without re-scanning the corpus per micro-batch.  The standard
+answer (public: the MinHash-LSH ingest filters of web-crawl pipelines à la
+Broder '97 / Leskovec-Rajaraman-Ullman ch.3) is a persisted SIGNATURE
+STORE:
+
+- every committed doc leaves its ``n_hashes`` MinHash values (integers,
+  ~64 B/doc — the store is orders of magnitude smaller than the corpus);
+- an incoming batch computes its own signatures, finds candidates against
+  the store via the banded-LSH equi-join (same banding as
+  ``lsh_candidate_pairs`` — never an all-pairs comparison), and estimates
+  Jaccard as the FRACTION OF AGREEING SIGNATURE COMPONENTS (the unbiased
+  MinHash estimator; k/n_hashes is exact arithmetic, no float drift);
+- est >= threshold against any stored doc → the new doc is dropped;
+  intra-batch pairs resolve smaller-docid-wins, mirroring near_dedup.
+
+Crash ordering (mirrors the bloom filter's contract in ingest.py): the
+batch's signatures append to the store only AFTER its slices commit and
+finalize.  A crash in between leaves committed docs unsigned — future
+duplicates of them may slip through (false negative, self-heals on
+compaction-time batch dedup) — but the replayed batch can NEVER be
+suppressed by its own half-written signatures, so no document is lost.
+
+Scale: the store is read with column pruning (id + sig columns), the
+band join shuffles only (batch × matching-band) rows, and the estimator
+is a single wide-row comparison — no shingle or text column is ever
+stored or re-read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import LSH_BANDS, N_MINHASHES, minhash_signatures
+
+SIG_STORE = "_dedup/signatures"
+
+
+def _sig_cols(n_hashes: int) -> list[str]:
+    return [f"sig_{i}" for i in range(n_hashes)]
+
+
+def _band_rows(
+    sigs: DataFrame, id_col: str, n_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band_id, band_hash) — one row per band, same hashing as
+    operators.dedup.lsh_candidate_pairs so both paths bucket identically."""
+    rpb = n_hashes // bands
+    structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"sig_{b * rpb + r}") for r in range(rpb)]
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*structs)).alias("bnd")
+    ).select(id_col, "bnd.band_id", "bnd.band_hash")
+
+
+def _est_col(n_hashes: int, left: str = "l", right: str = "r") -> F.Column:
+    """MinHash Jaccard estimate: fraction of agreeing components —
+    integer agreement count / n_hashes, bit-exact across engines."""
+    agree = None
+    for i in range(n_hashes):
+        c = F.when(
+            F.col(f"{left}.sig_{i}") == F.col(f"{right}.sig_{i}"), 1
+        ).otherwise(0)
+        agree = c if agree is None else agree + c
+    return agree / F.lit(float(n_hashes))
+
+
+def read_signature_store(spark, root: str, n_hashes: int = N_MINHASHES) -> DataFrame | None:
+    """The committed signature store, or None before the first append."""
+    path = f"{root}/{SIG_STORE}"
+    try:
+        spark.catalog.refreshByPath(path)
+        return spark.read.parquet(path).select("docid", *_sig_cols(n_hashes))
+    except Exception:
+        return None
+
+
+def append_signatures(sigs: DataFrame, root: str) -> None:
+    """Append a batch's (docid, sig_*) rows — call AFTER the batch commits
+    (see module docstring for the crash-order argument)."""
+    sigs.write.mode("append").parquet(f"{root}/{SIG_STORE}")
+
+
+def drop_near_duplicates(
+    spark,
+    docs: DataFrame,
+    root: str,
+    threshold: float = 0.7,
+    text_col: str = "content",
+    id_col: str = "docid",
+    n_hashes: int = N_MINHASHES,
+    bands: int = LSH_BANDS,
+) -> tuple[DataFrame, DataFrame]:
+    """→ (kept_docs, kept_signatures) for one micro-batch.
+
+    A doc is dropped when its estimated Jaccard reaches ``threshold``
+    against (a) any doc in the persisted store, or (b) a smaller-docid doc
+    in the SAME batch (single-pass smaller-id-wins, the near_dedup
+    contract).  kept_signatures is what the caller appends to the store
+    once the batch commits.
+    """
+    sigs = minhash_signatures(
+        docs, text_col=text_col, id_col=id_col, n_hashes=n_hashes
+    )
+    batch_bands = _band_rows(sigs, id_col, n_hashes, bands)
+
+    drops = None
+    store = read_signature_store(spark, root, n_hashes)
+    if store is not None:
+        store_bands = _band_rows(store, "docid", n_hashes, bands)
+        cand = (
+            batch_bands.alias("nb")
+            .join(
+                store_bands.alias("ob"),
+                on=["band_id", "band_hash"],
+                how="inner",
+            )
+            .select(
+                F.col(f"nb.{id_col}").alias("new_id"),
+                F.col("ob.docid").alias("old_id"),
+            )
+            .distinct()
+        )
+        est_store = (
+            cand.join(
+                sigs.alias("l"), cand["new_id"] == F.col(f"l.{id_col}")
+            )
+            .join(store.alias("r"), cand["old_id"] == F.col("r.docid"))
+            .where(_est_col(n_hashes) >= F.lit(float(threshold)))
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        drops = est_store
+
+    # intra-batch: banded self-join, a < b, smaller id wins
+    intra = (
+        batch_bands.alias("ba")
+        .join(
+            batch_bands.alias("bb"),
+            on=["band_id", "band_hash"],
+            how="inner",
+        )
+        .where(F.col(f"ba.{id_col}") < F.col(f"bb.{id_col}"))
+        .select(
+            F.col(f"ba.{id_col}").alias("a"), F.col(f"bb.{id_col}").alias("b")
+        )
+        .distinct()
+    )
+    est_intra = (
+        intra.join(sigs.alias("l"), intra["a"] == F.col(f"l.{id_col}"))
+        .join(sigs.alias("r"), intra["b"] == F.col(f"r.{id_col}"))
+        .where(_est_col(n_hashes) >= F.lit(float(threshold)))
+        .select(F.col("b").alias(id_col))
+        .distinct()
+    )
+    drops = est_intra if drops is None else drops.unionByName(est_intra).distinct()
+
+    kept_docs = docs.join(drops, on=id_col, how="left_anti")
+    kept_sigs = sigs.join(drops, on=id_col, how="left_anti")
+    return kept_docs, kept_sigs

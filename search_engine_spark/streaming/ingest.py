@@ -130,6 +130,7 @@ def stream_ingest(
     snapshot_offset: int = 0,
     trigger_interval: str | None = None,
     skip_existing: bool = False,
+    skip_near_dups: float | None = None,
     **build_kwargs,
 ) -> StreamingQuery:
     """Start ingesting a STREAMING DataFrame into the index at ``root``.
@@ -145,6 +146,14 @@ def stream_ingest(
     ``snapshot_offset`` shifts batch_id → snapshot_id so a stream can
     append to a root whose initial load used low snapshot ids (snapshot
     ids must be globally unique per root across both front doors).
+
+    ``skip_near_dups``: a Jaccard threshold (e.g. 0.7) switches on
+    CONTENT-level thinning at ingest (streaming/dedup.py): each batch's
+    MinHash signatures screen against the persisted signature store of
+    everything committed so far (banded LSH join, never all-pairs) plus a
+    smaller-docid-wins pass within the batch; survivors' signatures join
+    the store only after the batch commits.  Orthogonal to
+    ``skip_existing`` (exact docid re-lands).
     """
     if finalize not in ("batch", "manual"):
         raise ValueError(f"finalize must be 'batch' or 'manual', got {finalize!r}")
@@ -154,7 +163,19 @@ def stream_ingest(
         docs = batch_df if "docid" in batch_df.columns else add_docid(batch_df)
         if skip_existing:
             docs = _drop_already_indexed(spark, docs, root)
+        kept_sigs = None
+        if skip_near_dups is not None:
+            from .dedup import drop_near_duplicates
+
+            docs, kept_sigs = drop_near_duplicates(
+                spark, docs, root, threshold=skip_near_dups
+            )
+            # the dedup joins feed several downstream actions (bloom,
+            # commit, finalize, signature append) — evaluate them once
+            docs = docs.persist()
         if not docs.take(1):  # empty micro-batch: nothing to commit
+            if kept_sigs is not None:
+                docs.unpersist()
             return
         if skip_existing:
             # bloom BEFORE commit: a crash between the two leaves the bloom
@@ -173,6 +194,15 @@ def stream_ingest(
         )
         if finalize == "batch":
             finalize_index(spark, root, **build_kwargs)
+        if kept_sigs is not None:
+            # LAST: a crash before this append can only under-fill the
+            # store (future false negatives), never suppress the replay of
+            # a batch with its own half-written signatures (doc loss) —
+            # see streaming/dedup.py crash-ordering contract
+            from .dedup import append_signatures
+
+            append_signatures(kept_sigs, root)
+            docs.unpersist()
 
     writer = (
         source.writeStream.foreachBatch(handle)

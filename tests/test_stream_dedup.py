@@ -1,0 +1,132 @@
+"""Streaming near-duplicate suppression (streaming/dedup.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.streaming.dedup import (
+    append_signatures,
+    drop_near_duplicates,
+    read_signature_store,
+)
+from search_engine_spark.streaming.ingest import stream_ingest
+
+
+def _docs(spark, rows):
+    """rows: [(docid, content)] → engine-schema frame."""
+    return spark.createDataFrame(
+        [
+            {
+                "docid": d,
+                "repo": "r",
+                "path": f"p{d}",
+                "commit": f"{d:040d}",
+                "lang": "py",
+                "content": c,
+            }
+            for d, c in rows
+        ]
+    ).select("docid", "repo", "path", "commit", "lang", "content")
+
+
+LONG = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega "
+)
+
+
+def test_intra_batch_smaller_id_wins(spark, tmp_path):
+    root = str(tmp_path / "root")
+    docs = _docs(
+        spark,
+        [
+            (1, LONG),
+            (2, LONG),  # exact copy of 1 → dropped (1 < 2)
+            (3, "completely different tokens entirely unrelated words here"),
+        ],
+    )
+    kept, sigs = drop_near_duplicates(spark, docs, root, threshold=0.7)
+    assert {r["docid"] for r in kept.collect()} == {1, 3}
+    assert {r["docid"] for r in sigs.collect()} == {1, 3}
+
+
+def test_store_suppresses_cross_batch_dups(spark, tmp_path):
+    root = str(tmp_path / "root")
+    b0 = _docs(spark, [(1, LONG), (3, "unrelated words only here nothing shared")])
+    kept0, sigs0 = drop_near_duplicates(spark, b0, root, threshold=0.7)
+    assert kept0.count() == 2
+    append_signatures(sigs0, root)
+
+    b1 = _docs(
+        spark,
+        [
+            (10, LONG),  # near-dup of stored doc 1 (larger id, DIFFERENT batch)
+            (11, "fresh new content with zero overlap against anything prior"),
+        ],
+    )
+    kept1, sigs1 = drop_near_duplicates(spark, b1, root, threshold=0.7)
+    assert {r["docid"] for r in kept1.collect()} == {11}
+    # store ordering is id-free: a SMALLER new id still loses to the store
+    b2 = _docs(spark, [(0, LONG)])
+    kept2, _ = drop_near_duplicates(spark, b2, root, threshold=0.7)
+    assert kept2.count() == 0
+
+
+def test_partial_overlap_respects_threshold(spark, tmp_path):
+    root = str(tmp_path / "root")
+    base = LONG
+    half = "alpha beta gamma delta epsilon zeta " + (
+        "one two three four five six seven eight nine ten eleven twelve "
+    )
+    docs = _docs(spark, [(1, base), (2, half)])
+    kept, _ = drop_near_duplicates(spark, docs, root, threshold=0.9)
+    # ~half-overlapping doc survives a high threshold
+    assert {r["docid"] for r in kept.collect()} == {1, 2}
+
+
+def test_stream_ingest_skip_near_dups_end_to_end(spark, tmp_path):
+    """Two micro-batches: batch-1 docs that near-duplicate batch-0 commits
+    are skipped; the signature store holds survivors only; the final index
+    serves the kept docs."""
+    from search_engine_spark.sources.index_io import read_index
+    from search_engine_spark.plans.bm25 import QueryEngine
+
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "idx")
+
+    b0 = _docs(spark, [(1, LONG), (2, "unrelated corpus text completely different")])
+    b1 = _docs(
+        spark,
+        [
+            (10, LONG),  # near-dup of doc 1 from batch 0 → skipped
+            (11, "brand new third document with novel tokens galore"),
+        ],
+    )
+    b0.coalesce(1).write.mode("append").parquet(landing)
+    b1.coalesce(1).write.mode("append").parquet(landing)
+
+    src = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = stream_ingest(
+        src,
+        root,
+        finalize="batch",
+        compress=True,
+        skip_near_dups=0.7,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    idx = read_index(spark, root)
+    indexed = {r["docid"] for r in idx.docstats.select("docid").collect()}
+    assert indexed == {1, 2, 11}
+    store = read_signature_store(spark, root)
+    assert store is not None
+    assert {r["docid"] for r in store.collect()} == {1, 2, 11}
+    eng = QueryEngine(spark, idx, cache_docstats=False)
+    hits = {r["docid"] for r in eng.search("values: alpha beta gamma", k=10).collect()}
+    assert 1 in hits and 10 not in hits
