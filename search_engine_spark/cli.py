@@ -331,9 +331,66 @@ def cmd_search(args) -> int:
         return 0
     engine = _engine(spark, args)
     phrases = "positional" if getattr(args, "positional_phrases", False) else "quirk"
+    syns = None
+    if getattr(args, "synonyms", None):
+        import json as _json
+
+        with open(args.synonyms) as fh:
+            syns = _json.load(fh)
+    if getattr(args, "bm25f", False):
+        from .plans.bm25f import bm25f_topk
+        from .plans.query_parser import parse_query
+
+        terms = [
+            t
+            for kind, _tgt, raw in parse_query(args.query)
+            if kind == "terms"
+            for t in raw
+        ]
+        rows = bm25f_topk(
+            engine, terms, k=args.k,
+            weights={"content": 1.0, "title": args.title_weight},
+        ).collect()
+        for r in rows:
+            print(f"{r['rank']:>3}  {r['docid']:<20} {r['score']:.6f}")
+        if not rows:
+            print("no results")
+        return 0
+    if getattr(args, "histogram", None):
+        try:
+            rows = engine.facet_histogram(
+                args.query, col=args.histogram, bin_width=args.bin_width,
+                mode=args.mode,
+            ).collect()
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        for r in rows:
+            print(f"{r['bin_lo']:>10}  {'#' * min(int(r['n']), 60)} {r['n']}")
+        if not rows:
+            print("no results")
+        return 0
+    if getattr(args, "collapse", None):
+        try:
+            rows = engine.search_collapsed(
+                args.query, group_col=args.collapse, k=args.k,
+                per_group=args.per_group, mode=args.mode,
+            ).collect()
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        for r in rows:
+            print(
+                f"{r['rank']:>3}  {r['docid']:<20} {r['score']:.6f}  "
+                f"{r['group']} ({r['group_hits']} hits)"
+            )
+        if not rows:
+            print("no results")
+        return 0
     try:
         rows = engine.search(
-            args.query, mode=args.mode, k=args.k, with_display=True, phrases=phrases
+            args.query, mode=args.mode, k=args.k, with_display=True,
+            phrases=phrases, synonyms=syns,
         ).collect()
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
@@ -395,6 +452,7 @@ def cmd_ingest_stream(args) -> int:
         n_slices=max(1, args.slices),
         finalize="manual",
         skip_existing=args.skip_existing,
+        skip_near_dups=args.skip_near_dups,
         snapshot_offset=args.snapshot_offset,
         checkpoint_dir=args.checkpoint,
         compress=not args.no_compress,
@@ -610,6 +668,38 @@ def main(argv: list[str] | None = None) -> int:
         "--docs", default=None,
         help="source documents parquet (content verify for --substring/--regex)",
     )
+    s.add_argument(
+        "--collapse", default=None, metavar="COL",
+        help="field-collapsed results: at most --per-group hits per distinct "
+        "value of a docstats column (repo, lang, ...)",
+    )
+    s.add_argument(
+        "--per-group", type=int, default=1,
+        help="with --collapse: max results per group (default 1)",
+    )
+    s.add_argument(
+        "--synonyms", default=None, metavar="FILE",
+        help='JSON file {"term": ["member", ...]} — terms score as blended '
+        "synonym groups (SynonymQuery semantics)",
+    )
+    s.add_argument(
+        "--bm25f", action="store_true",
+        help="BM25F field-weighted scorer (cross-field tf saturation) over "
+        "the query's terms; weight via --title-weight",
+    )
+    s.add_argument(
+        "--title-weight", type=float, default=2.0,
+        help="with --bm25f: the title field weight (content stays 1.0)",
+    )
+    s.add_argument(
+        "--histogram", default=None, metavar="COL",
+        help="print the match set's distribution over a numeric docstats "
+        "column instead of ranked results",
+    )
+    s.add_argument(
+        "--bin-width", type=int, default=50,
+        help="with --histogram: bin width (default 50)",
+    )
     s.add_argument("--wand", action="store_true", help="block-max WAND path (driver traversal)")
     s.add_argument(
         "--wand-shards", type=int, default=None, metavar="N",
@@ -646,6 +736,11 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument(
         "--skip-existing", action="store_true",
         help="skip re-landed docids instead of refusing the collision",
+    )
+    st.add_argument(
+        "--skip-near-dups", type=float, default=None, metavar="T",
+        help="content-level thinning: drop docs whose estimated Jaccard vs "
+        "anything committed (or a smaller-docid batch sibling) reaches T",
     )
     st.add_argument(
         "--snapshot-offset", type=int, default=0,

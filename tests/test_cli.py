@@ -291,3 +291,73 @@ def test_append_snapshot_auto_appends_trigrams(spark, tmp_path, capsys):
     from search_engine_spark.sources.fsck import verify_index
 
     assert verify_index(spark, root)["trigram_coverage"]["ok"]
+
+
+def test_search_collapse_synonyms_bm25f_histogram(spark, tiny_df, tmp_path, capsys):
+    """Round-3 search surface: --collapse / --synonyms / --bm25f /
+    --histogram drive their engine paths end-to-end through argparse."""
+    import json
+
+    src = str(tmp_path / "docs_r3")
+    root = str(tmp_path / "idx_r3")
+    tiny_df.write.parquet(src)
+    assert main(["build", "--input", src, "--output", root]) == 0
+    capsys.readouterr()
+
+    q = "values: parse_json0 merge_index0"
+    assert main(["search", "--index", root, "--query", q, "--collapse", "repo"]) == 0
+    out = capsys.readouterr().out
+    assert "hits)" in out and "no results" not in out
+    # one row per group at per-group 1
+    groups = [ln.split()[3] for ln in out.strip().splitlines()]
+    assert len(groups) == len(set(groups))
+
+    syn_file = str(tmp_path / "syns.json")
+    with open(syn_file, "w") as fh:
+        json.dump({"parse_json0": ["merge_index0"]}, fh)
+    assert main(
+        ["search", "--index", root, "--query", "values: parse_json0",
+         "--synonyms", syn_file]
+    ) == 0
+    syn_out = capsys.readouterr().out
+    assert "no results" not in syn_out
+
+    assert main(["search", "--index", root, "--query", q, "--bm25f"]) == 0
+    assert "no results" not in capsys.readouterr().out
+
+    assert main(
+        ["search", "--index", root, "--query", q, "--histogram", "doclen",
+         "--bin-width", "100"]
+    ) == 0
+    hist = capsys.readouterr().out
+    assert "#" in hist
+
+    # validation: bad collapse column exits 2
+    assert main(
+        ["search", "--index", root, "--query", q, "--collapse", "nope"]
+    ) == 2
+
+
+def test_ingest_stream_skip_near_dups_flag(spark, tmp_path, capsys):
+    landing = str(tmp_path / "land_nd")
+    root = str(tmp_path / "idx_nd")
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+        "nu xi omicron pi rho sigma tau upsilon phi chi psi omega "
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),  # near-dup of 1 → dropped at ingest
+            (3, "entirely different content with no shared shingles at all"),
+        ],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s"))
+    docs.coalesce(1).write.parquet(landing)
+    rc = main(
+        ["ingest-stream", "--landing", landing, "--output", root,
+         "--skip-near-dups", "0.7"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "index covers 2 documents" in out
