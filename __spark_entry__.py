@@ -1243,6 +1243,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("bin_lo", F.col("n").cast("long").alias("n"))
         return out
 
+    def q_suggest_terms(spark, sf):
+        """Prefix autocomplete from the dictionary (QueryEngine.suggest):
+        indexed terms starting with 's', most-frequent-document first,
+        (df DESC, term ASC) — integer counts, no float risk."""
+        from search_engine_spark.operators.index_build import build_index
+        from search_engine_spark.plans.bm25 import QueryEngine
+        from search_engine_spark.sources.corpus import load_testdata_documents
+
+        docs = load_testdata_documents(spark, sf)
+        index = build_index(spark, docs, compress=True, title_col=None)
+        eng = QueryEngine(spark, index, cache_docstats=False)
+        rows = [(r["term"], r["df"]) for r in eng.suggest("s", k=10).collect()]
+        index.unpersist()
+        if not rows:
+            return spark.createDataFrame([], "term string, df long")
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("term"), F.lit(d).cast("long").alias("df")
+                )
+                for t, d in rows
+            ]
+        )
+        return (
+            spark.range(1)
+            .select(F.explode(arr).alias("x"))
+            .select("x.term", "x.df")
+        )
+
     def q_streamed_dedup(spark, sf):
         """Streaming near-dedup at ingest (streaming/dedup.py): batch 0 =
         the sf corpus; batch 1 = injected near-copies (every 10th doc + one
@@ -1449,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_histogram": q_facet_histogram,
         "pq_topk": q_pq_topk,
         "streamed_dedup": q_streamed_dedup,
+        "suggest_terms": q_suggest_terms,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "events_stateful_totals": q_events_stateful_totals,
@@ -2014,6 +2044,14 @@ agg AS (
 )
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
 FROM agg ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # suggest twin: dictionary prefix completion, (df DESC, term ASC)
+    sql["suggest_terms"] = f"""
+WITH tf AS ({_TF_SQL})
+SELECT term, CAST(count(*) AS BIGINT) AS df
+FROM tf WHERE term LIKE 's%'
+GROUP BY term ORDER BY df DESC, term LIMIT 10
 """
 
     # facet_histogram twin: distinct matching docs -> doclen -> width-20

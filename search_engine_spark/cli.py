@@ -288,6 +288,17 @@ def cmd_search(args) -> int:
         if not rows:
             print("no results")
         return 0
+    if getattr(args, "suggest", None):
+        if args.query is not None:
+            print("error: --suggest is standalone (no --query)", file=sys.stderr)
+            return 2
+        engine = _engine(spark, args)
+        rows = engine.suggest(args.suggest, k=args.k).collect()
+        for r in rows:
+            print(f"{r['term']:<30} {r['df']}")
+        if not rows:
+            print("no results")
+        return 0
     if args.query is None:
         print("error: one of --query/--phrase is required", file=sys.stderr)
         return 2
@@ -667,6 +678,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument(
         "--docs", default=None,
         help="source documents parquet (content verify for --substring/--regex)",
+    )
+    s.add_argument(
+        "--suggest", default=None, metavar="PREFIX",
+        help="standalone prefix autocomplete from the dictionary "
+        "(most-frequent indexed terms first)",
     )
     s.add_argument(
         "--collapse", default=None, metavar="COL",

@@ -623,6 +623,9 @@ class QueryEngine:
         k: int = 10,
         per_group: int = 1,
         mode: str = "or",
+        boosts: dict[str, float] | None = None,
+        filters: dict | None = None,
+        synonyms: dict[str, list[str]] | None = None,
     ) -> DataFrame:
         """Field-collapsed top-k (the Lucene/Elasticsearch ``collapse``
         design, public): at most ``per_group`` results per distinct value
@@ -639,7 +642,9 @@ class QueryEngine:
         """
         if group_col not in self._docstats.columns:
             raise ValueError(f"group_col {group_col!r} not in docstats")
-        agg = self.score_matches(query, mode=mode)
+        agg = self.score_matches(
+            query, mode=mode, boosts=boosts, filters=filters, synonyms=synonyms
+        )
         empty_schema = (
             "rank int, docid long, score double, group string, group_hits long"
         )
@@ -963,6 +968,34 @@ class QueryEngine:
             F.count(F.lit(1)).cast("long").alias("n_docs")
         )
 
+    def suggest(self, prefix: str, k: int = 10, field: str = "content") -> DataFrame:
+        """Prefix autocomplete from the dictionary (the Lucene
+        TermsEnum-prefix / ES completion-lite design): indexed terms
+        starting with ``prefix``, most-frequent first.
+
+        → DataFrame(term, df), ≤k rows, ordered (df DESC, term ASC).
+
+        Scale: StartsWith pushes into the dictionary parquet scan
+        (min/max column stats prune row groups to the prefix range), and
+        the cut is TakeOrderedAndProject — the corpus is never touched.
+        The prefix is cleaned like a query term but without the len>2
+        filter (completion is most useful on short fragments); stemming is
+        NOT applied — the user is completing an indexed surface form.
+        """
+        if any(ord(ch) > 127 for ch in prefix):
+            return self.spark.createDataFrame([], "term string, df long")
+        p = prefix.replace("'", "").lower()
+        if not p:
+            return self.spark.createDataFrame([], "term string, df long")
+        return (
+            self.index.dictionary.where(
+                (F.col("field") == field) & F.col("term").startswith(p)
+            )
+            .select("term", F.col("df").cast("long").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(k)
+        )
+
     def facet_histogram(
         self,
         query: str,
@@ -970,6 +1003,9 @@ class QueryEngine:
         bin_width: int = 50,
         mode: str = "or",
         ranges: list[tuple[float | None, float | None]] | None = None,
+        boosts: dict[str, float] | None = None,
+        filters: dict | None = None,
+        synonyms: dict[str, list[str]] | None = None,
     ) -> DataFrame:
         """Numeric facet distribution over the MATCH SET (the Lucene
         RangeFacetCounts design, public): how matching docs spread across a
@@ -987,7 +1023,9 @@ class QueryEngine:
         """
         if col not in self._docstats.columns:
             raise ValueError(f"col {col!r} not in docstats")
-        agg = self.score_matches(query, mode=mode)
+        agg = self.score_matches(
+            query, mode=mode, boosts=boosts, filters=filters, synonyms=synonyms
+        )
         if agg is None:
             if ranges is not None:
                 return self.spark.createDataFrame(

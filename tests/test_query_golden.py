@@ -429,3 +429,19 @@ def test_explain_sums_to_score(spark, tiny_index):
             assert acc == h["score"], (q, h["docid"])
     # a doc that doesn't match explains to empty
     assert eng.explain("values: merge_index0", -1) == []
+
+
+def test_suggest_prefix_completion(engine, tiny_oracle):
+    """QueryEngine.suggest ≡ dictionary prefix counts (df DESC, term ASC);
+    stemming NOT applied; garbage prefixes → empty."""
+    got = [(r["term"], r["df"]) for r in engine.suggest("par", k=10).collect()]
+    counts = {
+        t: len(p)
+        for t, p in tiny_oracle.postings["content"].items()
+        if t.startswith("par")
+    }
+    want = sorted(counts.items(), key=lambda x: (-x[1], x[0]))[:10]
+    assert got == want and got
+    assert engine.suggest("ZZ_nothing").count() == 0
+    assert engine.suggest("naïve").count() == 0
+    assert engine.suggest("").count() == 0
