@@ -1243,6 +1243,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("bin_lo", F.col("n").cast("long").alias("n"))
         return out
 
+    def q_bm25_rescored(spark, sf):
+        """Two-stage rescoring (plans/hybrid.rescore_topk — the ES rescorer
+        design): BM25 selects the window, cosine-vs-probe re-scores it as
+        w_lex·minmax(bm25) + w_vec·cosine.  The gate uses a window wide
+        enough to hold EVERY match (the depth cut's raw-vs-rounded boundary
+        is the one thing a rounded twin can't absorb), probe = embedding of
+        vec 0, weights 1/1."""
+        from search_engine_spark.operators.index_build import build_index
+        from search_engine_spark.plans.bm25 import QueryEngine
+        from search_engine_spark.plans.hybrid import rescore_topk
+        from search_engine_spark.sources.corpus import load_testdata_documents
+
+        docs = load_testdata_documents(spark, sf)
+        emb = _raw_emb(spark, sf)
+        probe = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        ]
+        index = build_index(spark, docs, compress=True, title_col=None)
+        eng = QueryEngine(spark, index, cache_docstats=False)
+        rows = rescore_topk(
+            eng, emb, "values: " + " ".join(BM25_TERMS), probe,
+            k=10, depth=1000000,
+        ).collect()
+        index.unpersist()
+        return _ranked_literal_df(
+            spark, [(r["rank"], r["docid"], r["score"]) for r in rows]
+        )
+
     def q_suggest_terms(spark, sf):
         """Prefix autocomplete from the dictionary (QueryEngine.suggest):
         indexed terms starting with 's', most-frequent-document first,
@@ -1479,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "streamed_dedup": q_streamed_dedup,
         "suggest_terms": q_suggest_terms,
+        "bm25_rescored": q_bm25_rescored,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "events_stateful_totals": q_events_stateful_totals,
@@ -2044,6 +2074,51 @@ agg AS (
 )
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
 FROM agg ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # rescore twin: full BM25 match set (raw scores), window min-max,
+    # cosine vs the vec-0 probe joined on doc_id = vec_id, rounded at the end
+    _rs_tlist = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    sql["bm25_rescored"] = f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM tf) / (SELECT count(*) FROM documents) AS avgdl
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf WHERE term IN ({_rs_tlist}) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+           * tf.tf * {K1 + 1.0}
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS contrib
+  FROM tf JOIN dfs ON tf.term = dfs.term JOIN dl ON tf.doc_id = dl.doc_id, stats
+),
+agg AS (SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY doc_id),
+mm AS (SELECT min(score) AS lo, max(score) AS hi FROM agg),
+p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0),
+lex AS (
+  SELECT doc_id,
+         CASE WHEN mm.hi > mm.lo THEN (score - mm.lo) / (mm.hi - mm.lo)
+              ELSE 1.0 END AS lex
+  FROM agg, mm
+),
+vec AS (
+  SELECT vec_id,
+         CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(pe, pe)) > 0
+              THEN list_dot_product(embedding::DOUBLE[], pe)
+                   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(pe, pe)))
+         END AS cosine
+  FROM embeddings, p
+),
+final AS (
+  SELECT l.doc_id, round(l.lex + coalesce(v.cosine, 0.0), 6) AS score
+  FROM lex l LEFT JOIN vec v ON l.doc_id = v.vec_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
+FROM final ORDER BY score DESC, doc_id LIMIT 10
 """
 
     # suggest twin: dictionary prefix completion, (df DESC, term ASC)

@@ -104,3 +104,66 @@ def hybrid_search(
         id_col=id_col,
     )
     return rrf_fuse([bm, cos], k=k, k0=k0)
+
+
+def rescore_topk(
+    engine,
+    embeddings: DataFrame,
+    query: str,
+    probe: list[float],
+    k: int = 10,
+    depth: int = 100,
+    w_lex: float = 1.0,
+    w_vec: float = 1.0,
+    mode: str = "or",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Second-pass rescoring (the Elasticsearch rescorer / two-stage rerank
+    design, public): BM25 selects a top-``depth`` window; the semantic
+    signal re-scores ONLY that window,
+
+        final = w_lex * minmax(bm25) + w_vec * cosine(doc, probe)
+
+    min-max normalization happens within the window (BM25's unbounded scale
+    vs cosine's [-1,1] — the standard calibration for score interpolation;
+    RRF above is the rank-based alternative).  Docs without an embedding
+    keep their lexical part (cosine treated as 0).
+
+    Scale: the window is ≤depth rows from a TakeOrderedAndProject; the
+    min/max is a 1-row agg broadcast back (no driver round-trip); the
+    embedding join touches ``depth`` point lookups, never the vector
+    corpus.  → DataFrame(rank, docid, score), score rounded to 6dp.
+    """
+    from ..operators.similarity import _dot_with_literal, _norm
+
+    import math
+
+    bm = engine.search(query, mode=mode, k=depth).select("docid", "score")
+    ext = bm.crossJoin(
+        F.broadcast(bm.agg(F.min("score").alias("lo"), F.max("score").alias("hi")))
+    )
+    norm = F.when(
+        F.col("hi") > F.col("lo"),
+        (F.col("score") - F.col("lo")) / (F.col("hi") - F.col("lo")),
+    ).otherwise(F.lit(1.0))
+    lex = ext.select("docid", norm.alias("lex"))
+
+    pnorm = math.sqrt(sum(float(x) * float(x) for x in probe))
+    vec_col = F.col("embedding")
+    denom = _norm(vec_col) * F.lit(pnorm)
+    cos = F.when(denom > 0, _dot_with_literal(vec_col, probe) / denom)
+    vec = embeddings.select(F.col(id_col).alias("docid"), cos.alias("cosine"))
+
+    scored = lex.join(vec, on="docid", how="left").select(
+        "docid",
+        F.round(
+            F.lit(float(w_lex)) * F.col("lex")
+            + F.lit(float(w_vec)) * F.coalesce(F.col("cosine"), F.lit(0.0)),
+            6,
+        ).alias("score"),
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("docid"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "docid", "score"
+    )

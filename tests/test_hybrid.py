@@ -121,3 +121,70 @@ def test_hybrid_ann_leg_recall(spark, tiny_index, emb):
 
     with pytest.raises(ValueError, match="vector_leg"):
         hybrid_search(eng, emb, QUERY, probe, vector_leg="nope")
+
+
+def test_rescore_matches_python_model(spark, tiny_index, emb):
+    """rescore_topk ≡ python: minmax(bm25 window) + cosine, rounded 6."""
+    import math
+
+    from search_engine_spark.plans.hybrid import rescore_topk
+
+    eng = QueryEngine(spark, tiny_index, cache_docstats=False)
+    probe_id = sorted(r["vec_id"] for r in emb.select("vec_id").collect())[0]
+    probe = _vec(probe_id)
+    depth = 20
+
+    got = [
+        (r["rank"], r["docid"], r["score"])
+        for r in rescore_topk(eng, emb, QUERY, probe, k=10, depth=depth).collect()
+    ]
+    assert got
+
+    window = eng.search(QUERY, k=depth).collect()
+    lo = min(r["score"] for r in window)
+    hi = max(r["score"] for r in window)
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    pn = math.sqrt(sum(x * x for x in probe))
+
+    def cos(d):
+        v = vecs.get(d)
+        if v is None:
+            return 0.0
+        vn = math.sqrt(sum(x * x for x in v))
+        return sum(a * b for a, b in zip(v, probe)) / (vn * pn) if vn * pn > 0 else 0.0
+
+    want = sorted(
+        (
+            (
+                r["docid"],
+                round(
+                    ((r["score"] - lo) / (hi - lo) if hi > lo else 1.0) + cos(r["docid"]),
+                    6,
+                ),
+            )
+            for r in window
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert [(d, s) for _, d, s in got] == want
+    # the window is respected: nothing outside the BM25 top-depth appears
+    assert {d for _, d, _ in got} <= {r["docid"] for r in window}
+    eng.close()
+
+
+def test_rescore_weights_and_missing_embeddings(spark, tiny_index, emb):
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.plans.hybrid import rescore_topk
+
+    eng = QueryEngine(spark, tiny_index, cache_docstats=False)
+    probe = _vec(0)
+    # w_vec=0 → pure (normalized) lexical order = the BM25 order
+    lex_only = rescore_topk(eng, emb, QUERY, probe, k=5, depth=20, w_vec=0.0).collect()
+    bm = eng.search(QUERY, k=5).collect()
+    assert [r["docid"] for r in lex_only] == [r["docid"] for r in bm]
+    # docs without embeddings keep their lexical score (no NULL poisoning)
+    half = emb.where(F.col("vec_id") % 2 == 0)
+    rows = rescore_topk(eng, half, QUERY, probe, k=10, depth=20).collect()
+    assert rows and all(r["score"] is not None for r in rows)
+    eng.close()
