@@ -160,3 +160,66 @@ def test_sharded_wand_plan_is_cogrouped(spark, tiny_index):
         assert res, "expected hits"
     finally:
         sw.close()
+
+
+def test_suggest_pushes_startswith_into_dictionary_scan(written_engine):
+    """suggest() must prune at the dictionary scan: StartsWith reaches
+    PushedFilters (row-group skip over the term range) and the cut is
+    TakeOrderedAndProject — the corpus is never touched."""
+    plan = plan_of(written_engine.suggest("par", k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "StartsWith" in plan
+    assert "PushedFilters" in plan and "par" in plan
+    # no join, no postings/docstats scan — dictionary only
+    assert "postings" not in plan and "docstats" not in plan
+
+
+def test_collapse_windows_are_group_partitioned(written_engine):
+    """search_collapsed's per-group ranking must be a window PARTITIONED on
+    the group key (facet cardinality), never a single-partition window over
+    the match set; the only unpartitioned window ranks the ≤k final rows."""
+    df = written_engine.search_collapsed(
+        "values: parse_json0 merge_index0", group_col="repo", k=10, per_group=2
+    )
+    plan = plan_of(df)
+    assert "partitionBy" not in plan  # sanity: spark spells it differently
+    # the group window: partition spec [group...] present
+    assert re.search(r"Window \[.*group", plan), plan
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+
+
+def test_pq_encode_is_pure_catalyst(spark):
+    """pq_encode must stay JVM-side: no Python/Arrow eval nodes — the one
+    full corpus pass a PQ build costs is whole-stage-codegen'd."""
+    import math
+
+    from search_engine_spark.operators.similarity import pq_codebooks, pq_encode
+
+    rows = [(i, [math.sin(0.1 * i * (d + 1)) for d in range(16)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_codebooks(emb, m=4, n_codes=4)
+    plan = plan_of(pq_encode(emb, cb))
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_pq_persisted_query_reads_codes_not_vectors(spark, tmp_path):
+    """The persisted-PQ ADC stage must scan the codes parquet (M ints per
+    vector), not the raw embedding column."""
+    import math
+
+    from search_engine_spark.operators.similarity import pq_adc, pq_lut, write_pq
+    from search_engine_spark.sources.index_io import read_meta_file
+
+    rows = [(i, [math.sin(0.1 * i * (d + 1)) for d in range(16)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    root = str(tmp_path / "pqroot")
+    write_pq(spark, emb, root, m=4, n_codes=4)
+    meta = read_meta_file(spark, f"{root}/_pq_meta")
+    cb = [[list(map(float, e)) for e in sub] for sub in meta["codebooks"]]
+    codes = spark.read.parquet(f"{root}/codes")
+    probe = rows[0][1]
+    plan = plan_of(pq_adc(codes, pq_lut(probe, cb)))
+    assert "codes" in plan
+    assert "embedding" not in plan
+    assert "BatchEvalPython" not in plan
