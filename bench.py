@@ -320,6 +320,67 @@ def main() -> None:
             ).collect(),
         )
 
+        # --- persisted ANN artifacts: build once, query partition-pruned ---
+        from search_engine_spark.operators.similarity import (
+            ivf_topk_persisted,
+            pq_topk_persisted,
+            write_ivf,
+            write_pq,
+        )
+
+        ivf_root = os.path.join(idx_root, "ivf")
+        timed("q8c_ivf_build", lambda: write_ivf(spark, emb, ivf_root, n_cells=16))
+        timed_best(
+            "q8d_ivf_query",
+            lambda: ivf_topk_persisted(
+                spark, ivf_root, [float(x) for x in probe], k=10, n_probes=2
+            ).collect(),
+        )
+        pq_root = os.path.join(idx_root, "pq")
+        timed("q8e_pq_build", lambda: write_pq(spark, emb, pq_root, m=4, n_codes=16))
+        timed_best(
+            "q8f_pq_query",
+            lambda: pq_topk_persisted(
+                spark, pq_root, emb, [float(x) for x in probe], k=10, refine=4
+            ).collect(),
+        )
+
+        # --- round-3 query surface: warm latencies through the engine ---
+        from search_engine_spark.plans.bm25f import bm25f_topk
+        from search_engine_spark.plans.hybrid import rescore_topk
+
+        timed_best(
+            "q13_collapsed",
+            lambda: engine.search_collapsed(
+                "values: table window spark", group_col="repo", k=10, per_group=2
+            ).collect(),
+        )
+        timed_best(
+            "q13b_synonyms",
+            lambda: engine.search(
+                "values: table spark", k=10,
+                synonyms={"table": ["hash", "scan"]},
+            ).collect(),
+        )
+        timed_best(
+            "q13c_bm25f",
+            lambda: bm25f_topk(engine, ["table", "window", "spark"], k=10).collect(),
+        )
+        timed_best(
+            "q13d_histogram",
+            lambda: engine.facet_histogram(
+                "values: table window spark", col="doclen", bin_width=50
+            ).collect(),
+        )
+        timed_best(
+            "q13e_rescored",
+            lambda: rescore_topk(
+                engine, emb, "values: table window spark",
+                [float(x) for x in probe], k=10, depth=100,
+            ).collect(),
+        )
+        timed_best("q13f_suggest", lambda: engine.suggest("s", k=10).collect())
+
         # --- event-stream analytics (batch mode of the streaming ops) ---
         from search_engine_spark.operators.events import (
             sessionize,
