@@ -545,7 +545,7 @@ def cmd_ui(args) -> int:
     last_query = ""
     print(
         "commands: query <q> | mode or|and | see N | explain N | "
-        "parse <input> <output> | exit"
+        "suggest <prefix> | parse <input> <output> | exit"
     )
     mode = "or"
     while True:
@@ -568,6 +568,9 @@ def cmd_ui(args) -> int:
                 dym = engine.did_you_mean(rest)
                 if dym is not None:
                     print(f"did you mean: {dym[0]}")
+        elif cmd == "suggest" and rest:
+            for r in engine.suggest(rest, k=args.k).collect():
+                print(f"  {r['term']:<30} {r['df']}")
         elif cmd == "explain" and rest.isdigit():
             i = int(rest) - 1
             if 0 <= i < len(last):

@@ -724,3 +724,37 @@ def pq_topk_persisted(
         codebooks=cb,
         codes=codes,
     )
+
+
+def append_ivf(spark, embeddings: DataFrame, root: str) -> None:
+    """Grow a persisted IVF root with NEW vectors: assign against the
+    STORED centroids (cell geometry unchanged — queries keep pruning the
+    same directories) and append into the cell partitions.  The one map
+    pass touches only the new vectors; old cells are never rewritten.
+    Centroid drift under heavy growth is the rebuild trigger (same
+    trade-off as compaction for the postings index)."""
+    vectors, cents, id_col, vec_col = read_ivf(spark, root)
+    assigned = ivf_assign(embeddings, id_col=id_col, vec_col=vec_col, centroids=cents)
+    (
+        embeddings.join(assigned.select(id_col, "cell"), on=id_col)
+        .repartition(len(cents), F.col("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{root}/vectors")
+    )
+    spark.catalog.refreshByPath(f"{root}/vectors")
+
+
+def append_pq(spark, embeddings: DataFrame, root: str) -> None:
+    """Grow a persisted PQ root with NEW vectors: encode against the
+    STORED codebooks and append to the codes table — the ADC LUT of every
+    future query stays valid because the codebook is immutable.  Map-only
+    over the new vectors."""
+    from ..sources.index_io import read_meta_file
+
+    meta = read_meta_file(spark, f"{root}/_pq_meta")
+    cb = [[list(map(float, e)) for e in sub] for sub in meta["codebooks"]]
+    pq_encode(embeddings, cb, str(meta["id_col"])).write.mode("append").parquet(
+        f"{root}/codes"
+    )
+    spark.catalog.refreshByPath(f"{root}/codes")

@@ -108,4 +108,27 @@ def verify_index(spark: SparkSession, root: str) -> dict[str, dict]:
             out["trigram_coverage"] = {"ok": uncovered == 0, "bad": uncovered}
         except Exception:
             out["trigram_coverage"] = {"ok": False, "bad": -1}
+
+    # 7. dedup signature-store coverage (streaming/dedup.py): every live
+    # doc with ≥1 shingle-able token should carry a signature row, or a
+    # future near-duplicate of it slips past skip_near_dups (false
+    # negative — no data loss, but the thinning silently weakens).  The
+    # store is append-only and may hold replay duplicates; only MISSING
+    # docs are a finding.  Checked only when the store exists.
+    try:
+        sig_docs = (
+            spark.read.parquet(f"{root}/_dedup/signatures")
+            .select("docid")
+            .distinct()
+        )
+    except Exception:
+        sig_docs = None
+    if sig_docs is not None:
+        unsigned = (
+            idx.docstats.select("docid", "doclen")
+            .where(F.col("doclen") >= 1)
+            .join(sig_docs, on="docid", how="left_anti")
+            .count()
+        )
+        out["dedup_signature_coverage"] = {"ok": unsigned == 0, "bad": unsigned}
     return out

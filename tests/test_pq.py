@@ -119,3 +119,54 @@ def test_pq_persisted_roundtrip(spark, emb_df):
 
     meta = read_meta_file(spark, f"{root}/_pq_meta")
     assert meta["m"] == 4 and meta["n_codes"] == 8
+
+
+def test_append_pq_and_ivf_extend_persisted_roots(spark, emb_df, tmp_path):
+    """append_pq/append_ivf grow the artifacts with stored codebooks/
+    centroids: post-append queries see new vectors; pre-existing
+    assignments are untouched."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.similarity import (
+        append_ivf,
+        append_pq,
+        ivf_topk_persisted,
+        read_ivf,
+        write_ivf,
+    )
+
+    old = emb_df.where(F.col("vec_id") < 60)
+    new = emb_df.where(F.col("vec_id") >= 60)
+    probe = emb_df.where(F.col("vec_id") == 70).collect()[0]["embedding"]
+
+    pq_root = str(tmp_path / "pq")
+    write_pq(spark, old, pq_root, m=4, n_codes=8)
+    before = {r["vec_id"] for r in spark.read.parquet(f"{pq_root}/codes").collect()}
+    append_pq(spark, new, pq_root)
+    after = spark.read.parquet(f"{pq_root}/codes")
+    assert after.count() == emb_df.count()
+    got = pq_topk_persisted(spark, pq_root, emb_df, probe, k=5).collect()
+    assert got[0]["vec_id"] == 70  # the appended self-vector is findable
+    # appended codes equal a from-scratch encode under the same codebooks
+    from search_engine_spark.sources.index_io import read_meta_file
+
+    meta = read_meta_file(spark, f"{pq_root}/_pq_meta")
+    cb = [[list(map(float, e)) for e in sub] for sub in meta["codebooks"]]
+    fresh = {
+        r["vec_id"]: list(r["codes"]) for r in pq_encode(emb_df, cb).collect()
+    }
+    for r in after.collect():
+        assert list(r["codes"]) == fresh[r["vec_id"]]
+    assert before <= {r["vec_id"] for r in after.collect()}
+
+    ivf_root = str(tmp_path / "ivf")
+    write_ivf(spark, old, ivf_root, n_cells=4)
+    cents_before = read_ivf(spark, ivf_root)[1]
+    append_ivf(spark, new, ivf_root)
+    vectors, cents_after, _, _ = read_ivf(spark, ivf_root)
+    assert cents_after == cents_before  # geometry immutable on append
+    assert vectors.count() == emb_df.count()
+    got = ivf_topk_persisted(spark, ivf_root, [float(x) for x in probe], k=5, n_probes=4)
+    assert got.collect()[0]["vec_id"] == 70

@@ -130,3 +130,34 @@ def test_stream_ingest_skip_near_dups_end_to_end(spark, tmp_path):
     eng = QueryEngine(spark, idx, cache_docstats=False)
     hits = {r["docid"] for r in eng.search("values: alpha beta gamma", k=10).collect()}
     assert 1 in hits and 10 not in hits
+
+
+def test_fsck_reports_signature_coverage(spark, tmp_path):
+    """fsck gains a dedup-store check: a committed doc missing from the
+    signature store is a finding (ingest thinning silently weakens)."""
+    from search_engine_spark.sources.fsck import verify_index
+
+    landing = str(tmp_path / "land_f")
+    root = str(tmp_path / "idx_f")
+    docs = _docs(spark, [(1, LONG), (2, "other words entirely different here")])
+    docs.coalesce(1).write.parquet(landing)
+    src = spark.readStream.schema(docs.schema).parquet(landing)
+    q = stream_ingest(
+        src, root, finalize="batch", compress=True, skip_near_dups=0.7,
+        checkpoint_dir=str(tmp_path / "ck_f"),
+    )
+    q.awaitTermination()
+    res = verify_index(spark, root)
+    assert res["dedup_signature_coverage"]["ok"], res
+    # drop a signature row → the check flags exactly the unsigned doc
+    import shutil
+
+    store = f"{root}/_dedup/signatures"
+    sigs = spark.read.parquet(store).where(F.col("docid") != 1).collect()
+    cols = spark.read.parquet(store).columns
+    shutil.rmtree(store)
+    spark.createDataFrame(sigs, schema=None).select(*cols).write.parquet(store)
+    spark.catalog.refreshByPath(store)
+    res2 = verify_index(spark, root)
+    assert not res2["dedup_signature_coverage"]["ok"]
+    assert res2["dedup_signature_coverage"]["bad"] == 1
