@@ -712,27 +712,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return minhash_signatures(_raw_docs(spark, sf))
 
-    def q_lsh_pairs(spark, sf):
-        from search_engine_spark.operators.dedup import (
-            lsh_candidate_pairs,
-            minhash_signatures,
-        )
-
-        return lsh_candidate_pairs(minhash_signatures(_raw_docs(spark, sf)))
-
-    def q_ngram_jaccard(spark, sf):
-        from search_engine_spark.operators.dedup import ngram_jaccard
-
-        docs = _raw_docs(spark, sf)
-        # deterministic candidate subset keeps the pair count bounded
-        pairs = (
-            docs.select(F.col("doc_id").alias("a"))
-            .where(F.col("a") % 25 == 0)
-            .crossJoin(docs.select(F.col("doc_id").alias("b")).where(F.col("b") % 25 == 7))
-            .where(F.col("a") < F.col("b"))
-        )
-        return ngram_jaccard(docs, pairs)
-
     def q_near_dedup(spark, sf):
         """End-to-end near-dup DECISIONS (minhash → LSH → Jaccard verify →
         smaller-id-wins drop policy) — the operation a 100-TB training-data
@@ -892,18 +871,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("x.vec_id", "x.cosine")
         )
 
-    def q_ann_buckets(spark, sf):
-        from search_engine_spark.operators.similarity import lsh_buckets
+    def q_ann_persisted(spark, sf):
+        """Both PERSISTED vector artifacts answered from disk, one tagged
+        entry (r3 gate-slimming — the driver verifies at most 50 keys):
 
-        return lsh_buckets(_raw_emb(spark, sf), n_planes=6, dim=64)
+        - 'ivf': write_ivf's cell-partitioned table, partition-pruned
+          2-probe query (no per-query corpus assignment job — plan pinned
+          by tests/test_pipeline_ops.py);
+        - 'pq': write_pq's codes table, ADC LUT scoring + rounded cut +
+          exact cosine re-rank (tests/test_pq.py).
+        """
+        iv = q_ivf_topk_persisted(spark, sf).select(
+            F.lit("ivf").alias("variant"), "vec_id", "cosine"
+        )
+        pq = q_pq_topk(spark, sf).select(
+            F.lit("pq").alias("variant"), "vec_id", "cosine"
+        )
+        return iv.unionByName(pq)
 
-    def q_ivf_assign(spark, sf):
-        """IVF cell assignment (operators/similarity.py) — md5-seeded
-        deterministic centroids so the DuckDB twin reproduces the exact
-        same cells (round-2 ANN scale path alongside LSH)."""
-        from search_engine_spark.operators.similarity import ivf_assign
+    def q_vector_partitions(spark, sf):
+        """Per-vector partition assignment for both ANN layouts, one
+        tagged entry (r3 gate-slimming: the former ann_lsh_buckets /
+        ivf_assign keys).  'lsh' = 6-plane sign bucket (part_cos is the
+        -2.0 sentinel — no geometry score); 'ivf' = nearest md5-seeded
+        centroid with its rounded cosine."""
+        from search_engine_spark.operators.similarity import ivf_assign, lsh_buckets
 
-        return ivf_assign(_raw_emb(spark, sf), n_cells=8)
+        emb = _raw_emb(spark, sf)
+        lsh = lsh_buckets(emb, n_planes=6, dim=64).select(
+            F.lit("lsh").alias("variant"),
+            "vec_id",
+            F.col("bucket").cast("long").alias("part"),
+            F.lit(-2.0).cast("double").alias("part_cos"),
+        )
+        ivf = ivf_assign(emb, n_cells=8).select(
+            F.lit("ivf").alias("variant"),
+            "vec_id",
+            F.col("cell").cast("long").alias("part"),
+            F.col("cell_cos").cast("double").alias("part_cos"),
+        )
+        return lsh.unionByName(ivf)
 
     def q_hash_split(spark, sf):
         """Deterministic md5 train/val/test split (operators/pipeline.py)."""
@@ -1083,10 +1090,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return sub.unionByName(rex)
 
-    def q_embedding_near_dup(spark, sf):
+    def q_near_dup_pairs(spark, sf):
+        """All three near-duplicate PAIR generators in one tagged entry
+        (r3 gate-slimming: the former lsh_candidate_pairs / ngram_jaccard
+        / embedding_near_dup keys).  Every variant is bucketed — never
+        all-pairs:
+
+        - 'lsh': banded MinHash candidate pairs (metric is the -1.0
+          sentinel — candidates carry no score);
+        - 'jaccard': exact shingle-Jaccard over a deterministic candidate
+          subset;
+        - 'embedding': LSH-bucketed cosine near-dups over the vectors.
+        """
+        from search_engine_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+            ngram_jaccard,
+        )
         from search_engine_spark.operators.similarity import embedding_near_dup
 
-        return embedding_near_dup(_raw_emb(spark, sf), threshold=NEAR_DUP_TAU)
+        docs = _raw_docs(spark, sf)
+        lsh = lsh_candidate_pairs(minhash_signatures(docs)).select(
+            F.lit("lsh").alias("variant"),
+            "a",
+            "b",
+            F.lit(-1.0).cast("double").alias("metric"),
+        )
+        pairs = (
+            docs.select(F.col("doc_id").alias("a"))
+            .where(F.col("a") % 25 == 0)
+            .crossJoin(
+                docs.select(F.col("doc_id").alias("b")).where(F.col("b") % 25 == 7)
+            )
+            .where(F.col("a") < F.col("b"))
+        )
+        jac = ngram_jaccard(docs, pairs).select(
+            F.lit("jaccard").alias("variant"),
+            "a",
+            "b",
+            F.col("jaccard").cast("double").alias("metric"),
+        )
+        emb = embedding_near_dup(_raw_emb(spark, sf), threshold=NEAR_DUP_TAU).select(
+            F.lit("embedding").alias("variant"),
+            "a",
+            "b",
+            F.col("cosine").cast("double").alias("metric"),
+        )
+        return lsh.unionByName(jac).unionByName(emb)
 
     def q_text_stats(spark, sf):
         """The full per-document text-analysis profile in ONE entry, the
@@ -1372,21 +1422,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("kept"),
         )
 
-    def q_events_windowed(spark, sf):
-        """Tumbling-window event analytics (operators/events.py) — the same
-        call runs streaming with a watermark; batch mode is what the gate
-        value-checks.  Window keys are epoch seconds (engine-neutral)."""
-        from search_engine_spark.operators.events import windowed_event_counts
+    def q_event_windows(spark, sf):
+        """Both event-window analytics in one tagged entry (r3
+        gate-slimming: the former events_windowed / events_sessionize
+        keys); each call runs unchanged in streaming with a watermark —
+        batch mode is what the gate value-checks:
 
-        return windowed_event_counts(_raw_events(spark, sf), window="5 minutes")
+        - 'tumbling': 5-minute windows per event_type (grp = event_type,
+          win_start = epoch-second window start);
+        - 'session': per-user 30-minute INCLUSIVE-gap sessions (grp =
+          user_id as string, win_start = session start; the SQL island
+          break is diff > gap — pinned by tests/test_events.py).
+        """
+        from search_engine_spark.operators.events import (
+            sessionize,
+            windowed_event_counts,
+        )
 
-    def q_events_sessionize(spark, sf):
-        """Per-user session windows, 30-minute INCLUSIVE gap (an event at
-        exactly prev_ts + gap extends the session — pinned by
-        tests/test_events.py; the SQL island break is diff > gap)."""
-        from search_engine_spark.operators.events import sessionize
-
-        return sessionize(_raw_events(spark, sf), gap="30 minutes")
+        ev = _raw_events(spark, sf)
+        t = windowed_event_counts(ev, window="5 minutes").select(
+            F.lit("tumbling").alias("variant"),
+            F.col("event_type").alias("grp"),
+            F.col("window_start").alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
+        s = sessionize(ev, gap="30 minutes").select(
+            F.lit("session").alias("variant"),
+            F.col("user_id").cast("string").alias("grp"),
+            F.col("session_start").alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
+        return t.unionByName(s)
 
     def q_events_stateful_totals(spark, sf):
         """applyInPandasWithState running totals: the events table streamed
@@ -1505,14 +1573,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_collapsed": q_bm25_collapsed,
         "bm25_synonyms": q_bm25_synonyms,
         "facet_histogram": q_facet_histogram,
-        "pq_topk": q_pq_topk,
         "streamed_dedup": q_streamed_dedup,
         "suggest_terms": q_suggest_terms,
         "bm25_rescored": q_bm25_rescored,
-        "events_windowed": q_events_windowed,
-        "events_sessionize": q_events_sessionize,
+        "event_windows": q_event_windows,
         "events_stateful_totals": q_events_stateful_totals,
-        "ivf_topk_persisted": q_ivf_topk_persisted,
+        "ann_persisted": q_ann_persisted,
         # --- core build + query surface ---
         "tokenize_tf": q_tokenize_tf,
         "dictionary_df": q_dictionary,
@@ -1542,16 +1608,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- training-data pipeline ---
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash,
-        "lsh_candidate_pairs": q_lsh_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
+        "near_dup_pairs": q_near_dup_pairs,
         "near_dedup": q_near_dedup,
         "corpus_filter": q_corpus_filter,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "vector_topk": q_vector_topk,
-        "ann_lsh_buckets": q_ann_buckets,
-        "embedding_near_dup": q_embedding_near_dup,
-        "ivf_assign": q_ivf_assign,
+        "vector_partitions": q_vector_partitions,
         "hash_split": q_hash_split,
     }
 
@@ -2346,21 +2409,20 @@ FROM flt ORDER BY score DESC, doc_id LIMIT 10
 )
 """
 
-    # events analytics: window keys are epoch-second arithmetic, immune to
-    # time_bucket origin conventions.  Spark's window origin is the Unix
-    # epoch, so floor(epoch/width)*width reproduces F.window exactly.
-    sql["events_windowed"] = """
-SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
-       event_type,
+    # events analytics, one tagged twin (event_windows).  Window keys are
+    # epoch-second arithmetic, immune to time_bucket origin conventions:
+    # Spark's window origin is the Unix epoch, so floor(epoch/width)*width
+    # reproduces F.window exactly.  Spark's session-window gap is
+    # INCLUSIVE (tests/test_events.py pins an event at exactly prev_ts +
+    # gap extending the session) → the island break here is strictly >.
+    sql["event_windows"] = """
+SELECT 'tumbling' AS variant, event_type AS grp,
+       CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 6) AS sum_value
-FROM events GROUP BY 1, 2
-"""
-
-    # Spark session-window gap is INCLUSIVE (tests/test_events.py pins an
-    # event at exactly prev_ts + gap extending the session) → the island
-    # break here is strictly >, not >=.
-    sql["events_sessionize"] = """
+FROM events GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'session' AS variant, grp, win_start, n_events, sum_value FROM (
 WITH o AS (
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -2375,11 +2437,12 @@ s AS (
                         ROWS UNBOUNDED PRECEDING) AS sid
   FROM o
 )
-SELECT user_id,
-       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+SELECT CAST(user_id AS VARCHAR) AS grp,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS win_start,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 6) AS sum_value
 FROM s GROUP BY user_id, sid
+)
 """
 
     # the stateful accumulator's FINAL state is exactly a batch GROUP BY
@@ -2456,9 +2519,12 @@ FROM documents
 """
 
     sql["minhash_signatures"] = _minhash_sql()
-    sql["lsh_candidate_pairs"] = _lsh_pairs_sql()
 
-    sql["ngram_jaccard"] = f"""
+    # all three near-dup pair generators, one tagged twin (near_dup_pairs)
+    sql["near_dup_pairs"] = f"""
+SELECT 'lsh' AS variant, a, b, -1.0 AS metric FROM ({_lsh_pairs_sql()})
+UNION ALL
+SELECT 'jaccard' AS variant, a, b, metric FROM (
 WITH toks AS (SELECT doc_id, {_TOKS_ARRAY_SQL} AS toks FROM documents),
 sh AS (
   SELECT doc_id,
@@ -2482,11 +2548,29 @@ inter AS (
 )
 SELECT p.a, p.b,
        round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
-             / CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0) AS DOUBLE), 6) AS jaccard
+             / CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0) AS DOUBLE), 6) AS metric
 FROM pairs p
 JOIN sizes sa ON sa.doc_id = p.a
 JOIN sizes sb ON sb.doc_id = p.b
 LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+)
+UNION ALL
+SELECT 'embedding' AS variant, a, b, metric FROM (
+WITH buckets AS ({_ann_buckets_sql()}),
+v AS (
+  SELECT b.vec_id, b.bucket, e.embedding::DOUBLE[] AS ve
+  FROM buckets b JOIN embeddings e ON b.vec_id = e.vec_id
+),
+pairs AS (
+  SELECT l.vec_id AS a, r.vec_id AS b,
+         CASE WHEN sqrt(list_dot_product(l.ve, l.ve)) * sqrt(list_dot_product(r.ve, r.ve)) > 0
+              THEN list_dot_product(l.ve, r.ve)
+                   / (sqrt(list_dot_product(l.ve, l.ve)) * sqrt(list_dot_product(r.ve, r.ve)))
+         END AS cosine
+  FROM v l JOIN v r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT a, b, round(cosine, 6) AS metric FROM pairs WHERE round(cosine, 6) >= {NEAR_DUP_TAU}
+)
 """
 
     # near_dedup: the full decision pipeline as one SQL twin — LSH pairs,
@@ -2534,7 +2618,6 @@ FROM sh l JOIN sh r ON l.doc_id < r.doc_id
 WHERE bit_count(xor(l.simhash, r.simhash)) <= 2
 """
 
-    sql["ann_lsh_buckets"] = _ann_buckets_sql()
 
     # IVF: centroid seeds = the n_cells rows with the smallest
     # md5(CAST(vec_id AS VARCHAR)) (ties → smaller id) — identical sample
@@ -2560,7 +2643,15 @@ WHERE bit_count(xor(l.simhash, r.simhash)) <= 2
   ) = 1
 """
 
-    sql["ivf_assign"] = f"SELECT vec_id, cell, cell_cos FROM ({_IVF_ASSIGN})"
+    # both ANN partition assignments, one tagged twin (vector_partitions);
+    # the LSH leg carries the -2.0 sentinel in part_cos (no geometry score)
+    sql["vector_partitions"] = f"""
+SELECT 'lsh' AS variant, vec_id, bucket AS part, -2.0 AS part_cos
+FROM ({_ann_buckets_sql()})
+UNION ALL
+SELECT 'ivf' AS variant, vec_id, cell AS part, cell_cos AS part_cos
+FROM ({_IVF_ASSIGN})
+"""
 
     # exact / LSH-ANN / IVF top-k, one tagged twin (vector_topk); the
     # persisted-IVF entry answers the identical IVF query from its
@@ -2610,7 +2701,7 @@ FROM cand, p ORDER BY cosine DESC, vec_id LIMIT 10
 )
 """
 
-    sql["ivf_topk_persisted"] = f"""
+    _IVF_PERSISTED_SQL = f"""
 WITH p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0),
 cells AS (
   SELECT s.cid FROM ({_IVF_SEEDS}) s, p
@@ -2710,7 +2801,7 @@ FROM corpus c LEFT JOIN kept k ON c.doc_id = k.doc_id
     # → ADC via the LUT join → rounded-ADC candidate cut → exact re-rank.
     # Mirrors operators/similarity.py pq_* with m=4, n_codes=16, d=16,
     # refine*k=40 over the 64-dim embeddings.
-    sql["pq_topk"] = """
+    _PQ_SQL = """
 WITH p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0),
 seeds AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
@@ -2756,6 +2847,13 @@ FROM embeddings e JOIN cand USING (vec_id), p
 ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
+    # both persisted ANN artifacts, one tagged twin (ann_persisted)
+    sql["ann_persisted"] = f"""
+SELECT 'ivf' AS variant, vec_id, cosine FROM ({_IVF_PERSISTED_SQL})
+UNION ALL
+SELECT 'pq' AS variant, vec_id, cosine FROM ({_PQ_SQL})
+"""
+
     # hash_split: u is a dyadic rational (32-bit md5 prefix / 2^32) —
     # bit-identical across engines, so split boundaries cannot flip
     sql["hash_split"] = """
@@ -2770,22 +2868,6 @@ SELECT doc_id, round(u, 6) AS u,
 FROM u
 """
 
-    sql["embedding_near_dup"] = f"""
-WITH buckets AS ({_ann_buckets_sql()}),
-v AS (
-  SELECT b.vec_id, b.bucket, e.embedding::DOUBLE[] AS ve
-  FROM buckets b JOIN embeddings e ON b.vec_id = e.vec_id
-),
-pairs AS (
-  SELECT l.vec_id AS a, r.vec_id AS b,
-         CASE WHEN sqrt(list_dot_product(l.ve, l.ve)) * sqrt(list_dot_product(r.ve, r.ve)) > 0
-              THEN list_dot_product(l.ve, r.ve)
-                   / (sqrt(list_dot_product(l.ve, l.ve)) * sqrt(list_dot_product(r.ve, r.ve)))
-         END AS cosine
-  FROM v l JOIN v r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-)
-SELECT a, b, round(cosine, 6) AS cosine FROM pairs WHERE round(cosine, 6) >= {NEAR_DUP_TAU}
-"""
     # text-analysis fragments (composed into the consolidated text_stats
     # twin below and into corpus_filter)
     _quality_sql = f"""
