@@ -135,6 +135,27 @@ def main() -> None:
 
         timed("q1_index_build", _build)
 
+        # index-size metric (north_star: "index-size/throughput metrics"):
+        # on-disk bytes of the persisted root, split by table — the
+        # compression story (varbyte blocks vs raw corpus) in one number
+        def _du(path: str) -> int:
+            if os.path.isfile(path):
+                return os.path.getsize(path)
+            total = 0
+            for dirpath, _dirnames, filenames in os.walk(path):
+                for f in filenames:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+            return total
+
+        corpus_bytes = _du(f"{sf_dir}/documents.parquet")
+        index_bytes = {
+            name: _du(os.path.join(idx_root, name))
+            for name in ("postings", "dictionary", "docstats")
+            if os.path.isdir(os.path.join(idx_root, name))
+        }
+        index_bytes["total"] = sum(index_bytes.values())
+        index_bytes["corpus_parquet"] = corpus_bytes
+
         # code-identifier analyzer forward index (camel/snake subtokens)
         from search_engine_spark.operators.code_tokens import code_doc_terms
 
@@ -490,6 +511,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_docs": n_files,
                 "build_files_per_sec": build_files_per_sec,
+                "index_bytes": index_bytes,
                 "cpus": cpus,
                 # same-window host capacity (see _cpu_control): start/end of
                 # the bench — a decayed end reading flags a throttled window
