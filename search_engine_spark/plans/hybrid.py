@@ -131,8 +131,12 @@ def rescore_topk(
 
     Scale: the window is ≤depth rows from a TakeOrderedAndProject; the
     min/max is a 1-row agg broadcast back (no driver round-trip); the
-    embedding join touches ``depth`` point lookups, never the vector
-    corpus.  → DataFrame(rank, docid, score), score rounded to 6dp.
+    vector corpus is reduced by a BROADCAST SEMI join on the window's
+    docids (map-only — the corpus is never exchanged; a naive
+    ``lex.join(vec, "left")`` would shuffle every vector because the
+    preserved side of a left-outer join cannot be the broadcast side),
+    and only the ≤depth surviving cosine rows broadcast into the final
+    join.  → DataFrame(rank, docid, score), score rounded to 6dp.
     """
     from ..operators.similarity import _dot_with_literal, _norm
 
@@ -152,9 +156,17 @@ def rescore_topk(
     vec_col = F.col("embedding")
     denom = _norm(vec_col) * F.lit(pnorm)
     cos = F.when(denom > 0, _dot_with_literal(vec_col, probe) / denom)
-    vec = embeddings.select(F.col(id_col).alias("docid"), cos.alias("cosine"))
+    window_ids = bm.select("docid")
+    vec = (
+        embeddings.join(
+            F.broadcast(window_ids),
+            on=embeddings[id_col] == window_ids["docid"],
+            how="left_semi",
+        )
+        .select(F.col(id_col).alias("docid"), cos.alias("cosine"))
+    )
 
-    scored = lex.join(vec, on="docid", how="left").select(
+    scored = lex.join(F.broadcast(vec), on="docid", how="left").select(
         "docid",
         F.round(
             F.lit(float(w_lex)) * F.col("lex")

@@ -188,3 +188,21 @@ def test_rescore_weights_and_missing_embeddings(spark, tiny_index, emb):
     rows = rescore_topk(eng, half, QUERY, probe, k=10, depth=20).collect()
     assert rows and all(r["score"] is not None for r in rows)
     eng.close()
+
+
+def test_rescore_plan_never_shuffles_the_vector_corpus(spark, tiny_index, emb):
+    """Scale pin: the vector corpus enters rescore_topk through a BROADCAST
+    LeftSemi join on the window's docids (map-only) and the surviving
+    ≤depth cosine rows broadcast into the final left join — the embeddings
+    table is never exchanged or sort-merge-joined (a naive
+    lex.join(vec, "left") would shuffle every vector: the preserved side
+    of a left-outer join cannot be the broadcast side)."""
+    from search_engine_spark.plans.hybrid import rescore_topk
+
+    eng = QueryEngine(spark, tiny_index, cache_docstats=False)
+    probe = _vec(sorted(r["vec_id"] for r in emb.select("vec_id").collect())[0])
+    df = rescore_topk(eng, emb, QUERY, probe, k=5, depth=20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
