@@ -509,6 +509,24 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    """Merge independently built index roots (Lucene-style segment merge at
+    the root level, sources/merge.py): decode → first-root-wins dedup →
+    one term-hash exchange — the corpus text is never re-read."""
+    from .sources.merge import merge_indexes
+
+    spark = _spark(args)
+    merge_indexes(
+        spark,
+        args.roots,
+        args.output,
+        salt_threshold=args.salt_threshold,
+    )
+    n = spark.read.parquet(f"{args.output}/docstats").count()
+    print(f"merged {len(args.roots)} roots → {args.output} ({n} documents)")
+    return 0
+
+
 def cmd_fsck(args) -> int:
     """Verify cross-table invariants of a persisted index root."""
     from .sources.fsck import verify_index
@@ -780,6 +798,18 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--index", required=True)
     cp.add_argument("--output", required=True)
     cp.set_defaults(fn=cmd_compact)
+
+    mg = sub.add_parser(
+        "merge", help="merge independently built index roots into one"
+    )
+    mg.add_argument("roots", nargs="+", help="two or more index roots")
+    mg.add_argument("--output", required=True)
+    mg.add_argument(
+        "--salt-threshold", type=int, default=None,
+        help="re-decide heavy-term salting for the merged corpus "
+        "(same policy flag as build; default unsalted)",
+    )
+    mg.set_defaults(fn=cmd_merge)
 
     fs = sub.add_parser("fsck", help="verify index cross-table invariants")
     fs.add_argument("--index", required=True)

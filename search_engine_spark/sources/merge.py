@@ -1,0 +1,165 @@
+"""Merge independently built index roots into one (segment merge, root level).
+
+Completes the multi-cluster build story: at 10^12 files, different
+executORS' slices already merge inside ONE build (resumable_build's
+associative tf merge, index_io.py), but different CLUSTERS — or different
+snapshots built months apart — produce separate ROOTS.  The reference has
+no answer (its index is RAM-only and rebuilt per run,
+``KaggleFinanceSourceEngine.cpp:118-129``); Lucene's answer is the segment
+merge (public: Lucene ``IndexWriter.addIndexes`` / ``forceMerge``), which
+this reproduces at the root level:
+
+- decode each root's postings back to its forward index
+  (``decoded_tf`` — one bucket-parallel map pass, NO corpus text is ever
+  re-read or re-tokenized; that is the entire point of merging instead of
+  rebuilding);
+- resolve docid overlap FIRST-ROOT-WINS.  Docids are content-hash-stable
+  (operators/index_build.py add_docid: 63-bit xxhash64 of the content
+  sha256), so an overlapping docid IS the same document landed twice; the
+  overlap check is a docstats-only semi-join (one row/doc, id columns) and
+  the expensive tf filter runs ONLY for roots where the overlap count is
+  non-zero — disjoint shards (the common case) pay nothing;
+- each root's own tombstones are applied during decode, so the merged
+  root starts clean (no tombstone carry, exact recomputed df/N/avgdl) —
+  merge doubles as compaction, same as Lucene's merge dropping deletes;
+- re-aggregate through the normal ``index_from_tf`` (ONE term-hash
+  exchange, salting re-decided by the caller's policy) and write the
+  merged root.
+
+Shuffle budget: k bucket-parallel decode scans (map-only) + the standard
+single term-hash exchange + one docid exchange per OVERLAPPING root.
+Compare a rebuild: a full raw-content scan + tokenize + stem of the entire
+combined corpus before the same exchange.  At 100 TB the decode scan reads
+the compact varbyte index (~10-20× smaller than the text) — merge is the
+cheap path by exactly that factor.
+
+Build-parameter compatibility is validated, not guessed: ``stem`` and
+``analyzer`` must agree across roots (a mismatch would mix token vocabularies
+in one dictionary — silently zero-hit queries), while bucket counts may
+differ (buckets are a physical layout choice; postings buckets are
+recomputed by ``collect_postings`` and positions buckets are recomputed
+here with the same ``pmod(xxhash64(term), buckets)`` the positional build
+uses, ``operators/positions.py:127``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.index_build import index_from_tf
+from .deletes import decoded_tf
+from .index_io import read_index, write_index
+
+# below this many overlapping docids the anti-join side broadcasts;
+# above it, a shuffle anti-join (overlap that large ≈ re-landed corpus)
+_BROADCAST_DUP_LIMIT = 1_000_000
+
+
+def merge_indexes(
+    spark: SparkSession,
+    roots: list[str],
+    out_root: str,
+    salt_threshold: int | None = None,
+    n_salts: int = 16,
+) -> None:
+    """Merge ``roots`` (≥2 persisted index roots) into ``out_root``.
+
+    First-root-wins on docid overlap; each root's tombstones are dropped
+    during decode; statistics (df, n_docs, avgdl, doclen) are exact for
+    the merged corpus.  Output layout (buckets, compression) follows the
+    FIRST root; positions are merged when every root has them, otherwise
+    dropped with a warning (a partially positional index would silently
+    miss phrases for the gap roots — all-or-nothing is the honest
+    contract).
+    """
+    if len(roots) < 2:
+        raise ValueError("merge_indexes needs at least two roots")
+    indexes = [read_index(spark, r) for r in roots]
+
+    first = indexes[0]
+    for r, ix in zip(roots[1:], indexes[1:]):
+        if ix.stem != first.stem:
+            raise ValueError(
+                f"cannot merge: stem={ix.stem} at {r} vs {first.stem} at "
+                f"{roots[0]} — stemmed and unstemmed vocabularies must not mix"
+            )
+        if ix.analyzer != first.analyzer:
+            raise ValueError(
+                f"cannot merge: analyzer={ix.analyzer!r} at {r} vs "
+                f"{first.analyzer!r} at {roots[0]}"
+            )
+
+    with_positions = all(ix.positions is not None for ix in indexes)
+    if not with_positions and any(ix.positions is not None for ix in indexes):
+        import warnings
+
+        warnings.warn(
+            "merge_indexes: some roots lack positional postings — the merged "
+            "root is written WITHOUT positions (phrase queries will raise). "
+            "Rebuild the gap roots with positions=True to keep phrase support.",
+            stacklevel=2,
+        )
+
+    tfs: list[DataFrame] = []
+    stats: list[DataFrame] = []
+    poss: list[DataFrame] = []
+    seen: DataFrame | None = None  # docids of all prior roots (lazy union)
+    for ix in indexes:
+        tf = decoded_tf(ix)
+        pos = ix.positions
+        if ix.tombstones is not None:
+            # decode resurrects tombstoned docs' postings — drop them here;
+            # read_index already served docstats filtered
+            tf = tf.join(F.broadcast(ix.tombstones), on="docid", how="left_anti")
+            if pos is not None:
+                pos = pos.join(
+                    F.broadcast(ix.tombstones), on="docid", how="left_anti"
+                )
+        ds = ix.docstats
+        if seen is not None:
+            dup = ds.select("docid").join(seen, on="docid", how="semi")
+            n_dup = dup.count()  # one tiny docstats-only job per extra root
+            if n_dup:
+                dup = F.broadcast(dup) if n_dup <= _BROADCAST_DUP_LIMIT else dup
+                ds = ds.join(dup, on="docid", how="left_anti")
+                tf = tf.join(dup, on="docid", how="left_anti")
+                if pos is not None:
+                    pos = pos.join(dup, on="docid", how="left_anti")
+        tfs.append(tf)
+        stats.append(ds)
+        if with_positions:
+            poss.append(pos)
+        ids = ds.select("docid")
+        seen = ids if seen is None else seen.unionByName(ids)
+
+    tf_all = tfs[0]
+    for t in tfs[1:]:
+        tf_all = tf_all.unionByName(t)
+    ds_all = stats[0]
+    for s in stats[1:]:
+        ds_all = ds_all.unionByName(s)
+
+    merged = index_from_tf(
+        ds_all,
+        tf_all,
+        salt_threshold=salt_threshold,
+        n_salts=n_salts,
+        buckets=first.n_buckets,
+        compress="blocks" in first.postings.columns,
+        doc_meta=ds_all.drop("doclen", "titlelen"),
+        stem=first.stem,
+    )
+    merged.analyzer = first.analyzer
+    if with_positions:
+        pos_all = poss[0]
+        for p in poss[1:]:
+            pos_all = pos_all.unionByName(p)
+        # physical re-bucket under the OUTPUT bucket count (roots may
+        # disagree) — same formula as the positional build
+        merged.positions = pos_all.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(first.n_buckets)).cast("int"),
+        )
+    write_index(merged, out_root)
+    merged.unpersist()

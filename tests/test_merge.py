@@ -1,0 +1,184 @@
+"""Root-level index merge (sources/merge.py).
+
+Invariants:
+- merging two DISJOINT roots ≡ a fresh build over the combined corpus,
+  table by table (postings decode, dictionary, docstats, corpus_stats,
+  positions) — the compaction≡rebuild contract extended to merges;
+- docid OVERLAP resolves first-root-wins and the merged index still equals
+  the fresh build (content-hash docids → the duplicate IS the same doc);
+- tombstones in an input root are dropped (merge ≡ compact + merge);
+- stem / analyzer mismatches refuse loudly instead of mixing vocabularies;
+- merged root answers queries identically to the fresh-build engine.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.index_build import build_index
+from search_engine_spark.plans.bm25 import QueryEngine
+from search_engine_spark.sources.deletes import decoded_tf, delete_docs
+from search_engine_spark.sources.index_io import read_index, write_index
+from search_engine_spark.sources.merge import merge_indexes
+
+QUERY = "values: merge_index0 scan_block0 load_config0"
+
+
+def _tables_equal(ix_a, ix_b):
+    def tf_set(ix):
+        return {
+            (r["docid"], r["field"], r["term"], r["tf"])
+            for r in decoded_tf(ix).collect()
+        }
+
+    assert tf_set(ix_a) == tf_set(ix_b)
+    for name in ("dictionary", "docstats", "corpus_stats"):
+        a = {tuple(r) for r in getattr(ix_a, name).collect()}
+        b = {tuple(r) for r in getattr(ix_b, name).collect()}
+        assert a == b, name
+
+
+def _pos_set(ix):
+    return {
+        (r["docid"], r["field"], r["term"], tuple(r["positions"]))
+        for r in ix.positions.collect()
+    }
+
+
+def test_disjoint_merge_equals_fresh_build(spark, tiny_df, tmp_path):
+    half_a = tiny_df.where(F.col("docid") % 2 == 0)
+    half_b = tiny_df.where(F.col("docid") % 2 == 1)
+    roots = []
+    for name, part in (("a", half_a), ("b", half_b)):
+        root = str(tmp_path / name)
+        idx = build_index(spark, part, compress=True, positions=True)
+        write_index(idx, root)
+        idx.unpersist()
+        roots.append(root)
+
+    out = str(tmp_path / "merged")
+    merge_indexes(spark, roots, out)
+    merged = read_index(spark, out)
+    fresh = build_index(spark, tiny_df, compress=True, positions=True)
+
+    _tables_equal(merged, fresh)
+    assert _pos_set(merged) == _pos_set(fresh)
+    # engines agree end-to-end
+    got = [
+        (r["docid"], round(r["score"], 9))
+        for r in QueryEngine(spark, merged, cache_docstats=False)
+        .search(QUERY, k=10)
+        .collect()
+    ]
+    want = [
+        (r["docid"], round(r["score"], 9))
+        for r in QueryEngine(spark, fresh, cache_docstats=False)
+        .search(QUERY, k=10)
+        .collect()
+    ]
+    assert got == want and got
+    fresh.unpersist()
+
+
+def test_overlap_first_root_wins(spark, tiny_df, tmp_path):
+    """Roots sharing 40% of their docs merge to the exact union index."""
+    ids = sorted(r["docid"] for r in tiny_df.select("docid").collect())
+    a_ids, b_ids = set(ids[: len(ids) * 7 // 10]), set(ids[len(ids) * 3 // 10 :])
+    part_a = tiny_df.where(F.col("docid").isin(a_ids))
+    part_b = tiny_df.where(F.col("docid").isin(b_ids))
+    roots = []
+    for name, part in (("a", part_a), ("b", part_b)):
+        root = str(tmp_path / name)
+        idx = build_index(spark, part, compress=True)
+        write_index(idx, root)
+        idx.unpersist()
+        roots.append(root)
+
+    out = str(tmp_path / "merged")
+    merge_indexes(spark, roots, out)
+    merged = read_index(spark, out)
+    fresh = build_index(spark, tiny_df, compress=True)
+    _tables_equal(merged, fresh)
+    fresh.unpersist()
+
+
+def test_merge_drops_tombstoned_docs(spark, tiny_df, tmp_path):
+    half_a = tiny_df.where(F.col("docid") % 2 == 0)
+    half_b = tiny_df.where(F.col("docid") % 2 == 1)
+    root_a, root_b = str(tmp_path / "a"), str(tmp_path / "b")
+    for root, part in ((root_a, half_a), (root_b, half_b)):
+        idx = build_index(spark, part, compress=True)
+        write_index(idx, root)
+        idx.unpersist()
+    victims = [r["docid"] for r in half_a.select("docid").limit(2).collect()]
+    delete_docs(spark, root_a, victims)
+
+    out = str(tmp_path / "merged")
+    merge_indexes(spark, [root_a, root_b], out)
+    merged = read_index(spark, out)
+    survivors = tiny_df.where(~F.col("docid").isin(victims))
+    fresh = build_index(spark, survivors, compress=True)
+    _tables_equal(merged, fresh)
+    assert merged.tombstones is None
+    fresh.unpersist()
+
+
+def test_mismatched_build_params_refuse(spark, tiny_df, tmp_path):
+    root_a, root_b = str(tmp_path / "a"), str(tmp_path / "b")
+    idx = build_index(spark, tiny_df.limit(10), compress=True, stem=False)
+    write_index(idx, root_a)
+    idx.unpersist()
+    idx = build_index(spark, tiny_df.limit(10), compress=True, stem=True)
+    write_index(idx, root_b)
+    idx.unpersist()
+    with pytest.raises(ValueError, match="stem"):
+        merge_indexes(spark, [root_a, root_b], str(tmp_path / "out"))
+    with pytest.raises(ValueError, match="at least two"):
+        merge_indexes(spark, [root_a], str(tmp_path / "out"))
+
+
+def test_mixed_positions_drops_with_warning(spark, tiny_df, tmp_path):
+    half_a = tiny_df.where(F.col("docid") % 2 == 0)
+    half_b = tiny_df.where(F.col("docid") % 2 == 1)
+    root_a, root_b = str(tmp_path / "a"), str(tmp_path / "b")
+    idx = build_index(spark, half_a, compress=True, positions=True)
+    write_index(idx, root_a)
+    idx.unpersist()
+    idx = build_index(spark, half_b, compress=True, positions=False)
+    write_index(idx, root_b)
+    idx.unpersist()
+
+    out = str(tmp_path / "merged")
+    with pytest.warns(UserWarning, match="WITHOUT positions"):
+        merge_indexes(spark, [root_a, root_b], out)
+    merged = read_index(spark, out)
+    assert merged.positions is None
+    # the term index itself is still the full union
+    fresh = build_index(spark, tiny_df, compress=True)
+    _tables_equal(merged, fresh)
+    fresh.unpersist()
+
+
+def test_cli_merge(spark, tmp_path, capsys):
+    from search_engine_spark.cli import main
+
+    docs = spark.createDataFrame(
+        [(1, "r", "a.py", "c", "en", "alpha beta gamma"),
+         (2, "r", "b.py", "c", "en", "beta gamma delta"),
+         (3, "r", "c.py", "c", "en", "gamma delta epsilon")],
+        "docid long, repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    src_a, src_b = str(tmp_path / "da"), str(tmp_path / "db")
+    docs.where(F.col("docid") <= 2).write.parquet(src_a)
+    docs.where(F.col("docid") >= 2).write.parquet(src_b)  # doc 2 overlaps
+    ra, rb = str(tmp_path / "ia"), str(tmp_path / "ib")
+    assert main(["--cores", "8", "build", "--input", src_a, "--output", ra]) == 0
+    assert main(["--cores", "8", "build", "--input", src_b, "--output", rb]) == 0
+    out_root = str(tmp_path / "merged")
+    capsys.readouterr()
+    assert main(["--cores", "8", "merge", ra, rb, "--output", out_root]) == 0
+    assert "(3 documents)" in capsys.readouterr().out
+    merged = read_index(spark, out_root)
+    assert merged.docstats.count() == 3
