@@ -481,13 +481,44 @@ def main() -> None:
                     lambda: beng.search("values: table window spark", k=10).collect(),
                     runs=2,
                 )
+                # WAND is a pruning strategy — bench it on its actual use
+                # case: the most SELECTIVE terms the corpus has, where
+                # block-max bounds skip postings.  The synthetic testdata
+                # vocabulary is tiny (31 content terms, min df = 0.05·N),
+                # so pick the 3 lowest-df terms deterministically; len>2
+                # excludes the 1-2 char rep-suffix tokens the query-side
+                # len filter would drop.  Stopword-class terms
+                # (table/window/spark, df≈0.78·N here) have flat tied
+                # scores that defeat pruning; the engine's df gate routes
+                # those to the exhaustive JVM plan — measured as
+                # wand_routed_highdf (≈ bm25_or + one tiny df probe).
+                sel_terms = [
+                    r["term"]
+                    for r in bidx.dictionary.where(
+                        (F.col("field") == "content")
+                        & (F.length("term") > 2)
+                    )
+                    .orderBy("df", "term")
+                    .limit(3)
+                    .collect()
+                ]
                 bsharded = ShardedWand(bidx, n_shards=16)
                 timed_scale(
-                    "wand_sharded",
-                    lambda: bsharded.search(["table", "window", "spark"], k=10),
+                    "wand_sharded_selective",
+                    lambda: bsharded.search(sel_terms, k=10),
                     runs=2,
                 )
                 bsharded.close()
+                beng_big = QueryEngine(spark, bidx, wand_driver_max_docs=0,
+                                       wand_shards=16)
+                timed_scale(
+                    "wand_routed_highdf",
+                    lambda: beng_big.search(
+                        "values: table window spark", strategy="wand", k=10
+                    ).collect(),
+                    runs=2,
+                )
+                beng_big.close()
             finally:
                 shutil.rmtree(big_root, ignore_errors=True)
             scale = {

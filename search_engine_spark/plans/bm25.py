@@ -57,6 +57,7 @@ class QueryEngine:
         cache_docstats: bool = True,
         wand_driver_max_docs: int = 5_000_000,
         wand_shards: int = 8,
+        wand_df_cutoff: float | None = 0.2,
     ):
         self.spark = spark
         self.index = index
@@ -101,6 +102,21 @@ class QueryEngine:
         # corpus-wide driver state).  Ctor-tunable; 0 forces sharded always.
         self.wand_driver_max_docs = wand_driver_max_docs
         self.wand_shards = wand_shards
+        # WAND is a pruning strategy: it wins when the score distribution
+        # lets block-max bounds skip most postings (selective terms).  A
+        # stopword-class query (df ≳ cutoff·N) has near-flat tied scores —
+        # the threshold never rises above the bounds, the Python traversal
+        # scores virtually the whole corpus, and the JVM exhaustive plan is
+        # an order of magnitude faster (measured at 200k docs: df≈0.78·N →
+        # sharded WAND 28 s vs exhaustive 2 s; rank-identical either way).
+        # On the sharded (large-corpus) route the engine therefore probes
+        # max term gdf first — one bucket-pruned job reading only
+        # (field, term, df), never the block bytes — and routes ≥cutoff
+        # queries to the exhaustive scorer.  None disables the gate.  The
+        # driver route skips the probe: its corpus is ≤ wand_driver_max_docs,
+        # so the worst case is bounded and the probe would cost more than it
+        # saves on sub-second queries.
+        self.wand_df_cutoff = wand_df_cutoff
         # SymSpell deletion indexes (plans/fuzzy.py), built lazily per
         # max_edit on first did_you_mean call and kept warm like docstats
         self._del_idx: dict[int, DataFrame] = {}
@@ -693,7 +709,11 @@ class QueryEngine:
           order), ~4× lower warm latency because it skips per-job
           DataFrame machinery and decodes only surviving blocks.  Queries
           with facet categories fall back to exhaustive automatically —
-          facet contributions are not posting cursors.
+          facet contributions are not posting cursors.  On the sharded
+          (large-corpus) route, stopword-class queries (max term df ≥
+          ``wand_df_cutoff``·N) also fall back: flat tied scores defeat
+          block-max pruning, and the exhaustive JVM plan is the faster
+          exact path (ctor note has the measured crossover).
 
         ``phrases``: "quirk" (default — reference Q4: quoted phrases never
         match) or "positional" — score quoted phrases as pseudo-terms over
@@ -750,8 +770,12 @@ class QueryEngine:
                 and parsed
                 and not has_phrase
             ):
-                return self._search_wand(parsed, mode, k, with_display)
-            # facet categories / positional phrases → exhaustive engine
+                res = self._search_wand(parsed, mode, k, with_display)
+                if res is not None:
+                    return res
+            # facet categories / positional phrases / stopword-class terms
+            # (df ≥ wand_df_cutoff·N, where pruning cannot win — see the
+            # ctor note) → exhaustive engine, identical results
         agg = self.score_matches(
             query,
             mode=mode,
@@ -867,7 +891,42 @@ class QueryEngine:
         routes to ShardedWand — distributed cogrouped traversal whose
         driver footprint is ≤ shards×k rows — so ``strategy="wand"`` can
         never become a driver-memory incident at 10^9+ docs.
+
+        Returns ``None`` to route the query to the exhaustive engine when
+        the sharded route's df probe finds a stopword-class term (gdf ≥
+        ``wand_df_cutoff``·N): with near-flat tied scores block-max bounds
+        prune nothing and the Python traversal degenerates to scoring the
+        whole corpus — the declarative JVM plan is the faster exact path
+        (ctor note has the measurements).  The probe runs BEFORE the lazy
+        searcher build, so a rerouted engine never pays ShardedWand's
+        norms repartition/persist.
         """
+        specs = [(target, t) for kind, target, raw in parsed for t in raw]
+        if (
+            self.wand_df_cutoff is not None
+            and self._n_docs > self.wand_driver_max_docs
+        ):
+            from .wand import _clean_specs
+
+            terms = sorted({t for _, t in _clean_specs(specs, self.stem)})
+            if terms:
+                # bucket-pruned, column-pruned probe: (field, term, df)
+                # only — the heavy block bytes are never read
+                row = (
+                    self.index.postings.where(
+                        F.col("bucket").isin(self._buckets_for(terms))
+                        & F.col("term").isin(terms)
+                    )
+                    .groupBy("field", "term")
+                    .agg(F.sum("df").alias("gdf"))  # term-global over segments
+                    .agg(F.max("gdf").alias("max_gdf"))
+                    .collect()[0]
+                )
+                if (
+                    row["max_gdf"] is not None
+                    and row["max_gdf"] >= self.wand_df_cutoff * self._n_docs
+                ):
+                    return None
         if getattr(self, "_wand", None) is None:
             from .wand import BlockMaxWand, ShardedWand
 
@@ -880,7 +939,6 @@ class QueryEngine:
                 self._wand = BlockMaxWand(
                     self.index, buckets=self.buckets, stem=self.stem
                 )
-        specs = [(target, t) for kind, target, raw in parsed for t in raw]
         hits = self._wand.search_fields(specs, k=k, mode=mode)
         if not hits:
             return self._empty_result(with_display)

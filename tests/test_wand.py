@@ -306,9 +306,12 @@ def test_strategy_wand_autoroutes_by_corpus_size(spark, multiblock_index, monkey
     assert isinstance(eng_small._wand, BlockMaxWand)
 
     # corpus "larger" than the threshold: sharded traversal, spied driver
+    # wand_df_cutoff=None: this test targets the corpus-SIZE routing; the
+    # fixture terms (def/return) are stopword-class there, so the df gate
+    # (tested separately below) would reroute to exhaustive first
     eng_big = QueryEngine(
         spark, multiblock_index, cache_docstats=False,
-        wand_driver_max_docs=0, wand_shards=4,
+        wand_driver_max_docs=0, wand_shards=4, wand_df_cutoff=None,
     )
     cls = type(multiblock_index.docstats)
     sizes: list[int] = []
@@ -336,3 +339,68 @@ def test_strategy_wand_autoroutes_by_corpus_size(spark, multiblock_index, monkey
             eng_big._wand.close()
     assert sharded_rows == driver_rows
     assert max(sizes) <= 64, f"corpus-sized driver collect ({max(sizes)} rows)"
+
+
+def test_strategy_wand_df_gate_routes_stopword_queries(
+    spark, multiblock_index, monkeypatch
+):
+    """Stopword-class term queries on the sharded route must take the
+    exhaustive JVM plan — flat tied scores defeat block-max pruning, so the
+    Python traversal would score virtually the whole corpus (measured 14×
+    slower at 200k docs).  The reroute must return the identical ranking,
+    must happen BEFORE the lazy searcher build (no norms persist paid),
+    selective queries must keep the traversal, and cutoff=None must
+    disable the gate."""
+    from search_engine_spark.plans.bm25 import QueryEngine
+    from search_engine_spark.plans.wand import ShardedWand
+
+    high_df_q = "values: def return"  # near-every-doc fixture terms
+    selective_q = "values: zephyrq0"  # planted rare term
+
+    calls: list[int] = []
+    real = ShardedWand.search_fields
+
+    def spying(self, specs, k=10, mode="or"):
+        calls.append(len(specs))
+        return real(self, specs, k=k, mode=mode)
+
+    monkeypatch.setattr(ShardedWand, "search_fields", spying)
+
+    eng = QueryEngine(
+        spark, multiblock_index, cache_docstats=False,
+        wand_driver_max_docs=0, wand_shards=4,
+    )
+    eng2 = QueryEngine(
+        spark, multiblock_index, cache_docstats=False,
+        wand_driver_max_docs=0, wand_shards=4, wand_df_cutoff=None,
+    )
+    try:
+        got = [
+            (r["rank"], r["docid"], round(r["score"], 9))
+            for r in eng.search(high_df_q, strategy="wand", k=10).collect()
+        ]
+        assert calls == [], "stopword-class query reached the Python traversal"
+        assert getattr(eng, "_wand", None) is None, (
+            "reroute must happen before the lazy searcher build"
+        )
+        want = [
+            (r["rank"], r["docid"], round(r["score"], 9))
+            for r in eng.search(high_df_q, k=10).collect()
+        ]
+        assert got == want and got
+
+        sel = eng.search(selective_q, strategy="wand", k=10).collect()
+        assert len(calls) == 1 and sel, "selective query must keep WAND"
+        assert isinstance(eng._wand, ShardedWand)
+
+        # gate disabled: the same stopword query takes the traversal
+        off = [
+            (r["rank"], r["docid"], round(r["score"], 9))
+            for r in eng2.search(high_df_q, strategy="wand", k=10).collect()
+        ]
+        assert len(calls) == 2
+        assert off == want
+    finally:
+        for e in (eng, eng2):
+            if isinstance(getattr(e, "_wand", None), ShardedWand):
+                e._wand.close()
