@@ -74,6 +74,57 @@ def training_corpus_filter(
     )
 
 
+def _hash_u(id_col: str, salt: str):
+    """u = first-8-hex-chars of md5('<salt>:<id>') / 2^32 ∈ [0, 1) — the
+    engine-portable deterministic uniform draw shared by hash_split and
+    stratified_sample (dyadic rational: a 6-dp round is exact in both
+    Spark and DuckDB)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(4294967296.0)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """→ (id, domain, u, keep) — deterministic per-domain downsampling, the
+    domain-mixing step of a training pipeline ("keep 100% of domain A, 10%
+    of domain B") expressed as one map-only decision column.
+
+    ``keep = 1`` iff u < rate(domain), with u the md5 draw of ``_hash_u``
+    (independent of ``hash_split``'s via the salt).  Domains absent from
+    ``rates`` get ``default_rate`` (0.0 = drop unlisted domains; 1.0 = pass
+    them through).  Properties ``DataFrame.sampleBy`` does NOT give:
+    stable across runs/partitionings/engines, a document keeps its fate as
+    the corpus grows, and the SQL twin reproduces every bit — no RNG state
+    to coordinate across 1000 executors.  NULL domains take default_rate.
+    """
+    for d, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {d!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    u = _hash_u(id_col, salt)
+    rate = F.lit(default_rate)
+    for d in sorted(rates, reverse=True):
+        rate = F.when(F.col(domain_col) == d, F.lit(rates[d])).otherwise(rate)
+    return docs.select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.round(u, 6).alias("u"),
+        (u < rate).cast("int").alias("keep"),
+    )
+
+
 def hash_split(
     docs: DataFrame,
     weights: dict[str, float] | None = None,
@@ -95,11 +146,7 @@ def hash_split(
     Default weights: train 0.9 / val 0.05 / test 0.05.
     """
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
-    u = F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("double") / F.lit(4294967296.0)
+    u = _hash_u(id_col, salt)
     expr = F.lit(list(weights)[-1])
     cum = 0.0
     bounds = []

@@ -1,0 +1,158 @@
+"""Eval-set decontamination (operators/decontaminate.py): n-gram overlap
+flags vs a pure-Python brute force, an exact DuckDB SQL twin, threshold
+semantics, short/empty-document conventions, and the broadcast plan shape."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.constants import DELIM_CLASS
+from search_engine_spark.operators.decontaminate import decontaminate, doc_ngrams
+
+_DELIM_RE = re.compile(DELIM_CLASS)
+
+
+def _py_grams(text: str, n: int) -> set[str]:
+    toks = [t for t in _DELIM_RE.split(text.lower()) if t != ""]
+    if not toks:
+        return set()
+    windows = [toks[i : i + n] for i in range(max(len(toks) - n, 0) + 1)]
+    return {hashlib.md5(" ".join(w).encode()).hexdigest() for w in windows}
+
+
+TRAIN_ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "completely unrelated training text about spark shuffles and joins"),
+    # shares exactly the eval passage's tail trigrams (partial overlap)
+    (3, "over the lazy dog near the river"),
+    (4, ""),  # empty doc
+    (5, "tiny doc"),  # < n tokens for every n we test
+    (6, "spark shuffles and joins"),
+]
+
+EVAL_ROWS = [
+    (100, "the quick brown fox jumps over the lazy dog"),
+    (101, "tiny doc"),  # exact short item
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    train = spark.createDataFrame(TRAIN_ROWS, "doc_id long, text string")
+    ev = spark.createDataFrame(EVAL_ROWS, "doc_id long, text string")
+    return train, ev
+
+
+def _brute(n: int, min_overlap: int) -> dict[int, tuple[int, int, int]]:
+    eval_grams = set().union(*(_py_grams(t, n) for _, t in EVAL_ROWS))
+    out = {}
+    for did, text in TRAIN_ROWS:
+        g = _py_grams(text, n)
+        hits = len(g & eval_grams)
+        out[did] = (len(g), hits, int(hits >= min_overlap))
+    return out
+
+
+@pytest.mark.parametrize("n,min_overlap", [(3, 1), (3, 2), (13, 1), (1, 1)])
+def test_matches_bruteforce(frames, n, min_overlap):
+    train, ev = frames
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hit_grams"], r["contaminated"])
+        for r in decontaminate(train, ev, n=n, min_overlap=min_overlap).collect()
+    }
+    assert got == _brute(n, min_overlap)
+
+
+def test_semantics_at_trigram(frames):
+    train, ev = frames
+    got = {r["doc_id"]: r for r in decontaminate(train, ev, n=3).collect()}
+    assert got[1]["contaminated"] == 1          # contains the eval passage
+    assert got[2]["contaminated"] == 0          # no eval overlap
+    assert got[3]["contaminated"] == 1          # partial tail overlap
+    assert 0 < got[3]["n_hit_grams"] < got[3]["n_grams"]
+    assert got[4]["n_grams"] == 0 and got[4]["contaminated"] == 0
+    # short doc (< n tokens) decontaminates against its exact eval copy
+    assert got[5]["n_grams"] == 1 and got[5]["contaminated"] == 1
+    assert got[6]["contaminated"] == 0
+    # every row NULL-free
+    for r in got.values():
+        assert None not in (r["n_grams"], r["n_hit_grams"], r["contaminated"])
+
+
+def test_duckdb_twin(frames):
+    """Exact value parity with an independent DuckDB formulation."""
+    train, ev = frames
+    n = 3
+    got = (
+        decontaminate(train, ev, n=n)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("train", pd.DataFrame(TRAIN_ROWS, columns=["doc_id", "text"]))
+    con.register("eval_docs", pd.DataFrame(EVAL_ROWS, columns=["doc_id", "text"]))
+    toks = (
+        "list_filter(regexp_split_to_array(lower(text), "
+        f"'{DELIM_CLASS}'), t -> t <> '')"
+    )
+    grams = (
+        "CASE WHEN len(toks) > 0 THEN list_distinct(list_transform("
+        f"range(0, greatest(len(toks)-{n}, 0) + 1), "
+        f"i -> md5(array_to_string(toks[i+1:i+{n}], ' ')))) "
+        "ELSE [] END"
+    )
+    want = con.execute(
+        f"""
+        WITH tt AS (SELECT doc_id, {toks} AS toks FROM train),
+        tg AS (SELECT doc_id, {grams} AS grams FROM tt),
+        et AS (SELECT doc_id, {toks} AS toks FROM eval_docs),
+        eg AS (SELECT DISTINCT unnest({grams}) AS gram FROM et),
+        hits AS (
+          SELECT tg.doc_id, count(*) AS n_hit
+          FROM (SELECT doc_id, unnest(grams) AS gram FROM tg) tg
+          JOIN eg USING (gram) GROUP BY tg.doc_id
+        )
+        SELECT tg.doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+               CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit_grams,
+               CAST(coalesce(n_hit, 0) >= 1 AS INT) AS contaminated
+        FROM tg LEFT JOIN hits USING (doc_id) ORDER BY doc_id
+        """
+    ).df()
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_doc_ngrams_distinct_per_doc(frames):
+    train, _ = frames
+    g = doc_ngrams(train, n=1)
+    rows = g.collect()
+    assert len(rows) == len(set((r["doc_id"], r["gram"]) for r in rows))
+    # doc 1 has 'the' three times → unigram distinct keeps one row for it
+    n1 = [r for r in rows if r["doc_id"] == 1]
+    toks1 = {t for t in _DELIM_RE.split(TRAIN_ROWS[0][1].lower()) if t}
+    assert len(n1) == len(toks1)
+
+
+def test_validation(frames):
+    train, ev = frames
+    with pytest.raises(ValueError):
+        decontaminate(train, ev, n=0)
+    with pytest.raises(ValueError):
+        decontaminate(train, ev, min_overlap=0)
+
+
+def test_plan_eval_join_is_broadcast(frames):
+    """The eval gram set rides a broadcast hash join (no shuffle of the
+    exploded train grams against eval), and nothing in the plan is a
+    cartesian/nested-loop product."""
+    train, ev = frames
+    plan = decontaminate(train, ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

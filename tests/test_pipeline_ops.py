@@ -519,6 +519,67 @@ def test_hash_split_deterministic_and_proportional(spark):
     assert any(s4[k] != s1[k][0] for k in s4)
 
 
+def test_stratified_sample_deterministic_and_exact(spark):
+    """Domain-mix sampling: ≡ a python md5 mirror bit-for-bit, stable under
+    corpus growth, per-domain rates honored, unlisted domains take
+    default_rate, and an exact DuckDB twin."""
+    import hashlib
+
+    from search_engine_spark.operators.pipeline import stratified_sample
+
+    rates = {"go": 1.0, "py": 0.25, "java": 0.0}
+    docs = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("go"), F.lit("py"), F.lit("java"), F.lit("rs")),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    got = {
+        r["doc_id"]: (r["lang"], r["u"], r["keep"])
+        for r in stratified_sample(docs, rates, default_rate=0.5).collect()
+    }
+
+    def py_u(did: int) -> float:
+        return int(hashlib.md5(f"sample:{did}".encode()).hexdigest()[:8], 16) / 2**32
+
+    langs = ["go", "py", "java", "rs"]
+    for did in range(3000):
+        lang = langs[did % 4]
+        u = py_u(did)
+        keep = int(u < rates.get(lang, 0.5))
+        assert got[did] == (lang, round(u, 6), keep), did
+    # rate semantics at the extremes
+    assert all(v[2] == 1 for v in got.values() if v[0] == "go")
+    assert all(v[2] == 0 for v in got.values() if v[0] == "java")
+    # subset invariance: fate is a pure function of (id, salt)
+    sub = {
+        r["doc_id"]: (r["lang"], r["u"], r["keep"])
+        for r in stratified_sample(docs.limit(100), rates, default_rate=0.5).collect()
+    }
+    assert all(got[k] == v for k, v in sub.items())
+    # DuckDB twin, exact
+    import duckdb
+
+    con = duckdb.connect()
+    want = con.execute(
+        """
+        SELECT doc_id, lang,
+               round(CAST(concat('0x', substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0, 6) AS u,
+               CAST(CAST(concat('0x', substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0
+                    < CASE lang WHEN 'go' THEN 1.0 WHEN 'py' THEN 0.25 WHEN 'java' THEN 0.0 ELSE 0.5 END AS INT) AS keep
+        FROM (SELECT unnest(range(3000)) AS doc_id,
+                     ['go','py','java','rs'][CAST(unnest(range(3000)) % 4 AS INT) + 1] AS lang)
+        """
+    ).fetchall()
+    con.close()
+    assert {r[0]: (r[1], r[2], r[3]) for r in want} == got
+    with pytest.raises(ValueError):
+        stratified_sample(docs, {"go": 1.5})
+    with pytest.raises(ValueError):
+        stratified_sample(docs, rates, default_rate=-0.1)
+
+
 def test_ivf_persisted_equals_per_query(emb_df, tmp_path):
     """VERDICT r2 #4: the persisted IVF artifact (write_ivf → cell-
     partitioned vectors + centroid meta) must answer identically to the
