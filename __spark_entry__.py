@@ -913,10 +913,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lsh.unionByName(ivf)
 
     def q_hash_split(spark, sf):
-        """Deterministic md5 train/val/test split (operators/pipeline.py)."""
-        from search_engine_spark.operators.pipeline import hash_split
+        """Consolidated per-document pipeline decisions (r3: one gate row
+        covers three operators/pipeline.py + decontaminate.py ops at the
+        same row grain): md5 train/val/test split (hash_split), domain-mix
+        sampling keep flag (stratified_sample, independent salt), and
+        eval-set decontamination (13-gram overlap vs the deterministic
+        benchmark subset doc_id % 17 == 3 — eval items flag themselves,
+        which the twin reproduces)."""
+        from search_engine_spark.operators.decontaminate import decontaminate
+        from search_engine_spark.operators.pipeline import (
+            hash_split,
+            stratified_sample,
+        )
 
-        return hash_split(_raw_docs(spark, sf))
+        docs = _raw_docs(spark, sf)
+        hs = hash_split(docs)
+        ss = stratified_sample(
+            docs, {"en": 1.0, "de": 0.5, "zh": 0.0}, domain_col="lang",
+            default_rate=0.25,
+        ).select(
+            "doc_id",
+            F.col("u").alias("mix_u"),
+            F.col("keep").alias("mix_keep"),
+        )
+        train = docs.select("doc_id", "text")
+        ev = train.where(F.col("doc_id") % 17 == 3)
+        dc = decontaminate(train, ev, n=13)
+        return hs.join(ss, "doc_id").join(dc, "doc_id")
 
     def q_positions_tf(spark, sf):
         """Positional forward stream: ordinal in the surviving cleaned
@@ -2856,16 +2879,45 @@ SELECT 'pq' AS variant, vec_id, cosine FROM ({_PQ_SQL})
 
     # hash_split: u is a dyadic rational (32-bit md5 prefix / 2^32) —
     # bit-identical across engines, so split boundaries cannot flip
-    sql["hash_split"] = """
+    # r3 consolidation: split + domain-mix keep + 13-gram decontamination
+    # (eval set = doc_id % 17 == 3) in ONE per-document twin
+    sql["hash_split"] = f"""
 WITH u AS (
   SELECT doc_id,
          CAST(concat('0x', substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
-              AS BIGINT) / 4294967296.0 AS u
+              AS BIGINT) / 4294967296.0 AS u,
+         CAST(concat('0x', substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS mu,
+         CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5 WHEN 'zh' THEN 0.0
+              ELSE 0.25 END AS mix_rate
   FROM documents
+),
+tt AS (SELECT doc_id, {_TOKS_ARRAY_SQL} AS toks FROM documents),
+tg AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0 THEN list_distinct(list_transform(
+           range(0, greatest(len(toks)-13, 0) + 1),
+           i -> md5(array_to_string(toks[i+1:i+13], ' '))))
+         ELSE [] END AS grams
+  FROM tt
+),
+eg AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM tg WHERE doc_id % 17 = 3
+),
+hits AS (
+  SELECT x.doc_id, count(*) AS n_hit
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM tg) x
+  JOIN eg USING (gram) GROUP BY x.doc_id
 )
-SELECT doc_id, round(u, 6) AS u,
-       CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split
-FROM u
+SELECT u.doc_id, round(u.u, 6) AS u,
+       CASE WHEN u.u < 0.9 THEN 'train' WHEN u.u < 0.95 THEN 'val' ELSE 'test' END AS split,
+       round(u.mu, 6) AS mix_u,
+       CAST(u.mu < u.mix_rate AS INT) AS mix_keep,
+       CAST(len(tg.grams) AS BIGINT) AS n_grams,
+       CAST(coalesce(hits.n_hit, 0) AS BIGINT) AS n_hit_grams,
+       CAST(coalesce(hits.n_hit, 0) >= 1 AS INT) AS contaminated
+FROM u JOIN tg ON u.doc_id = tg.doc_id
+LEFT JOIN hits ON u.doc_id = hits.doc_id
 """
 
     # text-analysis fragments (composed into the consolidated text_stats
