@@ -327,6 +327,28 @@ def main() -> None:
         )
         timed_best("q10d_hash_split", lambda: _force(hash_split(raw_docs)), runs=2)
 
+        # --- round-3 pipeline ops: domain-mix sampling + eval-set decon ---
+        from search_engine_spark.operators.decontaminate import decontaminate
+        from search_engine_spark.operators.pipeline import stratified_sample
+
+        timed_best(
+            "q10e_stratified",
+            lambda: _force(
+                stratified_sample(
+                    raw_docs, {"en": 1.0, "de": 0.5, "zh": 0.0}, default_rate=0.25
+                )
+            ),
+            runs=2,
+        )
+        ev_docs = raw_docs.where(F.col("doc_id") % 17 == 3).select("doc_id", "text")
+        timed_best(
+            "q10f_decontaminate",
+            lambda: _force(
+                decontaminate(raw_docs.select("doc_id", "text"), ev_docs, n=13)
+            ),
+            runs=2,
+        )
+
         # --- IVF ANN (seed + assign once, then warm probe latency) ---
         from search_engine_spark.operators.similarity import (
             ivf_seed_centroids,
