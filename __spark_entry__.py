@@ -1412,7 +1412,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         root = f"{work}/idx"
         try:
             docs.coalesce(1).write.mode("append").parquet(landing)
+            # the file source orders batches by MODIFICATION TIME; two
+            # back-to-back writes can tie on coarse timestamps, and the
+            # store-wins/smaller-docid dedup makes replay order
+            # load-bearing here — stamp the batches a minute apart so the
+            # replay order is deterministic, matching the twin's
+            # batch-0-first model
+            import os as _os
+            import time as _time
+
+            t0 = _time.time()
+            first_files = set()
+            for f in _os.listdir(landing):
+                first_files.add(f)
+                _os.utime(f"{landing}/{f}", (t0 - 60, t0 - 60))
             batch1.coalesce(1).write.mode("append").parquet(landing)
+            for f in _os.listdir(landing):
+                if f not in first_files:
+                    _os.utime(f"{landing}/{f}", (t0, t0))
             src = (
                 spark.readStream.schema(docs.schema)
                 .option("maxFilesPerTrigger", 1)

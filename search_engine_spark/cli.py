@@ -349,6 +349,12 @@ def cmd_search(args) -> int:
         with open(args.synonyms) as fh:
             syns = _json.load(fh)
     if getattr(args, "bm25f", False):
+        if syns:
+            # silent flag drops are worse than refusals (BM25F's
+            # cross-field saturation has no synonym-group semantics yet)
+            print("error: --synonyms is not supported with --bm25f",
+                  file=sys.stderr)
+            return 2
         from .plans.bm25f import bm25f_topk
         from .plans.query_parser import parse_query
 
@@ -371,7 +377,7 @@ def cmd_search(args) -> int:
         try:
             rows = engine.facet_histogram(
                 args.query, col=args.histogram, bin_width=args.bin_width,
-                mode=args.mode,
+                mode=args.mode, synonyms=syns,
             ).collect()
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
@@ -385,7 +391,7 @@ def cmd_search(args) -> int:
         try:
             rows = engine.search_collapsed(
                 args.query, group_col=args.collapse, k=args.k,
-                per_group=args.per_group, mode=args.mode,
+                per_group=args.per_group, mode=args.mode, synonyms=syns,
             ).collect()
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)

@@ -19,14 +19,15 @@ Scale shape (the 100-TB reading)
 --------------------------------
 - The eval side is benchmark-sized (thousands of documents, not the
   corpus), so its distinct gram set broadcasts; the train side is a
-  map-only scan — shingle arrays are built columnar per document
-  (``transform`` over a ``sequence``), distinct-ed in-array BEFORE the
-  explode so a gram repeated inside one document is one row, and the
-  broadcast hash join adds no exchange.
-- The ONLY shuffle is the per-document hit count: ``groupBy(doc_id)``
-  after the inner join, which partial-aggregates map-side and exchanges
-  at most one row per *contaminated* document — at a healthy
-  contamination rate (<1%) that is noise next to the scan.
+  map-only scan — shingle arrays are built columnar per document ONCE
+  (``dedup.shingles_col`` + md5, in its own projection so the size and
+  the explode share it), distinct-ed in-array BEFORE the explode so a
+  gram repeated inside one document is one row, and the broadcast hash
+  join adds no exchange.
+- The ONLY shuffle is the per-document aggregation: ``groupBy(doc_id)``
+  after the broadcast join partial-aggregates map-side and exchanges one
+  (doc_id, n_grams, n_hit) row per document — bytes-per-doc next to the
+  text scan it rides.
 - If the eval set ever outgrows broadcast (AQE decides), the same plan
   degrades gracefully to a shuffle equi-join on the gram hash — uniform
   md5 keys, never all-pairs.
@@ -42,24 +43,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from .textstats import tokens_col
+from .dedup import shingles_col
 
 
 def _gram_array(text: Column, n: int) -> Column:
     """Distinct md5 n-gram hashes of the lowercased token stream.
 
-    Empty docs (zero tokens) → empty array; docs with 0 < len < n tokens →
-    one gram over the whole sequence (``slice`` truncates at the end).
+    Delegates the shingling (and with it the short-doc whole-sequence and
+    empty-doc conventions) to ``dedup.shingles_col`` — ONE place encodes
+    those rules for the whole dedup/decontamination family; md5 on top
+    because every SQL engine reproduces it byte-identically.
     """
-    toks = tokens_col(F.lower(text))
-    cnt = F.size(toks)
-    idxs = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
-    grams = F.transform(
-        idxs, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
-    return F.when(cnt > 0, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    return F.transform(shingles_col(text, k=n), F.md5)
 
 
 def doc_ngrams(
@@ -95,26 +90,37 @@ def decontaminate(
         raise ValueError(f"n must be >= 1, got {n}")
     if min_overlap < 1:
         raise ValueError(f"min_overlap must be >= 1, got {min_overlap}")
-    stats = train.select(
-        F.col(id_col),
-        F.size(_gram_array(F.col(text_col), n)).cast("long").alias("n_grams"),
-    )
     eval_grams = (
         doc_ngrams(eval_docs, n=n, text_col=text_col, id_col=id_col)
         .select("gram")
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    hits = (
-        doc_ngrams(train, n=n, text_col=text_col, id_col=id_col)
-        .join(broadcast(eval_grams), on="gram")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_hit_grams"))
-    )
-    return stats.join(hits, on=id_col, how="left").select(
+    # grams materialize in their OWN projection so n_grams and the explode
+    # both read the aliased column — the shingle+md5 transform (the
+    # dominant map-side expression) evaluates once per document, not once
+    # per consumer (CollapseProject keeps non-cheap multi-referenced
+    # aliases in their own Project); explode_outer keeps zero-gram docs as
+    # a NULL-gram row so every train doc gets an output row from the one
+    # aggregation
+    exploded = train.select(
+        F.col(id_col), _gram_array(F.col(text_col), n).alias("grams")
+    ).select(
         F.col(id_col),
-        "n_grams",
-        F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("long").alias("n_hit_grams"),
-        (F.coalesce(F.col("n_hit_grams"), F.lit(0)) >= min_overlap)
-        .cast("int")
-        .alias("contaminated"),
+        F.size("grams").cast("long").alias("n_grams"),
+        F.explode_outer("grams").alias("gram"),
+    )
+    return (
+        exploded.join(broadcast(eval_grams), on="gram", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.count("__hit").alias("n_hit_grams"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            "n_hit_grams",
+            (F.col("n_hit_grams") >= min_overlap).cast("int").alias("contaminated"),
+        )
     )

@@ -691,6 +691,7 @@ def write_pq(
             "m": m,
             "n_codes": n_codes,
             "id_col": id_col,
+            "vec_col": vec_col,
             "codebooks": [[[float(x) for x in e] for e in sub] for sub in cb],
         },
         overwrite=True,
@@ -704,11 +705,12 @@ def pq_topk_persisted(
     probe: list[float],
     k: int = 10,
     refine: int = 4,
-    vec_col: str = "embedding",
+    vec_col: str | None = None,
 ) -> DataFrame:
     """PQ ANN over a persisted root: codes scan + M lookups + short exact
     re-rank against the raw table.  No encode job, no shuffle beyond the
-    TakeOrderedAndProject candidate cut."""
+    TakeOrderedAndProject candidate cut.  Column names round-trip from
+    the root's meta (like IVF); pass ``vec_col`` only to override."""
     from ..sources.index_io import read_meta_file
 
     meta = read_meta_file(spark, f"{root}/_pq_meta")
@@ -720,7 +722,7 @@ def pq_topk_persisted(
         k=k,
         refine=refine,
         id_col=str(meta["id_col"]),
-        vec_col=vec_col,
+        vec_col=vec_col or str(meta.get("vec_col", "embedding")),
         codebooks=cb,
         codes=codes,
     )
@@ -754,7 +756,7 @@ def append_pq(spark, embeddings: DataFrame, root: str) -> None:
 
     meta = read_meta_file(spark, f"{root}/_pq_meta")
     cb = [[list(map(float, e)) for e in sub] for sub in meta["codebooks"]]
-    pq_encode(embeddings, cb, str(meta["id_col"])).write.mode("append").parquet(
-        f"{root}/codes"
-    )
+    pq_encode(
+        embeddings, cb, str(meta["id_col"]), str(meta.get("vec_col", "embedding"))
+    ).write.mode("append").parquet(f"{root}/codes")
     spark.catalog.refreshByPath(f"{root}/codes")

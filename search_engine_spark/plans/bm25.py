@@ -122,13 +122,22 @@ class QueryEngine:
         self._del_idx: dict[int, DataFrame] = {}
 
     def close(self) -> None:
-        """Release the engine's docstats cache (no-op if caching was off)."""
+        """Release the engine's docstats cache (no-op if caching was off),
+        the deletion-index caches, and the lazily-built WAND executor —
+        ShardedWand persists a corpus-sized norms frame, which would
+        otherwise outlive the engine in a long-lived session."""
         if self._cached:
             self._docstats.unpersist()
             self._cached = False
         for di in self._del_idx.values():
             di.unpersist()
         self._del_idx.clear()
+        wand = getattr(self, "_wand", None)
+        if wand is not None:
+            close_fn = getattr(wand, "close", None)
+            if close_fn is not None:
+                close_fn()
+            self._wand = None
 
     # -- helpers -----------------------------------------------------------
 
@@ -661,11 +670,15 @@ class QueryEngine:
         agg = self.score_matches(
             query, mode=mode, boosts=boosts, filters=filters, synonyms=synonyms
         )
-        empty_schema = (
-            "rank int, docid long, score double, group string, group_hits long"
-        )
         if agg is None:
-            return self.spark.createDataFrame([], empty_schema)
+            # the group column keeps its docstats-native type (numeric
+            # collapse columns exist) so empty and non-empty results union
+            gtype = self._docstats.schema[group_col].dataType.simpleString()
+            return self.spark.createDataFrame(
+                [],
+                f"rank int, docid long, score double, group {gtype}, "
+                "group_hits long",
+            )
         joined = agg.select("docid", "score").join(
             self._docstats.select("docid", F.col(group_col).alias("group")),
             on="docid",

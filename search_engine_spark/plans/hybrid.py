@@ -142,7 +142,16 @@ def rescore_topk(
 
     import math
 
-    bm = engine.search(query, mode=mode, k=depth).select("docid", "score")
+    # the depth-bounded window is referenced THREE times below (min/max
+    # agg, lexical leg, semi-join ids) — localCheckpoint materializes the
+    # expensive BM25 scoring once (≤depth rows, executor-resident,
+    # lineage-truncated, auto-cleaned on GC); without it the whole
+    # probe→decode→fold subtree executes per reference
+    bm = (
+        engine.search(query, mode=mode, k=depth)
+        .select("docid", "score")
+        .localCheckpoint(eager=True)
+    )
     ext = bm.crossJoin(
         F.broadcast(bm.agg(F.min("score").alias("lo"), F.max("score").alias("hi")))
     )

@@ -196,9 +196,15 @@ def write_index(
     else:
         # fresh (re)build into this root: any leftover side tables were
         # computed from the OLD corpus — delete them so nothing can consult
-        # them (flags are absent from the fresh meta either way)
+        # them (flags are absent from the fresh meta either way).  The
+        # streaming stores are side tables too: stale signatures would make
+        # ingest drop new docs as "near-dups of something committed" that
+        # no longer exists, and a stale seen-bloom is harmless for
+        # soundness (superset → false positives only) but keeps paying its
+        # probe cost for a corpus that is gone.
         fs, _, jvm = _fs_and_path(spark, root)
-        for sub in ("_tombstones", "trigrams", "trigram_df"):
+        for sub in ("_tombstones", "trigrams", "trigram_df", "_dedup",
+                    "_seen_bloom"):
             p = jvm.org.apache.hadoop.fs.Path(f"{root}/{sub}")
             if fs.exists(p):
                 fs.delete(p, True)

@@ -179,26 +179,52 @@ def update_bloom(
     expected: int = 1_000_000,
     fpp: float = 0.01,
     id_col: str = "docid",
+    committed=None,
 ) -> None:
     """OR this batch's docids into the persisted bloom (create if absent).
 
-    Called BEFORE the batch commits (superset invariant).  When the bloom
-    has absorbed more keys than it was sized for, it is rebuilt at 4× —
-    from the docids accumulated so far the caller passes in; saturation
-    only ever degrades fpp (more exact-join traffic), never soundness.
-    """
+    Called BEFORE the batch commits (superset invariant).  ``committed``
+    is the full already-committed docid frame, or a zero-arg callable
+    returning it (or None) — the callable form is only invoked when a
+    build-from-scratch is needed, so the steady-state increment path never
+    touches the committed meta.  It makes the superset invariant hold
+    even when the bloom is CREATED on a root with prior commits (batch
+    front door, or ``skip_existing`` switched on mid-life): the first
+    bloom is seeded from committed ∪ batch, never the batch alone.  A
+    batch-only first bloom would classify every pre-bloom docid as
+    definitely-new and skip the exact anti-join → duplicate ingest.
+
+    Saturation: when the bloom has absorbed more keys than it was sized
+    for (fpp degrading toward 1 — the prefilter silently degenerates to
+    "scan the seen-set every batch"), it is REBUILT from committed ∪ batch
+    at 4× the outgrown capacity.  Without ``committed`` the rebuild is
+    skipped (soundness unaffected: saturation only ever degrades fpp,
+    never produces false negatives)."""
     existing = read_bloom(spark, root)
     n_new = new_docids.count()
+
+    def _full_build(grow_from: int) -> None:
+        base = new_docids.select(F.col(id_col))
+        prior = committed() if callable(committed) else committed
+        if prior is not None:
+            base = base.unionByName(prior.select(F.col(id_col))).distinct()
+        n_total = base.count()
+        cap = max(grow_from, n_total, 1)
+        m, k = _params(cap, fpp)
+        bitmap = build_bitmap(base, m, k, id_col=id_col)
+        write_bloom(spark, root, bitmap, k, n_total, cap, fpp)
+
     if existing is None:
-        m, k = _params(expected, fpp)
-        bitmap = build_bitmap(new_docids, m, k, id_col=id_col)
-        write_bloom(spark, root, bitmap, k, n_new, expected, fpp)
+        _full_build(expected)
         return
     bitmap, hdr = existing
     m, k = int(hdr["m"]), int(hdr["k"])
+    n_total = int(hdr["n_added"]) + n_new
+    if n_total > int(hdr["expected"]) and committed is not None:
+        _full_build(4 * max(int(hdr["expected"]), n_total))
+        return
     delta = build_bitmap(new_docids, m, k, id_col=id_col)
     bitmap |= delta
     write_bloom(
-        spark, root, bitmap, k, int(hdr["n_added"]) + n_new,
-        int(hdr["expected"]), float(hdr["fpp"]),
+        spark, root, bitmap, k, n_total, int(hdr["expected"]), float(hdr["fpp"]),
     )

@@ -185,7 +185,15 @@ def stream_ingest(
             # finalize collision.  (streaming/bloom.py)
             from .bloom import update_bloom
 
-            update_bloom(spark, root, docs.select("docid"))
+            # committed= keeps the superset invariant when the bloom is
+            # first created over a root with prior commits, and enables
+            # the 4× saturation rebuild (both from committed ∪ batch);
+            # the CALLABLE form keeps the steady-state increment path off
+            # the committed meta entirely
+            update_bloom(
+                spark, root, docs.select("docid"),
+                committed=lambda: _committed_docids(spark, root),
+            )
         commit_snapshot_slices(
             spark, docs, root,
             snapshot_id=snapshot_offset + batch_id,

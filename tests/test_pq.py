@@ -121,6 +121,37 @@ def test_pq_persisted_roundtrip(spark, emb_df):
     assert meta["m"] == 4 and meta["n_codes"] == 8
 
 
+def test_pq_root_roundtrips_custom_vec_col(spark, emb_df, tmp_path):
+    """vec_col persists in _pq_meta (like IVF): append and query against a
+    root built with a custom vector column need no re-passing — a root
+    built with vec_col='vec' must not silently encode/read 'embedding'."""
+    renamed = emb_df.select("vec_id", F.col("embedding").alias("vec"))
+    probe = emb_df.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    root = str(tmp_path / "pqv")
+    old = renamed.where(F.col("vec_id") < 60)
+    write_pq(spark, old, root, m=4, n_codes=8, vec_col="vec")
+    from search_engine_spark.operators.similarity import append_pq
+
+    append_pq(spark, renamed.where(F.col("vec_id") >= 60), root)
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in pq_topk_persisted(spark, root, renamed, probe, k=10).collect()
+    ]
+    from search_engine_spark.sources.index_io import read_meta_file
+
+    meta = read_meta_file(spark, f"{root}/_pq_meta")
+    assert meta["vec_col"] == "vec"
+    cb = [[list(map(float, e)) for e in sub] for sub in meta["codebooks"]]
+    # twin: the SAME stored codebooks over the full frame under the
+    # default column name — identical answers iff the persisted root
+    # encoded/read the custom column everywhere
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in pq_topk(emb_df, probe, k=10, refine=4, codebooks=cb).collect()
+    ]
+    assert got == want
+
+
 def test_append_pq_and_ivf_extend_persisted_roots(spark, emb_df, tmp_path):
     """append_pq/append_ivf grow the artifacts with stored codebooks/
     centroids: post-append queries see new vectors; pre-existing

@@ -208,6 +208,68 @@ def test_bloom_prefilter_soundness_and_persistence(spark, tmp_path):
     assert np.array_equal(bitmap, rebuilt)
 
 
+def test_bloom_created_on_preloaded_root_keeps_superset(spark, tiny_df, tmp_path):
+    """A bloom FIRST CREATED on a root that already has commits (here: a
+    stream that ran without skip_existing) must be seeded from committed ∪
+    batch — a batch-only bloom would classify pre-bloom docids as
+    definitely-new, skip the exact anti-join, and re-ingest duplicates."""
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    first = tiny_df.where(F.col("docid") % 3 == 0)
+    second = tiny_df.where(F.col("docid") % 3 == 1)
+
+    def drain(df, skip):
+        _land(df, landing)
+        src = spark.readStream.schema(tiny_df.schema).parquet(landing)
+        q = stream_ingest(src, root, finalize="manual", compress=True,
+                          skip_existing=skip, checkpoint_dir=ckpt)
+        q.awaitTermination()
+
+    drain(first, skip=False)   # pre-bloom commits (no bloom exists yet)
+    drain(second, skip=True)   # bloom created HERE — must absorb `first` too
+    from search_engine_spark.streaming.bloom import might_contain, read_bloom
+
+    bitmap, hdr = read_bloom(spark, root)
+    bc = spark.sparkContext.broadcast(bitmap)
+    n_pos = first.select("docid").where(
+        might_contain(F.col("docid"), bc, int(hdr["m"]), int(hdr["k"]))
+    ).count()
+    assert n_pos == first.count(), "pre-bloom committed docids are bloom-negative"
+
+    drain(first, skip=True)    # full re-land → must be skipped, not collide
+    streamed = finalize_index(spark, root, compress=True)
+    clean = resumable_build(
+        spark, first.unionByName(second), str(tmp_path / "batch_idx"),
+        n_slices=1, compress=True,
+    )
+    assert _index_fingerprint(streamed) == _index_fingerprint(clean)
+
+
+def test_bloom_saturation_rebuild(spark, tmp_path):
+    """update_bloom grows the bloom 4× (rebuilt from committed ∪ batch)
+    once n_added outruns the sized capacity, and the grown bloom still has
+    no false negatives."""
+    from search_engine_spark.streaming.bloom import might_contain, read_bloom, update_bloom
+
+    root = str(tmp_path / "idx")
+    a = spark.range(0, 80).select((F.col("id") * 7919 + 13).alias("docid"))
+    b = spark.range(80, 200).select((F.col("id") * 7919 + 13).alias("docid"))
+    update_bloom(spark, root, a, expected=100, fpp=0.01)
+    _, hdr0 = read_bloom(spark, root)
+    assert hdr0["expected"] == 100
+    update_bloom(spark, root, b, expected=100, fpp=0.01, committed=lambda: a)
+    bitmap, hdr = read_bloom(spark, root)
+    assert hdr["n_added"] == 200
+    assert hdr["expected"] == 4 * 200  # grown past the outrun capacity
+    assert hdr["m"] > hdr0["m"]
+    bc = spark.sparkContext.broadcast(bitmap)
+    n_pos = a.unionByName(b).where(
+        might_contain(F.col("docid"), bc, int(hdr["m"]), int(hdr["k"]))
+    ).count()
+    assert n_pos == 200, "false negative after saturation rebuild"
+
+
 def test_bloom_skips_seen_scan_for_fresh_batches(spark, tiny_df, tmp_path, monkeypatch):
     """VERDICT r2 #6 'done' condition: with a bloom present, a batch of
     entirely-fresh docids must be admitted WITHOUT scanning the committed

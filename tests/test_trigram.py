@@ -320,6 +320,16 @@ def test_rebuild_into_reused_root_clears_stale_side_tables(spark, tiny_df, tmp_p
     victims = [r["docid"] for r in first.select("docid").limit(2).collect()]
     delete_docs(spark, root, victims)
     assert read_index(spark, root).tombstones is not None
+    # the streaming stores are side tables too: stale signatures would
+    # suppress new docs as near-dups of a corpus that no longer exists
+    import os as _os
+
+    from search_engine_spark.streaming.bloom import update_bloom
+    from search_engine_spark.streaming.dedup import SIG_STORE
+
+    first.select("docid").limit(3).write.parquet(f"{root}/{SIG_STORE}")
+    update_bloom(spark, root, first.select("docid"))
+    assert _os.path.isdir(f"{root}/_dedup") and _os.path.isdir(f"{root}/_seen_bloom")
 
     # full rebuild over the WHOLE corpus into the same root
     idx2 = build_index(spark, tiny_df, compress=True)
@@ -329,6 +339,8 @@ def test_rebuild_into_reused_root_clears_stale_side_tables(spark, tiny_df, tmp_p
     fresh = read_index(spark, root)
     assert fresh.tombstones is None, "stale tombstones survived a rebuild"
     assert read_trigrams(spark, root) is None, "stale trigram flag survived"
+    assert not _os.path.exists(f"{root}/_dedup"), "stale signature store survived"
+    assert not _os.path.exists(f"{root}/_seen_bloom"), "stale bloom survived"
     # and the previously-'deleted' docs answer queries again
     live = {r["docid"] for r in fresh.docstats.select("docid").collect()}
     assert set(victims) <= live

@@ -341,6 +341,27 @@ def test_strategy_wand_autoroutes_by_corpus_size(spark, multiblock_index, monkey
     assert max(sizes) <= 64, f"corpus-sized driver collect ({max(sizes)} rows)"
 
 
+def test_engine_close_releases_wand(spark, multiblock_index):
+    """QueryEngine.close() must close the lazily-built WAND executor:
+    ShardedWand persists a corpus-sized MEMORY_AND_DISK norms frame that
+    would otherwise outlive the engine in a long-lived session (one leak
+    per engine over many indexes)."""
+    from search_engine_spark.plans.bm25 import QueryEngine
+    from search_engine_spark.plans.wand import ShardedWand
+
+    eng = QueryEngine(
+        spark, multiblock_index, cache_docstats=False,
+        wand_driver_max_docs=0, wand_shards=2, wand_df_cutoff=None,
+    )
+    eng.search("values: zephyrq0", strategy="wand", k=5).collect()
+    wand = eng._wand
+    assert isinstance(wand, ShardedWand)
+    assert wand._norms.storageLevel.useMemory  # persisted while live
+    eng.close()
+    assert eng._wand is None
+    assert not wand._norms.storageLevel.useMemory, "norms persist leaked"
+
+
 def test_strategy_wand_df_gate_routes_stopword_queries(
     spark, multiblock_index, monkeypatch
 ):
