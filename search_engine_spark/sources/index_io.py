@@ -138,28 +138,22 @@ def write_index(
     # small files, and the job-commit/list cost becomes a serial scaling
     # ceiling.  The encoded rows are tiny (varbyte blocks), so one extra
     # cheap shuffle keyed by bucket yields ~1 file per bucket.
-    (
-        index.postings.repartition(index.n_buckets, F.col("bucket"))
-        .write.mode(mode)
-        .partitionBy("bucket")
-        .parquet(f"{root}/postings")
-    )
-    spark = index.docstats.sparkSession
-    written = spark.read.parquet(f"{root}/postings")
-    dictionary = (
-        written.groupBy("field", "term")
-        .agg(F.sum("df").alias("df"))  # term-global df across segments
-        .select(
-            "field",
-            "term",
-            F.shiftrightunsigned(F.xxhash64("term"), 1).alias("termid"),
-            "df",
-        )
-    )
-    dictionary.write.mode(mode).parquet(f"{root}/dictionary")
-    index.docstats.write.mode(mode).parquet(f"{root}/docstats")
-    index.corpus_stats.write.mode(mode).parquet(f"{root}/corpus_stats")
-    if index.positions is not None:
+    # docstats/corpus_stats/positions do not depend on the postings table,
+    # so their write JOBS run on side threads while the main thread runs
+    # the postings shuffle: the per-job fixed costs (planning, commit
+    # protocol, output listing) overlap instead of summing — the serial
+    # sink tail is exactly what the N→4N scaling pair pays for twice.
+    # Concurrent jobs in one SparkContext are supported; under FIFO the
+    # side jobs fill whatever task slots the big shuffle leaves idle.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_docstats() -> None:
+        index.docstats.write.mode(mode).parquet(f"{root}/docstats")
+
+    def _write_corpus_stats() -> None:
+        index.corpus_stats.write.mode(mode).parquet(f"{root}/corpus_stats")
+
+    def _write_positions() -> None:
         # same compaction rationale as postings: ~1 file per bucket dir
         (
             index.positions.repartition(index.n_buckets, F.col("bucket"))
@@ -167,6 +161,45 @@ def write_index(
             .partitionBy("bucket")
             .parquet(f"{root}/positions")
         )
+
+    side = [_write_docstats, _write_corpus_stats]
+    if index.positions is not None:
+        side.append(_write_positions)
+
+    def _write_postings_and_dictionary() -> None:
+        (
+            index.postings.repartition(index.n_buckets, F.col("bucket"))
+            .write.mode(mode)
+            .partitionBy("bucket")
+            .parquet(f"{root}/postings")
+        )
+        written = index.docstats.sparkSession.read.parquet(f"{root}/postings")
+        dictionary = (
+            written.groupBy("field", "term")
+            .agg(F.sum("df").alias("df"))  # term-global df across segments
+            .select(
+                "field",
+                "term",
+                F.shiftrightunsigned(F.xxhash64("term"), 1).alias("termid"),
+                "df",
+            )
+        )
+        dictionary.write.mode(mode).parquet(f"{root}/dictionary")
+
+    if os.environ.get("SPARK_GRAFT_SERIAL_SINK", "") == "1":
+        # diagnostic escape hatch: one write job at a time (A/B control
+        # for the overlap; also useful if an output committer misbehaves
+        # under concurrent jobs)
+        _write_postings_and_dictionary()
+        for fn in side:
+            fn()
+    else:
+        with ThreadPoolExecutor(max_workers=len(side)) as pool:
+            futures = [pool.submit(fn) for fn in side]
+            _write_postings_and_dictionary()
+            for f in futures:
+                f.result()  # surface side-write failures pre meta commit
+    spark = index.docstats.sparkSession
     # Build-time parameters queries must agree on: the bucket count feeds
     # the query-side xxhash64 pmod — a mismatch silently prunes wrong
     # partitions, so it is persisted, never inferred from directory listings
