@@ -173,6 +173,16 @@ def _engine(spark, args):
     from .plans.bm25 import QueryEngine
     from .sources.index_io import read_index
 
+    if "," in args.index:
+        # comma-separated roots → query-time federation (global BM25
+        # stats recombined; roots must be docid-disjoint and share build
+        # parameters — sources/federated.py)
+        from .sources.federated import read_index_federated
+
+        roots = [r for r in args.index.split(",") if r]
+        return QueryEngine(
+            spark, read_index_federated(spark, roots), stem=args.stem
+        )
     return QueryEngine(spark, read_index(spark, args.index), stem=args.stem)
 
 
@@ -311,6 +321,14 @@ def cmd_search(args) -> int:
             print(
                 "error: --positional-phrases needs the exhaustive engine; "
                 "drop --wand (phrase matches are not posting cursors)",
+                file=sys.stderr,
+            )
+            return 2
+        if "," in args.index:
+            print(
+                "error: --wand does not support federated roots (segment "
+                "docid ranges interleave across roots); drop --wand — the "
+                "exhaustive engine is rank-identical",
                 file=sys.stderr,
             )
             return 2

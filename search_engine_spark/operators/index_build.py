@@ -108,6 +108,12 @@ class IndexTables:
     # lazy-delete semantics: deleted docs stop matching immediately, stats
     # converge at compaction)
     tombstones: DataFrame | None = None
+    # True when these tables are a query-time union of several roots
+    # (sources/federated.py).  WAND consumers MUST check it: their
+    # segment-concatenation invariant (disjoint ordered docid ranges per
+    # (field, term)) does not hold across roots, whose docids interleave —
+    # the exhaustive engine is order-insensitive and rank-identical
+    federated: bool = False
 
     def unpersist(self) -> None:
         if self.tf is not None:

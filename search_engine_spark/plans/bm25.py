@@ -915,6 +915,11 @@ class QueryEngine:
         norms repartition/persist.
         """
         specs = [(target, t) for kind, target, raw in parsed for t in raw]
+        if getattr(self.index, "federated", False):
+            # federated unions interleave roots' docid ranges, breaking
+            # WAND's segment-concatenation invariant (plans/wand.py
+            # _refuse_federated) — the exhaustive plan is rank-identical
+            return None
         if (
             self.wand_df_cutoff is not None
             and self._n_docs > self.wand_driver_max_docs

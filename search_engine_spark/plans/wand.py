@@ -303,6 +303,23 @@ def _clean_specs(
     return sorted(out)
 
 
+def _refuse_federated(index) -> None:
+    """WAND concatenates a term's segment rows assuming disjoint, ordered
+    docid ranges (index_build's salting invariant).  A federated union
+    (sources/federated.py) interleaves roots' docids, so the stitched
+    block sequence is no longer docid-sorted and the traversal would skip
+    wrongly.  The exhaustive engine is order-insensitive and
+    rank-identical; QueryEngine(strategy="wand") falls back to it
+    automatically."""
+    if getattr(index, "federated", False):
+        raise ValueError(
+            "WAND traversal is not available over a federated index "
+            "(segment docid ranges interleave across roots) — use the "
+            "exhaustive QueryEngine path (rank-identical), or merge the "
+            "roots durably with merge_indexes"
+        )
+
+
 def _group_segments(rows) -> dict[tuple[str, str], tuple[int, list, list]]:
     """Postings rows → {(field, term): (global_df, blocks, meta)} with heavy
     terms' SEGMENT rows stitched in segment order (disjoint, ordered docid
@@ -349,6 +366,7 @@ class BlockMaxWand:
         buckets: int | None = None,
         stem: bool | None = None,
     ):
+        _refuse_federated(index)
         self.index = index
         self.field = field  # default field for bare search(terms)
         # must match the build-time stem setting; None → the persisted value
@@ -489,6 +507,7 @@ class ShardedWand:
     ):
         if n_shards < 1 or (n_shards & (n_shards - 1)):
             raise ValueError(f"n_shards must be a positive power of two, got {n_shards}")
+        _refuse_federated(index)
         from pyspark import StorageLevel
 
         self.index = index

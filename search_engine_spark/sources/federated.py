@@ -1,0 +1,129 @@
+"""Query-time federation over multiple index roots — the zero-copy
+sibling of ``sources/merge.py``: search R independently-built roots as ONE
+logical index without rewriting any bytes.
+
+This is the Lucene/Elasticsearch distributed-search design (public:
+``dfs_query_then_fetch``): BM25 scores are only comparable across shards
+when every shard scores with GLOBAL statistics, so federation recombines
+the driver-sized stats tables — dictionary df summed per (field, term),
+corpus n_docs summed, avgdl recombined as the n-weighted mean — and serves
+the data tables as plain unions.  Every downstream consumer (QueryEngine,
+WAND, facets, snippets) then works unchanged, because the engine's
+contract is already "sum df over rows, read stats from corpus_stats":
+
+- postings: union of bucket-partitioned scans.  Term/bucket pushdown
+  reaches EACH root's parquet scan (Spark pushes filters through Union),
+  so a query still reads only the probed buckets of every root — cost
+  grows with R, never with corpus size.
+- dictionary: union → one (field, term) aggregation at query-engine
+  build; the frame stays dictionary-sized.
+- docstats: union of the roots' (already tombstone-filtered) views — per
+  -root deletes keep working under federation for free.
+- corpus_stats: R rows per field recombined exactly.
+
+Docid disjointness is REQUIRED (default-checked with one docstats-sized
+aggregation at construction): a docid present in two roots would score
+twice and corrupt the accumulation.  Overlapping roots are what
+``merge_indexes`` (first-root-wins decode merge) is for — federation
+refuses them rather than silently double-counting.
+
+Use cases at 10^12 docs: one logical index built as R corpus shards on
+independent schedules (the slice log scales per root), queried as one;
+or a hot "today" root federated over a cold compacted history root —
+exactly Lucene's segment model, one level up.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.index_build import IndexTables
+from .index_io import read_index
+
+
+def read_index_federated(
+    spark: SparkSession, roots: list[str], check_disjoint: bool = True
+) -> IndexTables:
+    """→ one logical IndexTables over ``roots`` (≥1), global-stats-correct.
+
+    Build parameters (bucket count, stem, analyzer) must agree across
+    roots — same contract as ``merge_indexes``; a mismatch would silently
+    probe wrong buckets or mis-normalize query terms, so it raises.
+    Positions federate only when EVERY root has them (phrase queries
+    against a partial federation would silently miss documents).
+    """
+    if not roots:
+        raise ValueError("read_index_federated needs at least one root")
+    indexes = [read_index(spark, r) for r in roots]
+    first = indexes[0]
+    for r, idx in zip(roots[1:], indexes[1:]):
+        for attr in ("n_buckets", "stem", "analyzer"):
+            if getattr(idx, attr) != getattr(first, attr):
+                raise ValueError(
+                    f"federated root {r!r} has {attr}="
+                    f"{getattr(idx, attr)!r} but {roots[0]!r} has "
+                    f"{getattr(first, attr)!r} — roots must share build "
+                    "parameters (rebuild or merge_indexes)"
+                )
+    if len(indexes) == 1:
+        return first
+
+    def _union(frames: list[DataFrame]) -> DataFrame:
+        return reduce(lambda a, b: a.unionByName(b), frames)
+
+    docstats = _union([i.docstats for i in indexes])
+    if check_disjoint:
+        counts = docstats.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("docid")).alias("nd"),
+        ).first()
+        if counts["n"] != counts["nd"]:
+            raise ValueError(
+                f"{counts['n'] - counts['nd']} docid(s) appear in more than "
+                "one federated root — they would score twice.  Overlapping "
+                "roots need merge_indexes (first-root-wins), not federation."
+            )
+    dictionary = (
+        _union([i.dictionary for i in indexes])
+        .groupBy("field", "term")
+        .agg(F.sum("df").alias("df"))
+        .select(
+            "field",
+            "term",
+            F.shiftrightunsigned(F.xxhash64("term"), 1).alias("termid"),
+            "df",
+        )
+    )
+    corpus_stats = (
+        _union([i.corpus_stats for i in indexes])
+        .groupBy("field")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            (F.sum(F.col("n_docs") * F.col("avgdl")) / F.sum("n_docs")).alias(
+                "avgdl"
+            ),
+        )
+        .select("field", "n_docs", "avgdl")
+    )
+    positions = None
+    if all(i.positions is not None for i in indexes):
+        positions = _union([i.positions for i in indexes])
+    return IndexTables(
+        postings=_union([i.postings for i in indexes]),
+        dictionary=dictionary,
+        docstats=docstats,
+        corpus_stats=corpus_stats,
+        n_buckets=first.n_buckets,
+        stem=first.stem,
+        analyzer=first.analyzer,
+        positions=positions,
+        # per-root tombstones are already applied inside each root's
+        # docstats view; nothing further to carry
+        tombstones=None,
+        # WAND's segment-concatenation invariant breaks across roots —
+        # consumers route to the exhaustive engine (rank-identical)
+        federated=True,
+    )

@@ -338,6 +338,34 @@ def test_search_collapse_synonyms_bm25f_histogram(spark, tiny_df, tmp_path, caps
     ) == 2
 
 
+def test_search_federated_roots(spark, tiny_df, tmp_path, capsys):
+    """--index a,b federates at query time: results equal the single
+    union root; --wand over a federation is refused loudly."""
+    src_a = str(tmp_path / "src_a")
+    src_b = str(tmp_path / "src_b")
+    src_u = str(tmp_path / "src_u")
+    tiny_df.where(F.col("docid") % 2 == 0).write.parquet(src_a)
+    tiny_df.where(F.col("docid") % 2 == 1).write.parquet(src_b)
+    tiny_df.write.parquet(src_u)
+    roots = {}
+    for name, src in (("a", src_a), ("b", src_b), ("u", src_u)):
+        roots[name] = str(tmp_path / f"fidx_{name}")
+        assert main(["build", "--input", src, "--output", roots[name]]) == 0
+    capsys.readouterr()
+
+    q = "values: parse_json0 merge_index0"
+    fed_index = f"{roots['a']},{roots['b']}"
+    assert main(["search", "--index", fed_index, "--query", q]) == 0
+    fed_out = capsys.readouterr().out
+    assert main(["search", "--index", roots["u"], "--query", q]) == 0
+    uni_out = capsys.readouterr().out
+    assert "no results" not in fed_out
+    assert fed_out == uni_out
+
+    assert main(["search", "--index", fed_index, "--query", q, "--wand"]) == 2
+    assert "federated" in capsys.readouterr().err
+
+
 def test_ingest_stream_skip_near_dups_flag(spark, tmp_path, capsys):
     landing = str(tmp_path / "land_nd")
     root = str(tmp_path / "idx_nd")

@@ -1,0 +1,181 @@
+"""Query-time federation (sources/federated.py): R disjoint roots answer
+exactly like one union-built index — global df/N/avgdl recombination,
+WAND parity, per-root deletes, refusals for overlap and param mismatch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.index_build import build_index
+from search_engine_spark.plans.bm25 import QueryEngine
+from search_engine_spark.sources.federated import read_index_federated
+from search_engine_spark.sources.index_io import read_index, write_index
+
+
+@pytest.fixture(scope="module")
+def roots(spark, tiny_df, tmp_path_factory):
+    """Two disjoint halves persisted as independent roots + the union root."""
+    base = tmp_path_factory.mktemp("fed")
+    paths = {}
+    for name, df in (
+        ("a", tiny_df.where(F.col("docid") % 2 == 0)),
+        ("b", tiny_df.where(F.col("docid") % 2 == 1)),
+        ("u", tiny_df),
+    ):
+        idx = build_index(spark, df, compress=True)
+        paths[name] = str(base / name)
+        write_index(idx, paths[name])
+        idx.unpersist()
+    return paths
+
+
+def _rows(df):
+    return [(r["rank"], r["docid"], r["score"]) for r in df.collect()]
+
+
+def _assert_same_ranking(got, want):
+    assert [(r[0], r[1]) for r in got] == [(r[0], r[1]) for r in want]
+    for g, w in zip(got, want):
+        assert g[2] == pytest.approx(w[2], rel=1e-9, abs=1e-12)
+
+
+QUERIES = [
+    ("values: load_config0 parse_json0 merge_index0", "or"),
+    ("values: def return", "and"),
+    ("values: hash_shard0 | langs: go", "or"),
+    ("values: zephyrq0 zephyrq1", "or"),  # rare terms planted in one doc each
+]
+
+
+def test_federated_equals_union_build(spark, roots):
+    fed = QueryEngine(spark, read_index_federated(spark, [roots["a"], roots["b"]]),
+                      cache_docstats=False)
+    uni = QueryEngine(spark, read_index(spark, roots["u"]), cache_docstats=False)
+    for q, mode in QUERIES:
+        want = _rows(uni.search(q, mode=mode, k=10))
+        assert want, f"vacuous query {q!r}"  # fixture must actually match
+        _assert_same_ranking(_rows(fed.search(q, mode=mode, k=10)), want)
+    # total-match counting sees the union corpus
+    q = "values: load_config0"
+    assert fed.match_count(q) == uni.match_count(q) > 0
+
+
+def test_federated_wand_refusal_and_fallback(spark, roots):
+    """WAND's segment concatenation assumes disjoint ordered docid ranges
+    per (field, term); federated roots interleave docids, so the stitched
+    block sequence is unsorted and the traversal would skip wrongly
+    (observed: wrong rank-2 doc before the guard existed).  Direct
+    construction refuses; engine strategy='wand' silently falls back to
+    the exhaustive plan with identical results."""
+    from search_engine_spark.plans.wand import BlockMaxWand, ShardedWand
+
+    fed_idx = read_index_federated(spark, [roots["a"], roots["b"]])
+    with pytest.raises(ValueError, match="federated"):
+        BlockMaxWand(fed_idx)
+    with pytest.raises(ValueError, match="federated"):
+        ShardedWand(fed_idx, n_shards=2)
+    fed = QueryEngine(spark, fed_idx, cache_docstats=False)
+    uni = QueryEngine(spark, read_index(spark, roots["u"]), cache_docstats=False)
+    q = "values: load_config0 parse_json0 merge_index0"
+    want = _rows(uni.search(q, k=10))
+    assert want
+    _assert_same_ranking(_rows(fed.search(q, strategy="wand", k=10)), want)
+    assert getattr(fed, "_wand", None) is None  # fallback never built one
+
+
+def test_federated_respects_per_root_deletes(spark, roots, tmp_path):
+    import shutil
+
+    from search_engine_spark.sources.deletes import delete_docs
+
+    # private copies: deleting from the module-scoped fixture roots would
+    # poison the other tests
+    work_a = str(tmp_path / "a")
+    work_b = str(tmp_path / "b")
+    shutil.copytree(roots["a"], work_a)
+    shutil.copytree(roots["b"], work_b)
+    fed0 = QueryEngine(
+        spark, read_index_federated(spark, [work_a, work_b]),
+        cache_docstats=False,
+    )
+    before = _rows(fed0.search("values: load_config0", k=5))
+    assert before
+    victim = before[0][1]
+    delete_docs(spark, work_a if victim % 2 == 0 else work_b, [victim])
+    fed = QueryEngine(
+        spark, read_index_federated(spark, [work_a, work_b]),
+        cache_docstats=False,
+    )
+    after = {r[1] for r in _rows(fed.search("values: load_config0", k=10))}
+    assert victim not in after
+
+
+def test_federated_refuses_overlap_and_mismatch(spark, tiny_df, roots, tmp_path):
+    with pytest.raises(ValueError, match="more than one federated root"):
+        read_index_federated(spark, [roots["a"], roots["u"]])
+    # disjointness probe can be disabled (documented fast path)
+    idx = read_index_federated(
+        spark, [roots["a"], roots["u"]], check_disjoint=False
+    )
+    assert idx.docstats.count() > 0
+    # build-parameter mismatch refusal
+    stem_root = str(tmp_path / "stem")
+    sidx = build_index(
+        spark, tiny_df.where(F.col("docid") % 2 == 1), compress=True, stem=True
+    )
+    write_index(sidx, stem_root)
+    sidx.unpersist()
+    with pytest.raises(ValueError, match="stem"):
+        read_index_federated(spark, [roots["a"], stem_root])
+    with pytest.raises(ValueError, match="at least one root"):
+        read_index_federated(spark, [])
+    # single root passes through untouched
+    single = read_index_federated(spark, [roots["a"]])
+    assert single.docstats.count() == read_index(spark, roots["a"]).docstats.count()
+
+
+def test_federated_positions_all_or_none(spark, tiny_df, tiny_docs, tmp_path):
+    from collections import Counter
+
+    from search_engine_spark import oracle
+
+    halves = [
+        tiny_df.where(F.col("docid") % 2 == 0),
+        tiny_df.where(F.col("docid") % 2 == 1),
+    ]
+    pos_roots = []
+    for i, half in enumerate(halves):
+        idx = build_index(spark, half, compress=True, positions=True)
+        root = str(tmp_path / f"p{i}")
+        write_index(idx, root)
+        idx.unpersist()
+        pos_roots.append(root)
+    fed = read_index_federated(spark, pos_roots)
+    assert fed.positions is not None
+    # phrase query over the federation ≡ over a union positional build;
+    # bigram derived from the oracle streams so it actually occurs
+    counts: Counter = Counter()
+    for d in tiny_docs:
+        toks = oracle.tokenize(d["content"])
+        for pair in set(zip(toks, toks[1:])):
+            counts[pair] += 1
+    bigram = " ".join(counts.most_common(1)[0][0])
+    uidx = build_index(spark, tiny_df, compress=True, positions=True)
+    uroot = str(tmp_path / "pu")
+    write_index(uidx, uroot)
+    uidx.unpersist()
+    feng = QueryEngine(spark, fed, cache_docstats=False)
+    ueng = QueryEngine(spark, read_index(spark, uroot), cache_docstats=False)
+    q = f'values: "{bigram}"'
+    want = _rows(ueng.search(q, phrases="positional", k=10))
+    assert want, f"vacuous phrase {bigram!r}"
+    _assert_same_ranking(_rows(feng.search(q, phrases="positional", k=10)), want)
+    # one root without positions → federation serves none (no silent
+    # phrase misses against a partial positional view)
+    np_root = str(tmp_path / "np")
+    nidx = build_index(spark, halves[1], compress=True)
+    write_index(nidx, np_root)
+    nidx.unpersist()
+    mixed = read_index_federated(spark, [pos_roots[0], np_root])
+    assert mixed.positions is None
