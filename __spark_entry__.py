@@ -1528,15 +1528,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return totals
 
     def q_scrub_stats(spark, sf):
-        """PII redaction + Gopher-style repetition profile joined on doc_id
-        (r2 gate-slimming: the former pii_redact / repetition_stats keys).
+        """PII redaction + Gopher-style repetition profile + CCNet-style
+        cross-document line-boilerplate removal, joined on doc_id (r2
+        gate-slimming: the former pii_redact / repetition_stats keys; the
+        boilerplate columns folded in round 3, operators/lines.py).
 
         The sf word-soup has no PII, so the entry INJECTS deterministic
         doc_id-derived PII with the identical expression on both engines —
         the redaction operator is value-checked on genuinely non-trivial
         input; the redacted text ships as sha256 (scalar, driver-
         canonicalizer-safe).  The repetition profile runs over the ORIGINAL
-        text (operators/scrub.py)."""
+        text (operators/scrub.py).  The corpus also has no newlines, so the
+        line pass runs over an injected three-line document (shared header
+        + original body + doc_id%7 shard footer, same expression on both
+        engines): header and footers are cross-document boilerplate and
+        must be dropped, bodies kept; the cleaned text ships as sha256."""
+        from search_engine_spark.operators.lines import drop_boilerplate
         from search_engine_spark.operators.scrub import pii_redact, repetition_stats
 
         docs = _raw_docs(spark, sf)
@@ -1565,7 +1572,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sha2(F.col("redacted"), 256).alias("redacted_sha256"),
         )
         rep = repetition_stats(docs)
-        return pii.join(rep, "doc_id")
+        lined = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("auto-generated corpus snapshot - do not edit\n"),
+                F.col("text"),
+                F.lit("\nstandard license notice for shard "),
+                (did % 7).cast("string"),
+            ).alias("text"),
+        )
+        clean = drop_boilerplate(lined, min_docs=5).select(
+            "doc_id",
+            F.sha2(F.col("clean_text"), 256).alias("clean_sha256"),
+            "n_lines",
+            "n_kept",
+            F.col("n_dropped").alias("n_boiler_dropped"),
+        )
+        return pii.join(rep, "doc_id").join(clean, "doc_id")
 
     def q_mm_features(spark, sf):
         """mapInPandas multimodal pipeline — VALUE-checked against DuckDB
@@ -3126,14 +3149,63 @@ SELECT l.doc_id,
 FROM lf l LEFT JOIN agg a ON l.doc_id = a.doc_id
 """
 
+    # line-boilerplate twin (operators/lines.py, folded into scrub_stats in
+    # round 3): the same injected header/body/footer document, the same
+    # md5(lower(trim(line))) identity, min_chars/min_docs from the module
+    # constants; the zipped unnest pair gives (line, pos) so string_agg can
+    # reassemble in original order exactly like the Spark collect_list sort.
+    from search_engine_spark.operators.lines import BOILER_MIN_DOCS, LINE_MIN_CHARS
+
+    _lines_sql = f"""
+WITH lined AS (
+  SELECT doc_id,
+         'auto-generated corpus snapshot - do not edit' || chr(10) ||
+         text || chr(10) ||
+         'standard license notice for shard ' || CAST(doc_id % 7 AS VARCHAR)
+           AS text
+  FROM documents
+),
+lx AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+  FROM lined
+),
+boilx AS (
+  SELECT h FROM (
+    SELECT DISTINCT doc_id, md5(lower(trim(line))) AS h
+    FROM lx WHERE length(lower(trim(line))) >= {LINE_MIN_CHARS}
+  ) GROUP BY h HAVING count(*) >= {BOILER_MIN_DOCS}
+),
+keptx AS (
+  SELECT * FROM lx
+  WHERE length(lower(trim(line))) < {LINE_MIN_CHARS}
+     OR md5(lower(trim(line))) NOT IN (SELECT h FROM boilx)
+)
+SELECT l.doc_id,
+       sha256(coalesce(k.clean_text, '')) AS clean_sha256,
+       CAST(len(string_split(l.text, chr(10))) AS BIGINT) AS n_lines,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(string_split(l.text, chr(10))) - coalesce(k.n_kept, 0)
+            AS BIGINT) AS n_boiler_dropped
+FROM lined l LEFT JOIN (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM keptx GROUP BY doc_id
+) k USING (doc_id)
+"""
+
     # consolidated scrub_stats twin (r2 gate-slimming: former pii_redact /
-    # repetition_stats keys), joined on doc_id exactly like the Spark entry
+    # repetition_stats keys; round-3 fold of the line-boilerplate columns),
+    # joined on doc_id exactly like the Spark entry
     sql["scrub_stats"] = f"""
 WITH p AS ({_pii_sql}),
-r AS ({_repetition_sql})
+r AS ({_repetition_sql}),
+c AS ({_lines_sql})
 SELECT p.*, r.n_tokens, r.n_distinct, r.top_tf, r.distinct_ratio,
-       r.top_token_frac, r.dup_line_frac
-FROM p JOIN r USING (doc_id)
+       r.top_token_frac, r.dup_line_frac,
+       c.clean_sha256, c.n_lines, c.n_kept, c.n_boiler_dropped
+FROM p JOIN r USING (doc_id) JOIN c USING (doc_id)
 """
 
     # mm_features: the mapInPandas pipeline's fake features are

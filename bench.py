@@ -349,6 +349,26 @@ def main() -> None:
             runs=2,
         )
 
+        # --- round-3 pipeline op: CCNet-style line-boilerplate removal ---
+        # (the sf corpus has no newlines; inject the gate entry's shared
+        # header + shard footer so the boilerplate join has real work)
+        from search_engine_spark.operators.lines import drop_boilerplate
+
+        lined_docs = raw_docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("auto-generated corpus snapshot - do not edit\n"),
+                F.col("text"),
+                F.lit("\nstandard license notice for shard "),
+                (F.col("doc_id") % 7).cast("string"),
+            ).alias("text"),
+        )
+        timed_best(
+            "q10g_line_dedup",
+            lambda: _force(drop_boilerplate(lined_docs, min_docs=5)),
+            runs=2,
+        )
+
         # --- IVF ANN (seed + assign once, then warm probe latency) ---
         from search_engine_spark.operators.similarity import (
             ivf_seed_centroids,

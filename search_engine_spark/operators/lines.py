@@ -1,0 +1,169 @@
+"""Cross-document line-level boilerplate removal (the CCNet paragraph
+dedup / RefinedWeb line-dedup pass, re-expressed as two hash-aggregated
+Spark passes).
+
+A web/code corpus is full of lines that repeat across *documents* —
+license headers, nav menus, cookie banners, "generated, do not edit"
+stamps.  CCNet (Wenzek et al. 2019) and RefinedWeb (Penedo et al. 2023)
+drop a line when its normalized hash occurs in too many documents; the
+per-document text is then reassembled from the surviving lines in their
+original order.  This module is that operator, total over the corpus.
+
+Semantics
+---------
+- A *line* is a ``\\n``-split segment of the text; its identity is
+  ``md5(lower(trim(line)))`` — md5 because every SQL engine reproduces it
+  byte-identically, so the operator has an exact DuckDB twin.
+- Only lines whose trimmed form has at least ``min_chars`` characters are
+  candidates for removal: short lines (code braces, list bullets, blank
+  separators) are *structural* — dropping every ``}`` that appears in two
+  files would destroy code — so they are always kept.
+- A candidate line is *boilerplate* when it occurs in at least
+  ``min_docs`` distinct documents (repeats inside ONE document are the
+  repetition profile's business, ``scrub.repetition_stats``, not this
+  operator's).
+
+Scale shape (the 100-TB reading)
+--------------------------------
+- ``line_stats`` is ONE exchange on uniform md5 keys: each document's
+  distinct long-line hashes are computed in-array on the scan (so a line
+  repeated inside one document is one row before the explode), the
+  count partial-aggregates map-side, and the exchange carries one row
+  per (distinct line) — bytes proportional to the *vocabulary* of lines,
+  not the corpus.
+- The boilerplate set is the ``n_docs >= min_docs`` heavy-hitter tail of
+  that table — tiny relative to the corpus by construction (a line needs
+  ``min_docs`` copies to qualify), so it broadcasts and the removal join
+  adds no exchange.  If an adversarial corpus ever outgrows the
+  broadcast, AQE degrades the same plan to a shuffle equi-join on the
+  hash — uniform keys, never all-pairs.
+- Reassembly is the only other exchange: posexplode → broadcast anti-join
+  → ``groupBy(doc_id)`` with a map-side partial ``collect_list`` — one
+  (doc_id, surviving lines) row per document, bytes-per-doc next to the
+  text scan it rides.
+
+Capability analogue in the reference: none (it indexes documents as
+given); this extends the training-data-pipeline surface the build brief
+mandates alongside SURVEY §2, next to ``dedup`` (document granularity)
+and ``scrub`` (inside-one-document granularity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+#: trimmed lines shorter than this are structural and never dropped
+LINE_MIN_CHARS = 8
+#: a long line seen in at least this many distinct docs is boilerplate
+BOILER_MIN_DOCS = 5
+
+
+def line_hash_col(line: Column) -> Column:
+    """Normalized line identity: ``md5(lower(trim(line)))``.
+
+    ONE place encodes the normalization for both the stats and the
+    removal pass (and the gate's DuckDB twin mirrors it verbatim).
+    """
+    return F.md5(F.lower(F.trim(line)))
+
+
+def _long_lines(text: Column, min_chars: int) -> Column:
+    """Distinct normalized hashes of this document's candidate lines."""
+    normed = F.transform(F.split(text, "\n"), lambda s: F.lower(F.trim(s)))
+    longs = F.filter(normed, lambda s: F.length(s) >= min_chars)
+    return F.array_distinct(F.transform(longs, F.md5))
+
+
+def line_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = LINE_MIN_CHARS,
+) -> DataFrame:
+    """(line_hash, n_docs) — distinct-document frequency of every
+    candidate line in the corpus.
+
+    In-array distinct BEFORE the explode (a line repeated inside one
+    document contributes one row), then one hash-aggregated exchange on
+    the md5 key with map-side partials.
+    """
+    return (
+        docs.select(
+            F.explode(_long_lines(F.col(text_col), min_chars)).alias("line_hash")
+        )
+        .groupBy("line_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = BOILER_MIN_DOCS,
+    min_chars: int = LINE_MIN_CHARS,
+) -> DataFrame:
+    """(line_hash, n_docs) — the heavy-hitter tail of ``line_stats``:
+    candidate lines occurring in at least ``min_docs`` distinct docs."""
+    return line_stats(docs, text_col, id_col, min_chars).where(
+        F.col("n_docs") >= F.lit(min_docs)
+    )
+
+
+def drop_boilerplate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = BOILER_MIN_DOCS,
+    min_chars: int = LINE_MIN_CHARS,
+) -> DataFrame:
+    """(id, clean_text, n_lines, n_kept, n_dropped) — the corpus with
+    cross-document boilerplate lines removed, total over the input.
+
+    ``clean_text`` is the surviving lines re-joined with ``\\n`` in their
+    original order (empty string when every line was boilerplate);
+    ``n_lines`` counts the raw split segments.  Plan shape: boilerplate
+    set (one md5 exchange) broadcast into a left-anti equi-join under the
+    posexplode, then ONE (doc_id) exchange to reassemble; short lines
+    carry a NULL join key so the anti-join keeps them without a second
+    predicate.
+    """
+    boiler = boilerplate_lines(docs, text_col, id_col, min_docs, min_chars)
+
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn(
+        "line_hash",
+        F.when(
+            F.length(F.lower(F.trim(F.col("line")))) >= min_chars,
+            line_hash_col(F.col("line")),
+        ),
+    )
+    kept = lines.join(broadcast(boiler.select("line_hash")), "line_hash", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0).cast("long")))
+        .cast("long")
+        .alias("n_dropped"),
+    )

@@ -1,0 +1,167 @@
+"""Line-level boilerplate removal (operators/lines.py): stats vs a
+pure-Python brute force, removal semantics (order, short-line immunity,
+within-doc repeats, all-dropped docs), an exact DuckDB SQL twin, and the
+broadcast anti-join plan shape."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.lines import (
+    boilerplate_lines,
+    drop_boilerplate,
+    line_stats,
+)
+
+HEADER = "auto-generated corpus file - do not edit"
+FOOTER = "standard license notice text for group a"
+
+ROWS = [
+    # header + unique body + shared footer
+    (1, f"{HEADER}\nunique body line one for document\n{FOOTER}"),
+    (2, f"{HEADER}\nanother unique body line here now\n{FOOTER}"),
+    (3, f"{HEADER}\nthird document body differs again\n{FOOTER}"),
+    # header repeated INSIDE one doc: within-doc repeats count once
+    (4, f"{HEADER}\n{HEADER}\nfourth doc body text is unique"),
+    # short duplicate lines ("}") must survive everywhere
+    (5, "}\nfifth doc body stays around\n}"),
+    (6, "}\nsixth doc body stays around too\n}"),
+    # doc made ENTIRELY of boilerplate → empty clean_text, row kept
+    (7, f"{HEADER}\n{FOOTER}"),
+    # empty doc
+    (8, ""),
+]
+MIN_DOCS = 3
+MIN_CHARS = 8
+
+
+def _h(line: str) -> str:
+    return hashlib.md5(line.strip().lower().encode()).hexdigest()
+
+
+def _py_stats() -> dict[str, int]:
+    counts: dict[str, int] = {}
+    for _, text in ROWS:
+        seen = {
+            _h(ln)
+            for ln in text.split("\n")
+            if len(ln.strip().lower()) >= MIN_CHARS
+        }
+        for h in seen:
+            counts[h] = counts.get(h, 0) + 1
+    return counts
+
+
+def _py_clean(text: str, boiler: set[str]) -> tuple[str, int, int]:
+    lines = text.split("\n")
+    kept = [
+        ln
+        for ln in lines
+        if len(ln.strip().lower()) < MIN_CHARS or _h(ln) not in boiler
+    ]
+    return "\n".join(kept), len(lines), len(kept)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+def test_line_stats_matches_bruteforce(docs):
+    got = {
+        r["line_hash"]: r["n_docs"]
+        for r in line_stats(docs, min_chars=MIN_CHARS).collect()
+    }
+    assert got == _py_stats()
+    # the header appears in docs 1-4 and 7 — ONCE each, despite doc 4's
+    # internal repeat
+    assert got[_h(HEADER)] == 5
+
+
+def test_drop_boilerplate_semantics(docs):
+    out = {
+        r["doc_id"]: r
+        for r in drop_boilerplate(
+            docs, min_docs=MIN_DOCS, min_chars=MIN_CHARS
+        ).collect()
+    }
+    assert set(out) == {r[0] for r in ROWS}  # total over the corpus
+    boiler = {h for h, n in _py_stats().items() if n >= MIN_DOCS}
+    assert boiler == {_h(HEADER), _h(FOOTER)}
+    for did, text in ROWS:
+        clean, n_lines, n_kept = _py_clean(text, boiler)
+        r = out[did]
+        assert (r["clean_text"], r["n_lines"], r["n_kept"]) == (
+            clean,
+            n_lines,
+            n_kept,
+        ), did
+        assert r["n_dropped"] == n_lines - n_kept
+    # spot semantics: order preserved, short dups immune, empty handled
+    assert out[1]["clean_text"] == "unique body line one for document"
+    assert out[4]["clean_text"] == "fourth doc body text is unique"
+    assert out[5]["clean_text"] == ROWS[4][1]  # "}" lines untouched
+    assert out[7]["clean_text"] == "" and out[7]["n_kept"] == 0
+    assert out[8]["n_lines"] == 1  # split('') → one empty segment
+
+
+def test_duckdb_twin(docs):
+    """The exact SQL twin the gate entry uses, value-for-value."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ", ".join("(?, ?)" for _ in ROWS)
+        + ") t(doc_id, text)",
+        [v for row in ROWS for v in row],
+    )
+    twin = con.execute(
+        f"""
+WITH lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+  FROM d
+),
+boiler AS (
+  SELECT h FROM (
+    SELECT DISTINCT doc_id, md5(lower(trim(line))) AS h
+    FROM lines
+    WHERE length(lower(trim(line))) >= {MIN_CHARS}
+  ) GROUP BY h HAVING count(*) >= {MIN_DOCS}
+),
+kept AS (
+  SELECT * FROM lines
+  WHERE length(lower(trim(line))) < {MIN_CHARS}
+     OR md5(lower(trim(line))) NOT IN (SELECT h FROM boiler)
+)
+SELECT d.doc_id,
+       coalesce(k.clean_text, '') AS clean_text,
+       len(string_split(d.text, chr(10))) AS n_lines,
+       coalesce(k.n_kept, 0) AS n_kept
+FROM d LEFT JOIN (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+"""
+    ).fetchall()
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_kept"])
+        for r in drop_boilerplate(
+            docs, min_docs=MIN_DOCS, min_chars=MIN_CHARS
+        ).collect()
+    }
+    assert {t[0]: (t[1], t[2], t[3]) for t in twin} == got
+
+
+def test_plan_shape(docs):
+    """The removal join must be a broadcast hash anti-join (no nested
+    loop, no second corpus-wide exchange beyond stats + reassembly)."""
+    plan = drop_boilerplate(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
