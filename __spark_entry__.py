@@ -914,13 +914,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_hash_split(spark, sf):
         """Consolidated per-document pipeline decisions (r3: one gate row
-        covers three operators/pipeline.py + decontaminate.py ops at the
-        same row grain): md5 train/val/test split (hash_split), domain-mix
-        sampling keep flag (stratified_sample, independent salt), and
-        eval-set decontamination (13-gram overlap vs the deterministic
-        benchmark subset doc_id % 17 == 3 — eval items flag themselves,
-        which the twin reproduces)."""
+        covers four operators/pipeline.py + decontaminate.py + packing.py
+        ops at the same row grain): md5 train/val/test split (hash_split),
+        domain-mix sampling keep flag (stratified_sample, independent
+        salt), eval-set decontamination (13-gram overlap vs the
+        deterministic benchmark subset doc_id % 17 == 3 — eval items flag
+        themselves, which the twin reproduces), and concat-and-pack
+        sequence assignment (pack_sequences: shard / packed-stream offset /
+        sequence span at ctx_len=64, integer-exact in any engine)."""
         from search_engine_spark.operators.decontaminate import decontaminate
+        from search_engine_spark.operators.packing import pack_sequences
         from search_engine_spark.operators.pipeline import (
             hash_split,
             stratified_sample,
@@ -939,7 +942,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         train = docs.select("doc_id", "text")
         ev = train.where(F.col("doc_id") % 17 == 3)
         dc = decontaminate(train, ev, n=13)
-        return hs.join(ss, "doc_id").join(dc, "doc_id")
+        pk = pack_sequences(docs, ctx_len=64, n_shards=8).select(
+            "doc_id",
+            F.col("shard").alias("pack_shard"),
+            F.col("start_off").alias("pack_start"),
+            F.col("seq_first").alias("pack_seq_first"),
+            F.col("n_seqs").alias("pack_n_seqs"),
+        )
+        return hs.join(ss, "doc_id").join(dc, "doc_id").join(pk, "doc_id")
 
     def q_positions_tf(spark, sf):
         """Positional forward stream: ordinal in the surviving cleaned
@@ -2948,6 +2958,18 @@ hits AS (
   SELECT x.doc_id, count(*) AS n_hit
   FROM (SELECT doc_id, unnest(grams) AS gram FROM tg) x
   JOIN eg USING (gram) GROUP BY x.doc_id
+),
+pk AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+              - n_tokens AS BIGINT) AS start_off
+  FROM (
+    SELECT doc_id,
+           CAST(concat('0x', substring(md5('pack:' || CAST(doc_id AS VARCHAR)),
+                1, 8)) AS BIGINT) % 8 AS shard,
+           CAST(len(toks) AS BIGINT) AS n_tokens
+    FROM tt
+  )
 )
 SELECT u.doc_id, round(u.u, 6) AS u,
        CASE WHEN u.u < 0.9 THEN 'train' WHEN u.u < 0.95 THEN 'val' ELSE 'test' END AS split,
@@ -2955,9 +2977,17 @@ SELECT u.doc_id, round(u.u, 6) AS u,
        CAST(u.mu < u.mix_rate AS INT) AS mix_keep,
        CAST(len(tg.grams) AS BIGINT) AS n_grams,
        CAST(coalesce(hits.n_hit, 0) AS BIGINT) AS n_hit_grams,
-       CAST(coalesce(hits.n_hit, 0) >= 1 AS INT) AS contaminated
+       CAST(coalesce(hits.n_hit, 0) >= 1 AS INT) AS contaminated,
+       CAST(pk.shard AS BIGINT) AS pack_shard,
+       pk.start_off AS pack_start,
+       CAST(pk.start_off // 64 AS BIGINT) AS pack_seq_first,
+       CAST(CASE WHEN pk.n_tokens > 0
+                 THEN (pk.start_off + pk.n_tokens - 1) // 64
+                      - pk.start_off // 64 + 1
+                 ELSE 0 END AS BIGINT) AS pack_n_seqs
 FROM u JOIN tg ON u.doc_id = tg.doc_id
 LEFT JOIN hits ON u.doc_id = hits.doc_id
+JOIN pk ON u.doc_id = pk.doc_id
 """
 
     # text-analysis fragments (composed into the consolidated text_stats

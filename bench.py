@@ -369,6 +369,23 @@ def main() -> None:
             runs=2,
         )
 
+        # --- round-3 pipeline op: concat-and-pack sequence assignment ---
+        from search_engine_spark.operators.packing import (
+            pack_sequences,
+            sequence_manifest,
+        )
+
+        timed_best(
+            "q10h_pack_manifest",
+            lambda: _force(
+                sequence_manifest(
+                    pack_sequences(raw_docs, ctx_len=2048, n_shards=64),
+                    ctx_len=2048,
+                )
+            ),
+            runs=2,
+        )
+
         # --- IVF ANN (seed + assign once, then warm probe latency) ---
         from search_engine_spark.operators.similarity import (
             ivf_seed_centroids,

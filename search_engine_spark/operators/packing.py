@@ -1,0 +1,195 @@
+"""Training-sequence preparation: document chunking and GPT-style
+concat-and-pack (the "tokenize, concatenate, split at context boundaries"
+pass every pretraining pipeline runs after cleaning/dedup).
+
+Two operators, both deterministic and engine-portable:
+
+- ``chunk_docs`` — sliding token windows per document (the RAG/embedding
+  chunker): window length + stride over the delimiter-class token stream,
+  each window re-joined as text.  Pure array expressions (``slice`` over
+  a ``sequence`` of window starts, posexploded) — map-only, rides the
+  scan, no shuffle at any corpus size.
+- ``pack_sequences`` — assign every document a byte-exact position in a
+  virtual concatenated token stream, split into fixed ``ctx_len``
+  sequences (documents cross sequence boundaries, exactly like GPT-2/3
+  packing).  The stream is sharded: ``shard = md5(id) % n_shards`` and
+  the running offset is a window cumsum *within* the shard ordered by id.
+
+Scale shape (the 100-TB reading)
+--------------------------------
+A single global concat order would funnel the cumsum through ONE
+partition — the exact failure mode the index builder's salting exists to
+avoid.  Sharding first makes the window ``partitionBy(shard)``: with
+``n_shards`` ≈ the cluster's task parallelism (or 10×), every shard's
+cumsum is an independent partition-local running sum over ~corpus/n_shards
+rows, and the plan is one hash exchange on uniform md5 keys + one window
+pass.  Real pipelines shard exactly this way (each shard becomes one
+output file family); determinism properties match ``hash_split``: a
+document keeps its (shard, offset) as long as ids don't change, the order
+inside a shard is the id order (stable under re-partitioning and engine
+choice), and the SQL twin reproduces every value bit-identically (integer
+arithmetic only).
+
+Capability analogue in the reference: none (it has no training-data
+surface); this extends the pipeline family next to ``pipeline.hash_split``
+(which decides WHAT goes in a split) by deciding WHERE each survivor
+lands in the packed token stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import tokens_col
+
+#: default context length (tokens per packed training sequence)
+CTX_LEN = 2048
+#: default shard count — sized to task parallelism, not data volume
+N_SHARDS = 64
+
+
+def chunk_docs(
+    docs: DataFrame,
+    chunk_len: int = 256,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, chunk_id, n_tokens, chunk_text) — sliding token windows.
+
+    Windows start every ``stride`` tokens (default: ``chunk_len``, i.e.
+    non-overlapping) and carry up to ``chunk_len`` tokens re-joined with a
+    single space (the delimiter class is many-to-one, so re-joining is
+    canonical, not inverse).  Empty documents produce no chunks; documents
+    shorter than ``chunk_len`` produce exactly one.  A trailing window is
+    emitted only if it starts before the token count (no empty tail), so
+    coverage is total and overlap-consistent.
+    """
+    if chunk_len < 1:
+        raise ValueError(f"chunk_len must be >= 1, got {chunk_len}")
+    stride = chunk_len if stride is None else stride
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    toks = tokens_col(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("toks")).where(
+        F.size("toks") > 0
+    )
+    starts = F.sequence(
+        F.lit(0),
+        # last window start: largest multiple of stride < n_tokens
+        ((F.size("toks") - 1) / stride).cast("int") * stride,
+        F.lit(stride),
+    )
+    windows = F.transform(
+        starts,
+        # slice is 1-indexed; clamp length at the array end
+        lambda s: F.slice(F.col("toks"), s + 1, F.lit(chunk_len)),
+    )
+    return base.select(
+        id_col, F.posexplode(windows).alias("chunk_id", "chunk")
+    ).select(
+        id_col,
+        "chunk_id",
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.col("chunk")).alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int = CTX_LEN,
+    n_shards: int = N_SHARDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "pack",
+) -> DataFrame:
+    """(id, shard, n_tokens, start_off, seq_first, seq_last, n_seqs) —
+    every document's place in the packed stream.
+
+    Within its shard's id-ordered concatenation the document occupies
+    token offsets ``[start_off, start_off + n_tokens)``; the packed
+    sequences it touches are ``seq_first = start_off // ctx_len`` through
+    ``seq_last = (start_off + n_tokens - 1) // ctx_len`` (a document with
+    zero tokens contributes nothing and reports ``seq_last = seq_first -
+    ...``; it is kept with ``n_seqs = 0`` so the operator stays total).
+    Integer arithmetic only — the DuckDB twin is bit-exact.
+    """
+    if ctx_len < 1:
+        raise ValueError(f"ctx_len must be >= 1, got {ctx_len}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    )
+    base = docs.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off")
+    out = base.select(id_col, "shard", "n_tokens", start)
+    end = F.col("start_off") + F.col("n_tokens")
+    seq_first = (F.col("start_off") / ctx_len).cast("long")
+    seq_last = ((end - 1) / ctx_len).cast("long")
+    return out.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "start_off",
+        seq_first.alias("seq_first"),
+        seq_last.alias("seq_last"),
+        F.when(F.col("n_tokens") > 0, seq_last - seq_first + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_seqs"),
+    )
+
+
+def sequence_manifest(
+    packed: DataFrame, ctx_len: int = CTX_LEN, id_col: str = "doc_id"
+) -> DataFrame:
+    """(shard, seq_id, id, doc_from, doc_to, seq_from) — which token span
+    of which document fills each packed sequence (the writer's manifest:
+    everything a per-(shard, seq) materializer needs, grouped by its
+    natural output partitioning).
+
+    Explodes each document over the sequences it spans — rows ≈ docs +
+    boundary crossings, never tokens.  ``doc_from``/``doc_to`` are the
+    document-local token span (half-open); ``seq_from`` is where it lands
+    inside the sequence.
+    """
+    seqs = F.sequence(F.col("seq_first"), F.col("seq_last"))
+    rows = packed.where(F.col("n_tokens") > 0).select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "start_off",
+        F.explode(seqs).alias("seq_id"),
+    )
+    seq_start = F.col("seq_id") * ctx_len
+    doc_from = F.greatest(seq_start - F.col("start_off"), F.lit(0))
+    doc_to = F.least(
+        seq_start + ctx_len - F.col("start_off"), F.col("n_tokens")
+    )
+    seq_from = F.greatest(F.col("start_off") - seq_start, F.lit(0))
+    return rows.select(
+        "shard",
+        "seq_id",
+        id_col,
+        doc_from.cast("long").alias("doc_from"),
+        doc_to.cast("long").alias("doc_to"),
+        seq_from.cast("long").alias("seq_from"),
+    )

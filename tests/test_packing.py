@@ -1,0 +1,212 @@
+"""Training-sequence packing (operators/packing.py): chunking and
+concat-and-pack vs pure-Python brute forces, an exact DuckDB twin for the
+packed offsets, manifest coverage invariants, and the sharded-window plan
+shape (no single-partition funnel)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.constants import DELIM_CLASS
+from search_engine_spark.operators.packing import (
+    chunk_docs,
+    pack_sequences,
+    sequence_manifest,
+)
+
+_DELIM_RE = re.compile(DELIM_CLASS)
+
+ROWS = [
+    (1, " ".join(f"w{i}" for i in range(23))),   # crosses chunk boundaries
+    (2, "alpha beta gamma"),                      # shorter than one chunk
+    (3, ""),                                      # empty
+    (4, " ".join(f"x{i}" for i in range(8))),     # exact chunk multiple
+    (5, "one"),
+    (6, " ".join(f"y{i}" for i in range(40))),
+    (7, "tab\tand,comma;delims here"),            # delimiter-class splits
+]
+CTX = 16
+SHARDS = 3
+SALT = "pack"
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in _DELIM_RE.split(text) if t != ""]
+
+
+def _shard(doc_id: int) -> int:
+    h = hashlib.md5(f"{SALT}:{doc_id}".encode()).hexdigest()
+    return int(h[:8], 16) % SHARDS
+
+
+def _py_pack() -> dict[int, tuple]:
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for did, text in ROWS:
+        by_shard.setdefault(_shard(did), []).append((did, len(_toks(text))))
+    out = {}
+    for shard, members in by_shard.items():
+        off = 0
+        for did, n in sorted(members):
+            first = off // CTX
+            last = (off + n - 1) // CTX if n > 0 else first
+            out[did] = (shard, n, off, first, last, last - first + 1 if n else 0)
+            off += n
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("chunk_len,stride", [(8, None), (8, 4), (5, 3), (1, 1)])
+def test_chunk_docs_matches_bruteforce(docs, chunk_len, stride):
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_docs(docs, chunk_len=chunk_len, stride=stride).collect()
+    }
+    want = {}
+    st = chunk_len if stride is None else stride
+    for did, text in ROWS:
+        toks = _toks(text)
+        for ci, s in enumerate(range(0, max(len(toks), 1), st)):
+            if s >= len(toks):
+                break
+            w = toks[s : s + chunk_len]
+            want[(did, ci)] = (len(w), " ".join(w))
+    assert got == want
+    # empty doc yields no chunks; everything else covered
+    assert not any(d == 3 for d, _ in got)
+
+
+def test_chunk_docs_validation(docs):
+    with pytest.raises(ValueError):
+        chunk_docs(docs, chunk_len=0)
+    with pytest.raises(ValueError):
+        chunk_docs(docs, chunk_len=4, stride=0)
+
+
+def test_pack_sequences_matches_bruteforce(docs):
+    got = {
+        r["doc_id"]: (
+            r["shard"],
+            r["n_tokens"],
+            r["start_off"],
+            r["seq_first"],
+            r["seq_last"],
+            r["n_seqs"],
+        )
+        for r in pack_sequences(
+            docs, ctx_len=CTX, n_shards=SHARDS, salt=SALT
+        ).collect()
+    }
+    assert got == _py_pack()
+    assert len(got) == len(ROWS)  # total: empty doc keeps its row
+
+
+def test_pack_sequences_duckdb_twin(docs):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ", ".join("(?, ?)" for _ in ROWS)
+        + ") t(doc_id, text)",
+        [v for row in ROWS for v in row],
+    )
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5('{SALT}:' || CAST(doc_id AS VARCHAR)),
+              1, 8)) AS BIGINT) % {SHARDS} AS shard,
+         CAST(len(list_filter(regexp_split_to_array(text, '{DELIM_CLASS}'),
+              t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM d
+),
+o AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+              - n_tokens AS BIGINT) AS start_off
+  FROM base
+)
+SELECT doc_id, shard, n_tokens, start_off,
+       CAST(start_off // {CTX} AS BIGINT) AS seq_first,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN (start_off + n_tokens - 1) // {CTX}
+                 ELSE start_off // {CTX} END AS BIGINT) AS seq_last,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN (start_off + n_tokens - 1) // {CTX} - start_off // {CTX} + 1
+                 ELSE 0 END AS BIGINT) AS n_seqs
+FROM o
+"""
+        ).fetchall()
+    }
+    got = {
+        r["doc_id"]: (
+            r["shard"],
+            r["n_tokens"],
+            r["start_off"],
+            r["seq_first"],
+            r["seq_last"],
+            r["n_seqs"],
+        )
+        for r in pack_sequences(
+            docs, ctx_len=CTX, n_shards=SHARDS, salt=SALT
+        ).collect()
+    }
+    assert twin == got
+
+
+def test_sequence_manifest_covers_exactly(docs):
+    packed = pack_sequences(docs, ctx_len=CTX, n_shards=SHARDS, salt=SALT)
+    man = sequence_manifest(packed, ctx_len=CTX).collect()
+    ref = _py_pack()
+    # every document's spans tile [0, n_tokens) exactly, in sequence order
+    by_doc: dict[int, list] = {}
+    for r in man:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, (shard, n, off, first, last, n_seqs) in ref.items():
+        spans = sorted(by_doc.get(did, []), key=lambda r: r["seq_id"])
+        if n == 0:
+            assert spans == []
+            continue
+        assert [r["seq_id"] for r in spans] == list(range(first, last + 1))
+        assert spans[0]["doc_from"] == 0 and spans[-1]["doc_to"] == n
+        for a, b in zip(spans, spans[1:]):
+            assert a["doc_to"] == b["doc_from"]
+        for r in spans:
+            assert r["shard"] == shard
+            assert 0 <= r["seq_from"] < CTX
+            assert 0 < r["doc_to"] - r["doc_from"] <= CTX
+    # every (shard, seq) fills to ctx_len except possibly the shard's last
+    fill: dict[tuple, int] = {}
+    for r in man:
+        key = (r["shard"], r["seq_id"])
+        fill[key] = fill.get(key, 0) + (r["doc_to"] - r["doc_from"])
+    last_seq = {}
+    for shard, _n, _o, _f, last, _s in ref.values():
+        last_seq[shard] = max(last_seq.get(shard, -1), last)
+    for (shard, seq), total in fill.items():
+        if seq < last_seq[shard]:
+            assert total == CTX, (shard, seq, total)
+        else:
+            assert 0 < total <= CTX
+
+
+def test_pack_window_is_sharded(docs):
+    """The cumsum window must partition by shard — never a global
+    single-partition window (the scale guarantee of the docstring)."""
+    plan = (
+        pack_sequences(docs, ctx_len=CTX, n_shards=SHARDS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
