@@ -441,7 +441,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           contribution ×BOOST_LANG (twin recomputes facet idf at the boost
           weight);
         - 'filtered': non-scoring lang equality + doclen range filter
-          (twin restricts the plain ranking to qualifying docs).
+          (twin restricts the plain ranking to qualifying docs);
+        - 'function_score' (round 3): field-value-factor rescore
+          score·log1p(doclen) — the twin multiplies the unrounded BM25
+          sum by ln(1+dl) before the shared 6dp round.
         """
         from search_engine_spark.operators.index_build import build_index
         from search_engine_spark.plans.bm25 import QueryEngine
@@ -471,10 +474,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         filt_rows = eng.search(
             q, k=100, filters={"lang": "en", "doclen": (FILTER_DOCLEN_LO, None)}
         ).collect()
+        fs_rows = eng.search(
+            q, k=100, score_fn={"field": "doclen", "modifier": "log1p"}
+        ).collect()
         index.unpersist()
         parts = []
         for tag, rows in (
-            ("paginated", pag_rows), ("boosted", boost_rows), ("filtered", filt_rows)
+            ("paginated", pag_rows),
+            ("boosted", boost_rows),
+            ("filtered", filt_rows),
+            ("function_score", fs_rows),
         ):
             ranked = rerank(rows)
             parts.append(
@@ -2479,6 +2488,30 @@ flt AS (
 )
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
 FROM flt ORDER BY score DESC, doc_id LIMIT 10
+)
+UNION ALL
+SELECT 'function_score' AS variant, rank, doc_id, score FROM (
+WITH tf AS ({_TF_SQL}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM tf) / (SELECT count(*) FROM documents) AS avgdl
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf WHERE term IN ({_f_tlist}) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+           * tf.tf * {K1 + 1.0}
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS contrib
+  FROM tf JOIN dfs ON tf.term = dfs.term JOIN dl ON tf.doc_id = dl.doc_id, stats
+),
+agg AS (SELECT doc_id, sum(contrib) AS raw FROM scored GROUP BY doc_id),
+fs AS (
+  SELECT a.doc_id, round(a.raw * ln(1.0 + dl.dl), 6) AS score
+  FROM agg a JOIN dl ON a.doc_id = dl.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
+FROM fs ORDER BY score DESC, doc_id LIMIT 10
 )
 """
 

@@ -324,6 +324,13 @@ def cmd_search(args) -> int:
                 file=sys.stderr,
             )
             return 2
+        if getattr(args, "score_by", None):
+            print(
+                "error: --score-by needs the exhaustive engine; drop --wand "
+                "(rescoring is not a posting cursor)",
+                file=sys.stderr,
+            )
+            return 2
         if "," in args.index:
             print(
                 "error: --wand does not support federated roots (segment "
@@ -366,6 +373,34 @@ def cmd_search(args) -> int:
 
         with open(args.synonyms) as fh:
             syns = _json.load(fh)
+    score_fn = None
+    if getattr(args, "score_by", None):
+        # FIELD[:modifier[:factor[:weight[:combine]]]]
+        parts = args.score_by.split(":")
+        score_fn = {"field": parts[0]}
+        try:
+            if len(parts) > 1 and parts[1]:
+                score_fn["modifier"] = parts[1]
+            if len(parts) > 2 and parts[2]:
+                score_fn["factor"] = float(parts[2])
+            if len(parts) > 3 and parts[3]:
+                score_fn["weight"] = float(parts[3])
+            if len(parts) > 4 and parts[4]:
+                score_fn["combine"] = parts[4]
+        except ValueError:
+            print(f"error: bad --score-by spec {args.score_by!r}", file=sys.stderr)
+            return 2
+        if (
+            getattr(args, "bm25f", False)
+            or getattr(args, "histogram", None)
+            or getattr(args, "collapse", None)
+        ):
+            # silent flag drops are worse than refusals
+            print(
+                "error: --score-by applies to plain search only",
+                file=sys.stderr,
+            )
+            return 2
     if getattr(args, "bm25f", False):
         if syns:
             # silent flag drops are worse than refusals (BM25F's
@@ -425,7 +460,7 @@ def cmd_search(args) -> int:
     try:
         rows = engine.search(
             args.query, mode=args.mode, k=args.k, with_display=True,
-            phrases=phrases, synonyms=syns,
+            phrases=phrases, synonyms=syns, score_fn=score_fn,
         ).collect()
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
@@ -760,6 +795,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument(
         "--bin-width", type=int, default=50,
         help="with --histogram: bin width (default 50)",
+    )
+    s.add_argument(
+        "--score-by", default=None, metavar="SPEC",
+        help="function-score rescore: FIELD[:modifier[:factor[:weight"
+        "[:combine]]]] over a numeric docstats column, e.g. "
+        "doclen:log1p or stars:sqrt:1:2:sum (Elasticsearch "
+        "field_value_factor semantics)",
     )
     s.add_argument("--wand", action="store_true", help="block-max WAND path (driver traversal)")
     s.add_argument(

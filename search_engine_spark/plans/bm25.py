@@ -621,6 +621,7 @@ class QueryEngine:
         boosts: dict[str, float] | None = None,
         filters: dict | None = None,
         synonyms: dict[str, list[str]] | None = None,
+        score_fn: dict | None = None,
     ) -> DataFrame | None:
         """The DISTRIBUTED scored match set — (docid, score) for every
         matching doc, no top-k cut.  None when the query parses to nothing.
@@ -639,7 +640,65 @@ class QueryEngine:
         agg = matches.groupBy("docid").agg(*self._ordered_score_agg())
         if mode == "and":
             agg = agg.where(F.col("n_matched") >= F.lit(n_required))
+        if score_fn is not None:
+            agg = self._function_score(agg, score_fn)
         return agg
+
+    _FS_MODIFIERS = ("none", "log1p", "sqrt", "reciprocal")
+    _FS_COMBINES = ("multiply", "sum")
+
+    def _function_score(self, agg: DataFrame, spec: dict) -> DataFrame:
+        """Field-value-factor rescoring of the match set (the Lucene/
+        Elasticsearch ``function_score`` / ``field_value_factor`` design,
+        public): ``score' = score OP weight · modifier(factor · field)``
+        with OP ∈ {multiply, sum} and modifier ∈ {none, log1p, sqrt,
+        reciprocal}, over any numeric docstats column (doclen, a stored
+        recency/popularity signal, …).
+
+        Scale shape: one equi-join of the match set against the cached
+        distributed docstats frame on docid — the same shape collapse and
+        filters already use; the arithmetic is whole-stage-codegen
+        expressions.  Deterministic: no float fold-order dependence is
+        introduced (one multiply/add per row on the already-deterministic
+        BM25 fold)."""
+        if not isinstance(spec, dict) or "field" not in spec:
+            raise ValueError("score_fn must be a dict with a 'field' key")
+        unknown = set(spec) - {"field", "factor", "modifier", "weight", "combine"}
+        if unknown:
+            raise ValueError(f"unknown score_fn keys: {sorted(unknown)}")
+        field = spec["field"]
+        if field == "docid" or field not in self._docstats.columns:
+            raise ValueError(f"score_fn field {field!r} not a docstats column")
+        modifier = spec.get("modifier", "none")
+        if modifier not in self._FS_MODIFIERS:
+            raise ValueError(
+                f"score_fn modifier must be one of {self._FS_MODIFIERS}, "
+                f"got {modifier!r}"
+            )
+        combine = spec.get("combine", "multiply")
+        if combine not in self._FS_COMBINES:
+            raise ValueError(
+                f"score_fn combine must be one of {self._FS_COMBINES}, "
+                f"got {combine!r}"
+            )
+        factor = float(spec.get("factor", 1.0))
+        weight = float(spec.get("weight", 1.0))
+        v = F.col(field).cast("double") * F.lit(factor)
+        if modifier == "log1p":
+            v = F.log1p(v)
+        elif modifier == "sqrt":
+            v = F.sqrt(v)
+        elif modifier == "reciprocal":
+            v = F.lit(1.0) / v
+        fv = v * F.lit(weight)
+        new_score = (
+            F.col("score") * fv if combine == "multiply" else F.col("score") + fv
+        )
+        return (
+            agg.join(self._docstats.select("docid", field), on="docid", how="inner")
+            .withColumn("score", new_score)
+            .select(*agg.columns)
+        )
 
     def search_collapsed(
         self,
@@ -711,6 +770,7 @@ class QueryEngine:
         boosts: dict[str, float] | None = None,
         filters: dict | None = None,
         synonyms: dict[str, list[str]] | None = None,
+        score_fn: dict | None = None,
     ) -> DataFrame:
         """→ DataFrame(rank, docid, score[, repo, path, lang]) — k rows max.
 
@@ -760,6 +820,15 @@ class QueryEngine:
         tfs sum per doc, df = docs matching any member, so three spellings
         of a concept rank like three hits of the concept, not three
         independent terms.  Exhaustive engine only.
+
+        ``score_fn``: field-value-factor rescoring (Lucene/Elasticsearch
+        ``function_score``, public design): {"field": <numeric docstats
+        column>, "modifier": "none"|"log1p"|"sqrt"|"reciprocal",
+        "factor": f, "weight": w, "combine": "multiply"|"sum"} —
+        ``score' = score OP w·modifier(f·field)``.  Boost long docs,
+        recency, popularity — any stored per-doc signal.  Applied BEFORE
+        ``after=`` so pagination cursors stay consistent with the final
+        ranking.  Exhaustive engine only.
         """
         if strategy not in ("exhaustive", "wand"):
             raise ValueError(f"strategy must be 'exhaustive' or 'wand', got {strategy!r}")
@@ -773,6 +842,8 @@ class QueryEngine:
             raise ValueError("filters= need the exhaustive engine")
         if synonyms and strategy == "wand":
             raise ValueError("synonyms= need the exhaustive engine")
+        if score_fn and strategy == "wand":
+            raise ValueError("score_fn= needs the exhaustive engine")
         if strategy == "wand":
             parsed = parse_query(query)
             has_phrase = phrases == "positional" and any(
@@ -796,6 +867,7 @@ class QueryEngine:
             boosts=boosts,
             filters=filters,
             synonyms=synonyms,
+            score_fn=score_fn,
         )
         if agg is None:
             return self._empty_result(with_display)

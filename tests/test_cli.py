@@ -389,3 +389,44 @@ def test_ingest_stream_skip_near_dups_flag(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "index covers 2 documents" in out
+
+
+def test_search_score_by(spark, tiny_df, tmp_path, capsys):
+    """--score-by drives function_score end-to-end: the rescored ranking
+    differs from plain BM25, bad specs and unsupported combos exit 2."""
+    src = str(tmp_path / "docs_fs")
+    root = str(tmp_path / "idx_fs")
+    tiny_df.write.parquet(src)
+    assert main(["build", "--input", src, "--output", root]) == 0
+    capsys.readouterr()
+
+    q = "values: parse_json0 merge_index0 load_config0"
+    assert main(["search", "--index", root, "--query", q]) == 0
+    plain = capsys.readouterr().out
+    assert main(
+        ["search", "--index", root, "--query", q, "--score-by", "doclen"]
+    ) == 0
+    rescored = capsys.readouterr().out
+    assert "no results" not in rescored and rescored != plain
+
+    assert main(
+        ["search", "--index", root, "--query", q,
+         "--score-by", "doclen:log1p:1:2:sum"]
+    ) == 0
+    assert "no results" not in capsys.readouterr().out
+
+    # refusals: bad spec / unknown field / WAND / non-plain-search modes
+    assert main(
+        ["search", "--index", root, "--query", q, "--score-by", "doclen:log1p:x"]
+    ) == 2
+    assert main(
+        ["search", "--index", root, "--query", q, "--score-by", "nope"]
+    ) == 2
+    assert main(
+        ["search", "--index", root, "--query", q, "--score-by", "doclen",
+         "--wand"]
+    ) == 2
+    assert main(
+        ["search", "--index", root, "--query", q, "--score-by", "doclen",
+         "--collapse", "repo"]
+    ) == 2
