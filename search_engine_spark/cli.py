@@ -586,6 +586,37 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_percolate(args) -> int:
+    """Reverse search (plans/percolate.py): match every document under
+    --docs against the stored queries in --queries (TSV:
+    ``qid<TAB>mode<TAB>query`` per line, mode ∈ or/and), print or persist
+    the (qid, docid) alert rows."""
+    from .plans.percolate import compile_queries, percolate
+
+    spark = _spark(args)
+    stored = []
+    with open(args.queries, encoding="utf-8") as fh:
+        for ln, line in enumerate(fh, 1):
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split("\t", 2)
+            if len(parts) != 3:
+                print(f"{args.queries}:{ln}: expected qid<TAB>mode<TAB>query")
+                return 2
+            stored.append((parts[0], parts[2], parts[1]))
+    compiled = compile_queries(spark, stored, stem=args.stem)
+    docs = _load_docs(spark, args.docs)
+    out = percolate(docs, compiled, stem=args.stem)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"{n} alerts ({len(stored)} stored queries) → {args.output}")
+    else:
+        out.orderBy("qid", "docid").show(args.limit, truncate=False)
+    return 0
+
+
 def cmd_fsck(args) -> int:
     """Verify cross-table invariants of a persisted index root."""
     from .sources.fsck import verify_index
@@ -876,6 +907,24 @@ def main(argv: list[str] | None = None) -> int:
         "(same policy flag as build; default unsalted)",
     )
     mg.set_defaults(fn=cmd_merge)
+
+    pc = sub.add_parser(
+        "percolate",
+        help="reverse search: match documents against stored queries",
+    )
+    pc.add_argument(
+        "--queries", required=True,
+        help="TSV file of stored queries: qid<TAB>mode<TAB>query per line",
+    )
+    pc.add_argument("--docs", required=True, help="documents parquet path")
+    pc.add_argument(
+        "--output", default=None,
+        help="write (qid, docid, n_matched, n_required) parquet here "
+        "instead of printing",
+    )
+    pc.add_argument("--stem", action="store_true")
+    pc.add_argument("--limit", type=int, default=50)
+    pc.set_defaults(fn=cmd_percolate)
 
     fs = sub.add_parser("fsck", help="verify index cross-table invariants")
     fs.add_argument("--index", required=True)

@@ -1,0 +1,254 @@
+"""Percolator: stored-query matching (reverse search / saved-search alerts).
+
+The forward engine asks "which docs match this query?"; the percolator asks
+"which REGISTERED queries match this doc?" — the Elasticsearch percolate
+design (public), the backbone of saved-search alerting: queries are
+compiled once into a requirements table, and every incoming document (or
+micro-batch of documents) is matched against ALL of them in one job.
+
+Capability analogue in the reference: none — its dataflow is strictly
+doc→query (`/root/reference/SearchEngine.h:103-382`); this is the
+training-pipeline / alerting extension of the same match semantics.
+
+Match semantics are EXACTLY `QueryEngine.search`'s requirement keys
+(plans/bm25.py `_query_matches`):
+
+- ``terms`` categories: `clean_query_term` per token (ASCII gate,
+  apostrophe strip, lower, len>2, optional stem) — a quoted spaced phrase
+  stays one key and can never match term occurrences (preserved quirk Q4);
+- ``facet`` categories: per-value ASCII gate + apostrophe strip + lower
+  (no length filter), scalar equality or entity-array membership;
+- OR mode: ≥1 requirement key matched; AND mode: every key matched
+  (`n_matched >= n_required`, distinct keys).
+
+So ``percolate(docs, compiled)`` emits (qid, docid) exactly when
+``QueryEngine.search(query, mode)`` over an index of ``docs`` (same
+stem/stopword config) would include docid in its match set — pinned by
+test_percolate.py against oracle.score_query.
+
+Scale design (10^12 docs/day through a registration set of ~10^5 queries):
+
+- the compiled requirements table is REGISTRATION-scale (≤ a few keys per
+  stored query) → broadcast to every executor; matching a document never
+  shuffles the query set;
+- document keys are deduplicated with ONE map-side-combined exchange on
+  (docid, kind, target, key) — the same shape and volume as the forward
+  index's tf aggregation — so the broadcast join fans out at most
+  |distinct doc keys| × |queries sharing the key| rows;
+- the verdict aggregation is the second and last exchange, on
+  (qid, docid), map-side-combinable (plain count: both sides are distinct
+  by construction);
+- per-field tokenization reuses `operators.tokenize.terms_for_field` —
+  100% Catalyst, no Python in the doc hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..constants import FIELD_BODY, FIELD_TITLE
+from ..oracle import clean_query_term
+from ..operators.tokenize import _stem_terms, terms_for_field
+from .query_parser import parse_query
+
+COMPILED_SCHEMA = (
+    "qid string, kind string, target string, key string, "
+    "mode string, n_required int"
+)
+
+
+def compile_queries(
+    spark: SparkSession,
+    queries: Iterable[Sequence],
+    stem: bool = False,
+) -> DataFrame:
+    """Register stored queries → the compiled requirements DataFrame.
+
+    ``queries``: iterable of ``(qid, query)`` or ``(qid, query, mode)``
+    with mode ∈ {"or", "and"} (default "or").  Parsing + cleaning run
+    driver-side per registered query (registration-scale, exactly like the
+    forward engine's own query parse); the result is a small frame of one
+    row per DISTINCT requirement key:
+
+        (qid, kind, target, key, mode, n_required)
+
+    Queries whose every token cleans away are dropped (the forward engine
+    returns an empty result for them — nothing can ever match).  ``stem``
+    must mirror the tokenization the matched documents will get.
+    """
+    rows: list[tuple] = []
+    seen_qids: set[str] = set()
+    for q in queries:
+        if len(q) == 2:
+            qid, query = q
+            mode = "or"
+        else:
+            qid, query, mode = q
+        if mode not in ("or", "and"):
+            raise ValueError(f"query {qid!r}: mode must be 'or'/'and', got {mode!r}")
+        if qid in seen_qids:
+            raise ValueError(f"duplicate qid {qid!r}")
+        seen_qids.add(qid)
+        keys: set[tuple[str, str, str]] = set()
+        for kind, target, raw_terms in parse_query(query):
+            if kind == "terms":
+                for t in raw_terms:
+                    c = clean_query_term(t, stem=stem)
+                    if c is not None:
+                        keys.add(("terms", target, c))
+            else:
+                for t in raw_terms:
+                    if any(ord(ch) > 127 for ch in t):
+                        continue
+                    v = t.replace("'", "").lower()
+                    if v:
+                        keys.add(("facet", target, v))
+        for kind, target, key in sorted(keys):
+            rows.append((str(qid), kind, target, key, mode, len(keys)))
+    return spark.createDataFrame(rows, COMPILED_SCHEMA)
+
+
+def _doc_keys(
+    docs: DataFrame,
+    compiled: DataFrame,
+    stem: bool,
+    stopwords: DataFrame | None,
+    body_col: str,
+    title_col: str | None,
+) -> DataFrame:
+    """→ DISTINCT (docid, kind, target, key) the documents expose.
+
+    Term keys mirror the index build exactly (stopword anti-join on
+    cleaned UNSTEMMED body tokens, stem after, title never stop-filtered);
+    facet keys are produced only for targets some registered query
+    actually uses (a tiny registration-scale collect), lowercased the way
+    `_matches_for_facet` lowercases the docstats column.
+    """
+    body = terms_for_field(docs, body_col, FIELD_BODY, stem=False)
+    if stopwords is not None:
+        body = body.join(
+            F.broadcast(stopwords.select(F.col("term"))), on="term", how="left_anti"
+        )
+    if stem:
+        body = _stem_terms(body)
+    parts = [body]
+    if title_col is not None and title_col in docs.columns:
+        parts.append(terms_for_field(docs, title_col, FIELD_TITLE, stem=stem))
+    keys = parts[0]
+    for p in parts[1:]:
+        keys = keys.unionByName(p)
+    keys = keys.select(
+        "docid",
+        F.lit("terms").alias("kind"),
+        F.col("field").alias("target"),
+        F.col("term").alias("key"),
+    )
+    # registration-scale collect: ≤ one row per facet CATEGORY (≤9)
+    fac_targets = [
+        r["target"]
+        for r in compiled.where(F.col("kind") == "facet")
+        .select("target")
+        .distinct()
+        .collect()
+    ]
+    dtypes = dict(docs.dtypes)
+    for t in sorted(fac_targets):
+        if t not in dtypes:
+            continue
+        if dtypes[t].startswith("array"):
+            vals = docs.select(
+                "docid",
+                F.explode(
+                    F.array_distinct(F.transform(F.col(t), lambda x: F.lower(x)))
+                ).alias("key"),
+            )
+        else:
+            vals = docs.select("docid", F.lower(F.col(t)).alias("key"))
+        keys = keys.unionByName(
+            vals.where(F.col("key").isNotNull()).select(
+                "docid", F.lit("facet").alias("kind"), F.lit(t).alias("target"), "key"
+            )
+        )
+    # ONE map-side-combined exchange; output is distinct by construction,
+    # so the matched-count agg downstream is a plain count.
+    return keys.groupBy("docid", "kind", "target", "key").agg(F.lit(1).alias("_one"))
+
+
+def percolate(
+    docs: DataFrame,
+    compiled: DataFrame,
+    stem: bool = False,
+    stopwords: DataFrame | None = None,
+    body_col: str = "content",
+    title_col: str | None = "path",
+) -> DataFrame:
+    """Match every document against every registered query.
+
+    → DataFrame(qid, docid, n_matched, n_required): one row per
+    (stored query, document) the query matches under its own mode.
+    ``docs`` must carry ``docid`` (attach via index_build.add_docid
+    upstream when absent — stream_ingest's convention).
+
+    Plan: distinct doc keys (one exchange) ⋈ broadcast(compiled) on the
+    requirement key, then one (qid, docid) count — map-side combinable at
+    every step; the registered-query set never shuffles.
+    """
+    if "docid" not in docs.columns:
+        raise ValueError("docs must carry a docid column (see add_docid)")
+    keys = _doc_keys(docs, compiled, stem, stopwords, body_col, title_col)
+    matched = keys.join(
+        F.broadcast(compiled), on=["kind", "target", "key"]
+    )
+    hits = matched.groupBy("qid", "docid", "mode", "n_required").agg(
+        F.count(F.lit(1)).cast("int").alias("n_matched")
+    )
+    return hits.where(
+        (F.col("mode") == "or") | (F.col("n_matched") >= F.col("n_required"))
+    ).select("qid", "docid", "n_matched", F.col("n_required").cast("int"))
+
+
+def stream_percolate(
+    source: DataFrame,
+    compiled: DataFrame,
+    alert_root: str,
+    checkpoint_dir: str | None = None,
+    trigger_interval: str | None = None,
+    stem: bool = False,
+    stopwords: DataFrame | None = None,
+    **percolate_kwargs,
+):
+    """Saved-search alerting over a STREAMING corpus frame.
+
+    Each micro-batch is percolated against the registered query set and
+    matches are appended to ``alert_root`` as parquet rows
+    (qid, docid, n_matched, n_required, batch_id) — the alert log a
+    notification fan-out would tail.  Exactly-once per batch replay:
+    the output is deterministic in the batch content and batch_id, and
+    re-appends of a replayed batch are idempotent for downstream consumers
+    that key on (batch_id, qid, docid).
+
+    Default trigger is ``availableNow`` (drain-then-stop), mirroring
+    stream_ingest.
+    """
+    from ..operators.index_build import add_docid
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df if "docid" in batch_df.columns else add_docid(batch_df)
+        out = percolate(
+            docs, compiled, stem=stem, stopwords=stopwords, **percolate_kwargs
+        )
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            alert_root
+        )
+
+    writer = source.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir or f"{alert_root}/_stream_checkpoint"
+    )
+    if trigger_interval is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

@@ -430,3 +430,28 @@ def test_search_score_by(spark, tiny_df, tmp_path, capsys):
         ["search", "--index", root, "--query", q, "--score-by", "doclen",
          "--collapse", "repo"]
     ) == 2
+
+
+def test_percolate_subcommand(spark, tiny_df, tmp_path, capsys):
+    docs_dir = str(tmp_path / "pdocs")
+    tiny_df.write.parquet(docs_dir)
+    qfile = tmp_path / "stored.tsv"
+    qfile.write_text(
+        "# saved searches\n"
+        "rare\tor\tvalues: zephyrq0\n"
+        "lang\tand\tvalues: hash_shard0 | langs: go\n"
+    )
+    out = str(tmp_path / "alerts")
+    rc = main(
+        ["percolate", "--queries", str(qfile), "--docs", docs_dir,
+         "--output", out]
+    )
+    assert rc == 0
+    assert "stored queries" in capsys.readouterr().out
+    alerts = spark.read.parquet(out)
+    assert set(alerts.columns) == {"qid", "docid", "n_matched", "n_required"}
+    assert alerts.where(F.col("qid") == "rare").count() >= 1
+    # malformed line → usage error, not a crash
+    bad = tmp_path / "bad.tsv"
+    bad.write_text("justonefield\n")
+    assert main(["percolate", "--queries", str(bad), "--docs", docs_dir]) == 2

@@ -1,0 +1,146 @@
+"""Percolator (plans/percolate.py): stored-query matching must equal the
+forward engine's match set — doc d matches stored query q exactly when
+QueryEngine.search(q, mode) over an index of the same corpus would score d.
+Ground truth: oracle.score_query with k = corpus size (the full match set).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.fixtures import REFERENCE_QUERY_SET
+from search_engine_spark.oracle import build_oracle_index, score_query
+from search_engine_spark.plans.percolate import (
+    compile_queries,
+    percolate,
+    stream_percolate,
+)
+from search_engine_spark.plans.query_parser import parse_query
+
+
+def _expected_pairs(docs, queries, stem=False, stopwords=None):
+    idx = build_oracle_index(docs, stem=stem, stopwords=stopwords)
+    exp = set()
+    for qid, query, mode in queries:
+        hits = score_query(idx, parse_query(query), mode=mode, k=10**9, stem=stem)
+        exp |= {(str(qid), docid) for _, docid, _ in hits}
+    return exp
+
+
+def test_percolate_equals_forward_match_set(spark, tiny_df, tiny_docs):
+    """All 20 reference queries registered at once over the 100-doc corpus:
+    the (qid, docid) alert set equals the union of forward match sets."""
+    queries = [
+        (f"q{i}", q, mode) for i, (q, mode, _k) in enumerate(REFERENCE_QUERY_SET)
+    ]
+    compiled = compile_queries(spark, queries)
+    got = {
+        (r["qid"], r["docid"])
+        for r in percolate(tiny_df, compiled).collect()
+    }
+    assert got == _expected_pairs(tiny_docs, queries)
+
+
+def test_percolate_and_vs_or_counts(spark, tiny_df, tiny_docs):
+    """AND rows satisfy n_matched >= n_required; the OR registration of the
+    same query is a superset of the AND registration."""
+    q = "values: parse_json0 merge_index0"
+    compiled = compile_queries(
+        spark, [("or_q", q, "or"), ("and_q", q, "and")]
+    )
+    rows = percolate(tiny_df, compiled).collect()
+    or_docs = {r["docid"] for r in rows if r["qid"] == "or_q"}
+    and_docs = {r["docid"] for r in rows if r["qid"] == "and_q"}
+    assert and_docs <= or_docs and or_docs
+    for r in rows:
+        assert r["n_required"] == 2
+        if r["qid"] == "and_q":
+            assert r["n_matched"] >= 2
+    assert and_docs == {
+        d for d in or_docs
+        if d in {r["docid"] for r in rows if r["qid"] == "and_q"}
+    }
+
+
+def test_percolate_stem_and_stopwords(spark, tiny_df, tiny_docs):
+    """Config must mirror the index build: stopword body terms never match;
+    stemming matches inflected forms."""
+    stop = {"return", "import", "def"}  # porter fixed points
+    stop_df = spark.createDataFrame([(s,) for s in stop], "term string")
+    queries = [
+        ("stopq", "values: return import", "or"),
+        ("rare", "values: zephyrq0", "or"),
+    ]
+    compiled = compile_queries(spark, queries, stem=True)
+    got = {
+        (r["qid"], r["docid"])
+        for r in percolate(tiny_df, compiled, stem=True, stopwords=stop_df).collect()
+    }
+    exp = _expected_pairs(tiny_docs, queries, stem=True, stopwords=stop)
+    assert got == exp
+    assert not any(q == "stopq" for q, _ in got)  # stop-set kills the body probe
+
+
+def test_percolate_facet_and_title(spark, tiny_df, tiny_docs):
+    queries = [
+        ("lang_and_term", "values: load_config | langs: python", "and"),
+        ("site", 'sites: "org2/repo2"', "or"),
+        ("title", "title: file_7", "or"),
+    ]
+    compiled = compile_queries(spark, queries)
+    got = {
+        (r["qid"], r["docid"]) for r in percolate(tiny_df, compiled).collect()
+    }
+    assert got == _expected_pairs(tiny_docs, queries)
+    assert any(q == "site" for q, _ in got)
+
+
+def test_compile_validation_and_empty_queries(spark):
+    with pytest.raises(ValueError, match="mode"):
+        compile_queries(spark, [("a", "values: foo", "nand")])
+    with pytest.raises(ValueError, match="duplicate"):
+        compile_queries(spark, [("a", "values: foo"), ("a", "values: bar")])
+    # every token cleans away -> query dropped at registration
+    compiled = compile_queries(spark, [("short", "values: if x", "or")])
+    assert compiled.count() == 0
+    # phrase quirk Q4: the spaced phrase is ONE unmatchable key
+    c2 = compile_queries(spark, [("ph", 'values: "alpha beta"', "and")])
+    rows = c2.collect()
+    assert len(rows) == 1 and rows[0]["key"] == "alpha beta"
+
+
+def test_percolate_plan_broadcasts_queries(spark, tiny_df):
+    compiled = compile_queries(spark, [("q", "values: load_config", "or")])
+    plan = percolate(tiny_df, compiled)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stream_percolate_alert_log(spark, tiny_df, tiny_docs, tmp_path):
+    """Two micro-batches through stream_percolate: the alert log equals the
+    batch percolation of the full corpus, each row tagged by its batch."""
+    landing = str(tmp_path / "landing")
+    a = tiny_df.where(F.pmod(F.col("docid"), F.lit(2)) == 0)
+    b = tiny_df.where(F.pmod(F.col("docid"), F.lit(2)) == 1)
+    a.coalesce(1).write.mode("append").parquet(landing)
+    b.coalesce(1).write.mode("append").parquet(landing)
+    queries = [
+        ("rare", "values: zephyrq0 zephyrq1", "or"),
+        ("lang", "values: hash_shard0 | langs: go", "and"),
+    ]
+    compiled = compile_queries(spark, queries)
+    src = (
+        spark.readStream.schema(tiny_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    alert_root = str(tmp_path / "alerts")
+    q = stream_percolate(
+        src, compiled, alert_root, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    alerts = spark.read.parquet(alert_root)
+    got = {(r["qid"], r["docid"]) for r in alerts.collect()}
+    assert got == _expected_pairs(tiny_docs, queries)
+    assert alerts.select("batch_id").distinct().count() == 2
