@@ -426,6 +426,30 @@ def cmd_search(args) -> int:
         if not rows:
             print("no results")
         return 0
+    if getattr(args, "significant", False):
+        if not getattr(args, "docs", None):
+            print(
+                "error: --significant needs --docs (the sampled foreground "
+                "is re-tokenized from the source corpus)",
+                file=sys.stderr,
+            )
+            return 2
+        try:
+            rows = engine.significant_terms(
+                args.query, _load_docs(spark, args.docs),
+                k=args.k, sample=args.sample, mode=args.mode,
+            ).collect()
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        for r in rows:
+            print(
+                f"{r['term']:<24} fg={r['fg_df']:<6} bg={r['bg_df']:<8} "
+                f"jlh={r['score']:.6f}"
+            )
+        if not rows:
+            print("no results")
+        return 0
     if getattr(args, "histogram", None):
         try:
             rows = engine.facet_histogram(
@@ -826,6 +850,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument(
         "--bin-width", type=int, default=50,
         help="with --histogram: bin width (default 50)",
+    )
+    s.add_argument(
+        "--significant", action="store_true",
+        help="print the JLH-significant terms of the match set instead of "
+        "ranked results (ES significant_terms; needs --docs for the "
+        "sampled-foreground re-tokenize)",
+    )
+    s.add_argument(
+        "--sample", type=int, default=200,
+        help="with --significant: foreground sample size (default 200)",
     )
     s.add_argument(
         "--score-by", default=None, metavar="SPEC",

@@ -1282,6 +1282,16 @@ class QueryEngine:
             for r in hits
         ]
 
+    def significant_terms(self, query: str, docs: DataFrame, **kw) -> DataFrame:
+        """ES-style significant_terms over the sampled match set
+        (plans/significant.py): → (term, fg_df, bg_df, score), JLH-ranked.
+        ``docs`` is the source corpus frame — one docid-pruned point lookup
+        re-tokenizes the sampled foreground; the dictionary provides the
+        background df with zero extra corpus work."""
+        from .significant import significant_terms
+
+        return significant_terms(self, query, docs, **kw)
+
     def _deletion_index(self, max_edit: int) -> DataFrame:
         if max_edit not in self._del_idx:
             from pyspark import StorageLevel

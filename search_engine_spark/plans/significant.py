@@ -1,0 +1,109 @@
+"""Significant-terms aggregation: "what is special about this match set?"
+
+The Elasticsearch ``significant_terms`` design (public): compare each
+term's frequency in a FOREGROUND doc set (the query's matches) against its
+BACKGROUND frequency (the whole corpus) and rank by how over-represented it
+is — surfacing the vocabulary that characterizes the matching documents,
+not merely the most frequent one.  Score = JLH (the ES default):
+
+    score(t) = (fg% − bg%) · (fg% / bg%)        for fg% > bg%, else dropped
+
+where fg% = fg_df / n_fg and bg% = bg_df / n_docs — the product of the
+absolute and relative lift, which balances rare-but-exclusive terms
+against common-but-strongly-lifted ones.
+
+Capability analogue in the reference: none — its aggregations stop at the
+facet maps (`SearchEngine.h:184-320`); this is corpus-analytics extension
+territory (query refinement, topic drill-down, training-data slice
+characterization).
+
+Scale design, following the ES "sampler → significant_terms" composition:
+the foreground is the TOP-``sample`` ranked matches, not the unbounded
+match set — re-tokenizing an arbitrary match set would be a second corpus
+scan, while the sampled foreground is a docid-pruned point lookup (the
+same contract as snippets' render fetch).  The foreground term frame
+(≤ sample docs' vocabulary) is BROADCAST against the dictionary, so the
+background side — billions of terms at 10^12 docs — streams through a
+BroadcastHashJoin with zero shuffle; the final cut is
+TakeOrderedAndProject.  n_fg and the result are k-row driver values (the
+O3 materialization contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import FIELD_BODY, FIELD_TITLE
+from ..oracle import clean_query_term
+from ..operators.tokenize import terms_for_field
+from .query_parser import parse_query
+
+EMPTY_SCHEMA = "term string, fg_df long, bg_df long, score double"
+
+
+def significant_terms(
+    engine,
+    query: str,
+    docs: DataFrame,
+    k: int = 20,
+    sample: int = 200,
+    mode: str = "or",
+    field: str = FIELD_BODY,
+    min_fg_df: int = 2,
+    exclude_query_terms: bool = True,
+) -> DataFrame:
+    """→ DataFrame(term, fg_df, bg_df, score): top-k JLH-significant terms
+    of ``field`` over the top-``sample`` matches of ``query``.
+
+    ``docs`` is the source corpus frame (docid + content/path) — the index
+    stores no forward text, so the sampled foreground is re-tokenized from
+    one docid-pruned point lookup, with the SAME analyzer config the index
+    was built with (engine.stem; terms the build dropped — stopwords —
+    vanish at the dictionary inner join).  ``min_fg_df`` suppresses
+    one-off noise terms (ES min_doc_count).
+    """
+    spark = engine.spark
+    if field not in (FIELD_BODY, FIELD_TITLE):
+        raise ValueError(f"field must be {FIELD_BODY!r} or {FIELD_TITLE!r}")
+    hits = engine.search(query, mode=mode, k=sample).select("docid").collect()
+    n_fg = len(hits)
+    if n_fg == 0:
+        return spark.createDataFrame([], EMPTY_SCHEMA)
+    fg_ids = [r["docid"] for r in hits]
+
+    source_col = "content" if field == FIELD_BODY else "path"
+    fg_docs = docs.where(F.col("docid").isin(fg_ids)).select("docid", source_col)
+    fg_terms = (
+        terms_for_field(fg_docs, source_col, field, stem=engine.stem)
+        .select("docid", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("fg_df"))
+        .where(F.col("fg_df") >= F.lit(int(min_fg_df)))
+    )
+    if exclude_query_terms:
+        qterms = {
+            c
+            for kind, target, raws in parse_query(query)
+            if kind == "terms" and target == field
+            for c in (clean_query_term(t, stem=engine.stem) for t in raws)
+            if c is not None
+        }
+        if qterms:
+            fg_terms = fg_terms.where(~F.col("term").isin(sorted(qterms)))
+
+    bg = engine.index.dictionary.where(F.col("field") == field).select(
+        "term", F.col("df").cast("long").alias("bg_df")
+    )
+    n_docs = engine._n_docs
+    joined = bg.join(F.broadcast(fg_terms), on="term")
+    fg_pct = F.col("fg_df") / F.lit(float(n_fg))
+    bg_pct = F.col("bg_df") / F.lit(float(n_docs))
+    scored = joined.select(
+        "term",
+        "fg_df",
+        "bg_df",
+        ((fg_pct - bg_pct) * (fg_pct / bg_pct)).alias("score"),
+    ).where(F.col("score") > 0)
+    return scored.orderBy(F.desc("score"), F.asc("term")).limit(k)

@@ -455,3 +455,22 @@ def test_percolate_subcommand(spark, tiny_df, tmp_path, capsys):
     bad = tmp_path / "bad.tsv"
     bad.write_text("justonefield\n")
     assert main(["percolate", "--queries", str(bad), "--docs", docs_dir]) == 2
+
+
+def test_search_significant_terms(spark, tiny_df, tmp_path, capsys):
+    docs_dir = str(tmp_path / "sdocs")
+    tiny_df.write.parquet(docs_dir)
+    root = str(tmp_path / "sig_idx")
+    assert main(["build", "--input", docs_dir, "--output", root]) == 0
+    capsys.readouterr()
+    rc = main(
+        ["search", "--index", root, "--query", "langs: python",
+         "--significant", "--docs", docs_dir, "-k", "5"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "jlh=" in out
+    # needs --docs
+    assert main(
+        ["search", "--index", root, "--query", "langs: python", "--significant"]
+    ) == 2

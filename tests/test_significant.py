@@ -1,0 +1,109 @@
+"""Significant-terms aggregation (plans/significant.py) vs a pure-Python
+JLH model over the oracle tokenizer + oracle ranking."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.oracle import (
+    build_oracle_index,
+    score_query,
+    tokenize,
+    clean_query_term,
+)
+from search_engine_spark.plans.bm25 import QueryEngine
+from search_engine_spark.plans.query_parser import parse_query
+
+
+def _python_significant(
+    docs, query, mode="or", sample=10**9, min_fg_df=2, exclude=True, k=20
+):
+    idx = build_oracle_index(docs)
+    hits = score_query(idx, parse_query(query), mode=mode, k=sample)
+    fg_ids = [docid for _, docid, _ in hits]
+    n_fg = len(fg_ids)
+    if n_fg == 0:
+        return []
+    by_id = {d["docid"]: d for d in docs}
+    fg_df: Counter = Counter()
+    for d in fg_ids:
+        fg_df.update(set(tokenize(by_id[d].get("content", ""))))
+    bg_df: Counter = Counter()
+    for d in docs:
+        bg_df.update(set(tokenize(d.get("content", ""))))
+    qterms = {
+        c
+        for kind, target, raws in parse_query(query)
+        if kind == "terms" and target == "content"
+        for c in (clean_query_term(t) for t in raws)
+        if c is not None
+    }
+    n_docs = len(docs)
+    out = []
+    for t, f in fg_df.items():
+        if f < min_fg_df or (exclude and t in qterms):
+            continue
+        fgp, bgp = f / n_fg, bg_df[t] / n_docs
+        s = (fgp - bgp) * (fgp / bgp)
+        if s > 0:
+            out.append((t, f, bg_df[t], s))
+    out.sort(key=lambda r: (-r[3], r[0]))
+    return out[:k]
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_index):
+    return QueryEngine(spark, tiny_index)
+
+
+def test_significant_terms_matches_python_model(engine, tiny_df, tiny_docs):
+    """Full-match-set foreground (sample covers every match): exact values."""
+    for query, mode in [
+        ("sites: org1/repo1", "or"),
+        ("langs: python", "or"),
+        ("values: hash_shard0", "or"),
+    ]:
+        got = [
+            (r["term"], r["fg_df"], r["bg_df"], round(r["score"], 9))
+            for r in engine.significant_terms(
+                query, tiny_df, k=15, sample=10**6, mode=mode
+            ).collect()
+        ]
+        exp = [
+            (t, f, b, round(s, 9))
+            for t, f, b, s in _python_significant(tiny_docs, query, mode=mode, k=15)
+        ]
+        assert got == exp, query
+
+
+def test_significant_terms_excludes_query_terms(engine, tiny_df):
+    q = "values: hash_shard0"
+    with_excl = {
+        r["term"]
+        for r in engine.significant_terms(q, tiny_df, sample=10**6).collect()
+    }
+    without = {
+        r["term"]
+        for r in engine.significant_terms(
+            q, tiny_df, sample=10**6, exclude_query_terms=False, k=10**6, min_fg_df=1
+        ).collect()
+    }
+    assert "hash_shard0" not in with_excl
+    assert "hash_shard0" in without
+
+
+def test_significant_terms_zero_hits_and_validation(engine, tiny_df):
+    assert engine.significant_terms("values: qqqqnohit", tiny_df).count() == 0
+    with pytest.raises(ValueError, match="field"):
+        engine.significant_terms("values: load_config", tiny_df, field="lang")
+
+
+def test_significant_terms_plan_broadcasts_foreground(engine, tiny_df):
+    df = engine.significant_terms("langs: go", tiny_df, sample=10**6)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
