@@ -1282,6 +1282,17 @@ class QueryEngine:
             for r in hits
         ]
 
+    def search_diverse(
+        self, query: str, embeddings: DataFrame, **kw
+    ) -> DataFrame:
+        """MMR-diversified top-k (plans/diversify.py): rank a candidate
+        window, fetch its embeddings via one pruned point lookup, greedily
+        trade relevance against redundancy on the driver (window-sized
+        state only). → (rank, docid, score, mmr)."""
+        from .diversify import search_diverse
+
+        return search_diverse(self, query, embeddings, **kw)
+
     def significant_terms(self, query: str, docs: DataFrame, **kw) -> DataFrame:
         """ES-style significant_terms over the sampled match set
         (plans/significant.py): → (term, fg_df, bg_df, score), JLH-ranked.

@@ -1,0 +1,120 @@
+"""Result diversification: Maximal Marginal Relevance re-ranking.
+
+MMR (Carbonell & Goldstein 1998, public): greedily pick the next result
+maximizing
+
+    mmr(d) = λ · rel(d) − (1−λ) · max_{s ∈ selected} cos(d, s)
+
+so the top-k trades pure relevance against redundancy — the classic fix
+for a result page (or a training-data slice) dominated by near-identical
+documents.  rel is the min-max-normalized BM25 score of the candidate
+window (BM25 and cosine live on different scales; normalizing the window
+is the standard composition).
+
+Capability analogue in the reference: none — its ranking is pure
+score-sort (`SearchEngine.h:103-382`); this extends the engine with the
+diversity rescoring production stacks bolt on.
+
+Scale contract: the greedy loop is inherently sequential in k but runs
+over the CANDIDATE WINDOW ONLY — ``depth`` rows (≤ a few hundred), the
+same k-row driver materialization the engine's O3 contract already makes.
+The distributed work is the ranking itself plus ONE docid-pruned point
+lookup fetching the window's embeddings (broadcastable id list pushed
+into the vector scan); depth×dim floats on the driver, never the corpus.
+Missing embeddings contribute zero similarity (relevance-only), so a
+partially-embedded corpus degrades gracefully rather than erroring.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mmr_select(
+    ranked: list[tuple[int, float]],
+    vectors: dict[int, list[float]],
+    k: int,
+    lambda_: float = 0.7,
+) -> list[tuple[int, int, float, float]]:
+    """Pure-Python greedy MMR over a (docid, score) window.
+
+    → [(rank, docid, score, mmr)] of ≤k rows.  Deterministic: relevance
+    min-max normalized over the window (degenerate window → 1.0), ties on
+    the MMR objective break by (higher raw score, smaller docid).
+    """
+    if not ranked or k <= 0:
+        return []
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+    smax = max(s for _, s in ranked)
+    smin = min(s for _, s in ranked)
+    span = smax - smin
+
+    def rel(s: float) -> float:
+        return 1.0 if span == 0 else (s - smin) / span
+
+    def unit(docid: int) -> list[float] | None:
+        v = vectors.get(docid)
+        if not v:
+            return None
+        n = math.sqrt(sum(x * x for x in v))
+        return None if n == 0 else [x / n for x in v]
+
+    units = {d: unit(d) for d, _ in ranked}
+    remaining = list(ranked)
+    selected: list[tuple[int, int, float, float]] = []
+    sel_units: list[list[float]] = []
+    while remaining and len(selected) < k:
+        best = None
+        for docid, score in remaining:
+            u = units[docid]
+            max_sim = 0.0
+            if u is not None and sel_units:
+                max_sim = max(
+                    sum(a * b for a, b in zip(u, su)) for su in sel_units
+                )
+            mmr = lambda_ * rel(score) - (1.0 - lambda_) * max_sim
+            key = (mmr, score, -docid)
+            if best is None or key > best[0]:
+                best = (key, docid, score, mmr)
+        _, docid, score, mmr = best
+        remaining = [(d, s) for d, s in remaining if d != docid]
+        u = units[docid]
+        if u is not None:
+            sel_units.append(u)
+        selected.append((len(selected) + 1, docid, score, mmr))
+    return selected
+
+
+def search_diverse(
+    engine,
+    query: str,
+    embeddings: DataFrame,
+    k: int = 10,
+    depth: int = 50,
+    lambda_: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **search_kw,
+) -> DataFrame:
+    """MMR-diversified top-k: rank ``depth`` candidates with the normal
+    engine, fetch their embeddings (one pruned point lookup), greedily
+    re-rank on the driver. → DataFrame(rank, docid, score, mmr).
+    """
+    hits = engine.search(query, k=max(int(depth), int(k)), **search_kw).collect()
+    schema = "rank int, docid long, score double, mmr double"
+    if not hits:
+        return engine.spark.createDataFrame([], schema)
+    ranked = [(r["docid"], r["score"]) for r in hits]
+    ids = [d for d, _ in ranked]
+    vec_rows = (
+        embeddings.where(F.col(id_col).isin(ids))
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .collect()
+    )
+    vectors = {r["_id"]: list(r["_v"]) for r in vec_rows}
+    out = mmr_select(ranked, vectors, k=k, lambda_=lambda_)
+    return engine.spark.createDataFrame(out, schema)

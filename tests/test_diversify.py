@@ -1,0 +1,126 @@
+"""MMR diversification (plans/diversify.py) vs an independent brute-force
+model (numpy, written against Carbonell-Goldstein directly — not the
+engine's mmr_select code path)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from search_engine_spark.plans.bm25 import QueryEngine
+
+
+def _np_mmr(ranked, vectors, k, lam):
+    """Independent MMR model: numpy matrix form."""
+    if not ranked:
+        return []
+    ids = [d for d, _ in ranked]
+    scores = np.array([s for _, s in ranked], dtype=np.float64)
+    span = scores.max() - scores.min()
+    rel = np.ones_like(scores) if span == 0 else (scores - scores.min()) / span
+    mat = np.zeros((len(ids), max(len(v) for v in vectors.values()) if vectors else 1))
+    has = np.zeros(len(ids), dtype=bool)
+    for i, d in enumerate(ids):
+        v = np.asarray(vectors.get(d, []), dtype=np.float64)
+        if v.size and np.linalg.norm(v) > 0:
+            mat[i, : v.size] = v / np.linalg.norm(v)
+            has[i] = True
+    picked, out = [], []
+    cand = set(range(len(ids)))
+    while cand and len(out) < k:
+        best_i, best_key = None, None
+        for i in sorted(cand):
+            sim = 0.0
+            if has[i] and picked:
+                sim = float(max(mat[i] @ mat[j] for j in picked if has[j]) if any(has[j] for j in picked) else 0.0)
+            mmr = lam * float(rel[i]) - (1 - lam) * sim
+            key = (mmr, float(scores[i]), -ids[i])
+            if best_key is None or key > best_key:
+                best_key, best_i = key, i
+        cand.remove(best_i)
+        picked.append(best_i)
+        out.append((len(out), ids[best_i], float(scores[best_i]), best_key[0]))
+    return [(r + 1, d, s, m) for r, d, s, m in out]
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_index):
+    return QueryEngine(spark, tiny_index)
+
+
+@pytest.fixture(scope="module")
+def tiny_embeddings(spark, tiny_docs):
+    """Deterministic per-doc vectors keyed by engine docid; ~20% of docs
+    deliberately have NO embedding (graceful-degradation path); several
+    docs share a direction (near-duplicate clusters MMR must spread)."""
+    rng = random.Random(7)
+    rows = []
+    for i, d in enumerate(sorted(tiny_docs, key=lambda x: x["docid"])):
+        if i % 5 == 4:
+            continue
+        if i % 3 == 0:  # a shared-direction cluster
+            base = [1.0, 0.0, 0.5, 0.0]
+        else:
+            base = [rng.uniform(-1, 1) for _ in range(4)]
+        rows.append((d["docid"], [float(x) for x in base]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_mmr_matches_numpy_model(engine, tiny_embeddings):
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in tiny_embeddings.collect()}
+    for query, lam in [
+        ("values: def return import", 0.7),
+        ("values: hash_shard0", 0.5),
+        ("langs: python", 0.3),
+    ]:
+        hits = engine.search(query, k=30).collect()
+        ranked = [(r["docid"], r["score"]) for r in hits]
+        exp = _np_mmr(ranked, vecs, k=10, lam=lam)
+        got = [
+            (r["rank"], r["docid"], r["score"], r["mmr"])
+            for r in engine.search_diverse(
+                query, tiny_embeddings, k=10, depth=30, lambda_=lam
+            ).collect()
+        ]
+        assert len(got) == len(exp)
+        for g, e in zip(got, exp):
+            assert g[:3] == e[:3], (query, g, e)
+            assert abs(g[3] - e[3]) < 1e-12
+
+
+def test_mmr_lambda_one_is_pure_relevance(engine, tiny_embeddings):
+    q = "values: def return import"
+    plain = [r["docid"] for r in engine.search(q, k=10).collect()]
+    div = [
+        r["docid"]
+        for r in engine.search_diverse(
+            q, tiny_embeddings, k=10, depth=30, lambda_=1.0
+        ).collect()
+    ]
+    assert div == plain
+
+
+def test_mmr_spreads_duplicate_cluster(engine, spark):
+    """Identical vectors for the top docs: with lambda 0.5 the second pick
+    must NOT be the (redundant) rank-2 doc when a distinct doc exists."""
+    q = "values: def return import"
+    hits = engine.search(q, k=5).collect()
+    ids = [r["docid"] for r in hits]
+    rows = [(ids[0], [1.0, 0.0]), (ids[1], [1.0, 0.0]), (ids[2], [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [
+        r["docid"]
+        for r in engine.search_diverse(q, emb, k=3, depth=3, lambda_=0.5).collect()
+    ]
+    assert got[0] == ids[0]
+    assert got[1] == ids[2]  # the orthogonal doc jumps the duplicate
+
+
+def test_mmr_validation_and_empty(engine, tiny_embeddings):
+    assert engine.search_diverse("values: qqqqnohit", tiny_embeddings).count() == 0
+    with pytest.raises(ValueError, match="lambda"):
+        engine.search_diverse(
+            "values: hash_shard0", tiny_embeddings, lambda_=1.5
+        ).count()
