@@ -375,18 +375,29 @@ def cmd_search(args) -> int:
             syns = _json.load(fh)
     score_fn = None
     if getattr(args, "score_by", None):
-        # FIELD[:modifier[:factor[:weight[:combine]]]]
+        # FIELD[:modifier[:factor[:weight[:combine]]]], or for decay
+        # modifiers FIELD:MOD:ORIGIN:SCALE[:WEIGHT[:combine]]
         parts = args.score_by.split(":")
         score_fn = {"field": parts[0]}
         try:
             if len(parts) > 1 and parts[1]:
                 score_fn["modifier"] = parts[1]
-            if len(parts) > 2 and parts[2]:
-                score_fn["factor"] = float(parts[2])
-            if len(parts) > 3 and parts[3]:
-                score_fn["weight"] = float(parts[3])
-            if len(parts) > 4 and parts[4]:
-                score_fn["combine"] = parts[4]
+            if parts[1:2] and parts[1].endswith("_decay"):
+                if len(parts) < 4:
+                    raise ValueError("decay spec needs ORIGIN and SCALE")
+                score_fn["origin"] = float(parts[2])
+                score_fn["scale"] = float(parts[3])
+                if len(parts) > 4 and parts[4]:
+                    score_fn["weight"] = float(parts[4])
+                if len(parts) > 5 and parts[5]:
+                    score_fn["combine"] = parts[5]
+            else:
+                if len(parts) > 2 and parts[2]:
+                    score_fn["factor"] = float(parts[2])
+                if len(parts) > 3 and parts[3]:
+                    score_fn["weight"] = float(parts[3])
+                if len(parts) > 4 and parts[4]:
+                    score_fn["combine"] = parts[4]
         except ValueError:
             print(f"error: bad --score-by spec {args.score_by!r}", file=sys.stderr)
             return 2
@@ -866,7 +877,9 @@ def main(argv: list[str] | None = None) -> int:
         help="function-score rescore: FIELD[:modifier[:factor[:weight"
         "[:combine]]]] over a numeric docstats column, e.g. "
         "doclen:log1p or stars:sqrt:1:2:sum (Elasticsearch "
-        "field_value_factor semantics)",
+        "field_value_factor semantics); decay form "
+        "FIELD:{gauss,exp,linear}_decay:ORIGIN:SCALE[:WEIGHT[:combine]], "
+        "e.g. doclen:gauss_decay:200:100",
     )
     s.add_argument("--wand", action="store_true", help="block-max WAND path (driver traversal)")
     s.add_argument(

@@ -645,6 +645,7 @@ class QueryEngine:
         return agg
 
     _FS_MODIFIERS = ("none", "log1p", "sqrt", "reciprocal")
+    _FS_DECAYS = ("gauss_decay", "exp_decay", "linear_decay")
     _FS_COMBINES = ("multiply", "sum")
 
     def _function_score(self, agg: DataFrame, spec: dict) -> DataFrame:
@@ -655,6 +656,21 @@ class QueryEngine:
         reciprocal}, over any numeric docstats column (doclen, a stored
         recency/popularity signal, …).
 
+        Decay modifiers (the ES ``gauss``/``exp``/``linear`` decay
+        functions, public semantics): ``modifier`` ∈ {gauss_decay,
+        exp_decay, linear_decay} with required ``origin``/``scale`` and
+        optional ``offset`` (default 0) / ``decay`` (default 0.5) —
+        dist = max(0, |field − origin| − offset), and the function value
+        is exactly ``decay`` at dist = scale:
+
+            gauss:  exp(ln(decay) · dist²/scale²)
+            exp:    exp(ln(decay)/scale · dist)
+            linear: max(0, 1 − dist·(1−decay)/scale)
+
+        ``factor`` does not compose with decay modifiers (refused loudly,
+        mirroring ES, where decay and field_value_factor are separate
+        functions).
+
         Scale shape: one equi-join of the match set against the cached
         distributed docstats frame on docid — the same shape collapse and
         filters already use; the arithmetic is whole-stage-codegen
@@ -663,17 +679,20 @@ class QueryEngine:
         BM25 fold)."""
         if not isinstance(spec, dict) or "field" not in spec:
             raise ValueError("score_fn must be a dict with a 'field' key")
-        unknown = set(spec) - {"field", "factor", "modifier", "weight", "combine"}
+        unknown = set(spec) - {
+            "field", "factor", "modifier", "weight", "combine",
+            "origin", "scale", "offset", "decay",
+        }
         if unknown:
             raise ValueError(f"unknown score_fn keys: {sorted(unknown)}")
         field = spec["field"]
         if field == "docid" or field not in self._docstats.columns:
             raise ValueError(f"score_fn field {field!r} not a docstats column")
         modifier = spec.get("modifier", "none")
-        if modifier not in self._FS_MODIFIERS:
+        if modifier not in self._FS_MODIFIERS + self._FS_DECAYS:
             raise ValueError(
-                f"score_fn modifier must be one of {self._FS_MODIFIERS}, "
-                f"got {modifier!r}"
+                f"score_fn modifier must be one of "
+                f"{self._FS_MODIFIERS + self._FS_DECAYS}, got {modifier!r}"
             )
         combine = spec.get("combine", "multiply")
         if combine not in self._FS_COMBINES:
@@ -681,15 +700,51 @@ class QueryEngine:
                 f"score_fn combine must be one of {self._FS_COMBINES}, "
                 f"got {combine!r}"
             )
-        factor = float(spec.get("factor", 1.0))
         weight = float(spec.get("weight", 1.0))
-        v = F.col(field).cast("double") * F.lit(factor)
-        if modifier == "log1p":
-            v = F.log1p(v)
-        elif modifier == "sqrt":
-            v = F.sqrt(v)
-        elif modifier == "reciprocal":
-            v = F.lit(1.0) / v
+        if modifier in self._FS_DECAYS:
+            if "factor" in spec:
+                raise ValueError(
+                    "factor does not compose with decay modifiers (ES keeps "
+                    "decay and field_value_factor as separate functions)"
+                )
+            if "origin" not in spec or "scale" not in spec:
+                raise ValueError(f"{modifier} needs 'origin' and 'scale'")
+            origin = float(spec["origin"])
+            scale = float(spec["scale"])
+            offset = float(spec.get("offset", 0.0))
+            decay = float(spec.get("decay", 0.5))
+            if scale <= 0:
+                raise ValueError(f"scale must be > 0, got {scale}")
+            if offset < 0:
+                raise ValueError(f"offset must be >= 0, got {offset}")
+            if not 0.0 < decay < 1.0:
+                raise ValueError(f"decay must be in (0, 1), got {decay}")
+            import math
+
+            dist = F.greatest(
+                F.lit(0.0),
+                F.abs(F.col(field).cast("double") - F.lit(origin)) - F.lit(offset),
+            )
+            if modifier == "gauss_decay":
+                v = F.exp(F.lit(math.log(decay) / (scale * scale)) * dist * dist)
+            elif modifier == "exp_decay":
+                v = F.exp(F.lit(math.log(decay) / scale) * dist)
+            else:  # linear_decay
+                v = F.greatest(
+                    F.lit(0.0), F.lit(1.0) - dist * F.lit((1.0 - decay) / scale)
+                )
+        else:
+            for k in ("origin", "scale", "offset", "decay"):
+                if k in spec:
+                    raise ValueError(f"{k!r} only applies to decay modifiers")
+            factor = float(spec.get("factor", 1.0))
+            v = F.col(field).cast("double") * F.lit(factor)
+            if modifier == "log1p":
+                v = F.log1p(v)
+            elif modifier == "sqrt":
+                v = F.sqrt(v)
+            elif modifier == "reciprocal":
+                v = F.lit(1.0) / v
         fv = v * F.lit(weight)
         new_score = (
             F.col("score") * fv if combine == "multiply" else F.col("score") + fv

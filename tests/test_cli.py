@@ -474,3 +474,22 @@ def test_search_significant_terms(spark, tiny_df, tmp_path, capsys):
     assert main(
         ["search", "--index", root, "--query", "langs: python", "--significant"]
     ) == 2
+
+
+def test_search_score_by_decay(spark, tiny_df, tmp_path, capsys):
+    docs_dir = str(tmp_path / "decdocs")
+    tiny_df.write.parquet(docs_dir)
+    root = str(tmp_path / "dec_idx")
+    assert main(["build", "--input", docs_dir, "--output", root]) == 0
+    capsys.readouterr()
+    rc = main(
+        ["search", "--index", root, "--query", "values: load_config0",
+         "--score-by", "doclen:gauss_decay:150:80"]
+    )
+    assert rc == 0
+    assert "1" in capsys.readouterr().out
+    # decay spec missing scale -> usage error
+    assert main(
+        ["search", "--index", root, "--query", "values: load_config",
+         "--score-by", "doclen:gauss_decay:150"]
+    ) == 2

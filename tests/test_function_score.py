@@ -146,3 +146,75 @@ def test_function_score_plan_shape(engine):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "LOG1P" in plan.upper() or "log" in plan  # expression stayed JVM-side
+
+
+def _decay(v: float, modifier: str, origin: float, scale: float,
+           offset: float = 0.0, decay: float = 0.5) -> float:
+    dist = max(0.0, abs(v - origin) - offset)
+    if modifier == "gauss_decay":
+        return math.exp(math.log(decay) / (scale * scale) * dist * dist)
+    if modifier == "exp_decay":
+        return math.exp(math.log(decay) / scale * dist)
+    return max(0.0, 1.0 - dist * (1.0 - decay) / scale)
+
+
+@pytest.mark.parametrize(
+    "modifier,origin,scale,offset,decay,weight,combine",
+    [
+        ("gauss_decay", 150.0, 80.0, 0.0, 0.5, 1.0, "multiply"),
+        ("exp_decay", 100.0, 50.0, 10.0, 0.3, 2.0, "multiply"),
+        ("linear_decay", 200.0, 120.0, 0.0, 0.5, 1.0, "sum"),
+    ],
+)
+def test_decay_modifiers_match_python_model(
+    engine, tiny_oracle, modifier, origin, scale, offset, decay, weight, combine
+):
+    spec = {
+        "field": "doclen", "modifier": modifier, "origin": origin,
+        "scale": scale, "offset": offset, "decay": decay,
+        "weight": weight, "combine": combine,
+    }
+    got = engine.search(QUERY, k=10, score_fn=spec).collect()
+    scored = score_query(tiny_oracle, parse_query(QUERY), mode="or", k=10**9)
+    rows = []
+    for _, docid, score in scored:
+        fv = weight * _decay(
+            tiny_oracle.doclen[docid], modifier, origin, scale, offset, decay
+        )
+        rows.append((docid, score * fv if combine == "multiply" else score + fv))
+    rows.sort(key=lambda x: (-x[1], x[0]))
+    want = [(i + 1, d, s) for i, (d, s) in enumerate(rows[:10])]
+    assert [(r["rank"], r["docid"]) for r in got] == [(rk, d) for rk, d, _ in want]
+    for r, (_, _, s) in zip(got, want):
+        assert math.isclose(r["score"], s, rel_tol=0, abs_tol=1e-9)
+
+
+def test_decay_value_at_scale_is_decay(engine, tiny_oracle):
+    """The defining property: a doc at dist == scale gets exactly `decay`
+    multiplied in.  Pick a real doclen from the corpus as the anchor."""
+    some_doclen = next(iter(sorted(tiny_oracle.doclen.values())))
+    spec = {
+        "field": "doclen", "modifier": "gauss_decay",
+        "origin": float(some_doclen) + 77.0, "scale": 77.0, "decay": 0.37,
+    }
+    got = {r["docid"]: r["score"] for r in
+           engine.search(QUERY, k=10**6, score_fn=spec).collect()}
+    plain = {r["docid"]: r["score"] for r in engine.search(QUERY, k=10**6).collect()}
+    anchored = [d for d in got
+                if tiny_oracle.doclen[d] == some_doclen and d in plain]
+    for d in anchored:
+        assert math.isclose(got[d], plain[d] * 0.37, rel_tol=0, abs_tol=1e-9)
+
+
+def test_decay_validation(engine):
+    base = {"field": "doclen", "modifier": "gauss_decay"}
+    with pytest.raises(ValueError, match="origin"):
+        engine.search(QUERY, score_fn=base)
+    with pytest.raises(ValueError, match="factor"):
+        engine.search(QUERY, score_fn={**base, "origin": 1, "scale": 1, "factor": 2})
+    with pytest.raises(ValueError, match="scale"):
+        engine.search(QUERY, score_fn={**base, "origin": 1, "scale": 0})
+    with pytest.raises(ValueError, match="decay"):
+        engine.search(QUERY, score_fn={**base, "origin": 1, "scale": 1, "decay": 1.0})
+    with pytest.raises(ValueError, match="only applies to decay"):
+        engine.search(QUERY, score_fn={"field": "doclen", "origin": 5})
