@@ -156,3 +156,76 @@ def hash_split(
     for name, b in reversed(bounds[:-1]):
         expr = F.when(u < b, F.lit(name)).otherwise(expr)
     return docs.select(F.col(id_col), F.round(u, 6).alias("u"), expr.alias("split"))
+
+
+def temperature_rates(
+    counts: dict[str, int],
+    temperature: float = 0.7,
+    budget: int | None = None,
+) -> dict[str, float]:
+    """Per-domain sampling rates from a temperature-flattened multinomial.
+
+    The standard LLM training-mix reweighting (GPT-3 / XLM-R / mT5,
+    public): sample domain d with probability p_d ∝ n_d^T (T=temperature),
+    which up-weights small domains relative to their natural share.
+    Converted to PER-DOMAIN KEEP RATES against a token/doc ``budget``
+    (default: the largest budget where no domain needs oversampling —
+    rate_d = (p_d / max_d(p_d / n_d)) / n_d, i.e. the most-boosted domain
+    keeps 100%):
+
+        rate_d = budget · p_d / n_d   (capped at 1.0 — we never duplicate)
+
+    T = 1 reproduces natural proportions (all rates equal); T → 0
+    approaches uniform-over-domains.  Driver-side pure arithmetic over
+    ≤ |domains| entries — feed the result to ``stratified_sample`` for
+    the deterministic map-only assignment.
+    """
+    if not 0.0 < temperature <= 1.0:
+        raise ValueError(f"temperature must be in (0, 1], got {temperature}")
+    if not counts:
+        return {}
+    for d, n in counts.items():
+        if n <= 0:
+            raise ValueError(f"count for {d!r} must be > 0, got {n}")
+    total = float(sum(counts.values()))
+    p = {d: (n / total) ** temperature for d, n in counts.items()}
+    z = sum(p.values())
+    p = {d: v / z for d, v in p.items()}
+    if budget is None:
+        # largest budget with every rate <= 1: binds at the most-boosted domain
+        budget = min(counts[d] / p[d] for d in counts)
+    rates = {d: min(1.0, budget * p[d] / counts[d]) for d in counts}
+    return rates
+
+
+def temperature_mix(
+    docs: DataFrame,
+    temperature: float = 0.7,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    budget: int | None = None,
+    salt: str = "sample",
+) -> DataFrame:
+    """→ (id, domain, u, keep): temperature-based domain mixing in one op.
+
+    ONE map-side-combined count per domain (rows = |domains|, collected
+    driver-side — registration-scale), rates from ``temperature_rates``,
+    decision column from ``stratified_sample`` (md5-deterministic,
+    map-only, stable under corpus growth for a FIXED rate table; note the
+    rates themselves depend on the observed counts — pin them by passing
+    an explicit ``budget`` when reproducibility across corpus versions
+    matters).  NULL domains are dropped (no principled temperature weight
+    exists for them; scrub upstream).
+    """
+    cnt = {
+        r["d"]: r["n"]
+        for r in docs.where(F.col(domain_col).isNotNull())
+        .groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rates = temperature_rates(cnt, temperature=temperature, budget=budget)
+    return stratified_sample(
+        docs, rates, domain_col=domain_col, id_col=id_col, salt=salt,
+        default_rate=0.0,
+    )

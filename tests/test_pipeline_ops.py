@@ -629,3 +629,78 @@ def test_ivf_persisted_query_is_partition_pruned(emb_df, tmp_path):
     for op in ("Join", "Exchange"):
         assert op not in plan, f"unexpected {op} in persisted-IVF query plan:\n{plan}"
     assert df.count() == 5
+
+
+def test_temperature_rates_math_properties():
+    """Hand-checkable temperature reweighting: T=1 natural (uniform rates),
+    T->0 approaches uniform-over-domains, the most-boosted domain keeps
+    100% under the default budget, and explicit budgets scale linearly
+    until the 1.0 cap."""
+    from search_engine_spark.operators.pipeline import temperature_rates
+
+    counts = {"go": 8000, "py": 1600, "rs": 400}
+    # T=1: p_d = n_d/N -> rate_d = budget/N identical across domains
+    r1 = temperature_rates(counts, temperature=1.0, budget=5000)
+    assert all(abs(v - 0.5) < 1e-12 for v in r1.values())
+    # default budget: the most-boosted (smallest) domain binds at 1.0
+    r = temperature_rates(counts, temperature=0.5)
+    assert abs(r["rs"] - 1.0) < 1e-12
+    assert r["go"] < r["py"] < r["rs"]
+    # exact closed form: rate_d = (n_rs/n_d)^(1-T) at the default budget
+    for d, n in counts.items():
+        assert abs(r[d] - (400 / n) ** 0.5) < 1e-12, d
+    # rates scale linearly in the budget: rate_d(B)/rate_d(1) == B* for
+    # every domain (B* = the default budget that binds the smallest domain)
+    r_unit = temperature_rates(counts, temperature=0.5, budget=1)
+    ratios = {d: r[d] / r_unit[d] for d in counts}
+    b_star = max(ratios.values())
+    assert all(abs(v - b_star) < 1e-6 for v in ratios.values())
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="temperature"):
+        temperature_rates(counts, temperature=0.0)
+    with _pytest.raises(ValueError, match="count"):
+        temperature_rates({"a": 0})
+    assert temperature_rates({}) == {}
+
+
+def test_temperature_mix_equals_stratified_sample(spark):
+    """temperature_mix == stratified_sample under the rates its own count
+    pass produces; NULL domains are dropped; observed keep fractions land
+    near the temperature-flattened shares."""
+    from search_engine_spark.operators.pipeline import (
+        stratified_sample,
+        temperature_mix,
+        temperature_rates,
+    )
+
+    docs = spark.range(0, 6000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 100 == 0, F.lit(None).cast("string"))
+        .when(F.col("id") % 10 < 7, F.lit("go"))
+        .when(F.col("id") % 10 < 9, F.lit("py"))
+        .otherwise(F.lit("rs"))
+        .alias("lang"),
+    )
+    got = {r["doc_id"]: (r["lang"], r["u"], r["keep"])
+           for r in temperature_mix(docs, temperature=0.6).collect()}
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.where(F.col("lang").isNotNull())
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rates = temperature_rates(counts, temperature=0.6)
+    want = {r["doc_id"]: (r["lang"], r["u"], r["keep"])
+            for r in stratified_sample(docs, rates).collect()}
+    assert got == want
+    # NULL-domain docs present but never kept
+    nulls = [k for k, v in got.items() if v[0] is None]
+    assert nulls and all(got[k][2] == 0 for k in nulls)
+    # the smallest domain keeps everything under the default budget
+    assert all(v[2] == 1 for v in got.values() if v[0] == "rs")
+    # kept shares track the flattened distribution within md5 noise
+    kept = {d: sum(1 for v in got.values() if v[0] == d and v[2] == 1)
+            for d in counts}
+    for d in counts:
+        assert abs(kept[d] - rates[d] * counts[d]) < 0.05 * counts[d] + 10, d
