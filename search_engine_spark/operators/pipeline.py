@@ -217,13 +217,24 @@ def temperature_mix(
     matters).  NULL domains are dropped (no principled temperature weight
     exists for them; scrub upstream).
     """
-    cnt = {
-        r["d"]: r["n"]
-        for r in docs.where(F.col(domain_col).isNotNull())
+    cap = 10_000
+    cnt_rows = (
+        docs.where(F.col(domain_col).isNotNull())
         .groupBy(F.col(domain_col).alias("d"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .limit(cap + 1)
         .collect()
-    }
+    )
+    if len(cnt_rows) > cap:
+        # the rates table becomes a driver literal AND a when-chain in
+        # stratified_sample — a 10^6-cardinality domain column (repo, url
+        # host) needs a broadcast-join rate table, not this op
+        raise ValueError(
+            f"temperature_mix supports <= {cap} distinct domains; "
+            f"{domain_col!r} exceeds that — aggregate to a coarser domain "
+            "or join a precomputed rate table instead"
+        )
+    cnt = {r["d"]: r["n"] for r in cnt_rows}
     rates = temperature_rates(cnt, temperature=temperature, budget=budget)
     return stratified_sample(
         docs, rates, domain_col=domain_col, id_col=id_col, salt=salt,
