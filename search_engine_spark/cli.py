@@ -551,6 +551,22 @@ def cmd_ingest_stream(args) -> int:
     )
     if "doc_id" in src.columns and "text" in src.columns:
         src = map_testdata_columns(src)
+    compiled = None
+    if getattr(args, "percolate", None):
+        if not getattr(args, "alerts", None):
+            print("error: --percolate needs --alerts", file=sys.stderr)
+            return 2
+        from .plans.percolate import compile_queries
+
+        stored = []
+        with open(args.percolate, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line or line.startswith("#"):
+                    continue
+                qid, mode, query = line.split("\t", 2)
+                stored.append((qid, query, mode))
+        compiled = compile_queries(spark, stored, stem=args.stem)
     q = stream_ingest(
         src,
         args.output,
@@ -560,6 +576,8 @@ def cmd_ingest_stream(args) -> int:
         skip_near_dups=args.skip_near_dups,
         snapshot_offset=args.snapshot_offset,
         checkpoint_dir=args.checkpoint,
+        percolate_queries=compiled,
+        alert_root=getattr(args, "alerts", None) if compiled is not None else None,
         compress=not args.no_compress,
         stem=args.stem,
     )
@@ -926,6 +944,15 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument(
         "--snapshot-offset", type=int, default=0,
         help="shift batch ids when appending to a root with existing snapshots",
+    )
+    st.add_argument(
+        "--percolate", default=None, metavar="FILE",
+        help="stored-query TSV (qid<TAB>mode<TAB>query): fuse saved-search "
+        "alerting into the same micro-batch pass; needs --alerts",
+    )
+    st.add_argument(
+        "--alerts", default=None, metavar="DIR",
+        help="with --percolate: append (qid, docid, batch_id) alert parquet here",
     )
     st.add_argument("--stem", action="store_true")
     st.add_argument("--no-compress", action="store_true")

@@ -131,6 +131,8 @@ def stream_ingest(
     trigger_interval: str | None = None,
     skip_existing: bool = False,
     skip_near_dups: float | None = None,
+    percolate_queries: DataFrame | None = None,
+    alert_root: str | None = None,
     **build_kwargs,
 ) -> StreamingQuery:
     """Start ingesting a STREAMING DataFrame into the index at ``root``.
@@ -154,9 +156,21 @@ def stream_ingest(
     smaller-docid-wins pass within the batch; survivors' signatures join
     the store only after the batch commits.  Orthogonal to
     ``skip_existing`` (exact docid re-lands).
+
+    ``percolate_queries`` + ``alert_root``: saved-search alerting fused
+    into the SAME micro-batch pass (plans/percolate.py) — the documents
+    that actually get committed (post skip/dedup thinning) are matched
+    against the compiled stored-query table and alerts append to
+    ``alert_root`` as (qid, docid, n_matched, n_required, batch_id).
+    Alerts land BEFORE the commit so a crash between the two can only
+    duplicate alerts for a batch that will be re-ingested (replay emits
+    the same deterministic rows — consumers key on (batch_id, qid,
+    docid)), never alert on documents that were eventually lost.
     """
     if finalize not in ("batch", "manual"):
         raise ValueError(f"finalize must be 'batch' or 'manual', got {finalize!r}")
+    if (percolate_queries is None) != (alert_root is None):
+        raise ValueError("percolate_queries and alert_root go together")
     spark = source.sparkSession
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -193,6 +207,16 @@ def stream_ingest(
             update_bloom(
                 spark, root, docs.select("docid"),
                 committed=lambda: _committed_docids(spark, root),
+            )
+        if percolate_queries is not None:
+            from pyspark.sql import functions as F
+
+            from ..plans.percolate import percolate
+
+            percolate(
+                docs, percolate_queries, stem=bool(build_kwargs.get("stem", False))
+            ).withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+                alert_root
             )
         commit_snapshot_slices(
             spark, docs, root,

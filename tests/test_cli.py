@@ -493,3 +493,24 @@ def test_search_score_by_decay(spark, tiny_df, tmp_path, capsys):
         ["search", "--index", root, "--query", "values: load_config",
          "--score-by", "doclen:gauss_decay:150"]
     ) == 2
+
+
+def test_ingest_stream_percolate_flag(spark, tiny_df, tmp_path, capsys):
+    landing = str(tmp_path / "pland")
+    tiny_df.coalesce(1).write.parquet(landing)
+    qfile = tmp_path / "stored.tsv"
+    qfile.write_text("rare\tor\tvalues: zephyrq0\n")
+    root = str(tmp_path / "pidx")
+    alerts = str(tmp_path / "palerts")
+    rc = main(
+        ["ingest-stream", "--landing", landing, "--output", root,
+         "--percolate", str(qfile), "--alerts", alerts,
+         "--max-files-per-trigger", "10"]
+    )
+    assert rc == 0
+    assert spark.read.parquet(alerts).count() >= 1
+    # --percolate without --alerts -> usage error
+    assert main(
+        ["ingest-stream", "--landing", landing, "--output", root,
+         "--percolate", str(qfile)]
+    ) == 2

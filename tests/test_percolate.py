@@ -144,3 +144,47 @@ def test_stream_percolate_alert_log(spark, tiny_df, tiny_docs, tmp_path):
     got = {(r["qid"], r["docid"]) for r in alerts.collect()}
     assert got == _expected_pairs(tiny_docs, queries)
     assert alerts.select("batch_id").distinct().count() == 2
+
+
+def test_stream_ingest_with_fused_percolation(spark, tiny_df, tiny_docs, tmp_path):
+    """percolate_queries= inside stream_ingest: alerts fire for exactly the
+    committed documents, deduped batches never alert, and the index still
+    equals a batch build."""
+    from search_engine_spark.streaming.ingest import stream_ingest
+
+    landing = str(tmp_path / "landing")
+    half_a = tiny_df.where(F.pmod(F.col("docid"), F.lit(2)) == 0)
+    half_b = tiny_df.where(F.pmod(F.col("docid"), F.lit(2)) == 1)
+    half_a.coalesce(1).write.mode("append").parquet(landing)
+    half_b.coalesce(1).write.mode("append").parquet(landing)
+    # land half_a AGAIN: skip_existing must suppress both its ingest and
+    # its alerts (no duplicate alerting on re-landed files)
+    half_a.coalesce(1).write.mode("append").parquet(landing)
+
+    queries = [("rare", "values: zephyrq0 zephyrq1", "or")]
+    compiled = compile_queries(spark, queries)
+    root = str(tmp_path / "idx")
+    alert_root = str(tmp_path / "alerts")
+    src = (
+        spark.readStream.schema(tiny_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = stream_ingest(
+        src, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        skip_existing=True,
+        percolate_queries=compiled,
+        alert_root=alert_root,
+    )
+    q.awaitTermination(180)
+    alerts = spark.read.parquet(alert_root)
+    got = {(r["qid"], r["docid"]) for r in alerts.collect()}
+    assert got == _expected_pairs(tiny_docs, queries)
+    # the re-landed batch alerted nothing: every alert row is unique
+    assert alerts.count() == len(got)
+    # validation: one without the other
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="go together"):
+        stream_ingest(src, root, percolate_queries=compiled)
