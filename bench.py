@@ -461,6 +461,26 @@ def main() -> None:
         )
         timed_best("q13f_suggest", lambda: engine.suggest("s", k=10).collect())
 
+        # --- reverse search: the whole corpus through 20 stored queries ---
+        from search_engine_spark.fixtures import REFERENCE_QUERY_SET
+        from search_engine_spark.plans.percolate import compile_queries, percolate
+
+        compiled = compile_queries(
+            spark,
+            [(f"q{i}", q, m) for i, (q, m, _k) in enumerate(REFERENCE_QUERY_SET)],
+        )
+        timed_best(
+            "q13g_percolate",
+            lambda: percolate(docs, compiled).count(),
+        )
+        # --- match-set analytics: JLH significant terms ---
+        timed_best(
+            "q13h_significant",
+            lambda: engine.significant_terms(
+                "values: table window spark", docs, k=20, sample=200
+            ).collect(),
+        )
+
         # --- event-stream analytics (batch mode of the streaming ops) ---
         from search_engine_spark.operators.events import (
             sessionize,
