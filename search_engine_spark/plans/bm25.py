@@ -904,17 +904,50 @@ class QueryEngine:
             has_phrase = phrases == "positional" and any(
                 " " in t.strip() for _, _, raw in parsed for t in raw
             )
+            # wildcard patterns need the dictionary-expansion rewrite,
+            # which only the exhaustive plan performs — WAND would probe
+            # the literal '*' token and silently return empty (checked
+            # BEFORE analyzer splitting, same order as _query_matches:
+            # the '*' is a query operator, not a token character)
+            has_wildcard = any(
+                "*" in t for _, _, raw in parsed for t in raw
+            )
+            if self.analyzer == "code" and not has_wildcard:
+                # split query tokens the way the build did — a camelCase
+                # token probed verbatim against the subtoken dictionary
+                # would silently miss (quoted spaced phrases keep quirk
+                # Q4 semantics: unmatchable under either engine)
+                from ..operators.code_tokens import code_tokenize
+
+                parsed = [
+                    (
+                        kind,
+                        target,
+                        [
+                            s
+                            for t in raw
+                            for s in (
+                                code_tokenize(t)
+                                if " " not in t.strip()
+                                else [t]
+                            )
+                        ],
+                    )
+                    for kind, target, raw in parsed
+                ]
             if (
                 all(kind == "terms" for kind, _, _ in parsed)
                 and parsed
                 and not has_phrase
+                and not has_wildcard
             ):
                 res = self._search_wand(parsed, mode, k, with_display)
                 if res is not None:
                     return res
-            # facet categories / positional phrases / stopword-class terms
-            # (df ≥ wand_df_cutoff·N, where pruning cannot win — see the
-            # ctor note) → exhaustive engine, identical results
+            # facet categories / wildcards / positional phrases /
+            # stopword-class terms (df ≥ wand_df_cutoff·N, where pruning
+            # cannot win — see the ctor note) → exhaustive engine,
+            # identical results
         agg = self.score_matches(
             query,
             mode=mode,

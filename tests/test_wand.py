@@ -425,3 +425,37 @@ def test_strategy_wand_df_gate_routes_stopword_queries(
         for e in (eng, eng2):
             if isinstance(getattr(e, "_wand", None), ShardedWand):
                 e._wand.close()
+
+
+def test_wand_wildcard_routes_to_exhaustive(spark, tiny_index):
+    """A '*' pattern needs the dictionary-expansion rewrite; WAND must
+    hand it to the exhaustive engine instead of silently probing the
+    literal token and returning empty (regression)."""
+    from search_engine_spark.plans.bm25 import QueryEngine
+
+    eng = QueryEngine(spark, tiny_index)
+    ex = [(r["docid"], round(r["score"], 6))
+          for r in eng.search("values: zephyrq*", k=10).collect()]
+    wd = [(r["docid"], round(r["score"], 6))
+          for r in eng.search("values: zephyrq*", k=10, strategy="wand").collect()]
+    assert ex and wd == ex
+
+
+def test_wand_code_analyzer_splits_query_tokens(spark, tiny_df):
+    """On a code-analyzer index, strategy='wand' must split camelCase
+    query tokens like the build did — verbatim probing silently returned
+    empty (regression)."""
+    from search_engine_spark.operators.code_tokens import build_code_index
+    from search_engine_spark.plans.bm25 import QueryEngine
+
+    idx = build_code_index(spark, tiny_df)
+    eng = QueryEngine(spark, idx)
+    try:
+        ex = [(r["docid"], round(r["score"], 6))
+              for r in eng.search("values: loadConfig", k=10).collect()]
+        wd = [(r["docid"], round(r["score"], 6))
+              for r in eng.search("values: loadConfig", k=10,
+                                  strategy="wand").collect()]
+        assert ex and wd == ex
+    finally:
+        eng.close()
