@@ -83,6 +83,33 @@ def cmd_build(args) -> int:
         n = spark.read.parquet(f"{args.output}/docstats").count()
         print(f"indexed {n} documents (code analyzer) → {args.output}")
         return 0
+    if getattr(args, "analyzer", "reference") == "fold":
+        if (
+            args.slices > 1
+            or getattr(args, "append_snapshot", None) is not None
+            or getattr(args, "positions", False)
+            or getattr(args, "tokenizer", "native") != "native"
+        ):
+            print(
+                "error: --analyzer fold is a single-shot native build "
+                "(no --slices/--append-snapshot/--positions/--tokenizer)",
+                file=sys.stderr,
+            )
+            return 2
+        from .operators.fold_tokens import build_fold_index
+
+        index = build_fold_index(
+            spark,
+            docs,
+            stem=args.stem,
+            salt_threshold=args.salt_threshold,
+            compress=not args.no_compress,
+        )
+        write_index(index, args.output)
+        index.unpersist()
+        n = spark.read.parquet(f"{args.output}/docstats").count()
+        print(f"indexed {n} documents (fold analyzer) → {args.output}")
+        return 0
     if getattr(args, "positions", False) and (
         args.slices > 1 or getattr(args, "append_snapshot", None) is not None
     ):
@@ -798,10 +825,11 @@ def main(argv: list[str] | None = None) -> int:
         "--substring/--regex)",
     )
     b.add_argument(
-        "--analyzer", choices=("reference", "code"), default="reference",
-        help="term analyzer: reference semantics (default) or code-identifier "
-        "subtokens (camelCase/snake_case split); persisted — queries split "
-        "the same way automatically",
+        "--analyzer", choices=("reference", "code", "fold"), default="reference",
+        help="term analyzer: reference semantics (default), code-identifier "
+        "subtokens (camelCase/snake_case split), or ASCII folding "
+        "(accented Latin → base letters, Lucene ASCIIFoldingFilter); "
+        "persisted — queries normalize the same way automatically",
     )
     b.set_defaults(fn=cmd_build)
 

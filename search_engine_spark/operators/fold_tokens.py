@@ -1,0 +1,125 @@
+"""ASCII-folding analyzer: accented Latin tokens survive the ASCII gate.
+
+The reference tokenizer REJECTS any token containing a non-ASCII byte
+(``KaggleFinanceSourceEngine.cpp:137-139`` — preserved as the default
+analyzer's P2 semantics), so ``naïve``, ``café`` and ``Müller`` simply
+vanish from the index.  Every production engine offers the alternative:
+Lucene's ASCIIFoldingFilter (public) transliterates accented Latin
+characters to their ASCII base before the rest of the analysis chain.
+This module is that analyzer as an opt-in build mode (``analyzer="fold"``,
+persisted in ``_index_meta`` like the code analyzer, so the query side
+folds identically and a mismatch cannot happen silently).
+
+Folding table: Latin-1 Supplement + Latin Extended-A, single-char
+mappings as ONE ``translate`` (a plain byte-map — no regex per token) plus
+the standard multi-char expansions (ß→ss, Æ→AE, Œ→OE, Þ→TH, Ĳ→IJ) as a
+short ``regexp_replace`` chain.  The table is an EXPLICIT literal — the
+pure-Python query-side twin (:func:`fold_ascii`) shares it, so JVM and
+driver can never drift the way a unicodedata-version-dependent NFKD
+normalization could.  Characters outside the table (Greek, CJK, emoji)
+still hit the ASCII gate and drop — folding widens Latin coverage, it
+does not pretend to transliterate the world.
+
+Spark-first: folding is applied to the WHOLE field string before the
+delimiter split (every mapping is letter→letter(s); no delimiter is
+created or destroyed), so the hot path stays split / translate /
+regexp_replace — Catalyst expressions, whole-stage codegen, no Python.
+Downstream of the forward index everything composes unchanged via
+``index_from_tf`` (salting, varbyte blocks, WAND, persist/resume), and
+docstats keeps the ORIGINAL content sha256 — folding changes terms, never
+the document identity [input_hint].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import FIELD_BODY, FIELD_TITLE
+
+# single-char fold map (Latin-1 Supplement + Latin Extended-A); parallel
+# strings consumed by both str.translate and Spark's translate()
+FOLD_SRC = (
+    "ÀÁÂÃÄÅàáâãäåÇçÈÉÊËèéêëÌÍÎÏìíîïÑñÒÓÔÕÖØòóôõöøÙÚÛÜùúûüÝýÿÐð"
+    "ĀĂĄāăąĆĈĊČćĉċčĎĐďđĒĔĖĘĚēĕėęěĜĞĠĢĝğġģĤĦĥħĨĪĬĮİĩīĭįıĴĵĶķ"
+    "ĹĻĽĿŁĺļľŀłŃŅŇńņňŌŎŐōŏőŔŖŘŕŗřŚŜŞŠśŝşšŢŤŦţťŧŨŪŬŮŰŲũūŭůűųŴŵŶŸŷŹŻŽźżž"
+)
+FOLD_DST = (
+    "AAAAAAaaaaaaCcEEEEeeeeIIIIiiiiNnOOOOOOooooooUUUUuuuuYyyDd"
+    "AAAaaaCCCCccccDDddEEEEEeeeeeGGGGggggHHhhIIIIIiiiiiJjKk"
+    "LLLLLlllllNNNnnnOOOoooRRRrrrSSSSssssTTTtttUUUUUUuuuuuuWwYYyZZZzzz"
+)
+assert len(FOLD_SRC) == len(FOLD_DST)
+
+# multi-char expansions (one char → two): the Lucene ASCIIFolding set for
+# the same two Unicode blocks
+FOLD_MULTI = {
+    "ß": "ss", "Æ": "AE", "æ": "ae", "Œ": "OE", "œ": "oe",
+    "Þ": "TH", "þ": "th", "Ĳ": "IJ", "ĳ": "ij",
+}
+
+_PY_TABLE = str.maketrans(FOLD_SRC, FOLD_DST)
+
+
+def fold_ascii(s: str) -> str:
+    """Pure-Python twin of :func:`fold_ascii_col` — the query-side fold
+    (and test oracle).  Shares the literal table; never unicodedata."""
+    for ch, repl in FOLD_MULTI.items():
+        if ch in s:
+            s = s.replace(ch, repl)
+    return s.translate(_PY_TABLE)
+
+
+def fold_ascii_col(col: Column) -> Column:
+    """Columnar fold: one translate byte-map + a short replace chain."""
+    for ch, repl in FOLD_MULTI.items():
+        col = F.regexp_replace(col, ch, repl)
+    return F.translate(col, FOLD_SRC, FOLD_DST)
+
+
+def fold_doc_terms(
+    docs: DataFrame,
+    stem: bool = False,
+    stopwords: DataFrame | None = None,
+    body_col: str = "content",
+    title_col: str | None = "path",
+) -> DataFrame:
+    """documents → (docid, field, term, tf) under the fold analyzer —
+    drop-in replacement for ``tokenize.doc_terms``: folding runs on the
+    whole field string, then the UNCHANGED reference chain (split, ASCII
+    gate, apostrophe strip, lower, stopword anti-join body-only, stem).
+    """
+    from .tokenize import doc_terms
+
+    folded = docs.withColumn(body_col, fold_ascii_col(F.col(body_col)))
+    if title_col is not None:
+        folded = folded.withColumn(title_col, fold_ascii_col(F.col(title_col)))
+    return doc_terms(
+        folded, stem=stem, stopwords=stopwords,
+        body_col=body_col, title_col=title_col,
+    )
+
+
+def build_fold_index(
+    spark,
+    docs: DataFrame,
+    stem: bool = False,
+    stopwords: DataFrame | None = None,
+    body_col: str = "content",
+    title_col: str | None = "path",
+    **index_kwargs,
+):
+    """Full index under the fold analyzer — same downstream code path as
+    the reference-semantics build (``index_from_tf``: salting, varbyte,
+    buckets, stats), with ``analyzer="fold"`` persisted so QueryEngine
+    folds query terms automatically.  docstats' content_sha256 hashes the
+    ORIGINAL text (identity, not analysis)."""
+    from .index_build import index_from_tf
+
+    tf = fold_doc_terms(
+        docs, stem=stem, stopwords=stopwords,
+        body_col=body_col, title_col=title_col,
+    )
+    idx = index_from_tf(docs, tf, stem=stem, body_col=body_col, **index_kwargs)
+    idx.analyzer = "fold"
+    return idx

@@ -68,7 +68,9 @@ class QueryEngine:
         self.stem = index.stem if stem is None else stem
         # analyzer follows the index (persisted in _index_meta): a "code"
         # index splits identifiers into subtokens, so query tokens must be
-        # split the same way ("parseJson" → probe [parse, json])
+        # split the same way ("parseJson" → probe [parse, json]); a "fold"
+        # index transliterated accented Latin content, so query tokens
+        # fold identically ("naïve" → probe "naive")
         self.analyzer = index.analyzer
         # bucket-pruning literals MUST use the bucket count the index was
         # BUILT with (IndexTables.n_buckets — read_index recovers it from
@@ -120,6 +122,17 @@ class QueryEngine:
         # SymSpell deletion indexes (plans/fuzzy.py), built lazily per
         # max_edit on first did_you_mean call and kept warm like docstats
         self._del_idx: dict[int, DataFrame] = {}
+
+    def _fold_raw(self, t: str) -> str:
+        """Query-side analyzer fold: under ``analyzer="fold"`` every raw
+        query token transliterates through the SAME literal table the
+        build used (operators/fold_tokens.py); other analyzers pass
+        through untouched."""
+        if self.analyzer != "fold":
+            return t
+        from ..operators.fold_tokens import fold_ascii
+
+        return fold_ascii(t)
 
     def close(self) -> None:
         """Release the engine's docstats cache (no-op if caching was off),
@@ -460,14 +473,15 @@ class QueryEngine:
         # stems on both sides)
         syn_cleaned: dict[str, list[str]] = {}
         for key, members in (synonyms or {}).items():
-            ck = clean_query_term(key, stem=self.stem)
+            ck = clean_query_term(self._fold_raw(key), stem=self.stem)
             if ck is None:
                 continue
             cms = sorted(
                 {
                     c
                     for c in (
-                        clean_query_term(m, stem=self.stem) for m in members
+                        clean_query_term(self._fold_raw(m), stem=self.stem)
+                        for m in members
                     )
                     if c is not None
                 }
@@ -484,6 +498,10 @@ class QueryEngine:
 
         for kind, target, raw_terms in parsed:
             if kind == "terms":
+                # fold analyzer: transliterate query tokens the way the
+                # build folded content ('*' and spaces are untouched, so
+                # wildcard and phrase handling below see folded text)
+                raw_terms = [self._fold_raw(t) for t in raw_terms]
                 words = raw_terms
                 if phrases == "positional":
                     words = [t for t in raw_terms if " " not in t.strip()]
@@ -912,6 +930,12 @@ class QueryEngine:
             has_wildcard = any(
                 "*" in t for _, _, raw in parsed for t in raw
             )
+            if self.analyzer == "fold":
+                # 1:1 transliteration — WAND composes fine with folding
+                parsed = [
+                    (kind, target, [self._fold_raw(t) for t in raw])
+                    for kind, target, raw in parsed
+                ]
             if self.analyzer == "code" and not has_wildcard:
                 # split query tokens the way the build did — a camelCase
                 # token probed verbatim against the subtoken dictionary
@@ -1218,6 +1242,7 @@ class QueryEngine:
         filter (completion is most useful on short fragments); stemming is
         NOT applied — the user is completing an indexed surface form.
         """
+        prefix = self._fold_raw(prefix)
         if any(ord(ch) > 127 for ch in prefix):
             return self.spark.createDataFrame([], "term string, df long")
         p = prefix.replace("'", "").lower()
@@ -1427,7 +1452,7 @@ class QueryEngine:
                 if " " in raw.strip():
                     continue
                 # a code index holds subtokens — probe what search() probes
-                pieces = [raw]
+                pieces = [self._fold_raw(raw)]
                 if self.analyzer == "code":
                     from ..operators.code_tokens import code_tokenize
 
@@ -1490,7 +1515,7 @@ class QueryEngine:
                     else:
                         fixed.append(p)
                 return (" ".join(fixed) + suffix) if changed else tok
-            c = clean_query_term(base, stem=self.stem)
+            c = clean_query_term(self._fold_raw(base), stem=self.stem)
             if c is not None and c in corrections:
                 return corrections[c] + suffix
             return tok

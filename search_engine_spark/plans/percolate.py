@@ -64,6 +64,7 @@ def compile_queries(
     spark: SparkSession,
     queries: Iterable[Sequence],
     stem: bool = False,
+    fold: bool = False,
 ) -> DataFrame:
     """Register stored queries → the compiled requirements DataFrame.
 
@@ -77,7 +78,10 @@ def compile_queries(
 
     Queries whose every token cleans away are dropped (the forward engine
     returns an empty result for them — nothing can ever match).  ``stem``
-    must mirror the tokenization the matched documents will get.
+    and ``fold`` must mirror the tokenization the matched documents will
+    get (fold = the ASCII-folding analyzer, operators/fold_tokens.py —
+    term tokens transliterate before cleaning; facet values stay unfolded,
+    matching QueryEngine's analyzer scope).
     """
     rows: list[tuple] = []
     seen_qids: set[str] = set()
@@ -96,6 +100,10 @@ def compile_queries(
         for kind, target, raw_terms in parse_query(query):
             if kind == "terms":
                 for t in raw_terms:
+                    if fold:
+                        from ..operators.fold_tokens import fold_ascii
+
+                        t = fold_ascii(t)
                     c = clean_query_term(t, stem=stem)
                     if c is not None:
                         keys.add(("terms", target, c))
@@ -118,6 +126,7 @@ def _doc_keys(
     stopwords: DataFrame | None,
     body_col: str,
     title_col: str | None,
+    fold: bool = False,
 ) -> DataFrame:
     """→ DISTINCT (docid, kind, target, key) the documents expose.
 
@@ -127,6 +136,12 @@ def _doc_keys(
     actually uses (a tiny registration-scale collect), lowercased the way
     `_matches_for_facet` lowercases the docstats column.
     """
+    if fold:
+        from ..operators.fold_tokens import fold_ascii_col
+
+        docs = docs.withColumn(body_col, fold_ascii_col(F.col(body_col)))
+        if title_col is not None and title_col in docs.columns:
+            docs = docs.withColumn(title_col, fold_ascii_col(F.col(title_col)))
     body = terms_for_field(docs, body_col, FIELD_BODY, stem=False)
     if stopwords is not None:
         body = body.join(
@@ -184,6 +199,7 @@ def percolate(
     stopwords: DataFrame | None = None,
     body_col: str = "content",
     title_col: str | None = "path",
+    fold: bool = False,
 ) -> DataFrame:
     """Match every document against every registered query.
 
@@ -198,7 +214,7 @@ def percolate(
     """
     if "docid" not in docs.columns:
         raise ValueError("docs must carry a docid column (see add_docid)")
-    keys = _doc_keys(docs, compiled, stem, stopwords, body_col, title_col)
+    keys = _doc_keys(docs, compiled, stem, stopwords, body_col, title_col, fold)
     matched = keys.join(
         F.broadcast(compiled), on=["kind", "target", "key"]
     )

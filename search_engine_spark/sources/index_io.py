@@ -433,6 +433,21 @@ def _build_slices(
 
     from ..operators.tokenize import doc_base, doc_terms_from_base
 
+    # the slice tokenizer is the REFERENCE analyzer — growing a root whose
+    # finalized tables hold code/fold vocabulary would silently mix token
+    # spaces (new docs indexed under different terms than old ones)
+    try:
+        meta = read_meta_file(spark, f"{root}/_index_meta")
+    except Exception:
+        meta = {}
+    analyzer = str(meta.get("analyzer", "reference"))
+    if analyzer != "reference":
+        raise ValueError(
+            f"cannot grow {root}: it was built with analyzer={analyzer!r} "
+            "but the slice log tokenizes with reference semantics — "
+            "rebuild single-shot or merge separate roots instead"
+        )
+
     base_kwargs = {
         k: v for k, v in build_kwargs.items() if k in ("body_col", "title_col")
     }

@@ -514,3 +514,27 @@ def test_ingest_stream_percolate_flag(spark, tiny_df, tmp_path, capsys):
         ["ingest-stream", "--landing", landing, "--output", root,
          "--percolate", str(qfile)]
     ) == 2
+
+
+def test_build_fold_analyzer(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [("r/a", "src/café.py", "c1", "python",
+          "naïve café Müller straße implementation"),
+         ("r/b", "src/b.py", "c2", "python",
+          "naive cafe muller strasse implementation")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    src = str(tmp_path / "fdocs")
+    docs.write.parquet(src)
+    root = str(tmp_path / "fidx")
+    assert main(["build", "--input", src, "--output", root,
+                 "--analyzer", "fold"]) == 0
+    out = capsys.readouterr().out
+    assert "fold analyzer" in out
+    rc = main(["search", "--index", root, "--query", "values: naïve café"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("\n") >= 2  # both docs rank
+    # fold + slices is refused (the slice log tokenizes reference-style)
+    assert main(["build", "--input", src, "--output", root,
+                 "--analyzer", "fold", "--slices", "2"]) == 2

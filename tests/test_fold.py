@@ -1,0 +1,188 @@
+"""ASCII-folding analyzer (operators/fold_tokens.py): columnar fold ==
+python twin, engine parity vs the oracle over python-folded text, WAND
+composition, persist/reload, growth guard, percolate config."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.fold_tokens import (
+    FOLD_MULTI,
+    FOLD_SRC,
+    build_fold_index,
+    fold_ascii,
+    fold_ascii_col,
+)
+from search_engine_spark.oracle import build_oracle_index, score_query
+from search_engine_spark.plans.bm25 import QueryEngine
+from search_engine_spark.plans.query_parser import parse_query
+
+ACCENTED_DOCS = [
+    {"repo": "r/a", "path": "src/café_module.py", "commit": "c1", "lang": "python",
+     "content": "naïve café implementation — Müller straße Łódź zażółć"},
+    {"repo": "r/b", "path": "src/plain.py", "commit": "c2", "lang": "python",
+     "content": "naive cafe implementation plain ascii muller strasse"},
+    {"repo": "r/c", "path": "src/other.go", "commit": "c3", "lang": "go",
+     "content": "Þorvald's encyclopædia œuvre ĲSSELMEER 中文 emoji✨ text"},
+]
+
+
+def _with_ids(docs):
+    from search_engine_spark.fixtures import with_docids
+
+    return with_docids(docs)
+
+
+def test_fold_column_equals_python_twin(spark):
+    """Every mapped char, every multi-char expansion, and untouched
+    non-Latin text: Spark translate/replace chain == str.translate twin."""
+    samples = [
+        FOLD_SRC,
+        "".join(FOLD_MULTI),
+        "naïve café Müller Łódź Øre ĲSSELMEER straße Æon œuvre Þing",
+        "plain ascii stays put 123 _-*",
+        "中文 и кириллица καὶ ελληνικά ✨",   # outside the table: untouched
+        "",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = [r["f"] for r in df.select(fold_ascii_col(F.col("s")).alias("f")).collect()]
+    assert got == [fold_ascii(s) for s in samples]
+    # the defining examples
+    assert fold_ascii("naïve") == "naive"
+    assert fold_ascii("straße") == "strasse"
+    assert fold_ascii("ĲSSELMEER") == "IJSSELMEER"
+    assert fold_ascii("中文") == "中文"
+
+
+@pytest.fixture(scope="module")
+def fold_corpus(spark):
+    docs = _with_ids(ACCENTED_DOCS)
+    df = spark.createDataFrame(docs).select(
+        "docid", "repo", "path", "commit", "lang", "content"
+    )
+    return docs, df
+
+
+def test_fold_engine_matches_python_folded_oracle(spark, fold_corpus):
+    """BM25 over a fold index == oracle.score_query over PYTHON-folded
+    documents (content + path folded with the shared twin)."""
+    docs, df = fold_corpus
+    idx = build_fold_index(spark, df)
+    eng = QueryEngine(spark, idx)
+    folded_docs = [
+        {**d, "content": fold_ascii(d["content"]), "path": fold_ascii(d["path"])}
+        for d in docs
+    ]
+    oracle = build_oracle_index(folded_docs)
+    for query in [
+        "values: naïve café",          # accented query folds to ascii
+        "values: naive cafe",          # ascii query hits accented docs too
+        "values: strasse müller",
+        "values: encyclopædia œuvre",
+        "title: café_module",
+        "values: 中文",                 # outside the table → ASCII gate drops
+    ]:
+        got = [
+            (r["docid"], round(r["score"], 6))
+            for r in eng.search(query, k=10).collect()
+        ]
+        want = [
+            (docid, round(s, 6))
+            for _, docid, s in score_query(
+                # the python model folds the query the way the engine does
+                # (fold before clean); category labels/delimiters are ASCII
+                # so parse structure is unchanged
+                oracle, parse_query(fold_ascii(query)), k=10
+            )
+        ]
+        assert got == want, query
+    # identity on the doc: sha256 is of the ORIGINAL text, not the folded
+    sha = {r["docid"]: r["content_sha256"] for r in idx.docstats.collect()}
+    import hashlib
+
+    for d in docs:
+        assert sha[d["docid"]] == hashlib.sha256(d["content"].encode()).hexdigest()
+
+
+def test_fold_wand_matches_exhaustive(spark, fold_corpus):
+    _, df = fold_corpus
+    idx = build_fold_index(spark, df)
+    eng = QueryEngine(spark, idx)
+    for q in ["values: naïve café", "values: strasse implementation"]:
+        ex = [(r["docid"], round(r["score"], 6)) for r in eng.search(q, k=10).collect()]
+        wd = [(r["docid"], round(r["score"], 6))
+              for r in eng.search(q, k=10, strategy="wand").collect()]
+        assert ex and wd == ex, q
+    eng.close()
+
+
+def test_fold_identity_on_pure_ascii_corpus(spark, tiny_df):
+    """Folding is the identity on ASCII content: the fold build's
+    dictionary and postings blocks == the reference build's, bit for bit
+    (only the persisted analyzer tag differs).  The fixture corpus's
+    adversarial accented docs are filtered out — they are exactly where
+    the two builds MUST differ."""
+    from search_engine_spark.operators.index_build import build_index
+
+    ascii_df = tiny_df.where(
+        (F.octet_length("content") == F.length("content"))
+        & (F.octet_length("path") == F.length("path"))
+    )
+    assert ascii_df.count() >= 50  # the subset stays a real corpus
+    tiny_index = build_index(spark, ascii_df)
+    fidx = build_fold_index(spark, ascii_df)
+
+    def fingerprint(idx):
+        return {
+            (r["field"], r["term"], r["df"], tuple(bytes(b) for b in r["blocks"]))
+            for r in idx.postings.select("field", "term", "df", "blocks").collect()
+        }
+
+    assert fingerprint(fidx) == fingerprint(tiny_index)
+    assert fidx.analyzer == "fold"
+
+
+def test_fold_persist_reload_and_suggest(spark, fold_corpus, tmp_path):
+    from search_engine_spark.sources.index_io import read_index, write_index
+
+    _, df = fold_corpus
+    idx = build_fold_index(spark, df)
+    root = str(tmp_path / "fold_idx")
+    write_index(idx, root)
+    re = read_index(spark, root)
+    assert re.analyzer == "fold"
+    eng = QueryEngine(spark, re)
+    assert eng.search("values: naïve", k=5).count() >= 2
+    # suggest folds the prefix: 'naï' completes against folded dictionary
+    assert [r["term"] for r in eng.suggest("naï", k=3).collect()] == ["naive"]
+
+
+def test_fold_root_refuses_reference_growth(spark, fold_corpus, tmp_path):
+    from search_engine_spark.sources.index_io import (
+        commit_snapshot_slices,
+        write_index,
+    )
+
+    _, df = fold_corpus
+    idx = build_fold_index(spark, df)
+    root = str(tmp_path / "fold_grow")
+    write_index(idx, root)
+    with pytest.raises(ValueError, match="analyzer='fold'"):
+        commit_snapshot_slices(spark, df, root, snapshot_id=1, n_slices=1)
+
+
+def test_fold_percolate_config(spark, fold_corpus):
+    from search_engine_spark.plans.percolate import compile_queries, percolate
+
+    docs, df = fold_corpus
+    accented = [d["docid"] for d in docs if "naïve" in d["content"]]
+    plain = [d["docid"] for d in docs if "naive" in d["content"]]
+    compiled = compile_queries(spark, [("q", "values: naïve", "or")], fold=True)
+    got = {r["docid"] for r in percolate(df, compiled, fold=True).collect()}
+    assert got == set(accented + plain)
+    # without fold: the accented doc's token keeps its bytes and the
+    # ASCII gate drops it — only nothing matches the folded key
+    comp2 = compile_queries(spark, [("q", "values: naïve", "or")])
+    got2 = {r["docid"] for r in percolate(df, comp2).collect()}
+    assert got2 == set()
