@@ -11,6 +11,7 @@ with an id tie-break so rank columns are engine-independent.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -231,7 +232,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("porter").alias("analyzer"),
             F.col("docid").alias("doc_id"), "term", "tf",
         )
-        return plain.unionByName(stemmed)
+        # 'fold' leg (round 3): accented tokens appended deterministically
+        # (testdata is pure ASCII), folded by the analyzer on both sides
+        from search_engine_spark.operators.fold_tokens import fold_doc_terms
+
+        aug = _raw_docs(spark, sf).select(
+            F.col("doc_id").alias("docid"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(_ACCENT_SUFFIX)),
+            )
+            .otherwise(F.col("text"))
+            .alias("content"),
+        )
+        folded = fold_doc_terms(aug, title_col=None).select(
+            F.lit("fold").alias("analyzer"),
+            F.col("docid").alias("doc_id"), "term", "tf",
+        )
+        return plain.unionByName(stemmed).unionByName(folded)
 
     def q_dictionary(spark, sf):
         return (
@@ -444,7 +462,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           (twin restricts the plain ranking to qualifying docs);
         - 'function_score' (round 3): field-value-factor rescore
           score·log1p(doclen) — the twin multiplies the unrounded BM25
-          sum by ln(1+dl) before the shared 6dp round.
+          sum by ln(1+dl) before the shared 6dp round;
+        - 'gauss_decay' (round 3): ES decay function_score —
+          score·exp(ln(.5)/scale²·dist²), dist = max(0, |dl−origin|),
+          origin 100 / scale 50; twin applies the identical closed form.
         """
         from search_engine_spark.operators.index_build import build_index
         from search_engine_spark.plans.bm25 import QueryEngine
@@ -477,6 +498,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fs_rows = eng.search(
             q, k=100, score_fn={"field": "doclen", "modifier": "log1p"}
         ).collect()
+        decay_rows = eng.search(
+            q, k=100,
+            score_fn={
+                "field": "doclen", "modifier": "gauss_decay",
+                "origin": 100.0, "scale": 50.0,
+            },
+        ).collect()
         index.unpersist()
         parts = []
         for tag, rows in (
@@ -484,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("boosted", boost_rows),
             ("filtered", filt_rows),
             ("function_score", fs_rows),
+            ("gauss_decay", decay_rows),
         ):
             ranked = rerank(rows)
             parts.append(
@@ -497,17 +526,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out
 
     def q_match_count(spark, sf):
-        """Total-match count ("about N results") through the engine."""
+        """Total-match count ("about N results") through the engine, plus
+        PERCOLATOR verdict counts (round 3): two stored queries — the same
+        term pair registered OR and AND — percolated over the corpus
+        (plans/percolate.py broadcast reverse-join); the twin recounts
+        both from the tf relation."""
         from search_engine_spark.operators.index_build import build_index
         from search_engine_spark.plans.bm25 import QueryEngine
+        from search_engine_spark.plans.percolate import compile_queries, percolate
         from search_engine_spark.sources.corpus import load_testdata_documents
 
         docs = load_testdata_documents(spark, sf)
         index = build_index(spark, docs, compress=True, title_col=None)
         eng = QueryEngine(spark, index, cache_docstats=False)
         n = eng.match_count("values: " + " ".join(BM25_TERMS))
+        t1, t2 = BM25_TERMS[0], BM25_TERMS[1]
+        compiled = compile_queries(
+            spark,
+            [("perc_or", f"values: {t1} {t2}", "or"),
+             ("perc_and", f"values: {t1} {t2}", "and")],
+        )
+        pc = {
+            r["qid"]: r["n"]
+            for r in percolate(docs, compiled, title_col=None)
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
         index.unpersist()
-        return spark.range(1).select(F.lit(int(n)).cast("long").alias("n"))
+        rows = [
+            ("match_count", int(n)),
+            ("perc_or", int(pc.get("perc_or", 0))),
+            ("perc_and", int(pc.get("perc_and", 0))),
+        ]
+        return (
+            spark.range(1)
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(p).alias("probe"),
+                                F.lit(v).cast("long").alias("n"),
+                            )
+                            for p, v in rows
+                        ]
+                    )
+                ).alias("r")
+            )
+            .select("r.*")
+        )
 
     def q_bm25_prefix(spark, sf):
         """Prefix query ('{PREFIX_BASE}*'): dictionary-expanded to ≤64
@@ -1722,6 +1790,41 @@ _TOKS_ARRAY_SQL = (
     f"'{DELIM_CLASS}'), t -> t <> '')"
 )
 
+# fold-analyzer twin: the driver testdata is pure ASCII (verified), so the
+# leg deterministically appends accented tokens to every 7th doc on BOTH
+# sides, then folds with the SAME literal table (DuckDB translate/replace
+# mirror operators/fold_tokens.fold_ascii_col) — exercising real
+# transliteration, not just the identity path
+_ACCENT_SUFFIX = " naïve café straße Ĳsselmeer Łódź"
+
+
+def _fold_sql_expr(col_expr: str) -> str:
+    from search_engine_spark.operators.fold_tokens import (
+        FOLD_DST,
+        FOLD_MULTI,
+        FOLD_SRC,
+    )
+
+    e = col_expr
+    for ch, repl in FOLD_MULTI.items():
+        e = f"replace({e}, '{ch}', '{repl}')"
+    return f"translate({e}, '{FOLD_SRC}', '{FOLD_DST}')"
+
+
+_FOLD_TEXT = _fold_sql_expr(
+    f"CASE WHEN doc_id % 7 = 0 THEN text || '{_ACCENT_SUFFIX}' ELSE text END"
+)
+
+_FOLD_TF_SQL = f"""
+  SELECT doc_id, term, CAST(count(*) AS INT) AS tf
+  FROM (
+    SELECT doc_id, lower(replace(tok, '''', '')) AS term FROM (
+      SELECT doc_id, unnest(regexp_split_to_array({_FOLD_TEXT}, '{DELIM_CLASS}')) AS tok
+      FROM documents
+    ) WHERE tok <> '' AND regexp_matches(tok, '^[\\x00-\\x7F]+$')
+  ) WHERE term <> '' GROUP BY doc_id, term
+"""
+
 # surviving cleaned token stream WITH 0-based ordinals — the positional
 # semantics of operators/positions.py (generate_subscripts + unnest of the
 # same list zip row-wise in DuckDB)
@@ -1941,7 +2044,13 @@ SELECT 'porter' AS analyzer, doc_id, term, tf FROM (
   FROM tf JOIN sm ON tf.term = sm.term
   GROUP BY tf.doc_id, sm.stem
 )
-""" if stem_values else f"SELECT 'plain' AS analyzer, doc_id, term, tf FROM ({_TF_SQL})"
+UNION ALL
+SELECT 'fold' AS analyzer, doc_id, term, tf FROM ({_FOLD_TF_SQL})
+""" if stem_values else f"""
+SELECT 'plain' AS analyzer, doc_id, term, tf FROM ({_TF_SQL})
+UNION ALL
+SELECT 'fold' AS analyzer, doc_id, term, tf FROM ({_FOLD_TF_SQL})
+"""
 
     sql["dictionary_df"] = (
         f"SELECT term, CAST(count(*) AS BIGINT) AS df FROM ({_TF_SQL}) GROUP BY term"
@@ -2128,9 +2237,18 @@ SELECT 'compact' AS variant, rank, doc_id, score FROM ({_compact_twin})
     # filter clause: the plain BM25 ranking restricted to qualifying docs —
     # same contributions, rows dropped by lang equality + doclen range
     _f_tlist = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    _p1, _p2 = BM25_TERMS[0], BM25_TERMS[1]
     sql["match_count"] = f"""
-SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+SELECT 'match_count' AS probe, CAST(count(DISTINCT doc_id) AS BIGINT) AS n
 FROM ({_TF_SQL}) WHERE term IN ({_f_tlist})
+UNION ALL
+SELECT 'perc_or' AS probe, CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+FROM ({_TF_SQL}) WHERE term IN ('{_p1}', '{_p2}')
+UNION ALL
+SELECT 'perc_and' AS probe, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT doc_id FROM ({_TF_SQL}) WHERE term IN ('{_p1}', '{_p2}')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+)
 """
 
     # BM25F twin: title = substring(text, 1, 60) through the same
@@ -2508,6 +2626,33 @@ scored AS (
 agg AS (SELECT doc_id, sum(contrib) AS raw FROM scored GROUP BY doc_id),
 fs AS (
   SELECT a.doc_id, round(a.raw * ln(1.0 + dl.dl), 6) AS score
+  FROM agg a JOIN dl ON a.doc_id = dl.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
+FROM fs ORDER BY score DESC, doc_id LIMIT 10
+)
+UNION ALL
+SELECT 'gauss_decay' AS variant, rank, doc_id, score FROM (
+WITH tf AS ({_TF_SQL}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM tf) / (SELECT count(*) FROM documents) AS avgdl
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf WHERE term IN ({_f_tlist}) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+           * tf.tf * {K1 + 1.0}
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS contrib
+  FROM tf JOIN dfs ON tf.term = dfs.term JOIN dl ON tf.doc_id = dl.doc_id, stats
+),
+agg AS (SELECT doc_id, sum(contrib) AS raw FROM scored GROUP BY doc_id),
+fs AS (
+  SELECT a.doc_id,
+         round(a.raw * exp({math.log(0.5) / (50.0 * 50.0)!r}
+               * (greatest(0.0, abs(dl.dl - 100.0))
+                  * greatest(0.0, abs(dl.dl - 100.0)))), 6) AS score
   FROM agg a JOIN dl ON a.doc_id = dl.doc_id
 )
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score

@@ -685,9 +685,13 @@ def cmd_percolate(args) -> int:
                 print(f"{args.queries}:{ln}: expected qid<TAB>mode<TAB>query")
                 return 2
             stored.append((parts[0], parts[2], parts[1]))
-    compiled = compile_queries(spark, stored, stem=args.stem)
+    compiled = compile_queries(
+        spark, stored, stem=args.stem, fold=getattr(args, "fold", False)
+    )
     docs = _load_docs(spark, args.docs)
-    out = percolate(docs, compiled, stem=args.stem)
+    out = percolate(
+        docs, compiled, stem=args.stem, fold=getattr(args, "fold", False)
+    )
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
@@ -1025,6 +1029,11 @@ def main(argv: list[str] | None = None) -> int:
         "instead of printing",
     )
     pc.add_argument("--stem", action="store_true")
+    pc.add_argument(
+        "--fold", action="store_true",
+        help="match under the ASCII-folding analyzer (mirror a "
+        "--analyzer fold ingest)",
+    )
     pc.add_argument("--limit", type=int, default=50)
     pc.set_defaults(fn=cmd_percolate)
 
