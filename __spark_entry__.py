@@ -129,9 +129,11 @@ def _bm25_scores(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFram
     )
 
 
-def _bm25_sql(terms: list[str], and_mode: bool) -> str:
+def _bm25_sql(terms: list[str], and_mode: bool, min_match: int | None = None) -> str:
     tlist = ", ".join(f"'{t}'" for t in terms)
     having = f"HAVING count(DISTINCT term) = {len(terms)}" if and_mode else ""
+    if min_match is not None:
+        having = f"HAVING count(DISTINCT term) >= {min_match}"
     return f"""
 WITH tf AS ({_TF_SQL}),
 stats AS (
@@ -466,6 +468,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         - 'gauss_decay' (round 3): ES decay function_score —
           score·exp(ln(.5)/scale²·dist²), dist = max(0, |dl−origin|),
           origin 100 / scale 50; twin applies the identical closed form.
+        - 'min_should_match' (round 3): Lucene minimumNumberShouldMatch
+          m=2 over the 3-term OR — twin gates the plain scoring on
+          HAVING count(DISTINCT term) >= 2.
         """
         from search_engine_spark.operators.index_build import build_index
         from search_engine_spark.plans.bm25 import QueryEngine
@@ -505,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "origin": 100.0, "scale": 50.0,
             },
         ).collect()
+        msm_rows = eng.search(q, k=100, min_should_match=2).collect()
         index.unpersist()
         parts = []
         for tag, rows in (
@@ -513,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("filtered", filt_rows),
             ("function_score", fs_rows),
             ("gauss_decay", decay_rows),
+            ("min_should_match", msm_rows),
         ):
             ranked = rerank(rows)
             parts.append(
@@ -2658,6 +2665,9 @@ fs AS (
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
 FROM fs ORDER BY score DESC, doc_id LIMIT 10
 )
+UNION ALL
+SELECT 'min_should_match' AS variant, rank, doc_id, score
+FROM ({_bm25_sql(BM25_TERMS, and_mode=False, min_match=2)})
 """
 
     # events analytics, one tagged twin (event_windows).  Window keys are

@@ -358,6 +358,13 @@ def cmd_search(args) -> int:
                 file=sys.stderr,
             )
             return 2
+        if getattr(args, "min_should_match", None) is not None:
+            print(
+                "error: --min-should-match needs the exhaustive engine; "
+                "drop --wand (m-of-n gating is not block-max prunable here)",
+                file=sys.stderr,
+            )
+            return 2
         if "," in args.index:
             print(
                 "error: --wand does not support federated roots (segment "
@@ -523,6 +530,7 @@ def cmd_search(args) -> int:
         rows = engine.search(
             args.query, mode=args.mode, k=args.k, with_display=True,
             phrases=phrases, synonyms=syns, score_fn=score_fn,
+            min_should_match=getattr(args, "min_should_match", None),
         ).collect()
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
@@ -930,6 +938,11 @@ def main(argv: list[str] | None = None) -> int:
         "field_value_factor semantics); decay form "
         "FIELD:{gauss,exp,linear}_decay:ORIGIN:SCALE[:WEIGHT[:combine]], "
         "e.g. doclen:gauss_decay:200:100",
+    )
+    s.add_argument(
+        "--min-should-match", type=int, default=None, metavar="M",
+        help="OR queries: keep docs matching at least M query keys "
+        "(Lucene minimumNumberShouldMatch; M=1 plain OR, M=n AND)",
     )
     s.add_argument("--wand", action="store_true", help="block-max WAND path (driver traversal)")
     s.add_argument(

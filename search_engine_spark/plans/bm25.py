@@ -640,12 +640,32 @@ class QueryEngine:
         filters: dict | None = None,
         synonyms: dict[str, list[str]] | None = None,
         score_fn: dict | None = None,
+        min_should_match: int | None = None,
     ) -> DataFrame | None:
         """The DISTRIBUTED scored match set — (docid, score) for every
         matching doc, no top-k cut.  None when the query parses to nothing.
         Shared by search(), search_collapsed() and facet histogramming;
         downstream consumers add their own rank/cut so the scoring plan
-        (probe → decode → fold) is built exactly once per feature."""
+        (probe → decode → fold) is built exactly once per feature.
+
+        ``min_should_match``: Lucene ``BooleanQuery.setMinimumNumberShould-
+        Match`` / Elasticsearch ``minimum_should_match`` (public design) —
+        in OR mode, keep only docs matching at least m of the globally
+        deduplicated required keys.  m = 1 ≡ plain OR, m = n_required ≡
+        AND; m > n_required matches nothing (the Lucene convention — no
+        silent clamping).  Zero extra plan cost: the deterministic fold
+        already carries ``n_matched``, so this is one more predicate on
+        the aggregated frame — no second pass, no extra exchange."""
+        if min_should_match is not None:
+            if not isinstance(min_should_match, int) or min_should_match < 1:
+                raise ValueError(
+                    f"min_should_match must be an int >= 1, got {min_should_match!r}"
+                )
+            if mode == "and":
+                raise ValueError(
+                    "min_should_match applies to OR mode only (AND already "
+                    "requires every key; m = n_required IS the AND query)"
+                )
         matches, n_required = self._query_matches(
             query, phrases=phrases, boosts=boosts, synonyms=synonyms
         )
@@ -658,6 +678,8 @@ class QueryEngine:
         agg = matches.groupBy("docid").agg(*self._ordered_score_agg())
         if mode == "and":
             agg = agg.where(F.col("n_matched") >= F.lit(n_required))
+        elif min_should_match is not None:
+            agg = agg.where(F.col("n_matched") >= F.lit(int(min_should_match)))
         if score_fn is not None:
             agg = self._function_score(agg, score_fn)
         return agg
@@ -844,6 +866,7 @@ class QueryEngine:
         filters: dict | None = None,
         synonyms: dict[str, list[str]] | None = None,
         score_fn: dict | None = None,
+        min_should_match: int | None = None,
     ) -> DataFrame:
         """→ DataFrame(rank, docid, score[, repo, path, lang]) — k rows max.
 
@@ -902,6 +925,13 @@ class QueryEngine:
         recency, popularity — any stored per-doc signal.  Applied BEFORE
         ``after=`` so pagination cursors stay consistent with the final
         ranking.  Exhaustive engine only.
+
+        ``min_should_match``: m-of-n boolean gate on OR queries (Lucene
+        ``minimumNumberShouldMatch`` / ES ``minimum_should_match``) — keep
+        docs matching ≥ m of the query's deduplicated required keys; m=1 ≡
+        OR, m=n ≡ AND, m>n matches nothing.  Scores of surviving docs are
+        unchanged (the keys still score independently).  Exhaustive engine
+        only.
         """
         if strategy not in ("exhaustive", "wand"):
             raise ValueError(f"strategy must be 'exhaustive' or 'wand', got {strategy!r}")
@@ -917,6 +947,8 @@ class QueryEngine:
             raise ValueError("synonyms= need the exhaustive engine")
         if score_fn and strategy == "wand":
             raise ValueError("score_fn= needs the exhaustive engine")
+        if min_should_match is not None and strategy == "wand":
+            raise ValueError("min_should_match= needs the exhaustive engine")
         if strategy == "wand":
             parsed = parse_query(query)
             has_phrase = phrases == "positional" and any(
@@ -980,6 +1012,7 @@ class QueryEngine:
             filters=filters,
             synonyms=synonyms,
             score_fn=score_fn,
+            min_should_match=min_should_match,
         )
         if agg is None:
             return self._empty_result(with_display)

@@ -538,3 +538,32 @@ def test_build_fold_analyzer(spark, tmp_path, capsys):
     # fold + slices is refused (the slice log tokenizes reference-style)
     assert main(["build", "--input", src, "--output", root,
                  "--analyzer", "fold", "--slices", "2"]) == 2
+
+
+def test_search_min_should_match(spark, tiny_df, tmp_path, capsys):
+    """--min-should-match gates the OR match set m-of-n end-to-end;
+    --wand refuses it with exit 2."""
+    src = str(tmp_path / "docs_msm")
+    root = str(tmp_path / "idx_msm")
+    tiny_df.write.parquet(src)
+    assert main(["build", "--input", src, "--output", root]) == 0
+    capsys.readouterr()
+
+    q = "values: parse_json0 merge_index0 load_config0"
+    assert main(["search", "--index", root, "--query", q, "-k", "100"]) == 0
+    plain = capsys.readouterr().out
+    assert main(
+        ["search", "--index", root, "--query", q, "-k", "100",
+         "--min-should-match", "2"]
+    ) == 0
+    gated = capsys.readouterr().out
+    n_plain = sum(1 for ln in plain.splitlines() if ln.strip()[:1].isdigit())
+    n_gated = sum(1 for ln in gated.splitlines() if ln.strip()[:1].isdigit())
+    assert 0 < n_gated < n_plain
+
+    rc = main(
+        ["search", "--index", root, "--query", q, "--wand",
+         "--min-should-match", "2"]
+    )
+    assert rc == 2
+    assert "min-should-match" in capsys.readouterr().err

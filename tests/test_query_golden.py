@@ -445,3 +445,56 @@ def test_suggest_prefix_completion(engine, tiny_oracle):
     assert engine.suggest("ZZ_nothing").count() == 0
     assert engine.suggest("naïve").count() == 0
     assert engine.suggest("").count() == 0
+
+
+def test_min_should_match(engine, tiny_docs, tiny_oracle):
+    """minimum_should_match m-of-n gate (Lucene BooleanQuery semantics):
+    results ≡ the plain OR ranking restricted to docs matching >= m
+    distinct query terms, scores unchanged; m=1 identity, m=n ≡ AND,
+    m>n empty; validation + wand refusal are loud."""
+    from search_engine_spark.oracle import tokenize
+
+    q = "values: merge_index0 scan_block0 def"
+    terms = ["merge_index0", "scan_block0", "def"]
+    full = [
+        (r["docid"], r["score"])
+        for r in engine.search(q, k=100000).collect()
+    ]
+    n_hit = {
+        d["docid"]: sum(t in set(tokenize(d["content"])) for t in terms)
+        for d in tiny_docs
+    }
+
+    for m in (1, 2, 3):
+        got = [
+            (r["docid"], r["score"])
+            for r in engine.search(q, k=100000, min_should_match=m).collect()
+        ]
+        want = [(d, s) for d, s in full if n_hit[d] >= m]
+        assert got == want, m
+    # m=1 is the identity; m=2 strictly between OR and AND on this corpus
+    assert [
+        (r["docid"], r["score"])
+        for r in engine.search(q, k=100000, min_should_match=1).collect()
+    ] == full
+    got2 = engine.search(q, k=100000, min_should_match=2).collect()
+    assert 0 < len(got2) < len(full)
+    # m=n ≡ AND mode (same docs, same scores)
+    and_rows = [
+        (r["docid"], r["score"])
+        for r in engine.search(q, mode="and", k=100000).collect()
+    ]
+    m3_rows = [
+        (r["docid"], r["score"])
+        for r in engine.search(q, k=100000, min_should_match=3).collect()
+    ]
+    assert m3_rows == and_rows
+    # m>n matches nothing (Lucene convention, no clamping)
+    assert engine.search(q, k=10, min_should_match=4).count() == 0
+
+    with pytest.raises(ValueError, match="int >= 1"):
+        engine.search(q, min_should_match=0).collect()
+    with pytest.raises(ValueError, match="OR mode only"):
+        engine.search(q, mode="and", min_should_match=2).collect()
+    with pytest.raises(ValueError, match="exhaustive engine"):
+        engine.search(q, strategy="wand", min_should_match=2)
