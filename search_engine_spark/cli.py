@@ -709,6 +709,82 @@ def cmd_percolate(args) -> int:
     return 0
 
 
+def cmd_rank_eval(args) -> int:
+    """Relevance regression gate (plans/rank_eval.py — the Elasticsearch
+    ``_rank_eval`` surface): score the index's rankings against a graded
+    judgment file (TSV: ``qid<TAB>query<TAB>docid<TAB>grade`` per line;
+    every line of a qid must carry the same query string).  The whole
+    judgment set runs as ONE batched job (search_batch), then one
+    evaluation join — never a per-query loop of Spark jobs."""
+    from .plans.rank_eval import rank_eval, rank_eval_summary
+
+    spark = _spark(args)
+    queries: dict[str, str] = {}
+    jrows: list[tuple[str, int, float]] = []
+    with open(args.judgments, encoding="utf-8") as fh:
+        for ln, line in enumerate(fh, 1):
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split("\t")
+            if len(parts) != 4:
+                print(
+                    f"{args.judgments}:{ln}: expected qid<TAB>query<TAB>"
+                    "docid<TAB>grade",
+                    file=sys.stderr,
+                )
+                return 2
+            qid, query, docid, grade = parts
+            if queries.setdefault(qid, query) != query:
+                print(
+                    f"{args.judgments}:{ln}: qid {qid!r} carries two "
+                    "different query strings",
+                    file=sys.stderr,
+                )
+                return 2
+            jrows.append((qid, int(docid), float(grade)))
+    if not queries:
+        print("error: no judgments", file=sys.stderr)
+        return 2
+    engine = _engine(spark, args)
+    qids = sorted(queries)
+    res = engine.search_batch(
+        [(queries[q], args.mode) for q in qids], k=args.k
+    )
+    # search_batch keys by list position; map back to the caller's qids
+    id_map = spark.createDataFrame(
+        list(enumerate(qids)), "query_id int, qid string"
+    )
+    res = res.join(F.broadcast(id_map), on="query_id").select(
+        "qid", "rank", "docid"
+    )
+    jud = spark.createDataFrame(jrows, "qid string, docid long, grade double")
+    per_q = rank_eval(res, jud, k=args.k).orderBy("qid")
+    rows = per_q.collect()
+    print(f"{'qid':<12} {'p@k':>7} {'r@k':>7} {'mrr':>7} {'ndcg@k':>7}")
+    for r in rows:
+        print(
+            f"{r['qid']:<12} {r['precision_at_k']:>7.4f} "
+            f"{r['recall_at_k']:>7.4f} {r['mrr']:>7.4f} "
+            f"{r['ndcg_at_k']:>7.4f}"
+        )
+    s = rank_eval_summary(per_q).collect()[0]
+    print(
+        f"mean over {s['n_queries']} queries: "
+        f"p@{args.k}={s['mean_precision_at_k']:.4f} "
+        f"r@{args.k}={s['mean_recall_at_k']:.4f} "
+        f"mrr={s['mean_mrr']:.4f} ndcg@{args.k}={s['mean_ndcg_at_k']:.4f}"
+    )
+    if args.min_ndcg is not None and s["mean_ndcg_at_k"] < args.min_ndcg:
+        print(
+            f"FAIL: mean ndcg@{args.k} {s['mean_ndcg_at_k']:.4f} "
+            f"< --min-ndcg {args.min_ndcg}",
+            file=sys.stderr,
+        )
+        return 1
+    return 0
+
+
 def cmd_fsck(args) -> int:
     """Verify cross-table invariants of a persisted index root."""
     from .sources.fsck import verify_index
@@ -1053,6 +1129,25 @@ def main(argv: list[str] | None = None) -> int:
     fs = sub.add_parser("fsck", help="verify index cross-table invariants")
     fs.add_argument("--index", required=True)
     fs.set_defaults(fn=cmd_fsck)
+
+    re_ = sub.add_parser(
+        "rank-eval",
+        help="score the index against a graded judgment set "
+        "(precision@k / recall@k / MRR / nDCG@k)",
+    )
+    re_.add_argument("--index", required=True)
+    re_.add_argument(
+        "--judgments", required=True, metavar="FILE",
+        help="TSV: qid<TAB>query<TAB>docid<TAB>grade per line",
+    )
+    re_.add_argument("-k", type=int, default=10)
+    re_.add_argument("--mode", choices=("or", "and"), default="or")
+    re_.add_argument("--stem", action="store_true")
+    re_.add_argument(
+        "--min-ndcg", type=float, default=None,
+        help="exit 1 when mean ndcg@k falls below this (CI regression gate)",
+    )
+    re_.set_defaults(fn=cmd_rank_eval)
 
     d = sub.add_parser("print-database", help="dump postings (term, df)")
     d.add_argument("--index", required=True)

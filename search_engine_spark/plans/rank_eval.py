@@ -1,0 +1,147 @@
+"""Ranking-quality evaluation over a judgments table — the Elasticsearch
+``_rank_eval`` API surface (public design) with the standard IR metrics:
+precision@k, recall@k, MRR, and nDCG@k (Järvelin-Kekäläinen 2002,
+exponential gain, the ES/trec_eval convention).
+
+Reference scope note: the reference engine (adamcesco/search-engine) ships
+no evaluation harness — this is a capability extension for the
+training-data/search-quality loop: score a golden judgment set against any
+ranking the engine produces (plain BM25, BM25F, hybrid RRF, rescored, …)
+and regression-gate relevance, not just correctness.
+
+Scale shape (the part that must survive 100 TB / millions of queries):
+- one equi-join of the top-k results against the judgments on
+  (qid, docid) — both sides hash-partition on the same compound key;
+- per-query aggregation is ONE exchange keyed by qid (map-side combined);
+- the ideal-DCG ranking is a window PARTITIONED BY qid — never the
+  single-partition global window;
+- output is one row per query; corpus size never appears in any shuffle.
+
+Determinism: gains and discounts are exact float64 expressions of the
+integer rank and the judged grade; no float fold-order dependence beyond
+Spark's sum over ≤k values per query (metrics are reported to caller
+precision, not used as sort keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["rank_eval", "rank_eval_summary"]
+
+
+def rank_eval(
+    results: DataFrame,
+    judgments: DataFrame,
+    k: int = 10,
+    rel_threshold: float = 0.0,
+    qid_col: str = "qid",
+    id_col: str = "docid",
+    rank_col: str = "rank",
+    grade_col: str = "grade",
+) -> DataFrame:
+    """Per-query relevance metrics of a ranking against graded judgments.
+
+    ``results``: (qid, rank, docid) — 1-based dense ranks per query (the
+    shape ``QueryEngine.search_batch`` / any ``search()`` union emits).
+    ``judgments``: (qid, docid, grade) — graded relevance; a (qid, docid)
+    absent from the judgments counts as grade 0 (the trec_eval
+    convention), and judged docs the ranking missed count against recall.
+
+    → DataFrame(qid, n_retrieved, n_relevant, precision_at_k,
+    recall_at_k, mrr, dcg_at_k, idcg_at_k, ndcg_at_k) — ONE row per qid
+    present in either input.  Queries with no relevant judgments report
+    recall/ndcg 0.0 (not NULL, not NaN) so downstream means are stable.
+
+    A doc is *relevant* when ``grade > rel_threshold`` (binary metrics);
+    nDCG uses the graded gain ``2^grade − 1`` so binary judgments reduce
+    to the classic form.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    res = results.select(
+        F.col(qid_col).alias("qid"),
+        F.col(rank_col).cast("int").alias("rank"),
+        F.col(id_col).alias("docid"),
+    ).where(F.col("rank") <= F.lit(int(k)))
+    jud = judgments.select(
+        F.col(qid_col).alias("qid"),
+        F.col(id_col).alias("docid"),
+        F.col(grade_col).cast("double").alias("grade"),
+    )
+
+    rel = F.col("grade") > F.lit(float(rel_threshold))
+    # retrieved side: unjudged hits carry grade 0 (left join + coalesce)
+    hits = (
+        res.join(jud, on=["qid", "docid"], how="left")
+        .withColumn("grade", F.coalesce(F.col("grade"), F.lit(0.0)))
+    )
+    per_q = hits.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_retrieved"),
+        F.sum(F.when(rel, 1).otherwise(0)).alias("n_rel_retrieved"),
+        # MRR: reciprocal rank of the FIRST relevant hit (0 when none)
+        F.coalesce(
+            F.max(F.when(rel, F.lit(1.0) / F.col("rank"))), F.lit(0.0)
+        ).alias("mrr"),
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("grade")) - F.lit(1.0))
+            / F.log2(F.col("rank") + F.lit(1.0))
+        ).alias("dcg_at_k"),
+    )
+
+    # judgment side: totals + ideal DCG from the per-query grade ranking
+    w = Window.partitionBy("qid").orderBy(F.desc("grade"), F.asc("docid"))
+    ideal = (
+        jud.where(rel)
+        .withColumn("irank", F.row_number().over(w))
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_relevant"),
+            F.sum(
+                F.when(
+                    F.col("irank") <= F.lit(int(k)),
+                    (F.pow(F.lit(2.0), F.col("grade")) - F.lit(1.0))
+                    / F.log2(F.col("irank") + F.lit(1.0)),
+                ).otherwise(0.0)
+            ).alias("idcg_at_k"),
+        )
+    )
+
+    out = (
+        per_q.join(ideal, on="qid", how="full_outer")
+        .withColumn("n_retrieved", F.coalesce("n_retrieved", F.lit(0)))
+        .withColumn("n_rel_retrieved", F.coalesce("n_rel_retrieved", F.lit(0)))
+        .withColumn("n_relevant", F.coalesce("n_relevant", F.lit(0)))
+        .withColumn("mrr", F.coalesce("mrr", F.lit(0.0)))
+        .withColumn("dcg_at_k", F.coalesce("dcg_at_k", F.lit(0.0)))
+        .withColumn("idcg_at_k", F.coalesce("idcg_at_k", F.lit(0.0)))
+    )
+    return out.select(
+        "qid",
+        F.col("n_retrieved").cast("int").alias("n_retrieved"),
+        F.col("n_relevant").cast("int").alias("n_relevant"),
+        (F.col("n_rel_retrieved") / F.lit(float(k))).alias("precision_at_k"),
+        F.when(F.col("n_relevant") > 0, F.col("n_rel_retrieved") / F.col("n_relevant"))
+        .otherwise(F.lit(0.0))
+        .alias("recall_at_k"),
+        "mrr",
+        "dcg_at_k",
+        "idcg_at_k",
+        F.when(F.col("idcg_at_k") > 0, F.col("dcg_at_k") / F.col("idcg_at_k"))
+        .otherwise(F.lit(0.0))
+        .alias("ndcg_at_k"),
+    )
+
+
+def rank_eval_summary(per_query: DataFrame) -> DataFrame:
+    """Macro-averaged single-row summary of a ``rank_eval`` frame (every
+    query weighs equally — the trec_eval convention).  ONE map-side
+    combined aggregation; no per-query state leaves the executors."""
+    return per_query.agg(
+        F.count(F.lit(1)).cast("int").alias("n_queries"),
+        F.avg("precision_at_k").alias("mean_precision_at_k"),
+        F.avg("recall_at_k").alias("mean_recall_at_k"),
+        F.avg("mrr").alias("mean_mrr"),
+        F.avg("ndcg_at_k").alias("mean_ndcg_at_k"),
+    )

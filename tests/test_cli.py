@@ -567,3 +567,48 @@ def test_search_min_should_match(spark, tiny_df, tmp_path, capsys):
     )
     assert rc == 2
     assert "min-should-match" in capsys.readouterr().err
+
+
+def test_rank_eval_subcommand(spark, tiny_df, tiny_docs, tmp_path, capsys):
+    """rank-eval scores the index against a judgment TSV: a perfectly
+    judged query reports ndcg 1.0, a garbage query reports zeros, and
+    --min-ndcg turns the mean into a CI gate (exit 1)."""
+    src = str(tmp_path / "docs_re")
+    root = str(tmp_path / "idx_re")
+    tiny_df.write.parquet(src)
+    assert main(["build", "--input", src, "--output", root]) == 0
+    capsys.readouterr()
+
+    # ground truth from the engine itself: the top hit for a rare term
+    assert main(
+        ["search", "--index", root, "--query", "values: parse_json0", "-k", "1"]
+    ) == 0
+    out = capsys.readouterr().out
+    top_docid = out.split()[1]
+    assert top_docid.lstrip("-").isdigit()
+
+    jfile = tmp_path / "judgments.tsv"
+    jfile.write_text(
+        f"good\tvalues: parse_json0\t{top_docid}\t2.0\n"
+        "bad\tvalues: zzz_not_a_term\t123\t1.0\n"
+    )
+    assert main(
+        ["rank-eval", "--index", root, "--judgments", str(jfile), "-k", "5"]
+    ) == 0
+    out = capsys.readouterr().out
+    lines = {ln.split()[0]: ln.split() for ln in out.splitlines() if ln}
+    assert lines["good"][4] == "1.0000"   # ndcg@k
+    assert lines["bad"][4] == "0.0000"
+    assert "mean over 2 queries" in out
+
+    # regression gate: mean ndcg is 0.5 here, so 0.9 must fail
+    assert main(
+        ["rank-eval", "--index", root, "--judgments", str(jfile),
+         "-k", "5", "--min-ndcg", "0.9"]
+    ) == 1
+    assert "FAIL" in capsys.readouterr().err
+
+    # malformed line → usage error
+    bad = tmp_path / "bad.tsv"
+    bad.write_text("only\tthree\tcols\n")
+    assert main(["rank-eval", "--index", root, "--judgments", str(bad)]) == 2

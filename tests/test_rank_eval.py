@@ -1,0 +1,177 @@
+"""Ranking evaluation (plans/rank_eval.py): per-query precision@k /
+recall@k / MRR / nDCG@k vs an independent pure-Python model AND an exact
+DuckDB SQL twin; edge conventions (unjudged hits, missed judged docs,
+no-relevant queries, result-less queries); macro summary; plan shape
+(per-qid window only, never a global one)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from search_engine_spark.plans.rank_eval import rank_eval, rank_eval_summary
+
+# (qid, rank, docid) — q1 mixes judged/unjudged, q2 has a perfect prefix,
+# q3 retrieves nothing relevant, q4 is judged but returns no rows at all
+RESULTS = [
+    ("q1", 1, 11), ("q1", 2, 12), ("q1", 3, 13), ("q1", 4, 14), ("q1", 5, 15),
+    ("q2", 1, 21), ("q2", 2, 22), ("q2", 3, 23),
+    ("q3", 1, 31), ("q3", 2, 32),
+    ("q5", 1, 51),  # q5 retrieved but has NO judgments at all
+]
+
+# (qid, docid, grade) — graded; 16 is relevant-but-missed for q1;
+# q3's judged docs are all grade 0 where retrieved, one relevant missed
+JUDGMENTS = [
+    ("q1", 11, 3.0), ("q1", 13, 1.0), ("q1", 14, 0.0), ("q1", 16, 2.0),
+    ("q2", 21, 2.0), ("q2", 22, 1.0), ("q2", 23, 1.0),
+    ("q3", 31, 0.0), ("q3", 33, 1.0),
+    ("q4", 41, 2.0),
+]
+
+K = 5
+
+
+def _py_metrics() -> dict[str, dict[str, float]]:
+    grade = {(q, d): g for q, d, g in JUDGMENTS}
+    qids = {q for q, _, _ in RESULTS} | {q for q, _, _ in JUDGMENTS}
+    out = {}
+    for q in qids:
+        hits = sorted(
+            [(r, d) for qq, r, d in RESULTS if qq == q and r <= K]
+        )
+        rel_hits = [
+            (r, d) for r, d in hits if grade.get((q, d), 0.0) > 0.0
+        ]
+        n_rel = sum(1 for (qq, _), g in grade.items() if qq == q and g > 0.0)
+        dcg = sum(
+            (2.0 ** grade.get((q, d), 0.0) - 1.0) / math.log2(r + 1.0)
+            for r, d in hits
+        )
+        ideal = sorted(
+            (g for (qq, _), g in grade.items() if qq == q and g > 0.0),
+            reverse=True,
+        )[:K]
+        idcg = sum(
+            (2.0 ** g - 1.0) / math.log2(i + 2.0) for i, g in enumerate(ideal)
+        )
+        out[q] = {
+            "n_retrieved": len(hits),
+            "n_relevant": n_rel,
+            "precision_at_k": len(rel_hits) / K,
+            "recall_at_k": (len(rel_hits) / n_rel) if n_rel else 0.0,
+            "mrr": (1.0 / min(r for r, _ in rel_hits)) if rel_hits else 0.0,
+            "ndcg_at_k": (dcg / idcg) if idcg > 0 else 0.0,
+        }
+    return out
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    res = spark.createDataFrame(RESULTS, "qid string, rank int, docid long")
+    jud = spark.createDataFrame(JUDGMENTS, "qid string, docid long, grade double")
+    return res, jud
+
+
+def test_rank_eval_matches_python_model(spark, frames):
+    res, jud = frames
+    got = {r["qid"]: r.asDict() for r in rank_eval(res, jud, k=K).collect()}
+    want = _py_metrics()
+    assert set(got) == set(want)
+    for q, w in want.items():
+        g = got[q]
+        for key, val in w.items():
+            assert abs(g[key] - val) < 1e-12, (q, key, g[key], val)
+    # edge conventions, explicitly
+    assert got["q4"]["n_retrieved"] == 0 and got["q4"]["recall_at_k"] == 0.0
+    assert got["q5"]["n_relevant"] == 0 and got["q5"]["ndcg_at_k"] == 0.0
+    assert got["q2"]["ndcg_at_k"] == pytest.approx(1.0)  # perfect ordering
+    assert got["q1"]["mrr"] == 1.0 and got["q3"]["mrr"] == 0.0
+
+
+def test_rank_eval_matches_duckdb_twin(spark, frames):
+    res, jud = frames
+    got = (
+        rank_eval(res, jud, k=K)
+        .toPandas()
+        .sort_values("qid")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("res", pd.DataFrame(RESULTS, columns=["qid", "rank", "docid"]))
+    con.register("jud", pd.DataFrame(JUDGMENTS, columns=["qid", "docid", "grade"]))
+    twin = con.execute(f"""
+WITH hits AS (
+  SELECT r.qid, r.rank, coalesce(j.grade, 0.0) AS grade
+  FROM res r LEFT JOIN jud j ON r.qid = j.qid AND r.docid = j.docid
+  WHERE r.rank <= {K}
+),
+perq AS (
+  SELECT qid, count(*) AS n_retrieved,
+         sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS n_rel_retrieved,
+         coalesce(max(CASE WHEN grade > 0 THEN 1.0 / rank END), 0.0) AS mrr,
+         sum((pow(2.0, grade) - 1.0) / log2(rank + 1.0)) AS dcg
+  FROM hits GROUP BY qid
+),
+ideal AS (
+  SELECT qid, count(*) AS n_relevant,
+         sum(CASE WHEN irank <= {K}
+                  THEN (pow(2.0, grade) - 1.0) / log2(irank + 1.0)
+                  ELSE 0.0 END) AS idcg
+  FROM (
+    SELECT qid, grade,
+           row_number() OVER (PARTITION BY qid ORDER BY grade DESC, docid) AS irank
+    FROM jud WHERE grade > 0
+  ) GROUP BY qid
+)
+SELECT coalesce(p.qid, i.qid) AS qid,
+       coalesce(p.n_retrieved, 0) AS n_retrieved,
+       coalesce(i.n_relevant, 0) AS n_relevant,
+       coalesce(p.n_rel_retrieved, 0) / {K}.0 AS precision_at_k,
+       CASE WHEN coalesce(i.n_relevant, 0) > 0
+            THEN coalesce(p.n_rel_retrieved, 0) / i.n_relevant ELSE 0.0 END AS recall_at_k,
+       coalesce(p.mrr, 0.0) AS mrr,
+       CASE WHEN coalesce(i.idcg, 0.0) > 0
+            THEN coalesce(p.dcg, 0.0) / i.idcg ELSE 0.0 END AS ndcg_at_k
+FROM perq p FULL OUTER JOIN ideal i ON p.qid = i.qid
+ORDER BY qid
+""").df()
+    con.close()
+    assert list(twin["qid"]) == list(got["qid"])
+    for col in ("n_retrieved", "n_relevant", "precision_at_k",
+                "recall_at_k", "mrr", "ndcg_at_k"):
+        for a, b in zip(twin[col], got[col]):
+            assert abs(float(a) - float(b)) < 1e-12, col
+
+
+def test_rank_eval_summary_macro_average(spark, frames):
+    res, jud = frames
+    per_q = rank_eval(res, jud, k=K)
+    row = rank_eval_summary(per_q).collect()[0]
+    want = _py_metrics()
+    n = len(want)
+    assert row["n_queries"] == n
+    for metric, col in (
+        ("precision_at_k", "mean_precision_at_k"),
+        ("recall_at_k", "mean_recall_at_k"),
+        ("mrr", "mean_mrr"),
+        ("ndcg_at_k", "mean_ndcg_at_k"),
+    ):
+        assert abs(row[col] - sum(w[metric] for w in want.values()) / n) < 1e-12
+
+
+def test_rank_eval_plan_no_global_window(spark, frames):
+    res, jud = frames
+    plan = rank_eval(res, jud, k=K)._jdf.queryExecution().executedPlan().toString()
+    # the ideal-DCG window must be keyed by qid — a global (unpartitioned)
+    # window would funnel every judgment row into one task
+    assert "partitionBy" not in plan or "qid" in plan
+    import re as _re
+    for m in _re.finditer(r"Window \[", plan):
+        seg = plan[m.start(): m.start() + 200]
+        assert "qid" in seg, seg
+    with pytest.raises(ValueError, match="k must be"):
+        rank_eval(res, jud, k=0)
