@@ -1264,7 +1264,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         Columns: pred_lang + per-language marker scores (lang_id), token/
         quality components (quality_score), BPE-ish piece count
-        (token_count), min-shingle-hash fingerprint (fingerprint)."""
+        (token_count), min-shingle-hash fingerprint (fingerprint), plus
+        (round 3) the CCNet-style bigram-LM quality signal — the corpus LM
+        trained and scored on the same table (operators/lm_score.py),
+        entropy rounded to 6dp on both sides (float fold-order absorber)."""
+        from search_engine_spark.operators.lm_score import (
+            perplexity_score,
+            train_bigram_lm,
+        )
         from search_engine_spark.operators.textstats import (
             fingerprint,
             lang_id,
@@ -1278,7 +1285,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qs = quality_score(docs)
         tc = token_count(docs).select("doc_id", "n_pieces")
         fp = fingerprint(docs).select("doc_id", "fingerprint")
-        return li.join(qs, "doc_id").join(tc, "doc_id").join(fp, "doc_id")
+        lm = train_bigram_lm(docs)
+        pp = perplexity_score(docs, lm).select(
+            "doc_id", F.round("cross_entropy", 6).alias("lm_entropy")
+        )
+        return (
+            li.join(qs, "doc_id")
+            .join(tc, "doc_id")
+            .join(fp, "doc_id")
+            .join(pp, "doc_id")
+        )
 
     def q_bm25f(spark, sf):
         """BM25F field-weighted top-10 (plans/bm25f.py — Robertson &
@@ -3232,13 +3248,37 @@ FROM toks
 WITH l AS ({_lang_id_sql()}),
 q AS ({_quality_sql}),
 t AS ({_token_count_sql}),
-f AS ({_fingerprint_sql})
+f AS ({_fingerprint_sql}),
+lmtoks AS (SELECT doc_id, {_TOKS_ARRAY_SQL} AS toks FROM documents),
+lmt AS (
+  SELECT doc_id, unnest(toks) AS w2, generate_subscripts(toks, 1) AS i
+  FROM lmtoks
+),
+lmbg AS (
+  SELECT a.doc_id, coalesce(p.w2, '<s>') AS w1, a.w2
+  FROM lmt a LEFT JOIN lmt p ON a.doc_id = p.doc_id AND p.i = a.i - 1
+),
+lmc12 AS (SELECT w1, w2, count(*) AS c12 FROM lmbg GROUP BY w1, w2),
+lmc1 AS (SELECT w1, sum(c12) AS c1 FROM lmc12 GROUP BY w1),
+lmv AS (SELECT count(DISTINCT w2) + 1 AS V FROM lmc12),
+lmnll AS (
+  SELECT b.doc_id,
+         -ln((coalesce(c.c12, 0) + 1.0) / (coalesce(x.c1, 0) + 1.0 * lmv.V)) AS nll
+  FROM lmbg b
+  LEFT JOIN lmc12 c ON b.w1 = c.w1 AND b.w2 = c.w2
+  LEFT JOIN lmc1 x ON b.w1 = x.w1, lmv
+),
+lm AS (
+  SELECT doc_id, round(sum(nll) / count(*), 6) AS lm_entropy
+  FROM lmnll GROUP BY doc_id
+)
 SELECT l.*, q.n_tokens, q.mean_tok_len, q.punct_ratio, q.stop_ratio, q.quality,
-       t.n_pieces, f.fingerprint
+       t.n_pieces, f.fingerprint, lm.lm_entropy
 FROM l
 JOIN q USING (doc_id)
 JOIN t USING (doc_id)
 JOIN f USING (doc_id)
+LEFT JOIN lm USING (doc_id)
 """
 
     # corpus_filter: quality + language + dedup gates in one SQL twin —

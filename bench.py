@@ -315,6 +315,17 @@ def main() -> None:
         )
         timed_best("q9_lang_id", lambda: _force(lang_id(raw_docs)), runs=2)
         timed_best("q9b_quality", lambda: _force(quality_score(raw_docs)), runs=2)
+
+        from search_engine_spark.operators.lm_score import (
+            perplexity_score,
+            train_bigram_lm,
+        )
+
+        def _lm_pass():
+            lm = train_bigram_lm(raw_docs)
+            _force(perplexity_score(raw_docs, lm))
+
+        timed_best("q9c_lm_perplexity", _lm_pass, runs=2)
         timed_best("q10_fingerprint", lambda: _force(fingerprint(raw_docs)), runs=2)
 
         # --- content scrubbing + split (round-2 pipeline ops) ---

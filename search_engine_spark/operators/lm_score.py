@@ -1,0 +1,163 @@
+"""N-gram language-model perplexity scoring — the CCNet-style quality
+signal (Wenzek et al. 2020, public: CCNet filters web text by LM
+perplexity; GPT-3/RefinedWeb pipelines use the same shape).  Instead of an
+external KenLM binary (not available here, and not Spark-native), the
+model is a self-trained corpus bigram LM with add-k smoothing — exactly
+reproducible in ANSI SQL, which keeps the oracle-twin discipline the rest
+of the pipeline ops follow.
+
+Model: for token stream t_1..t_n (reference delimiter class, lowercased)
+with a BOS sentinel ``<s>`` (impossible as a real token — ``<``/``>`` are
+delimiters), the per-doc cross-entropy is
+
+    H(doc) = -(1/n) Σ_i ln p(t_i | t_{i-1}),
+    p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V),   perplexity = e^H
+
+where c(·) are training counts, V = |train vocab| + 1 (one unseen slot) and
+k is the smoothing constant (default 1.0 = Laplace).  Unseen context rows
+degrade to the uniform 1/V — no special cases, no NaNs.  Low perplexity =
+looks like the training corpus; high = boilerplate/garbled/off-domain.
+Empty documents carry n_tokens = 0 and NULL entropy/perplexity (the
+caller's filter decides their fate explicitly).
+
+Scale shape (what must survive 100 TB):
+- training is token-scale but ONE exchange: per-doc bigram lists are
+  pre-counted map-side (distinct-in-array before the explode is wrong here
+  — counts matter — but groupBy(w1, w2) partial-aggregates map-side), so
+  the shuffle carries (w1, w2, count) rows bounded by the bigram
+  vocabulary, not the corpus;
+- scoring pre-aggregates (doc_id, w1, w2, n) map-side, then ONE equi-join
+  against the bigram table on (w1, w2) and one against the context table
+  on w1 — uniform hash keys, broadcastable when the vocabulary is small;
+- stopword-heavy context rows (c(w1) huge) are a JOIN key skew, not a
+  correctness issue: Spark AQE skew-join splits them, and the context
+  table is vocabulary-sized so it usually broadcasts outright.
+
+Reference scope note: the reference engine has no quality scoring; this
+extends the training-data pipeline alongside textstats/scrub/dedup.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .textstats import tokens_col
+
+BOS = "<s>"
+
+__all__ = ["BigramLM", "train_bigram_lm", "perplexity_score", "read_lm", "write_lm"]
+
+
+@dataclass(frozen=True)
+class BigramLM:
+    """A trained corpus bigram model: two small-side tables + scalars."""
+
+    bigrams: DataFrame  # (w1, w2, c12)
+    contexts: DataFrame  # (w1, c1) — c1 = Σ_w2 c12 (includes BOS rows)
+    vocab_size: int  # |train vocab| + 1 unseen slot (V in the formula)
+    k: float  # smoothing constant baked at train time
+
+
+def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, w1, w2) one row per bigram OCCURRENCE (BOS-prefixed).
+    Pure Catalyst: tokens → zip(shifted, stream) → explode."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    prev = F.concat(F.array(F.lit(BOS)), F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))))
+    # empty docs: zip_with would null-pad ([BOS] vs []) into a phantom
+    # (BOS, NULL) bigram — emit no pairs instead
+    pairs = F.when(
+        F.size(toks) > 0,
+        F.zip_with(prev, toks, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+
+
+def train_bigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 1.0,
+) -> BigramLM:
+    """Count the corpus bigram table.  ONE exchange on (w1, w2) with
+    map-side partial aggregation; the context table derives from it with a
+    second vocabulary-sized (not corpus-sized) aggregation."""
+    if k <= 0:
+        raise ValueError(f"smoothing k must be > 0, got {k}")
+    bg = _doc_bigrams(docs, text_col, id_col)
+    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    contexts = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # vocab over EMITTED tokens (w2 side — BOS is a context, not a word)
+    vocab = bigrams.select("w2").distinct().count()
+    return BigramLM(bigrams=bigrams, contexts=contexts, vocab_size=vocab + 1, k=float(k))
+
+
+def perplexity_score(
+    docs: DataFrame,
+    lm: BigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, n_tokens, cross_entropy, perplexity) — one row per input
+    doc (empty docs keep a row with NULL entropy/perplexity).
+
+    Two equi-joins against vocabulary-sized tables; unseen bigrams /
+    contexts fall through the left joins to the smoothed floor."""
+    bg = (
+        _doc_bigrams(docs, text_col, id_col)
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    V = float(lm.vocab_size)
+    k = float(lm.k)
+    scored = (
+        bg.join(lm.bigrams, on=["w1", "w2"], how="left")
+        .join(lm.contexts, on="w1", how="left")
+        .withColumn("c12", F.coalesce(F.col("c12"), F.lit(0)))
+        .withColumn("c1", F.coalesce(F.col("c1"), F.lit(0)))
+        .withColumn(
+            "nll",
+            -F.col("n")
+            * F.log(
+                (F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k * V))
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        (F.sum("nll") / F.sum("n")).alias("cross_entropy"),
+    )
+    all_docs = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return (
+        all_docs.join(per_doc, on="doc_id", how="left")
+        .withColumn("n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0)))
+        .withColumn("perplexity", F.exp(F.col("cross_entropy")))
+        .select("doc_id", "n_tokens", "cross_entropy", "perplexity")
+    )
+
+
+def write_lm(lm: BigramLM, root: str) -> None:
+    """Persist the model under ``root`` (bigrams + contexts parquet and a
+    one-row meta parquet carrying V and k) so scoring jobs skip training."""
+    lm.bigrams.write.mode("overwrite").parquet(f"{root}/bigrams")
+    lm.contexts.write.mode("overwrite").parquet(f"{root}/contexts")
+    spark = lm.bigrams.sparkSession
+    spark.range(1).select(
+        F.lit(int(lm.vocab_size)).alias("vocab_size"),
+        F.lit(float(lm.k)).alias("k"),
+    ).write.mode("overwrite").parquet(f"{root}/meta")
+
+
+def read_lm(spark: SparkSession, root: str) -> BigramLM:
+    meta = spark.read.parquet(f"{root}/meta").collect()[0]
+    return BigramLM(
+        bigrams=spark.read.parquet(f"{root}/bigrams"),
+        contexts=spark.read.parquet(f"{root}/contexts"),
+        vocab_size=int(meta["vocab_size"]),
+        k=float(meta["k"]),
+    )

@@ -1,0 +1,204 @@
+"""Bigram-LM perplexity scoring (operators/lm_score.py): train counts and
+per-doc cross-entropy vs an independent pure-Python model AND an exact
+DuckDB SQL twin; BOS/empty/single-token/OOV conventions; persist/reload;
+plan shape (map-side-combinable aggregation, no corpus-sized collect)."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import duckdb
+import pandas as pd
+import pytest
+
+from search_engine_spark.constants import DELIM_CLASS
+from search_engine_spark.operators.lm_score import (
+    BOS,
+    perplexity_score,
+    read_lm,
+    train_bigram_lm,
+    write_lm,
+)
+
+_DELIM_RE = re.compile(DELIM_CLASS)
+
+TRAIN_ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown cat sleeps under the warm sun"),
+    (3, "spark shuffles partition data across the cluster"),
+    (4, "the cluster shuffles the data the data the data"),
+]
+
+SCORE_ROWS = [
+    (10, "the quick brown fox"),          # in-domain, low entropy
+    (11, "zzz qqq completely unseen xyz"),  # all-OOV
+    (12, "fox"),                           # single token → one (<s>, fox)
+    (13, ""),                              # empty → NULL entropy
+    (14, "the data the data"),             # repeated bigrams count n times
+]
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in _DELIM_RE.split(text.lower()) if t != ""]
+
+
+def _py_model(k: float = 1.0):
+    from collections import Counter
+
+    c12: Counter = Counter()
+    for _, text in TRAIN_ROWS:
+        toks = _toks(text)
+        for w1, w2 in zip([BOS] + toks[:-1], toks):
+            c12[(w1, w2)] += 1
+    c1: Counter = Counter()
+    for (w1, _), n in c12.items():
+        c1[w1] += n
+    vocab = len({w2 for _, w2 in c12}) + 1
+    return c12, c1, vocab
+
+
+def _py_score(text: str, k: float = 1.0):
+    c12, c1, V = _py_model(k)
+    toks = _toks(text)
+    if not toks:
+        return 0, None, None
+    nll = 0.0
+    for w1, w2 in zip([BOS] + toks[:-1], toks):
+        p = (c12.get((w1, w2), 0) + k) / (c1.get(w1, 0) + k * V)
+        nll += -math.log(p)
+    h = nll / len(toks)
+    return len(toks), h, math.exp(h)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    train = spark.createDataFrame(TRAIN_ROWS, "doc_id long, text string")
+    score = spark.createDataFrame(SCORE_ROWS, "doc_id long, text string")
+    return train, score
+
+
+def test_train_counts_match_python(spark, frames):
+    train, _ = frames
+    lm = train_bigram_lm(train)
+    c12, c1, V = _py_model()
+    got12 = {(r["w1"], r["w2"]): r["c12"] for r in lm.bigrams.collect()}
+    got1 = {r["w1"]: r["c1"] for r in lm.contexts.collect()}
+    assert got12 == dict(c12)
+    assert got1 == dict(c1)
+    assert lm.vocab_size == V
+    # BOS is a context (one per non-empty doc), never an emitted word
+    assert got1[BOS] == len(TRAIN_ROWS)
+    assert all(w2 != BOS for _, w2 in got12)
+    with pytest.raises(ValueError, match="smoothing k"):
+        train_bigram_lm(train, k=0.0)
+
+
+def test_perplexity_matches_python_model(spark, frames):
+    train, score = frames
+    lm = train_bigram_lm(train)
+    got = {r["doc_id"]: r.asDict() for r in perplexity_score(score, lm).collect()}
+    assert set(got) == {d for d, _ in SCORE_ROWS}
+    for did, text in SCORE_ROWS:
+        n, h, ppl = _py_score(text)
+        g = got[did]
+        assert g["n_tokens"] == n, did
+        if h is None:
+            assert g["cross_entropy"] is None and g["perplexity"] is None
+        else:
+            assert abs(g["cross_entropy"] - h) < 1e-12, did
+            assert abs(g["perplexity"] - ppl) < 1e-9, did
+    # in-domain text scores lower perplexity than all-OOV text
+    assert got[10]["perplexity"] < got[11]["perplexity"]
+
+
+def test_perplexity_matches_duckdb_twin(spark, frames):
+    train, score = frames
+    lm = train_bigram_lm(train)
+    got = (
+        perplexity_score(score, lm)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("train", pd.DataFrame(TRAIN_ROWS, columns=["doc_id", "text"]))
+    con.register("docs", pd.DataFrame(SCORE_ROWS, columns=["doc_id", "text"]))
+    arr = (
+        "list_filter(regexp_split_to_array(lower(text), "
+        f"'{DELIM_CLASS}'), t -> t <> '')"
+    )
+    twin = con.execute(f"""
+WITH tr AS (SELECT doc_id, {arr} AS toks FROM train),
+trt AS (
+  SELECT doc_id, unnest(toks) AS w2, generate_subscripts(toks, 1) AS i FROM tr
+),
+trbg AS (
+  SELECT t.doc_id, coalesce(p.w2, '{BOS}') AS w1, t.w2
+  FROM trt t LEFT JOIN trt p ON t.doc_id = p.doc_id AND p.i = t.i - 1
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM trbg GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+v AS (SELECT count(DISTINCT w2) + 1 AS V FROM c12),
+sc AS (SELECT doc_id, {arr} AS toks FROM docs),
+sct AS (
+  SELECT doc_id, unnest(toks) AS w2, generate_subscripts(toks, 1) AS i FROM sc
+),
+scbg AS (
+  SELECT t.doc_id, coalesce(p.w2, '{BOS}') AS w1, t.w2
+  FROM sct t LEFT JOIN sct p ON t.doc_id = p.doc_id AND p.i = t.i - 1
+),
+nll AS (
+  SELECT b.doc_id,
+         -ln((coalesce(c12.c12, 0) + 1.0) / (coalesce(c1.c1, 0) + 1.0 * v.V)) AS nll
+  FROM scbg b
+  LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+  LEFT JOIN c1 ON b.w1 = c1.w1, v
+),
+perdoc AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(nll) / count(*) AS h
+  FROM nll GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       p.h AS cross_entropy,
+       exp(p.h) AS perplexity
+FROM (SELECT DISTINCT doc_id FROM docs) d
+LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+""").df()
+    con.close()
+    assert list(twin["doc_id"]) == list(got["doc_id"])
+    for col in ("n_tokens", "cross_entropy", "perplexity"):
+        for a, b in zip(twin[col], got[col]):
+            if pd.isna(a) or pd.isna(b):
+                assert pd.isna(a) and pd.isna(b), col
+            else:
+                assert abs(float(a) - float(b)) < 1e-9, col
+
+
+def test_lm_persist_roundtrip(spark, frames, tmp_path):
+    train, score = frames
+    lm = train_bigram_lm(train, k=0.5)
+    root = str(tmp_path / "lm")
+    write_lm(lm, root)
+    lm2 = read_lm(spark, root)
+    assert lm2.vocab_size == lm.vocab_size and lm2.k == 0.5
+    a = {r["doc_id"]: r["cross_entropy"] for r in perplexity_score(score, lm).collect()}
+    b = {r["doc_id"]: r["cross_entropy"] for r in perplexity_score(score, lm2).collect()}
+    assert set(a) == set(b)
+    for d in a:
+        if a[d] is None:
+            assert b[d] is None
+        else:
+            assert abs(a[d] - b[d]) < 1e-12
+
+
+def test_training_plan_partial_aggregates(spark, frames):
+    train, _ = frames
+    lm = train_bigram_lm(train)
+    plan = lm.bigrams._jdf.queryExecution().executedPlan().toString()
+    # the token-scale count must partial-aggregate map-side (HashAggregate
+    # partial before the exchange), and nothing corpus-sized is collected
+    assert "HashAggregate" in plan
+    assert plan.index("HashAggregate") < plan.index("Exchange")
