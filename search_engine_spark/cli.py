@@ -552,6 +552,11 @@ def cmd_filter(args) -> int:
     id_col = "doc_id" if "doc_id" in docs.columns else "docid"
     text_col = "text" if "text" in docs.columns else "content"
     langs = args.langs.split(",") if args.langs else None
+    lm = None
+    if getattr(args, "lm", None):
+        from .operators.lm_score import read_lm
+
+        lm = read_lm(spark, args.lm)
     out = training_corpus_filter(
         docs,
         min_quality=args.min_quality,
@@ -559,6 +564,8 @@ def cmd_filter(args) -> int:
         dedup_threshold=args.dedup_threshold,
         text_col=text_col,
         id_col=id_col,
+        max_perplexity=getattr(args, "max_ppl", None),
+        lm=lm,
     )
     out.write.mode("overwrite").parquet(args.output)
     written = spark.read.parquet(args.output)
@@ -1036,6 +1043,16 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--min-quality", type=float, default=0.5)
     f.add_argument("--langs", default=None, help="comma-separated allow-list (default: any)")
     f.add_argument("--dedup-threshold", type=float, default=0.5)
+    f.add_argument(
+        "--max-ppl", type=float, default=None,
+        help="drop docs whose bigram-LM perplexity exceeds this "
+        "(CCNet-style; self-trains on the input unless --lm is given)",
+    )
+    f.add_argument(
+        "--lm", default=None, metavar="ROOT",
+        help="persisted bigram LM root (operators/lm_score.write_lm) to "
+        "score against instead of self-training",
+    )
     f.set_defaults(fn=cmd_filter)
 
     st = sub.add_parser(

@@ -33,17 +33,31 @@ def training_corpus_filter(
     dedup_threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_perplexity: float | None = None,
+    lm=None,
 ) -> DataFrame:
-    """→ (doc_id, quality, pred_lang, dup_of, keep) — one row per document.
+    """→ (doc_id, quality, pred_lang, dup_of, keep) — one row per document
+    (plus ``perplexity`` when the LM gate is on).
 
     ``keep = 1`` iff the document clears ALL gates:
     - composite quality ≥ ``min_quality`` (C4/Gopher-shape soft gates);
     - predicted language ∈ ``languages`` (None → any language passes);
     - not a near-duplicate of a smaller-id document (MinHash → LSH →
-      Jaccard ≥ ``dedup_threshold``, smaller-id-wins policy).
+      Jaccard ≥ ``dedup_threshold``, smaller-id-wins policy);
+    - (optional) bigram-LM perplexity ≤ ``max_perplexity`` — the CCNet
+      filter position (Wenzek 2020): pass a ``BigramLM`` trained on a
+      trusted corpus via ``lm`` (operators/lm_score.py), or leave ``lm``
+      None to self-train on ``docs`` (flags the docs least like the
+      corpus bulk).  Self-training caveat: repetitive garbage predicts
+      itself and scores LOW — catching boilerplate is the repetition
+      gate's job (inside quality_score); the LM gate catches garbled /
+      off-domain text.  Empty docs have no perplexity and FAIL the gate
+      (they carry no trainable signal; the quality gate would drop them
+      anyway).
 
     ``dup_of`` is -1 for non-duplicates (NULL-free output — pandas
-    canonicalizers NaN-poison NULL-in-numeric columns).
+    canonicalizers NaN-poison NULL-in-numeric columns; the LM gate keeps
+    ``perplexity`` NULL-free the same way: empty docs report -1.0).
     """
     q = quality_score(docs, text_col=text_col, id_col=id_col).select(
         id_col, "quality"
@@ -55,23 +69,33 @@ def training_corpus_filter(
     lang_ok = (
         F.col("pred_lang").isin(languages) if languages else F.lit(True)
     )
-    return (
-        q.join(lg, on=id_col)
-        .join(dd, on=id_col)
-        .select(
-            id_col,
-            "quality",
-            "pred_lang",
-            F.coalesce(F.col("dup_of"), F.lit(-1)).alias("dup_of"),
-            (
-                (F.col("quality") >= min_quality)
-                & lang_ok
-                & (F.col("uniq") == 1)
-            )
-            .cast("int")
-            .alias("keep"),
-        )
+    out = q.join(lg, on=id_col).join(dd, on=id_col)
+    cols = [
+        id_col,
+        "quality",
+        "pred_lang",
+        F.coalesce(F.col("dup_of"), F.lit(-1)).alias("dup_of"),
+    ]
+    gate = (
+        (F.col("quality") >= min_quality) & lang_ok & (F.col("uniq") == 1)
     )
+    if max_perplexity is not None:
+        from .lm_score import perplexity_score, train_bigram_lm
+
+        if lm is None:
+            lm = train_bigram_lm(docs, text_col=text_col, id_col=id_col)
+        # perplexity_score normalizes its id column to "doc_id"
+        pp = perplexity_score(
+            docs, lm, text_col=text_col, id_col=id_col
+        ).select("doc_id", "perplexity")
+        if id_col != "doc_id":
+            pp = pp.withColumnRenamed("doc_id", id_col)
+        out = out.join(pp, on=id_col)
+        cols.append(F.coalesce(F.col("perplexity"), F.lit(-1.0)).alias("perplexity"))
+        gate = gate & F.col("perplexity").isNotNull() & (
+            F.col("perplexity") <= F.lit(float(max_perplexity))
+        )
+    return out.select(*cols, gate.cast("int").alias("keep"))
 
 
 def _hash_u(id_col: str, salt: str):

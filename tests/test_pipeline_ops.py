@@ -144,6 +144,104 @@ def test_training_corpus_filter_gates(spark):
     assert all(v == 0 for v in got_zh.values())
 
 
+def test_training_corpus_filter_perplexity_gate(spark):
+    """max_perplexity adds the CCNet-position LM gate: the off-distribution
+    doc scores highest and is the one the gate drops; empty docs fail the
+    gate; the column is NULL-free; an external LM trained without the junk
+    doc separates it even harder.
+
+    The junk doc must be NON-repetitive: under self-training, repeated
+    garbage (e.g. "zq qk " * 50) is its own best predictor — its bigrams
+    dominate their contexts and it scores LOW perplexity.  That's inherent
+    to self-trained LM filtering (CCNet trains on a trusted external
+    corpus for exactly this reason); repetitive boilerplate is the
+    repetition gate's job, not the LM's."""
+    from search_engine_spark.operators.lm_score import (
+        perplexity_score,
+        train_bigram_lm,
+    )
+    from search_engine_spark.operators.pipeline import training_corpus_filter
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "with many plain words making a long healthy document " * 3
+    )
+    # 80 distinct junk tokens — every bigram occurs exactly once
+    junk = " ".join(
+        "x%sz%s" % (chr(97 + i // 10), chr(97 + i % 10)) for i in range(80)
+    )
+    rows = [
+        (1, base + "one"),
+        (2, base + "two variant words here still mostly the same text"),
+        (3, junk),  # off-distribution, non-repetitive
+        (4, ""),    # empty → fails gate
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    no_gate = {
+        r["doc_id"]: r["keep"]
+        for r in training_corpus_filter(
+            docs, min_quality=0.0, dedup_threshold=0.99
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in training_corpus_filter(
+            docs, min_quality=0.0, dedup_threshold=0.99, max_perplexity=None
+        ).collect()
+    }
+    assert "perplexity" not in next(iter(got.values()))
+
+    gated = {
+        r["doc_id"]: r.asDict()
+        for r in training_corpus_filter(
+            docs,
+            min_quality=0.0,
+            dedup_threshold=0.99,
+            max_perplexity=float(
+                # cut just under doc 3's score: everything more corpus-like passes
+                sorted(
+                    r["perplexity"]
+                    for r in training_corpus_filter(
+                        docs, min_quality=0.0, dedup_threshold=0.99,
+                        max_perplexity=1e18,
+                    ).collect()
+                    if r["perplexity"] > 0
+                )[-1]
+                - 1e-6
+            ),
+        ).collect()
+    }
+    assert gated[3]["keep"] == 0 and no_gate[3] == 1  # only the LM flipped it
+    assert gated[1]["keep"] == 1 and gated[2]["keep"] == 1
+    assert gated[4]["keep"] == 0 and gated[4]["perplexity"] == -1.0  # empty
+    assert all(v["perplexity"] is not None for v in gated.values())
+    # doc 3 is the perplexity maximum among non-empty docs
+    assert gated[3]["perplexity"] == max(
+        v["perplexity"] for v in gated.values()
+    )
+
+    # external (CCNet-style trusted) LM trained WITHOUT doc 3: the junk doc
+    # is now fully unseen vocabulary — widest margin.  Threshold probed
+    # from the external scores (external ppl values live on their own
+    # scale; the self-trained cut doesn't transfer).
+    clean = docs.where(F.col("doc_id") != 3)
+    lm = train_bigram_lm(clean)
+    ext_ppl = {
+        r["doc_id"]: r["perplexity"]
+        for r in perplexity_score(docs, lm).collect()
+        if r["perplexity"] is not None
+    }
+    assert ext_ppl[3] == max(ext_ppl.values())
+    ext = {
+        r["doc_id"]: r["keep"]
+        for r in training_corpus_filter(
+            docs, min_quality=0.0, dedup_threshold=0.99,
+            max_perplexity=ext_ppl[3] - 1e-6, lm=lm,
+        ).collect()
+    }
+    assert ext[1] == 1 and ext[2] == 1 and ext[3] == 0
+
+
 def test_near_dedup_decisions(spark):
     """End-to-end dedup decisions: planted exact-ish duplicates collapse to
     the smallest-id representative; unique docs keep."""
