@@ -470,7 +470,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           origin 100 / scale 50; twin applies the identical closed form.
         - 'min_should_match' (round 3): Lucene minimumNumberShouldMatch
           m=2 over the 3-term OR — twin gates the plain scoring on
-          HAVING count(DISTINCT term) >= 2.
+          HAVING count(DISTINCT term) >= 2;
+        - 'fuzzy' (round 3): Lucene FuzzyQuery — the typo FUZZY_TYPO
+          expands to its Levenshtein-1 dictionary neighbors and scores
+          as ONE blended SynonymQuery group (tf = sum of member tfs,
+          df = docs matching any member); the twin recomputes the
+          expansion with DuckDB levenshtein() and the identical
+          top-50-by-df cap.
         """
         from search_engine_spark.operators.index_build import build_index
         from search_engine_spark.plans.bm25 import QueryEngine
@@ -511,6 +517,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             },
         ).collect()
         msm_rows = eng.search(q, k=100, min_should_match=2).collect()
+        fz_rows = eng.search(
+            f"values: {FUZZY_TYPO}", k=100, fuzziness=1
+        ).collect()
         index.unpersist()
         parts = []
         for tag, rows in (
@@ -520,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("function_score", fs_rows),
             ("gauss_decay", decay_rows),
             ("min_should_match", msm_rows),
+            ("fuzzy", fz_rows),
         ):
             ranked = rerank(rows)
             parts.append(
@@ -2684,6 +2694,41 @@ FROM fs ORDER BY score DESC, doc_id LIMIT 10
 UNION ALL
 SELECT 'min_should_match' AS variant, rank, doc_id, score
 FROM ({_bm25_sql(BM25_TERMS, and_mode=False, min_match=2)})
+UNION ALL
+SELECT 'fuzzy' AS variant, rank, doc_id, score FROM (
+WITH tf AS ({_TF_SQL}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM tf) / (SELECT count(*) FROM documents) AS avgdl
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+dict AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+exp AS (
+  SELECT term FROM (
+    SELECT term, df, levenshtein(term, '{FUZZY_TYPO}') AS dist
+    FROM dict
+    WHERE length(term) > 2 AND levenshtein(term, '{FUZZY_TYPO}') <= 1
+    ORDER BY df DESC, dist ASC, term ASC LIMIT 50
+  )
+  UNION
+  SELECT term FROM dict WHERE term = '{FUZZY_TYPO}'
+),
+gtf AS (
+  SELECT tf.doc_id, CAST(sum(tf.tf) AS DOUBLE) AS gtf
+  FROM tf JOIN exp USING (term) GROUP BY tf.doc_id
+),
+gdf AS (SELECT CAST(count(*) AS DOUBLE) AS df FROM gtf),
+scored AS (
+  SELECT gtf.doc_id,
+         ln((stats.n_docs - gdf.df + 0.5) / (gdf.df + 0.5) + 1.0)
+           * gtf.gtf * {K1 + 1.0}
+           / (gtf.gtf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS contrib
+  FROM gtf JOIN dl ON gtf.doc_id = dl.doc_id, stats, gdf
+),
+agg AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
+FROM agg ORDER BY score DESC, doc_id LIMIT 10
+)
 """
 
     # events analytics, one tagged twin (event_windows).  Window keys are

@@ -365,6 +365,13 @@ def cmd_search(args) -> int:
                 file=sys.stderr,
             )
             return 2
+        if getattr(args, "fuzzy", None) is not None:
+            print(
+                "error: --fuzzy needs the exhaustive engine; drop --wand "
+                "(blended expansion groups are not posting cursors)",
+                file=sys.stderr,
+            )
+            return 2
         if "," in args.index:
             print(
                 "error: --wand does not support federated roots (segment "
@@ -531,6 +538,8 @@ def cmd_search(args) -> int:
             args.query, mode=args.mode, k=args.k, with_display=True,
             phrases=phrases, synonyms=syns, score_fn=score_fn,
             min_should_match=getattr(args, "min_should_match", None),
+            fuzziness=getattr(args, "fuzzy", None),
+            fuzzy_max_expansions=getattr(args, "fuzzy_expansions", 50),
         ).collect()
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
@@ -1026,6 +1035,17 @@ def main(argv: list[str] | None = None) -> int:
         "--min-should-match", type=int, default=None, metavar="M",
         help="OR queries: keep docs matching at least M query keys "
         "(Lucene minimumNumberShouldMatch; M=1 plain OR, M=n AND)",
+    )
+    s.add_argument(
+        "--fuzzy", type=int, default=None, choices=(1, 2), metavar="D",
+        help="fuzzy term matching: expand each query term to dictionary "
+        "terms within D Levenshtein edits, scored as one blended group "
+        "(Lucene FuzzyQuery / ES match fuzziness)",
+    )
+    s.add_argument(
+        "--fuzzy-expansions", type=int, default=50, metavar="N",
+        help="with --fuzzy: cap each term's expansion at the N "
+        "highest-df candidates (Lucene maxExpansions, default 50)",
     )
     s.add_argument("--wand", action="store_true", help="block-max WAND path (driver traversal)")
     s.add_argument(

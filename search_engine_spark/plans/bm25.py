@@ -867,6 +867,8 @@ class QueryEngine:
         synonyms: dict[str, list[str]] | None = None,
         score_fn: dict | None = None,
         min_should_match: int | None = None,
+        fuzziness: int | None = None,
+        fuzzy_max_expansions: int = 50,
     ) -> DataFrame:
         """→ DataFrame(rank, docid, score[, repo, path, lang]) — k rows max.
 
@@ -932,6 +934,22 @@ class QueryEngine:
         OR, m=n ≡ AND, m>n matches nothing.  Scores of surviving docs are
         unchanged (the keys still score independently).  Exhaustive engine
         only.
+
+        ``fuzziness``: Lucene ``FuzzyQuery`` / ES ``match`` ``fuzziness``
+        (public designs) — each single-word query term expands to the
+        dictionary terms within ``fuzziness`` Levenshtein edits of it
+        (1 or 2, the SymSpell deletion-neighborhood bound, plans/fuzzy.py)
+        and the expansion set scores as ONE blended pseudo-term through
+        the ``synonyms`` machinery above (exactly ES's fuzzy rewrite: a
+        blended term query, so a typo and its corrections rank as one
+        concept).  ``fuzzy_max_expansions`` caps each term's expansion at
+        the highest-df candidates (Lucene ``maxExpansions``, default 50,
+        ties broken by distance then term); the verbatim term is always
+        kept.  Composes with an explicit ``synonyms=`` dict (members
+        union).  Scale: expansion is a bucket-pruned probe of the
+        persisted deletion index — dictionary-dimension work, zero corpus
+        scans.  Exhaustive engine only; quoted phrases and wildcard
+        patterns keep their own semantics (never fuzzed).
         """
         if strategy not in ("exhaustive", "wand"):
             raise ValueError(f"strategy must be 'exhaustive' or 'wand', got {strategy!r}")
@@ -949,6 +967,12 @@ class QueryEngine:
             raise ValueError("score_fn= needs the exhaustive engine")
         if min_should_match is not None and strategy == "wand":
             raise ValueError("min_should_match= needs the exhaustive engine")
+        if fuzziness is not None and strategy == "wand":
+            raise ValueError("fuzziness= needs the exhaustive engine")
+        if fuzziness is not None:
+            synonyms = self._merge_fuzzy_expansions(
+                query, synonyms, fuzziness, fuzzy_max_expansions
+            )
         if strategy == "wand":
             parsed = parse_query(query)
             has_phrase = phrases == "positional" and any(
@@ -1448,6 +1472,95 @@ class QueryEngine:
         from .significant import significant_terms
 
         return significant_terms(self, query, docs, **kw)
+
+    def _fuzzy_expansions(
+        self, query: str, max_edit: int = 1, max_expansions: int = 50
+    ) -> dict[str, list[str]]:
+        """Lucene FuzzyQuery term expansion over the index's own vocabulary.
+
+        → {cleaned_query_term: sorted member terms} for every single-word
+        query term with at least one Levenshtein-``max_edit`` dictionary
+        neighbor; terms without neighbors keep plain scoring.  Candidates
+        come from the SymSpell deletion-key equi-join (plans/fuzzy.py) —
+        a bucket-pruned probe of the persisted deletion index, never a
+        dictionary scan.  The cap keeps the ``max_expansions`` highest-df
+        candidates (Lucene's top-terms rewrite; ties distance-then-term),
+        and the verbatim term is always a member.  The length-≤2 P5 gate
+        is applied BEFORE the cap (an unprobeable candidate must not
+        occupy an expansion slot); under a stemmed index, the rare
+        non-idempotent stem is dropped after the cap (it could never
+        probe itself on the synonym path).
+        """
+        if max_edit not in (1, 2):
+            raise ValueError(
+                "fuzziness must be 1 or 2 (SymSpell deletion-neighborhood bound)"
+            )
+        if max_expansions < 1:
+            raise ValueError("fuzzy_max_expansions must be >= 1")
+        from .fuzzy import fuzzy_candidates
+
+        cleaned: list[str] = []
+        for kind, _target, raws in parse_query(query):
+            if kind != "terms":
+                continue
+            for raw in raws:
+                if " " in raw.strip() or "*" in raw:
+                    continue  # phrases / wildcards have their own semantics
+                pieces = [self._fold_raw(raw)]
+                if self.analyzer == "code":
+                    from ..operators.code_tokens import code_tokenize
+
+                    pieces = code_tokenize(raw) or [raw]
+                for piece in pieces:
+                    c = clean_query_term(piece, stem=self.stem)
+                    if c is not None and c not in cleaned:
+                        cleaned.append(c)
+        out: dict[str, list[str]] = {}
+        didx = self._deletion_index(max_edit)
+        for t in cleaned:
+            rows = (
+                fuzzy_candidates(
+                    didx, t, max_edit=max_edit, n_buckets=self.buckets
+                )
+                .where(F.length("term") > 2)
+                .orderBy(
+                    F.col("df").desc(), F.col("dist").asc(), F.col("term").asc()
+                )
+                .limit(max_expansions)
+                .collect()
+            )
+            members = {t}
+            for r in rows:
+                m = r["term"]
+                if clean_query_term(m, stem=self.stem) == m:
+                    members.add(m)
+            if len(members) > 1:
+                out[t] = sorted(members)
+        return out
+
+    def _merge_fuzzy_expansions(
+        self,
+        query: str,
+        synonyms: dict[str, list[str]] | None,
+        fuzziness: int,
+        max_expansions: int,
+    ) -> dict[str, list[str]] | None:
+        """Union fuzzy expansion members into any user synonym entry whose
+        key cleans to the same dictionary form (a duplicate key would
+        silently shadow one group in _query_matches)."""
+        fz = self._fuzzy_expansions(query, fuzziness, max_expansions)
+        if not fz:
+            return synonyms
+        merged = {k: sorted(set(v)) for k, v in (synonyms or {}).items()}
+        by_clean: dict[str, str] = {}
+        for k in merged:
+            ck = clean_query_term(self._fold_raw(k), stem=self.stem)
+            if ck is not None:
+                by_clean.setdefault(ck, k)
+        for t, members in fz.items():
+            key = by_clean.get(t, t)
+            merged[key] = sorted(set(merged.get(key, [])) | set(members))
+        return merged
 
     def _deletion_index(self, max_edit: int) -> DataFrame:
         if max_edit not in self._del_idx:

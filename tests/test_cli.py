@@ -540,6 +540,29 @@ def test_build_fold_analyzer(spark, tmp_path, capsys):
                  "--analyzer", "fold", "--slices", "2"]) == 2
 
 
+def test_search_fuzzy(spark, tiny_df, tmp_path, capsys):
+    """--fuzzy restores recall for a typo query end-to-end; --wand
+    refuses it with exit 2."""
+    src = str(tmp_path / "docs_fz")
+    root = str(tmp_path / "idx_fz")
+    tiny_df.write.parquet(src)
+    assert main(["build", "--input", src, "--output", root]) == 0
+    capsys.readouterr()
+
+    q = "values: parse_jsonx"
+    assert main(["search", "--index", root, "--query", q]) == 0
+    assert "no results" in capsys.readouterr().out
+    assert main(
+        ["search", "--index", root, "--query", q, "--fuzzy", "1"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert sum(1 for ln in out.splitlines() if ln.strip()[:1].isdigit()) > 0
+
+    rc = main(["search", "--index", root, "--query", q, "--wand", "--fuzzy", "1"])
+    assert rc == 2
+    assert "--fuzzy" in capsys.readouterr().err
+
+
 def test_search_min_should_match(spark, tiny_df, tmp_path, capsys):
     """--min-should-match gates the OR match set m-of-n end-to-end;
     --wand refuses it with exit 2."""

@@ -1,0 +1,156 @@
+"""Query-time fuzzy matching (Lucene FuzzyQuery / ES ``match`` fuzziness):
+``search(fuzziness=d)`` expands each term against the index's own
+vocabulary via the SymSpell deletion join and scores the expansion as one
+blended SynonymQuery group — verified against an independent python model
+(brute-force Levenshtein over the collected dictionary + oracle synonym
+scoring)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.oracle import clean_query_term, score_query
+from search_engine_spark.plans.bm25 import QueryEngine
+from search_engine_spark.plans.query_parser import parse_query
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_index):
+    eng = QueryEngine(spark, tiny_index)
+    yield eng
+    eng.close()
+
+
+@pytest.fixture(scope="module")
+def body_dict(tiny_index):
+    """Collected (term, df) body dictionary — the expansion source."""
+    return [
+        (r["term"], r["df"])
+        for r in tiny_index.dictionary.where(F.col("field") == "content")
+        .select("term", "df")
+        .collect()
+    ]
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _model_expansions(
+    body_dict, query: str, max_edit: int, max_expansions: int = 50
+) -> dict[str, list[str]]:
+    """Independent model of QueryEngine._fuzzy_expansions."""
+    out: dict[str, list[str]] = {}
+    for kind, _t, raws in parse_query(query):
+        if kind != "terms":
+            continue
+        for raw in raws:
+            if " " in raw.strip() or "*" in raw:
+                continue
+            t = clean_query_term(raw)
+            if t is None or t in out:
+                continue
+            cands = [
+                (term, df, _lev(term, t))
+                for term, df in body_dict
+                if len(term) > 2 and _lev(term, t) <= max_edit
+            ]
+            cands.sort(key=lambda x: (-x[1], x[2], x[0]))
+            members = {t} | {
+                m
+                for m, _df, _d in cands[:max_expansions]
+                if clean_query_term(m) == m
+            }
+            if len(members) > 1:
+                out[t] = sorted(members)
+    return out
+
+
+TYPO_QUERY = "values: parse_jsonx scan_config0"
+
+
+def test_expansions_match_model(engine, body_dict):
+    got = engine._fuzzy_expansions(TYPO_QUERY, max_edit=1)
+    want = _model_expansions(body_dict, TYPO_QUERY, max_edit=1)
+    assert got == want
+    assert "parse_jsonx" in got, "typo must expand (parse_json0..N ≤1 edit)"
+    assert len(got["parse_jsonx"]) > 2, "multiple near-terms must blend"
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_fuzzy_search_matches_oracle(engine, tiny_oracle, body_dict, mode):
+    syns = _model_expansions(body_dict, TYPO_QUERY, max_edit=1)
+    golden = score_query(
+        tiny_oracle, parse_query(TYPO_QUERY), mode=mode, k=10, synonyms=syns
+    )
+    assert golden, "fixture must match"
+    got = engine.search(TYPO_QUERY, mode=mode, k=10, fuzziness=1).collect()
+    assert [(r["rank"], r["docid"]) for r in got] == [
+        (rk, d) for rk, d, _ in golden
+    ]
+    for r, (_, _, s) in zip(got, golden):
+        assert math.isclose(r["score"], s, rel_tol=0, abs_tol=1e-9)
+
+
+def test_fuzzy_restores_recall(engine):
+    """A typo term alone matches nothing plain, but hits under fuzziness."""
+    q = "values: parse_jsonx"
+    assert engine.search(q, k=10).collect() == []
+    fuzzy = engine.search(q, k=10, fuzziness=1).collect()
+    assert fuzzy, "fuzzy expansion must restore the match set"
+
+
+def test_fuzzy_composes_with_user_synonyms(engine, tiny_oracle, body_dict):
+    """An explicit synonyms= entry whose key cleans to the same term must
+    union with the fuzzy members — never shadow them as a duplicate key."""
+    user = {"parse_jsonx": ["merge_index0"]}
+    expected = _model_expansions(body_dict, TYPO_QUERY, max_edit=1)
+    merged = {
+        k: sorted(set(v) | set(user.get(k, []))) for k, v in expected.items()
+    }
+    golden = score_query(
+        tiny_oracle, parse_query(TYPO_QUERY), k=10, synonyms=merged
+    )
+    got = engine.search(TYPO_QUERY, k=10, fuzziness=1, synonyms=user).collect()
+    assert [(r["rank"], r["docid"]) for r in got] == [
+        (rk, d) for rk, d, _ in golden
+    ]
+    for r, (_, _, s) in zip(got, golden):
+        assert math.isclose(r["score"], s, rel_tol=0, abs_tol=1e-9)
+
+
+def test_fuzzy_expansion_cap(engine, tiny_oracle, body_dict):
+    """max_expansions keeps the highest-df candidates, deterministically."""
+    syns = _model_expansions(
+        body_dict, TYPO_QUERY, max_edit=1, max_expansions=2
+    )
+    assert any(len(v) <= 3 for v in syns.values())
+    golden = score_query(
+        tiny_oracle, parse_query(TYPO_QUERY), k=10, synonyms=syns
+    )
+    got = engine.search(
+        TYPO_QUERY, k=10, fuzziness=1, fuzzy_max_expansions=2
+    ).collect()
+    assert [(r["rank"], r["docid"]) for r in got] == [
+        (rk, d) for rk, d, _ in golden
+    ]
+
+
+def test_fuzzy_validation(engine):
+    with pytest.raises(ValueError, match="fuzziness"):
+        engine.search("values: table", fuzziness=3)
+    with pytest.raises(ValueError, match="fuzzy_max_expansions"):
+        engine.search("values: table", fuzziness=1, fuzzy_max_expansions=0)
+    with pytest.raises(ValueError, match="exhaustive"):
+        engine.search("values: table", fuzziness=1, strategy="wand")
