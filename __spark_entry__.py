@@ -129,11 +129,21 @@ def _bm25_scores(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFram
     )
 
 
-def _bm25_sql(terms: list[str], and_mode: bool, min_match: int | None = None) -> str:
+def _bm25_sql(
+    terms: list[str],
+    and_mode: bool,
+    min_match: int | None = None,
+    exclude: str | None = None,
+) -> str:
     tlist = ", ".join(f"'{t}'" for t in terms)
     having = f"HAVING count(DISTINCT term) = {len(terms)}" if and_mode else ""
     if min_match is not None:
         having = f"HAVING count(DISTINCT term) >= {min_match}"
+    excl_where = (
+        f"WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{exclude}')"
+        if exclude
+        else ""
+    )
     return f"""
 WITH tf AS ({_TF_SQL}),
 stats AS (
@@ -155,7 +165,7 @@ agg AS (
   FROM scored GROUP BY doc_id {having}
 )
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
-FROM agg ORDER BY score DESC, doc_id LIMIT 10
+FROM agg {excl_where} ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
@@ -476,7 +486,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           as ONE blended SynonymQuery group (tf = sum of member tfs,
           df = docs matching any member); the twin recomputes the
           expansion with DuckDB levenshtein() and the identical
-          top-50-by-df cap.
+          top-50-by-df cap;
+        - 'must_not' (round 3): Lucene bool must_not — the 3-term OR
+          with AND_TERMS[0] excluded (docs containing it drop, scores
+          untouched); the twin filters the plain ranking with a
+          NOT IN postings subquery.
         """
         from search_engine_spark.operators.index_build import build_index
         from search_engine_spark.plans.bm25 import QueryEngine
@@ -520,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fz_rows = eng.search(
             f"values: {FUZZY_TYPO}", k=100, fuzziness=1
         ).collect()
+        mn_rows = eng.search(q, k=100, must_not=[AND_TERMS[0]]).collect()
         index.unpersist()
         parts = []
         for tag, rows in (
@@ -530,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("gauss_decay", decay_rows),
             ("min_should_match", msm_rows),
             ("fuzzy", fz_rows),
+            ("must_not", mn_rows),
         ):
             ranked = rerank(rows)
             parts.append(
@@ -2729,6 +2745,9 @@ agg AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY doc_
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
 FROM agg ORDER BY score DESC, doc_id LIMIT 10
 )
+UNION ALL
+SELECT 'must_not' AS variant, rank, doc_id, score
+FROM ({_bm25_sql(BM25_TERMS, and_mode=False, exclude=AND_TERMS[0])})
 """
 
     # events analytics, one tagged twin (event_windows).  Window keys are

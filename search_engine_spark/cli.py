@@ -372,6 +372,13 @@ def cmd_search(args) -> int:
                 file=sys.stderr,
             )
             return 2
+        if getattr(args, "must_not", None):
+            print(
+                "error: --must-not needs the exhaustive engine; drop "
+                "--wand (exclusion is an anti-join, not a posting cursor)",
+                file=sys.stderr,
+            )
+            return 2
         if "," in args.index:
             print(
                 "error: --wand does not support federated roots (segment "
@@ -540,6 +547,11 @@ def cmd_search(args) -> int:
             min_should_match=getattr(args, "min_should_match", None),
             fuzziness=getattr(args, "fuzzy", None),
             fuzzy_max_expansions=getattr(args, "fuzzy_expansions", 50),
+            must_not=(
+                [t for t in args.must_not.split(",") if t.strip()]
+                if getattr(args, "must_not", None)
+                else None
+            ),
         ).collect()
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
@@ -1046,6 +1058,12 @@ def main(argv: list[str] | None = None) -> int:
         "--fuzzy-expansions", type=int, default=50, metavar="N",
         help="with --fuzzy: cap each term's expansion at the N "
         "highest-df candidates (Lucene maxExpansions, default 50)",
+    )
+    s.add_argument(
+        "--must-not", default=None, metavar="TERMS",
+        help="comma-separated terms: drop any doc containing one of them "
+        "in any indexed field (Lucene bool must_not; pure exclusion, "
+        "never scored)",
     )
     s.add_argument("--wand", action="store_true", help="block-max WAND path (driver traversal)")
     s.add_argument(

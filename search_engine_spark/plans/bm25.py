@@ -869,6 +869,7 @@ class QueryEngine:
         min_should_match: int | None = None,
         fuzziness: int | None = None,
         fuzzy_max_expansions: int = 50,
+        must_not: list[str] | None = None,
     ) -> DataFrame:
         """→ DataFrame(rank, docid, score[, repo, path, lang]) — k rows max.
 
@@ -950,6 +951,16 @@ class QueryEngine:
         persisted deletion index — dictionary-dimension work, zero corpus
         scans.  Exhaustive engine only; quoted phrases and wildcard
         patterns keep their own semantics (never fuzzed).
+
+        ``must_not``: the Lucene/Elasticsearch bool ``must_not`` clause
+        (public design) — docs containing ANY of these terms in ANY
+        indexed field are dropped from the result; pure exclusion, never
+        a score contribution.  Excluded terms go through the index's own
+        analyzer chain (fold/code/stem), then one bucket-pruned postings
+        probe per field feeds a left-anti join on the scored match set —
+        no corpus scan, and no distinct on the exclusion side (anti-join
+        semantics don't need one).  Applied before the ``after=`` cursor
+        cut so pagination stays consistent.  Exhaustive engine only.
         """
         if strategy not in ("exhaustive", "wand"):
             raise ValueError(f"strategy must be 'exhaustive' or 'wand', got {strategy!r}")
@@ -969,6 +980,8 @@ class QueryEngine:
             raise ValueError("min_should_match= needs the exhaustive engine")
         if fuzziness is not None and strategy == "wand":
             raise ValueError("fuzziness= needs the exhaustive engine")
+        if must_not and strategy == "wand":
+            raise ValueError("must_not= needs the exhaustive engine")
         if fuzziness is not None:
             synonyms = self._merge_fuzzy_expansions(
                 query, synonyms, fuzziness, fuzzy_max_expansions
@@ -1040,6 +1053,10 @@ class QueryEngine:
         )
         if agg is None:
             return self._empty_result(with_display)
+        if must_not:
+            excl = self._excluded_docids(must_not)
+            if excl is not None:
+                agg = agg.join(excl, on="docid", how="left_anti")
         if after is not None:
             a_score, a_docid = float(after[0]), int(after[1])
             agg = agg.where(
@@ -1472,6 +1489,33 @@ class QueryEngine:
         from .significant import significant_terms
 
         return significant_terms(self, query, docs, **kw)
+
+    def _excluded_docids(self, must_not: list[str]) -> DataFrame | None:
+        """docids matching ANY excluded term in ANY indexed field — the
+        right side of the bool must_not anti-join.  Terms run through the
+        index's analyzer chain; the probe is the shared bucket-pruned
+        postings path (_postings_tf), one per field, unioned WITHOUT a
+        distinct (left-anti ignores duplicates, so the extra exchange
+        would be pure waste — even a stopword-sized exclusion list stays
+        a shuffle-free scan feeding the join)."""
+        terms: list[str] = []
+        for raw in must_not:
+            pieces = [self._fold_raw(raw)]
+            if self.analyzer == "code":
+                from ..operators.code_tokens import code_tokenize
+
+                pieces = code_tokenize(raw) or [raw]
+            for piece in pieces:
+                c = clean_query_term(piece, stem=self.stem)
+                if c is not None and c not in terms:
+                    terms.append(c)
+        if not terms:
+            return None
+        out = None
+        for field in ("content", "title"):
+            part = self._postings_tf(field, terms).select("docid")
+            out = part if out is None else out.unionByName(part)
+        return out
 
     def _fuzzy_expansions(
         self, query: str, max_edit: int = 1, max_expansions: int = 50

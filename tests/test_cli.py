@@ -563,6 +563,34 @@ def test_search_fuzzy(spark, tiny_df, tmp_path, capsys):
     assert "--fuzzy" in capsys.readouterr().err
 
 
+def test_search_must_not(spark, tiny_df, tmp_path, capsys):
+    """--must-not drops matching docs end-to-end; --wand refuses it."""
+    src = str(tmp_path / "docs_mn")
+    root = str(tmp_path / "idx_mn")
+    tiny_df.write.parquet(src)
+    assert main(["build", "--input", src, "--output", root]) == 0
+    capsys.readouterr()
+
+    q = "values: parse_json0 merge_index0"
+    assert main(["search", "--index", root, "--query", q, "-k", "100"]) == 0
+    plain = capsys.readouterr().out
+    assert main(
+        ["search", "--index", root, "--query", q, "-k", "100",
+         "--must-not", "parse_json0"]
+    ) == 0
+    gated = capsys.readouterr().out
+    n_plain = sum(1 for ln in plain.splitlines() if ln.strip()[:1].isdigit())
+    n_gated = sum(1 for ln in gated.splitlines() if ln.strip()[:1].isdigit())
+    assert 0 < n_gated < n_plain
+
+    rc = main(
+        ["search", "--index", root, "--query", q, "--wand",
+         "--must-not", "parse_json0"]
+    )
+    assert rc == 2
+    assert "must-not" in capsys.readouterr().err
+
+
 def test_search_min_should_match(spark, tiny_df, tmp_path, capsys):
     """--min-should-match gates the OR match set m-of-n end-to-end;
     --wand refuses it with exit 2."""

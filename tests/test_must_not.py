@@ -1,0 +1,87 @@
+"""Boolean exclusion (Lucene/ES bool ``must_not``): ``search(must_not=[...])``
+drops docs containing any excluded term in any indexed field, scores
+untouched — verified against the oracle's full ranking filtered by an
+independent postings-membership model."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from search_engine_spark.oracle import clean_query_term, score_query
+from search_engine_spark.plans.bm25 import QueryEngine
+from search_engine_spark.plans.query_parser import parse_query
+
+QUERY = "values: parse_json0 merge_index0 load_config0"
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_index):
+    eng = QueryEngine(spark, tiny_index)
+    yield eng
+    eng.close()
+
+
+def _excluded_docs(tiny_oracle, terms: list[str]) -> set[int]:
+    out: set[int] = set()
+    for raw in terms:
+        c = clean_query_term(raw)
+        if c is None:
+            continue
+        for field in ("content", "title"):
+            out |= set(tiny_oracle.postings[field].get(c, {}))
+    return out
+
+
+def _golden(tiny_oracle, query: str, exclude: list[str], mode="or", k=10):
+    full = score_query(tiny_oracle, parse_query(query), mode=mode, k=10**9)
+    drop = _excluded_docs(tiny_oracle, exclude)
+    kept = [(d, s) for _, d, s in full if d not in drop]
+    return [(i + 1, d, s) for i, (d, s) in enumerate(kept[:k])]
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_must_not_matches_model(engine, tiny_oracle, mode):
+    exclude = ["scan_config0"]
+    golden = _golden(tiny_oracle, QUERY, exclude, mode=mode)
+    plain = score_query(tiny_oracle, parse_query(QUERY), mode=mode, k=10**9)
+    assert _excluded_docs(tiny_oracle, exclude) & {
+        d for _, d, _ in plain
+    }, "fixture: exclusion must actually remove matching docs"
+    got = engine.search(QUERY, mode=mode, k=10, must_not=exclude).collect()
+    assert [(r["rank"], r["docid"]) for r in got] == [
+        (rk, d) for rk, d, _ in golden
+    ]
+    for r, (_, _, s) in zip(got, golden):
+        assert math.isclose(r["score"], s, rel_tol=0, abs_tol=1e-9)
+
+
+def test_must_not_unknown_term_is_noop(engine, tiny_oracle):
+    golden = score_query(tiny_oracle, parse_query(QUERY), k=10)
+    got = engine.search(QUERY, k=10, must_not=["zzzznotindex"]).collect()
+    assert [(r["rank"], r["docid"]) for r in got] == [
+        (rk, d) for rk, d, _ in golden
+    ]
+
+
+def test_must_not_composes_with_pagination(engine, tiny_oracle):
+    """Exclusion applies before the search_after cursor — pages of the
+    excluded ranking tile exactly."""
+    exclude = ["scan_config0"]
+    golden = _golden(tiny_oracle, QUERY, exclude, k=10**9)
+    pages, cursor = [], None
+    for _ in range(4):
+        page = engine.search(
+            QUERY, k=3, must_not=exclude, after=cursor
+        ).collect()
+        if not page:
+            break
+        pages += [(r["docid"], r["score"]) for r in page]
+        cursor = (page[-1]["score"], page[-1]["docid"])
+    assert pages == [(d, pytest.approx(s, abs=1e-9)) for _, d, s in golden[:12]]
+
+
+def test_must_not_wand_refusal(engine):
+    with pytest.raises(ValueError, match="exhaustive"):
+        engine.search(QUERY, must_not=["scan_config0"], strategy="wand")
