@@ -1436,10 +1436,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_facet_histogram(spark, sf):
-        """Numeric facet histogram over the match set (Lucene
-        RangeFacetCounts design): doclen distribution of docs matching the
-        standard OR query, width-20 bins.  Count aggregation — no float
-        boundary risk, returned as the live distributed frame."""
+        """Numeric facet analytics over the match set, two variants in one
+        tagged (variant, k, v) frame:
+
+        - 'hist' (Lucene RangeFacetCounts design): doclen distribution of
+          docs matching the standard OR query, width-20 bins (k = bin_lo,
+          v = count);
+        - stats rows (round 3, ES stats/extended_stats/percentiles):
+          QueryEngine.match_stats over the same match set — 'count'/'min'/
+          'max'/'sum'/'avg'/'stddev' (population) at k=0, plus 'pct' rows
+          keyed by the percentile (k=25/50/75, exact linear-interpolation
+          percentile ≡ the twin's quantile_cont)."""
         from search_engine_spark.operators.index_build import build_index
         from search_engine_spark.plans.bm25 import QueryEngine
         from search_engine_spark.sources.corpus import load_testdata_documents
@@ -1447,10 +1454,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_testdata_documents(spark, sf)
         index = build_index(spark, docs, compress=True, title_col=None)
         eng = QueryEngine(spark, index, cache_docstats=False)
-        out = eng.facet_histogram(
-            "values: " + " ".join(BM25_TERMS), col="doclen", bin_width=20
-        ).select("bin_lo", F.col("n").cast("long").alias("n"))
-        return out
+        q = "values: " + " ".join(BM25_TERMS)
+        hist = eng.facet_histogram(q, col="doclen", bin_width=20).select(
+            F.lit("hist").alias("variant"),
+            F.col("bin_lo").cast("double").alias("k"),
+            F.col("n").cast("double").alias("v"),
+        )
+        st = eng.match_stats(
+            q, col="doclen", percentiles=(25.0, 50.0, 75.0)
+        ).collect()[0]
+        stat_rows = [
+            ("count", 0.0, float(st["n"])),
+            ("min", 0.0, st["min"]),
+            ("max", 0.0, st["max"]),
+            ("sum", 0.0, st["sum"]),
+            ("avg", 0.0, st["avg"]),
+            ("stddev", 0.0, st["stddev"]),
+            ("pct", 25.0, st["p25"]),
+            ("pct", 50.0, st["p50"]),
+            ("pct", 75.0, st["p75"]),
+        ]
+        stats_df = (
+            spark.range(1)
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(t).alias("variant"),
+                                F.lit(k).cast("double").alias("k"),
+                                F.lit(v).cast("double").alias("v"),
+                            )
+                            for t, k, v in stat_rows
+                        ]
+                    )
+                ).alias("r")
+            )
+            .select("r.*")
+        )
+        return hist.unionByName(stats_df)
 
     def q_bm25_rescored(spark, sf):
         """Two-stage rescoring (plans/hybrid.rescore_topk — the ES rescorer
@@ -2447,11 +2489,19 @@ GROUP BY term ORDER BY df DESC, term LIMIT 10
     sql["facet_histogram"] = f"""
 WITH tf AS ({_TF_SQL}),
 matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({_fh_tlist})),
-dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id)
-SELECT CAST(floor(dl.dl / 20.0) AS BIGINT) * 20 AS bin_lo,
-       CAST(count(*) AS BIGINT) AS n
-FROM matched m JOIN dl ON m.doc_id = dl.doc_id
-GROUP BY 1 ORDER BY 1
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+mv AS (SELECT CAST(dl.dl AS DOUBLE) AS val FROM matched m JOIN dl ON m.doc_id = dl.doc_id)
+SELECT 'hist' AS variant, floor(val / 20.0) * 20 AS k, CAST(count(*) AS DOUBLE) AS v
+FROM mv GROUP BY 2
+UNION ALL SELECT 'count', 0.0, CAST(count(*) AS DOUBLE) FROM mv
+UNION ALL SELECT 'min', 0.0, min(val) FROM mv
+UNION ALL SELECT 'max', 0.0, max(val) FROM mv
+UNION ALL SELECT 'sum', 0.0, sum(val) FROM mv
+UNION ALL SELECT 'avg', 0.0, round(avg(val), 6) FROM mv
+UNION ALL SELECT 'stddev', 0.0, round(stddev_pop(val), 6) FROM mv
+UNION ALL SELECT 'pct', 25.0, round(quantile_cont(val, 0.25), 6) FROM mv
+UNION ALL SELECT 'pct', 50.0, round(quantile_cont(val, 0.50), 6) FROM mv
+UNION ALL SELECT 'pct', 75.0, round(quantile_cont(val, 0.75), 6) FROM mv
 """
 
     # collapse twin: the full scored set (no top-k cut), best row per

@@ -523,6 +523,21 @@ def cmd_search(args) -> int:
         if not rows:
             print("no results")
         return 0
+    if getattr(args, "stats", None):
+        try:
+            rows = engine.match_stats(
+                args.query, col=args.stats, mode=args.mode, synonyms=syns,
+            ).collect()
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        if not rows:
+            print("no results")
+            return 0
+        r = rows[0]
+        for name in r.asDict():
+            print(f"{name:<8} {r[name]}")
+        return 0
     if getattr(args, "collapse", None):
         try:
             rows = engine.search_collapsed(
@@ -1023,6 +1038,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument(
         "--bin-width", type=int, default=50,
         help="with --histogram: bin width (default 50)",
+    )
+    s.add_argument(
+        "--stats", default=None, metavar="COL",
+        help="print the match set's stats over a numeric docstats column "
+        "(count/min/max/sum/avg/stddev + p25/p50/p75 — ES stats + "
+        "percentiles aggregations) instead of ranked results",
     )
     s.add_argument(
         "--significant", action="store_true",

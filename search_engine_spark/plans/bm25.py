@@ -1418,6 +1418,74 @@ class QueryEngine:
             .orderBy("bin_lo")
         )
 
+    def match_stats(
+        self,
+        query: str,
+        col: str = "doclen",
+        mode: str = "or",
+        percentiles: tuple[float, ...] = (25.0, 50.0, 75.0),
+        approx: bool = False,
+        boosts: dict[str, float] | None = None,
+        filters: dict | None = None,
+        synonyms: dict[str, list[str]] | None = None,
+    ) -> DataFrame:
+        """ES ``stats``/``extended_stats``/``percentiles`` aggregations
+        (public designs) over the MATCH SET's distribution of a numeric
+        docstats column → ONE row: (n long, min, max, sum, avg, stddev
+        [population, the ES extended_stats convention], p<P> per requested
+        percentile, all double).  Empty match set → zero rows.
+
+        Percentiles are exact by default (``percentile``, linear
+        interpolation — the twin's quantile_cont); ``approx=True``
+        switches to ``approx_percentile``, whose t-digest-style sketch is
+        mergeable map-side and is the right call when the match set is a
+        large corpus fraction at 100 TB.
+
+        Scale: match-set docids equi-join the cached docstats (broadcast-
+        or hash-join, Catalyst's call), then ONE global aggregate — every
+        non-percentile stat is a map-side-combined partial; exact
+        percentile is the only value-buffering member (hence ``approx``).
+        """
+        if col not in self._docstats.columns:
+            raise ValueError(f"col {col!r} not in docstats")
+        if not percentiles or not all(0.0 <= p <= 100.0 for p in percentiles):
+            raise ValueError("percentiles must be in [0, 100]")
+        agg = self.score_matches(
+            query, mode=mode, boosts=boosts, filters=filters, synonyms=synonyms
+        )
+        names = [
+            f"p{int(p)}" if float(p).is_integer() else f"p{p}"
+            for p in percentiles
+        ]
+        schema = "n long, min double, max double, sum double, avg double, stddev double"
+        schema += "".join(f", {nm} double" for nm in names)
+        if agg is None:
+            return self.spark.createDataFrame([], schema)
+        c = F.col("v").cast("double")
+        pfn = F.approx_percentile if approx else F.percentile
+        row = (
+            agg.select("docid")
+            .join(
+                self._docstats.select("docid", F.col(col).alias("v")),
+                on="docid",
+                how="inner",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.min(c).alias("min"),
+                F.max(c).alias("max"),
+                F.sum(c).alias("sum"),
+                F.round(F.avg(c), 6).alias("avg"),
+                F.round(F.stddev_pop(c), 6).alias("stddev"),
+                pfn(
+                    c, F.array(*[F.lit(p / 100.0) for p in percentiles])
+                ).alias("_pct"),
+            )
+        )
+        for i, nm in enumerate(names):
+            row = row.withColumn(nm, F.round(F.col("_pct")[i].cast("double"), 6))
+        return row.drop("_pct").where(F.col("n") > 0)
+
     def snippets(
         self,
         query: str,

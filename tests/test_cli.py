@@ -563,6 +563,27 @@ def test_search_fuzzy(spark, tiny_df, tmp_path, capsys):
     assert "--fuzzy" in capsys.readouterr().err
 
 
+def test_search_stats(spark, tiny_df, tmp_path, capsys):
+    """--stats prints the match set's doclen stats row."""
+    src = str(tmp_path / "docs_st")
+    root = str(tmp_path / "idx_st")
+    tiny_df.write.parquet(src)
+    assert main(["build", "--input", src, "--output", root]) == 0
+    capsys.readouterr()
+    assert main(
+        ["search", "--index", root, "--query", "values: parse_json0",
+         "--stats", "doclen"]
+    ) == 0
+    out = capsys.readouterr().out
+    for name in ("n", "min", "max", "avg", "stddev", "p50"):
+        assert name in out
+    rc = main(
+        ["search", "--index", root, "--query", "values: parse_json0",
+         "--stats", "nope"]
+    )
+    assert rc == 2
+
+
 def test_search_must_not(spark, tiny_df, tmp_path, capsys):
     """--must-not drops matching docs end-to-end; --wand refuses it."""
     src = str(tmp_path / "docs_mn")

@@ -1,0 +1,72 @@
+"""Match-set stats aggregation (ES stats / extended_stats / percentiles):
+``QueryEngine.match_stats`` vs an independent numpy model over the oracle
+match set."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from search_engine_spark.oracle import score_query
+from search_engine_spark.plans.bm25 import QueryEngine
+from search_engine_spark.plans.query_parser import parse_query
+
+QUERY = "values: parse_json0 merge_index0 load_config0"
+PCTS = (25.0, 50.0, 75.0)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_index):
+    eng = QueryEngine(spark, tiny_index)
+    yield eng
+    eng.close()
+
+
+def _model(tiny_oracle, query: str, mode: str):
+    matched = [
+        d for _, d, _ in score_query(tiny_oracle, parse_query(query), mode=mode, k=10**9)
+    ]
+    vals = np.array([tiny_oracle.doclen[d] for d in matched], dtype=float)
+    out = {
+        "n": len(vals),
+        "min": vals.min(),
+        "max": vals.max(),
+        "sum": vals.sum(),
+        "avg": round(float(vals.mean()), 6),
+        "stddev": round(float(vals.std(ddof=0)), 6),
+    }
+    for p in PCTS:
+        out[f"p{int(p)}"] = round(
+            float(np.percentile(vals, p, method="linear")), 6
+        )
+    return out
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_match_stats_matches_numpy(engine, tiny_oracle, mode):
+    want = _model(tiny_oracle, QUERY, mode)
+    assert want["n"] > 1, "fixture must match several docs"
+    rows = engine.match_stats(QUERY, mode=mode, percentiles=PCTS).collect()
+    assert len(rows) == 1
+    got = rows[0].asDict()
+    assert got["n"] == want["n"]
+    for k in ("min", "max", "sum", "avg", "stddev", "p25", "p50", "p75"):
+        assert math.isclose(got[k], want[k], rel_tol=0, abs_tol=1e-6), k
+
+
+def test_match_stats_approx_close(engine, tiny_oracle):
+    exact = engine.match_stats(QUERY, percentiles=(50.0,)).collect()[0]
+    approx = engine.match_stats(QUERY, percentiles=(50.0,), approx=True).collect()[0]
+    assert approx["n"] == exact["n"]
+    spread = exact["max"] - exact["min"]
+    assert abs(approx["p50"] - exact["p50"]) <= 0.25 * spread
+
+
+def test_match_stats_empty_and_validation(engine):
+    assert engine.match_stats("values: zzzznotaterm").count() == 0
+    with pytest.raises(ValueError, match="docstats"):
+        engine.match_stats(QUERY, col="nope")
+    with pytest.raises(ValueError, match="percentiles"):
+        engine.match_stats(QUERY, percentiles=(150.0,))
