@@ -981,15 +981,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("x.vec_id", "x.cosine")
         )
 
+    def q_sq_topk(spark, sf):
+        """Scalar-quantized ANN (FAISS QT_8bit / Lucene int8-flat, public):
+        write_sq persists per-dimension int8 codes + range meta once; the
+        query scores every vector as one codes-column fold (ADC: constant
+        + Σ code·weight), cuts to refine×k on the 6dp-rounded ADC with id
+        tie-break, and exact-cosine re-ranks.  The twin reproduces train
+        (per-dim min/max), encode (round-half-up affine, clamped), ADC,
+        cut, and re-rank."""
+        import shutil
+        import tempfile
+
+        from search_engine_spark.operators.similarity import (
+            sq_topk_persisted,
+            write_sq,
+        )
+
+        emb = _raw_emb(spark, sf)
+        probe = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        ]
+        root = tempfile.mkdtemp(prefix="gate_sq_")
+        try:
+            write_sq(spark, emb, root)
+            rows = [
+                (r["vec_id"], r["cosine"])
+                for r in sq_topk_persisted(
+                    spark, root, emb, probe, k=10, refine=4
+                ).collect()
+            ]
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        if not rows:
+            return spark.createDataFrame([], "vec_id long, cosine double")
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(v).cast("long").alias("vec_id"),
+                    F.lit(c).cast("double").alias("cosine"),
+                )
+                for v, c in rows
+            ]
+        )
+        return (
+            spark.range(1)
+            .select(F.explode(arr).alias("x"))
+            .select("x.vec_id", "x.cosine")
+        )
+
     def q_ann_persisted(spark, sf):
-        """Both PERSISTED vector artifacts answered from disk, one tagged
-        entry (r3 gate-slimming — the driver verifies at most 50 keys):
+        """All three PERSISTED vector artifacts answered from disk, one
+        tagged entry (r3 gate-slimming — the driver verifies at most 50
+        keys):
 
         - 'ivf': write_ivf's cell-partitioned table, partition-pruned
           2-probe query (no per-query corpus assignment job — plan pinned
           by tests/test_pipeline_ops.py);
         - 'pq': write_pq's codes table, ADC LUT scoring + rounded cut +
-          exact cosine re-rank (tests/test_pq.py).
+          exact cosine re-rank (tests/test_pq.py);
+        - 'sq' (round 3): write_sq's int8 codes table, per-dimension
+          affine ADC + rounded cut + exact re-rank (tests/test_sq.py).
         """
         iv = q_ivf_topk_persisted(spark, sf).select(
             F.lit("ivf").alias("variant"), "vec_id", "cosine"
@@ -997,7 +1049,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pq = q_pq_topk(spark, sf).select(
             F.lit("pq").alias("variant"), "vec_id", "cosine"
         )
-        return iv.unionByName(pq)
+        sq = q_sq_topk(spark, sf).select(
+            F.lit("sq").alias("variant"), "vec_id", "cosine"
+        )
+        return iv.unionByName(pq).unionByName(sq)
 
     def q_vector_partitions(spark, sf):
         """Per-vector partition assignment for both ANN layouts, one
@@ -3238,11 +3293,51 @@ FROM embeddings e JOIN cand USING (vec_id), p
 ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
-    # both persisted ANN artifacts, one tagged twin (ann_persisted)
+    # sq_topk twin: per-dimension min/max train → round-half-up affine
+    # int8 encode (clamped; constant dims → scale 0) → ADC as constant +
+    # Σ code·(probe[d]·Δ[d]/255) → rounded-ADC cut → exact re-rank.
+    # Mirrors operators/similarity.py sq_* with refine*k=40 over the
+    # 64-dim embeddings.
+    _SQ_SQL = """
+WITH p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0),
+dims AS (SELECT unnest(range(1, 65)) AS d),
+mm AS (
+  SELECT d.d,
+         min((e.embedding::DOUBLE[])[d.d]) AS lo,
+         max((e.embedding::DOUBLE[])[d.d]) AS hi
+  FROM embeddings e, dims d GROUP BY d.d
+),
+codes AS (
+  SELECT e.vec_id, m.d,
+         least(255, greatest(0, CAST(round(
+           ((e.embedding::DOUBLE[])[m.d] - m.lo)
+           * (CASE WHEN m.hi > m.lo THEN 255.0 / (m.hi - m.lo) ELSE 0.0 END)
+         ) AS INT))) AS c
+  FROM embeddings e, mm m
+),
+c0 AS (SELECT sum(p.pe[mm.d] * mm.lo) AS v FROM mm, p),
+adc AS (
+  SELECT cd.vec_id,
+         sum(cd.c * p.pe[m.d] * (m.hi - m.lo) / 255.0) + any_value(c0.v) AS adc
+  FROM codes cd JOIN mm m ON cd.d = m.d, p, c0
+  GROUP BY cd.vec_id
+),
+cand AS (SELECT vec_id FROM adc ORDER BY round(adc, 6) DESC, vec_id LIMIT 40)
+SELECT e.vec_id,
+       round(list_dot_product(e.embedding::DOUBLE[], p.pe)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(p.pe, p.pe))), 6) AS cosine
+FROM embeddings e JOIN cand USING (vec_id), p
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+    # all three persisted ANN artifacts, one tagged twin (ann_persisted)
     sql["ann_persisted"] = f"""
 SELECT 'ivf' AS variant, vec_id, cosine FROM ({_IVF_PERSISTED_SQL})
 UNION ALL
 SELECT 'pq' AS variant, vec_id, cosine FROM ({_PQ_SQL})
+UNION ALL
+SELECT 'sq' AS variant, vec_id, cosine FROM ({_SQ_SQL})
 """
 
     # hash_split: u is a dyadic rational (32-bit md5 prefix / 2^32) —

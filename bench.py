@@ -435,6 +435,19 @@ def main() -> None:
                 spark, pq_root, emb, [float(x) for x in probe], k=10, refine=4
             ).collect(),
         )
+        from search_engine_spark.operators.similarity import (
+            sq_topk_persisted,
+            write_sq,
+        )
+
+        sq_root = os.path.join(idx_root, "sq")
+        timed("q8g_sq_build", lambda: write_sq(spark, emb, sq_root))
+        timed_best(
+            "q8h_sq_query",
+            lambda: sq_topk_persisted(
+                spark, sq_root, emb, [float(x) for x in probe], k=10, refine=4
+            ).collect(),
+        )
 
         # --- round-3 query surface: warm latencies through the engine ---
         from search_engine_spark.plans.bm25f import bm25f_topk

@@ -760,3 +760,208 @@ def append_pq(spark, embeddings: DataFrame, root: str) -> None:
         embeddings, cb, str(meta["id_col"]), str(meta.get("vec_col", "embedding"))
     ).write.mode("append").parquet(f"{root}/codes")
     spark.catalog.refreshByPath(f"{root}/codes")
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization (int8-per-dimension): FAISS ScalarQuantizer QT_8bit /
+# the Lucene int8-flat vector format (both public designs).  4x smaller than
+# float32 at 1 byte/dim nominal; the asymmetric-distance query reads only
+# the codes table and re-ranks a short candidate list exactly.
+# ---------------------------------------------------------------------------
+
+
+def sq_train(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (vmin, vmax) affine ranges — the FAISS QT_8bit train
+    pass.  ONE global aggregate (2·dim map-side-combined min/max columns,
+    one row collected); a clipped-quantile variant (the Lucene confidence
+    interval) is the outlier knob a real deployment adds."""
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        raise ValueError("cannot train scalar quantizer on an empty frame")
+    dim = len(first[0])
+    row = embeddings.agg(
+        *[
+            F.min(F.col(vec_col)[i].cast("double")).alias(f"mn{i}")
+            for i in range(dim)
+        ],
+        *[
+            F.max(F.col(vec_col)[i].cast("double")).alias(f"mx{i}")
+            for i in range(dim)
+        ],
+    ).collect()[0]
+    vmin = [float(row[f"mn{i}"]) for i in range(dim)]
+    vmax = [float(row[f"mx{i}"]) for i in range(dim)]
+    return vmin, vmax
+
+
+def sq_encode(
+    embeddings: DataFrame,
+    vmin: list[float],
+    vmax: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (id, codes array<int> in [0, 255]) — fully columnar affine
+    quantization: code[d] = clamp(round((v[d]−vmin[d])·255/(vmax[d]−vmin[d]))).
+
+    Map-only, rides the scan (the one full pass an SQ build costs);
+    constant dimensions (vmax==vmin) encode to 0 and decode back to vmin
+    exactly.  Clamping makes appends of out-of-range NEW vectors safe
+    (saturate, never wrap)."""
+    scale = [
+        255.0 / (hi - lo) if hi > lo else 0.0 for lo, hi in zip(vmin, vmax)
+    ]
+    vmin_arr = F.array(*[F.lit(float(x)) for x in vmin])
+    scale_arr = F.array(*[F.lit(float(s)) for s in scale])
+    codes = F.transform(
+        F.col(vec_col),
+        lambda v, i: F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.round(
+                    (v.cast("double") - F.element_at(vmin_arr, i + F.lit(1)))
+                    * F.element_at(scale_arr, i + F.lit(1))
+                ).cast("int"),
+            ),
+        ),
+    )
+    return embeddings.select(F.col(id_col), codes.alias("codes"))
+
+
+def sq_adc(
+    codes: DataFrame,
+    probe: list[float],
+    vmin: list[float],
+    vmax: list[float],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """→ (id, adc double): approximate <probe, vec> from codes alone.
+
+    dot(p, v) ≈ Σ_d p[d]·vmin[d]  +  Σ_d code[d]·(p[d]·Δ[d]/255) — the
+    first sum is a driver-side constant, the second a zip_with fold over
+    per-dimension weights, so the scan reads ONLY the codes column and
+    stays whole-stage-codegen'd (the asymmetric-distance trick, same shape
+    as PQ's LUT sum)."""
+    inv = [(hi - lo) / 255.0 for lo, hi in zip(vmin, vmax)]
+    w = [float(p) * iv for p, iv in zip(probe, inv)]
+    c0 = sum(float(p) * lo for p, lo in zip(probe, vmin))
+    w_arr = F.array(*[F.lit(float(x)) for x in w])
+    adc = F.lit(float(c0)) + F.aggregate(
+        F.zip_with(F.col("codes"), w_arr, lambda c, wd: c.cast("double") * wd),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return codes.select(F.col(id_col), adc.alias("adc"))
+
+
+def sq_topk(
+    embeddings: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ranges: tuple[list[float], list[float]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """SQ ANN: ADC over int8 codes → top refine·k candidates (6dp-rounded
+    ADC, id tie-break — the PQ cut convention) → exact cosine re-rank.
+    Pass ``ranges``/``codes`` (from sq_train/sq_encode or a persisted
+    root) to skip the in-line train+encode."""
+    vmin, vmax = ranges or sq_train(embeddings, id_col, vec_col)
+    cds = (
+        codes
+        if codes is not None
+        else sq_encode(embeddings, vmin, vmax, id_col, vec_col)
+    )
+    cand_ids = (
+        sq_adc(cds, probe, vmin, vmax, id_col)
+        .orderBy(F.desc(F.round(F.col("adc"), 6)), F.asc(id_col))
+        .limit(int(refine) * k)
+        .select(id_col)
+    )
+    cand = embeddings.join(cand_ids, on=id_col, how="left_semi")
+    return cosine_topk(cand, probe, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def write_sq(
+    spark,
+    embeddings: DataFrame,
+    root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the SQ artifact: int8 codes parquet + per-dimension range
+    meta — dim bytes/vector nominal (4x under float32), the whole corpus
+    readable for ADC without touching raw vectors (those serve only the
+    candidate re-rank point lookups)."""
+    from ..sources.index_io import write_meta_file
+
+    vmin, vmax = sq_train(embeddings, id_col, vec_col)
+    sq_encode(embeddings, vmin, vmax, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/codes")
+    write_meta_file(
+        spark,
+        f"{root}/_sq_meta",
+        {
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "vmin": [float(x) for x in vmin],
+            "vmax": [float(x) for x in vmax],
+        },
+        overwrite=True,
+    )
+
+
+def sq_topk_persisted(
+    spark,
+    root: str,
+    embeddings: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    refine: int = 4,
+    vec_col: str | None = None,
+) -> DataFrame:
+    """SQ ANN over a persisted root: codes scan + fold + short exact
+    re-rank against the raw table — no train job, no encode job."""
+    from ..sources.index_io import read_meta_file
+
+    meta = read_meta_file(spark, f"{root}/_sq_meta")
+    return sq_topk(
+        embeddings,
+        probe,
+        k=k,
+        refine=refine,
+        id_col=str(meta["id_col"]),
+        vec_col=vec_col or str(meta.get("vec_col", "embedding")),
+        ranges=(
+            [float(x) for x in meta["vmin"]],
+            [float(x) for x in meta["vmax"]],
+        ),
+        codes=spark.read.parquet(f"{root}/codes"),
+    )
+
+
+def append_sq(spark, embeddings: DataFrame, root: str) -> None:
+    """Grow a persisted SQ root with NEW vectors: encode against the
+    STORED ranges (clamp saturates out-of-range values — every existing
+    query weight stays valid) and append to the codes table.  Map-only;
+    range drift under heavy growth is the rebuild trigger, same trade-off
+    as append_pq's frozen codebooks."""
+    from ..sources.index_io import read_meta_file
+
+    meta = read_meta_file(spark, f"{root}/_sq_meta")
+    sq_encode(
+        embeddings,
+        [float(x) for x in meta["vmin"]],
+        [float(x) for x in meta["vmax"]],
+        str(meta["id_col"]),
+        str(meta.get("vec_col", "embedding")),
+    ).write.mode("append").parquet(f"{root}/codes")
+    spark.catalog.refreshByPath(f"{root}/codes")

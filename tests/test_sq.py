@@ -1,0 +1,154 @@
+"""Scalar quantization (operators/similarity.py SQ section): FAISS QT_8bit /
+Lucene int8-flat semantics vs independent python models."""
+
+from __future__ import annotations
+
+import math
+import shutil
+import tempfile
+
+import pytest
+
+from search_engine_spark.operators.similarity import (
+    cosine_topk,
+    append_sq,
+    sq_adc,
+    sq_encode,
+    sq_topk,
+    sq_topk_persisted,
+    sq_train,
+    write_sq,
+)
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rows = []
+    for i in range(80):
+        vec = [
+            math.sin(0.1 * i * (d + 1)) + 0.01 * ((i * 7 + d) % 5)
+            for d in range(DIM)
+        ]
+        rows.append((i, vec))
+    # one constant dimension exercises the vmax==vmin branch
+    rows = [(i, vec[:-1] + [0.5]) for i, vec in rows]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def py_vecs(emb_df):
+    return {r["vec_id"]: list(r["embedding"]) for r in emb_df.collect()}
+
+
+def _py_train(py_vecs):
+    vs = list(py_vecs.values())
+    vmin = [min(v[d] for v in vs) for d in range(DIM)]
+    vmax = [max(v[d] for v in vs) for d in range(DIM)]
+    return vmin, vmax
+
+
+def _py_encode(vec, vmin, vmax):
+    out = []
+    for d in range(DIM):
+        if vmax[d] > vmin[d]:
+            c = math.floor((vec[d] - vmin[d]) * 255.0 / (vmax[d] - vmin[d]) + 0.5)
+        else:
+            c = 0
+        out.append(max(0, min(255, c)))
+    return out
+
+
+def test_train_matches_python(emb_df, py_vecs):
+    vmin, vmax = sq_train(emb_df)
+    pmin, pmax = _py_train(py_vecs)
+    assert vmin == pytest.approx(pmin, abs=0)
+    assert vmax == pytest.approx(pmax, abs=0)
+    assert vmin[-1] == vmax[-1] == 0.5  # the constant dimension
+
+
+def test_encode_matches_python_exactly(emb_df, py_vecs):
+    vmin, vmax = sq_train(emb_df)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in sq_encode(emb_df, vmin, vmax).collect()
+    }
+    for vid, vec in py_vecs.items():
+        assert got[vid] == _py_encode(vec, vmin, vmax), vid
+    # codes of the constant dimension are all 0
+    assert all(c[-1] == 0 for c in got.values())
+
+
+def test_adc_error_bound(emb_df, py_vecs):
+    """|adc − true dot| ≤ Σ_d |p[d]|·Δ[d]/510 + clamp-free slack (half a
+    quantization step per dimension)."""
+    vmin, vmax = sq_train(emb_df)
+    probe = py_vecs[3]
+    bound = sum(
+        abs(probe[d]) * (vmax[d] - vmin[d]) / 255.0 / 2.0 for d in range(DIM)
+    ) + 1e-9
+    adc = {
+        r["vec_id"]: r["adc"]
+        for r in sq_adc(
+            sq_encode(emb_df, vmin, vmax), probe, vmin, vmax
+        ).collect()
+    }
+    for vid, vec in py_vecs.items():
+        true = sum(a * b for a, b in zip(probe, vec))
+        assert abs(adc[vid] - true) <= bound, vid
+
+
+def test_topk_rerank_exact_and_recall(emb_df, py_vecs):
+    """Re-ranked scores are EXACT cosines; recall vs brute force is high
+    (ADC error is a fraction of the score spread on this data)."""
+    probe = py_vecs[3]
+    exact = cosine_topk(emb_df, probe, k=10).collect()
+    got = sq_topk(emb_df, probe, k=10, refine=4).collect()
+    exact_by_id = {r["vec_id"]: r["cosine"] for r in exact}
+    overlap = [r for r in got if r["vec_id"] in exact_by_id]
+    assert len(overlap) >= 8, "recall floor"
+    for r in overlap:
+        assert math.isclose(
+            r["cosine"], exact_by_id[r["vec_id"]], rel_tol=0, abs_tol=1e-9
+        )
+
+
+def test_persisted_roundtrip_and_append(spark, emb_df, py_vecs):
+    probe = py_vecs[3]
+    root = tempfile.mkdtemp(prefix="sq_root_")
+    try:
+        write_sq(spark, emb_df, root)
+        mem = [
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in sq_topk(emb_df, probe, k=10, refine=4).collect()
+        ]
+        disk = [
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in sq_topk_persisted(
+                spark, root, emb_df, probe, k=10, refine=4
+            ).collect()
+        ]
+        assert disk == mem
+
+        # append a synthetic near-duplicate of the probe; it must surface
+        new = spark.createDataFrame(
+            [(9999, [v * 0.999 for v in probe])],
+            "vec_id long, embedding array<double>",
+        )
+        append_sq(spark, new, root)
+        grown = emb_df.unionByName(new)
+        rows = sq_topk_persisted(
+            spark, root, grown, probe, k=3, refine=4
+        ).collect()
+        assert 9999 in {r["vec_id"] for r in rows}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_train_empty_raises(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        sq_train(empty)
