@@ -490,7 +490,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         - 'must_not' (round 3): Lucene bool must_not — the 3-term OR
           with AND_TERMS[0] excluded (docs containing it drop, scores
           untouched); the twin filters the plain ranking with a
-          NOT IN postings subquery.
+          NOT IN postings subquery;
+        - 'bool' (round 3): the full BooleanQuery clause mix — must =
+          AND_TERMS (gates AND scores), should = BM25_TERMS (only adds
+          score); the twin computes the AND-gated must sum LEFT JOINed
+          with the should OR sum.
         """
         from search_engine_spark.operators.index_build import build_index
         from search_engine_spark.plans.bm25 import QueryEngine
@@ -535,6 +539,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             f"values: {FUZZY_TYPO}", k=100, fuzziness=1
         ).collect()
         mn_rows = eng.search(q, k=100, must_not=[AND_TERMS[0]]).collect()
+        bool_rows = eng.search_bool(
+            must="values: " + " ".join(AND_TERMS), should=q, k=100
+        ).collect()
         index.unpersist()
         parts = []
         for tag, rows in (
@@ -546,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("min_should_match", msm_rows),
             ("fuzzy", fz_rows),
             ("must_not", mn_rows),
+            ("bool", bool_rows),
         ):
             ranked = rerank(rows)
             parts.append(
@@ -2853,6 +2861,44 @@ FROM agg ORDER BY score DESC, doc_id LIMIT 10
 UNION ALL
 SELECT 'must_not' AS variant, rank, doc_id, score
 FROM ({_bm25_sql(BM25_TERMS, and_mode=False, exclude=AND_TERMS[0])})
+UNION ALL
+SELECT 'bool' AS variant, rank, doc_id, score FROM (
+WITH tf AS ({_TF_SQL}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM tf) / (SELECT count(*) FROM documents) AS avgdl
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+mdfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+         WHERE term IN ({", ".join(f"'{t}'" for t in AND_TERMS)}) GROUP BY term),
+msc AS (
+  SELECT tf.doc_id, tf.term,
+         ln((stats.n_docs - mdfs.df + 0.5) / (mdfs.df + 0.5) + 1.0)
+           * tf.tf * {K1 + 1.0}
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS contrib
+  FROM tf JOIN mdfs ON tf.term = mdfs.term JOIN dl ON tf.doc_id = dl.doc_id, stats
+),
+magg AS (
+  SELECT doc_id, sum(contrib) AS ms FROM msc GROUP BY doc_id
+  HAVING count(DISTINCT term) = {len(AND_TERMS)}
+),
+sdfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+         WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)}) GROUP BY term),
+ssc AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - sdfs.df + 0.5) / (sdfs.df + 0.5) + 1.0)
+           * tf.tf * {K1 + 1.0}
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS contrib
+  FROM tf JOIN sdfs ON tf.term = sdfs.term JOIN dl ON tf.doc_id = dl.doc_id, stats
+),
+sagg AS (SELECT doc_id, sum(contrib) AS ss FROM ssc GROUP BY doc_id),
+tot AS (
+  SELECT m.doc_id, round(m.ms + coalesce(s.ss, 0.0), 6) AS score
+  FROM magg m LEFT JOIN sagg s ON m.doc_id = s.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
+FROM tot ORDER BY score DESC, doc_id LIMIT 10
+)
 """
 
     # events analytics, one tagged twin (event_windows).  Window keys are

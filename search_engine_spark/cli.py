@@ -336,6 +336,30 @@ def cmd_search(args) -> int:
         if not rows:
             print("no results")
         return 0
+    if getattr(args, "must", None) or getattr(args, "should", None):
+        if args.query is not None or args.wand or args.wand_shards:
+            print(
+                "error: --must/--should are standalone bool-query flags "
+                "(no --query/--wand)",
+                file=sys.stderr,
+            )
+            return 2
+        engine = _engine(spark, args)
+        try:
+            rows = engine.search_bool(
+                must=args.must, should=args.should,
+                must_not=(
+                    [t for t in args.must_not.split(",") if t.strip()]
+                    if getattr(args, "must_not", None)
+                    else None
+                ),
+                k=args.k, with_display=True,
+            ).collect()
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        _print_results(rows)
+        return 0
     if args.query is None:
         print("error: one of --query/--phrase is required", file=sys.stderr)
         return 2
@@ -1085,6 +1109,16 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated terms: drop any doc containing one of them "
         "in any indexed field (Lucene bool must_not; pure exclusion, "
         "never scored)",
+    )
+    s.add_argument(
+        "--must", default=None, metavar="Q",
+        help="bool query: all of this query's keys must match (AND gate, "
+        "scored); combine with --should / --must-not (Lucene BooleanQuery)",
+    )
+    s.add_argument(
+        "--should", default=None, metavar="Q",
+        help="bool query: this query's keys only ADD score, never gate "
+        "(with no --must, at least one must match — plain OR)",
     )
     s.add_argument("--wand", action="store_true", help="block-max WAND path (driver traversal)")
     s.add_argument(

@@ -1085,6 +1085,106 @@ class QueryEngine:
             ).orderBy("rank")
         return result
 
+    def search_bool(
+        self,
+        must: str | None = None,
+        should: str | None = None,
+        must_not: list[str] | None = None,
+        k: int = 10,
+        with_display: bool = False,
+        phrases: str = "quirk",
+        boosts: dict[str, float] | None = None,
+        synonyms: dict[str, list[str]] | None = None,
+    ) -> DataFrame:
+        """The full Lucene ``BooleanQuery`` / ES ``bool`` clause mix
+        (public designs), which ``search(mode=)`` cannot express:
+
+        - ``must``: a query string whose required keys must ALL match
+          (the AND gate) — and they score;
+        - ``should``: a query string that ONLY adds score — a doc passing
+          the must gate ranks higher for each should key it also matches,
+          but never drops for missing one.  With no ``must``, Lucene's
+          convention applies: at least one should key must match (that is
+          exactly ``search(mode="or")``, which this degenerates to);
+        - ``must_not``: pure exclusion, as in :meth:`search`.
+
+        A term appearing in BOTH clauses scores twice — two independent
+        Lucene clauses, faithfully.  Score = must-sum + should-sum per
+        doc, deterministic (one global sorted float64 fold over the union
+        of both legs' contributions).
+
+        Scale: ONE exchange — both legs' bucket-pruned match frames union
+        BEFORE the per-doc aggregate, and the must gate is a predicate on
+        a count the same fold already carries (the min_should_match
+        shape); no join between legs, no second pass.
+        """
+        if phrases not in ("quirk", "positional"):
+            raise ValueError(f"phrases must be 'quirk' or 'positional', got {phrases!r}")
+        if not must and not should:
+            raise ValueError("search_bool needs must= and/or should=")
+        parts: list[DataFrame] = []
+        n_req_must = 0
+        if must:
+            m, n_req_must = self._query_matches(
+                must, phrases=phrases, boosts=boosts, synonyms=synonyms
+            )
+            if m is not None:
+                parts.append(m.withColumn("is_must", F.lit(True)))
+            # m is None ⇔ the must string parsed to zero valid keys —
+            # Lucene's empty-must convention: no constraint at all
+        if should:
+            s, _ = self._query_matches(
+                should, phrases=phrases, boosts=boosts, synonyms=synonyms
+            )
+            if s is not None:
+                parts.append(s.withColumn("is_must", F.lit(False)))
+        if not parts:
+            return self._empty_result(with_display)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        agg = u.groupBy("docid").agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("kind", "target", "term", "contrib"))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("score"),
+            F.size(
+                F.collect_set(
+                    F.when(
+                        F.col("is_must"), F.struct("kind", "target", "term")
+                    )
+                )
+            ).alias("n_must"),
+        )
+        if n_req_must:
+            agg = agg.where(F.col("n_must") == F.lit(n_req_must))
+        if must_not:
+            excl = self._excluded_docids(must_not)
+            if excl is not None:
+                agg = agg.join(excl, on="docid", how="left_anti")
+        topk = (
+            agg.select("docid", "score")
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(k)
+        )
+        w = Window.orderBy(F.desc("score"), F.asc("docid"))
+        result = topk.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "docid", "score"
+        )
+        if with_display:
+            disp_cols = [
+                c
+                for c in ("repo", "path", "commit", "lang")
+                if c in self._docstats.columns
+            ]
+            result = result.join(
+                self._docstats.select("docid", *disp_cols), on="docid", how="left"
+            ).orderBy("rank")
+        return result
+
     def search_batch(
         self,
         queries: list[str | tuple[str, str]],

@@ -1,0 +1,108 @@
+"""Mixed bool queries (Lucene BooleanQuery must + should):
+``QueryEngine.search_bool`` vs a leg-additive oracle model — must legs gate
+AND-style and score, should legs only add score."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from search_engine_spark.oracle import score_query
+from search_engine_spark.plans.bm25 import QueryEngine
+from search_engine_spark.plans.query_parser import parse_query
+
+MUST = "values: parse_json0 merge_index0"
+SHOULD = "values: load_config0 scan_config0"
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_index):
+    eng = QueryEngine(spark, tiny_index)
+    yield eng
+    eng.close()
+
+
+def _model(tiny_oracle, must: str | None, should: str | None, k=10):
+    """Score additivity: total = AND-gated must sum + should OR sum."""
+    should_or = (
+        {d: s for _, d, s in score_query(tiny_oracle, parse_query(should), k=10**9)}
+        if should
+        else {}
+    )
+    if must:
+        must_and = {
+            d: s
+            for _, d, s in score_query(
+                tiny_oracle, parse_query(must), mode="and", k=10**9
+            )
+        }
+        total = {d: s + should_or.get(d, 0.0) for d, s in must_and.items()}
+    else:
+        total = should_or
+    ranked = sorted(total.items(), key=lambda x: (-x[1], x[0]))[:k]
+    return [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+
+
+def test_bool_must_plus_should(engine, tiny_oracle):
+    golden = _model(tiny_oracle, MUST, SHOULD)
+    assert golden, "fixture must match"
+    # at least one gated doc must also hit a should key (score boost live)
+    must_only = {d: s for _, d, s in _model(tiny_oracle, MUST, None, k=10**9)}
+    assert any(
+        s > must_only[d] + 1e-12 for _, d, s in golden if d in must_only
+    ), "fixture: some doc must gain from the should leg"
+    got = engine.search_bool(must=MUST, should=SHOULD, k=10).collect()
+    assert [(r["rank"], r["docid"]) for r in got] == [
+        (rk, d) for rk, d, _ in golden
+    ]
+    for r, (_, _, s) in zip(got, golden):
+        assert math.isclose(r["score"], s, rel_tol=0, abs_tol=1e-9)
+
+
+def test_bool_should_only_equals_or(engine, tiny_oracle):
+    golden = score_query(tiny_oracle, parse_query(SHOULD), k=10)
+    got = engine.search_bool(should=SHOULD, k=10).collect()
+    assert [(r["rank"], r["docid"]) for r in got] == [
+        (rk, d) for rk, d, _ in golden
+    ]
+
+
+def test_bool_must_only_equals_and(engine, tiny_oracle):
+    golden = score_query(tiny_oracle, parse_query(MUST), mode="and", k=10)
+    got = engine.search_bool(must=MUST, k=10).collect()
+    assert [(r["rank"], r["docid"]) for r in got] == [
+        (rk, d) for rk, d, _ in golden
+    ]
+    for r, (_, _, s) in zip(got, golden):
+        assert math.isclose(r["score"], s, rel_tol=0, abs_tol=1e-9)
+
+
+def test_bool_duplicate_clause_scores_twice(engine, tiny_oracle):
+    """A term in BOTH clauses is two independent Lucene clauses — its
+    contribution doubles for gated docs."""
+    q = "values: parse_json0"
+    once = {
+        d: s for _, d, s in score_query(tiny_oracle, parse_query(q), k=10**9)
+    }
+    got = engine.search_bool(must=q, should=q, k=10**6).collect()
+    assert got, "fixture must match"
+    for r in got:
+        assert math.isclose(
+            r["score"], 2.0 * once[r["docid"]], rel_tol=0, abs_tol=1e-9
+        )
+
+
+def test_bool_with_must_not_and_validation(engine, tiny_oracle):
+    drop = set()
+    for field in ("content", "title"):
+        drop |= set(tiny_oracle.postings[field].get("load_config0", {}))
+    golden = [
+        (d, s)
+        for _, d, s in _model(tiny_oracle, MUST, None, k=10**9)
+        if d not in drop
+    ][:10]
+    got = engine.search_bool(must=MUST, must_not=["load_config0"], k=10).collect()
+    assert [(r["docid"]) for r in got] == [d for d, _ in golden]
+    with pytest.raises(ValueError, match="must"):
+        engine.search_bool()

@@ -563,6 +563,27 @@ def test_search_fuzzy(spark, tiny_df, tmp_path, capsys):
     assert "--fuzzy" in capsys.readouterr().err
 
 
+def test_search_bool(spark, tiny_df, tmp_path, capsys):
+    """--must/--should run a mixed bool query; --query alongside refuses."""
+    src = str(tmp_path / "docs_bq")
+    root = str(tmp_path / "idx_bq")
+    tiny_df.write.parquet(src)
+    assert main(["build", "--input", src, "--output", root]) == 0
+    capsys.readouterr()
+    assert main(
+        ["search", "--index", root, "--must", "values: parse_json0",
+         "--should", "values: merge_index0"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert sum(1 for ln in out.splitlines() if ln.strip()[:1].isdigit()) > 0
+    rc = main(
+        ["search", "--index", root, "--must", "values: parse_json0",
+         "--query", "values: merge_index0"]
+    )
+    assert rc == 2
+    assert "standalone" in capsys.readouterr().err
+
+
 def test_search_stats(spark, tiny_df, tmp_path, capsys):
     """--stats prints the match set's doclen stats row."""
     src = str(tmp_path / "docs_st")
