@@ -867,6 +867,50 @@ def cmd_fsck(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_info(args) -> int:
+    """Index introspection — the Elasticsearch ``_stats`` surface: the
+    persisted build config (_index_meta), per-table row counts and on-disk
+    bytes (Hadoop FS content summary, so remote roots work), corpus stats,
+    and the tombstone count.  Read-only; one tiny job per core table."""
+    from .sources.index_io import read_index, read_meta_file
+
+    spark = _spark(args)
+    meta = read_meta_file(spark, f"{args.index}/_index_meta")
+    for k in sorted(meta):
+        print(f"{k:<24} {meta[k]}")
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(args.index)
+    fs = root.getFileSystem(conf)
+
+    def _bytes(p) -> int:
+        return int(fs.getContentSummary(p).getLength())
+
+    idx = read_index(spark, args.index)
+    counts = {
+        "postings": idx.postings.count(),
+        "dictionary": idx.dictionary.count(),
+        "docstats": idx.docstats.count(),
+    }
+    print(f"\n{'table':<16} {'rows':>12} {'bytes':>14}")
+    total = 0
+    for st in fs.listStatus(root):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        b = _bytes(st.getPath())
+        total += b
+        rows = counts.get(name)
+        print(f"{name:<16} {rows if rows is not None else '-':>12} {b:>14}")
+    print(f"{'total':<16} {'':>12} {total:>14}")
+    for r in idx.corpus_stats.collect():
+        print(f"\nfield={r['field']}: n_docs={r['n_docs']} avgdl={r['avgdl']:.3f}")
+    if meta.get("tombstones"):
+        n_tomb = spark.read.parquet(f"{args.index}/_tombstones").count()
+        print(f"tombstones: {n_tomb}")
+    return 0
+
+
 def cmd_print_database(args) -> int:
     spark = _spark(args)
     post = spark.read.parquet(f"{args.index}/postings")
@@ -1239,6 +1283,13 @@ def main(argv: list[str] | None = None) -> int:
     fs = sub.add_parser("fsck", help="verify index cross-table invariants")
     fs.add_argument("--index", required=True)
     fs.set_defaults(fn=cmd_fsck)
+
+    inf = sub.add_parser(
+        "info", help="index introspection: config, per-table rows/bytes, "
+        "corpus stats, tombstones (ES _stats surface)",
+    )
+    inf.add_argument("--index", required=True)
+    inf.set_defaults(fn=cmd_info)
 
     re_ = sub.add_parser(
         "rank-eval",

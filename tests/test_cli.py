@@ -563,6 +563,27 @@ def test_search_fuzzy(spark, tiny_df, tmp_path, capsys):
     assert "--fuzzy" in capsys.readouterr().err
 
 
+def test_info_subcommand(spark, tiny_df, tmp_path, capsys):
+    """info prints build config, table rows/bytes, corpus stats, and the
+    tombstone count after a delete."""
+    src = str(tmp_path / "docs_info")
+    root = str(tmp_path / "idx_info")
+    tiny_df.write.parquet(src)
+    assert main(["build", "--input", src, "--output", root]) == 0
+    capsys.readouterr()
+    assert main(["info", "--index", root]) == 0
+    out = capsys.readouterr().out
+    for token in ("buckets", "postings", "dictionary", "docstats",
+                  "total", "n_docs=100"):
+        assert token in out, token
+
+    some_id = tiny_df.select("docid").first()["docid"]
+    assert main(["delete", "--index", root, "--docids", str(some_id)]) == 0
+    capsys.readouterr()
+    assert main(["info", "--index", root]) == 0
+    assert "tombstones: 1" in capsys.readouterr().out
+
+
 def test_search_bool(spark, tiny_df, tmp_path, capsys):
     """--must/--should run a mixed bool query; --query alongside refuses."""
     src = str(tmp_path / "docs_bq")
