@@ -223,3 +223,63 @@ def test_pq_persisted_query_reads_codes_not_vectors(spark, tmp_path):
     assert "codes" in plan
     assert "embedding" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_sq_encode_and_adc_stay_jvm_side(spark, tmp_path):
+    """SQ (round 3): the encode pass is pure Catalyst, and the persisted
+    ADC stage scans ONLY the codes column — never the raw vectors, never
+    a Python eval node."""
+    import math
+
+    from search_engine_spark.operators.similarity import (
+        sq_adc,
+        sq_encode,
+        sq_train,
+        write_sq,
+    )
+    from search_engine_spark.sources.index_io import read_meta_file
+
+    rows = [(i, [math.sin(0.1 * i * (d + 1)) for d in range(16)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vmin, vmax = sq_train(emb)
+    enc_plan = plan_of(sq_encode(emb, vmin, vmax))
+    assert "BatchEvalPython" not in enc_plan and "ArrowEval" not in enc_plan
+    root = str(tmp_path / "sqroot")
+    write_sq(spark, emb, root)
+    meta = read_meta_file(spark, f"{root}/_sq_meta")
+    codes = spark.read.parquet(f"{root}/codes")
+    plan = plan_of(
+        sq_adc(codes, rows[0][1], [float(x) for x in meta["vmin"]],
+               [float(x) for x in meta["vmax"]])
+    )
+    assert "codes" in plan
+    assert "embedding" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_must_not_is_anti_join_on_pruned_postings(written_engine):
+    """The bool must_not exclusion must compile to a LeftAnti join whose
+    right side is the bucket-pruned postings probe — no corpus scan, no
+    distinct exchange on the exclusion side."""
+    df = written_engine.search(
+        "values: parse_json0 merge_index0", k=10, must_not=["load_config0"]
+    )
+    plan = plan_of(df)
+    assert "LeftAnti" in plan
+    # the exclusion probe partition-prunes on bucket like every term probe
+    assert "bucket" in plan
+    # anti-join semantics need no dedup of the right side
+    assert "Deduplicate" not in plan
+
+
+def test_search_bool_single_fold_exchange(written_engine):
+    """search_bool must aggregate both legs in ONE per-doc fold: exactly
+    one hashpartitioning exchange on docid feeding the final aggregate
+    (plus the top-k machinery) — never a join between the legs."""
+    df = written_engine.search_bool(
+        must="values: parse_json0", should="values: merge_index0", k=10
+    )
+    plan = plan_of(df)
+    ex_on_docid = re.findall(r"Exchange hashpartitioning\(docid", plan)
+    assert len(ex_on_docid) == 1, plan
+    assert "SortMergeJoin" not in plan
