@@ -1378,11 +1378,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pp = perplexity_score(docs, lm).select(
             "doc_id", F.round("cross_entropy", 6).alias("lm_entropy")
         )
+        # (round 3) multinomial NB self-trained on the lang column
+        # (operators/classify.py): pred label by 9dp-rounded argmax +
+        # 6dp log-posterior (both roundings are the float fold-order
+        # absorbers, same convention as lm_entropy)
+        from search_engine_spark.operators.classify import nb_predict, nb_train
+
+        nb = nb_predict(docs, nb_train(docs, label_col="lang")).select(
+            "doc_id",
+            F.col("pred_label").alias("nb_label"),
+            F.round("log_score", 6).alias("nb_score"),
+        )
         return (
             li.join(qs, "doc_id")
             .join(tc, "doc_id")
             .join(fp, "doc_id")
             .join(pp, "doc_id")
+            .join(nb, "doc_id")
         )
 
     def q_bm25f(spark, sf):
@@ -3526,14 +3538,44 @@ lmnll AS (
 lm AS (
   SELECT doc_id, round(sum(nll) / count(*), 6) AS lm_entropy
   FROM lmnll GROUP BY doc_id
+),
+nbtt AS (SELECT doc_id, lang, unnest({_TOKS_ARRAY_SQL}) AS term FROM documents),
+nbtf AS (SELECT lang, term, count(*) AS n FROM nbtt GROUP BY 1, 2),
+nbv AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS vs FROM nbtf),
+nbtot AS (SELECT lang, CAST(sum(n) AS DOUBLE) AS total FROM nbtf GROUP BY 1),
+nbpri AS (
+  SELECT d.lang, ln(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM documents)) AS lp,
+         ln(1.0 / (any_value(t.total) + 1.0 * any_value(v.vs))) AS ld
+  FROM documents d JOIN nbtot t USING (lang), nbv v GROUP BY d.lang
+),
+nbll AS (
+  SELECT tf.lang, tf.term, ln((tf.n + 1.0) / (t.total + 1.0 * v.vs)) AS lp
+  FROM nbtf tf JOIN nbtot t USING (lang), nbv v
+),
+nbdt AS (SELECT doc_id, unnest({_TOKS_ARRAY_SQL}) AS term FROM documents),
+nbsc AS (
+  SELECT dt.doc_id, p.lang, sum(coalesce(ll.lp, p.ld)) AS s
+  FROM nbdt dt CROSS JOIN nbpri p
+  LEFT JOIN nbll ll ON ll.lang = p.lang AND ll.term = dt.term
+  GROUP BY 1, 2
+),
+nbfull AS (
+  SELECT d.doc_id, p.lang, p.lp + coalesce(nbsc.s, 0.0) AS score
+  FROM documents d CROSS JOIN nbpri p
+  LEFT JOIN nbsc ON nbsc.doc_id = d.doc_id AND nbsc.lang = p.lang
+),
+nb AS (
+  SELECT doc_id, lang AS nb_label, round(score, 6) AS nb_score FROM nbfull
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY round(score, 9) DESC, lang) = 1
 )
 SELECT l.*, q.n_tokens, q.mean_tok_len, q.punct_ratio, q.stop_ratio, q.quality,
-       t.n_pieces, f.fingerprint, lm.lm_entropy
+       t.n_pieces, f.fingerprint, lm.lm_entropy, nb.nb_label, nb.nb_score
 FROM l
 JOIN q USING (doc_id)
 JOIN t USING (doc_id)
 JOIN f USING (doc_id)
 LEFT JOIN lm USING (doc_id)
+JOIN nb USING (doc_id)
 """
 
     # corpus_filter: quality + language + dedup gates in one SQL twin —

@@ -1,0 +1,178 @@
+"""Multinomial Naive Bayes text classification — the classic one-pass
+closed-form classifier (McCallum & Nigam 1998, "A Comparison of Event
+Models for Naive Bayes Text Classification"; the fastText-replacement
+baseline every training-data pipeline starts with: domain routing, quality
+triage, language family buckets).
+
+Capability extension: the reference has no classification at all; a 100 TB
+corpus pipeline labels documents (CCNet quality buckets, domain mixes)
+before filtering/mixing.  NB is the scale-right choice here because both
+phases are single-pass and closed-form — no gradient iterations, no state:
+
+- TRAIN = ONE (label, term) exchange, map-side combined: counts bounded by
+  |labels|·|vocabulary| regardless of corpus size, priors a |labels|-row
+  aggregate.  The model collects to the driver only if the caller wants it
+  broadcast — the default keeps it as frames.
+- PREDICT = docs' tokens joined against the likelihood table (vocabulary-
+  dimension — broadcastable), then ONE (doc, label) fold.  Unseen terms
+  take the smoothed default log-probability, so every (doc, label) score
+  sums over exactly the same token multiset: argmax is well-defined and
+  the whole computation is whole-stage-codegen'd Catalyst.
+
+Determinism: log-probabilities are pure arithmetic over exact integer
+counts; per-doc sums are float64 aggregates whose partition fold order can
+reorder additions — consumers that hash-compare scores round to 6dp (the
+repo's standard absorber, same convention as lm_score).
+
+Reference parity anchor: the reference's only per-document signal is the
+facet table (`KaggleFinanceSourceEngine.cpp`); this generalizes "label a
+document" into a trained, testable component.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import DELIM_CLASS
+
+
+def _toks(text: Column) -> Column:
+    """Lowercased delimiter-class tokens — mirrors the DuckDB twin's
+    list_filter(regexp_split_to_array(lower(text), DELIM), t <> '')."""
+    return F.filter(F.split(F.lower(text), DELIM_CLASS), lambda t: t != "")
+
+
+@dataclass
+class NBModel:
+    """priors: (label, log_prior, log_default) — log_default is the
+    smoothed log-prob of a term UNSEEN under that label.
+    likelihood: (label, term, log_prob).  vocab_size: |corpus vocabulary|
+    (shared across labels — the multinomial event space)."""
+
+    priors: DataFrame
+    likelihood: DataFrame
+    vocab_size: int
+
+
+def nb_train(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    smoothing: float = 1.0,
+) -> NBModel:
+    """Train multinomial NB with add-k smoothing.
+
+    p(t|c) = (count(t,c) + k) / (total_c + k·V); p(c) = docs_c / docs.
+    NULL labels are dropped (unlabeled rows train nothing).  Two jobs:
+    the (label, term) count exchange and a |labels|-row prior aggregate —
+    both map-side combined, both bounded by dimensions, not corpus size.
+    """
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0")
+    labeled = docs.where(F.col(label_col).isNotNull()).select(
+        F.col(label_col).alias("label"), _toks(F.col(text_col)).alias("toks")
+    )
+    tf = labeled.select(
+        "label", F.explode("toks").alias("term")
+    ).groupBy("label", "term").agg(F.count(F.lit(1)).alias("n"))
+    tf = tf.cache()
+    vocab_size = tf.select("term").distinct().count()
+    if vocab_size == 0:
+        tf.unpersist()
+        raise ValueError("no labeled, non-empty documents to train on")
+    totals = tf.groupBy("label").agg(F.sum("n").alias("total"))
+    k = float(smoothing)
+    denom = F.col("total") + F.lit(k * vocab_size)
+    likelihood = (
+        tf.join(totals, on="label")
+        .select(
+            "label",
+            "term",
+            F.log((F.col("n") + F.lit(k)) / denom).alias("log_prob"),
+        )
+    )
+    n_docs = labeled.count()
+    priors = (
+        labeled.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(totals, on="label")
+        .select(
+            "label",
+            F.log(F.col("n_docs") / F.lit(float(n_docs))).alias("log_prior"),
+            F.log(F.lit(k) / denom).alias("log_default"),
+        )
+    )
+    return NBModel(priors=priors, likelihood=likelihood, vocab_size=vocab_size)
+
+
+def nb_score(
+    docs: DataFrame,
+    model: NBModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (id, label, log_score): the full per-label log-posterior surface
+    (one row per doc × label) — `nb_predict` argmaxes it.
+
+    Shape: tokens × labels left-join the likelihood (vocabulary-dimension
+    right side — mark it broadcast when it fits), coalesce to the label's
+    smoothed default, ONE (doc, label) exchange.  Empty docs score the
+    prior alone (the multinomial of zero trials)."""
+    toks = docs.select(F.col(id_col), _toks(F.col(text_col)).alias("toks"))
+    terms = toks.select(id_col, F.explode("toks").alias("term"))
+    labels = model.priors.select("label", "log_prior", "log_default")
+    scored = (
+        terms.crossJoin(F.broadcast(labels.select("label", "log_default")))
+        .join(model.likelihood, on=["label", "term"], how="left")
+        .select(
+            id_col,
+            "label",
+            F.coalesce(F.col("log_prob"), F.col("log_default")).alias("lp"),
+        )
+        .groupBy(id_col, "label")
+        .agg(F.sum("lp").alias("ll"))
+    )
+    # empty docs produce no term rows — restore them at prior-only score
+    base = toks.select(id_col).crossJoin(
+        F.broadcast(labels.select("label", "log_prior"))
+    )
+    return (
+        base.join(scored, on=[id_col, "label"], how="left")
+        .select(
+            id_col,
+            "label",
+            (F.col("log_prior") + F.coalesce(F.col("ll"), F.lit(0.0))).alias(
+                "log_score"
+            ),
+        )
+    )
+
+
+def nb_predict(
+    docs: DataFrame,
+    model: NBModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (id, pred_label, log_score): argmax over labels, deterministic
+    (score DESC, label ASC tie-break on the 9dp-rounded score so float
+    fold-order noise cannot flip a tie).  One extra (doc) exchange over
+    nb_score's (doc, label) rows — |labels| per doc, never corpus-wide."""
+    s = nb_score(docs, model, text_col, id_col)
+    best = s.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                (-F.round(F.col("log_score"), 9)).alias("neg"),
+                F.col("label").alias("label"),
+                F.col("log_score").alias("log_score"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        id_col,
+        F.col("b.label").alias("pred_label"),
+        F.col("b.log_score").alias("log_score"),
+    )

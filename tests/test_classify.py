@@ -1,0 +1,177 @@
+"""Multinomial Naive Bayes (operators/classify.py) vs an independent python
+model (exact counts, identical smoothing math) and a DuckDB twin."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+import pytest
+
+from search_engine_spark.constants import DELIM_CLASS
+from search_engine_spark.operators.classify import nb_predict, nb_score, nb_train
+
+K = 1.0
+
+
+def _tok(text: str) -> list[str]:
+    return [t for t in re.split(DELIM_CLASS, text.lower()) if t]
+
+
+@pytest.fixture(scope="module")
+def labeled(tiny_docs):
+    # lang is the self-training label; docs carry distinctive vocab per lang
+    return [(d["docid"], d["lang"], d["content"]) for d in tiny_docs]
+
+
+@pytest.fixture(scope="module")
+def labeled_df(spark, labeled):
+    df = spark.createDataFrame(labeled, "doc_id long, lang string, text string")
+    df.cache().count()
+    return df
+
+
+def _py_model(labeled):
+    counts: dict[str, Counter] = defaultdict(Counter)
+    n_label: Counter = Counter()
+    vocab: set[str] = set()
+    for _id, lab, text in labeled:
+        toks = _tok(text)
+        n_label[lab] += 1
+        counts[lab].update(toks)
+        vocab.update(toks)
+    v = len(vocab)
+    n_docs = sum(n_label.values())
+    model = {}
+    for lab, c in counts.items():
+        total = sum(c.values())
+        denom = total + K * v
+        model[lab] = {
+            "log_prior": math.log(n_label[lab] / n_docs),
+            "log_default": math.log(K / denom),
+            "ll": {t: math.log((n + K) / denom) for t, n in c.items()},
+        }
+    return model
+
+
+def _py_score(model, text: str) -> dict[str, float]:
+    toks = _tok(text)
+    return {
+        lab: m["log_prior"] + sum(m["ll"].get(t, m["log_default"]) for t in toks)
+        for lab, m in model.items()
+    }
+
+
+def test_train_matches_python(labeled_df, labeled):
+    model = nb_train(labeled_df)
+    py = _py_model(labeled)
+    assert model.vocab_size == len(
+        {t for _i, _l, x in labeled for t in _tok(x)}
+    )
+    pri = {r["label"]: r for r in model.priors.collect()}
+    assert set(pri) == set(py)
+    for lab, m in py.items():
+        assert math.isclose(pri[lab]["log_prior"], m["log_prior"], abs_tol=1e-12)
+        assert math.isclose(pri[lab]["log_default"], m["log_default"], abs_tol=1e-12)
+    ll = {
+        (r["label"], r["term"]): r["log_prob"]
+        for r in model.likelihood.collect()
+    }
+    assert len(ll) == sum(len(m["ll"]) for m in py.values())
+    for (lab, term), lp in ll.items():
+        assert math.isclose(lp, py[lab]["ll"][term], abs_tol=1e-12), (lab, term)
+
+
+def test_score_and_predict_match_python(labeled_df, labeled):
+    model = nb_train(labeled_df)
+    py = _py_model(labeled)
+    got = {
+        (r["doc_id"], r["label"]): r["log_score"]
+        for r in nb_score(labeled_df, model).collect()
+    }
+    n_labels = len(py)
+    assert len(got) == len(labeled) * n_labels
+    for did, _lab, text in labeled:
+        want = _py_score(py, text)
+        for lab, s in want.items():
+            assert math.isclose(got[(did, lab)], s, rel_tol=0, abs_tol=1e-6)
+    pred = {
+        r["doc_id"]: r["pred_label"]
+        for r in nb_predict(labeled_df, model).collect()
+    }
+    for did, _lab, text in labeled:
+        want = _py_score(py, text)
+        best = min((-round(s, 9), lab) for lab, s in want.items())[1]
+        assert pred[did] == best, did
+
+
+def test_self_train_recovers_labels(labeled_df, labeled):
+    """Self-training on lang must classify most docs back to their own
+    label — the per-lang marker vocabulary is distinctive."""
+    model = nb_train(labeled_df)
+    pred = {
+        r["doc_id"]: r["pred_label"]
+        for r in nb_predict(labeled_df, model).collect()
+    }
+    acc = sum(1 for did, lab, _x in labeled if pred[did] == lab) / len(labeled)
+    assert acc >= 0.8, acc
+
+
+def test_duckdb_twin(labeled, labeled_df, spark):
+    """Full train+predict replayed in DuckDB — engine-independent truth."""
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d (doc_id BIGINT, lang VARCHAR, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO d VALUES (?, ?, ?)", labeled)
+    toks = (
+        "list_filter(regexp_split_to_array(lower(text), "
+        f"'{DELIM_CLASS}'), t -> t <> '')"
+    )
+    rows = con.execute(f"""
+WITH tt AS (SELECT doc_id, lang, unnest({toks}) AS term FROM d),
+tf AS (SELECT lang, term, count(*) AS n FROM tt GROUP BY 1, 2),
+v AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS vs FROM tf),
+tot AS (SELECT lang, CAST(sum(n) AS DOUBLE) AS total FROM tf GROUP BY 1),
+pri AS (
+  SELECT lang, ln(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM d)) AS lp,
+         ln({K} / (any_value(t.total) + {K} * any_value(v.vs))) AS ld
+  FROM d JOIN tot t USING (lang), v GROUP BY lang
+),
+ll AS (
+  SELECT tf.lang, tf.term, ln((tf.n + {K}) / (t.total + {K} * v.vs)) AS lp
+  FROM tf JOIN tot t USING (lang), v
+),
+dt AS (SELECT doc_id, unnest({toks}) AS term FROM d),
+sc AS (
+  SELECT dt.doc_id, p.lang,
+         sum(coalesce(ll.lp, p.ld)) AS s
+  FROM dt CROSS JOIN pri p
+  LEFT JOIN ll ON ll.lang = p.lang AND ll.term = dt.term
+  GROUP BY 1, 2
+),
+tot_sc AS (
+  SELECT d.doc_id, p.lang, p.lp + coalesce(sc.s, 0.0) AS score
+  FROM d CROSS JOIN pri p LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.lang = p.lang
+)
+SELECT doc_id, lang FROM tot_sc
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY round(score, 9) DESC, lang) = 1
+ORDER BY doc_id
+""").fetchall()
+    twin = dict(rows)
+    model = nb_train(labeled_df)
+    pred = {
+        r["doc_id"]: r["pred_label"]
+        for r in nb_predict(labeled_df, model).collect()
+    }
+    assert pred == twin
+
+
+def test_validation(spark, labeled_df):
+    with pytest.raises(ValueError, match="smoothing"):
+        nb_train(labeled_df, smoothing=0.0)
+    empty = spark.createDataFrame([], "doc_id long, lang string, text string")
+    with pytest.raises(ValueError, match="train"):
+        nb_train(empty)
