@@ -1709,8 +1709,6 @@ class QueryEngine:
             )
         if max_expansions < 1:
             raise ValueError("fuzzy_max_expansions must be >= 1")
-        from .fuzzy import fuzzy_candidates
-
         cleaned: list[str] = []
         for kind, _target, raws in parse_query(query):
             if kind != "terms":
@@ -1727,27 +1725,68 @@ class QueryEngine:
                     c = clean_query_term(piece, stem=self.stem)
                     if c is not None and c not in cleaned:
                         cleaned.append(c)
-        out: dict[str, list[str]] = {}
+        if not cleaned:
+            return {}
+        # ALL terms expand in ONE job (never a driver loop of per-term
+        # probes): the (qterm, deletion-key) pairs broadcast against the
+        # bucket-pruned deletion index, candidates dedup + verify + cap
+        # via a per-qterm window — qterm-partitioned, each partition holds
+        # one term's candidate handful, never a global funnel.
+        from .fuzzy import py_deletion_keys
+        from ..functions.hashing import term_bucket
+
         didx = self._deletion_index(max_edit)
-        for t in cleaned:
-            rows = (
-                fuzzy_candidates(
-                    didx, t, max_edit=max_edit, n_buckets=self.buckets
-                )
-                .where(F.length("term") > 2)
-                .orderBy(
-                    F.col("df").desc(), F.col("dist").asc(), F.col("term").asc()
-                )
-                .limit(max_expansions)
-                .collect()
+        pairs = [
+            (t, key) for t in cleaned for key in py_deletion_keys(t, max_edit)
+        ]
+        bks = sorted({term_bucket(k, self.buckets) for _, k in pairs})
+        keys_df = (
+            self.spark.range(1)
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(t).alias("qterm"), F.lit(k).alias("key")
+                            )
+                            for t, k in pairs
+                        ]
+                    )
+                ).alias("p")
             )
-            members = {t}
-            for r in rows:
-                m = r["term"]
-                if clean_query_term(m, stem=self.stem) == m:
-                    members.add(m)
-            if len(members) > 1:
-                out[t] = sorted(members)
+            .select("p.qterm", "p.key")
+        )
+        cand = (
+            didx.where(F.col("bucket").isin(bks))
+            .join(F.broadcast(keys_df), on="key")
+            .groupBy("qterm", "term", "df")
+            .agg(F.count(F.lit(1)))  # dedup shared keys, no distinct shuffle
+            .select(
+                "qterm",
+                "term",
+                "df",
+                F.levenshtein(F.col("term"), F.col("qterm")).cast("int").alias("dist"),
+            )
+            .where((F.col("dist") <= max_edit) & (F.length("term") > 2))
+        )
+        w = Window.partitionBy("qterm").orderBy(
+            F.col("df").desc(), F.col("dist").asc(), F.col("term").asc()
+        )
+        rows = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= max_expansions)
+            .select("qterm", "term")
+            .collect()
+        )
+        out: dict[str, list[str]] = {}
+        members: dict[str, set] = {t: {t} for t in cleaned}
+        for r in rows:
+            m = r["term"]
+            if clean_query_term(m, stem=self.stem) == m:
+                members[r["qterm"]].add(m)
+        for t, ms in members.items():
+            if len(ms) > 1:
+                out[t] = sorted(ms)
         return out
 
     def _merge_fuzzy_expansions(
