@@ -1146,10 +1146,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           (plans/phrase.phrase_match — array_intersect adjacency);
         - 'proximity': ordered near-match counts (near_match, gap=PROX_GAP
           — chain-completing end positions; twin: range self-joins +
-          count(DISTINCT last.pos)).
+          count(DISTINCT last.pos));
+        - 'unordered' (round 3): Lucene SpanNearQuery inOrder=false —
+          window-start counts at slop=PROX_GAP (unordered_near_match;
+          twin: one EXISTS per term over each candidate start).
         """
         from search_engine_spark.operators.positions import build_positions
-        from search_engine_spark.plans.phrase import near_match, phrase_match
+        from search_engine_spark.plans.phrase import (
+            near_match,
+            phrase_match,
+            unordered_near_match,
+        )
 
         docs = _raw_docs(spark, sf).select(
             F.col("doc_id").alias("docid"), F.col("text").alias("content")
@@ -1166,7 +1173,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("docid").alias("doc_id"),
             F.col("near_tf").alias("n"),
         )
-        return ph.unionByName(nm)
+        un = unordered_near_match(
+            pos, " ".join(PHRASE_TERMS), slop=PROX_GAP
+        ).select(
+            F.lit("unordered").alias("variant"),
+            F.col("docid").alias("doc_id"),
+            F.col("near_tf").alias("n"),
+        )
+        return ph.unionByName(nm).unionByName(un)
 
     def q_phrase_ranked(spark, sf):
         """Phrase SCORING in one entry, tagged by ``variant`` (r2
@@ -2025,6 +2039,26 @@ GROUP BY p0.doc_id
 """
 
 
+def _unordered_match_sql(terms: list[str], slop: int) -> str:
+    """Unordered window proximity (doc_id, near_tf): window-start count
+    over the query terms' own positions — the unordered_near_match fold
+    (one EXISTS per term over each candidate start)."""
+    win = len(terms) + slop
+    exists = " AND ".join(
+        f"EXISTS (SELECT 1 FROM p x{i} WHERE x{i}.doc_id = s.doc_id"
+        f" AND x{i}.term = '{t}' AND x{i}.pos >= s.m AND x{i}.pos < s.m + {win})"
+        for i, t in enumerate(terms)
+    )
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH p AS ({_POS_SQL}),
+starts AS (SELECT DISTINCT doc_id, pos AS m FROM p WHERE term IN ({tlist}))
+SELECT s.doc_id, CAST(count(*) AS INT) AS near_tf
+FROM starts s WHERE {exists}
+GROUP BY s.doc_id
+"""
+
+
 def _phrase_match_sql(terms: list[str]) -> str:
     """Exact-phrase (doc_id, phrase_tf) via positional self-joins."""
     joins = "".join(
@@ -2242,6 +2276,9 @@ FROM ({_phrase_match_sql(PHRASE_TERMS)})
 UNION ALL
 SELECT 'proximity' AS variant, doc_id, CAST(near_tf AS INT) AS n
 FROM ({_near_match_sql(PHRASE_TERMS, PROX_GAP)})
+UNION ALL
+SELECT 'unordered' AS variant, doc_id, CAST(near_tf AS INT) AS n
+FROM ({_unordered_match_sql(PHRASE_TERMS, PROX_GAP)})
 """
 
     # snippet_windows: occurrence-anchored best-coverage window; ties →

@@ -316,6 +316,7 @@ def cmd_search(args) -> int:
             rows = phrase_topk(
                 index, args.phrase, k=args.k, stem=args.stem,
                 gap=getattr(args, "near_gap", 1),
+                ordered=not getattr(args, "unordered", False),
             ).collect()
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
@@ -1043,6 +1044,12 @@ def main(argv: list[str] | None = None) -> int:
         "--near-gap", type=int, default=1,
         help="with --phrase: allow up to GAP positions between consecutive "
         "words (ordered proximity; 1 = exact phrase)",
+    )
+    s.add_argument(
+        "--unordered", action="store_true",
+        help="with --phrase: match the words in ANY order within a window "
+        "of len+GAP tokens (Lucene SpanNearQuery inOrder=false; "
+        "--near-gap is the slop)",
     )
     s.add_argument(
         "--positional-phrases", action="store_true",

@@ -156,6 +156,77 @@ def near_match(
     )
 
 
+def unordered_near_match(
+    positions: DataFrame,
+    phrase: str,
+    slop: int = 2,
+    field: str = FIELD_BODY,
+    stem: bool = False,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Unordered proximity (the Lucene SpanNearQuery ``inOrder=false``
+    match condition, public) → (docid, near_tf): a doc matches iff some
+    token window of length ≤ len(terms)+slop contains at least one
+    occurrence of EVERY term, in any order — "all these words near each
+    other".  ``slop=0`` accepts exactly the permutation windows with no
+    intervening tokens.
+
+    ``near_tf`` counts the distinct window-START positions m (m ranging
+    over the query terms' own occurrences) whose [m, m+len+slop) window
+    covers all terms — deterministic and SQL-expressible (the DuckDB twin
+    is an EXISTS per term over the same starts), a cover-density-style
+    occurrence count rather than Lucene's greedy sub-span iteration; the
+    MATCH SET (docs with near_tf > 0) is exactly Lucene's, because any
+    qualifying window normalizes to one starting at its minimum element,
+    which is some term's occurrence.
+
+    Same plan shape as phrase_match/near_match: bucket-pruned slot
+    probes, docid equi-joins bounded by the rarest word, the window test
+    a folded filter/exists over position arrays — whole-stage-codegen
+    array math, no explode, no extra exchange.
+    """
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    terms = phrase_terms(phrase, stem=stem)
+    if not terms:
+        return positions.sparkSession.range(0).select(
+            F.col("id").alias("docid"), F.lit(0).alias("near_tf")
+        )
+    probe = positions.where(F.col("field") == field)
+    if n_buckets is not None:
+        probe = probe.where(
+            F.col("bucket").isin(sorted({term_bucket(t, n_buckets) for t in terms}))
+        )
+    slots = [
+        probe.where(F.col("term") == t).select(
+            "docid", F.col("positions").alias(f"p{i}")
+        )
+        for i, t in enumerate(terms)
+    ]
+    joined = slots[0]
+    for s in slots[1:]:
+        joined = joined.join(s, on="docid")
+    win = len(terms) + slop
+    starts = F.col("p0")
+    for i in range(1, len(terms)):
+        starts = F.array_union(starts, F.col(f"p{i}"))
+
+    def _covers_all(m):
+        cond = F.lit(True)
+        for i in range(len(terms)):
+            arr = F.col(f"p{i}")
+            cond = cond & F.exists(
+                arr, lambda y: (y >= m) & (y < m + F.lit(win))
+            )
+        return cond
+
+    quals = F.filter(starts, _covers_all)
+    return (
+        joined.select("docid", F.size(quals).alias("near_tf"))
+        .where(F.col("near_tf") > 0)
+    )
+
+
 def phrase_topk(
     index: IndexTables,
     phrase: str,
@@ -163,6 +234,7 @@ def phrase_topk(
     field: str = FIELD_BODY,
     stem: bool | None = None,
     gap: int = 1,
+    ordered: bool = True,
 ) -> DataFrame:
     """→ (rank, docid, score): BM25 top-k for the phrase as one pseudo-term.
 
@@ -172,7 +244,10 @@ def phrase_topk(
     engine uses, so phrase and term scores are directly comparable.
 
     ``gap > 1`` relaxes exact adjacency to ordered proximity (near_match):
-    tf becomes the chain-completing end-position count.
+    tf becomes the chain-completing end-position count.  ``ordered=False``
+    scores the UNORDERED window condition instead (unordered_near_match,
+    Lucene SpanNearQuery inOrder=false) — there ``gap`` is the Lucene
+    slop and tf the qualifying window-start count.
     """
     if index.positions is None:
         raise ValueError(
@@ -180,7 +255,12 @@ def phrase_topk(
             "(build_index) or build_positions()"
         )
     use_stem = index.stem if stem is None else stem
-    if gap == 1:
+    if not ordered:
+        matches = unordered_near_match(
+            index.positions, phrase, slop=gap, field=field, stem=use_stem,
+            n_buckets=index.n_buckets,
+        ).withColumnRenamed("near_tf", "phrase_tf")
+    elif gap == 1:
         matches = phrase_match(
             index.positions, phrase, field=field, stem=use_stem,
             n_buckets=index.n_buckets,

@@ -121,3 +121,79 @@ def test_phrase_topk_gap(spark):
     assert sorted(r["docid"] for r in rows) == [1, 2, 4]
     exact = phrase_topk(idx, "merge runs", k=10).collect()
     assert [r["docid"] for r in exact] == [2]
+
+
+# --- unordered window matching (Lucene SpanNearQuery inOrder=false) -------
+
+
+def py_unordered_tf(text: str, phrase: str, slop: int) -> int:
+    """Independent model: window-start count over the union of the query
+    terms' own positions; a start qualifies when [m, m+len+slop) holds at
+    least one occurrence of every term."""
+    toks = oracle.tokenize(text)
+    terms = oracle.tokenize(phrase)
+    if not terms:
+        return 0
+    pos = {t: [i for i, x in enumerate(toks) if x == t] for t in set(terms)}
+    if any(not v for v in pos.values()):
+        return 0
+    win = len(terms) + slop
+    starts = sorted({p for v in pos.values() for p in v})
+    return sum(
+        1
+        for m in starts
+        if all(any(m <= p < m + win for p in v) for v in pos.values())
+    )
+
+
+def _unordered(pos, phrase, slop, **kw):
+    from search_engine_spark.plans.phrase import unordered_near_match
+
+    return {
+        r["docid"]: r["near_tf"]
+        for r in unordered_near_match(pos, phrase, slop=slop, **kw).collect()
+    }
+
+
+def test_unordered_hand(hand_positions):
+    # "runs merge": doc3 has them adjacent REVERSED — ordered misses it,
+    # unordered slop=0 (window len 2) catches it; doc2 adjacent in order
+    # also matches (unordered subsumes ordered)
+    assert _near(hand_positions, "merge runs", gap=1) == {2: 1}
+    got = _unordered(hand_positions, "merge runs", slop=0)
+    assert set(got) == {2, 3}
+    # doc1: merge@0 runs@3 — window needs len 4 = 2 terms + slop 2
+    assert 1 not in _unordered(hand_positions, "merge runs", slop=1)
+    assert 1 in _unordered(hand_positions, "merge runs", slop=2)
+
+
+def test_unordered_matches_python_model(spark):
+    docs = fixtures.with_docids(fixtures.generate_documents(60, seed=11))
+    df = spark.createDataFrame(docs).select(
+        "docid", "repo", "path", "commit", "lang", "content"
+    )
+    pos = build_positions(df)
+    pos.cache().count()
+    try:
+        for phrase, slop in [
+            ("parse_json0 merge_index0", 2),
+            ("merge_index0 parse_json0", 0),
+            ("load_config0 scan_config0 parse_json0", 3),
+        ]:
+            want = {
+                d["docid"]: tf
+                for d in docs
+                if (tf := py_unordered_tf(d["content"], phrase, slop)) > 0
+            }
+            assert _unordered(pos, phrase, slop=slop) == want, (phrase, slop)
+    finally:
+        pos.unpersist()
+
+
+def test_unordered_validation_and_single_term(hand_positions):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="slop"):
+        _unordered(hand_positions, "merge runs", slop=-1)
+    # single term: every occurrence is its own window
+    assert _unordered(hand_positions, "merge", slop=0) == {1: 1, 2: 1, 3: 1, 4: 2}
