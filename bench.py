@@ -504,6 +504,36 @@ def main() -> None:
                 "values: table window spark", docs, k=20, sample=200
             ).collect(),
         )
+        timed_best(
+            "q13i_fuzzy",
+            lambda: engine.search("values: tabl", k=10, fuzziness=1).collect(),
+        )
+        timed_best(
+            "q13j_bool",
+            lambda: engine.search_bool(
+                must="values: customer vector",
+                should="values: table window spark",
+                k=10,
+            ).collect(),
+        )
+        timed_best(
+            "q13k_must_not",
+            lambda: engine.search(
+                "values: table window spark", k=10, must_not=["customer"]
+            ).collect(),
+        )
+        timed_best(
+            "q13l_match_stats",
+            lambda: engine.match_stats(
+                "values: table window spark", col="doclen"
+            ).collect(),
+        )
+        from search_engine_spark.plans.phrase import phrase_topk as _ptk
+
+        timed_best(
+            "q13m_unordered_near",
+            lambda: _ptk(index, "table hash", k=10, gap=3, ordered=False).collect(),
+        )
 
         # --- event-stream analytics (batch mode of the streaming ops) ---
         from search_engine_spark.operators.events import (
