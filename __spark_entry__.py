@@ -1412,12 +1412,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_bm25f(spark, sf):
-        """BM25F field-weighted top-10 (plans/bm25f.py — Robertson &
-        Zaragoza 2009 §3.3): per-field tfs merged BEFORE k1 saturation,
-        idf from the cross-field df.  The testdata has no title column, so
-        the title is synthesized as the first 60 chars of the body with the
-        IDENTICAL expression on both engines (substring can cut a token
-        mid-word — consistently, so the twins agree).  w_title=2.0.
+        """Multi-field scorers over ONE two-field index, tagged by
+        ``variant`` (title synthesized as the first 60 chars of the body
+        with the IDENTICAL expression on both engines — substring can cut
+        a token mid-word, consistently, so the twins agree):
+
+        - 'bm25f' (plans/bm25f.py — Robertson & Zaragoza 2009 §3.3):
+          per-field tfs merged BEFORE k1 saturation, idf from the
+          cross-field df, w_title=2.0;
+        - 'dismax' (round 3, QueryEngine.search_dismax — Lucene
+          DisjunctionMaxQuery / ES best_fields): independent per-field
+          BM25 legs combined max + 0.3·(sum − max).
+
         k=100 buffer then round-rerank to 10, the standard raw-vs-rounded
         boundary absorber."""
         from search_engine_spark.operators.index_build import build_index
@@ -1433,14 +1439,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rows = bm25f_topk(
             eng, BM25_TERMS, k=100, weights={"content": 1.0, "title": 2.0}
         ).collect()
+        dm_rows = eng.search_dismax(
+            " ".join(BM25_TERMS), tie_breaker=0.3, k=100
+        ).collect()
         index.unpersist()
-        ranked = sorted(
-            ((r["docid"], round(r["score"], 6)) for r in rows),
-            key=lambda x: (-x[1], x[0]),
-        )[:10]
-        return _ranked_literal_df(
-            spark, [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
-        )
+
+        def rerank(rs):
+            return sorted(
+                ((r["docid"], round(r["score"], 6)) for r in rs),
+                key=lambda x: (-x[1], x[0]),
+            )[:10]
+
+        parts = []
+        for tag, rs in (("bm25f", rows), ("dismax", dm_rows)):
+            ranked = rerank(rs)
+            parts.append(
+                _ranked_literal_df(
+                    spark, [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+                ).select(F.lit(tag).alias("variant"), "rank", "doc_id", "score")
+            )
+        return parts[0].unionByName(parts[1])
 
     def q_bm25_collapsed(spark, sf):
         """Field-collapsed top-10 (QueryEngine.search_collapsed — the
@@ -2458,9 +2476,7 @@ SELECT 'perc_and' AS probe, CAST(count(*) AS BIGINT) AS n FROM (
     # tokenizer; per-field normalized tfs merged before saturation, idf
     # from the cross-field distinct-doc df (plans/bm25f.py)
     _bm25f_tlist = ", ".join(f"'{t}'" for t in BM25_TERMS)
-    sql["bm25f_topk"] = f"""
-WITH tokb AS ({_TF_SQL}),
-tokt AS (
+    _TOKT_SQL = f"""
   SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM (
     SELECT doc_id, lower(replace(tok, '''', '')) AS term FROM (
       SELECT doc_id,
@@ -2468,7 +2484,11 @@ tokt AS (
       FROM documents
     ) WHERE tok <> '' AND regexp_matches(tok, '^[\\x00-\\x7F]+$')
   ) WHERE term <> '' GROUP BY doc_id, term
-),
+"""
+    sql["bm25f_topk"] = f"""
+SELECT 'bm25f' AS variant, rank, doc_id, score FROM (
+WITH tokb AS ({_TF_SQL}),
+tokt AS ({_TOKT_SQL}),
 stats AS (
   SELECT (SELECT count(*) FROM documents) AS n_docs,
          (SELECT CAST(sum(tf) AS DOUBLE) FROM tokb)
@@ -2503,6 +2523,48 @@ scored AS (
 agg AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY doc_id)
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
 FROM agg ORDER BY score DESC, doc_id LIMIT 10
+)
+UNION ALL
+SELECT 'dismax' AS variant, rank, doc_id, score FROM (
+WITH tokb AS ({_TF_SQL}),
+tokt AS ({_TOKT_SQL}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM tokb)
+           / (SELECT count(*) FROM documents) AS avgdl_b,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM tokt)
+           / (SELECT count(*) FROM documents) AS avgdl_t
+),
+dlb AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tokb GROUP BY doc_id),
+dlt AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tokt GROUP BY doc_id),
+dfb AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tokb
+        WHERE term IN ({_bm25f_tlist}) GROUP BY term),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tokt
+        WHERE term IN ({_bm25f_tlist}) GROUP BY term),
+sb AS (
+  SELECT b.doc_id,
+         sum(ln((stats.n_docs - dfb.df + 0.5) / (dfb.df + 0.5) + 1.0)
+             * b.tf * {K1 + 1.0}
+             / (b.tf + {K1} * (1.0 - {B} + {B} * dlb.dl / stats.avgdl_b))) AS s
+  FROM tokb b JOIN dfb ON b.term = dfb.term JOIN dlb ON b.doc_id = dlb.doc_id, stats
+  GROUP BY b.doc_id
+),
+st AS (
+  SELECT t.doc_id,
+         sum(ln((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * t.tf * {K1 + 1.0}
+             / (t.tf + {K1} * (1.0 - {B} + {B} * dlt.dl / stats.avgdl_t))) AS s
+  FROM tokt t JOIN dft ON t.term = dft.term JOIN dlt ON t.doc_id = dlt.doc_id, stats
+  GROUP BY t.doc_id
+),
+legs AS (SELECT doc_id, s FROM sb UNION ALL SELECT doc_id, s FROM st),
+agg AS (
+  SELECT doc_id, round(max(s) + 0.3 * (sum(s) - max(s)), 6) AS score
+  FROM legs GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
+FROM agg ORDER BY score DESC, doc_id LIMIT 10
+)
 """
 
     # synonym twin: the 'table' group {table, hash, scan} blends (tf sum,

@@ -337,6 +337,24 @@ def cmd_search(args) -> int:
         if not rows:
             print("no results")
         return 0
+    if getattr(args, "dismax", None):
+        if args.query is not None or args.wand or args.wand_shards:
+            print(
+                "error: --dismax is a standalone query (no --query/--wand)",
+                file=sys.stderr,
+            )
+            return 2
+        engine = _engine(spark, args)
+        try:
+            rows = engine.search_dismax(
+                args.dismax, tie_breaker=getattr(args, "tie_breaker", 0.0),
+                k=args.k, with_display=True,
+            ).collect()
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        _print_results(rows)
+        return 0
     if getattr(args, "must", None) or getattr(args, "should", None):
         if args.query is not None or args.wand or args.wand_shards:
             print(
@@ -1170,6 +1188,16 @@ def main(argv: list[str] | None = None) -> int:
         "--should", default=None, metavar="Q",
         help="bool query: this query's keys only ADD score, never gate "
         "(with no --must, at least one must match — plain OR)",
+    )
+    s.add_argument(
+        "--dismax", default=None, metavar="WORDS",
+        help="best-fields multi-field query (plain words): each field "
+        "scores as an independent BM25 leg, doc takes max + "
+        "tie_breaker x rest (Lucene DisjunctionMaxQuery)",
+    )
+    s.add_argument(
+        "--tie-breaker", type=float, default=0.0,
+        help="with --dismax: weight of the non-best field legs (default 0)",
     )
     s.add_argument("--wand", action="store_true", help="block-max WAND path (driver traversal)")
     s.add_argument(

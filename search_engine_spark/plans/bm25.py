@@ -1185,6 +1185,98 @@ class QueryEngine:
             ).orderBy("rank")
         return result
 
+    def search_dismax(
+        self,
+        query: str,
+        fields: tuple[str, ...] = ("content", "title"),
+        tie_breaker: float = 0.0,
+        k: int = 10,
+        with_display: bool = False,
+        boosts: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """Lucene ``DisjunctionMaxQuery`` / the ES ``multi_match``
+        ``best_fields`` mode (public designs): the SAME plain-text terms
+        probe every field as an independent BM25 leg, and a doc scores
+        ``max(leg) + tie_breaker · Σ(other legs)`` — the best field wins
+        instead of fields summing (the right semantics when fields are
+        alternative descriptions of one thing: a hit in title OR body is
+        one concept, not two).  ``tie_breaker=1`` degenerates to the
+        plain cross-field sum; ``boosts`` weights a leg's contributions
+        before the max (``{"title": 2.0}`` ≡ ``title^2``).
+
+        ``query`` is plain text (whitespace/comma words, no category
+        syntax) — the ES multi_match input shape.
+
+        Scale: per-field legs are the standard bucket-pruned probes
+        unioned BEFORE aggregation; the per-(doc, field) fold is one
+        exchange, and the max/tie combine folds ≤ |fields| rows per doc —
+        a second, dimension-bounded exchange.  Deterministic: each leg is
+        the ordered float64 fold; max is exact and the tie-sum spans
+        ≤ |fields| values.
+        """
+        if not 0.0 <= float(tie_breaker) <= 1.0:
+            raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker!r}")
+        bad = [f_ for f_ in fields if f_ not in ("content", "title")]
+        if bad or not fields:
+            raise ValueError(f"fields must be among ('content', 'title'), got {fields!r}")
+        import re as _re
+
+        words = [w for w in _re.split(r"[,\s]+", query) if w]
+        cleaned: list[str] = []
+        for raw in words:
+            pieces = [self._fold_raw(raw)]
+            if self.analyzer == "code":
+                from ..operators.code_tokens import code_tokenize
+
+                pieces = code_tokenize(raw) or [raw]
+            for piece in pieces:
+                c = clean_query_term(piece, stem=self.stem)
+                if c is not None and c not in cleaned:
+                    cleaned.append(c)
+        if not cleaned:
+            return self._empty_result(with_display)
+        boosts = boosts or {}
+        parts: list[DataFrame] = []
+        for f_ in fields:
+            m = self._matches_for_terms(f_, sorted(cleaned))
+            b = float(boosts.get(f_, 1.0))
+            if b != 1.0:
+                m = m.withColumn("contrib", F.col("contrib") * F.lit(b))
+            parts.append(m)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        per_field = u.groupBy("docid", "target").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("kind", "term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("s")
+        )
+        tie = float(tie_breaker)
+        agg = per_field.groupBy("docid").agg(
+            (F.max("s") + F.lit(tie) * (F.sum("s") - F.max("s"))).alias("score")
+        )
+        topk = (
+            agg.select("docid", "score")
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(k)
+        )
+        w = Window.orderBy(F.desc("score"), F.asc("docid"))
+        result = topk.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "docid", "score"
+        )
+        if with_display:
+            disp_cols = [
+                c
+                for c in ("repo", "path", "commit", "lang")
+                if c in self._docstats.columns
+            ]
+            result = result.join(
+                self._docstats.select("docid", *disp_cols), on="docid", how="left"
+            ).orderBy("rank")
+        return result
+
     def search_batch(
         self,
         queries: list[str | tuple[str, str]],

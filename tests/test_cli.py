@@ -584,6 +584,27 @@ def test_info_subcommand(spark, tiny_df, tmp_path, capsys):
     assert "tombstones: 1" in capsys.readouterr().out
 
 
+def test_search_dismax(spark, tiny_df, tmp_path, capsys):
+    """--dismax runs the best-fields query; --query alongside refuses."""
+    src = str(tmp_path / "docs_dm")
+    root = str(tmp_path / "idx_dm")
+    tiny_df.write.parquet(src)
+    assert main(["build", "--input", src, "--output", root]) == 0
+    capsys.readouterr()
+    assert main(
+        ["search", "--index", root, "--dismax", "parse_json0 file_1",
+         "--tie-breaker", "0.3"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert sum(1 for ln in out.splitlines() if ln.strip()[:1].isdigit()) > 0
+    rc = main(
+        ["search", "--index", root, "--dismax", "parse_json0",
+         "--query", "values: x"]
+    )
+    assert rc == 2
+    assert "standalone" in capsys.readouterr().err
+
+
 def test_search_bool(spark, tiny_df, tmp_path, capsys):
     """--must/--should run a mixed bool query; --query alongside refuses."""
     src = str(tmp_path / "docs_bq")

@@ -1,0 +1,106 @@
+"""Dis-max multi-field scoring (Lucene DisjunctionMaxQuery / ES multi_match
+best_fields): ``QueryEngine.search_dismax`` vs an independent python model
+over the oracle index."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from search_engine_spark.oracle import (
+    bm25_idf,
+    bm25_tf_norm,
+    clean_query_term,
+)
+from search_engine_spark.plans.bm25 import QueryEngine
+
+QUERY = "parse_json0 file_1"  # file_1 lives in titles (paths); parse in bodies
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_index):
+    eng = QueryEngine(spark, tiny_index)
+    yield eng
+    eng.close()
+
+
+def _py_dismax(oracle, query, tie, fields=("content", "title"), boosts=None, k=10):
+    boosts = boosts or {}
+    cleaned = sorted(
+        {c for c in (clean_query_term(w) for w in query.split()) if c}
+    )
+    per_doc: dict[int, dict[str, float]] = {}
+    for field in fields:
+        avgdl = oracle.avgdl if field == "content" else oracle.avg_titlelen
+        lens = oracle.doclen if field == "content" else oracle.titlelen
+        plist = oracle.postings[field]
+        b = boosts.get(field, 1.0)
+        for term in cleaned:
+            posts = plist.get(term, {})
+            for docid, tf in posts.items():
+                s = (
+                    bm25_idf(oracle.n_docs, len(posts))
+                    * bm25_tf_norm(tf, lens[docid], avgdl)
+                    * b
+                )
+                per_doc.setdefault(docid, {})[field] = (
+                    per_doc.get(docid, {}).get(field, 0.0) + s
+                )
+    scores = {
+        d: max(v.values()) + tie * (sum(v.values()) - max(v.values()))
+        for d, v in per_doc.items()
+    }
+    ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+    return [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+
+
+@pytest.mark.parametrize("tie", [0.0, 0.3])
+def test_dismax_matches_model(engine, tiny_oracle, tie):
+    golden = _py_dismax(tiny_oracle, QUERY, tie)
+    assert golden, "fixture must match"
+    got = engine.search_dismax(QUERY, tie_breaker=tie, k=10).collect()
+    assert [(r["rank"], r["docid"]) for r in got] == [
+        (rk, d) for rk, d, _ in golden
+    ]
+    for r, (_, _, s) in zip(got, golden):
+        assert math.isclose(r["score"], s, rel_tol=0, abs_tol=1e-9)
+
+
+def test_dismax_both_fields_contribute(engine, tiny_oracle):
+    """The fixture query must actually exercise both legs: some doc's best
+    field is the title, some doc's the body."""
+    golden = dict()
+    for field in ("content", "title"):
+        for _rk, d, _s in _py_dismax(
+            tiny_oracle, QUERY, 0.0, fields=(field,), k=10**9
+        ):
+            golden.setdefault(d, set()).add(field)
+    assert any(v == {"title"} for v in golden.values())
+    assert any(v == {"content"} for v in golden.values())
+
+
+def test_dismax_tie_one_is_cross_field_sum(engine, tiny_oracle):
+    got = engine.search_dismax(QUERY, tie_breaker=1.0, k=10).collect()
+    golden = _py_dismax(tiny_oracle, QUERY, 1.0)
+    for r, (_, d, s) in zip(got, golden):
+        assert r["docid"] == d
+        assert math.isclose(r["score"], s, rel_tol=0, abs_tol=1e-9)
+
+
+def test_dismax_boosts(engine, tiny_oracle):
+    golden = _py_dismax(tiny_oracle, QUERY, 0.2, boosts={"title": 2.0})
+    got = engine.search_dismax(
+        QUERY, tie_breaker=0.2, k=10, boosts={"title": 2.0}
+    ).collect()
+    assert [(r["rank"], r["docid"]) for r in got] == [
+        (rk, d) for rk, d, _ in golden
+    ]
+
+
+def test_dismax_validation_and_empty(engine):
+    with pytest.raises(ValueError, match="tie_breaker"):
+        engine.search_dismax(QUERY, tie_breaker=1.5)
+    with pytest.raises(ValueError, match="fields"):
+        engine.search_dismax(QUERY, fields=("body",))
+    assert engine.search_dismax("zz !!").collect() == []
