@@ -534,6 +534,12 @@ def main() -> None:
             "q13m_unordered_near",
             lambda: _ptk(index, "table hash", k=10, gap=3, ordered=False).collect(),
         )
+        timed_best(
+            "q13n_dismax",
+            lambda: engine.search_dismax(
+                "table window spark", tie_breaker=0.3, k=10
+            ).collect(),
+        )
 
         # --- event-stream analytics (batch mode of the streaming ops) ---
         from search_engine_spark.operators.events import (

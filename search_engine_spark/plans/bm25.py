@@ -1208,11 +1208,13 @@ class QueryEngine:
         syntax) — the ES multi_match input shape.
 
         Scale: per-field legs are the standard bucket-pruned probes
-        unioned BEFORE aggregation; the per-(doc, field) fold is one
-        exchange, and the max/tie combine folds ≤ |fields| rows per doc —
-        a second, dimension-bounded exchange.  Deterministic: each leg is
-        the ordered float64 fold; max is exact and the tie-sum spans
-        ≤ |fields| values.
+        unioned BEFORE aggregation, and the whole combine is ONE (docid)
+        exchange — the fold walks the (target, kind, term)-sorted
+        contribution array with a running per-target accumulator (current
+        leg sum, best leg, grand total), so no second shuffle exists.
+        Deterministic: within a leg the fold order is the same sorted
+        float64 fold the scorer uses everywhere; max is exact and the
+        tie-sum spans ≤ |fields| leg values.
         """
         if not 0.0 <= float(tie_breaker) <= 1.0:
             raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker!r}")
@@ -1246,16 +1248,49 @@ class QueryEngine:
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
-        per_field = u.groupBy("docid", "target").agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("kind", "term", "contrib"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["contrib"],
-            ).alias("s")
-        )
         tie = float(tie_breaker)
-        agg = per_field.groupBy("docid").agg(
-            (F.max("s") + F.lit(tie) * (F.sum("s") - F.max("s"))).alias("score")
+        neg_inf = float("-inf")
+
+        def _step(acc, x):
+            # contributions arrive sorted by (target, kind, term): when the
+            # target changes, close the previous leg into best/total
+            is_new = x["target"] != acc["tgt"]
+            had_leg = acc["tgt"] != F.lit("")
+            closed_best = F.when(
+                is_new & had_leg, F.greatest(acc["best"], acc["cur"])
+            ).otherwise(acc["best"])
+            closed_total = F.when(is_new & had_leg, acc["total"] + acc["cur"]).otherwise(
+                acc["total"]
+            )
+            new_cur = F.when(is_new, x["contrib"]).otherwise(
+                acc["cur"] + x["contrib"]
+            )
+            return F.struct(
+                x["target"].alias("tgt"),
+                new_cur.alias("cur"),
+                closed_best.alias("best"),
+                closed_total.alias("total"),
+            )
+
+        def _finish(acc):
+            best = F.greatest(acc["best"], acc["cur"])
+            total = acc["total"] + acc["cur"]
+            return best + F.lit(tie) * (total - best)
+
+        agg = u.groupBy("docid").agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("target", "kind", "term", "contrib"))
+                ),
+                F.struct(
+                    F.lit("").alias("tgt"),
+                    F.lit(0.0).alias("cur"),
+                    F.lit(neg_inf).alias("best"),
+                    F.lit(0.0).alias("total"),
+                ),
+                _step,
+                _finish,
+            ).alias("score")
         )
         topk = (
             agg.select("docid", "score")

@@ -283,3 +283,14 @@ def test_search_bool_single_fold_exchange(written_engine):
     ex_on_docid = re.findall(r"Exchange hashpartitioning\(docid", plan)
     assert len(ex_on_docid) == 1, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dismax_single_fold_exchange(written_engine):
+    """search_dismax must do the whole per-field max/tie combine in ONE
+    docid exchange (running per-target accumulator inside the fold) —
+    never a second (docid, target) shuffle."""
+    df = written_engine.search_dismax("parse_json0 file_1", tie_breaker=0.3, k=10)
+    plan = plan_of(df)
+    ex_on_docid = re.findall(r"Exchange hashpartitioning\(docid", plan)
+    assert len(ex_on_docid) == 1, plan
+    assert "target" not in "".join(re.findall(r"Exchange hashpartitioning\([^)]*", plan))
