@@ -658,6 +658,24 @@ def main() -> None:
                     runs=2,
                 )
                 beng_big.close()
+                # round-3 query surfaces at 40× — single-exchange shapes
+                # must stay flat as the corpus grows
+                timed_scale(
+                    "bool_mixed",
+                    lambda: beng.search_bool(
+                        must="values: customer vector",
+                        should="values: table window spark",
+                        k=10,
+                    ).collect(),
+                    runs=2,
+                )
+                timed_scale(
+                    "dismax",
+                    lambda: beng.search_dismax(
+                        "table window spark", tie_breaker=0.3, k=10
+                    ).collect(),
+                    runs=2,
+                )
             finally:
                 shutil.rmtree(big_root, ignore_errors=True)
             scale = {
