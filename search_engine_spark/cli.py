@@ -732,11 +732,29 @@ def cmd_delete(args) -> int:
 
 
 def cmd_compact(args) -> int:
-    """Rewrite the index without tombstoned docs + exact recomputed stats."""
-    from .sources.deletes import compact_index
+    """Rewrite the index without tombstoned docs + exact recomputed stats.
+    With --if-tombstones-over R, compaction is threshold-gated (the Lucene
+    merge-policy deletes-pct trigger) and skipped on a healthy root."""
+    from .sources.deletes import compact_if_needed, compact_index, tombstone_ratio
 
     spark = _spark(args)
-    compact_index(spark, args.index, args.output)
+    thresh = getattr(args, "if_tombstones_over", None)
+    if thresh is not None:
+        try:
+            ran = compact_if_needed(
+                spark, args.index, args.output, max_tombstone_ratio=thresh
+            )
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        if not ran:
+            print(
+                f"compaction not needed (tombstone ratio "
+                f"{tombstone_ratio(spark, args.index):.3f} <= {thresh})"
+            )
+            return 0
+    else:
+        compact_index(spark, args.index, args.output)
     n = spark.read.parquet(f"{args.output}/docstats").count()
     print(f"compacted → {args.output} ({n} documents)")
     return 0
@@ -1278,6 +1296,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     cp.add_argument("--index", required=True)
     cp.add_argument("--output", required=True)
+    cp.add_argument(
+        "--if-tombstones-over", type=float, default=None, metavar="R",
+        help="only compact when the tombstone share exceeds R (0-1; the "
+        "Lucene merge-policy deletes trigger) — exit 0 without writing "
+        "otherwise",
+    )
     cp.set_defaults(fn=cmd_compact)
 
     mg = sub.add_parser(

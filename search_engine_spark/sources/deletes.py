@@ -136,3 +136,37 @@ def compact_index(
         new.positions = pos
     write_index(new, out_root)
     new.unpersist()
+
+
+def tombstone_ratio(spark, root: str) -> float:
+    """deleted / total docs of a persisted root — the compaction trigger
+    signal (two count jobs over metadata-only scans).  0.0 when the root
+    has no tombstone table."""
+    from .index_io import read_meta_file
+
+    meta = read_meta_file(spark, f"{root}/_index_meta")
+    if not meta.get("tombstones"):
+        return 0.0
+    n_tomb = spark.read.parquet(f"{root}/_tombstones").count()
+    n_docs = spark.read.parquet(f"{root}/docstats").count()
+    return (n_tomb / n_docs) if n_docs else 0.0
+
+
+def compact_if_needed(
+    spark, root: str, out_root: str, max_tombstone_ratio: float = 0.2
+) -> bool:
+    """Threshold-gated compaction — the Lucene merge-policy analog for the
+    lazy-delete design (public: TieredMergePolicy's deletes-pct trigger):
+    tombstoned docs stop matching instantly but keep paying scan + stats
+    skew until a rewrite; this runs :func:`compact_index` only when the
+    tombstone share exceeds ``max_tombstone_ratio``.  Returns True when
+    compaction ran (out_root written), False when the root is healthy
+    (out_root untouched).  Cron-friendly: the check is two count jobs."""
+    if not 0.0 <= float(max_tombstone_ratio) <= 1.0:
+        raise ValueError(
+            f"max_tombstone_ratio must be in [0, 1], got {max_tombstone_ratio!r}"
+        )
+    if tombstone_ratio(spark, root) <= float(max_tombstone_ratio):
+        return False
+    compact_index(spark, root, out_root)
+    return True

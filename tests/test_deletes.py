@@ -197,3 +197,58 @@ def test_cli_substring_honors_tombstones(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     ids = {ln.split()[0] for ln in out.strip().splitlines() if ln[0].isdigit()}
     assert ids == {"2"}, out
+
+
+def test_compact_if_needed_threshold(spark, tiny_df, tmp_path):
+    """compact_if_needed runs only past the tombstone-ratio trigger and is
+    a no-op (no output root) on a healthy index."""
+    import os
+
+    from search_engine_spark.sources.deletes import (
+        compact_if_needed,
+        tombstone_ratio,
+    )
+
+    root = str(tmp_path / "policy_idx")
+    idx = build_index(spark, tiny_df, compress=True)
+    write_index(idx, root)
+    idx.unpersist()
+    assert tombstone_ratio(spark, root) == 0.0
+    out1 = str(tmp_path / "c1")
+    assert compact_if_needed(spark, root, out1) is False
+    assert not os.path.exists(out1)
+
+    ids = [r["docid"] for r in tiny_df.select("docid").limit(30).collect()]
+    delete_docs(spark, root, ids)
+    ratio = tombstone_ratio(spark, root)
+    assert ratio == pytest.approx(0.3)
+    assert compact_if_needed(spark, root, out1, max_tombstone_ratio=0.5) is False
+    assert compact_if_needed(spark, root, out1, max_tombstone_ratio=0.2) is True
+    compacted = read_index(spark, out1)
+    assert compacted.docstats.count() == 100 - len(ids)
+    with pytest.raises(ValueError, match="max_tombstone_ratio"):
+        compact_if_needed(spark, root, out1, max_tombstone_ratio=1.5)
+
+
+def test_cli_compact_threshold_flag(spark, tiny_df, tmp_path, capsys):
+    from search_engine_spark.cli import main
+
+    src = str(tmp_path / "docs_cp")
+    root = str(tmp_path / "idx_cp")
+    out = str(tmp_path / "out_cp")
+    tiny_df.write.parquet(src)
+    assert main(["build", "--input", src, "--output", root]) == 0
+    capsys.readouterr()
+    assert main(
+        ["compact", "--index", root, "--output", out,
+         "--if-tombstones-over", "0.2"]
+    ) == 0
+    assert "not needed" in capsys.readouterr().out
+    some = [str(r["docid"]) for r in tiny_df.select("docid").limit(30).collect()]
+    assert main(["delete", "--index", root, "--docids", ",".join(some)]) == 0
+    capsys.readouterr()
+    assert main(
+        ["compact", "--index", root, "--output", out,
+         "--if-tombstones-over", "0.2"]
+    ) == 0
+    assert "compacted" in capsys.readouterr().out
