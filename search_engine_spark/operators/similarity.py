@@ -810,25 +810,34 @@ def sq_encode(
 
     Map-only, rides the scan (the one full pass an SQ build costs);
     constant dimensions (vmax==vmin) encode to 0 and decode back to vmin
-    exactly.  Clamping makes appends of out-of-range NEW vectors safe
-    (saturate, never wrap)."""
-    scale = [
-        255.0 / (hi - lo) if hi > lo else 0.0 for lo, hi in zip(vmin, vmax)
-    ]
+    exactly, and a range so narrow that 255/Δ overflows the double is
+    treated as constant too (value error ≤ Δ < 1e-306 — far inside the
+    half-step bound).  Clamping happens on the DOUBLE before the int
+    cast, so appends of out-of-range NEW vectors saturate instead of
+    overflowing the cast (hypothesis-pinned in tests/test_sq.py)."""
+    import math as _math
+
+    def _safe_scale(lo: float, hi: float) -> float:
+        if hi <= lo:
+            return 0.0
+        s = 255.0 / (hi - lo)
+        return s if _math.isfinite(s) else 0.0
+
+    scale = [_safe_scale(lo, hi) for lo, hi in zip(vmin, vmax)]
     vmin_arr = F.array(*[F.lit(float(x)) for x in vmin])
     scale_arr = F.array(*[F.lit(float(s)) for s in scale])
     codes = F.transform(
         F.col(vec_col),
-        lambda v, i: F.least(
-            F.lit(255),
-            F.greatest(
-                F.lit(0),
-                F.round(
+        lambda v, i: F.round(
+            F.least(
+                F.lit(255.0),
+                F.greatest(
+                    F.lit(0.0),
                     (v.cast("double") - F.element_at(vmin_arr, i + F.lit(1)))
-                    * F.element_at(scale_arr, i + F.lit(1))
-                ).cast("int"),
-            ),
-        ),
+                    * F.element_at(scale_arr, i + F.lit(1)),
+                ),
+            )
+        ).cast("int"),
     )
     return embeddings.select(F.col(id_col), codes.alias("codes"))
 

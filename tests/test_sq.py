@@ -152,3 +152,39 @@ def test_train_empty_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty"):
         sq_train(empty)
+
+
+def test_sq_roundtrip_error_bound_hypothesis(spark):
+    """Property: for ANY corpus, decode(encode(v)) is within half a
+    quantization step per dimension (hypothesis over random ranges)."""
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.floats(min_value=-50, max_value=50, allow_nan=False),
+                min_size=4,
+                max_size=4,
+            ),
+            min_size=2,
+            max_size=12,
+        )
+    )
+    def check(vecs):
+        rows = [(i, v) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        vmin, vmax = sq_train(df)
+        codes = {
+            r["vec_id"]: list(r["codes"])
+            for r in sq_encode(df, vmin, vmax).collect()
+        }
+        for vid, vec in rows:
+            for d in range(4):
+                step = (vmax[d] - vmin[d]) / 255.0
+                decoded = vmin[d] + codes[vid][d] * step
+                assert 0 <= codes[vid][d] <= 255
+                assert abs(decoded - vec[d]) <= step / 2 + 1e-9, (vid, d)
+
+    check()
