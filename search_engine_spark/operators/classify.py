@@ -117,20 +117,30 @@ def nb_score(
     """→ (id, label, log_score): the full per-label log-posterior surface
     (one row per doc × label) — `nb_predict` argmaxes it.
 
-    Shape: tokens × labels left-join the likelihood (vocabulary-dimension
+    Shape: per-doc term COUNTS (not raw tokens — the multinomial only
+    needs tf, so the label cross and the likelihood join see each (doc,
+    term) once, cutting joined rows by the within-doc repetition factor)
+    cross the label set and left-join the likelihood (vocabulary-dimension
     right side — mark it broadcast when it fits), coalesce to the label's
-    smoothed default, ONE (doc, label) exchange.  Empty docs score the
-    prior alone (the multinomial of zero trials)."""
+    smoothed default weighted by tf, ONE (doc, label) exchange.  Empty
+    docs score the prior alone (the multinomial of zero trials)."""
     toks = docs.select(F.col(id_col), _toks(F.col(text_col)).alias("toks"))
-    terms = toks.select(id_col, F.explode("toks").alias("term"))
+    tf = (
+        toks.select(id_col, F.explode("toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
     labels = model.priors.select("label", "log_prior", "log_default")
     scored = (
-        terms.crossJoin(F.broadcast(labels.select("label", "log_default")))
+        tf.crossJoin(F.broadcast(labels.select("label", "log_default")))
         .join(model.likelihood, on=["label", "term"], how="left")
         .select(
             id_col,
             "label",
-            F.coalesce(F.col("log_prob"), F.col("log_default")).alias("lp"),
+            (
+                F.col("tf")
+                * F.coalesce(F.col("log_prob"), F.col("log_default"))
+            ).alias("lp"),
         )
         .groupBy(id_col, "label")
         .agg(F.sum("lp").alias("ll"))

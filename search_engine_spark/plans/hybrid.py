@@ -78,12 +78,22 @@ def hybrid_search(
       baseline; at 10^12 vectors this leg is the bottleneck;
     - "ann": LSH-bucketed ``ann_topk`` (``n_probes=`` via leg_kwargs);
     - "ivf": ``ivf_topk`` (``n_cells=``/``n_probes=`` via leg_kwargs);
+    - "pq" / "sq" (round 3): quantized ADC legs (``pq_topk``/``sq_topk``
+      — ``refine=``/``m=``/``n_codes=`` via leg_kwargs; pass
+      ``codes=``/``codebooks=``/``ranges=`` from a persisted root to skip
+      the in-line encode);
     - a CALLABLE ``(embeddings, probe, k, id_col) -> DataFrame(id, cosine)``
       for anything else (e.g. ``ivf_topk_persisted`` closed over a root).
     ANN legs trade leg recall for a partition-pruned scan; RRF itself is
     unchanged — fusion only ever sees ≤ legs×depth rank rows.
     """
-    from ..operators.similarity import ann_topk, cosine_topk, ivf_topk
+    from ..operators.similarity import (
+        ann_topk,
+        cosine_topk,
+        ivf_topk,
+        pq_topk,
+        sq_topk,
+    )
 
     bm = engine.search(query, mode=mode, k=depth).select("docid", "rank")
     if callable(vector_leg):
@@ -94,9 +104,14 @@ def hybrid_search(
         vec = ann_topk(embeddings, probe, k=depth, id_col=id_col, **leg_kwargs)
     elif vector_leg == "ivf":
         vec = ivf_topk(embeddings, probe, k=depth, id_col=id_col, **leg_kwargs)
+    elif vector_leg == "pq":
+        vec = pq_topk(embeddings, probe, k=depth, id_col=id_col, **leg_kwargs)
+    elif vector_leg == "sq":
+        vec = sq_topk(embeddings, probe, k=depth, id_col=id_col, **leg_kwargs)
     else:
         raise ValueError(
-            f"vector_leg must be 'exact', 'ann', 'ivf' or a callable — got {vector_leg!r}"
+            f"vector_leg must be 'exact', 'ann', 'ivf', 'pq', 'sq' or a "
+            f"callable — got {vector_leg!r}"
         )
     cos = with_ranks(
         vec,

@@ -119,6 +119,17 @@ def test_hybrid_ann_leg_recall(spark, tiny_index, emb):
                                vector_leg=leg).collect()}
     assert persisted == exact
 
+    # quantized legs (round 3): high refine makes the candidate cut wide
+    # enough that the exact re-rank recovers the brute-force fusion here
+    sq = {r["docid"] for r in
+          hybrid_search(eng, emb, QUERY, probe, k=10, depth=20,
+                        vector_leg="sq", refine=8).collect()}
+    assert len(sq & exact) >= 8, (sorted(sq), sorted(exact))
+    pq = {r["docid"] for r in
+          hybrid_search(eng, emb, QUERY, probe, k=10, depth=20,
+                        vector_leg="pq", m=4, n_codes=8, refine=8).collect()}
+    assert len(pq & exact) >= 6, (sorted(pq), sorted(exact))
+
     with pytest.raises(ValueError, match="vector_leg"):
         hybrid_search(eng, emb, QUERY, probe, vector_leg="nope")
 
