@@ -1757,10 +1757,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           win_start = epoch-second window start);
         - 'session': per-user 30-minute INCLUSIVE-gap sessions (grp =
           user_id as string, win_start = session start; the SQL island
-          break is diff > gap — pinned by tests/test_events.py).
+          break is diff > gap — pinned by tests/test_events.py);
+        - 'sliding' (round 3): 10-minute windows sliding every 5 — each
+          event lands in exactly width/slide epoch-aligned windows, which
+          the twin reproduces as floor(epoch/slide)·slide − k·slide.
         """
         from search_engine_spark.operators.events import (
             sessionize,
+            sliding_event_counts,
             windowed_event_counts,
         )
 
@@ -1779,7 +1783,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_events",
             "sum_value",
         )
-        return t.unionByName(s)
+        sl = sliding_event_counts(
+            ev, window="10 minutes", slide="5 minutes"
+        ).select(
+            F.lit("sliding").alias("variant"),
+            F.col("event_type").alias("grp"),
+            F.col("window_start").alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
+        return t.unionByName(s).unionByName(sl)
 
     def q_events_stateful_totals(spark, sf):
         """applyInPandasWithState running totals: the events table streamed
@@ -3046,6 +3059,17 @@ SELECT CAST(user_id AS VARCHAR) AS grp,
        round(sum(value), 6) AS sum_value
 FROM s GROUP BY user_id, sid
 )
+UNION ALL
+SELECT 'sliding' AS variant, event_type AS grp,
+       CAST(s AS BIGINT) AS win_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM (
+  SELECT e.event_type, e.value,
+         floor(epoch(e.ts) / 300) * 300 - k.k * 300 AS s
+  FROM events e, (SELECT unnest(range(0, 2)) AS k) k
+)
+GROUP BY 1, 2, 3
 """
 
     # the stateful accumulator's FINAL state is exactly a batch GROUP BY

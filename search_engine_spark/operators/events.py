@@ -87,3 +87,40 @@ def sessionize(
             "sum_value",
         )
     )
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """SLIDING-window event counts + value sums per event_type — the
+    overlapping-window mode ``F.window(ts, width, slide)`` gives for free
+    (each event lands in width/slide windows; rolling traffic/QPS views).
+
+    → (window_start: bigint epoch-sec, event_type, n_events, sum_value),
+    one row per non-empty (window, type).  Window starts are epoch-aligned
+    multiples of the slide (Spark's convention), so a SQL twin reproduces
+    the assignment as ``floor(epoch/slide)·slide − k·slide`` for
+    k ∈ [0, width/slide) — keep ``width`` a multiple of ``slide`` so the
+    per-event window count is exact on both engines.
+
+    Same scale shape as the tumbling mode: ONE map-side-combined exchange
+    keyed by (window, type); cardinality is windows × types × overlap.
+    Runs in batch and streaming alike (pass ``watermark=`` for append).
+    """
+    e = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        e.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

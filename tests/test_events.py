@@ -280,3 +280,57 @@ def test_sessionize_randomized_parity(spark):
         for u, sess in want
     )
     assert got == expect
+
+
+def test_sliding_counts_batch_exact(spark, small_events):
+    """Sliding 2-minute windows every 1 minute: each event lands in
+    exactly width/slide = 2 epoch-aligned windows."""
+    from search_engine_spark.operators.events import sliding_event_counts
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in sliding_event_counts(
+            small_events, window="2 minutes", slide="1 minute"
+        ).collect()
+    }
+    e = int(T0.timestamp())
+    # event at sec 10 → windows starting e and e-60; sec 70/95 → e+60, e;
+    # sec 130/140 → e+120, e+60
+    assert got == {
+        (e - 60, "click"): (1, 1.25),
+        (e, "click"): (2, 3.75),
+        (e, "view"): (1, 4.0),
+        (e + 60, "click"): (2, 3.0),
+        (e + 60, "view"): (1, 4.0),
+        (e + 60, "error"): (1, 8.0),
+        (e + 120, "error"): (1, 8.0),
+        (e + 120, "click"): (1, 0.5),
+    }
+
+
+def test_sliding_stream_equals_batch(spark, small_events, tmp_path):
+    """The same sliding-window call runs streamed with a watermark and
+    matches batch (flush-event pattern as the tumbling test)."""
+    from search_engine_spark.operators.events import sliding_event_counts
+
+    flush = _ev(spark, [(99, 10_000, 9, "flush", 0.0)])
+    a = small_events.where(F.col("event_id") < 3)
+    b = small_events.where(F.col("event_id") >= 3).unionByName(flush)
+    streamed = _stream_through(
+        spark, tmp_path, [a, b],
+        lambda s: sliding_event_counts(
+            s, window="2 minutes", slide="1 minute", watermark="1 minute"
+        ),
+        "slide_stream",
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in streamed.collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in sliding_event_counts(
+            small_events, window="2 minutes", slide="1 minute"
+        ).collect()
+    }
+    assert got == want
