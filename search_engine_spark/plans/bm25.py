@@ -1681,7 +1681,9 @@ class QueryEngine:
             query, mode=mode, boosts=boosts, filters=filters, synonyms=synonyms
         )
         names = [
-            f"p{int(p)}" if float(p).is_integer() else f"p{p}"
+            f"p{int(p)}"
+            if float(p).is_integer()
+            else "p" + str(p).replace(".", "_")  # p99_9 — dots break DDL/col refs
             for p in percentiles
         ]
         schema = "n long, min double, max double, sum double, avg double, stddev double"
