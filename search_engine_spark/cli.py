@@ -394,6 +394,23 @@ def cmd_search(args) -> int:
                 file=sys.stderr,
             )
             return 2
+        # aggregate/display modes run through the exhaustive engine's
+        # match set — a silent flag drop under --wand would LOOK like a
+        # ranked search that ignored the request
+        for flag, dest in (
+            ("--histogram", "histogram"),
+            ("--stats", "stats"),
+            ("--collapse", "collapse"),
+            ("--significant", "significant"),
+            ("--synonyms", "synonyms"),
+            ("--bm25f", "bm25f"),
+        ):
+            if getattr(args, dest, None):
+                print(
+                    f"error: {flag} needs the exhaustive engine; drop --wand",
+                    file=sys.stderr,
+                )
+                return 2
         if getattr(args, "score_by", None):
             print(
                 "error: --score-by needs the exhaustive engine; drop --wand "

@@ -584,6 +584,23 @@ def test_info_subcommand(spark, tiny_df, tmp_path, capsys):
     assert "tombstones: 1" in capsys.readouterr().out
 
 
+def test_wand_refuses_aggregate_flags(spark, tiny_df, tmp_path, capsys):
+    """--wand with a match-set aggregate/display flag refuses loudly
+    instead of silently returning a ranked search (same contract as
+    --score-by)."""
+    src = str(tmp_path / "docs_wf")
+    root = str(tmp_path / "idx_wf")
+    tiny_df.write.parquet(src)
+    assert main(["build", "--input", src, "--output", root]) == 0
+    capsys.readouterr()
+    q = "values: parse_json0"
+    for extra in (["--histogram", "doclen"], ["--stats", "doclen"],
+                  ["--collapse", "repo"], ["--bm25f"]):
+        rc = main(["search", "--index", root, "--query", q, "--wand"] + extra)
+        assert rc == 2, extra
+        assert "exhaustive" in capsys.readouterr().err, extra
+
+
 def test_search_dismax(spark, tiny_df, tmp_path, capsys):
     """--dismax runs the best-fields query; --query alongside refuses."""
     src = str(tmp_path / "docs_dm")
