@@ -928,6 +928,13 @@ def cmd_info(args) -> int:
     and the tombstone count.  Read-only; one tiny job per core table."""
     from .sources.index_io import read_index, read_meta_file
 
+    if "," in args.index:
+        print(
+            "error: info inspects ONE root — run it per root "
+            "(federation is a query-time view, not an on-disk artifact)",
+            file=sys.stderr,
+        )
+        return 2
     spark = _spark(args)
     meta = read_meta_file(spark, f"{args.index}/_index_meta")
     for k in sorted(meta):
