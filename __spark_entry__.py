@@ -1092,14 +1092,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         domain-mix sampling keep flag (stratified_sample, independent
         salt), eval-set decontamination (13-gram overlap vs the
         deterministic benchmark subset doc_id % 17 == 3 — eval items flag
-        themselves, which the twin reproduces), and concat-and-pack
+        themselves, which the twin reproduces), concat-and-pack
         sequence assignment (pack_sequences: shard / packed-stream offset /
-        sequence span at ctx_len=64, integer-exact in any engine)."""
+        sequence span at ctx_len=64, integer-exact in any engine), and
+        (round 3) the deterministic token-budget prefix
+        (token_budget_sample at 15000 tokens — ~55% of the sf corpus, so the prefix boundary actually bites — bucketed two-phase cumsum
+        on the engine side, one global window in the twin; integer-exact)."""
         from search_engine_spark.operators.decontaminate import decontaminate
         from search_engine_spark.operators.packing import pack_sequences
         from search_engine_spark.operators.pipeline import (
             hash_split,
             stratified_sample,
+            token_budget_sample,
         )
 
         docs = _raw_docs(spark, sf)
@@ -1122,7 +1126,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("seq_first").alias("pack_seq_first"),
             F.col("n_seqs").alias("pack_n_seqs"),
         )
-        return hs.join(ss, "doc_id").join(dc, "doc_id").join(pk, "doc_id")
+        bt = token_budget_sample(docs, 15000).select(
+            "doc_id",
+            F.col("n_tokens").alias("budget_n_tokens"),
+            F.col("keep").cast("int").alias("budget_keep"),
+        )
+        return (
+            hs.join(ss, "doc_id")
+            .join(dc, "doc_id")
+            .join(pk, "doc_id")
+            .join(bt, "doc_id")
+        )
 
     def q_positions_tf(spark, sf):
         """Positional forward stream: ordinal in the surviving cleaned
@@ -3564,6 +3578,15 @@ pk AS (
            CAST(len(toks) AS BIGINT) AS n_tokens
     FROM tt
   )
+),
+bc AS (
+  SELECT doc_id, n_toks,
+         sum(n_toks) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM (
+    SELECT doc_id, md5('budget:' || CAST(doc_id AS VARCHAR)) AS h,
+           CAST(len(toks) AS BIGINT) AS n_toks
+    FROM tt
+  )
 )
 SELECT u.doc_id, round(u.u, 6) AS u,
        CASE WHEN u.u < 0.9 THEN 'train' WHEN u.u < 0.95 THEN 'val' ELSE 'test' END AS split,
@@ -3578,10 +3601,13 @@ SELECT u.doc_id, round(u.u, 6) AS u,
        CAST(CASE WHEN pk.n_tokens > 0
                  THEN (pk.start_off + pk.n_tokens - 1) // 64
                       - pk.start_off // 64 + 1
-                 ELSE 0 END AS BIGINT) AS pack_n_seqs
+                 ELSE 0 END AS BIGINT) AS pack_n_seqs,
+       CAST(bc.n_toks AS BIGINT) AS budget_n_tokens,
+       CAST(bc.cum <= 15000 AS INT) AS budget_keep
 FROM u JOIN tg ON u.doc_id = tg.doc_id
 LEFT JOIN hits ON u.doc_id = hits.doc_id
 JOIN pk ON u.doc_id = pk.doc_id
+JOIN bc ON u.doc_id = bc.doc_id
 """
 
     # text-analysis fragments (composed into the consolidated text_stats

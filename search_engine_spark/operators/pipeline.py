@@ -264,3 +264,91 @@ def temperature_mix(
         docs, rates, domain_col=domain_col, id_col=id_col, salt=salt,
         default_rate=0.0,
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "budget",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """→ (id, n_tokens, keep) — "take the first N tokens worth of corpus":
+    docs ordered by md5('<salt>:<id>') form a deterministic shuffle, and
+    ``keep = 1`` for exactly the maximal PREFIX whose cumulative token
+    count stays ≤ ``budget_tokens`` (the standard way a training run pins
+    "10B tokens of X" reproducibly — assignment depends only on id + salt,
+    so a document keeps its verdict when the corpus grows behind it).
+
+    Scale shape — the naive form is a GLOBAL ordered cumsum, i.e. one
+    partition doing all the work.  Instead:
+    1. bucket by the md5's leading bits (bucket order ≡ hash-prefix order,
+       so bucket ranges ARE contiguous slices of the global order);
+    2. ONE map-side-combined exchange → per-bucket token sums
+       (≤ ``n_buckets`` rows, collected);
+    3. the driver prefix-sums those to locate the single BOUNDARY bucket;
+    4. buckets before it keep wholesale (map-only flag), buckets after it
+       drop wholesale, and only the boundary bucket runs a doc-level
+       ordered cumsum — a window over ONE bucket's rows, never the corpus.
+
+    Tokens are the standard delimiter-class count (textstats.tokens_col),
+    reproducible in the SQL twin.
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    from .textstats import tokens_col
+
+    if n_buckets > 65536 or 65536 % n_buckets:
+        raise ValueError("n_buckets must divide 65536 (hash-prefix alignment)")
+    step = 65536 // n_buckets
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    base = docs.select(
+        F.col(id_col),
+        h.alias("h"),
+        # TOP bits of the leading 16 — floor-division keeps each bucket a
+        # CONTIGUOUS slice of the hash order (mod would interleave them)
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") / F.lit(step))
+        .cast("int")
+        .alias("bkt"),
+        F.size(tokens_col(F.lower(F.col(text_col)))).cast("long").alias("n_tokens"),
+    )
+    per_bucket = {
+        r["bkt"]: r["s"]
+        for r in base.groupBy("bkt").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    prefix = 0
+    boundary = None
+    for bkt in sorted(per_bucket):
+        if prefix + per_bucket[bkt] > budget_tokens:
+            boundary = bkt
+            break
+        prefix += per_bucket[bkt]
+    if boundary is None:
+        return base.select(id_col, "n_tokens", F.lit(1).alias("keep"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_boundary = (
+        base.where(F.col("bkt") == boundary)
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            "n_tokens",
+            F.when(F.col("cum") <= F.lit(budget_tokens - prefix), 1)
+            .otherwise(0)
+            .alias("keep"),
+        )
+    )
+    rest = base.where(F.col("bkt") != boundary).select(
+        id_col,
+        "n_tokens",
+        F.when(F.col("bkt") < boundary, 1).otherwise(0).alias("keep"),
+    )
+    return rest.unionByName(in_boundary)

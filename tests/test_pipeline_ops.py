@@ -802,3 +802,54 @@ def test_temperature_mix_equals_stratified_sample(spark):
             for d in counts}
     for d in counts:
         assert abs(kept[d] - rates[d] * counts[d]) < 0.05 * counts[d] + 10, d
+
+
+def test_token_budget_sample_matches_prefix_model(spark):
+    """token_budget_sample ≡ the naive global-hash-order prefix model,
+    across budgets (0, mid, exact-boundary, all, over) and bucket counts
+    (1 = the naive single window, 4, 1024) — the bucketed two-phase plan
+    must agree with the single-ordered-cumsum truth everywhere."""
+    import hashlib
+    import re
+
+    from search_engine_spark.constants import DELIM_CLASS
+    from search_engine_spark.operators.pipeline import token_budget_sample
+
+    rows = [
+        (i, " ".join(f"w{j}" for j in range((i * 7) % 23 + 1)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.cache().count()
+
+    def n_toks(text):
+        return len([t for t in re.split(DELIM_CLASS, text.lower()) if t])
+
+    order = sorted(
+        (
+            hashlib.md5(f"budget:{i}".encode()).hexdigest(),
+            i,
+            n_toks(t),
+        )
+        for i, t in rows
+    )
+    total = sum(n for _h, _i, n in order)
+    exact = sum(n for _h, _i, n in order[:10])  # boundary ON a doc edge
+    for budget in (0, total // 2, exact, total, total + 5):
+        want, cum = {}, 0
+        for _h, did, n in order:
+            cum += n
+            want[did] = 1 if cum <= budget else 0
+        for nb in (1, 4, 1024):
+            got = {
+                r["doc_id"]: r["keep"]
+                for r in token_budget_sample(docs, budget, n_buckets=nb).collect()
+            }
+            assert got == want, (budget, nb)
+        kept = sum(n for _h, d, n in order if want[d])
+        assert kept <= budget
+
+    with pytest.raises(ValueError, match="budget_tokens"):
+        token_budget_sample(docs, -1)
+    with pytest.raises(ValueError, match="65536"):
+        token_budget_sample(docs, 10, n_buckets=3)
