@@ -31,6 +31,7 @@ MAGIC = {
     b"\xff\xd8\xff": "jpeg",
     b"RIFF": "riff",  # wav/avi container
     b"GIF8": "gif",
+    b"BM": "bmp",
 }
 
 FEATURE_DIM = 8
@@ -102,6 +103,45 @@ def decode_png_meta(payload: bytes) -> dict | None:
     }
 
 
+def decode_gif_meta(payload: bytes) -> dict | None:
+    """REAL pure-Python GIF header decode (GIF87a/89a spec §17-18): the
+    6-byte signature, then the Logical Screen Descriptor — width/height as
+    LITTLE-endian uint16, color resolution bits from the packed byte.  No
+    codec library; None for non-GIF or truncated payloads."""
+    if len(payload) < 11 or payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+        return None
+    return {
+        "width": int.from_bytes(payload[6:8], "little"),
+        "height": int.from_bytes(payload[8:10], "little"),
+        # color resolution field: bits per primary minus one, packed <6:4>
+        "bit_depth": ((payload[10] & 0x70) >> 4) + 1,
+    }
+
+
+def decode_bmp_meta(payload: bytes) -> dict | None:
+    """REAL pure-Python BMP header decode (BITMAPINFOHEADER layout): 'BM'
+    magic, width at offset 18 / height at 22 (LITTLE-endian int32 — height
+    may be negative for top-down rows; reported as stored), bit count at
+    28.  None for non-BMP, truncated, or pre-BITMAPINFO (biSize < 40)
+    payloads."""
+    if len(payload) < 30 or payload[:2] != b"BM":
+        return None
+    if int.from_bytes(payload[14:18], "little") < 40:
+        return None  # BITMAPCOREHEADER etc. — different field layout
+    return {
+        "width": int.from_bytes(payload[18:22], "little", signed=True),
+        "height": int.from_bytes(payload[22:26], "little", signed=True),
+        "bit_depth": int.from_bytes(payload[28:30], "little"),
+    }
+
+
+_HEADER_DECODERS = {
+    "png": decode_png_meta,
+    "gif": decode_gif_meta,
+    "bmp": decode_bmp_meta,
+}
+
+
 def sniff_kind(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Columnar magic-byte sniff → (.., kind string) — no UDF."""
     head = F.col(payload_col).substr(1, 4)
@@ -149,7 +189,7 @@ def extract_features(binary_df: DataFrame, payload_col: str = "payload") -> Data
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             metas = [
-                (decode_png_meta(p) or {}) if k == "png" else {}
+                (dec(p) or {}) if (dec := _HEADER_DECODERS.get(k)) else {}
                 for p, k in zip(pdf[payload_col], pdf["kind"])
             ]
             yield pd.DataFrame(

@@ -468,6 +468,47 @@ def test_decode_png_meta_on_genuine_png(spark):
     assert rows[8]["kind"] == "riff" and rows[8]["width"] is None
 
 
+def test_decode_gif_and_bmp_meta(spark):
+    """GIF and BMP header decodes (round 3): genuine minimal files built
+    byte-by-byte per spec, decoded standalone AND through the distributed
+    mapInPandas pipeline; malformed inputs return None/NULL."""
+    import struct
+
+    from search_engine_spark.operators.multimodal import (
+        decode_bmp_meta,
+        decode_gif_meta,
+        extract_features,
+    )
+
+    # GIF89a, 7x4 logical screen, color resolution 8 bits (packed 0x70),
+    # no global color table, + trailer — a structurally valid no-image GIF
+    gif = b"GIF89a" + struct.pack("<HH", 7, 4) + bytes([0x70, 0, 0]) + b"\x3b"
+    assert decode_gif_meta(gif) == {"width": 7, "height": 4, "bit_depth": 8}
+    assert decode_gif_meta(b"GIF8") is None           # truncated
+    assert decode_gif_meta(b"GIF8xa" + b"\x00" * 8) is None  # bad version
+
+    # BMP with BITMAPINFOHEADER, 5x3, 24bpp
+    dib = struct.pack("<IiiHH", 40, 5, 3, 1, 24) + b"\x00" * 24
+    bmp = b"BM" + struct.pack("<IHHI", 14 + len(dib), 0, 0, 14 + len(dib)) + dib
+    assert decode_bmp_meta(bmp) == {"width": 5, "height": 3, "bit_depth": 24}
+    # top-down BMP stores a negative height — reported as stored
+    dib_td = struct.pack("<IiiHH", 40, 5, -3, 1, 32) + b"\x00" * 24
+    bmp_td = b"BM" + struct.pack("<IHHI", 14 + len(dib_td), 0, 0, 54) + dib_td
+    assert decode_bmp_meta(bmp_td)["height"] == -3
+    assert decode_bmp_meta(b"BMxx") is None           # truncated
+    core = b"BM" + struct.pack("<IHHI", 26, 0, 0, 26) + struct.pack("<IHHHH", 12, 5, 3, 1, 24)
+    assert decode_bmp_meta(core) is None              # BITMAPCOREHEADER layout
+
+    df = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(bmp)), (3, bytearray(b"BMxx"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in extract_features(df).collect()}
+    assert (rows[1]["kind"], rows[1]["width"], rows[1]["height"]) == ("gif", 7, 4)
+    assert (rows[2]["kind"], rows[2]["width"], rows[2]["bit_depth"]) == ("bmp", 5, 24)
+    assert rows[3]["kind"] == "bmp" and rows[3]["width"] is None
+
+
 def test_facet_sets(spark):
     from search_engine_spark.operators.facets import facet_sets
 
