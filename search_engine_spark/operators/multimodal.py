@@ -135,10 +135,30 @@ def decode_bmp_meta(payload: bytes) -> dict | None:
     }
 
 
+def decode_wav_meta(payload: bytes) -> dict | None:
+    """REAL pure-Python WAV header decode (RIFF/WAVE + the canonical
+    'fmt ' chunk, all LITTLE-endian): channels, sample rate, bits per
+    sample — the audio-modality metadata a pipeline filters on.  Mapped
+    onto the shared meta columns as width=sample_rate, height=channels,
+    bit_depth=bits_per_sample (documented convention — one schema serves
+    every modality).  None for non-WAV RIFFs (AVI etc.) or truncated
+    payloads."""
+    if len(payload) < 36 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    if payload[12:16] != b"fmt ":
+        return None  # canonical layout only — fmt as the first chunk
+    return {
+        "width": int.from_bytes(payload[24:28], "little"),   # sample rate
+        "height": int.from_bytes(payload[22:24], "little"),  # channels
+        "bit_depth": int.from_bytes(payload[34:36], "little"),
+    }
+
+
 _HEADER_DECODERS = {
     "png": decode_png_meta,
     "gif": decode_gif_meta,
     "bmp": decode_bmp_meta,
+    "riff": decode_wav_meta,
 }
 
 

@@ -509,6 +509,34 @@ def test_decode_gif_and_bmp_meta(spark):
     assert rows[3]["kind"] == "bmp" and rows[3]["width"] is None
 
 
+def test_decode_wav_meta(spark):
+    """WAV 'fmt ' chunk decode: genuine minimal RIFF/WAVE header, decoded
+    standalone and through the pipeline; non-WAV RIFFs stay NULL."""
+    import struct
+
+    from search_engine_spark.operators.multimodal import (
+        decode_wav_meta,
+        extract_features,
+    )
+
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)  # PCM stereo 44.1k/16
+    wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt)
+    assert decode_wav_meta(wav) == {"width": 44100, "height": 2, "bit_depth": 16}
+    avi = b"RIFF" + struct.pack("<I", 36) + b"AVI " + b"\x00" * 28
+    assert decode_wav_meta(avi) is None
+    assert decode_wav_meta(b"RIFFxx") is None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(avi))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in extract_features(df).collect()}
+    assert (rows[1]["kind"], rows[1]["width"], rows[1]["height"],
+            rows[1]["bit_depth"]) == ("riff", 44100, 2, 16)
+    assert rows[2]["kind"] == "riff" and rows[2]["width"] is None
+
+
 def test_facet_sets(spark):
     from search_engine_spark.operators.facets import facet_sets
 
