@@ -135,6 +135,44 @@ def decode_bmp_meta(payload: bytes) -> dict | None:
     }
 
 
+def decode_jpeg_meta(payload: bytes) -> dict | None:
+    """REAL pure-Python JPEG dimension decode: walk the marker segments
+    (each 0xFF-marker + big-endian length) until a Start-Of-Frame marker
+    (SOF0-SOF15 except DHT/JPG/DAC), then read precision, height, width,
+    components per ITU-T T.81 §B.2.2.  No codec library — entropy-coded
+    data is never touched.  None for non-JPEG/truncated/malformed."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None  # lost marker sync
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers carry no length
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if seg_len < 2 or i + 2 + seg_len > n:
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if seg_len < 8:
+                return None
+            return {
+                "bit_depth": payload[i + 4],
+                "height": int.from_bytes(payload[i + 5 : i + 7], "big"),
+                "width": int.from_bytes(payload[i + 7 : i + 9], "big"),
+                "color_type": payload[i + 9],  # component count (1=gray, 3=YCbCr)
+            }
+        i += 2 + seg_len
+    return None
+
+
 def decode_wav_meta(payload: bytes) -> dict | None:
     """REAL pure-Python WAV header decode (RIFF/WAVE + the canonical
     'fmt ' chunk, all LITTLE-endian): channels, sample rate, bits per
@@ -156,6 +194,7 @@ def decode_wav_meta(payload: bytes) -> dict | None:
 
 _HEADER_DECODERS = {
     "png": decode_png_meta,
+    "jpeg": decode_jpeg_meta,
     "gif": decode_gif_meta,
     "bmp": decode_bmp_meta,
     "riff": decode_wav_meta,

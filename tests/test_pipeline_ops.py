@@ -537,6 +537,43 @@ def test_decode_wav_meta(spark):
     assert rows[2]["kind"] == "riff" and rows[2]["width"] is None
 
 
+def test_decode_jpeg_meta(spark):
+    """JPEG SOF-walk decode: genuine minimal JFIF built marker-by-marker
+    (APP0 + DQT + SOF0), progressive SOF2 variant, and malformed inputs."""
+    import struct
+
+    from search_engine_spark.operators.multimodal import (
+        decode_jpeg_meta,
+        extract_features,
+    )
+
+    def seg(marker, data):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes(64))
+    sof0 = seg(0xC0, struct.pack(">BHHB", 8, 31, 17, 3) + b"\x01\x11\x00" * 3)
+    jpg = b"\xff\xd8" + app0 + dqt + sof0
+    assert decode_jpeg_meta(jpg) == {
+        "bit_depth": 8, "height": 31, "width": 17, "color_type": 3,
+    }
+    # progressive (SOF2), grayscale
+    sof2 = seg(0xC2, struct.pack(">BHHB", 12, 5, 9, 1) + b"\x01\x11\x00")
+    assert decode_jpeg_meta(b"\xff\xd8" + app0 + sof2) == {
+        "bit_depth": 12, "height": 5, "width": 9, "color_type": 1,
+    }
+    # DHT (0xC4) must NOT be mistaken for a SOF
+    dht = seg(0xC4, b"\x00" + bytes(16) + b"\x00")
+    assert decode_jpeg_meta(b"\xff\xd8" + dht + sof0)["width"] == 17
+    assert decode_jpeg_meta(b"not a jpeg") is None
+    assert decode_jpeg_meta(b"\xff\xd8\xff\xd9") is None   # EOI before SOF
+    assert decode_jpeg_meta(jpg[:10]) is None              # truncated segment
+
+    df = spark.createDataFrame([(1, bytearray(jpg))], "doc_id long, payload binary")
+    r = extract_features(df).collect()[0]
+    assert (r["kind"], r["width"], r["height"], r["color_type"]) == ("jpeg", 17, 31, 3)
+
+
 def test_facet_sets(spark):
     from search_engine_spark.operators.facets import facet_sets
 
