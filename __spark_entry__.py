@@ -494,7 +494,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         - 'bool' (round 3): the full BooleanQuery clause mix — must =
           AND_TERMS (gates AND scores), should = BM25_TERMS (only adds
           score); the twin computes the AND-gated must sum LEFT JOINed
-          with the should OR sum.
+          with the should OR sum;
+        - 'prf' (round 3): pseudo-relevance feedback — top-10 feedback
+          docs (rounded-score cut), 3 strongest tf·idf expansion terms
+          (6dp-rounded weight, term tie-break, query terms excluded),
+          re-query over the union term set; the twin replays phase 1,
+          mining, and the expanded rescoring.
         """
         from search_engine_spark.operators.index_build import build_index
         from search_engine_spark.plans.bm25 import QueryEngine
@@ -542,6 +547,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bool_rows = eng.search_bool(
             must="values: " + " ".join(AND_TERMS), should=q, k=100
         ).collect()
+        prf_rows = eng.search_prf(
+            q, docs, k=100, fb_docs=10, fb_terms=3
+        ).collect()
         index.unpersist()
         parts = []
         for tag, rows in (
@@ -554,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("fuzzy", fz_rows),
             ("must_not", mn_rows),
             ("bool", bool_rows),
+            ("prf", prf_rows),
         ):
             ranked = rerank(rows)
             parts.append(
@@ -3036,6 +3045,55 @@ tot AS (
 )
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
 FROM tot ORDER BY score DESC, doc_id LIMIT 10
+)
+UNION ALL
+SELECT 'prf' AS variant, rank, doc_id, score FROM (
+WITH tf AS ({_TF_SQL}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM tf) / (SELECT count(*) FROM documents) AS avgdl
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf WHERE term IN ('table', 'window', 'spark') GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+           * tf.tf * {K1 + 1.0}
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS contrib
+  FROM tf JOIN dfs ON tf.term = dfs.term JOIN dl ON tf.doc_id = dl.doc_id, stats
+),
+base AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY doc_id),
+top AS (SELECT doc_id FROM base ORDER BY score DESC, doc_id LIMIT 10),
+gdfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+fb AS (
+  SELECT tf.term, CAST(sum(tf.tf) AS DOUBLE) AS ftf
+  FROM tf JOIN top USING (doc_id)
+  WHERE length(tf.term) > 2 AND tf.term NOT IN ('table', 'window', 'spark')
+  GROUP BY tf.term
+),
+exp AS (
+  SELECT term FROM (
+    SELECT fb.term,
+           round(fb.ftf * ln((stats.n_docs - g.df + 0.5) / (g.df + 0.5) + 1.0), 6) AS w
+    FROM fb JOIN gdfs g ON fb.term = g.term, stats
+    ORDER BY w DESC, fb.term ASC LIMIT 3
+  )
+),
+allt AS (SELECT term FROM exp UNION SELECT term FROM (VALUES ('table'), ('window'), ('spark')) v(term)),
+adfs AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+  WHERE term IN (SELECT term FROM allt) GROUP BY term
+),
+fsc AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - adfs.df + 0.5) / (adfs.df + 0.5) + 1.0)
+           * tf.tf * {K1 + 1.0}
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS contrib
+  FROM tf JOIN adfs ON tf.term = adfs.term JOIN dl ON tf.doc_id = dl.doc_id, stats
+),
+agg AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM fsc GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
+FROM agg ORDER BY score DESC, doc_id LIMIT 10
 )
 """
 

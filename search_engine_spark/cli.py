@@ -337,6 +337,39 @@ def cmd_search(args) -> int:
         if not rows:
             print("no results")
         return 0
+    if getattr(args, "prf", False):
+        if args.query is None or args.wand or args.wand_shards:
+            print(
+                "error: --prf needs --query and the exhaustive engine "
+                "(no --wand)",
+                file=sys.stderr,
+            )
+            return 2
+        if not getattr(args, "docs", None):
+            print(
+                "error: --prf needs --docs (feedback docs are re-tokenized "
+                "from the source corpus)",
+                file=sys.stderr,
+            )
+            return 2
+        engine = _engine(spark, args)
+        src = _load_docs(spark, args.docs)
+        try:
+            exp = engine.prf_terms(
+                args.query, src, fb_docs=args.fb_docs, fb_terms=args.fb_terms,
+                mode=args.mode,
+            )
+            rows = engine.search_prf(
+                args.query, src, k=args.k, fb_docs=args.fb_docs,
+                fb_terms=args.fb_terms, mode=args.mode, with_display=True,
+            ).collect()
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        if exp:
+            print(f"expanded with: {' '.join(exp)}")
+        _print_results(rows)
+        return 0
     if getattr(args, "dismax", None):
         if args.query is not None or args.wand or args.wand_shards:
             print(
@@ -1230,6 +1263,20 @@ def main(argv: list[str] | None = None) -> int:
         "--should", default=None, metavar="Q",
         help="bool query: this query's keys only ADD score, never gate "
         "(with no --must, at least one must match — plain OR)",
+    )
+    s.add_argument(
+        "--prf", action="store_true",
+        help="pseudo-relevance feedback: expand the query with the "
+        "strongest tf-idf terms of the top --fb-docs results, re-run "
+        "(Rocchio/RM3; needs --docs for the feedback re-tokenize)",
+    )
+    s.add_argument(
+        "--fb-docs", type=int, default=10,
+        help="with --prf: feedback depth (default 10)",
+    )
+    s.add_argument(
+        "--fb-terms", type=int, default=5,
+        help="with --prf: expansion term budget (default 5)",
     )
     s.add_argument(
         "--dismax", default=None, metavar="WORDS",

@@ -1185,6 +1185,131 @@ class QueryEngine:
             ).orderBy("rank")
         return result
 
+    def prf_terms(
+        self,
+        query: str,
+        docs: DataFrame,
+        fb_docs: int = 10,
+        fb_terms: int = 5,
+        mode: str = "or",
+    ) -> list[str]:
+        """Pseudo-relevance-feedback expansion terms (Rocchio 1971 / the
+        RM3 family, public designs): retrieve the top ``fb_docs``, mine
+        the feedback SET's strongest tf·idf terms (the more_like_this
+        selection generalized from one seed to the result set), excluding
+        the query's own terms.  Deterministic: the feedback cut orders by
+        the 6dp-ROUNDED score + docid (raw float sums reorder across
+        engines — the established gate absorber), term selection by
+        (6dp-rounded weight DESC, term ASC).
+
+        Scale: phase 1 is a normal top-k (k = fb_docs driver rows — the
+        O3 contract); the feedback re-tokenize is a docid-pruned point
+        lookup over ``fb_docs`` documents; the df join broadcasts ≤ the
+        feedback vocabulary against the dictionary.  Zero corpus scans
+        beyond the standard probes.
+        """
+        if fb_docs < 1 or fb_terms < 1:
+            raise ValueError("fb_docs and fb_terms must be >= 1")
+        import math
+
+        from ..operators.tokenize import doc_terms
+
+        agg = self.score_matches(query, mode=mode)
+        if agg is None:
+            return []
+        ids = [
+            r["docid"]
+            for r in agg.orderBy(
+                F.desc(F.round(F.col("score"), 6)), F.asc("docid")
+            )
+            .limit(fb_docs)
+            .select("docid")
+            .collect()
+        ]
+        if not ids:
+            return []
+        fb_frame = docs.where(F.col("docid").isin(ids))
+        if self.analyzer == "code":
+            from ..operators.code_tokens import code_doc_terms
+
+            fb_tf = code_doc_terms(fb_frame, title_col=None)
+        else:
+            fb_tf = doc_terms(fb_frame, stem=self.stem, title_col=None)
+        rows = (
+            fb_tf.groupBy("field", "term")
+            .agg(F.sum("tf").alias("tf"))
+            .join(self.index.dictionary, on=["field", "term"])
+            .where(F.length("term") > 2)
+            .select("term", "tf", "df")
+            .collect()
+        )
+        orig: set[str] = set()
+        for kind, _t, raws in parse_query(query):
+            if kind != "terms":
+                continue
+            for raw in raws:
+                if " " in raw.strip() or "*" in raw:
+                    continue
+                pieces = [self._fold_raw(raw)]
+                if self.analyzer == "code":
+                    from ..operators.code_tokens import code_tokenize
+
+                    pieces = code_tokenize(raw) or [raw]
+                for piece in pieces:
+                    c = clean_query_term(piece, stem=self.stem)
+                    if c is not None:
+                        orig.add(c)
+        n_docs, _ = self._stats.get("content", (self._n_docs, 1.0))
+        weighted = sorted(
+            (
+                (
+                    -round(
+                        r["tf"]
+                        * math.log(
+                            (n_docs - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0
+                        ),
+                        6,
+                    ),
+                    r["term"],
+                )
+                for r in rows
+                if r["term"] not in orig
+            ),
+        )[:fb_terms]
+        return sorted(t for _w, t in weighted)
+
+    def search_prf(
+        self,
+        query: str,
+        docs: DataFrame,
+        k: int = 10,
+        fb_docs: int = 10,
+        fb_terms: int = 5,
+        mode: str = "or",
+        with_display: bool = False,
+    ) -> DataFrame:
+        """Pseudo-relevance feedback retrieval: expand the query with
+        :meth:`prf_terms` and re-run.  Expansion terms attach as their own
+        ``values:`` segment (they were mined from document CONTENT); in
+        AND mode they ride the bool machinery as SHOULD clauses — Lucene
+        PRF never lets expansion gate the match set, only boost it."""
+        exp = self.prf_terms(query, docs, fb_docs=fb_docs, fb_terms=fb_terms, mode=mode)
+        if not exp:
+            return self.search(query, mode=mode, k=k, with_display=with_display)
+        if mode == "and":
+            return self.search_bool(
+                must=query,
+                should="values: " + " ".join(exp),
+                k=k,
+                with_display=with_display,
+            )
+        return self.search(
+            query + " | values: " + " ".join(exp),
+            mode=mode,
+            k=k,
+            with_display=with_display,
+        )
+
     def search_dismax(
         self,
         query: str,

@@ -601,6 +601,30 @@ def test_wand_refuses_aggregate_flags(spark, tiny_df, tmp_path, capsys):
         assert "exhaustive" in capsys.readouterr().err, extra
 
 
+def test_search_prf(spark, tiny_df, tmp_path, capsys):
+    """--prf expands and re-runs; refuses without --docs or under --wand."""
+    src = str(tmp_path / "docs_prf")
+    root = str(tmp_path / "idx_prf")
+    tiny_df.write.parquet(src)
+    assert main(["build", "--input", src, "--output", root]) == 0
+    capsys.readouterr()
+    q = "values: parse_json0 merge_index0"
+    assert main(
+        ["search", "--index", root, "--query", q, "--prf", "--docs", src,
+         "--fb-docs", "8", "--fb-terms", "3"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "expanded with:" in out
+    assert sum(1 for ln in out.splitlines() if ln.strip()[:1].isdigit()) > 0
+    assert main(["search", "--index", root, "--query", q, "--prf"]) == 2
+    assert "--docs" in capsys.readouterr().err
+    assert main(
+        ["search", "--index", root, "--query", q, "--prf", "--docs", src,
+         "--wand"]
+    ) == 2
+    capsys.readouterr()
+
+
 def test_search_dismax(spark, tiny_df, tmp_path, capsys):
     """--dismax runs the best-fields query; --query alongside refuses."""
     src = str(tmp_path / "docs_dm")

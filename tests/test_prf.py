@@ -1,0 +1,108 @@
+"""Pseudo-relevance feedback (Rocchio / RM3 family): prf_terms and
+search_prf vs an independent python model over the oracle index."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from search_engine_spark.oracle import bm25_idf, clean_query_term, score_query
+from search_engine_spark.plans.bm25 import QueryEngine
+from search_engine_spark.plans.query_parser import parse_query
+
+QUERY = "values: parse_json0 merge_index0"
+FB_DOCS, FB_TERMS = 8, 4
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_index):
+    eng = QueryEngine(spark, tiny_index)
+    yield eng
+    eng.close()
+
+
+def _model_prf_terms(tiny_oracle, tiny_docs, query, fb_docs, fb_terms, mode="or"):
+    full = score_query(tiny_oracle, parse_query(query), mode=mode, k=10**9)
+    ranked = sorted(((-round(s, 6), d) for _r, d, s in full))
+    ids = [d for _s, d in ranked[:fb_docs]]
+    by_id = {d["docid"]: d for d in tiny_docs}
+    tf: Counter = Counter()
+    for did in ids:
+        from search_engine_spark.oracle import tokenize
+
+        tf.update(tokenize(by_id[did]["content"]))
+    orig = {
+        c
+        for _k, _t, raws in parse_query(query)
+        for r in raws
+        if " " not in r.strip() and "*" not in r
+        for c in [clean_query_term(r)]
+        if c
+    }
+    plist = tiny_oracle.postings["content"]
+    weighted = sorted(
+        (
+            (
+                -round(n * bm25_idf(tiny_oracle.n_docs, len(plist[t])), 6),
+                t,
+            )
+            for t, n in tf.items()
+            if len(t) > 2 and t in plist and t not in orig
+        )
+    )[:fb_terms]
+    return ids, sorted(t for _w, t in weighted)
+
+
+def test_prf_terms_match_model(engine, tiny_oracle, tiny_docs, tiny_df):
+    ids, want = _model_prf_terms(tiny_oracle, tiny_docs, QUERY, FB_DOCS, FB_TERMS)
+    assert len(want) == FB_TERMS, "fixture must yield a full expansion"
+    got = engine.prf_terms(QUERY, tiny_df, fb_docs=FB_DOCS, fb_terms=FB_TERMS)
+    assert got == want
+    assert not set(got) & {"parse_json0", "merge_index0"}
+
+
+def test_search_prf_or_matches_expanded_query(engine, tiny_oracle, tiny_docs, tiny_df):
+    _ids, exp = _model_prf_terms(tiny_oracle, tiny_docs, QUERY, FB_DOCS, FB_TERMS)
+    expanded = QUERY + " | values: " + " ".join(exp)
+    golden = score_query(tiny_oracle, parse_query(expanded), k=10)
+    got = engine.search_prf(
+        QUERY, tiny_df, k=10, fb_docs=FB_DOCS, fb_terms=FB_TERMS
+    ).collect()
+    assert [(r["rank"], r["docid"]) for r in got] == [
+        (rk, d) for rk, d, _ in golden
+    ]
+    for r, (_, _, s) in zip(got, golden):
+        assert math.isclose(r["score"], s, rel_tol=0, abs_tol=1e-9)
+    # the expansion must actually change the ranking vs the plain query
+    plain = [d for _r, d, _s in score_query(tiny_oracle, parse_query(QUERY), k=10)]
+    assert [r["docid"] for r in got] != plain
+
+
+def test_search_prf_and_mode_gates_on_original(engine, tiny_oracle, tiny_docs, tiny_df):
+    """AND mode: expansion rides as SHOULD — the match set stays the
+    original AND set, scores only grow."""
+    got = engine.search_prf(
+        QUERY, tiny_df, k=100, fb_docs=FB_DOCS, fb_terms=FB_TERMS, mode="and"
+    ).collect()
+    and_set = {
+        d for _r, d, _s in score_query(
+            tiny_oracle, parse_query(QUERY), mode="and", k=10**9
+        )
+    }
+    assert {r["docid"] for r in got} == and_set
+    and_scores = {
+        d: s for _r, d, s in score_query(
+            tiny_oracle, parse_query(QUERY), mode="and", k=10**9
+        )
+    }
+    assert all(r["score"] >= and_scores[r["docid"]] - 1e-9 for r in got)
+
+
+def test_prf_validation_and_empty(engine, tiny_df):
+    with pytest.raises(ValueError, match="fb_docs"):
+        engine.prf_terms(QUERY, tiny_df, fb_docs=0)
+    assert engine.prf_terms("values: zzznothere", tiny_df) == []
+    # zero-hit query degrades to the plain (empty) search
+    assert engine.search_prf("values: zzznothere", tiny_df).collect() == []
