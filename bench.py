@@ -540,6 +540,13 @@ def main() -> None:
                 "table window spark", tie_breaker=0.3, k=10
             ).collect(),
         )
+        timed_best(
+            "q13o_prf",
+            lambda: engine.search_prf(
+                "values: table window spark", docs, k=10,
+                fb_docs=10, fb_terms=3,
+            ).collect(),
+        )
 
         # --- event-stream analytics (batch mode of the streaming ops) ---
         from search_engine_spark.operators.events import (
