@@ -136,3 +136,80 @@ def fingerprint(
         F.when(n > 0, F.array_min(shingles)).alias("fingerprint"),
         n.cast("long").alias("n_tokens"),
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    n_points: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "vocab",
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve → (point, n_docs, n_tokens,
+    vocab): cumulative docs/tokens/distinct-terms after each 1/n_points
+    slice of the md5-ordered corpus (a deterministic shuffle, so the curve
+    is reproducible and engine-independent).  The curve is how a pipeline
+    sizes tokenizer vocabularies and spots corpus shifts (a new data
+    source bends it).
+
+    Scale: cumulative DISTINCT counting is the trap — the naive form
+    re-counts the growing prefix n_points times (or windows over the
+    corpus).  Instead: a term contributes to the curve exactly at its
+    FIRST slice, so ONE (term) exchange bounded by the vocabulary
+    (min(slice) per term), one map-side-combined (slice) count for
+    tokens/docs, and the ≤ n_points rows cumsum on the driver.
+    """
+    if n_points < 1 or n_points > 65536 or 65536 % n_points:
+        raise ValueError("n_points must divide 65536 (hash-prefix alignment)")
+    step = 65536 // n_points
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    base = docs.select(
+        F.col(id_col),
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") / F.lit(step))
+        .cast("int")
+        .alias("slice"),
+        tokens_col(F.lower(F.col(text_col))).alias("toks"),
+    )
+    per_slice = {
+        r["slice"]: (r["n_docs"], r["n_tokens"])
+        for r in base.groupBy("slice")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("toks")).alias("n_tokens"),
+        )
+        .collect()
+    }
+    firsts = {
+        r["slice"]: r["n_new"]
+        for r in base.select("slice", F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.min("slice").alias("slice"))
+        .groupBy("slice")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+        .collect()
+    }
+    rows = []
+    cd = ct = cv = 0
+    for p in range(n_points):
+        d, t = per_slice.get(p, (0, 0))
+        cd += d
+        ct += int(t or 0)
+        cv += firsts.get(p, 0)
+        rows.append((p, cd, ct, cv))
+    spark = docs.sparkSession
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(p).cast("int").alias("point"),
+                F.lit(d).cast("long").alias("n_docs"),
+                F.lit(t).cast("long").alias("n_tokens"),
+                F.lit(v).cast("long").alias("vocab"),
+            )
+            for p, d, t, v in rows
+        ]
+    )
+    return (
+        spark.range(1)
+        .select(F.explode(arr).alias("x"))
+        .select("x.point", "x.n_docs", "x.n_tokens", "x.vocab")
+    )

@@ -959,3 +959,83 @@ def test_token_budget_sample_matches_prefix_model(spark):
         token_budget_sample(docs, -1)
     with pytest.raises(ValueError, match="65536"):
         token_budget_sample(docs, 10, n_buckets=3)
+
+
+def test_vocab_growth_matches_model_and_duckdb(spark):
+    """vocab_growth ≡ the naive python prefix model AND a DuckDB twin —
+    cumulative docs/tokens/distinct terms over the md5-ordered corpus."""
+    import hashlib
+    import re
+
+    import duckdb
+
+    from search_engine_spark.constants import DELIM_CLASS
+    from search_engine_spark.operators.textstats import vocab_growth
+
+    rows = [
+        (i, " ".join(f"w{(i * j) % 17}" for j in range((i % 9) + 1)))
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    n_points = 8
+    step = 65536 // n_points
+
+    def toks(t):
+        return [x for x in re.split(DELIM_CLASS, t.lower()) if x]
+
+    def slc(i):
+        return int(hashlib.md5(f"vocab:{i}".encode()).hexdigest()[:4], 16) // step
+
+    want, seen = [], set()
+    cd = ct = 0
+    by_slice = sorted(rows, key=lambda r: (slc(r[0]), r[0]))
+    for p in range(n_points):
+        for i, t in by_slice:
+            if slc(i) == p:
+                cd += 1
+                tk = toks(t)
+                ct += len(tk)
+                seen.update(tk)
+        want.append((p, cd, ct, len(seen)))
+
+    got = [
+        (r["point"], r["n_docs"], r["n_tokens"], r["vocab"])
+        for r in vocab_growth(docs, n_points=n_points).orderBy("point").collect()
+    ]
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    toks_sql = (
+        "list_filter(regexp_split_to_array(lower(text), "
+        f"'{DELIM_CLASS}'), t -> t <> '')"
+    )
+    twin = con.execute(f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5('vocab:' || CAST(doc_id AS VARCHAR)), 1, 4))
+              AS BIGINT) // {step} AS s,
+         {toks_sql} AS toks
+  FROM d
+),
+pts AS (SELECT unnest(range(0, {n_points})) AS p),
+ds AS (SELECT s, count(*) AS nd, sum(len(toks)) AS nt FROM b GROUP BY s),
+fs AS (
+  SELECT s, count(*) AS nv FROM (
+    SELECT term, min(s) AS s FROM (SELECT s, unnest(toks) AS term FROM b) GROUP BY term
+  ) GROUP BY s
+)
+SELECT p,
+       CAST(sum(coalesce(ds.nd, 0)) OVER w AS BIGINT),
+       CAST(sum(coalesce(ds.nt, 0)) OVER w AS BIGINT),
+       CAST(sum(coalesce(fs.nv, 0)) OVER w AS BIGINT)
+FROM pts LEFT JOIN ds ON ds.s = pts.p LEFT JOIN fs ON fs.s = pts.p
+WINDOW w AS (ORDER BY p ROWS UNBOUNDED PRECEDING)
+ORDER BY p
+""").fetchall()
+    assert [tuple(r) for r in twin] == want
+
+    with pytest.raises(ValueError, match="65536"):
+        vocab_growth(docs, n_points=7)
