@@ -870,6 +870,8 @@ class QueryEngine:
         fuzziness: int | None = None,
         fuzzy_max_expansions: int = 50,
         must_not: list[str] | None = None,
+        negative: list[str] | None = None,
+        negative_boost: float = 0.5,
     ) -> DataFrame:
         """→ DataFrame(rank, docid, score[, repo, path, lang]) — k rows max.
 
@@ -961,6 +963,15 @@ class QueryEngine:
         no corpus scan, and no distinct on the exclusion side (anti-join
         semantics don't need one).  Applied before the ``after=`` cursor
         cut so pagination stays consistent.  Exhaustive engine only.
+
+        ``negative`` + ``negative_boost``: the Elasticsearch ``boosting``
+        query (public design) — docs containing ANY negative term in ANY
+        indexed field stay in the result but their score multiplies by
+        ``negative_boost`` ∈ [0, 1) (demote, don't exclude: the softer
+        sibling of ``must_not`` for "probably-noise" signals).  Same
+        bucket-pruned probe as the exclusion path, deduplicated once and
+        left-joined as a marker.  Applied before ``after=``.  Exhaustive
+        engine only.
         """
         if strategy not in ("exhaustive", "wand"):
             raise ValueError(f"strategy must be 'exhaustive' or 'wand', got {strategy!r}")
@@ -982,6 +993,12 @@ class QueryEngine:
             raise ValueError("fuzziness= needs the exhaustive engine")
         if must_not and strategy == "wand":
             raise ValueError("must_not= needs the exhaustive engine")
+        if negative and strategy == "wand":
+            raise ValueError("negative= needs the exhaustive engine")
+        if negative and not 0.0 <= float(negative_boost) < 1.0:
+            raise ValueError(
+                f"negative_boost must be in [0, 1), got {negative_boost!r}"
+            )
         if fuzziness is not None:
             synonyms = self._merge_fuzzy_expansions(
                 query, synonyms, fuzziness, fuzzy_max_expansions
@@ -1057,6 +1074,21 @@ class QueryEngine:
             excl = self._excluded_docids(must_not)
             if excl is not None:
                 agg = agg.join(excl, on="docid", how="left_anti")
+        if negative:
+            neg = self._excluded_docids(negative)
+            if neg is not None:
+                marker = neg.distinct().withColumn("_neg", F.lit(True))
+                agg = (
+                    agg.join(marker, on="docid", how="left")
+                    .withColumn(
+                        "score",
+                        F.when(
+                            F.col("_neg"),
+                            F.col("score") * F.lit(float(negative_boost)),
+                        ).otherwise(F.col("score")),
+                    )
+                    .drop("_neg")
+                )
         if after is not None:
             a_score, a_docid = float(after[0]), int(after[1])
             agg = agg.where(

@@ -85,3 +85,29 @@ def test_must_not_composes_with_pagination(engine, tiny_oracle):
 def test_must_not_wand_refusal(engine):
     with pytest.raises(ValueError, match="exhaustive"):
         engine.search(QUERY, must_not=["scan_config0"], strategy="wand")
+
+
+@pytest.mark.parametrize("nb", [0.0, 0.5])
+def test_negative_boost_demotes(engine, tiny_oracle, nb):
+    """ES boosting query: docs matching the negative term stay but their
+    score multiplies by negative_boost — verified against the oracle
+    ranking re-weighted by the exclusion-membership model."""
+    neg = ["scan_config0"]
+    drop = _excluded_docs(tiny_oracle, neg)
+    full = score_query(tiny_oracle, parse_query(QUERY), k=10**9)
+    rescored = sorted(
+        ((d, s * nb if d in drop else s) for _r, d, s in full),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert any(d in drop for _r, d, _s in full[:10]), "fixture must demote"
+    got = engine.search(QUERY, k=10, negative=neg, negative_boost=nb).collect()
+    assert [(r["docid"]) for r in got] == [d for d, _ in rescored]
+    for r, (_, s) in zip(got, rescored):
+        assert math.isclose(r["score"], s, rel_tol=0, abs_tol=1e-9)
+
+
+def test_negative_boost_validation(engine):
+    with pytest.raises(ValueError, match="negative_boost"):
+        engine.search(QUERY, negative=["x"], negative_boost=1.0)
+    with pytest.raises(ValueError, match="exhaustive"):
+        engine.search(QUERY, negative=["x"], strategy="wand")
