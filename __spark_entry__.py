@@ -2095,15 +2095,21 @@ GROUP BY p0.doc_id
 
 def _unordered_match_sql(terms: list[str], slop: int) -> str:
     """Unordered window proximity (doc_id, near_tf): window-start count
-    over the query terms' own positions — the unordered_near_match fold
-    (one EXISTS per term over each candidate start)."""
+    over the query terms' own positions — the unordered_near_match fold.
+    Repeated query terms need >= multiplicity DISTINCT in-window positions
+    (Lucene SpanNearQuery: one clause per duplicate), so each unique term
+    contributes a COUNT >= mult predicate, not a bare EXISTS."""
     win = len(terms) + slop
+    mult: dict[str, int] = {}
+    for t in terms:
+        mult[t] = mult.get(t, 0) + 1
     exists = " AND ".join(
-        f"EXISTS (SELECT 1 FROM p x{i} WHERE x{i}.doc_id = s.doc_id"
+        f"(SELECT count(*) FROM p x{i} WHERE x{i}.doc_id = s.doc_id"
         f" AND x{i}.term = '{t}' AND x{i}.pos >= s.m AND x{i}.pos < s.m + {win})"
-        for i, t in enumerate(terms)
+        f" >= {c}"
+        for i, (t, c) in enumerate(mult.items())
     )
-    tlist = ", ".join(f"'{t}'" for t in terms)
+    tlist = ", ".join(f"'{t}'" for t in mult)
     return f"""
 WITH p AS ({_POS_SQL}),
 starts AS (SELECT DISTINCT doc_id, pos AS m FROM p WHERE term IN ({tlist}))

@@ -337,7 +337,39 @@ def cmd_search(args) -> int:
         if not rows:
             print("no results")
         return 0
+    # --prf/--dismax are standalone query plans; the other search modifiers
+    # run through the plain engine.search path and would be silently ignored
+    # here — refuse loudly instead (same convention as the --wand combos)
+    def _refuse_modifiers(branch: str) -> int | None:
+        for flag, dest in (
+            ("--must-not", "must_not"),
+            ("--must", "must"),
+            ("--should", "should"),
+            ("--fuzzy", "fuzzy"),
+            ("--min-should-match", "min_should_match"),
+            ("--score-by", "score_by"),
+            ("--synonyms", "synonyms"),
+            ("--stats", "stats"),
+            ("--histogram", "histogram"),
+            ("--collapse", "collapse"),
+            ("--significant", "significant"),
+            ("--bm25f", "bm25f"),
+            ("--positional-phrases", "positional_phrases"),
+        ):
+            v = getattr(args, dest, None)
+            if v not in (None, False):
+                print(
+                    f"error: {flag} is not supported with {branch}; "
+                    f"drop {flag} or run a plain --query search",
+                    file=sys.stderr,
+                )
+                return 2
+        return None
+
     if getattr(args, "prf", False):
+        rc = _refuse_modifiers("--prf")
+        if rc is not None:
+            return rc
         if args.query is None or args.wand or args.wand_shards:
             print(
                 "error: --prf needs --query and the exhaustive engine "
@@ -362,6 +394,7 @@ def cmd_search(args) -> int:
             rows = engine.search_prf(
                 args.query, src, k=args.k, fb_docs=args.fb_docs,
                 fb_terms=args.fb_terms, mode=args.mode, with_display=True,
+                expansion=exp,
             ).collect()
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
@@ -371,6 +404,9 @@ def cmd_search(args) -> int:
         _print_results(rows)
         return 0
     if getattr(args, "dismax", None):
+        rc = _refuse_modifiers("--dismax")
+        if rc is not None:
+            return rc
         if args.query is not None or args.wand or args.wand_shards:
             print(
                 "error: --dismax is a standalone query (no --query/--wand)",

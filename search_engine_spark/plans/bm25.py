@@ -612,7 +612,12 @@ class QueryEngine:
                         )
                     )
         if not parts:
-            return None, 0
+            # parts empty does NOT mean zero required keys: a query that is
+            # solely a wildcard with zero dictionary expansions (or solely a
+            # quirk phrase) parsed to required-but-unsatisfiable keys —
+            # report them so AND/must callers can return nothing instead of
+            # treating the clause as 'no constraint'
+            return None, len(required)
         matches = parts[0]
         for p in parts[1:]:
             matches = matches.unionByName(p)
@@ -1162,8 +1167,16 @@ class QueryEngine:
             )
             if m is not None:
                 parts.append(m.withColumn("is_must", F.lit(True)))
-            # m is None ⇔ the must string parsed to zero valid keys —
-            # Lucene's empty-must convention: no constraint at all
+            elif n_req_must:
+                # the must string parsed to required keys (e.g. a wildcard
+                # with zero dictionary expansions) but no match frame — a
+                # required, unsatisfiable clause.  search(mode='and') and
+                # Lucene return nothing here; falling through would demote
+                # the bool query to should-only results
+                return self._empty_result(with_display)
+            # m is None AND n_req_must == 0 ⇔ the must string parsed to
+            # zero valid keys — Lucene's empty-must convention: no
+            # constraint at all
         if should:
             s, _ = self._query_matches(
                 should, phrases=phrases, boosts=boosts, synonyms=synonyms
@@ -1319,13 +1332,25 @@ class QueryEngine:
         fb_terms: int = 5,
         mode: str = "or",
         with_display: bool = False,
+        expansion: list[str] | None = None,
     ) -> DataFrame:
         """Pseudo-relevance feedback retrieval: expand the query with
         :meth:`prf_terms` and re-run.  Expansion terms attach as their own
         ``values:`` segment (they were mined from document CONTENT); in
         AND mode they ride the bool machinery as SHOULD clauses — Lucene
-        PRF never lets expansion gate the match set, only boost it."""
-        exp = self.prf_terms(query, docs, fb_docs=fb_docs, fb_terms=fb_terms, mode=mode)
+        PRF never lets expansion gate the match set, only boost it.
+
+        ``expansion`` short-circuits the phase-1 retrieval with a
+        precomputed :meth:`prf_terms` result (callers that already mined
+        the expansion — e.g. to print it — pass it back instead of paying
+        the feedback pipeline twice)."""
+        exp = (
+            expansion
+            if expansion is not None
+            else self.prf_terms(
+                query, docs, fb_docs=fb_docs, fb_terms=fb_terms, mode=mode
+            )
+        )
         if not exp:
             return self.search(query, mode=mode, k=k, with_display=with_display)
         if mode == "and":

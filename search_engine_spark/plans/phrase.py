@@ -192,32 +192,41 @@ def unordered_near_match(
         return positions.sparkSession.range(0).select(
             F.col("id").alias("docid"), F.lit(0).alias("near_tf")
         )
+    # Repeated query terms ('big big data'): Lucene SpanNearQuery requires
+    # a DISTINCT position per clause, so a single occurrence must not
+    # satisfy every duplicate.  Probe each unique term ONCE (no identical
+    # slot joined twice) and require the in-window occurrence count >= the
+    # term's multiplicity; the window length still counts duplicates
+    # (len(terms) clauses + slop).
+    mult: dict[str, int] = {}
+    for t in terms:
+        mult[t] = mult.get(t, 0) + 1
+    uniq = list(mult)
     probe = positions.where(F.col("field") == field)
     if n_buckets is not None:
         probe = probe.where(
-            F.col("bucket").isin(sorted({term_bucket(t, n_buckets) for t in terms}))
+            F.col("bucket").isin(sorted({term_bucket(t, n_buckets) for t in uniq}))
         )
     slots = [
         probe.where(F.col("term") == t).select(
             "docid", F.col("positions").alias(f"p{i}")
         )
-        for i, t in enumerate(terms)
+        for i, t in enumerate(uniq)
     ]
     joined = slots[0]
     for s in slots[1:]:
         joined = joined.join(s, on="docid")
     win = len(terms) + slop
     starts = F.col("p0")
-    for i in range(1, len(terms)):
+    for i in range(1, len(uniq)):
         starts = F.array_union(starts, F.col(f"p{i}"))
 
     def _covers_all(m):
         cond = F.lit(True)
-        for i in range(len(terms)):
+        for i, t in enumerate(uniq):
             arr = F.col(f"p{i}")
-            cond = cond & F.exists(
-                arr, lambda y: (y >= m) & (y < m + F.lit(win))
-            )
+            in_win = F.filter(arr, lambda y: (y >= m) & (y < m + F.lit(win)))
+            cond = cond & (F.size(in_win) >= F.lit(mult[t]))
         return cond
 
     quals = F.filter(starts, _covers_all)

@@ -213,8 +213,13 @@ def stream_ingest(
 
             from ..plans.percolate import percolate
 
+            # forward the SAME analyzer settings the index build uses —
+            # diverging (e.g. keeping stopword keys the forward index
+            # drops) would alert on documents the index can never match
             percolate(
-                docs, percolate_queries, stem=bool(build_kwargs.get("stem", False))
+                docs, percolate_queries,
+                stem=bool(build_kwargs.get("stem", False)),
+                stopwords=build_kwargs.get("stopwords"),
             ).withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
                 alert_root
             )

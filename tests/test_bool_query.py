@@ -106,3 +106,22 @@ def test_bool_with_must_not_and_validation(engine, tiny_oracle):
     assert [(r["docid"]) for r in got] == [d for d, _ in golden]
     with pytest.raises(ValueError, match="must"):
         engine.search_bool()
+
+
+def test_bool_unsatisfiable_must_returns_nothing(engine):
+    """A must clause that parses to required keys but zero match frames —
+    e.g. solely a wildcard with no dictionary expansions — is a required,
+    unsatisfiable clause: Lucene (and search(mode='and')) return nothing,
+    never should-only results."""
+    # the wildcard's literal segment clears the P5 length filter but
+    # expands to zero dictionary terms
+    must = "values: zzzzqx*"
+    assert engine.search(must, mode="and", k=10).collect() == []
+    got = engine.search_bool(must=must, should=SHOULD, k=10).collect()
+    assert got == []
+    # a must that parses to NOTHING AT ALL (no valid keys) keeps Lucene's
+    # empty-must convention: no constraint — degenerates to should-only
+    got = engine.search_bool(must="values: ab", should=SHOULD, k=10).collect()
+    assert [r["docid"] for r in got] == [
+        r["docid"] for r in engine.search_bool(should=SHOULD, k=10).collect()
+    ]

@@ -788,3 +788,34 @@ def test_rank_eval_subcommand(spark, tiny_df, tiny_docs, tmp_path, capsys):
     bad = tmp_path / "bad.tsv"
     bad.write_text("only\tthree\tcols\n")
     assert main(["rank-eval", "--index", root, "--judgments", str(bad)]) == 2
+
+
+def test_prf_dismax_refuse_modifier_flags(spark, tiny_df, tmp_path, capsys):
+    """--prf/--dismax are standalone plans: the other search modifiers
+    would be silently ignored, so they refuse loudly (exit 2) — the same
+    contract as the --wand flag combos."""
+    src = str(tmp_path / "docs_rm")
+    root = str(tmp_path / "idx_rm")
+    tiny_df.write.parquet(src)
+    assert main(["build", "--input", src, "--output", root]) == 0
+    capsys.readouterr()
+    combos = [
+        ["--must-not", "spam"],
+        ["--fuzzy", "1"],
+        ["--min-should-match", "2"],
+        ["--score-by", "doclen:log1p"],
+        ["--stats", "doclen"],
+        ["--significant"],
+    ]
+    for extra in combos:
+        rc = main(
+            ["search", "--index", root, "--query", "values: parse_json0",
+             "--prf", "--docs", src] + extra
+        )
+        assert rc == 2, extra
+        assert "not supported with --prf" in capsys.readouterr().err, extra
+        rc = main(
+            ["search", "--index", root, "--dismax", "parse_json0"] + extra
+        )
+        assert rc == 2, extra
+        assert "not supported with --dismax" in capsys.readouterr().err, extra

@@ -188,3 +188,40 @@ def test_stream_ingest_with_fused_percolation(spark, tiny_df, tiny_docs, tmp_pat
 
     with _pytest.raises(ValueError, match="go together"):
         stream_ingest(src, root, percolate_queries=compiled)
+
+
+def test_stream_ingest_percolation_forwards_stopwords(
+    spark, tiny_df, tiny_docs, tmp_path
+):
+    """The fused percolation pass must analyze with the SAME stopword set
+    the index build uses: a stored query made only of stopwords can never
+    match the forward index, so it must never alert either."""
+    from search_engine_spark.streaming.ingest import stream_ingest
+
+    landing = str(tmp_path / "landing_sw")
+    tiny_df.coalesce(1).write.mode("append").parquet(landing)
+    stop = {"return", "import", "def"}
+    stop_df = spark.createDataFrame([(s,) for s in stop], "term string")
+    queries = [
+        ("stopq", "values: return import", "or"),
+        ("rare", "values: zephyrq0", "or"),
+    ]
+    compiled = compile_queries(spark, queries)
+    root = str(tmp_path / "idx_sw")
+    alert_root = str(tmp_path / "alerts_sw")
+    src = spark.readStream.schema(tiny_df.schema).parquet(landing)
+    q = stream_ingest(
+        src, root,
+        checkpoint_dir=str(tmp_path / "ckpt_sw"),
+        percolate_queries=compiled,
+        alert_root=alert_root,
+        stopwords=stop_df,
+    )
+    q.awaitTermination(180)
+    alerts = spark.read.parquet(alert_root)
+    got = {(r["qid"], r["docid"]) for r in alerts.collect()}
+    assert got == _expected_pairs(tiny_docs, queries, stopwords=stop)
+    # the stopword-only query alerted on nothing (the forward index drops
+    # those body terms)
+    assert not any(qid == "stopq" for qid, _ in got)
+    assert any(qid == "rare" for qid, _ in got)

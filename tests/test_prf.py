@@ -106,3 +106,19 @@ def test_prf_validation_and_empty(engine, tiny_df):
     assert engine.prf_terms("values: zzznothere", tiny_df) == []
     # zero-hit query degrades to the plain (empty) search
     assert engine.search_prf("values: zzznothere", tiny_df).collect() == []
+
+
+def test_search_prf_accepts_precomputed_expansion(engine, tiny_df):
+    """expansion= short-circuits phase 1 (callers that already printed
+    prf_terms pass it back instead of mining twice) — results identical."""
+    exp = engine.prf_terms(QUERY, tiny_df, fb_docs=FB_DOCS, fb_terms=FB_TERMS)
+    assert exp
+    mined = engine.search_prf(
+        QUERY, tiny_df, k=10, fb_docs=FB_DOCS, fb_terms=FB_TERMS
+    ).collect()
+    passed = engine.search_prf(
+        QUERY, tiny_df, k=10, fb_docs=FB_DOCS, fb_terms=FB_TERMS, expansion=exp
+    ).collect()
+    assert [(r["rank"], r["docid"], r["score"]) for r in mined] == [
+        (r["rank"], r["docid"], r["score"]) for r in passed
+    ]

@@ -129,20 +129,28 @@ def test_phrase_topk_gap(spark):
 def py_unordered_tf(text: str, phrase: str, slop: int) -> int:
     """Independent model: window-start count over the union of the query
     terms' own positions; a start qualifies when [m, m+len+slop) holds at
-    least one occurrence of every term."""
+    least MULTIPLICITY occurrences of every term (a repeated query term is
+    one SpanNearQuery clause per duplicate — Lucene needs distinct
+    positions per clause)."""
+    from collections import Counter
+
     toks = oracle.tokenize(text)
     terms = oracle.tokenize(phrase)
     if not terms:
         return 0
-    pos = {t: [i for i, x in enumerate(toks) if x == t] for t in set(terms)}
-    if any(not v for v in pos.values()):
+    mult = Counter(terms)
+    pos = {t: [i for i, x in enumerate(toks) if x == t] for t in mult}
+    if any(len(pos[t]) < c for t, c in mult.items()):
         return 0
     win = len(terms) + slop
     starts = sorted({p for v in pos.values() for p in v})
     return sum(
         1
         for m in starts
-        if all(any(m <= p < m + win for p in v) for v in pos.values())
+        if all(
+            sum(m <= p < m + win for p in pos[t]) >= c
+            for t, c in mult.items()
+        )
     )
 
 
@@ -188,6 +196,26 @@ def test_unordered_matches_python_model(spark):
             assert _unordered(pos, phrase, slop=slop) == want, (phrase, slop)
     finally:
         pos.unpersist()
+
+
+def test_unordered_repeated_terms_need_distinct_positions(hand_positions):
+    # "merge merge runs" is THREE SpanNear clauses: a doc with a single
+    # 'merge' occurrence (doc2 "merge runs") must never match — one
+    # position cannot satisfy two clauses.  doc4 has merge@0, merge@7,
+    # runs@{4,9}: the tightest covering window is [0, 8) → needs
+    # win = 3 + slop >= 8, i.e. slop >= 5.
+    for slop in (0, 2, 5):
+        assert 2 not in _unordered(hand_positions, "merge merge runs", slop=slop)
+    assert 4 not in _unordered(hand_positions, "merge merge runs", slop=4)
+    assert 4 in _unordered(hand_positions, "merge merge runs", slop=5)
+    # the python model agrees on the hand corpus
+    for slop in (0, 4, 5):
+        want = {
+            did: tf
+            for did, *_rest, content in HAND_ROWS
+            if (tf := py_unordered_tf(content, "merge merge runs", slop)) > 0
+        }
+        assert _unordered(hand_positions, "merge merge runs", slop=slop) == want
 
 
 def test_unordered_validation_and_single_term(hand_positions):
