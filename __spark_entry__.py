@@ -841,16 +841,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_near_dedup(spark, sf):
         """End-to-end near-dup DECISIONS (minhash → LSH → Jaccard verify →
-        smaller-id-wins drop policy) — the operation a 100-TB training-data
-        pipeline runs for corpus thinning."""
+        drop policy) — the operation a 100-TB training-data pipeline runs
+        for corpus thinning.  Two tagged legs ride one gate row: the
+        default smaller-id-wins rule and the round-4 bounded
+        connected-components policy (large-star/small-star over the
+        verified pair set; chains resolve to the component-min KEPT
+        representative)."""
         from search_engine_spark.operators.dedup import near_dedup
 
+        docs = _raw_docs(spark, sf)
         # dup_of is NULL for kept docs — ship -1 instead: NULL-in-numeric
         # becomes NaN inside pandas canonicalizers and NaN breaks equality
-        d = near_dedup(_raw_docs(spark, sf), threshold=0.5)
-        return d.select(
-            "doc_id", F.coalesce(F.col("dup_of"), F.lit(-1)).alias("dup_of"), "keep"
-        )
+        legs = []
+        for policy in ("min_id", "cc"):
+            legs.append(
+                near_dedup(docs, threshold=0.5, policy=policy).select(
+                    F.lit(policy).alias("policy"),
+                    "doc_id",
+                    F.coalesce(F.col("dup_of"), F.lit(-1)).alias("dup_of"),
+                    "keep",
+                )
+            )
+        return legs[0].unionByName(legs[1])
 
     def q_corpus_filter(spark, sf):
         """Capstone training-corpus preparation: quality + language + dedup
@@ -3279,9 +3291,11 @@ SELECT a, b, round(cosine, 6) AS metric FROM pairs WHERE round(cosine, 6) >= {NE
 """
 
     # near_dedup: the full decision pipeline as one SQL twin — LSH pairs,
-    # exact shingle-Jaccard on candidates only, smaller-id-wins drop rule
+    # exact shingle-Jaccard on candidates only, then BOTH drop policies:
+    # smaller-id-wins and connected components (transitive closure via a
+    # recursive CTE — fine on the candidate-bounded verified pair set)
     sql["near_dedup"] = f"""
-WITH cand AS ({_lsh_pairs_sql()}),
+WITH RECURSIVE cand AS ({_lsh_pairs_sql()}),
 toks AS (SELECT doc_id, {_TOKS_ARRAY_SQL} AS toks FROM documents),
 sh AS (
   SELECT doc_id,
@@ -3307,10 +3321,26 @@ ver AS (
   JOIN sizes sb ON sb.doc_id = p.b
   LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
 ),
-dropped AS (SELECT b, min(a) AS dup_of FROM ver WHERE jaccard >= 0.5 GROUP BY b)
-SELECT d.doc_id, coalesce(dr.dup_of, -1) AS dup_of,
+dropped AS (SELECT b, min(a) AS dup_of FROM ver WHERE jaccard >= 0.5 GROUP BY b),
+sym AS (
+  SELECT a AS u, b AS v FROM ver WHERE jaccard >= 0.5
+  UNION
+  SELECT b AS u, a AS v FROM ver WHERE jaccard >= 0.5
+),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u AND s.v <> r.u
+),
+lab AS (SELECT u AS b, least(min(v), u) AS label FROM reach GROUP BY u),
+cc_dropped AS (SELECT b, label AS dup_of FROM lab WHERE label <> b)
+SELECT 'min_id' AS policy, d.doc_id, coalesce(dr.dup_of, -1) AS dup_of,
        CAST(CASE WHEN dr.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS keep
 FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.b
+UNION ALL
+SELECT 'cc' AS policy, d.doc_id, coalesce(dr.dup_of, -1) AS dup_of,
+       CAST(CASE WHEN dr.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+FROM documents d LEFT JOIN cc_dropped dr ON d.doc_id = dr.b
 """
 
     sql["simhash"] = _simhash_sql()

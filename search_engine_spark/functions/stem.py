@@ -145,8 +145,26 @@ def porter_stem(word: str) -> str:  # noqa: C901 — faithful algorithm steps
     return w
 
 
+def stem_map(terms, term_col: str = "term"):
+    """(term, stemmed) over the DISTINCT terms of ``terms`` — the
+    vocabulary-sized stem job.
+
+    Heaps' law bounds the distinct-term count far below the occurrence
+    count, so the Arrow-batched porter UDF runs once per VOCABULARY entry;
+    per-occurrence paths broadcast-join this map back onto the token/tf
+    stream instead of running Python per token — the hot path stays pure
+    Catalyst (hash probe inside whole-stage codegen).  The distinct pass is
+    map-side combinable and vocabulary-bounded."""
+    from pyspark.sql import functions as F
+
+    vocab = terms.select(F.col(term_col).alias("term")).distinct()
+    return vocab.select("term", stem_udf()(F.col("term")).alias("stemmed"))
+
+
 def stem_udf():
-    """Vectorized Arrow-batched stemmer column transform (slow path, opt-in)."""
+    """Vectorized Arrow-batched stemmer column transform (runs once per
+    distinct vocabulary entry via stem_map on the default paths; also the
+    oracle twin for per-occurrence equivalence tests)."""
     import pandas as pd
 
     globals()["pd"] = pd  # UDF type-hint resolution needs pd in module globals

@@ -225,6 +225,99 @@ def ngram_jaccard(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 12,
+) -> DataFrame:
+    """(node, label) — label = the component's minimum node id — via
+    alternating large-star / small-star rounds (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond", public algorithm).
+
+    Converges in O(log² n) rounds; ``max_iter`` caps the join loop (an
+    UNBOUNDED iterative join is the classic 10^12-doc scale trap).  The
+    input here is the already candidate-bounded verified near-dup pair
+    set, for which the cap is generous; raises RuntimeError if the cap is
+    hit without convergence rather than returning wrong labels.
+
+    Each round localCheckpoints the edge frame: iterative plans otherwise
+    grow lineage exponentially, and the convergence check needs an action
+    per round anyway.  Only nodes appearing in ``pairs`` get a row.
+    """
+    e = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _sym(edges: DataFrame) -> DataFrame:
+        return edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+
+    def _large_star(edges: DataFrame) -> DataFrame:
+        # every strictly-larger neighbor of u re-attaches to
+        # min(N(u) ∪ {u}); edges arrive symmetric
+        mins = (
+            edges.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        return (
+            edges.join(mins, on="u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(edges: DataFrame) -> DataFrame:
+        # orient towards smaller ids; every small neighbor (and u itself)
+        # re-attaches to the minimum
+        d = edges.where(F.col("u") > F.col("v"))
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        nodes = d.select("u", "v").unionByName(
+            d.select("u", F.col("u").alias("v")).distinct()
+        )
+        return (
+            nodes.join(mins, on="u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    cur = _sym(e).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # converged when the star forest is stable: same (child → root)
+        # edge set in both directions
+        changed = (
+            nxt.exceptAll(cur.where(F.col("u") > F.col("v")))
+            .unionByName(cur.where(F.col("u") > F.col("v")).exceptAll(nxt))
+            .limit(1)
+            .count()
+        )
+        if changed == 0:
+            cur = nxt
+            break
+        cur = _sym(nxt).localCheckpoint(eager=True)
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # cur is a star forest (child > root edges); roots label themselves
+    children = cur.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    roots = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .join(children.select("node"), on="node", how="left_anti")
+        .select("node", F.col("node").alias("label"))
+    )
+    return children.unionByName(roots)
+
+
 def near_dedup(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -232,18 +325,28 @@ def near_dedup(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    policy: str = "min_id",
+    cc_max_iter: int = 12,
 ) -> DataFrame:
     """End-to-end near-duplicate DECISIONS — the operation a training-data
     pipeline actually runs: (doc_id, dup_of, keep).
 
     Pipeline: MinHash signatures → banded-LSH candidate pairs (never
     all-pairs) → exact n-gram-Jaccard verify on candidates only → drop
-    policy.  Policy: a document is DROPPED iff some verified near-duplicate
-    with a smaller id exists; ``dup_of`` records the smallest such partner
-    (the kept representative's id chain).  This is the standard
-    smaller-id-wins rule (deterministic, one aggregation — no iterative
-    connected components, whose transitive closure is overkill for corpus
-    thinning and needs an unbounded join loop at 10^12 docs).
+    policy.
+
+    ``policy="min_id"`` (default): a document is DROPPED iff some verified
+    near-duplicate with a smaller id exists; ``dup_of`` records the
+    smallest such partner.  Deterministic, one aggregation, no iteration —
+    but in chains A~B~C without A~C, C's ``dup_of`` points at B, itself
+    dropped.
+
+    ``policy="cc"``: bounded connected components over the verified pair
+    set (large-star/small-star to ``cc_max_iter`` rounds) — every chain
+    resolves to ONE kept representative, the component's minimum id, and
+    every dropped doc's ``dup_of`` IS that kept representative.  Use when
+    cluster stats / representative selection matter; the iteration runs
+    over the candidate-bounded pair set only, never the corpus.
 
     Scale shape: two shuffles end to end (signature groupBy, band
     self-join) plus the candidate-only verify — candidate count is bounded
@@ -258,6 +361,8 @@ def near_dedup(
     small, expensive-to-recompute artifact; re-deriving it per consumer
     multiplies the two big shuffles by the consumer count).
     """
+    if policy not in ("min_id", "cc"):
+        raise ValueError(f"policy must be 'min_id' or 'cc', got {policy!r}")
     sh = doc_shingles(docs, text_col=text_col, id_col=id_col).persist()
     pairs = lsh_candidate_pairs(
         minhash_signatures(docs, id_col=id_col, n_hashes=n_hashes, shingles=sh),
@@ -272,7 +377,17 @@ def near_dedup(
         # candidate/shingle caches are alive; it STAYS persisted so
         # re-evaluating the returned frame re-runs one cheap left join,
         # never the pipeline
-        dropped = verified.groupBy("b").agg(F.min("a").alias("dup_of")).persist()
+        if policy == "cc":
+            labels = connected_components(verified, max_iter=cc_max_iter)
+            dropped = (
+                labels.where(F.col("node") != F.col("label"))
+                .select(F.col("node").alias("b"), F.col("label").alias("dup_of"))
+                .persist()
+            )
+        else:
+            dropped = (
+                verified.groupBy("b").agg(F.min("a").alias("dup_of")).persist()
+            )
         dropped.count()
     finally:
         pairs.unpersist()

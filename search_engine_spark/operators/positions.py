@@ -73,9 +73,9 @@ def token_stream(
         F.posexplode(cleaned_stream_col(F.col(source_col))).alias("pos", "term"),
     )
     if stem:
-        from ..functions.stem import stem_udf
+        from ..operators.tokenize import _stem_terms
 
-        out = out.withColumn("term", stem_udf()(F.col("term")))
+        out = _stem_terms(out)
     return out.select(
         "docid", F.lit(field_name).alias("field"), F.col("pos").cast("int"), "term"
     )
@@ -95,9 +95,9 @@ def token_stream_from_base(
         F.posexplode(cleaned_stream_from_toks(F.col(toks_col))).alias("pos", "term"),
     )
     if stem:
-        from ..functions.stem import stem_udf
+        from ..operators.tokenize import _stem_terms
 
-        out = out.withColumn("term", stem_udf()(F.col("term")))
+        out = _stem_terms(out)
     return out.select(
         "docid", F.lit(field_name).alias("field"), F.col("pos").cast("int"), "term"
     )

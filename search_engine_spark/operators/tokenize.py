@@ -40,16 +40,24 @@ def terms_for_field(
         .where(F.col("term") != "")
     )
     if stem:
-        from ..functions.stem import stem_udf
-
-        t = t.select("docid", stem_udf()(F.col("term")).alias("term"))
+        t = _stem_terms(t)
     return t.select("docid", F.lit(field_name).alias("field"), "term")
 
 
 def _stem_terms(t: DataFrame) -> DataFrame:
-    from ..functions.stem import stem_udf
+    """Porter-stem the ``term`` column with NO per-occurrence Python: stem
+    the vocabulary once (functions.stem.stem_map — Arrow UDF over DISTINCT
+    terms only, Heaps-law bounded) and broadcast-join the map back.  The
+    token stream itself never leaves whole-stage codegen; the one wide
+    build exchange downstream is unchanged.  All non-term columns pass
+    through."""
+    from ..functions.stem import stem_map
 
-    return t.withColumn("term", stem_udf()(F.col("term")))
+    smap = stem_map(t)
+    cols = [c for c in t.columns if c != "term"]
+    return t.join(F.broadcast(smap), on="term").select(
+        *cols, F.col("stemmed").alias("term")
+    )
 
 
 def doc_terms(
@@ -125,9 +133,7 @@ def _terms_from_toks(base: DataFrame, toks_col: str, field_name: str, stem: bool
         .where(F.col("term") != "")
     )
     if stem:
-        from ..functions.stem import stem_udf
-
-        t = t.select("docid", stem_udf()(F.col("term")).alias("term"))
+        t = _stem_terms(t)
     return t.select("docid", F.lit(field_name).alias("field"), "term")
 
 

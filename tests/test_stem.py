@@ -204,3 +204,35 @@ def test_stemmed_index_matches_variants(spark):
     assert hits == {1, 2}
     hits2 = {r["docid"] for r in eng.search("values: motored").collect()}
     assert hits2 == {1, 2}
+
+
+def test_stemmed_tf_path_has_no_per_occurrence_python(spark):
+    """The default stemmed build path must keep the occurrence stream pure
+    Catalyst: the Arrow stem UDF runs only above the vocabulary DISTINCT
+    (Heaps-law bounded), broadcast-joined back onto the token stream —
+    never directly over the exploded occurrences."""
+    from search_engine_spark import fixtures
+    from search_engine_spark.operators.tokenize import doc_terms
+
+    docs = spark.createDataFrame(
+        fixtures.with_docids(fixtures.generate_documents(30, seed=7))
+    )
+    plan = (
+        doc_terms(docs, stem=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan  # the vocab job exists
+    assert "BroadcastHashJoin" in plan  # and joins back broadcast
+    # every ArrowEvalPython must sit directly above a HashAggregate
+    # (the distinct), never above the Generate/explode occurrence stream
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "ArrowEvalPython" not in ln:
+            continue
+        below = next(
+            l for l in lines[i + 1:] if l.strip("+- :arrowhead ") and
+            any(op in l for op in ("HashAggregate", "Generate", "Scan", "Exchange"))
+        )
+        assert "HashAggregate" in below, plan
