@@ -1059,8 +1059,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("x.vec_id", "x.cosine")
         )
 
+    def q_ivfpq_topk(spark, sf):
+        """IVFADC (Jégou et al. 2011 §IV, round 4): write_ivfpq persists
+        ONE index — cell-partitioned PQ codes of the RESIDUAL x − c(cell)
+        plus centroid/codebook meta; the query ranks cells driver-side,
+        scans only the n_probes cell partitions of the codes table, scores
+        <probe,c_cell> + M residual-LUT lookups, cuts at refine×k on the
+        6dp-rounded ADC, exact-cosine re-ranks.  The twin reproduces the
+        assignment, residual codebooks, encode argmin, per-cell constant,
+        LUT, cut, and re-rank."""
+        import shutil
+        import tempfile
+
+        from search_engine_spark.operators.similarity import (
+            ivfpq_topk_persisted,
+            write_ivfpq,
+        )
+
+        emb = _raw_emb(spark, sf)
+        probe = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        ]
+        root = tempfile.mkdtemp(prefix="gate_ivfpq_")
+        try:
+            write_ivfpq(spark, emb, root, n_cells=8, m=4, n_codes=16)
+            rows = [
+                (r["vec_id"], r["cosine"])
+                for r in ivfpq_topk_persisted(
+                    spark, root, emb, probe, k=10, n_probes=2, refine=4
+                ).collect()
+            ]
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        if not rows:
+            return spark.createDataFrame([], "vec_id long, cosine double")
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(v).cast("long").alias("vec_id"),
+                    F.lit(c).cast("double").alias("cosine"),
+                )
+                for v, c in rows
+            ]
+        )
+        return (
+            spark.range(1)
+            .select(F.explode(arr).alias("x"))
+            .select("x.vec_id", "x.cosine")
+        )
+
     def q_ann_persisted(spark, sf):
-        """All three PERSISTED vector artifacts answered from disk, one
+        """All four PERSISTED vector artifacts answered from disk, one
         tagged entry (r3 gate-slimming — the driver verifies at most 50
         keys):
 
@@ -1070,7 +1120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         - 'pq': write_pq's codes table, ADC LUT scoring + rounded cut +
           exact cosine re-rank (tests/test_pq.py);
         - 'sq' (round 3): write_sq's int8 codes table, per-dimension
-          affine ADC + rounded cut + exact re-rank (tests/test_sq.py).
+          affine ADC + rounded cut + exact re-rank (tests/test_sq.py);
+        - 'ivfpq' (round 4): write_ivfpq's IVFADC composition — PQ codes
+          of residuals within IVF cells, nprobe-pruned ADC (tests/test_pq.py).
         """
         iv = q_ivf_topk_persisted(spark, sf).select(
             F.lit("ivf").alias("variant"), "vec_id", "cosine"
@@ -1081,7 +1133,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sq = q_sq_topk(spark, sf).select(
             F.lit("sq").alias("variant"), "vec_id", "cosine"
         )
-        return iv.unionByName(pq).unionByName(sq)
+        ivfpq = q_ivfpq_topk(spark, sf).select(
+            F.lit("ivfpq").alias("variant"), "vec_id", "cosine"
+        )
+        return iv.unionByName(pq).unionByName(sq).unionByName(ivfpq)
 
     def q_vector_partitions(spark, sf):
         """Per-vector partition assignment for both ANN layouts, one
@@ -3620,13 +3675,84 @@ FROM embeddings e JOIN cand USING (vec_id), p
 ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
-    # all three persisted ANN artifacts, one tagged twin (ann_persisted)
+    # IVFADC twin: residual codebooks = md5-order seed rows minus their own
+    # cell centroid (seed cell comes from the SAME assignment CTE the IVF
+    # leg uses); encode = 6dp-rounded L2² argmin over residual subvectors;
+    # ADC = <probe, c_cell> + Σ residual-LUT lookups over the 2 probed
+    # cells only; rounded cut at refine·k = 40; exact re-rank.
+    _IVFPQ_SQL = f"""
+WITH p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0),
+cents AS ({_IVF_SEEDS}),
+assigned AS ({_IVF_ASSIGN}),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
+         vec_id, embedding::DOUBLE[] AS e
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+subs AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+scell AS (SELECT s.j, s.e, a.cell FROM seeds s JOIN assigned a USING (vec_id)),
+cb AS (
+  SELECT su.sub, sc.j,
+         list_transform(range(1, 17),
+           i -> sc.e[su.sub * 16 + i] - c.cvec[su.sub * 16 + i]) AS cvec
+  FROM scell sc JOIN cents c ON c.cid = sc.cell, subs su
+),
+vres AS (
+  SELECT v.vec_id, a.cell,
+         list_transform(range(1, 65),
+           i -> (v.embedding::DOUBLE[])[i] - c.cvec[i]) AS rv
+  FROM embeddings v JOIN assigned a USING (vec_id) JOIN cents c ON c.cid = a.cell
+),
+vs AS (
+  SELECT vec_id, cell, s.sub, rv[s.sub * 16 + 1 : s.sub * 16 + 16] AS sv
+  FROM vres, subs s
+),
+dists AS (
+  SELECT vs.vec_id, vs.cell, vs.sub, cb.j,
+         round(list_sum(list_transform(range(1, 17),
+               i -> (vs.sv[i] - cb.cvec[i]) * (vs.sv[i] - cb.cvec[i]))), 6) AS dist
+  FROM vs JOIN cb ON vs.sub = cb.sub
+),
+codes AS (
+  SELECT vec_id, cell, sub, j FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, j) = 1
+),
+cells AS (
+  SELECT c.cid FROM cents c, p
+  ORDER BY {_COS.format(a="pe", b="c.cvec")} DESC, c.cid ASC LIMIT 2
+),
+lut AS (
+  SELECT cb.sub, cb.j,
+         list_dot_product(p.pe[cb.sub * 16 + 1 : cb.sub * 16 + 16], cb.cvec) AS v
+  FROM cb, p
+),
+cconst AS (SELECT c.cid, list_dot_product(p.pe, c.cvec) AS v FROM cents c, p),
+adc AS (
+  SELECT cd.vec_id, sum(l.v) + any_value(cc.v) AS adc
+  FROM codes cd
+  JOIN lut l ON cd.sub = l.sub AND cd.j = l.j
+  JOIN cconst cc ON cc.cid = cd.cell
+  WHERE cd.cell IN (SELECT cid FROM cells)
+  GROUP BY cd.vec_id
+),
+cand AS (SELECT vec_id FROM adc ORDER BY round(adc, 6) DESC, vec_id LIMIT 40)
+SELECT e.vec_id,
+       round(list_dot_product(e.embedding::DOUBLE[], p.pe)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(p.pe, p.pe))), 6) AS cosine
+FROM embeddings e JOIN cand USING (vec_id), p
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+    # all four persisted ANN artifacts, one tagged twin (ann_persisted)
     sql["ann_persisted"] = f"""
 SELECT 'ivf' AS variant, vec_id, cosine FROM ({_IVF_PERSISTED_SQL})
 UNION ALL
 SELECT 'pq' AS variant, vec_id, cosine FROM ({_PQ_SQL})
 UNION ALL
 SELECT 'sq' AS variant, vec_id, cosine FROM ({_SQ_SQL})
+UNION ALL
+SELECT 'ivfpq' AS variant, vec_id, cosine FROM ({_IVFPQ_SQL})
 """
 
     # hash_split: u is a dyadic rational (32-bit md5 prefix / 2^32) —

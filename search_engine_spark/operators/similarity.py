@@ -577,6 +577,25 @@ def _l2sq_to_literal(sub_col: Column, entry: list[float]) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _pq_codes_col(vec_col: Column, codebooks: list[list[list[float]]]) -> Column:
+    """codes array<int> — columnar argmin per subspace (6dp-rounded L2²,
+    ties to the smaller code id), over any vector-valued column."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    code_cols = []
+    for sub in range(m):
+        sub_col = F.slice(vec_col, sub * d + 1, d)
+        scored = [
+            F.struct(
+                F.round(_l2sq_to_literal(sub_col, entry), 6).alias("dist"),
+                F.lit(j).cast("int").alias("j"),
+            )
+            for j, entry in enumerate(codebooks[sub])
+        ]
+        code_cols.append(F.array_min(F.array(*scored))["j"])
+    return F.array(*code_cols)
+
+
 def pq_encode(
     embeddings: DataFrame,
     codebooks: list[list[list[float]]],
@@ -587,21 +606,8 @@ def pq_encode(
 
     Map-only: rides the scan, no shuffle, no UDF; at 10^12 vectors this is
     the one full pass a PQ build costs (then queries touch codes only)."""
-    m = len(codebooks)
-    d = len(codebooks[0][0])
-    code_cols = []
-    for sub in range(m):
-        sub_col = F.slice(F.col(vec_col), sub * d + 1, d)
-        scored = [
-            F.struct(
-                F.round(_l2sq_to_literal(sub_col, entry), 6).alias("dist"),
-                F.lit(j).cast("int").alias("j"),
-            )
-            for j, entry in enumerate(codebooks[sub])
-        ]
-        code_cols.append(F.array_min(F.array(*scored))["j"])
     return embeddings.select(
-        F.col(id_col), F.array(*code_cols).alias("codes")
+        F.col(id_col), _pq_codes_col(F.col(vec_col), codebooks).alias("codes")
     )
 
 
@@ -759,6 +765,223 @@ def append_pq(spark, embeddings: DataFrame, root: str) -> None:
     pq_encode(
         embeddings, cb, str(meta["id_col"]), str(meta.get("vec_col", "embedding"))
     ).write.mode("append").parquet(f"{root}/codes")
+    spark.catalog.refreshByPath(f"{root}/codes")
+
+
+# ---------------------------------------------------------------------------
+# IVFADC: PQ over RESIDUALS within IVF cells, one persisted index (Jégou,
+# Douze, Schmid 2011 §IV — the composition a 10^9..10^12-vector deployment
+# actually runs).  The coarse quantizer routes a query to nprobe cells
+# (partition-pruned directory scan); within those cells every vector is
+# M code bytes of its residual x − c(cell), so the ADC pass reads
+# ~M bytes/vector and the raw floats are touched only for the short exact
+# re-rank.  <q, x> ≈ <q, c_cell> (per-cell constant) + Σ_sub lut[sub][code].
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_codebooks(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Residual codebooks: cb[sub][j] = (seed_j − centroid(cell(seed_j)))
+    sliced to subspace ``sub`` — the same md5-order seed rows as
+    pq_codebooks, quantizing RESIDUAL space instead of raw space.  Each
+    seed's cell comes from the SAME 6dp-rounded argmax the distributed
+    assignment compiles, so any engine reproduces the codebooks exactly."""
+    seeds = ivf_seed_centroids(embeddings, n_codes, id_col, vec_col)
+    dim = len(seeds[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    by_cell = dict(centroids)
+    residuals = []
+    for _sid, vec in seeds:
+        cell = _rank_probe_cells(vec, centroids, 1)[0]
+        cvec = by_cell[cell]
+        residuals.append([float(a) - float(b) for a, b in zip(vec, cvec)])
+    return [
+        [r[sub * d : (sub + 1) * d] for r in residuals] for sub in range(m)
+    ]
+
+
+def _centroid_frame(spark, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Tiny (cell, cvec) frame via explode-of-literal-array — avoids the
+    multi-second python-RDD eval a createDataFrame of driver rows costs."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(c)).cast("long").alias("cell"),
+                F.array(*[F.lit(float(x)) for x in v]).alias("cvec"),
+            )
+            for c, v in centroids
+        ]
+    )
+    return (
+        spark.range(1)
+        .select(F.explode(rows).alias("s"))
+        .select("s.cell", "s.cvec")
+    )
+
+
+def ivfpq_encode(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (id, cell, codes array<int>): assign each vector's cell, subtract
+    the cell centroid, PQ-encode the residual.  Map-only against broadcast
+    centroids — rides the scan like pq_encode; no shuffle."""
+    spark = embeddings.sparkSession
+    assigned = ivf_assign(
+        embeddings, id_col=id_col, vec_col=vec_col, centroids=centroids
+    )
+    resid = (
+        embeddings.join(assigned.select(id_col, "cell"), on=id_col)
+        .join(F.broadcast(_centroid_frame(spark, centroids)), on="cell")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.zip_with(
+                F.col(vec_col), F.col("cvec"), lambda a, b: a.cast("double") - b
+            ).alias("_resid"),
+        )
+    )
+    return resid.select(
+        F.col(id_col),
+        "cell",
+        _pq_codes_col(F.col("_resid"), codebooks).alias("codes"),
+    )
+
+
+def write_ivfpq(
+    spark,
+    embeddings: DataFrame,
+    root: str,
+    n_cells: int = 16,
+    m: int = 4,
+    n_codes: int = 16,
+    n_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVFADC artifact: CELL-PARTITIONED residual-code table +
+    centroid/codebook meta.  Disk payload per vector = M small ints (the
+    cell rides the directory name) — the 10^9-vector memory story; the raw
+    vector table is touched only by query-time re-ranks."""
+    from ..sources.index_io import write_meta_file
+
+    cents = (
+        ivf_train(embeddings, n_cells, n_iters, id_col, vec_col)
+        if n_iters > 0
+        else ivf_seed_centroids(embeddings, n_cells, id_col, vec_col)
+    )
+    cb = ivfpq_codebooks(embeddings, cents, m, n_codes, id_col, vec_col)
+    (
+        ivfpq_encode(embeddings, cents, cb, id_col, vec_col)
+        .repartition(len(cents), F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{root}/codes")
+    )
+    write_meta_file(
+        spark,
+        f"{root}/_ivfpq_meta",
+        {
+            "n_cells": len(cents),
+            "m": m,
+            "n_codes": n_codes,
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "centroids": [[int(c), [float(x) for x in v]] for c, v in cents],
+            "codebooks": [[[float(x) for x in e] for e in sub] for sub in cb],
+        },
+        overwrite=True,
+    )
+
+
+def ivfpq_topk_persisted(
+    spark,
+    root: str,
+    embeddings: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    n_probes: int = 2,
+    refine: int = 4,
+) -> DataFrame:
+    """IVFADC query: rank cells driver-side against the stored centroids
+    (zero jobs), scan ONLY the n_probes cell partitions of the codes table,
+    score each code row as <probe, c_cell> + M LUT lookups (ADC over
+    residual codebooks), cut to refine×k on the 6dp-rounded ADC with id
+    tie-break, exact-cosine re-rank against the raw table.
+
+    Per query at 10^12 vectors: n_probes/n_cells of the corpus × ~M bytes
+    per vector read, one TakeOrderedAndProject, a k-row broadcast join —
+    no assignment job, no full-width vector IO."""
+    from ..sources.index_io import read_meta_file
+
+    meta = read_meta_file(spark, f"{root}/_ivfpq_meta")
+    cents = [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]]
+    cb = [[list(map(float, e)) for e in sub] for sub in meta["codebooks"]]
+    id_col = str(meta["id_col"])
+    vec_col = str(meta.get("vec_col", "embedding"))
+    cells = _rank_probe_cells(probe, cents, n_probes)
+    by_cell = dict(cents)
+    codes = spark.read.parquet(f"{root}/codes").where(F.col("cell").isin(cells))
+    lut = pq_lut(probe, cb)
+    # per-cell constant <probe, c_cell> — a literal map over the probed cells
+    const_pairs = []
+    for c in cells:
+        const_pairs += [
+            F.lit(int(c)).cast("long"),
+            F.lit(sum(float(a) * float(b) for a, b in zip(probe, by_cell[c]))),
+        ]
+    cell_const = F.element_at(F.create_map(*const_pairs), F.col("cell").cast("long"))
+    terms = [
+        F.element_at(
+            F.array(*[F.lit(float(v)) for v in lut[sub]]),
+            F.col("codes")[sub] + F.lit(1),
+        )
+        for sub in range(len(lut))
+    ]
+    adc = cell_const
+    for t in terms:
+        adc = adc + t
+    cand_ids = (
+        codes.select(F.col(id_col), adc.alias("adc"))
+        .orderBy(F.desc(F.round(F.col("adc"), 6)), F.asc(id_col))
+        .limit(int(refine) * k)
+        .select(id_col)
+    )
+    cand = embeddings.join(cand_ids, on=id_col, how="left_semi")
+    return cosine_topk(cand, probe, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def append_ivfpq(spark, embeddings: DataFrame, root: str) -> None:
+    """Grow a persisted IVFADC root with NEW vectors: assign + residual-
+    encode against the STORED centroids and codebooks (both immutable, so
+    every future query's cell ranking and LUT stay valid), append into the
+    cell partitions.  Map-only over the new vectors."""
+    from ..sources.index_io import read_meta_file
+
+    meta = read_meta_file(spark, f"{root}/_ivfpq_meta")
+    cents = [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]]
+    cb = [[list(map(float, e)) for e in sub] for sub in meta["codebooks"]]
+    (
+        ivfpq_encode(
+            embeddings, cents, cb, str(meta["id_col"]),
+            str(meta.get("vec_col", "embedding")),
+        )
+        .repartition(len(cents), F.col("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{root}/codes")
+    )
     spark.catalog.refreshByPath(f"{root}/codes")
 
 

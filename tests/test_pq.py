@@ -201,3 +201,106 @@ def test_append_pq_and_ivf_extend_persisted_roots(spark, emb_df, tmp_path):
     assert vectors.count() == emb_df.count()
     got = ivf_topk_persisted(spark, ivf_root, [float(x) for x in probe], k=5, n_probes=4)
     assert got.collect()[0]["vec_id"] == 70
+
+
+# --- IVFADC: PQ over residuals within IVF cells (one persisted index) -----
+
+
+def test_ivfpq_roundtrip_recall_and_seed_exactness(spark, emb_df, tmp_path):
+    from search_engine_spark.operators.similarity import (
+        ivf_seed_centroids,
+        ivfpq_codebooks,
+        ivfpq_encode,
+        ivfpq_topk_persisted,
+        write_ivfpq,
+    )
+
+    probe = emb_df.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    root = str(tmp_path / "ivfpq")
+    write_ivfpq(spark, emb_df, root, n_cells=4, m=4, n_codes=8)
+    got = ivfpq_topk_persisted(
+        spark, root, emb_df, probe, k=10, n_probes=4, refine=4
+    ).collect()
+    got_ids = [r["vec_id"] for r in got]
+    # re-rank exactness: returned cosines equal the brute-force cosine
+    vecs = {r["vec_id"]: r["embedding"] for r in emb_df.collect()}
+    pn = math.sqrt(sum(x * x for x in probe))
+    for r in got:
+        v = vecs[r["vec_id"]]
+        c = sum(a * b for a, b in zip(v, probe)) / (
+            math.sqrt(sum(x * x for x in v)) * pn
+        )
+        assert abs(r["cosine"] - round(c, 6)) < 1e-6
+    # recall floor vs brute force: probing ALL cells, the only loss is PQ
+    # quantization in the candidate cut — residual codebooks must do at
+    # least as well as the raw-space PQ floor
+    exact = [r["vec_id"] for r in cosine_topk(emb_df, probe, k=10).collect()]
+    assert len(set(exact) & set(got_ids)) >= 5, (exact, got_ids)
+    # a seed row's ADC is EXACT: codes reproduce its own residual, so
+    # <probe,c_cell> + lut-sum == <probe, seed>
+    cents = ivf_seed_centroids(emb_df, 4)
+    cb = ivfpq_codebooks(emb_df, cents, m=4, n_codes=8)
+    codes = {
+        r["vec_id"]: (r["cell"], list(r["codes"]))
+        for r in ivfpq_encode(emb_df, cents, cb).collect()
+    }
+    seed = (
+        emb_df.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(1)
+        .collect()[0]["vec_id"]
+    )
+    cell, scodes = codes[seed]
+    by_cell = dict(cents)
+    d = 4
+    adc = sum(a * b for a, b in zip(probe, by_cell[cell]))
+    for sub, j in enumerate(scodes):
+        adc += sum(a * b for a, b in zip(probe[sub * d:(sub + 1) * d], cb[sub][j]))
+    true_dot = sum(a * b for a, b in zip(probe, vecs[seed]))
+    assert abs(adc - true_dot) < 1e-9
+
+
+def test_ivfpq_bytes_per_vector_and_partition_pruning(spark, emb_df, tmp_path):
+    """The 10^9-vector memory story: the codes table stores M small ints
+    per vector (cell rides the directory), and a query's codes scan is
+    PARTITION-PRUNED to the n_probes cells with no join/exchange before
+    the candidate cut."""
+    from search_engine_spark.operators.similarity import (
+        ivfpq_topk_persisted,
+        write_ivfpq,
+    )
+
+    root = str(tmp_path / "ivfpq_b")
+    write_ivfpq(spark, emb_df, root, n_cells=4, m=4, n_codes=8)
+    codes = spark.read.parquet(f"{root}/codes")
+    # payload per row: id + M codes, nothing else (no raw vector column)
+    assert set(codes.columns) == {"vec_id", "codes", "cell"}
+    rows = codes.collect()
+    assert len(rows) == emb_df.count()
+    assert all(len(r["codes"]) == 4 and max(r["codes"]) < 8 for r in rows)
+    probe = emb_df.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    df = ivfpq_topk_persisted(spark, root, emb_df, probe, k=5, n_probes=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "cell" in plan.split("PartitionFilters:")[1].split("]")[0], plan
+    assert df.count() == 5
+
+
+def test_append_ivfpq_extends_root(spark, emb_df, tmp_path):
+    from search_engine_spark.operators.similarity import (
+        append_ivfpq,
+        ivfpq_topk_persisted,
+        write_ivfpq,
+    )
+
+    root = str(tmp_path / "ivfpq_a")
+    write_ivfpq(spark, emb_df, root, n_cells=4, m=4, n_codes=8)
+    probe = emb_df.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    # append a planted duplicate of the probe vector under a new id
+    new = spark.createDataFrame([(9007, list(probe))], "vec_id long, embedding array<double>")
+    append_ivfpq(spark, new, root)
+    got = ivfpq_topk_persisted(
+        spark, root, emb_df.unionByName(new), probe, k=3, n_probes=4
+    ).collect()
+    assert 9007 in {r["vec_id"] for r in got}
+    assert any(r["vec_id"] == 9007 and abs(r["cosine"] - 1.0) < 1e-6 for r in got)
