@@ -1990,14 +1990,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from the binary, and the twin re-derives them from doc_id.  The
         fake features are sha256(hex(payload))-derived (reproducible in
         any SQL engine), each dim shipped as its own rounded scalar column
-        (the driver canonicalizer cannot sort ARRAY cells)."""
+        (the driver canonicalizer cannot sort ARRAY cells).
+
+        Round 4 adds a second modality leg: every doc also carries a
+        synthetic VALID 24-bit BMP (attach_fake_bmp — md5-derived pixel
+        bytes, columnar), and the REAL pixel decoder + perceptual dhash
+        (decode_bmp_pixels → dhash_grid, r3 verdict #6) runs end to end;
+        the twin re-derives every dhash bit from the md5 construction.
+        NULL-prone columns are coalesced (-1 / '') on both sides — the
+        driver canonicalizer NaN-poisons NULL-in-numeric columns."""
         from search_engine_spark.operators.multimodal import (
             FEATURE_DIM,
+            attach_fake_bmp,
             attach_fake_binary,
             extract_features,
         )
 
-        feats = extract_features(attach_fake_binary(_raw_docs(spark, sf)))
+        raw = _raw_docs(spark, sf)
+        feats = extract_features(attach_fake_binary(raw)).unionByName(
+            extract_features(attach_fake_bmp(raw))
+        )
         return feats.select(
             "doc_id",
             "n_bytes",
@@ -2005,7 +2017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "width",
             "height",
             "bit_depth",
-            "color_type",
+            F.coalesce(F.col("color_type"), F.lit(-1)).alias("color_type"),
+            F.coalesce(F.col("dhash"), F.lit("")).alias("dhash"),
             *[
                 F.round(F.col("features")[i], 6).alias(f"f{i}")
                 for i in range(FEATURE_DIM)
@@ -4144,9 +4157,13 @@ FROM p JOIN r USING (doc_id) JOIN c USING (doc_id)
     # re-derive what the Spark side's REAL decode_png_meta parses back out
     # of the binary.
     from search_engine_spark.operators.multimodal import (
+        BMP_H,
+        BMP_N_BYTES,
+        BMP_W,
         FEATURE_DIM,
         PNG_H_MOD,
         PNG_W_MOD,
+        bmp_header,
     )
 
     mm_feats = ",\n       ".join(
@@ -4154,6 +4171,15 @@ FROM p JOIN r USING (doc_id) JOIN c USING (doc_id)
         f" / 4294967296.0, 6) AS f{i}"
         for i in range(FEATURE_DIM)
     )
+    # the synthetic-BMP stored rows, bottom-up (image row y = 7 … 0): 27
+    # md5-derived pixel bytes + 1 stride-pad byte each — rebuilt byte-for-
+    # byte so sha256(hex(payload)) matches the Spark-side fake features
+    bmp_rows_blob = "\n           || ".join(
+        f"unhex(substring(md5(concat(d.doc_id, ':{y}')) ||"
+        f" md5(concat(d.doc_id, '|{y}')), 1, {2 * BMP_W * 3})) || unhex('00')"
+        for y in range(BMP_H - 1, -1, -1)
+    )
+    bmp_header_hex = bmp_header(BMP_W, BMP_H).hex()
     sql["mm_features"] = rf"""
 WITH dims AS (
   SELECT doc_id,
@@ -4174,11 +4200,56 @@ p AS (
            || encode(d.text)
          )) AS h
   FROM documents d JOIN dims USING (doc_id)
+),
+-- BMP leg (round 4): re-derive the REAL pixel-decoder dhash from the
+-- md5 pixel construction.  gray(y,x) = (b0+b1+b2)//3 over the 3 channel
+-- bytes at hex offset 6x of md5(id:y)||md5(id|y); dhash bit (y,x) set
+-- iff gray(y,x+1) > gray(y,x), byte y = MSB-first bits of row y.
+bgray AS (
+  SELECT d.doc_id, t.y, s.x,
+         (CAST(concat('0x', substring(hx.hx, 6 * s.x + 1, 2)) AS INT)
+        + CAST(concat('0x', substring(hx.hx, 6 * s.x + 3, 2)) AS INT)
+        + CAST(concat('0x', substring(hx.hx, 6 * s.x + 5, 2)) AS INT)) // 3 AS g
+  FROM documents d
+  CROSS JOIN generate_series(0, {BMP_H - 1}) AS t(y)
+  CROSS JOIN generate_series(0, {BMP_W - 1}) AS s(x)
+  CROSS JOIN LATERAL (
+    SELECT md5(concat(d.doc_id, ':', t.y)) || md5(concat(d.doc_id, '|', t.y)) AS hx
+  ) AS hx
+),
+bbytes AS (
+  SELECT g1.doc_id, g1.y,
+         SUM(CASE WHEN g2.g > g1.g THEN 1 << (7 - g1.x) ELSE 0 END) AS byte_y
+  FROM bgray g1
+  JOIN bgray g2 ON g2.doc_id = g1.doc_id AND g2.y = g1.y AND g2.x = g1.x + 1
+  WHERE g1.x < {BMP_W - 1}
+  GROUP BY g1.doc_id, g1.y
+),
+bdhash AS (
+  SELECT doc_id,
+         string_agg(lpad(lower(hex(byte_y)), 2, '0'), '' ORDER BY y) AS dhash
+  FROM bbytes GROUP BY doc_id
+),
+bp AS (
+  SELECT d.doc_id, bdhash.dhash,
+         sha256(hex(
+           unhex('{bmp_header_hex}')
+           || {bmp_rows_blob}
+         )) AS h
+  FROM documents d JOIN bdhash USING (doc_id)
 )
 SELECT doc_id, n_bytes, 'png' AS kind,
        CAST(width AS INT) AS width, CAST(height AS INT) AS height,
        CAST(8 AS INT) AS bit_depth, CAST(2 AS INT) AS color_type,
+       '' AS dhash,
        {mm_feats}
 FROM p
+UNION ALL
+SELECT doc_id, CAST({BMP_N_BYTES} AS BIGINT) AS n_bytes, 'bmp' AS kind,
+       CAST({BMP_W} AS INT) AS width, CAST({BMP_H} AS INT) AS height,
+       CAST(24 AS INT) AS bit_depth, CAST(-1 AS INT) AS color_type,
+       dhash,
+       {mm_feats}
+FROM bp
 """
     return sql

@@ -448,6 +448,24 @@ def main() -> None:
                 spark, sq_root, emb, [float(x) for x in probe], k=10, refine=4
             ).collect(),
         )
+        # IVFADC (round 4): PQ over residuals within IVF cells, one
+        # persisted index — nprobe cell partitions × M-byte ADC per vector
+        from search_engine_spark.operators.similarity import (
+            ivfpq_topk_persisted,
+            write_ivfpq,
+        )
+
+        ivfpq_root = os.path.join(idx_root, "ivfpq")
+        timed(
+            "q8i_ivfpq_build",
+            lambda: write_ivfpq(spark, emb, ivfpq_root, n_cells=16, m=4, n_codes=16),
+        )
+        timed_best(
+            "q8j_ivfpq_query",
+            lambda: ivfpq_topk_persisted(
+                spark, ivfpq_root, emb, [float(x) for x in probe], k=10, refine=4
+            ).collect(),
+        )
 
         # --- round-3 query surface: warm latencies through the engine ---
         from search_engine_spark.plans.bm25f import bm25f_topk
@@ -680,6 +698,114 @@ def main() -> None:
                     "dismax",
                     lambda: beng.search_dismax(
                         "table window spark", tie_breaker=0.3, k=10
+                    ).collect(),
+                    runs=2,
+                )
+
+                # --- round-4: the LLM-pipeline ops that dominate a real
+                # 100-TB run, at the same 40× point.  Documents replicate
+                # with a per-rep suffix token so replicas are NEAR (not
+                # exact) duplicates — near_dedup must band, verify, and
+                # cluster 40-way dup groups, the shape web crawls have.
+                big_raw_src = os.path.join(big_root, "docs_raw")
+                n_raw = raw_docs.count()
+                (
+                    raw_docs.withColumn(
+                        "rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1)))
+                    )
+                    .select(
+                        (F.col("doc_id") + F.col("rep") * F.lit(n_raw)).alias(
+                            "doc_id"
+                        ),
+                        F.when(F.col("rep") == 0, F.col("text"))
+                        .otherwise(
+                            F.concat_ws(
+                                " ",
+                                F.col("text"),
+                                F.concat(F.lit("rep"), F.col("rep")),
+                            )
+                        )
+                        .alias("text"),
+                        "lang",
+                    )
+                    .repartition(cpus)
+                    .write.mode("overwrite")
+                    .parquet(big_raw_src)
+                )
+                big_raw = spark.read.parquet(big_raw_src)
+                from search_engine_spark.operators.decontaminate import (
+                    decontaminate,
+                )
+                from search_engine_spark.operators.dedup import near_dedup
+                from search_engine_spark.operators.lm_score import (
+                    perplexity_score,
+                    train_bigram_lm,
+                )
+                from search_engine_spark.operators.packing import pack_sequences
+
+                timed_scale(
+                    "near_dedup",
+                    lambda: _force(near_dedup(big_raw, threshold=0.5)),
+                )
+                big_ev = big_raw.where(
+                    F.col("doc_id") % 17 == 3
+                ).select("doc_id", "text").limit(2000)
+                timed_scale(
+                    "decontaminate",
+                    lambda: _force(
+                        decontaminate(
+                            big_raw.select("doc_id", "text"), big_ev, n=13
+                        )
+                    ),
+                )
+
+                def _lm_scale():
+                    lm = train_bigram_lm(big_raw)
+                    _force(perplexity_score(big_raw, lm))
+
+                timed_scale("lm_perplexity", _lm_scale)
+                timed_scale(
+                    "pack_manifest",
+                    lambda: _force(
+                        pack_sequences(big_raw, ctx_len=2048, n_shards=64)
+                    ),
+                )
+
+                # quantized ANN at 40× vectors: one persisted IVFADC index,
+                # then warm nprobe-pruned query latency
+                n_emb = emb.count()
+                big_emb_src = os.path.join(big_root, "emb")
+                (
+                    emb.withColumn(
+                        "rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1)))
+                    )
+                    .select(
+                        (F.col("vec_id") + F.col("rep") * F.lit(n_emb)).alias(
+                            "vec_id"
+                        ),
+                        "embedding",
+                    )
+                    .repartition(cpus)
+                    .write.mode("overwrite")
+                    .parquet(big_emb_src)
+                )
+                big_emb = spark.read.parquet(big_emb_src)
+                big_ivfpq = os.path.join(big_root, "ivfpq")
+                timed_scale(
+                    "ivfpq_build",
+                    lambda: write_ivfpq(
+                        spark, big_emb, big_ivfpq, n_cells=16, m=4, n_codes=16
+                    ),
+                )
+                timed_scale(
+                    "ivfpq_query",
+                    lambda: ivfpq_topk_persisted(
+                        spark,
+                        big_ivfpq,
+                        big_emb,
+                        [float(x) for x in probe],
+                        k=10,
+                        refine=4,
                     ).collect(),
                     runs=2,
                 )

@@ -39,7 +39,7 @@ FEATURE_DIM = 8
 FEATURES_SCHEMA = (
     "doc_id long, n_bytes long, kind string, "
     "width int, height int, bit_depth int, color_type int, "
-    "features array<double>"
+    "features array<double>, dhash string"
 )
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -213,12 +213,153 @@ def sniff_kind(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def decode_image(payload: bytes) -> object:
-    """Real decoder stub — requires PIL/libjpeg, absent in this container."""
+    """Real decoder stub for COMPRESSED formats — requires PIL/libjpeg,
+    absent in this container.  Uncompressed BMPs decode for real: see
+    ``decode_bmp_pixels`` (r3 verdict #6)."""
     raise NotImplementedError(
-        "image decode requires PIL/libvips; wire the real decoder here — "
-        "the surrounding mapInPandas plumbing (schema, batching, partitioning) "
-        "is already production-shaped"
+        "jpeg/png/gif pixel decode requires PIL/libvips; wire the real "
+        "decoder here — the surrounding mapInPandas plumbing (schema, "
+        "batching, partitioning) is already production-shaped.  BMP decodes "
+        "for real via decode_bmp_pixels."
     )
+
+
+# --- REAL BMP pixel decode + perceptual hashes (r3 verdict #6) ----------
+#
+# BMP is the one mainstream image format with an uncompressed pixel path
+# (BI_RGB), so a pure-Python decoder is both real and exact — no codec
+# library.  dHash/aHash over the decoded grayscale grid give the
+# perceptual near-dup signal an image-modality training pipeline needs
+# (Krawetz's dHash: gradient direction survives re-encode/resize noise).
+
+# synthetic-BMP geometry: exactly (DHASH_W+1) x DHASH_H so dhash needs no
+# resample and the DuckDB oracle can re-derive every bit (gate mm_features)
+DHASH_W, DHASH_H = 8, 8
+BMP_W, BMP_H = DHASH_W + 1, DHASH_H
+_BMP_STRIDE = ((BMP_W * 3 + 3) // 4) * 4          # 27 pixel bytes + 1 pad
+BMP_N_BYTES = 54 + BMP_H * _BMP_STRIDE            # 14 + 40 header + rows
+
+
+def _le(v: int, n: int) -> bytes:
+    return int(v).to_bytes(n, "little", signed=True)
+
+
+def bmp_header(width: int, height: int, bpp: int = 24) -> bytes:
+    """BITMAPFILEHEADER + BITMAPINFOHEADER for an uncompressed (BI_RGB)
+    image; ``height`` may be negative for top-down row order."""
+    stride = ((width * (bpp // 8) + 3) // 4) * 4
+    data = stride * abs(height)
+    return (
+        b"BM" + _le(54 + data, 4) + b"\x00" * 4 + _le(54, 4)
+        + _le(40, 4) + _le(width, 4) + _le(height, 4)
+        + _le(1, 2) + _le(bpp, 2) + _le(0, 4) + _le(data, 4)
+        + b"\x00" * 16
+    )
+
+
+def decode_bmp_pixels(payload: bytes) -> list[list[int]] | None:
+    """REAL pure-Python BMP pixel decode: BITMAPINFOHEADER, uncompressed
+    (BI_RGB) 24/32-bit payloads → top-down grayscale grid ``g[y][x]``
+    with gray = (b + g + r) // 3 (integer — bit-reproducible anywhere).
+    Handles bottom-up (biHeight > 0) and top-down (< 0) row order and the
+    4-byte row stride padding.  None for non-BMP / compressed / paletted /
+    truncated payloads — callers map that to NULL, never an exception."""
+    meta = decode_bmp_meta(payload)
+    if meta is None:
+        return None
+    width, height, bpp = meta["width"], meta["height"], meta["bit_depth"]
+    if bpp not in (24, 32) or width <= 0 or height == 0:
+        return None
+    if int.from_bytes(payload[30:34], "little") != 0:  # biCompression != BI_RGB
+        return None
+    off = int.from_bytes(payload[10:14], "little")
+    n_rows, bottom_up = abs(height), height > 0
+    bytespp = bpp // 8
+    stride = ((width * bytespp + 3) // 4) * 4
+    if len(payload) < off + stride * n_rows:
+        return None
+    grid = []
+    for y in range(n_rows):
+        row_idx = (n_rows - 1 - y) if bottom_up else y
+        base = off + row_idx * stride
+        row = []
+        for x in range(width):
+            p = base + x * bytespp
+            row.append((payload[p] + payload[p + 1] + payload[p + 2]) // 3)
+        grid.append(row)
+    return grid
+
+
+def _downsample(grid: list[list[int]], out_w: int, out_h: int) -> list[list[int]]:
+    """Integer box-downsample (area mean, floor div) — deterministic, no
+    floats.  Identity when the grid is already out_w x out_h."""
+    in_h, in_w = len(grid), len(grid[0])
+    if (in_w, in_h) == (out_w, out_h):
+        return grid
+    out = []
+    for oy in range(out_h):
+        y0, y1 = (oy * in_h) // out_h, max(((oy + 1) * in_h) // out_h, (oy * in_h) // out_h + 1)
+        row = []
+        for ox in range(out_w):
+            x0, x1 = (ox * in_w) // out_w, max(((ox + 1) * in_w) // out_w, (ox * in_w) // out_w + 1)
+            s = sum(grid[y][x] for y in range(y0, y1) for x in range(x0, x1))
+            row.append(s // ((y1 - y0) * (x1 - x0)))
+        out.append(row)
+    return out
+
+
+def dhash_grid(grid: list[list[int]], hash_w: int = DHASH_W, hash_h: int = DHASH_H) -> str:
+    """Difference hash (Krawetz): downsample to (hash_w+1) x hash_h, bit
+    i = y*hash_w + x set iff g[y][x+1] > g[y][x]; returned as a
+    zero-padded lowercase hex string (bit 0 is the MSB) — strings sidestep
+    the int64 sign pitfall and hash identically in any engine."""
+    g = _downsample(grid, hash_w + 1, hash_h)
+    v = 0
+    for y in range(hash_h):
+        for x in range(hash_w):
+            v = (v << 1) | (1 if g[y][x + 1] > g[y][x] else 0)
+    return format(v, f"0{hash_w * hash_h // 4}x")
+
+
+def ahash_grid(grid: list[list[int]], hash_w: int = 8, hash_h: int = 8) -> str:
+    """Average hash: downsample to hash_w x hash_h, bit set iff the cell
+    exceeds the mean of cell values (integer mean — floor div)."""
+    g = _downsample(grid, hash_w, hash_h)
+    cells = [v for row in g for v in row]
+    mean = sum(cells) // len(cells)
+    v = 0
+    for c in cells:
+        v = (v << 1) | (1 if c > mean else 0)
+    return format(v, f"0{hash_w * hash_h // 4}x")
+
+
+def attach_fake_bmp(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic VALID 24-bit BMP payload per doc, built COLUMNAR so
+    the DuckDB oracle reproduces every byte: constant 54-byte header for a
+    9x8 bottom-up image, then 8 stored rows (image row y = 7 - stored
+    index) of 27 pixel bytes + 1 pad, where the pixel bytes are
+    unhex(substr(md5(doc_id||':'||y) || md5(doc_id||'|'||y), 1, 54)).
+    The REAL decode_bmp_pixels → dhash_grid path then runs on genuinely
+    decodable binary; the twin re-derives the same bits from the md5s."""
+    rows = [
+        F.concat(
+            F.unhex(
+                F.substring(
+                    F.concat(
+                        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{y}"))),
+                        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{y}"))),
+                    ),
+                    1,
+                    2 * (BMP_W * 3),
+                )
+            ),
+            F.lit(b"\x00" * (_BMP_STRIDE - BMP_W * 3)),
+        )
+        # bottom-up storage: last image row first
+        for y in range(BMP_H - 1, -1, -1)
+    ]
+    payload = F.concat(F.lit(bmp_header(BMP_W, BMP_H)), *rows)
+    return docs.select(F.col(id_col), payload.alias("payload"))
 
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -251,6 +392,14 @@ def extract_features(binary_df: DataFrame, payload_col: str = "payload") -> Data
                 (dec(p) or {}) if (dec := _HEADER_DECODERS.get(k)) else {}
                 for p, k in zip(pdf[payload_col], pdf["kind"])
             ]
+            # REAL pixel decode for the uncompressed format: BMP payloads
+            # get a perceptual dhash; every other kind stays NULL
+            dhashes = [
+                dhash_grid(grid)
+                if k == "bmp" and (grid := decode_bmp_pixels(p)) is not None
+                else None
+                for p, k in zip(pdf[payload_col], pdf["kind"])
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -263,6 +412,7 @@ def extract_features(binary_df: DataFrame, payload_col: str = "payload") -> Data
                     "bit_depth": pd.array([m.get("bit_depth") for m in metas], dtype="Int32"),
                     "color_type": pd.array([m.get("color_type") for m in metas], dtype="Int32"),
                     "features": [ _fake_features(p) for p in pdf[payload_col] ],
+                    "dhash": dhashes,
                 }
             )
 

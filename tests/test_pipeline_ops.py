@@ -1121,3 +1121,152 @@ def test_near_dedup_cc_policy_resolves_chains(spark):
     assert got[3] == (1, 0)   # resolved to the KEPT representative
     with pytest.raises(ValueError, match="policy"):
         near_dedup(docs, policy="nope")
+
+
+def test_decode_bmp_pixels():
+    """REAL BMP pixel decode (r3 verdict #6): bottom-up and top-down row
+    order, 24/32bpp, 4-byte stride padding, and the reject contracts."""
+    from search_engine_spark.operators.multimodal import (
+        bmp_header,
+        decode_bmp_pixels,
+    )
+
+    # 3x2 24bpp bottom-up: stride = 12 (9 pixel bytes + 3 pad).  Grays are
+    # channel means — rows supplied bottom-first must come back top-first.
+    top = bytes([10, 10, 10, 20, 20, 20, 30, 30, 30]) + b"\x00" * 3
+    bot = bytes([40, 40, 40, 50, 50, 50, 60, 60, 60]) + b"\x00" * 3
+    bmp = bmp_header(3, 2) + bot + top
+    assert decode_bmp_pixels(bmp) == [[10, 20, 30], [40, 50, 60]]
+    # top-down (negative height): rows stored in display order
+    bmp_td = bmp_header(3, -2) + top + bot
+    assert decode_bmp_pixels(bmp_td) == [[10, 20, 30], [40, 50, 60]]
+    # 32bpp: 4 bytes/pixel, gray still means the first three channels
+    px32 = bytes([9, 9, 9, 255, 18, 18, 18, 255, 27, 27, 27, 0])
+    assert decode_bmp_pixels(bmp_header(3, -1, bpp=32) + px32) == [[9, 18, 27]]
+    # integer gray: (1 + 2 + 3) // 3 = 2
+    assert decode_bmp_pixels(
+        bmp_header(1, -1) + bytes([1, 2, 3]) + b"\x00"
+    ) == [[2]]
+    # rejects: truncated pixel data, non-BI_RGB compression, 8bpp palette
+    assert decode_bmp_pixels(bmp[: len(bmp) - 4]) is None
+    comp = bytearray(bmp)
+    comp[30] = 1  # biCompression = BI_RLE8
+    assert decode_bmp_pixels(bytes(comp)) is None
+    assert decode_bmp_pixels(bmp_header(3, 2, bpp=8) + bot + top) is None
+
+
+def test_dhash_ahash_known_values():
+    from search_engine_spark.operators.multimodal import (
+        _downsample,
+        ahash_grid,
+        dhash_grid,
+    )
+
+    # 9x8 ascending rows: every adjacent comparison is 'greater' → all 64
+    # dhash bits set
+    ramp = [[x * 10 + y for x in range(9)] for y in range(8)]
+    assert dhash_grid(ramp) == "f" * 16
+    desc = [[90 - x * 10 for x in range(9)] for y in range(8)]
+    assert dhash_grid(desc) == "0" * 16
+    # hand-computed single row block: bits = g[x+1] > g[x]
+    grid = [[5, 3, 9, 9, 2, 7, 7, 1, 8]] + [[0] * 9] * 7
+    # comparisons: 3>5 F, 9>3 T, 9>9 F, 2>9 F, 7>2 T, 7>7 F, 1>7 F, 8>1 T
+    # → 01001001 = 0x49, remaining rows all zero
+    assert dhash_grid(grid) == "49" + "00" * 7
+    # ahash on an exact 8x8: mean of [0..63] = 31 (floor); bits = v > 31
+    flat = [[y * 8 + x for x in range(8)] for y in range(8)]
+    assert ahash_grid(flat) == "00000000ffffffff"
+    # downsample identity + 2x box mean with floor division
+    assert _downsample(flat, 8, 8) == flat
+    small = _downsample([[0, 1], [2, 3]], 1, 1)
+    assert small == [[(0 + 1 + 2 + 3) // 4]]
+
+
+def test_attach_fake_bmp_roundtrip(spark):
+    """The columnar synthetic BMP payload byte-matches its pure-Python
+    twin, and the REAL decode→dhash path recovers the oracle-derivable
+    hash through the distributed pipeline."""
+    import hashlib
+
+    from search_engine_spark.operators.multimodal import (
+        BMP_H,
+        BMP_W,
+        attach_fake_bmp,
+        bmp_header,
+        decode_bmp_pixels,
+        dhash_grid,
+        extract_features,
+    )
+
+    def py_payload(doc_id: int) -> bytes:
+        rows = b""
+        for y in range(BMP_H - 1, -1, -1):  # bottom-up storage
+            hx = (
+                hashlib.md5(f"{doc_id}:{y}".encode()).hexdigest()
+                + hashlib.md5(f"{doc_id}|{y}".encode()).hexdigest()
+            )
+            rows += bytes.fromhex(hx[: 2 * BMP_W * 3]) + b"\x00"
+        return bmp_header(BMP_W, BMP_H) + rows
+
+    docs = spark.createDataFrame([(3,), (17,)], "doc_id long")
+    got = {r["doc_id"]: bytes(r["payload"]) for r in attach_fake_bmp(docs).collect()}
+    assert got[3] == py_payload(3) and got[17] == py_payload(17)
+
+    feats = {r["doc_id"]: r for r in extract_features(attach_fake_bmp(docs)).collect()}
+    for d in (3, 17):
+        expect = dhash_grid(decode_bmp_pixels(py_payload(d)))
+        assert feats[d]["kind"] == "bmp" and feats[d]["dhash"] == expect
+        assert feats[d]["width"] == BMP_W and feats[d]["height"] == BMP_H
+    # PNG payloads keep a NULL dhash (no pixel path for compressed kinds)
+    from search_engine_spark.operators.multimodal import attach_fake_binary
+
+    png_docs = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    r = extract_features(attach_fake_binary(png_docs)).collect()[0]
+    assert r["kind"] == "png" and r["dhash"] is None
+
+
+def test_image_near_dup(spark):
+    """A planted near-identical image pair dedups (r3 verdict #6): one
+    changed pixel flips ≤2 dhash bits → banding finds the pair, the
+    smaller id wins; a visually different image and an undecodable payload
+    both survive."""
+    from search_engine_spark.operators.multimodal import bmp_header
+    from search_engine_spark.operators.dedup import image_dhashes, image_near_dup
+
+    def bmp_of(grays: list[list[int]]) -> bytearray:
+        rows = b""
+        for row in reversed(grays):  # bottom-up
+            rows += bytes(v for g in row for v in (g, g, g)) + b"\x00"
+        return bytearray(bmp_header(9, 8) + rows)
+
+    ramp = [[x * 20 + y for x in range(9)] for y in range(8)]
+    near = [row[:] for row in ramp]
+    near[0][4] = 0  # one pixel: flips the 3→4 comparison only
+    anti = [[180 - x * 20 for x in range(9)] for y in range(8)]
+    df = spark.createDataFrame(
+        [(1, bmp_of(ramp)), (2, bmp_of(near)), (3, bmp_of(anti)),
+         (4, bytearray(b"not an image"))],
+        "doc_id long, payload binary",
+    )
+    hams = {r["doc_id"]: r["dhash"] for r in image_dhashes(df).collect()}
+    assert set(hams) == {1, 2, 3}  # undecodable payload contributes nothing
+    assert hams[1] == "f" * 16 and hams[3] == "0" * 16
+
+    res = {r["doc_id"]: r for r in image_near_dup(df, max_hamming=3).collect()}
+    assert res[1]["keep"] == 1 and res[1]["dup_of"] is None
+    assert res[2]["keep"] == 0 and res[2]["dup_of"] == 1
+    assert res[3]["keep"] == 1  # hamming 64 from both — no visual match
+    assert res[4]["keep"] == 1  # no evidence → never dropped
+
+    # cc policy resolves a chain to one representative: 2~1 and 2~5 where
+    # 1~5 may exceed the radius
+    chain = [row[:] for row in ramp]
+    chain[7][4] = 0  # a DIFFERENT single-pixel change off the same base
+    df2 = spark.createDataFrame(
+        [(1, bmp_of(ramp)), (2, bmp_of(near)), (5, bmp_of(chain))],
+        "doc_id long, payload binary",
+    )
+    cc = {r["doc_id"]: r for r in image_near_dup(df2, max_hamming=3, policy="cc").collect()}
+    assert cc[1]["keep"] == 1
+    assert cc[2]["keep"] == 0 and cc[2]["dup_of"] == 1
+    assert cc[5]["keep"] == 0 and cc[5]["dup_of"] == 1
