@@ -334,3 +334,50 @@ def test_sliding_stream_equals_batch(spark, small_events, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stateful_running_totals_rocksdb(spark, small_events, tmp_path):
+    """The same applyInPandasWithState matrix under the RocksDB state
+    store provider (r3 verdict #7) — the provider a 10^9-key deployment
+    runs, where state spills off-heap instead of filling executor JVMs.
+    The operator must be provider-agnostic: identical final totals."""
+    from search_engine_spark.streaming.stateful import final_user_totals
+
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(provider)
+    except Exception:
+        pytest.skip("RocksDB state store provider not on this Spark's classpath")
+
+    landing = str(tmp_path / "landing")
+    for parity in (0, 1):
+        (small_events.where(F.col("event_id") % 2 == parity)
+         .coalesce(1).write.mode("append").parquet(landing))
+    src = (
+        spark.readStream.schema(small_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, provider)
+    try:
+        got = sorted(
+            (r["user_id"], r["n_events"], r["sum_value"])
+            for r in final_user_totals(spark, src, "totals_stream_rocksdb").collect()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    want = sorted(
+        (r["user_id"], r["n_events"], r["sum_value"])
+        for r in small_events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .collect()
+    )
+    assert got == want
