@@ -158,14 +158,16 @@ def rescore_topk(
     import math
 
     # the depth-bounded window is referenced THREE times below (min/max
-    # agg, lexical leg, semi-join ids) — localCheckpoint materializes the
-    # expensive BM25 scoring once (≤depth rows, executor-resident,
-    # lineage-truncated, auto-cleaned on GC); without it the whole
-    # probe→decode→fold subtree executes per reference
+    # agg, lexical leg, semi-join ids) — persist caches the expensive BM25
+    # scoring once (≤depth rows; the same RDD instance backs every
+    # reference, so partitions compute once and hit cache after).  Plain
+    # persist over localCheckpoint: blocks stay LRU-evictable and lineage
+    # survives, so an executor loss on a shared cluster recomputes instead
+    # of failing the query; ContextCleaner releases the blocks on GC.
     bm = (
         engine.search(query, mode=mode, k=depth)
         .select("docid", "score")
-        .localCheckpoint(eager=True)
+        .persist()
     )
     ext = bm.crossJoin(
         F.broadcast(bm.agg(F.min("score").alias("lo"), F.max("score").alias("hi")))
