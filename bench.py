@@ -397,6 +397,16 @@ def main() -> None:
             runs=2,
         )
 
+        # --- real PNG pixel decode (zlib inflate + unfilter + dhash) ---
+        from search_engine_spark.operators.dedup import image_dhashes
+        from search_engine_spark.operators.multimodal import attach_fake_png
+
+        timed_best(
+            "q10i_png_dhash",
+            lambda: _force(image_dhashes(attach_fake_png(raw_docs))),
+            runs=2,
+        )
+
         # --- IVF ANN (seed + assign once, then warm probe latency) ---
         from search_engine_spark.operators.similarity import (
             ivf_seed_centroids,

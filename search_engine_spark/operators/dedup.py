@@ -500,15 +500,16 @@ def simhash_near_dup(
 def image_dhashes(
     binary_df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, dhash): REAL BMP pixel decode → perceptual difference hash
-    (multimodal.decode_bmp_pixels + dhash_grid), NULL-dropped.  mapInPandas
-    over the binary column — embarrassingly parallel, no shuffle; the only
-    scale knob is input split size, exactly like extract_features."""
+    """(doc_id, dhash): REAL pixel decode (BMP uncompressed or PNG via
+    stdlib zlib — multimodal.decode_pixels) → perceptual difference hash
+    (dhash_grid), NULL-dropped.  mapInPandas over the binary column —
+    embarrassingly parallel, no shuffle; the only scale knob is input
+    split size, exactly like extract_features."""
     from collections.abc import Iterator
 
     import pandas as pd
 
-    from .multimodal import decode_bmp_pixels, dhash_grid
+    from .multimodal import decode_pixels, dhash_grid
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -516,7 +517,7 @@ def image_dhashes(
                 {
                     "doc_id": pdf[id_col],
                     "dhash": [
-                        dhash_grid(g) if (g := decode_bmp_pixels(p)) is not None else None
+                        dhash_grid(g) if (g := decode_pixels(p)) is not None else None
                         for p in pdf[payload_col]
                     ],
                 }
@@ -551,7 +552,7 @@ def image_near_dup(
 
     Never all-pairs: candidates are band-bucket collisions only; band
     values are md5-derived-uniform except for true near-dup clusters,
-    which ARE the output.  Non-BMP / undecodable payloads pass through
+    which ARE the output.  Non-BMP/PNG or undecodable payloads pass through
     with keep=1 (no visual evidence — never drop on absence of signal).
     """
     if policy not in ("min_id", "cc"):
