@@ -2052,10 +2052,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce(F.col("dhash"), F.lit("")).alias("dhash"),
         )
 
+    def q_gif_pixels(spark, sf):
+        """REAL GIF LZW pixel decode, VALUE-checked (round 4): same
+        contract as png_pixels but the container is an INTERLACED GIF89a
+        whose LZW stream extract_features must inflate (variable code
+        widths, late-change growth, interlace unweave) before the dhash
+        can agree with the twin's zlib-free md5 re-derivation.  The gray
+        palette (index == gray) keeps the decoded grid identical to the
+        BMP/PNG legs'."""
+        from search_engine_spark.operators.multimodal import (
+            attach_fake_gif,
+            extract_features,
+        )
+
+        feats = extract_features(attach_fake_gif(_raw_docs(spark, sf)))
+        return feats.select(
+            "doc_id",
+            "kind",
+            "width",
+            "height",
+            "bit_depth",
+            F.coalesce(F.col("color_type"), F.lit(-1)).alias("color_type"),
+            F.coalesce(F.col("dhash"), F.lit("")).alias("dhash"),
+        )
+
     return {
         # --- previously driver-unverified content first (r2 verdict #1) ---
         "trigram_search": q_trigram_search,
         "png_pixels": q_png_pixels,
+        "gif_pixels": q_gif_pixels,
         "code_tokens": q_code_tokens,
         "fuzzy_terms": q_fuzzy_terms,
         "text_stats": q_text_stats,
@@ -4318,4 +4343,16 @@ SELECT doc_id, 'png' AS kind,
        dhash
 FROM dh
 """
+
+    # gif_pixels: identical md5-derived grid through the GIF container —
+    # the twin only swaps the header constants (GIF meta carries no
+    # color_type → -1, like the Spark side's coalesce).
+    _gif_select = rf"""
+SELECT doc_id, 'gif' AS kind,
+       CAST({BMP_W} AS INT) AS width, CAST({BMP_H} AS INT) AS height,
+       CAST(8 AS INT) AS bit_depth, CAST(-1 AS INT) AS color_type,
+       dhash
+FROM dh
+"""
+    sql["gif_pixels"] = sql["png_pixels"].rsplit("SELECT doc_id, 'png'", 1)[0] + _gif_select.strip() + "\n"
     return sql

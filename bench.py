@@ -397,13 +397,21 @@ def main() -> None:
             runs=2,
         )
 
-        # --- real PNG pixel decode (zlib inflate + unfilter + dhash) ---
+        # --- real image pixel decode (PNG zlib inflate / GIF LZW + dhash) ---
         from search_engine_spark.operators.dedup import image_dhashes
-        from search_engine_spark.operators.multimodal import attach_fake_png
+        from search_engine_spark.operators.multimodal import (
+            attach_fake_gif,
+            attach_fake_png,
+        )
 
         timed_best(
             "q10i_png_dhash",
             lambda: _force(image_dhashes(attach_fake_png(raw_docs))),
+            runs=2,
+        )
+        timed_best(
+            "q10j_gif_dhash",
+            lambda: _force(image_dhashes(attach_fake_gif(raw_docs))),
             runs=2,
         )
 

@@ -221,18 +221,18 @@ def sniff_kind(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 def decode_image(payload: bytes) -> object:
     """Pixel decode for the formats with a pure-stdlib path: BMP
-    (uncompressed BI_RGB — ``decode_bmp_pixels``) and PNG (zlib inflate +
-    scanline unfilter — ``decode_png_pixels``, round 4).  JPEG/GIF pixel
-    decode stays a declared stub: JPEG needs a full entropy+DCT decoder
-    and GIF an LZW decoder (PIL/libvips territory) — the surrounding
-    mapInPandas plumbing (schema, batching, partitioning) is identical,
-    so wiring a real codec changes nothing but this dispatch."""
+    (uncompressed BI_RGB — ``decode_bmp_pixels``), PNG (zlib inflate +
+    scanline unfilter — ``decode_png_pixels``), and GIF (pure-Python LZW
+    — ``decode_gif_pixels``, both round 4).  JPEG pixel decode stays a
+    declared stub: it needs a full entropy+DCT decoder (PIL/libjpeg
+    territory) — the surrounding mapInPandas plumbing (schema, batching,
+    partitioning) is identical, so wiring it changes only this dispatch."""
     grid = decode_pixels(payload)
     if grid is not None:
         return grid
-    if payload[:3] == b"\xff\xd8\xff" or payload[:4] == b"GIF8":
+    if payload[:3] == b"\xff\xd8\xff":
         raise NotImplementedError(
-            "jpeg/gif pixel decode requires PIL/libvips; BMP and PNG "
+            "jpeg pixel decode requires PIL/libjpeg; BMP, PNG, and GIF "
             "decode for real via decode_pixels."
         )
     return None
@@ -412,14 +412,246 @@ def png_encode(
     return bytes(out)
 
 
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> list[int] | None:
+    """GIF-variant LZW decode (spec appendix F): variable-width codes
+    (min+1 … 12 bits) packed LSB-first, clear/EOI codes, dictionary
+    rebuilt on clear, the classic cScSc first-entry special case.  Stops
+    at EOI or after ``n_pixels`` outputs; None on any malformation."""
+    if not 2 <= min_code_size <= 8:
+        return None
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = {i: (i,) for i in range(clear)}
+    table = dict(base)
+    next_code = end + 1
+    code_size = min_code_size + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = bit_n = pos = 0
+    n = len(data)
+    while len(out) < n_pixels:
+        while bit_n < code_size:
+            if pos >= n:
+                return None  # ran out of bits before EOI / enough pixels
+            acc |= data[pos] << bit_n
+            bit_n += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        bit_n -= code_size
+        if code == clear:
+            table = dict(base)
+            next_code = end + 1
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + (prev[0],)  # the cScSc case
+            else:
+                return None
+            if next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                # GIF's "late change" (compress-derived, NOT TIFF's
+                # early-change): the width bump lands one code after
+                # the table reaches 2^size — the decoder's one-code add
+                # lag against the encoder makes this line up exactly
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        out.extend(entry)
+        prev = entry
+    return out[:n_pixels] if len(out) >= n_pixels else None
+
+
+# the four interlace passes of GIF spec §20: (first row, row step)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_pixels(payload: bytes) -> list[list[int]] | None:
+    """REAL pure-Python GIF pixel decode (round 4): Logical Screen
+    Descriptor + color tables + the first image descriptor, LZW-inflated
+    via ``_gif_lzw_decode`` (no codec library — the LZW variant is fully
+    specified in GIF89a appendix F), interlace passes unwoven, palette
+    folded to the shared integer grayscale grid gray = (r+g+b)//3.
+    Covers the first frame only (the training-pipeline signal); None —
+    never an exception — for malformed/truncated/oversized payloads."""
+    meta = decode_gif_meta(payload)
+    if meta is None:
+        return None
+    n = len(payload)
+    i = 13
+    packed = payload[10]
+    palette: bytes | None = None
+    if packed & 0x80:  # global color table
+        size = 3 * (1 << ((packed & 0x07) + 1))
+        if i + size > n:
+            return None
+        palette = payload[i : i + size]
+        i += size
+    while i < n:
+        b = payload[i]
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < n and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            if i + 10 > n:
+                return None
+            w = int.from_bytes(payload[i + 5 : i + 7], "little")
+            h = int.from_bytes(payload[i + 7 : i + 9], "little")
+            ipacked = payload[i + 9]
+            i += 10
+            if ipacked & 0x80:  # local color table wins
+                size = 3 * (1 << ((ipacked & 0x07) + 1))
+                if i + size > n:
+                    return None
+                palette = payload[i : i + size]
+                i += size
+            if palette is None or w <= 0 or h <= 0 or w * h > 1 << 24:
+                return None
+            if i >= n:
+                return None
+            min_code = payload[i]
+            i += 1
+            chunks = []
+            while i < n and payload[i] != 0:
+                ln = payload[i]
+                if i + 1 + ln > n:
+                    return None
+                chunks.append(payload[i + 1 : i + 1 + ln])
+                i += 1 + ln
+            idx = _gif_lzw_decode(min_code, b"".join(chunks), w * h)
+            if idx is None:
+                return None
+            n_colors = len(palette) // 3
+            grid: list[list[int]] = [[0] * w for _ in range(h)]
+            rows_order: list[int] = []
+            if ipacked & 0x40:  # interlaced
+                for first, step in _GIF_INTERLACE:
+                    rows_order.extend(range(first, h, step))
+            else:
+                rows_order = list(range(h))
+            for stored, y in enumerate(rows_order):
+                for x in range(w):
+                    ci = idx[stored * w + x]
+                    if ci >= n_colors:
+                        return None
+                    j = ci * 3
+                    grid[y][x] = (palette[j] + palette[j + 1] + palette[j + 2]) // 3
+            return grid
+        elif b == 0x3B:  # trailer before any image
+            return None
+        else:
+            return None
+    return None
+
+
+def gif_encode(
+    index_rows: list[list[int]],
+    palette: list[tuple[int, int, int]],
+    interlace: bool = False,
+) -> bytes:
+    """Spec-correct GIF89a encoder (real LZW, sub-block framing,
+    optional interlace) — the test counterpart of ``decode_gif_pixels``.
+    ``index_rows`` holds palette indices; the palette is padded to the
+    next power of two (GIF color tables must be 2^k entries)."""
+    h, w = len(index_rows), len(index_rows[0])
+    n_colors = len(palette)
+    bits = max(1, (max(0, n_colors - 1)).bit_length())
+    full = 1 << bits
+    pal = bytes(
+        c
+        for j in range(full)
+        for c in (palette[j] if j < n_colors else (0, 0, 0))
+    )
+    packed = 0x80 | ((bits - 1) << 4) | (bits - 1)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([packed, 0, 0]) + pal
+    out += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x40 if interlace else 0x00)
+    # pixel stream in stored order
+    rows_order: list[int] = []
+    if interlace:
+        for first, step in _GIF_INTERLACE:
+            rows_order.extend(range(first, h, step))
+    else:
+        rows_order = list(range(h))
+    pixels = [index_rows[y][x] for y in rows_order for x in range(w)]
+    min_code = max(2, bits)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out.append(min_code)
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(1 << min_code)}
+    next_code = end + 1
+    code_size = min_code + 1
+    acc = bit_n = 0
+    stream = bytearray()
+
+    def emit(code: int) -> None:
+        # compress-derived GIF convention ("late change"): write at the
+        # CURRENT width, then bump if the free slot no longer fits — the
+        # bump takes effect one emission after the table crosses 2^size
+        nonlocal acc, bit_n, code_size
+        acc |= code << bit_n
+        bit_n += code_size
+        while bit_n >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            bit_n -= 8
+        if next_code > (1 << code_size) - 1 and code_size < 12:
+            code_size += 1
+
+    emit(clear)
+    cur: tuple[int, ...] = ()
+    for px in pixels:
+        cand = cur + (px,)
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+        else:  # table full: emit clear and restart (keeps decoders honest)
+            emit(clear)
+            table = {(i,): i for i in range(1 << min_code)}
+            next_code = end + 1
+            code_size = min_code + 1
+        cur = (px,)
+    if cur:
+        emit(table[cur])
+    emit(end)
+    if bit_n:
+        stream.append(acc & 0xFF)
+    for off in range(0, len(stream), 255):
+        blk = stream[off : off + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_pixels(payload: bytes) -> list[list[int]] | None:
     """Magic-dispatched grayscale pixel decode over the formats with a
-    real pure-stdlib path (BMP, PNG) — one entry point for every
-    perceptual-hash consumer; None for other kinds."""
+    real pure-stdlib path (BMP, PNG, GIF) — one entry point for every
+    perceptual-hash consumer; None for other kinds (JPEG stays a
+    declared stub: it needs a full entropy+DCT decoder)."""
     if payload[:2] == b"BM":
         return decode_bmp_pixels(payload)
     if payload[:8] == PNG_SIG:
         return decode_png_pixels(payload)
+    if payload[:4] == b"GIF8":
+        return decode_gif_pixels(payload)
     return None
 
 
@@ -601,6 +833,41 @@ def attach_fake_png(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def attach_fake_gif(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic GENUINELY VALID GIF89a per doc (round 4), interlaced
+    and LZW-compressed, over a 256-entry grayscale palette where palette
+    index == gray value: the pixel indices ARE the md5-derived grayscale
+    grid shared with attach_fake_bmp / attach_fake_png, so the decoded
+    grid — and hence the dhash — is identical across all three formats
+    and the DuckDB oracle re-derives it without an LZW implementation."""
+    palette = [(v, v, v) for v in range(256)]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf[id_col]:
+                rows = []
+                for y in range(BMP_H):
+                    hx = (
+                        hashlib.md5(f"{did}:{y}".encode()).hexdigest()
+                        + hashlib.md5(f"{did}|{y}".encode()).hexdigest()
+                    )
+                    px = bytes.fromhex(hx[: 2 * BMP_W * 3])
+                    rows.append(
+                        [
+                            (px[3 * x] + px[3 * x + 1] + px[3 * x + 2]) // 3
+                            for x in range(BMP_W)
+                        ]
+                    )
+                payloads.append(gif_encode(rows, palette, interlace=True))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return (
+        docs.select(id_col)
+        .mapInPandas(batches, schema=f"{id_col} long, payload binary")
+    )
+
+
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic fake feature vector: sha256-seeded unit-free floats.
     Stands in for a CNN/audio embedding so downstream ANN plumbing is
@@ -636,7 +903,7 @@ def extract_features(binary_df: DataFrame, payload_col: str = "payload") -> Data
             # and undecodable payloads stay NULL
             dhashes = [
                 dhash_grid(grid)
-                if k in ("bmp", "png") and (grid := decode_pixels(p)) is not None
+                if k in ("bmp", "png", "gif") and (grid := decode_pixels(p)) is not None
                 else None
                 for p, k in zip(pdf[payload_col], pdf["kind"])
             ]

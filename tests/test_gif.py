@@ -1,0 +1,114 @@
+"""Real GIF pixel decode (pure-Python LZW, GIF89a appendix F) — round-trip,
+variable code widths, table-full restart, interlace, and end-to-end
+perceptual-hash contracts."""
+
+import hashlib
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.multimodal import (
+    BMP_H,
+    BMP_W,
+    attach_fake_gif,
+    attach_fake_png,
+    decode_gif_meta,
+    decode_gif_pixels,
+    decode_pixels,
+    dhash_grid,
+    extract_features,
+    gif_encode,
+)
+
+
+@pytest.mark.parametrize("n_colors", [2, 3, 16, 256])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_round_trip(n_colors, interlace):
+    """encode → decode is exact across palette sizes (code widths 3..9
+    start bits) and both row orders, including the width-growth boundary
+    the 'late change' convention sits on."""
+    rng = random.Random(n_colors * 2 + interlace)
+    palette = [tuple(rng.randrange(256) for _ in range(3)) for _ in range(n_colors)]
+    for w, h in ((1, 1), (9, 8), (40, 33)):
+        rows = [[rng.randrange(n_colors) for _ in range(w)] for _ in range(h)]
+        want = [[sum(palette[i]) // 3 for i in r] for r in rows]
+        payload = gif_encode(rows, palette, interlace=interlace)
+        assert decode_gif_pixels(payload) == want
+        meta = decode_gif_meta(payload)
+        assert (meta["width"], meta["height"]) == (w, h)
+
+
+def test_gif_lzw_table_full_restart():
+    """A 150x120 max-entropy image overflows the 4096-entry LZW table —
+    the encoder emits a mid-stream clear, the decoder must resynchronize
+    (code widths drop back to min+1)."""
+    rng = random.Random(11)
+    palette = [(v, v, v) for v in range(256)]
+    rows = [[rng.randrange(256) for _ in range(150)] for _ in range(120)]
+    assert decode_gif_pixels(gif_encode(rows, palette)) == rows
+    # the opposite extreme: deep dictionary strings (constant image)
+    flat = [[0] * 200 for _ in range(100)]
+    assert decode_gif_pixels(gif_encode(flat, palette)) == flat
+
+
+def test_gif_decode_rejects_malformed():
+    palette = [(9, 9, 9), (200, 100, 0)]
+    p = gif_encode([[0, 1, 1], [1, 0, 0]], palette)
+    assert decode_gif_pixels(p) == [[9, 100, 100], [100, 9, 9]]
+    assert decode_gif_pixels(p[:5]) is None     # truncated signature
+    assert decode_gif_pixels(p[:12]) is None    # truncated LSD
+    assert decode_gif_pixels(p[:25]) is None    # truncated pixel stream
+    assert decode_gif_pixels(b"GIF89a" + b"\x00" * 20) is None  # no image
+    assert decode_gif_pixels(b"not a gif") is None
+
+
+def _md5_idx_rows(did):
+    rows = []
+    for y in range(BMP_H):
+        hx = (
+            hashlib.md5(f"{did}:{y}".encode()).hexdigest()
+            + hashlib.md5(f"{did}|{y}".encode()).hexdigest()
+        )
+        px = bytes.fromhex(hx[: 2 * BMP_W * 3])
+        rows.append(
+            [(px[3 * x] + px[3 * x + 1] + px[3 * x + 2]) // 3 for x in range(BMP_W)]
+        )
+    return rows
+
+
+def test_gif_png_cross_format_dhash(spark):
+    """attach_fake_gif and attach_fake_png carry the same md5-derived
+    grid: after the REAL LZW / zlib decodes, every doc's dhash matches
+    across formats inside Spark (format-invariance of the pixel hash)."""
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    gif = {r["doc_id"]: r for r in extract_features(attach_fake_gif(docs)).collect()}
+    png = {r["doc_id"]: r for r in extract_features(attach_fake_png(docs)).collect()}
+    for i in range(1, 7):
+        assert gif[i]["kind"] == "gif"
+        assert (gif[i]["width"], gif[i]["height"]) == (BMP_W, BMP_H)
+        assert gif[i]["dhash"] is not None
+        assert gif[i]["dhash"] == png[i]["dhash"]
+
+
+def test_image_near_dup_mixed_formats(spark):
+    """image_near_dup bands GIF and PNG payloads together: the SAME image
+    shipped in both containers is an exact perceptual dup (hamming 0)."""
+    from search_engine_spark.operators.dedup import image_near_dup
+    from search_engine_spark.operators.multimodal import png_encode
+
+    palette = [(v, v, v) for v in range(256)]
+    idx = _md5_idx_rows(5)
+    rgb = [[(v, v, v) for v in r] for r in idx]
+    df = spark.createDataFrame(
+        [
+            (1, gif_encode(idx, palette, interlace=True)),
+            (2, png_encode(rgb, color_type=2, filter_for_row=lambda y: y % 5)),
+            (3, gif_encode(_md5_idx_rows(77), palette)),
+        ],
+        "doc_id long, payload binary",
+    )
+    res = {r["doc_id"]: r for r in image_near_dup(df, max_hamming=3).collect()}
+    assert res[1]["keep"] == 1
+    assert res[2]["keep"] == 0 and res[2]["dup_of"] == 1
+    assert res[3]["keep"] == 1
