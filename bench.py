@@ -414,6 +414,16 @@ def main() -> None:
             lambda: _force(image_dhashes(attach_fake_gif(raw_docs))),
             runs=2,
         )
+        from search_engine_spark.operators.multimodal import (
+            attach_fake_jpeg,
+            jpeg_tile_values,
+        )
+
+        timed_best(
+            "q10k_jpeg_decode",
+            lambda: _force(jpeg_tile_values(attach_fake_jpeg(raw_docs))),
+            runs=2,
+        )
 
         # --- IVF ANN (seed + assign once, then warm probe latency) ---
         from search_engine_spark.operators.similarity import (

@@ -1,0 +1,591 @@
+"""Baseline JPEG codec in pure Python + numpy (ITU-T T.81) — the last
+image format whose pixel decode was a declared stub.
+
+Decoder scope (the dominant on-disk shape): baseline sequential DCT,
+8-bit precision, grayscale or YCbCr with per-axis sampling factors 1-2
+(4:4:4 / 4:2:2 / 4:2:0), restart markers, byte stuffing.  Progressive,
+arithmetic-coded, 12-bit, and hierarchical streams return None — never
+an exception — like every other decoder in this package.
+
+Encoder scope: baseline, grayscale or 4:4:4 YCbCr, the Annex K example
+quantization + Huffman tables (the tables virtually every encoder
+ships), quality scaling per the IJG convention.  It exists so the
+decoder is tested against an INDEPENDENTLY-written counterpart (spec
+each way), and so synthetic corpora can carry genuinely valid JPEGs.
+
+Everything here is per-image work executed inside ``mapInPandas``
+batches — embarrassingly parallel, no shuffle; the Spark-side contract
+(grayscale grid → dhash) is shared with the BMP/PNG/GIF decoders in
+``multimodal.py``.
+
+Reference parity note: the reference engine (SearchEngine.h and the
+source engines under /root/reference) has no image path at all — this
+module belongs to the LLM-training-pipeline surface the build brief
+adds on top of reference parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# zigzag order: index i of the scan → (row, col) in the 8x8 block
+_ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+# Annex K.1 example quantization tables (luminance, chrominance)
+_QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 typical Huffman tables: (bits[1..16] counts, symbol values)
+_HT_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# 8x8 IDCT basis: _COS[u, x] = C(u)/2 * cos((2x+1)uπ/16)
+_COS = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _idct2(block: np.ndarray) -> np.ndarray:
+    """Exact separable 2-D type-III DCT (the reference IDCT of T.81
+    annex A.3.3) — numpy matmuls, deterministic IEEE doubles."""
+    return _COS.T @ block @ _COS
+
+
+def _fdct2(block: np.ndarray) -> np.ndarray:
+    """Forward counterpart (type-II DCT with the same normalization)."""
+    return _COS @ block @ _COS.T
+
+
+def _build_huff(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol, per T.81 annex C code assignment."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    de-stuffing and RSTn detection (T.81 §B.1.1.5, F.2.2.5)."""
+
+    __slots__ = ("data", "pos", "acc", "n", "_rst")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self._rst = -1
+
+    def at_restart(self) -> int:
+        """If the next marker is RSTn, consume it and return n; else -1."""
+        d, p = self.data, self.pos
+        if p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+            self.pos = p + 2
+            self.acc = 0
+            self.n = 0
+            return d[p + 1] - 0xD0
+        return -1
+
+    def bit(self) -> int:
+        if self.n == 0:
+            d = self.data
+            p = self.pos
+            if p >= len(d):
+                raise EOFError
+            b = d[p]
+            p += 1
+            if b == 0xFF:
+                if p >= len(d):
+                    raise EOFError
+                m = d[p]
+                if m == 0x00:
+                    p += 1  # stuffed 0xFF
+                else:
+                    raise EOFError  # a real marker inside the scan
+            self.acc = b
+            self.n = 8
+            self.pos = p
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise EOFError  # no code that long in the table
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map an s-bit magnitude to its signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_pixels(payload: bytes) -> list[list[int]] | None:
+    """REAL baseline JPEG pixel decode (round 4 — the final declared
+    stub removed): marker walk → DQT/DHT/SOF0/DRI/SOS → Huffman entropy
+    decode (byte de-stuffing, restart-interval DC resets) → dequantize →
+    de-zigzag → exact IDCT → chroma upsample → YCbCr→gray, emitting the
+    same top-down integer grayscale grid as the BMP/PNG/GIF decoders
+    (gray = (r+g+b)//3 after standard CCIR 601 color conversion; for
+    grayscale JPEGs gray = Y directly).  None — never an exception —
+    for progressive/arithmetic/12-bit/malformed streams."""
+    try:
+        return _decode(payload)
+    except (EOFError, IndexError, KeyError, ValueError, ZeroDivisionError):
+        return None
+
+
+def _decode(payload: bytes) -> list[list[int]] | None:
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    n = len(payload)
+    i = 2
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None  # (h, w, comps) with comps = [(cid, hi, vi, tq)]
+    restart = 0
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            i += 2
+            continue
+        seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if seg_len < 2 or i + 2 + seg_len > n:
+            return None
+        seg = payload[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                j += 1
+                if pq == 0:
+                    vals = list(seg[j : j + 64])
+                    j += 64
+                elif pq == 1:
+                    vals = [
+                        int.from_bytes(seg[j + 2 * k : j + 2 * k + 2], "big")
+                        for k in range(64)
+                    ]
+                    j += 128
+                else:
+                    return None
+                if len(vals) != 64:
+                    return None
+                q = np.zeros((8, 8))
+                for k, (r, c) in enumerate(_ZIGZAG):
+                    q[r, c] = vals[k]
+                qts[tq] = q
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j + 17 <= len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1 : j + 17])
+                cnt = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + cnt])
+                if len(vals) != cnt:
+                    return None
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _build_huff(bits, vals)
+                j += 17 + cnt
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline(+ext seq)
+            if seg[0] != 8:
+                return None  # 12-bit precision out of scope
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            if h == 0 or w == 0 or nc not in (1, 3):
+                return None
+            comps = []
+            for c in range(nc):
+                b = 6 + 3 * c
+                comps.append((seg[b], seg[b + 1] >> 4, seg[b + 1] & 0x0F, seg[b + 2]))
+            if any(not (1 <= hi <= 2 and 1 <= vi <= 2) for _, hi, vi, _ in comps):
+                return None
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive / arithmetic / hierarchical
+        elif marker == 0xDD:  # DRI
+            restart = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                return None
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                scan.append((seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0x0F))
+            return _decode_scan(
+                payload, i + 2 + seg_len, frame, scan, qts, dc_tabs, ac_tabs, restart
+            )
+        i += 2 + seg_len
+    return None
+
+
+def _decode_scan(payload, pos, frame, scan, qts, dc_tabs, ac_tabs, restart):
+    h, w, comps = frame
+    if len(scan) != len(comps):
+        return None  # non-interleaved multi-scan out of scope
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    hmax = max(hi for _, hi, vi, _ in comps)
+    vmax = max(vi for _, hi, vi, _ in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {}
+    order = []
+    for cid, td, ta in scan:
+        if cid not in by_id:
+            return None
+        hi, vi, tq = by_id[cid]
+        if tq not in qts or td not in dc_tabs or ta not in ac_tabs:
+            return None
+        planes[cid] = np.zeros((mcuy * vi * 8, mcux * hi * 8))
+        order.append((cid, hi, vi, qts[tq], dc_tabs[td], ac_tabs[ta]))
+    rd = _BitReader(payload, pos)
+    pred = {cid: 0 for cid, *_ in order}
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if restart and m and m % restart == 0:
+            # byte-align and consume the RSTn marker; reset DC predictors
+            rd.n = 0
+            if rd.at_restart() < 0:
+                return None
+            pred = {cid: 0 for cid in pred}
+        my, mx = divmod(m, mcux)
+        for cid, hi, vi, qt, dct, act in order:
+            for by in range(vi):
+                for bx in range(hi):
+                    blk = np.zeros((8, 8))
+                    s = rd.huff(dct)
+                    diff = _extend(rd.bits(s), s) if s else 0
+                    pred[cid] += diff
+                    blk[0, 0] = pred[cid]
+                    k = 1
+                    while k < 64:
+                        rs = rd.huff(act)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            return None
+                        zr, zc = _ZIGZAG[k]
+                        blk[zr, zc] = _extend(rd.bits(s), s)
+                        k += 1
+                    px = _idct2(blk * qt) + 128.0
+                    y0, x0 = (my * vi + by) * 8, (mx * hi + bx) * 8
+                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
+    # upsample each plane to full resolution and crop
+    full = {}
+    for cid, hi, vi, *_ in order:
+        p = planes[cid]
+        if hi < hmax:
+            p = np.repeat(p, hmax // hi, axis=1)
+        if vi < vmax:
+            p = np.repeat(p, vmax // vi, axis=0)
+        full[cid] = np.clip(np.round(p[:h, :w]), 0, 255)
+    if len(order) == 1:
+        gray = full[order[0][0]]
+    else:
+        y, cb, cr = (full[cid] for cid, *_ in order)
+        r = np.clip(np.round(y + 1.402 * (cr - 128.0)), 0, 255)
+        g = np.clip(np.round(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)), 0, 255)
+        b = np.clip(np.round(y + 1.772 * (cb - 128.0)), 0, 255)
+        gray = (r + g + b) // 3
+    return gray.astype(np.int64).tolist()
+
+
+# ---------------------------------------------------------------- encoder
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for k in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> k) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:  # pad with 1-bits per T.81 F.1.2.3
+            self.write(1, 1)
+
+
+def _enc_huff(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _scale_qt(base: list[int], quality: int) -> list[int]:
+    """IJG quality scaling: 50 → the Annex K table verbatim."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [min(255, max(1, (v * scale + 50) // 100)) for v in base]
+
+
+def _mag_cat(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def jpeg_encode(
+    grid,
+    color: bool = False,
+    quality: int = 90,
+    restart: int = 0,
+    subsample: bool = False,
+) -> bytes:
+    """Baseline JPEG encoder: ``grid`` is a grayscale [[int]] (encoded
+    as a single-component stream) or, with ``color=True``, [[(r,g,b)]]
+    (4:4:4, or 4:2:0 with ``subsample=True`` — Y at 2x2 sampling, box-
+    mean-downsampled chroma).  ``restart`` > 0 inserts a DRI segment and
+    RSTn markers every that many MCUs."""
+    h = len(grid)
+    w = len(grid[0])
+    if color:
+        arr = np.array(grid, dtype=np.float64)  # h × w × 3
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+        qt_sel = [0, 1, 1]
+        ht_sel = [0, 1, 1]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+    else:
+        planes = [np.array(grid, dtype=np.float64)]
+        qt_sel = [0]
+        ht_sel = [0]
+        samp = [(1, 1)]
+    qt0 = _scale_qt(_QT_LUMA, quality)
+    qt1 = _scale_qt(_QT_CHROMA, quality)
+    qmats = []
+    for q in (qt0, qt1):
+        m = np.zeros((8, 8))
+        for k, (rr, cc) in enumerate(_ZIGZAG):
+            m[rr, cc] = q[k]
+        qmats.append(m)
+    dc_enc = [_enc_huff(*_HT_DC_LUMA), _enc_huff(*_HT_DC_CHROMA)]
+    ac_enc = [_enc_huff(*_HT_AC_LUMA), _enc_huff(*_HT_AC_CHROMA)]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, body: bytes) -> None:
+        out.append(0xFF)
+        out.append(marker)
+        out.extend((len(body) + 2).to_bytes(2, "big"))
+        out.extend(body)
+
+    seg(0xDB, bytes([0x00]) + bytes(qt0))
+    if color:
+        seg(0xDB, bytes([0x01]) + bytes(qt1))
+    nc = 3 if color else 1
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for c in range(nc):
+        hi, vi = samp[c]
+        sof += bytes([c + 1, hi << 4 | vi, qt_sel[c]])
+    seg(0xC0, sof)
+    for tc, tabs in ((0, (_HT_DC_LUMA, _HT_DC_CHROMA)), (1, (_HT_AC_LUMA, _HT_AC_CHROMA))):
+        seg(0xC4, bytes([tc << 4 | 0]) + bytes(tabs[0][0]) + bytes(tabs[0][1]))
+        if color:
+            seg(0xC4, bytes([tc << 4 | 1]) + bytes(tabs[1][0]) + bytes(tabs[1][1]))
+    if restart:
+        seg(0xDD, restart.to_bytes(2, "big"))
+    sos = bytes([nc])
+    for c in range(nc):
+        sos += bytes([c + 1, ht_sel[c] << 4 | ht_sel[c]])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    bw = _BitWriter()
+    hmax = max(hi for hi, _ in samp)
+    vmax = max(vi for _, vi in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # pre-pad each component plane (edge replication) to whole MCUs at
+    # its own sampling resolution; subsampled chroma is box-mean reduced
+    padded = []
+    for c in range(nc):
+        hi, vi = samp[c]
+        fx, fy = hmax // hi, vmax // vi
+        p = planes[c]
+        if fx > 1 or fy > 1:
+            ph, pw = -(-h // fy) * fy, -(-w // fx) * fx
+            p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            p = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        hc, wc = mcuy * vi * 8, mcux * hi * 8
+        p = np.pad(p, ((0, hc - p.shape[0]), (0, wc - p.shape[1])), mode="edge")
+        padded.append(p)
+    pred = [0] * nc
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart and m and m % restart == 0:
+            bw.flush()
+            out += bw.out
+            bw = _BitWriter()
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            pred = [0] * nc
+        my, mx = divmod(m, mcux)
+        for c in range(nc):
+            hi, vi = samp[c]
+            for by in range(vi):
+                for bx in range(hi):
+                    y0 = (my * vi + by) * 8
+                    x0 = (mx * hi + bx) * 8
+                    blk = padded[c][y0 : y0 + 8, x0 : x0 + 8]
+                    coef = _fdct2(blk - 128.0)
+                    q = np.round(coef / qmats[qt_sel[c]]).astype(np.int64)
+                    dct, act = dc_enc[ht_sel[c]], ac_enc[ht_sel[c]]
+                    diff = int(q[0, 0]) - pred[c]
+                    pred[c] = int(q[0, 0])
+                    s = _mag_cat(diff)
+                    bw.write(*dct[s])
+                    if s:
+                        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+                    zz = [int(q[rr, cc]) for rr, cc in _ZIGZAG[1:]]
+                    run = 0
+                    last_nz = -1
+                    for k, v in enumerate(zz):
+                        if v:
+                            last_nz = k
+                    for k in range(last_nz + 1):
+                        v = zz[k]
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            bw.write(*act[0xF0])  # ZRL
+                            run -= 16
+                        s = _mag_cat(v)
+                        bw.write(*act[run << 4 | s])
+                        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                        run = 0
+                    if last_nz < 62:  # no EOB when the final AC (zz[62]) is set
+                        bw.write(*act[0x00])
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

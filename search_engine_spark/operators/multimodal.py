@@ -1,15 +1,17 @@
 """Multimodal-column plumbing: images/audio/video as opaque binary columns
 with typed metadata.
 
-Decode stages that need external codec libraries (JPEG entropy+DCT, GIF
-LZW, audio/video frames — PIL/ffmpeg territory, not in this container)
-are STUBBED behind ``NotImplementedError`` / a deterministic fake, per
-the build contract.  What IS real and tested end-to-end:
+Only the LEARNED stages (CNN/audio embeddings — model-weight territory,
+not in this container) remain a deterministic fake (``_fake_features``),
+per the build contract.  Everything else is real and tested end-to-end:
 
 - header/metadata decode for PNG, JPEG (SOF walk), GIF, BMP, WAV — pure
   byte math, no library;
-- FULL pixel decode for BMP (uncompressed BI_RGB) and PNG (stdlib zlib
-  inflate + all five scanline unfilters, color types 0/2/3/4/6) feeding
+- FULL pixel decode for ALL FOUR mainstream image formats, no codec
+  library anywhere: BMP (uncompressed BI_RGB), PNG (stdlib zlib inflate
+  + all five scanline unfilters, color types 0/2/3/4/6), GIF
+  (pure-Python LZW incl. interlace), and baseline JPEG (Huffman +
+  dequant + exact IDCT + 4:2:0 upsample — ``jpeg_codec``), all feeding
   the perceptual dhash/ahash near-dup signal;
 
 - the schema contract (binary payload + typed metadata struct);
@@ -220,22 +222,13 @@ def sniff_kind(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def decode_image(payload: bytes) -> object:
-    """Pixel decode for the formats with a pure-stdlib path: BMP
-    (uncompressed BI_RGB — ``decode_bmp_pixels``), PNG (zlib inflate +
-    scanline unfilter — ``decode_png_pixels``), and GIF (pure-Python LZW
-    — ``decode_gif_pixels``, both round 4).  JPEG pixel decode stays a
-    declared stub: it needs a full entropy+DCT decoder (PIL/libjpeg
-    territory) — the surrounding mapInPandas plumbing (schema, batching,
-    partitioning) is identical, so wiring it changes only this dispatch."""
-    grid = decode_pixels(payload)
-    if grid is not None:
-        return grid
-    if payload[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError(
-            "jpeg pixel decode requires PIL/libjpeg; BMP, PNG, and GIF "
-            "decode for real via decode_pixels."
-        )
-    return None
+    """Pixel decode across all four mainstream image formats — BMP
+    (uncompressed BI_RGB), PNG (zlib inflate + scanline unfilter), GIF
+    (pure-Python LZW), and baseline JPEG (Huffman + dequant + exact
+    IDCT, ``jpeg_codec`` — round 4: the last declared stub removed).
+    Returns the shared grayscale grid, or None for non-images and
+    out-of-scope variants (progressive/arithmetic JPEG, 16-bit PNG)."""
+    return decode_pixels(payload)
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -642,16 +635,22 @@ def gif_encode(
 
 
 def decode_pixels(payload: bytes) -> list[list[int]] | None:
-    """Magic-dispatched grayscale pixel decode over the formats with a
-    real pure-stdlib path (BMP, PNG, GIF) — one entry point for every
-    perceptual-hash consumer; None for other kinds (JPEG stays a
-    declared stub: it needs a full entropy+DCT decoder)."""
+    """Magic-dispatched grayscale pixel decode — one entry point for
+    every perceptual-hash consumer.  ALL FOUR mainstream image formats
+    decode for real with no codec library: BMP (uncompressed), PNG
+    (stdlib zlib), GIF (pure-Python LZW), and baseline JPEG (pure
+    numpy Huffman+IDCT, ``jpeg_codec``).  None for non-images and for
+    out-of-scope variants (progressive/arithmetic JPEG, 16-bit PNG)."""
     if payload[:2] == b"BM":
         return decode_bmp_pixels(payload)
     if payload[:8] == PNG_SIG:
         return decode_png_pixels(payload)
     if payload[:4] == b"GIF8":
         return decode_gif_pixels(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg_codec import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(payload)
     return None
 
 
@@ -868,6 +867,85 @@ def attach_fake_gif(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# attach_fake_jpeg geometry: a 16x16 grayscale image of four constant
+# 8x8 tiles.  At JPEG quality 75 the luma DC quantizer is exactly 8 ==
+# the DCT DC gain for a constant block, so q = round(8*(v-128)/8) =
+# v-128 EXACTLY and the decode round-trips LOSSLESSLY — which is what
+# lets the DuckDB oracle re-derive the decoded values with no DCT.
+JPEG_TILE_N = 2
+JPEG_QUALITY = 75
+
+
+def attach_fake_jpeg(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic GENUINELY VALID baseline JPEG per doc (round 4):
+    four constant 8x8 tiles, tile (ty,tx) gray = first byte of
+    md5(doc_id/ty:tx), Huffman-coded with restart markers after every
+    MCU (restart=1 → the RST resync + DC-predictor-reset path runs on
+    every image).  Constant tiles make the lossy format exact here (see
+    JPEG_QUALITY note), so the oracle can value-check the whole
+    SOI→DQT→DHT→SOF→SOS→entropy-decode→IDCT chain."""
+    from .jpeg_codec import jpeg_encode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf[id_col]:
+                grid = [[0] * (8 * JPEG_TILE_N) for _ in range(8 * JPEG_TILE_N)]
+                for ty in range(JPEG_TILE_N):
+                    for tx in range(JPEG_TILE_N):
+                        v = int(
+                            hashlib.md5(f"{did}/{ty}:{tx}".encode()).hexdigest()[:2],
+                            16,
+                        )
+                        for y in range(8):
+                            for x in range(8):
+                                grid[ty * 8 + y][tx * 8 + x] = v
+                payloads.append(jpeg_encode(grid, quality=JPEG_QUALITY, restart=1))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return (
+        docs.select(id_col)
+        .mapInPandas(batches, schema=f"{id_col} long, payload binary")
+    )
+
+
+def jpeg_tile_values(
+    binary_df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, width, height, g00, g01, g10, g11): REAL baseline-JPEG
+    pixel decode of the attach_fake_jpeg construction — each column is
+    the decoded gray of one 8x8 tile (sampled at the tile center; the
+    tiles are constant, so any pixel serves).  mapInPandas, map-only."""
+    from .jpeg_codec import decode_jpeg_pixels
+
+    cols = [f"g{ty}{tx}" for ty in range(JPEG_TILE_N) for tx in range(JPEG_TILE_N)]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {c: [] for c in ["width", "height", *cols]}
+            for p in pdf[payload_col]:
+                g = decode_jpeg_pixels(p)
+                if g is None:
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    for c in cols:
+                        rows[c].append(None)
+                    continue
+                rows["height"].append(len(g))
+                rows["width"].append(len(g[0]))
+                for ty in range(JPEG_TILE_N):
+                    for tx in range(JPEG_TILE_N):
+                        rows[f"g{ty}{tx}"].append(g[ty * 8 + 3][tx * 8 + 3])
+            yield pd.DataFrame({id_col: pdf[id_col], **rows})
+
+    schema = f"{id_col} long, width int, height int, " + ", ".join(
+        f"{c} int" for c in cols
+    )
+    return binary_df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, schema=schema
+    )
+
+
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic fake feature vector: sha256-seeded unit-free floats.
     Stands in for a CNN/audio embedding so downstream ANN plumbing is
@@ -898,12 +976,12 @@ def extract_features(binary_df: DataFrame, payload_col: str = "payload") -> Data
                 (dec(p) or {}) if (dec := _HEADER_DECODERS.get(k)) else {}
                 for p, k in zip(pdf[payload_col], pdf["kind"])
             ]
-            # REAL pixel decode where a pure-stdlib path exists (BMP
-            # uncompressed, PNG via zlib) → perceptual dhash; other kinds
-            # and undecodable payloads stay NULL
+            # REAL pixel decode for every mainstream image format →
+            # perceptual dhash; non-images / undecodable payloads stay NULL
             dhashes = [
                 dhash_grid(grid)
-                if k in ("bmp", "png", "gif") and (grid := decode_pixels(p)) is not None
+                if k in ("bmp", "png", "gif", "jpeg")
+                and (grid := decode_pixels(p)) is not None
                 else None
                 for p, k in zip(pdf[payload_col], pdf["kind"])
             ]

@@ -1,0 +1,184 @@
+"""Baseline JPEG codec (pure numpy Huffman + IDCT) — round-trip accuracy,
+restart markers, 4:2:0 subsampling, the exact constant-tile construction
+the oracle gate rides on, and the cross-format perceptual-dup story."""
+
+import hashlib
+import math
+import random
+
+import numpy as np
+import pytest
+
+from search_engine_spark.operators.jpeg_codec import (
+    _scale_qt,
+    _QT_LUMA,
+    decode_jpeg_pixels,
+    jpeg_encode,
+)
+from search_engine_spark.operators.multimodal import (
+    BMP_H,
+    BMP_W,
+    JPEG_QUALITY,
+    attach_fake_jpeg,
+    decode_jpeg_meta,
+    decode_pixels,
+    dhash_grid,
+    extract_features,
+    jpeg_tile_values,
+    png_encode,
+)
+
+
+def test_jpeg_smooth_round_trip_error_bound():
+    """A band-limited image survives quality-95 with tiny error — the
+    forward DCT, quantizer, entropy coder, and IDCT all agree."""
+    h, w = 24, 33
+    sm = [[int(100 + 80 * math.sin(x / 8) * math.cos(y / 9)) for x in range(w)] for y in range(h)]
+    dec = decode_jpeg_pixels(jpeg_encode(sm, quality=95))
+    err = np.abs(np.array(dec) - np.array(sm))
+    assert err.max() <= 4
+    meta = decode_jpeg_meta(jpeg_encode(sm, quality=95))
+    assert (meta["width"], meta["height"], meta["bit_depth"]) == (w, h, 8)
+
+
+def test_jpeg_solid_is_exact():
+    solid = [[77] * 16 for _ in range(16)]
+    assert decode_jpeg_pixels(jpeg_encode(solid)) == solid
+
+
+def test_jpeg_restart_markers_equal_plain():
+    """RSTn insertion (byte-align, DC predictor reset) must not change a
+    single decoded pixel."""
+    h, w = 24, 33
+    grid = [[(x * 5 + y * 3) % 200 + 20 for x in range(w)] for y in range(h)]
+    plain = decode_jpeg_pixels(jpeg_encode(grid, quality=95))
+    for interval in (1, 2, 5):
+        assert decode_jpeg_pixels(jpeg_encode(grid, quality=95, restart=interval)) == plain
+
+
+def test_jpeg_color_and_subsampling():
+    """4:4:4 and 4:2:0 color paths: smooth chroma keeps the error small,
+    and the decoder's chroma upsample reproduces the box-downsampled
+    planes; odd (non-multiple-of-16) dims exercise the crop."""
+    h, w = 24, 33
+    csm = [
+        [
+            (
+                int(120 + 60 * math.sin(x / 9)),
+                int(120 + 60 * math.cos(y / 7)),
+                int(120 + 50 * math.sin((x + y) / 11)),
+            )
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    want = np.array([[sum(px) // 3 for px in row] for row in csm])
+    d444 = np.array(decode_jpeg_pixels(jpeg_encode(csm, color=True, quality=95)))
+    d420 = np.array(
+        decode_jpeg_pixels(jpeg_encode(csm, color=True, quality=95, subsample=True))
+    )
+    assert np.abs(d444 - want).max() <= 4
+    assert np.abs(d420 - want).max() <= 6
+    rng = random.Random(9)
+    odd = [
+        [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(17)]
+        for _ in range(9)
+    ]
+    o = decode_jpeg_pixels(jpeg_encode(odd, color=True, quality=90, subsample=True))
+    assert (len(o), len(o[0])) == (9, 17)
+
+
+def test_jpeg_rejects_malformed_and_out_of_scope():
+    p = jpeg_encode([[10, 200], [60, 140]], quality=90)
+    assert decode_jpeg_pixels(p) is not None
+    assert decode_jpeg_pixels(p[:12]) is None          # truncated in tables
+    assert decode_jpeg_pixels(p[:-8]) is None          # truncated scan
+    assert decode_jpeg_pixels(b"\xff\xd8\xff\xe0junk") is None
+    assert decode_jpeg_pixels(b"not a jpeg") is None
+    # progressive SOF2 → declared out of scope, None not an exception
+    prog = bytearray(p)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    assert decode_jpeg_pixels(bytes(prog)) is None
+
+
+def test_jpeg_constant_tiles_round_trip_losslessly():
+    """The gate construction: at JPEG_QUALITY the luma DC step equals
+    the constant-block DCT gain, so quantization is exact and every
+    pixel round-trips bit-for-bit (this is what lets DuckDB verify a
+    lossy codec)."""
+    assert _scale_qt(_QT_LUMA, JPEG_QUALITY)[0] == 8
+    for did in (1, 42, 999999):
+        grid = [[0] * 16 for _ in range(16)]
+        for ty in range(2):
+            for tx in range(2):
+                v = int(hashlib.md5(f"{did}/{ty}:{tx}".encode()).hexdigest()[:2], 16)
+                for y in range(8):
+                    for x in range(8):
+                        grid[ty * 8 + y][tx * 8 + x] = v
+        assert decode_jpeg_pixels(jpeg_encode(grid, quality=JPEG_QUALITY, restart=1)) == grid
+
+
+def test_attach_fake_jpeg_tile_values_in_spark(spark):
+    """End-to-end through mapInPandas: encode → real entropy decode →
+    per-tile values equal the md5 derivation (the oracle twin's math)."""
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    got = {
+        r["doc_id"]: r
+        for r in jpeg_tile_values(attach_fake_jpeg(docs)).collect()
+    }
+    for i in range(1, 7):
+        assert (got[i]["width"], got[i]["height"]) == (16, 16)
+        for ty in range(2):
+            for tx in range(2):
+                v = int(hashlib.md5(f"{i}/{ty}:{tx}".encode()).hexdigest()[:2], 16)
+                assert got[i][f"g{ty}{tx}"] == v
+
+
+def _md5_grid(did):
+    rows = []
+    for y in range(BMP_H):
+        hx = (
+            hashlib.md5(f"{did}:{y}".encode()).hexdigest()
+            + hashlib.md5(f"{did}|{y}".encode()).hexdigest()
+        )
+        px = bytes.fromhex(hx[: 2 * BMP_W * 3])
+        rows.append(
+            [(px[3 * x] + px[3 * x + 1] + px[3 * x + 2]) // 3 for x in range(BMP_W)]
+        )
+    return rows
+
+
+def test_jpeg_reencode_is_perceptual_near_dup(spark):
+    """THE perceptual-hash premise: the same image as a lossless PNG and
+    as a lossy JPEG re-encode lands within the dhash hamming budget, so
+    image_near_dup groups them; extract_features carries a real dhash
+    for the jpeg kind."""
+    from search_engine_spark.operators.dedup import image_near_dup
+
+    grid = _md5_grid(42)
+    rgb = [[(v, v, v) for v in r] for r in grid]
+    jpg = jpeg_encode(grid, quality=95)
+    png = png_encode(rgb, color_type=2)
+    # deterministic drift check outside Spark first
+    d_png = dhash_grid(decode_pixels(png))
+    d_jpg = dhash_grid(decode_pixels(jpg))
+    assert bin(int(d_png, 16) ^ int(d_jpg, 16)).count("1") <= 3
+    df = spark.createDataFrame(
+        [(1, png), (2, jpg), (3, jpeg_encode(_md5_grid(99), quality=95))],
+        "doc_id long, payload binary",
+    )
+    res = {r["doc_id"]: r for r in image_near_dup(df, max_hamming=3).collect()}
+    assert res[1]["keep"] == 1
+    assert res[2]["keep"] == 0 and res[2]["dup_of"] == 1
+    assert res[3]["keep"] == 1
+    feats = {
+        r["doc_id"]: r
+        for r in extract_features(
+            df.join(
+                spark.createDataFrame([(1,), (2,), (3,)], "doc_id long"), "doc_id"
+            )
+        ).collect()
+    }
+    assert feats[2]["kind"] == "jpeg"
+    assert feats[2]["dhash"] == d_jpg

@@ -430,13 +430,12 @@ def test_multimodal_plumbing(spark):
     # deterministic: same payload → same features
     feats2 = {r["doc_id"]: r for r in extract_features(b).collect()}
     assert feats[1]["features"] == feats2[1]["features"]
-    # JPEG/GIF pixel decode stays a declared stub; garbage → None; PNG
-    # now decodes for real (see test_png_pixel_decode)
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0....")
-    with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a....")
+    # every mainstream format decodes for real now (test_png/gif/jpeg.py);
+    # garbage and truncated headers → None, never an exception
+    assert decode_image(b"\xff\xd8\xff\xe0....") is None
+    assert decode_image(b"GIF89a....") is None
     assert decode_image(b"\x89PNG....") is None
+    assert decode_image(b"no image here") is None
 
 
 def test_decode_png_meta_on_genuine_png(spark):
