@@ -834,10 +834,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return exact_dedup(_raw_docs(spark, sf))
 
-    def q_minhash(spark, sf):
-        from search_engine_spark.operators.dedup import minhash_signatures
+    def q_exact_substring(spark, sf):
+        """Exact-substring dedup (Lee et al. 2022 semantics, round 4 —
+        operators/dedup.py duplicate_token_spans / excise_token_spans):
+        runs of >= k tokens shared across documents, found by a k-token
+        window-hash equi-join (never a suffix array, never all-pairs),
+        then excised.  Three tagged legs, all value-checked:
 
-        return minhash_signatures(_raw_docs(spark, sf))
+        - 'span' (k=12, winnow=1): the exact Lee-et-al. duplicated-span
+          inventory — merged maximal [start, end) token intervals in
+          a=start, b=end, c=n_windows;
+        - 'winnow' (k=12, w=4): the 100-TB scale lever — Schleimer-style
+          winnowing cuts the hash-shuffle volume ~w-fold; the twin
+          replays the dominance-interval selection rule exactly, so a
+          hash match proves the guarantee-preserving selection, not just
+          the join;
+        - 'excise': the cleaned corpus — a=n_tokens, b=n_removed,
+          val=md5(clean_text) pins every byte of the excision."""
+        from search_engine_spark.operators.dedup import (
+            duplicate_token_spans,
+            excise_token_spans,
+        )
+
+        docs = _raw_docs(spark, sf).select("doc_id", "text")
+        legs = []
+        spans_w1 = duplicate_token_spans(docs, k=12)
+        for leg, sp in (
+            ("span", spans_w1),
+            ("winnow", duplicate_token_spans(docs, k=12, winnow=4)),
+        ):
+            legs.append(
+                sp.select(
+                    F.lit(leg).alias("leg"),
+                    "doc_id",
+                    F.col("span_start").cast("long").alias("a"),
+                    F.col("span_end").cast("long").alias("b"),
+                    F.col("n_windows").cast("long").alias("c"),
+                    F.lit("").alias("val"),
+                )
+            )
+        legs.append(
+            excise_token_spans(docs, spans_w1).select(
+                F.lit("excise").alias("leg"),
+                "doc_id",
+                F.col("n_tokens").cast("long").alias("a"),
+                F.col("n_removed").cast("long").alias("b"),
+                F.lit(-1).cast("long").alias("c"),
+                F.md5(F.col("clean_text")).alias("val"),
+            )
+        )
+        out = legs[0]
+        for p in legs[1:]:
+            out = out.unionByName(p)
+        return out
 
     def q_near_dedup(spark, sf):
         """End-to-end near-dup DECISIONS (minhash → LSH → Jaccard verify →
@@ -874,20 +923,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dedup_threshold=0.5,
         )
 
-    def q_simhash(spark, sf):
-        from search_engine_spark.operators.dedup import simhash
+    def q_dedup_signatures(spark, sf):
+        """Both dedup signature families plus the SimHash pair join in one
+        tagged entry (round-4 gate-slimming back under the driver's 50-key
+        cap: the former minhash_signatures / simhash / simhash_near_dup
+        keys ride as legs over a unified (leg, a, b, val) long schema):
 
-        return simhash(_raw_docs(spark, sf))
-
-    def q_simhash_near_dup(spark, sf):
-        """Hamming-adjacent SimHash pairs via pigeonhole band bucketing —
-        NO all-pairs join; the oracle IS the brute-force all-pairs spec, so
-        a hash-match proves bucketing completeness."""
-        from search_engine_spark.operators.dedup import simhash, simhash_near_dup
-
-        return simhash_near_dup(simhash(_raw_docs(spark, sf)), max_hamming=2).select(
-            "a", "b", F.col("hamming").cast("int").alias("hamming")
+        - 'minhash': the 8 per-doc MinHash signatures unpivoted —
+          a=doc_id, b=hash index, val=sig (numeric md5-prefix minima);
+        - 'simhash': a=doc_id, b=-1, val=the 16-bit tf-weighted SimHash;
+        - 'simhash_pair': Hamming-adjacent pairs via pigeonhole band
+          bucketing (NO all-pairs join; the twin IS the brute-force
+          all-pairs spec, so a hash-match proves bucketing completeness) —
+          a/b=the doc pair, val=hamming distance.
+        """
+        from search_engine_spark.operators.dedup import (
+            N_MINHASHES,
+            minhash_signatures,
+            simhash,
+            simhash_near_dup,
         )
+
+        docs = _raw_docs(spark, sf)
+        sigs = minhash_signatures(docs)
+        mh = sigs.select(
+            F.lit("minhash").alias("leg"),
+            F.col("doc_id").alias("a"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).cast("long").alias("b"),
+                            F.col(f"sig_{i}").alias("val"),
+                        )
+                        for i in range(N_MINHASHES)
+                    ]
+                )
+            ).alias("r"),
+        ).select("leg", "a", F.col("r.b").alias("b"), F.col("r.val").alias("val"))
+        sh = simhash(docs)
+        sh_leg = sh.select(
+            F.lit("simhash").alias("leg"),
+            F.col("doc_id").alias("a"),
+            F.lit(-1).cast("long").alias("b"),
+            F.col("simhash").alias("val"),
+        )
+        pairs = simhash_near_dup(sh, max_hamming=2).select(
+            F.lit("simhash_pair").alias("leg"),
+            "a",
+            "b",
+            F.col("hamming").cast("long").alias("val"),
+        )
+        return mh.unionByName(sh_leg).unionByName(pairs)
 
     def q_vector_topk(spark, sf):
         """Vector top-k retrieval in one entry, tagged by ``variant`` (r2
@@ -2093,12 +2180,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return jpeg_tile_values(attach_fake_jpeg(_raw_docs(spark, sf)))
 
+    def q_pixel_decode(spark, sf):
+        """ALL THREE compressed-format pixel decoders in one tagged entry
+        (round-4 gate-slimming back under the driver's 50-key cap: the
+        former png_pixels / gif_pixels / jpeg_pixels keys ride as legs).
+        Each leg keeps its full VALUE check — the twin re-derives the
+        decoded signal straight from the md5 pixel construction, so
+        agreement still proves the real inflate/LZW/Huffman chains:
+
+        - 'png': zlib inflate + all five scanline unfilters + dhash;
+        - 'gif': LZW decode + interlace unweave + dhash;
+        - 'jpeg': Huffman entropy decode + RST resync + dequant + IDCT
+          (the four decoded tile grays ride in ``value`` as
+          'g00:g01:g10:g11').
+        ``value`` carries the leg's decoded payload (dhash hex for
+        png/gif); geometry/meta columns are shared."""
+        png = q_png_pixels(spark, sf).select(
+            F.lit("png").alias("leg"),
+            "doc_id", "width", "height", "bit_depth", "color_type",
+            F.col("dhash").alias("value"),
+        )
+        gif = q_gif_pixels(spark, sf).select(
+            F.lit("gif").alias("leg"),
+            "doc_id", "width", "height", "bit_depth", "color_type",
+            F.col("dhash").alias("value"),
+        )
+        jp = q_jpeg_pixels(spark, sf).select(
+            F.lit("jpeg").alias("leg"),
+            "doc_id", "width", "height",
+            F.lit(8).cast("int").alias("bit_depth"),
+            F.lit(-1).cast("int").alias("color_type"),
+            F.concat_ws(
+                ":", F.col("g00"), F.col("g01"), F.col("g10"), F.col("g11")
+            ).alias("value"),
+        )
+        return png.unionByName(gif).unionByName(jp)
+
     return {
         # --- previously driver-unverified content first (r2 verdict #1) ---
         "trigram_search": q_trigram_search,
-        "png_pixels": q_png_pixels,
-        "gif_pixels": q_gif_pixels,
-        "jpeg_pixels": q_jpeg_pixels,
+        "pixel_decode": q_pixel_decode,
         "code_tokens": q_code_tokens,
         "fuzzy_terms": q_fuzzy_terms,
         "text_stats": q_text_stats,
@@ -2142,12 +2263,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet_windows": q_snippet_windows,
         # --- training-data pipeline ---
         "exact_dedup": q_exact_dedup,
-        "minhash_signatures": q_minhash,
+        "dedup_signatures": q_dedup_signatures,
         "near_dup_pairs": q_near_dup_pairs,
+        "exact_substring": q_exact_substring,
         "near_dedup": q_near_dedup,
         "corpus_filter": q_corpus_filter,
-        "simhash": q_simhash,
-        "simhash_near_dup": q_simhash_near_dup,
         "vector_topk": q_vector_topk,
         "vector_partitions": q_vector_partitions,
         "hash_split": q_hash_split,
@@ -3374,7 +3494,28 @@ SELECT doc_id, sha256(text) AS content_hash,
 FROM documents
 """
 
-    sql["minhash_signatures"] = _minhash_sql()
+    # both signature families + the SimHash pair join, one tagged twin
+    # (dedup_signatures — round-4 gate-slimming of the former
+    # minhash_signatures / simhash / simhash_near_dup keys)
+    _mh_unpivot = " UNION ALL ".join(
+        f"SELECT 'minhash' AS leg, doc_id AS a, CAST({i} AS BIGINT) AS b,"
+        f" sig_{i} AS val FROM sigs"
+        for i in range(8)
+    )
+    sql["dedup_signatures"] = f"""
+WITH sigs AS ({_minhash_sql()}),
+sh AS ({_simhash_sql()})
+{_mh_unpivot}
+UNION ALL
+SELECT 'simhash' AS leg, doc_id AS a, CAST(-1 AS BIGINT) AS b,
+       simhash AS val
+FROM sh
+UNION ALL
+SELECT 'simhash_pair' AS leg, l.doc_id AS a, r.doc_id AS b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS val
+FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 2
+"""
 
     # all three near-dup pair generators, one tagged twin (near_dup_pairs)
     sql["near_dup_pairs"] = f"""
@@ -3433,6 +3574,103 @@ SELECT a, b, round(cosine, 6) AS metric FROM pairs WHERE round(cosine, 6) >= {NE
     # exact shingle-Jaccard on candidates only, then BOTH drop policies:
     # smaller-id-wins and connected components (transitive closure via a
     # recursive CTE — fine on the candidate-bounded verified pair set)
+    # exact_substring: k-token window-hash dedup (Lee et al. semantics).
+    # The operator tokenizes WITHOUT lowercasing (raw reference delimiter
+    # class), so the twin does too.  The 'winnow' leg replays the
+    # dominance-interval selection rule (nearest strictly-smaller hash
+    # left / smaller-or-equal right within w-1; edges free) as bounded
+    # self-joins — a value match proves the guarantee-preserving
+    # selection, not just the hash join.
+    _ES_K, _ES_W = 12, 4
+    _es_span = """
+dup{t} AS (SELECT wh FROM {src} GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+hit{t} AS (SELECT w.doc_id, w.pos FROM {src} w JOIN dup{t} USING (wh)),
+m{t} AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + {k}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS newf
+  FROM hit{t}
+),
+g{t} AS (
+  SELECT doc_id, pos,
+         sum(newf) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM m{t}
+),
+sp{t} AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + {k} AS span_end,
+         CAST(count(*) AS BIGINT) AS n_windows
+  FROM g{t} GROUP BY doc_id, island
+)"""
+    sql["exact_substring"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{DELIM_CLASS}'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(toks[i:i+{_ES_K - 1}], ' ')) AS wh
+  FROM toks, LATERAL unnest(range(1, len(toks) - {_ES_K} + 2)) AS t(i)
+),
+lb AS (
+  SELECT a.doc_id, a.pos, max(b.pos) AS j
+  FROM wins a JOIN wins b ON b.doc_id = a.doc_id
+   AND b.pos BETWEEN a.pos - {_ES_W - 1} AND a.pos - 1 AND b.wh < a.wh
+  GROUP BY a.doc_id, a.pos
+),
+rb AS (
+  SELECT a.doc_id, a.pos, min(b.pos) AS j
+  FROM wins a JOIN wins b ON b.doc_id = a.doc_id
+   AND b.pos BETWEEN a.pos + 1 AND a.pos + {_ES_W - 1} AND b.wh <= a.wh
+  GROUP BY a.doc_id, a.pos
+),
+winsel AS (
+  SELECT w.doc_id, w.pos, w.wh
+  FROM wins w
+  LEFT JOIN lb ON lb.doc_id = w.doc_id AND lb.pos = w.pos
+  LEFT JOIN rb ON rb.doc_id = w.doc_id AND rb.pos = w.pos
+  WHERE least(w.pos - coalesce(lb.j, w.pos - {_ES_W}) - 1, {_ES_W - 1})
+      + least(coalesce(rb.j, w.pos + {_ES_W}) - w.pos - 1, {_ES_W - 1})
+      >= {_ES_W - 1}
+),
+{_es_span.format(t='1', src='wins', k=_ES_K)},
+{_es_span.format(t='2', src='winsel', k=_ES_K)},
+tokrows AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS tok
+  FROM toks, LATERAL unnest(range(1, len(toks) + 1)) AS u(i)
+),
+kept AS (
+  SELECT tr.doc_id, tr.pos, tr.tok
+  FROM tokrows tr
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sp1 s
+    WHERE s.doc_id = tr.doc_id
+      AND tr.pos >= s.span_start AND tr.pos < s.span_end
+  )
+),
+nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM toks),
+ag AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT 'span' AS leg, doc_id, span_start AS a, span_end AS b,
+       n_windows AS c, '' AS val
+FROM sp1
+UNION ALL
+SELECT 'winnow' AS leg, doc_id, span_start AS a, span_end AS b,
+       n_windows AS c, '' AS val
+FROM sp2
+UNION ALL
+SELECT 'excise' AS leg, nt.doc_id, nt.n_tokens AS a,
+       nt.n_tokens - coalesce(ag.n_kept, 0) AS b,
+       CAST(-1 AS BIGINT) AS c, md5(coalesce(ag.clean_text, '')) AS val
+FROM nt LEFT JOIN ag USING (doc_id)
+"""
+
     sql["near_dedup"] = f"""
 WITH RECURSIVE cand AS ({_lsh_pairs_sql()}),
 toks AS (SELECT doc_id, {_TOKS_ARRAY_SQL} AS toks FROM documents),
@@ -3481,17 +3719,6 @@ SELECT 'cc' AS policy, d.doc_id, coalesce(dr.dup_of, -1) AS dup_of,
        CAST(CASE WHEN dr.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS keep
 FROM documents d LEFT JOIN cc_dropped dr ON d.doc_id = dr.b
 """
-
-    sql["simhash"] = _simhash_sql()
-
-    sql["simhash_near_dup"] = f"""
-WITH sh AS ({_simhash_sql()})
-SELECT l.doc_id AS a, r.doc_id AS b,
-       CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
-FROM sh l JOIN sh r ON l.doc_id < r.doc_id
-WHERE bit_count(xor(l.simhash, r.simhash)) <= 2
-"""
-
 
     # IVF: centroid seeds = the n_cells rows with the smallest
     # md5(CAST(vec_id AS VARCHAR)) (ties → smaller id) — identical sample
@@ -4324,12 +4551,12 @@ SELECT doc_id, CAST({BMP_N_BYTES} AS BIGINT) AS n_bytes, 'bmp' AS kind,
 FROM bp
 """
 
-    # png_pixels: the twin never inflates zlib — it re-derives the
-    # DECODED signal (IHDR geometry + every dhash bit) straight from the
-    # md5 pixel construction shared with attach_fake_png.  The Spark side
-    # can only agree by actually inflating the two-chunk IDAT stream and
-    # undoing all five scanline filters correctly.
-    sql["png_pixels"] = rf"""
+    # pixel_decode 'png' leg: the twin never inflates zlib — it re-derives
+    # the DECODED signal (IHDR geometry + every dhash bit) straight from
+    # the md5 pixel construction shared with attach_fake_png.  The Spark
+    # side can only agree by actually inflating the two-chunk IDAT stream
+    # and undoing all five scanline filters correctly.
+    _png_sql = rf"""
 WITH g AS (
   SELECT d.doc_id, t.y, s.x,
          (CAST(concat('0x', substring(hx.hx, 6 * s.x + 1, 2)) AS INT)
@@ -4362,7 +4589,7 @@ SELECT doc_id, 'png' AS kind,
 FROM dh
 """
 
-    # gif_pixels: identical md5-derived grid through the GIF container —
+    # 'gif' leg: identical md5-derived grid through the GIF container —
     # the twin only swaps the header constants (GIF meta carries no
     # color_type → -1, like the Spark side's coalesce).
     _gif_select = rf"""
@@ -4372,12 +4599,12 @@ SELECT doc_id, 'gif' AS kind,
        dhash
 FROM dh
 """
-    sql["gif_pixels"] = sql["png_pixels"].rsplit("SELECT doc_id, 'png'", 1)[0] + _gif_select.strip() + "\n"
+    _gif_sql = _png_sql.rsplit("SELECT doc_id, 'png'", 1)[0] + _gif_select.strip() + "\n"
 
-    # jpeg_pixels: constant tiles + DC-quantizer-8 make baseline JPEG
+    # 'jpeg' leg: constant tiles + DC-quantizer-8 make baseline JPEG
     # exact (see attach_fake_jpeg), so each decoded tile value is just
     # the first md5 byte — no DCT anywhere in the twin.
-    sql["jpeg_pixels"] = """
+    _jpeg_sql = """
 SELECT doc_id,
        CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
        CAST(concat('0x', substring(md5(concat(doc_id, '/0:0')), 1, 2)) AS INT) AS g00,
@@ -4385,5 +4612,23 @@ SELECT doc_id,
        CAST(concat('0x', substring(md5(concat(doc_id, '/1:0')), 1, 2)) AS INT) AS g10,
        CAST(concat('0x', substring(md5(concat(doc_id, '/1:1')), 1, 2)) AS INT) AS g11
 FROM documents
+"""
+
+    # all three compressed-format pixel decoders, one tagged twin
+    # (pixel_decode — round-4 gate-slimming of the former png_pixels /
+    # gif_pixels / jpeg_pixels keys; every leg keeps its full value check)
+    sql["pixel_decode"] = f"""
+SELECT 'png' AS leg, doc_id, width, height, bit_depth, color_type,
+       dhash AS value
+FROM ({_png_sql})
+UNION ALL
+SELECT 'gif' AS leg, doc_id, width, height, bit_depth, color_type,
+       dhash AS value
+FROM ({_gif_sql})
+UNION ALL
+SELECT 'jpeg' AS leg, doc_id, width, height,
+       CAST(8 AS INT) AS bit_depth, CAST(-1 AS INT) AS color_type,
+       concat(g00, ':', g01, ':', g10, ':', g11) AS value
+FROM ({_jpeg_sql})
 """
     return sql

@@ -617,3 +617,200 @@ def image_near_dup(
             F.col("dup_of").isNull().cast("int").alias("keep"),
         )
     )
+
+
+# --- exact-substring dedup (Lee et al. 2022, "Deduplicating Training ---
+# Data Makes Language Models Better"): find runs of >= k tokens that
+# appear in multiple documents and excise them.  The reference design is
+# a suffix array on one giant machine; the Spark-native equivalent is a
+# k-token rolling-window hash join — one co-keyed exchange on the window
+# hash instead of a global sort, with winnowing (Schleimer et al. 2003,
+# the MOSS fingerprinting scheme) as the scale lever that cuts shuffle
+# volume by ~w while keeping alignment-robust detection.
+
+
+def duplicate_token_spans(
+    docs: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    winnow: int = 1,
+) -> DataFrame:
+    """(doc_id, span_start, span_end, n_windows): merged 1-based token
+    spans covered by k-token windows whose content appears in >=
+    ``min_docs`` distinct documents.
+
+    Pipeline (everything before the one hash exchange is columnar
+    Catalyst — no UDF):
+
+    1. window hashes: md5 of the space-joined k-token slice, built with
+       ``transform(sequence(...))`` inside the row — tokens share the
+       oracle-parity delimiter class of :func:`textstats.tokens_col`;
+    2. winnowing (``winnow`` = w > 1, Schleimer et al.'s guarantee
+       kept exactly): position i is selected iff its hash is the
+       minimum of AT LEAST ONE w-window containing it — computed as
+       "i's smaller-free neighborhood spans >= w positions" (nearest
+       strictly-smaller hash to the left, smaller-or-equal to the
+       right, so ties select the rightmost — the robust-winnowing
+       convention).  The choice is purely local (±(w-1) positions of
+       hash context), so two documents sharing a run select the SAME
+       windows in its interior, and every w consecutive positions with
+       full (w-1) margin inside the run contain a selection: detection
+       is exact for shared runs >= k + 3(w-1) tokens, probabilistic
+       only below that.  w=1 is the exact Lee-et-al. semantics for
+       runs >= k.  (A trailing-window-only min — the obvious shortcut —
+       forfeits the guarantee: a run of increasing hashes selects
+       nothing past its first position.);
+    3. ONE exchange: group the exploded (hash, doc) pairs, keep hashes
+       spanning >= min_docs docs, join back co-keyed on the hash —
+       never an all-pairs comparison, and the shuffle carries one
+       16-byte digest per (winnowed) window, independent of k;
+    4. interval merge per document (window partitioned BY doc_id — no
+       global ordering anywhere): overlapping/adjacent [pos, pos+k)
+       windows fuse into maximal spans.
+
+    At 100 TB the hash exchange is the only wide stage; its volume is
+    total_tokens/w rows of ~24 bytes.  Skewed hashes (boilerplate that
+    appears everywhere) aggregate map-side first (countDistinct runs as
+    partial aggregation), so a 10^8-document license header costs one
+    hot reduce key of pre-combined partials, not 10^8 shuffled rows at
+    one reducer.
+    """
+    if k < 1 or winnow < 1:
+        raise ValueError(f"k and winnow must be >= 1, got k={k} winnow={winnow}")
+    toks = tokens_col(F.col(text_col))
+    m = F.size(toks) - F.lit(k) + 1
+    hashes = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+    )
+    docs_h = docs.where(m >= 1).select(
+        F.col(id_col), hashes.alias("h")
+    )
+    if winnow > 1:
+        w = winnow
+        n = F.size(F.col("h"))
+
+        def _selected(i):
+            # i is the min of SOME w-window containing it iff its
+            # smaller-free gap spans >= w positions: left_free counts
+            # consecutive left neighbors with hash >= h_i (strictly
+            # smaller stops), right_free consecutive right neighbors
+            # with hash > h_i (<= stops; ties select the rightmost).
+            # Both are the size of the maximal passing prefix — the
+            # per-distance test is monotone, so counting passes works.
+            # Array edges count as free (no blocker exists there); the
+            # out-of-range slice is empty -> NULL min -> coalesce True.
+            hi = F.element_at(F.col("h"), i)
+            dists = F.sequence(F.lit(1), F.lit(w - 1))
+            left_free = F.size(
+                F.filter(
+                    dists,
+                    lambda d: F.coalesce(
+                        F.array_min(
+                            F.slice(
+                                F.col("h"),
+                                F.greatest(i - d, F.lit(1)),
+                                F.greatest(F.least(d, i - 1), F.lit(0)),
+                            )
+                        )
+                        >= hi,
+                        F.lit(True),
+                    ),
+                )
+            )
+            right_free = F.size(
+                F.filter(
+                    dists,
+                    lambda d: F.coalesce(
+                        F.array_min(
+                            F.slice(
+                                F.col("h"),
+                                i + 1,
+                                F.greatest(F.least(d, n - i), F.lit(0)),
+                            )
+                        )
+                        > hi,
+                        F.lit(True),
+                    ),
+                )
+            )
+            return left_free + right_free >= F.lit(w - 1)
+
+        sel = F.filter(F.sequence(F.lit(1), F.size(F.col("h"))), _selected)
+    else:
+        sel = F.sequence(F.lit(1), F.size(F.col("h")))
+    pairs = F.transform(
+        sel,
+        lambda i: F.struct(
+            i.alias("pos"), F.element_at(F.col("h"), i).alias("wh")
+        ),
+    )
+    wins = docs_h.select(
+        F.col(id_col), F.explode(pairs).alias("w")
+    ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh"))
+    dup_hashes = (
+        wins.groupBy("wh")
+        .agg(F.countDistinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("wh")
+    )
+    hits = wins.join(dup_hashes, on="wh").select(id_col, "pos")
+    from pyspark.sql.window import Window
+
+    ordered = Window.partitionBy(id_col).orderBy("pos")
+    prior = ordered.rowsBetween(Window.unboundedPreceding, -1)
+    newf = F.when(
+        F.col("pos") > F.coalesce(F.max(F.col("pos") + k).over(prior), F.lit(-1)),
+        1,
+    ).otherwise(0)
+    grouped = hits.withColumn("island", F.sum(newf).over(ordered))
+    return (
+        grouped.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+    )
+
+
+def excise_token_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, clean_text, n_tokens, n_removed): drop every token whose
+    1-based position falls inside a span and re-join with single spaces
+    (the Lee-et-al. excision convention — original whitespace inside the
+    excised region is gone anyway, and normalizing the remainder keeps
+    the operation idempotent).  Columnar end to end: spans collect into
+    a per-doc array (bounded: spans are merged maximal intervals) and an
+    ``exists()`` predicate filters the indexed token array — no UDF, no
+    second shuffle beyond the span collect."""
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    joined = docs.join(sp, on=id_col, how="left")
+    toks = tokens_col(F.col(text_col))
+    indexed = F.transform(
+        toks, lambda t, i: F.struct(t.alias("t"), (i + 1).alias("pos"))
+    )
+    kept = F.when(F.col("spans").isNull(), indexed).otherwise(
+        F.filter(
+            indexed,
+            lambda x: ~F.exists(
+                F.col("spans"),
+                lambda s: (x["pos"] >= s["span_start"]) & (x["pos"] < s["span_end"]),
+            ),
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.transform(kept, lambda x: x["t"])).alias("clean_text"),
+        F.size(toks).alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).alias("n_removed"),
+    )

@@ -1,0 +1,247 @@
+"""Exact-substring dedup (operators/dedup.py duplicate_token_spans /
+excise_token_spans — Lee et al. 2022 semantics via a k-token window-hash
+join, winnowing as the scale lever): hand-built span cases, a pure-Python
+brute-force twin, an exact DuckDB SQL twin (winnow=1 and winnow>1), the
+winnowing detection guarantee, and excision correctness."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.constants import DELIM_CLASS
+from search_engine_spark.operators.dedup import (
+    duplicate_token_spans,
+    excise_token_spans,
+)
+
+_DELIM_RE = re.compile(DELIM_CLASS)
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in _DELIM_RE.split(text) if t != ""]
+
+
+def _py_spans(rows, k, min_docs=2, winnow=1):
+    """Brute-force twin: window md5s, dominance-interval winnowing,
+    cross-doc counting, interval merge — pure Python."""
+    hashes = {}
+    for doc_id, text in rows:
+        toks = _toks(text)
+        hashes[doc_id] = [
+            hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+            for i in range(len(toks) - k + 1)
+        ]
+    sel = {}
+    for doc_id, h in hashes.items():
+        if winnow == 1:
+            sel[doc_id] = list(range(len(h)))
+            continue
+        w = winnow
+        keep = []
+        for i in range(len(h)):
+            left = 0
+            for d in range(1, w):
+                seg = h[max(i - d, 0) : i]
+                if all(x >= h[i] for x in seg):
+                    left += 1
+            right = 0
+            for d in range(1, w):
+                seg = h[i + 1 : i + 1 + d]
+                if all(x > h[i] for x in seg):
+                    right += 1
+            if left + right >= w - 1:
+                keep.append(i)
+        sel[doc_id] = keep
+    counts = {}
+    for doc_id, keep in sel.items():
+        for i in set(hashes[doc_id][i] for i in keep):
+            counts.setdefault(i, set()).add(doc_id)
+    out = {}
+    for doc_id, keep in sel.items():
+        hits = sorted(
+            i + 1 for i in keep if len(counts[hashes[doc_id][i]]) >= min_docs
+        )
+        spans = []
+        for pos in hits:
+            if spans and pos <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], pos + k)
+                spans[-1][2] += 1
+            else:
+                spans.append([pos, pos + k, 1])
+        if spans:
+            out[doc_id] = [tuple(s) for s in spans]
+    return out
+
+
+def _spark_spans(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in duplicate_token_spans(df, **kw).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_windows"])
+        )
+    return {d: sorted(v) for d, v in got.items()}
+
+
+SHARED = " ".join(f"tok{i}" for i in range(12))
+ROWS = [
+    (1, "alpha beta " + SHARED + " gamma delta"),
+    (2, "one two three " + SHARED + " four"),
+    (3, "unrelated words only here nothing shared at all"),
+    (4, "xx yy " + SHARED),
+]
+
+
+def test_hand_built_spans(spark):
+    got = _spark_spans(spark, ROWS, k=5)
+    # the 12-token run starts at token 3 (doc 1), 4 (doc 2), 3 (doc 4);
+    # k=5 -> 8 windows each, merged into one maximal [start, start+12) span
+    assert got == {
+        1: [(3, 15, 8)],
+        2: [(4, 16, 8)],
+        4: [(3, 15, 8)],
+    }
+
+
+def test_min_docs_three(spark):
+    pair_run = " ".join(f"pair{i}" for i in range(9))
+    rows = ROWS + [(5, "aa " + pair_run), (6, "bb cc " + pair_run)]
+    got = _spark_spans(spark, rows, k=5, min_docs=3)
+    # the tok run spans 3 docs and survives; the pair run (2 docs) drops
+    assert set(got) == {1, 2, 4}
+
+
+def test_short_docs_and_no_dups(spark):
+    rows = [(1, "one two"), (2, "one two"), (3, "")]
+    assert _spark_spans(spark, rows, k=5) == {}
+
+
+def test_matches_python_twin_exact_and_winnowed(spark):
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    runs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(15, 30)))
+        for _ in range(4)
+    ]
+    rows = []
+    for doc_id in range(1, 13):
+        parts = [rng.choice(vocab) for _ in range(rng.randint(0, 20))]
+        for r in runs:
+            if rng.random() < 0.5:
+                parts.append(r)
+                parts += [rng.choice(vocab) for _ in range(rng.randint(0, 10))]
+        rows.append((doc_id, " ".join(parts)))
+    for winnow in (1, 4):
+        want = _py_spans(rows, k=6, winnow=winnow)
+        got = _spark_spans(spark, rows, k=6, winnow=winnow)
+        assert got == {d: [tuple(s) for s in v] for d, v in want.items()}, winnow
+
+
+def test_winnow_detection_guarantee(spark):
+    """Every shared run >= k + 3(w-1) tokens is detected in EVERY doc
+    carrying it, at any alignment — the Schleimer-style worst case is an
+    increasing hash sequence, which the trailing-window shortcut misses."""
+    k, w = 5, 4
+    run_len = k + 3 * (w - 1)  # = 14, the guarantee boundary
+    rng = random.Random(99)
+    vocab = [f"v{i}" for i in range(50)]
+    run = " ".join(f"shared{i}" for i in range(run_len))
+    rows = []
+    for doc_id in range(1, 9):
+        pre = " ".join(rng.choice(vocab) for _ in range(doc_id))  # vary offset
+        post = " ".join(rng.choice(vocab) for _ in range(3))
+        rows.append((doc_id, (pre + " " + run + " " + post).strip()))
+    got = _spark_spans(spark, rows, k=k, winnow=w)
+    assert set(got) == set(range(1, 9))
+    for doc_id in range(1, 9):
+        run_start = doc_id + 1  # doc_id pre-tokens, 1-based
+        (s, e, _n) = got[doc_id][0]
+        assert run_start <= s and e <= run_start + run_len
+
+
+def test_winnowed_spans_subset_of_exact(spark):
+    exact = _spark_spans(spark, ROWS, k=5)
+    winnowed = _spark_spans(spark, ROWS, k=5, winnow=3)
+    for doc_id, spans in winnowed.items():
+        for s, e, _ in spans:
+            assert any(es <= s and e <= ee for es, ee, _ in exact[doc_id])
+
+
+def test_excise(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    spans = duplicate_token_spans(df, k=5)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in excise_token_spans(df, spans).collect()
+    }
+    assert got[1] == ("alpha beta gamma delta", 16, 12)
+    assert got[2] == ("one two three four", 16, 12)
+    assert got[3] == (ROWS[2][1], 8, 0)
+    assert got[4] == ("xx yy", 14, 12)
+    # idempotent: the cleaned corpus has no shared k-windows left
+    clean = spark.createDataFrame(
+        [(d, t) for d, (t, _, _) in got.items()], "doc_id long, text string"
+    )
+    assert duplicate_token_spans(clean, k=5).count() == 0
+
+
+def test_duckdb_twin(spark):
+    """The gate-style SQL twin reproduces spans exactly (winnow=1)."""
+    k = 5
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?)", ROWS)
+    want = con.execute(
+        f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text,
+           '{DELIM_CLASS}'), t -> t <> '') AS toks
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(toks[i:i+{k - 1}], ' ')) AS wh
+  FROM toks, LATERAL unnest(range(1, len(toks) - {k} + 2)) AS t(i)
+),
+dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (wh)),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + {k}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS newf
+  FROM hits
+),
+grouped AS (
+  SELECT doc_id, pos,
+         sum(newf) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM marked
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + {k} AS span_end,
+       count(*) AS n_windows
+FROM grouped GROUP BY doc_id, island ORDER BY doc_id, span_start
+"""
+    ).fetchall()
+    got = _spark_spans(spark, ROWS, k=k)
+    flat = sorted(
+        (d, s, e, n) for d, v in got.items() for (s, e, n) in v
+    )
+    assert flat == sorted(tuple(r) for r in want)
+
+
+def test_bad_args(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        duplicate_token_spans(df, k=0)
+    with pytest.raises(ValueError):
+        duplicate_token_spans(df, k=5, winnow=0)
