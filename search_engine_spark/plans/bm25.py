@@ -1255,8 +1255,6 @@ class QueryEngine:
         """
         if fb_docs < 1 or fb_terms < 1:
             raise ValueError("fb_docs and fb_terms must be >= 1")
-        import math
-
         from ..operators.tokenize import doc_terms
 
         agg = self.score_matches(query, mode=mode)
@@ -1288,6 +1286,11 @@ class QueryEngine:
             .select("term", "tf", "df")
             .collect()
         )
+        return self._prf_select(rows, query, fb_terms)
+
+    def _query_own_terms(self, query: str) -> set[str]:
+        """The query's own cleaned single-word terms (excluded from PRF
+        expansion — Rocchio never re-adds what the user typed)."""
         orig: set[str] = set()
         for kind, _t, raws in parse_query(query):
             if kind != "terms":
@@ -1304,6 +1307,14 @@ class QueryEngine:
                     c = clean_query_term(piece, stem=self.stem)
                     if c is not None:
                         orig.add(c)
+        return orig
+
+    def _prf_select(self, rows, query: str, fb_terms: int) -> list[str]:
+        """Deterministic expansion pick from mined (term, tf, df) rows:
+        (6dp-rounded tf·idf DESC, term ASC), query's own terms excluded."""
+        import math
+
+        orig = self._query_own_terms(query)
         n_docs, _ = self._stats.get("content", (self._n_docs, 1.0))
         weighted = sorted(
             (
@@ -1367,6 +1378,143 @@ class QueryEngine:
             with_display=with_display,
         )
 
+    def prf_terms_batch(
+        self,
+        queries: list[str],
+        docs: DataFrame,
+        fb_docs: int = 10,
+        fb_terms: int = 5,
+        mode: str = "or",
+    ) -> dict[int, list[str]]:
+        """:meth:`prf_terms` for a whole query set in TWO jobs total
+        (sequentially each query pays two): phase-1 retrieval batches as
+        one (query_id, docid) aggregate with the per-query rounded-score
+        feedback cut in a single window, and the feedback mining
+        tokenizes the UNION of feedback docs once — each doc's tf joins
+        back to every query that selected it via a broadcast literal
+        (query_id, docid) frame, so a doc two queries share is tokenized
+        once, not twice.  Selection per query is the identical
+        deterministic (6dp tf·idf, term tie-break) pick.
+
+        → {query index: sorted expansion terms} (queries with no valid
+        keys or no feedback docs are absent)."""
+        if fb_docs < 1 or fb_terms < 1:
+            raise ValueError("fb_docs and fb_terms must be >= 1")
+        from ..operators.tokenize import doc_terms
+
+        parts: list[DataFrame] = []
+        for qid, query in enumerate(queries):
+            # score_matches IS prf_terms's phase 1 — reusing it keeps the
+            # batched feedback cut bit-identical to the sequential one
+            agg_q = self.score_matches(query, mode=mode)
+            if agg_q is None:
+                continue
+            parts.append(
+                agg_q.select("docid", "score").withColumn(
+                    "query_id", F.lit(qid)
+                )
+            )
+        if not parts:
+            return {}
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(F.round(F.col("score"), 6)), F.asc("docid")
+        )
+        fb_pairs = [
+            (r["query_id"], r["docid"])
+            for r in u.select("query_id", "docid", "score")
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= fb_docs)
+            .select("query_id", "docid")
+            .collect()
+        ]
+        if not fb_pairs:
+            return {}
+        all_ids = sorted({d for _q, d in fb_pairs})
+        fb_frame = docs.where(F.col("docid").isin(all_ids))
+        if self.analyzer == "code":
+            from ..operators.code_tokens import code_doc_terms
+
+            fb_tf = code_doc_terms(fb_frame, title_col=None)
+        else:
+            fb_tf = doc_terms(fb_frame, stem=self.stem, title_col=None)
+        pair_df = (
+            self.spark.range(1)
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(q).cast("int").alias("query_id"),
+                                F.lit(d).cast("long").alias("docid"),
+                            )
+                            for q, d in fb_pairs
+                        ]
+                    )
+                ).alias("r")
+            )
+            .select("r.*")
+        )
+        mined = (
+            fb_tf.join(F.broadcast(pair_df), on="docid")
+            .groupBy("query_id", "field", "term")
+            .agg(F.sum("tf").alias("tf"))
+            .join(self.index.dictionary, on=["field", "term"])
+            .where(F.length("term") > 2)
+            .select("query_id", "term", "tf", "df")
+            .collect()
+        )
+        by_q: dict[int, list] = {}
+        for r in mined:
+            by_q.setdefault(r["query_id"], []).append(r)
+        out: dict[int, list[str]] = {}
+        for qid, rows in by_q.items():
+            exp = self._prf_select(rows, queries[qid], fb_terms)
+            if exp:
+                out[qid] = exp
+        return out
+
+    def search_prf_batch(
+        self,
+        queries: list[str],
+        docs: DataFrame,
+        k: int = 10,
+        fb_docs: int = 10,
+        fb_terms: int = 5,
+        mode: str = "or",
+    ) -> DataFrame:
+        """:meth:`search_prf` for a whole query set in THREE jobs total
+        (phase-1 batch, one mining pass, one expanded batch) vs four PER
+        QUERY sequentially.  Expansion semantics match search_prf
+        exactly: expansions attach as a ``values:`` segment, and in AND
+        mode they ride the bool machinery as should clauses.
+
+        → DataFrame(query_id, rank, docid, score), the search_batch
+        contract."""
+        exps = self.prf_terms_batch(
+            queries, docs, fb_docs=fb_docs, fb_terms=fb_terms, mode=mode
+        )
+        specs: list[dict] = []
+        for qid, q in enumerate(queries):
+            exp = exps.get(qid) or []
+            if not exp:
+                specs.append({"query": q, "mode": mode})
+            elif mode == "and":
+                specs.append(
+                    {
+                        "must": q,
+                        "should": "values: " + " ".join(exp),
+                        "mode": "bool",
+                    }
+                )
+            else:
+                specs.append(
+                    {"query": q + " | values: " + " ".join(exp), "mode": mode}
+                )
+        return self.search_batch(specs, k=k)
+
     def search_dismax(
         self,
         query: str,
@@ -1403,20 +1551,7 @@ class QueryEngine:
         bad = [f_ for f_ in fields if f_ not in ("content", "title")]
         if bad or not fields:
             raise ValueError(f"fields must be among ('content', 'title'), got {fields!r}")
-        import re as _re
-
-        words = [w for w in _re.split(r"[,\s]+", query) if w]
-        cleaned: list[str] = []
-        for raw in words:
-            pieces = [self._fold_raw(raw)]
-            if self.analyzer == "code":
-                from ..operators.code_tokens import code_tokenize
-
-                pieces = code_tokenize(raw) or [raw]
-            for piece in pieces:
-                c = clean_query_term(piece, stem=self.stem)
-                if c is not None and c not in cleaned:
-                    cleaned.append(c)
+        cleaned = self._plain_terms(query)
         if not cleaned:
             return self._empty_result(with_display)
         boosts = boosts or {}
@@ -1494,31 +1629,214 @@ class QueryEngine:
             ).orderBy("rank")
         return result
 
+    def _plain_terms(self, query: str) -> list[str]:
+        """Plain-text words (whitespace/comma split, no category syntax)
+        through the index's analyzer chain — the ES multi_match input
+        shape shared by search_dismax and the dismax batch specs."""
+        import re as _re
+
+        cleaned: list[str] = []
+        for raw in (w for w in _re.split(r"[,\s]+", query) if w):
+            pieces = [self._fold_raw(raw)]
+            if self.analyzer == "code":
+                from ..operators.code_tokens import code_tokenize
+
+                pieces = code_tokenize(raw) or [raw]
+            for piece in pieces:
+                c = clean_query_term(piece, stem=self.stem)
+                if c is not None and c not in cleaned:
+                    cleaned.append(c)
+        return cleaned
+
+    _BATCH_MODES = ("or", "and", "bool", "dismax")
+    _BATCH_KEYS = {
+        "or": {"query", "mode", "must_not", "boosts", "synonyms",
+               "fuzziness", "fuzzy_max_expansions", "min_should_match"},
+        "and": {"query", "mode", "must_not", "boosts", "synonyms",
+                "fuzziness", "fuzzy_max_expansions"},
+        "bool": {"must", "should", "mode", "must_not", "boosts", "synonyms"},
+        "dismax": {"query", "mode", "fields", "tie_breaker", "boosts",
+                   "must_not"},
+    }
+
+    @staticmethod
+    def _normalize_batch_spec(q) -> dict:
+        """str | (query, mode) | spec dict → validated spec dict.  Unknown
+        keys and key/mode mismatches refuse loudly (the CLI convention:
+        silently dropping a modifier is worse than an error)."""
+        if isinstance(q, str):
+            return {"query": q, "mode": "or"}
+        if isinstance(q, tuple):
+            query, mode = q
+            spec = {"query": query, "mode": mode}
+        elif isinstance(q, dict):
+            spec = dict(q)
+            if "mode" not in spec:
+                spec["mode"] = (
+                    "bool"
+                    if ("must" in spec or "should" in spec)
+                    and "query" not in spec
+                    else "or"
+                )
+        else:
+            raise TypeError(
+                f"batch query must be str, (query, mode) or spec dict, got {type(q).__name__}"
+            )
+        mode = spec["mode"]
+        if mode not in QueryEngine._BATCH_MODES:
+            raise ValueError(
+                f"batch mode must be one of {QueryEngine._BATCH_MODES}, got {mode!r}"
+            )
+        bad = set(spec) - QueryEngine._BATCH_KEYS[mode]
+        if bad:
+            raise ValueError(
+                f"spec keys {sorted(bad)} are not supported in mode {mode!r} "
+                f"(allowed: {sorted(QueryEngine._BATCH_KEYS[mode])})"
+            )
+        if mode == "bool":
+            if not spec.get("must") and not spec.get("should"):
+                raise ValueError("bool spec needs must= and/or should=")
+        elif "query" not in spec:
+            raise ValueError(f"{mode!r} spec needs query=")
+        return spec
+
     def search_batch(
         self,
-        queries: list[str | tuple[str, str]],
+        queries: list[str | tuple[str, str] | dict],
         k: int = 10,
         phrases: str = "quirk",
     ) -> DataFrame:
-        """Evaluate a whole query SET in one DataFrame job (SURVEY.md §2.8,
-        north_rule: the reference query set runs as one batched evaluation).
+        """Evaluate a whole query SET — including the variant surfaces —
+        in one DataFrame job (SURVEY.md §2.8, north_rule: the reference
+        query set runs as one batched evaluation).
 
-        ``queries``: query strings, or (query, mode) tuples ("or"/"and").
+        ``queries`` items are query strings, (query, mode) tuples
+        ("or"/"and"), or spec dicts covering the variant surface:
+
+        - ``{"query": q, "mode": "or"|"and", "must_not": [...],
+          "boosts": {...}, "synonyms": {...}, "fuzziness": 1,
+          "min_should_match": m}`` — everything :meth:`search` expresses
+          through the match-frame machinery (fuzzy expansion costs one
+          dictionary-probe job at PLAN time per fuzzy spec; the corpus
+          scoring still batches);
+        - ``{"must": q1, "should": q2, "must_not": [...], "mode":
+          "bool"}`` — the :meth:`search_bool` clause mix;
+        - ``{"query": words, "mode": "dismax", "fields": (...),
+          "tie_breaker": t, "boosts": {...}}`` — :meth:`search_dismax`.
+
         → DataFrame(query_id, rank, docid, score), rank ≤ k per query via
-        Window.partitionBy(query_id) — the per-query top-k all computed in a
-        single union plan: every postings bucket is scanned once per
-        (query × its terms), the agg and window shuffle once on
-        (query_id, docid) keys, and the driver collects |queries|·k rows.
+        Window.partitionBy(query_id).  ONE exchange for the whole set:
+        every spec's bucket-pruned match frames (and must_not exclusion
+        probes, riding as zero-contrib 'x' rows) union BEFORE a single
+        (query_id, docid) aggregate whose sorted float64 fold carries
+        sum, per-target best leg (dis-max), must-key count, and the
+        exclusion marker at once; per-spec combine/gating joins back as
+        a broadcast literal frame.  Sequentially, n variant queries pay
+        n top-k jobs — the measured amortization is the q5 bench family.
         """
+        specs = [self._normalize_batch_spec(q) for q in queries]
         parts: list[DataFrame] = []
-        reqs: list[tuple[int, int, str]] = []
-        for qid, q in enumerate(queries):
-            query, mode = q if isinstance(q, tuple) else (q, "or")
-            matches, n_required = self._query_matches(query, phrases=phrases)
-            if matches is None:
+        reqs: list[tuple[int, int, str, float]] = []
+        for qid, spec in enumerate(specs):
+            mode = spec["mode"]
+            n_required = 0
+            tie = 0.0
+            qparts: list[DataFrame] = []
+            if mode == "dismax":
+                tie = float(spec.get("tie_breaker", 0.0))
+                if not 0.0 <= tie <= 1.0:
+                    raise ValueError(
+                        f"tie_breaker must be in [0, 1], got {tie!r}"
+                    )
+                fields = tuple(spec.get("fields", ("content", "title")))
+                badf = [f_ for f_ in fields if f_ not in ("content", "title")]
+                if badf or not fields:
+                    raise ValueError(
+                        f"fields must be among ('content', 'title'), got {fields!r}"
+                    )
+                cleaned = self._plain_terms(spec["query"])
+                boosts = spec.get("boosts") or {}
+                if cleaned:
+                    for f_ in fields:
+                        m = self._matches_for_terms(f_, sorted(cleaned))
+                        b = float(boosts.get(f_, 1.0))
+                        if b != 1.0:
+                            m = m.withColumn(
+                                "contrib", F.col("contrib") * F.lit(b)
+                            )
+                        qparts.append(m.withColumn("clause", F.lit("s")))
+            elif mode == "bool":
+                unsatisfiable = False
+                if spec.get("must"):
+                    m, n_req_must = self._query_matches(
+                        spec["must"],
+                        phrases=phrases,
+                        boosts=spec.get("boosts"),
+                        synonyms=spec.get("synonyms"),
+                    )
+                    if m is not None:
+                        qparts.append(m.withColumn("clause", F.lit("m")))
+                        n_required = n_req_must
+                    elif n_req_must:
+                        # required key set with no match frame (e.g. a
+                        # wildcard with zero expansions) — unsatisfiable,
+                        # same convention as search_bool
+                        unsatisfiable = True
+                if unsatisfiable:
+                    continue
+                if spec.get("should"):
+                    s, _ = self._query_matches(
+                        spec["should"],
+                        phrases=phrases,
+                        boosts=spec.get("boosts"),
+                        synonyms=spec.get("synonyms"),
+                    )
+                    if s is not None:
+                        qparts.append(s.withColumn("clause", F.lit("s")))
+            else:  # or / and
+                synonyms = spec.get("synonyms")
+                if spec.get("fuzziness") is not None:
+                    synonyms = self._merge_fuzzy_expansions(
+                        spec["query"],
+                        synonyms,
+                        int(spec["fuzziness"]),
+                        int(spec.get("fuzzy_max_expansions", 50)),
+                    )
+                matches, n_req = self._query_matches(
+                    spec["query"],
+                    phrases=phrases,
+                    boosts=spec.get("boosts"),
+                    synonyms=synonyms,
+                )
+                if matches is None:
+                    continue
+                qparts.append(matches.withColumn("clause", F.lit("m")))
+                if mode == "and":
+                    n_required = n_req
+                elif spec.get("min_should_match") is not None:
+                    n_required = int(spec["min_should_match"])
+            if not qparts:
                 continue
-            parts.append(matches.withColumn("query_id", F.lit(qid)))
-            reqs.append((qid, n_required, mode))
+            if spec.get("must_not"):
+                excl = self._excluded_docids(list(spec["must_not"]))
+                if excl is not None:
+                    qparts.append(
+                        excl.select(
+                            "docid",
+                            F.lit("terms").alias("kind"),
+                            F.lit("").alias("target"),
+                            F.lit("").alias("term"),
+                            F.lit(0.0).alias("contrib"),
+                            F.lit("x").alias("clause"),
+                        )
+                    )
+            for p in qparts:
+                parts.append(
+                    p.select(
+                        "docid", "kind", "target", "term", "contrib", "clause"
+                    ).withColumn("query_id", F.lit(qid))
+                )
+            reqs.append((qid, mode, n_required, tie))
         if not parts:
             return self.spark.createDataFrame(
                 [], "query_id int, rank int, docid long, score double"
@@ -1526,7 +1844,70 @@ class QueryEngine:
         matches = parts[0]
         for p in parts[1:]:
             matches = matches.unionByName(p)
-        agg = matches.groupBy("query_id", "docid").agg(*self._ordered_score_agg())
+        neg_inf = float("-inf")
+
+        def _step(acc, x):
+            # scoring rows arrive sorted by (clause, target, kind, term):
+            # within a dis-max spec every row is clause 's', so the leg
+            # fold sees targets contiguously (the search_dismax order);
+            # for sum-combine specs only `total` is read downstream
+            is_new = x["target"] != acc["tgt"]
+            had_leg = acc["tgt"] != F.lit("\x00")
+            closed_best = F.when(
+                is_new & had_leg, F.greatest(acc["best"], acc["cur"])
+            ).otherwise(acc["best"])
+            closed_total = F.when(
+                is_new & had_leg, acc["total"] + acc["cur"]
+            ).otherwise(acc["total"])
+            new_cur = F.when(is_new, x["contrib"]).otherwise(
+                acc["cur"] + x["contrib"]
+            )
+            return F.struct(
+                x["target"].alias("tgt"),
+                new_cur.alias("cur"),
+                closed_best.alias("best"),
+                closed_total.alias("total"),
+            )
+
+        def _finish(acc):
+            return F.struct(
+                F.greatest(acc["best"], acc["cur"]).alias("best"),
+                (acc["total"] + acc["cur"]).alias("total"),
+            )
+
+        arr = F.array_sort(
+            F.collect_list(
+                F.struct("clause", "target", "kind", "term", "contrib")
+            )
+        )
+        scoring = F.filter(arr, lambda x: x["clause"] != F.lit("x"))
+        fold = F.aggregate(
+            scoring,
+            F.struct(
+                F.lit("\x00").alias("tgt"),
+                F.lit(0.0).alias("cur"),
+                F.lit(neg_inf).alias("best"),
+                F.lit(0.0).alias("total"),
+            ),
+            _step,
+            _finish,
+        )
+        agg = matches.groupBy("query_id", "docid").agg(
+            fold.alias("st"),
+            F.size(
+                F.collect_set(
+                    F.when(
+                        F.col("clause") == F.lit("m"),
+                        F.struct("kind", "target", "term"),
+                    )
+                )
+            ).alias("n_m"),
+            F.max(
+                F.when(F.col("clause") == F.lit("x"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("has_x"),
+        )
         # JVM-only literal frame (createDataFrame from local rows evaluates
         # through a Python RDD — needless worker spawn in the query path)
         req_df = (
@@ -1537,23 +1918,33 @@ class QueryEngine:
                         *[
                             F.struct(
                                 F.lit(qid).cast("int").alias("query_id"),
+                                F.lit(m).alias("combine"),
                                 F.lit(nreq).cast("int").alias("n_required"),
-                                F.lit(m).alias("mode"),
+                                F.lit(t).cast("double").alias("tie"),
                             )
-                            for qid, nreq, m in reqs
+                            for qid, m, nreq, t in reqs
                         ]
                     )
                 ).alias("r")
             )
             .select("r.*")
         )
-        agg = agg.join(F.broadcast(req_df), on="query_id").where(
-            (F.col("mode") == "or") | (F.col("n_matched") >= F.col("n_required"))
+        score = F.when(
+            F.col("combine") == F.lit("dismax"),
+            F.col("st.best")
+            + F.col("tie") * (F.col("st.total") - F.col("st.best")),
+        ).otherwise(F.col("st.total"))
+        agg = (
+            agg.join(F.broadcast(req_df), on="query_id")
+            .where(
+                (F.col("has_x") == 0)
+                & (F.col("n_m") >= F.col("n_required"))
+            )
+            .select("query_id", "docid", score.alias("score"))
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
         return (
-            agg.select("query_id", "docid", "score")
-            .withColumn("rank", F.row_number().over(w))
+            agg.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "rank", "docid", "score")
         )

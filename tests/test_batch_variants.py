@@ -1,0 +1,170 @@
+"""Batched variant query surface (plans/bm25.py search_batch spec dicts):
+one job evaluates a mixed set of or/and/bool/dismax/fuzzy/min_should_match/
+must_not queries, rank- and score-identical (6dp) to the sequential
+engine methods, with the loud-refusal convention on malformed specs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+Q = "values: load_config0 hash_shard0 parse_json0"
+DISMAX_Q = "load_config0 hash_shard0 parse_json0"
+
+
+def _rows(df):
+    return sorted(
+        (r["rank"], r["docid"], round(r["score"], 6)) for r in df.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_index):
+    from search_engine_spark.plans.bm25 import QueryEngine
+
+    return QueryEngine(spark, tiny_index, cache_docstats=False)
+
+
+SPECS = [
+    {"query": Q, "mode": "or"},
+    {"query": Q, "mode": "and"},
+    {
+        "must": "values: hash_shard0",
+        "should": Q,
+        "mode": "bool",
+        "must_not": ["zephyrq0"],
+    },
+    {
+        "query": DISMAX_Q,
+        "mode": "dismax",
+        "tie_breaker": 0.3,
+        "boosts": {"title": 2.0},
+    },
+    {"query": "values: hash_shardq", "mode": "or", "fuzziness": 1},
+    {"query": Q, "mode": "or", "min_should_match": 2},
+    {"query": Q, "mode": "or", "must_not": ["parse_json0"]},
+]
+
+
+def test_batch_matches_sequential_variants(spark, engine, tiny_df):
+    batch = engine.search_batch(SPECS, k=10)
+    got: dict[int, list] = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["docid"], round(r["score"], 6))
+        )
+    for v in got.values():
+        v.sort()
+    seq = [
+        engine.search(Q, mode="or", k=10),
+        engine.search(Q, mode="and", k=10),
+        engine.search_bool(
+            must="values: hash_shard0",
+            should=Q,
+            must_not=["zephyrq0"],
+            k=10,
+        ),
+        engine.search_dismax(
+            DISMAX_Q, tie_breaker=0.3, boosts={"title": 2.0}, k=10
+        ),
+        engine.search("values: hash_shardq", fuzziness=1, k=10),
+        engine.search(Q, min_should_match=2, k=10),
+        engine.search(Q, must_not=["parse_json0"], k=10),
+    ]
+    for qid, sdf in enumerate(seq):
+        assert got.get(qid, []) == _rows(sdf), f"variant {qid} diverged"
+    # non-trivial coverage: at least the or/dismax/fuzzy legs return rows
+    assert len(got.get(0, [])) == 10
+    assert len(got.get(3, [])) == 10
+    assert len(got.get(4, [])) > 0
+
+
+def test_batch_backward_compatible_shapes(engine):
+    strs = engine.search_batch([Q, (Q, "and")], k=5)
+    specs = engine.search_batch(
+        [{"query": Q, "mode": "or"}, {"query": Q, "mode": "and"}], k=5
+    )
+    assert _rows(strs.drop("query_id")) == _rows(specs.drop("query_id"))
+
+
+def test_batch_unsatisfiable_must_is_isolated(engine):
+    # a must wildcard with zero expansions is unsatisfiable: that spec
+    # yields nothing, the neighboring specs are unaffected
+    out = engine.search_batch(
+        [
+            {"must": "values: qqqzzz*", "should": Q, "mode": "bool"},
+            {"query": Q, "mode": "or"},
+        ],
+        k=5,
+    ).collect()
+    qids = {r["query_id"] for r in out}
+    assert qids == {1}
+    assert _rows(engine.search(Q, k=5)) == sorted(
+        (r["rank"], r["docid"], round(r["score"], 6)) for r in out
+    )
+
+
+def test_batch_spec_refusals(engine):
+    with pytest.raises(ValueError, match="mode must be one of"):
+        engine.search_batch([{"query": Q, "mode": "prf"}])
+    with pytest.raises(ValueError, match="not supported in mode"):
+        engine.search_batch([{"query": Q, "mode": "and", "tie_breaker": 0.5}])
+    with pytest.raises(ValueError, match="not supported in mode"):
+        engine.search_batch(
+            [{"query": Q, "mode": "dismax", "fuzziness": 1}]
+        )
+    with pytest.raises(ValueError, match="needs must= and/or should="):
+        engine.search_batch([{"mode": "bool"}])
+    with pytest.raises(ValueError, match="needs query="):
+        engine.search_batch([{"mode": "or"}])
+    with pytest.raises(TypeError):
+        engine.search_batch([42])
+    with pytest.raises(ValueError, match="tie_breaker"):
+        engine.search_batch(
+            [{"query": Q, "mode": "dismax", "tie_breaker": 1.5}]
+        )
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_prf_batch_matches_sequential(engine, tiny_df, mode):
+    qs = [
+        "values: load_config0 hash_shard0",
+        "values: zephyrq0",
+        "values: parse_json0",
+    ]
+    docs = tiny_df
+    exps = engine.prf_terms_batch(qs, docs, fb_docs=5, fb_terms=3, mode=mode)
+    seq_exps = {
+        i: engine.prf_terms(q, docs, fb_docs=5, fb_terms=3, mode=mode)
+        for i, q in enumerate(qs)
+    }
+    assert exps == {i: v for i, v in seq_exps.items() if v}
+    assert exps, "feedback must actually mine expansions here"
+    b = engine.search_prf_batch(qs, docs, k=5, fb_docs=5, fb_terms=3, mode=mode)
+    got: dict[int, list] = {}
+    for r in b.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["docid"], round(r["score"], 6))
+        )
+    for i, q in enumerate(qs):
+        want = _rows(
+            engine.search_prf(q, docs, k=5, fb_docs=5, fb_terms=3, mode=mode)
+        )
+        assert sorted(got.get(i, [])) == want, f"prf query {i} diverged"
+
+
+def test_batch_single_wide_pass(engine):
+    """The whole variant set combines in ONE (query_id, docid) aggregate
+    feeding ONE window — no per-spec scoring aggregate or
+    join-of-aggregates shows up in the plan (upstream postings/df probes
+    keep their own small aggregates; those never group on query_id)."""
+    import re
+
+    plan = (
+        engine.search_batch(SPECS, k=10)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"\bAggregate \[query_id", plan)) == 1
+    assert len(re.findall(r"\bWindow \[", plan)) == 1
