@@ -499,7 +499,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           docs (rounded-score cut), 3 strongest tf·idf expansion terms
           (6dp-rounded weight, term tie-break, query terms excluded),
           re-query over the union term set; the twin replays phase 1,
-          mining, and the expanded rescoring.
+          mining, and the expanded rescoring;
+        - 'batch_or/and/msm/fuzzy/must_not/bool' (round 4): the SAME
+          variant mix evaluated as ONE search_batch job (spec dicts, one
+          union plan, one (query_id, docid) exchange) — each leg's twin
+          is the sequential variant's SQL retagged, so a hash match
+          proves batch ≡ sequential ≡ oracle.
         """
         from search_engine_spark.operators.index_build import build_index
         from search_engine_spark.plans.bm25 import QueryEngine
@@ -550,6 +555,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         prf_rows = eng.search_prf(
             q, docs, k=100, fb_docs=10, fb_terms=3
         ).collect()
+        # round 4: the SAME variant mix as ONE search_batch job — every
+        # 'batch_*' leg must reproduce its sequential twin exactly (the
+        # oracle replays the identical SQL under the batch_ tag)
+        batch_specs = [
+            ("batch_or", {"query": q, "mode": "or"}),
+            (
+                "batch_and",
+                {"query": "values: " + " ".join(AND_TERMS), "mode": "and"},
+            ),
+            ("batch_msm", {"query": q, "mode": "or", "min_should_match": 2}),
+            (
+                "batch_fuzzy",
+                {"query": f"values: {FUZZY_TYPO}", "mode": "or", "fuzziness": 1},
+            ),
+            (
+                "batch_must_not",
+                {"query": q, "mode": "or", "must_not": [AND_TERMS[0]]},
+            ),
+            (
+                "batch_bool",
+                {
+                    "must": "values: " + " ".join(AND_TERMS),
+                    "should": q,
+                    "mode": "bool",
+                },
+            ),
+        ]
+        brows = eng.search_batch([s for _t, s in batch_specs], k=100).collect()
+        by_qid: dict[int, list] = {}
+        for r in brows:
+            by_qid.setdefault(r["query_id"], []).append(r)
         index.unpersist()
         parts = []
         for tag, rows in (
@@ -563,6 +599,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("must_not", mn_rows),
             ("bool", bool_rows),
             ("prf", prf_rows),
+            *[
+                (tag, by_qid.get(i, []))
+                for i, (tag, _s) in enumerate(batch_specs)
+            ],
         ):
             ranked = rerank(rows)
             parts.append(
@@ -1599,7 +1639,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           cross-field df, w_title=2.0;
         - 'dismax' (round 3, QueryEngine.search_dismax — Lucene
           DisjunctionMaxQuery / ES best_fields): independent per-field
-          BM25 legs combined max + 0.3·(sum − max).
+          BM25 legs combined max + 0.3·(sum − max);
+        - 'batch_dismax' (round 4): the same query through the
+          search_batch spec path — the batched per-(query,doc) fold must
+          close field legs exactly like the dedicated plan.
 
         k=100 buffer then round-rerank to 10, the standard raw-vs-rounded
         boundary absorber."""
@@ -1619,6 +1662,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dm_rows = eng.search_dismax(
             " ".join(BM25_TERMS), tie_breaker=0.3, k=100
         ).collect()
+        # round 4: the same dis-max query through the batched spec path —
+        # the per-(query,doc) fold must close field legs exactly like the
+        # dedicated plan (twin: the dismax SQL retagged)
+        bdm_rows = eng.search_batch(
+            [
+                {
+                    "query": " ".join(BM25_TERMS),
+                    "mode": "dismax",
+                    "tie_breaker": 0.3,
+                }
+            ],
+            k=100,
+        ).collect()
         index.unpersist()
 
         def rerank(rs):
@@ -1628,14 +1684,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )[:10]
 
         parts = []
-        for tag, rs in (("bm25f", rows), ("dismax", dm_rows)):
+        for tag, rs in (
+            ("bm25f", rows),
+            ("dismax", dm_rows),
+            ("batch_dismax", bdm_rows),
+        ):
             ranked = rerank(rs)
             parts.append(
                 _ranked_literal_df(
                     spark, [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
                 ).select(F.lit(tag).alias("variant"), "rank", "doc_id", "score")
             )
-        return parts[0].unionByName(parts[1])
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def q_bm25_collapsed(spark, sf):
         """Field-collapsed top-10 (QueryEngine.search_collapsed — the
@@ -2194,7 +2257,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           (the four decoded tile grays ride in ``value`` as
           'g00:g01:g10:g11').
         ``value`` carries the leg's decoded payload (dhash hex for
-        png/gif); geometry/meta columns are shared."""
+        png/gif); geometry/meta columns are shared.
+
+        Round 4 adds the remaining two modalities as legs:
+
+        - 'frames' (video): attach_fake_animation builds a GENUINELY
+          VALID 4-frame ANIMATED GIF (frame f's grid = the md5 fold with
+          /f mixed into the key); video_frame_features LZW-decodes ALL
+          frames, samples 3 evenly spaced (indices 0,1,3), dhashes each;
+          ``value`` = 'idx:dhash|idx:dhash|idx:dhash', ``color_type``
+          carries n_total.  The twin re-derives every sampled frame's
+          dhash from the md5s — no LZW — so agreement proves the
+          multi-frame walk, compositing, and sampling;
+        - 'wav' (audio): attach_fake_wav builds a VALID 16-bit mono PCM
+          WAV whose 64 samples are unhex(md5(id~block)) little-endian;
+          audio_features runs the REAL RIFF walk + PCM decode; ``value``
+          = 'n:duration_ms:peak:zero_crossings:energy' (energy = Σs²,
+          exact integer — the SQL-safe RMS stand-in), width/height carry
+          sample_rate/channels."""
         png = q_png_pixels(spark, sf).select(
             F.lit("png").alias("leg"),
             "doc_id", "width", "height", "bit_depth", "color_type",
@@ -2214,7 +2294,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ":", F.col("g00"), F.col("g01"), F.col("g10"), F.col("g11")
             ).alias("value"),
         )
-        return png.unionByName(gif).unionByName(jp)
+        from search_engine_spark.operators.multimodal import (
+            attach_fake_animation,
+            attach_fake_wav,
+            audio_features,
+            video_frame_features,
+        )
+
+        raw = _raw_docs(spark, sf)
+        fr = (
+            video_frame_features(attach_fake_animation(raw), n_frames=3)
+            .groupBy("doc_id")
+            .agg(
+                F.max("n_total").alias("n_total"),
+                F.max("width").alias("width"),
+                F.max("height").alias("height"),
+                F.concat_ws(
+                    "|",
+                    F.array_sort(
+                        F.collect_list(
+                            F.concat_ws(":", F.col("frame_idx"), F.col("dhash"))
+                        )
+                    ),
+                ).alias("value"),
+            )
+            .select(
+                F.lit("frames").alias("leg"),
+                "doc_id", "width", "height",
+                F.lit(8).cast("int").alias("bit_depth"),
+                F.col("n_total").cast("int").alias("color_type"),
+                "value",
+            )
+        )
+        wv = audio_features(attach_fake_wav(raw)).select(
+            F.lit("wav").alias("leg"),
+            "doc_id",
+            F.col("sample_rate").cast("int").alias("width"),
+            F.col("channels").cast("int").alias("height"),
+            F.col("bit_depth").cast("int").alias("bit_depth"),
+            F.lit(-1).cast("int").alias("color_type"),
+            F.concat_ws(
+                ":",
+                F.col("n_samples"), F.col("duration_ms"), F.col("peak"),
+                F.col("zero_crossings"), F.col("energy"),
+            ).alias("value"),
+        )
+        return (
+            png.unionByName(gif).unionByName(jp)
+            .unionByName(fr).unionByName(wv)
+        )
 
     return {
         # --- previously driver-unverified content first (r2 verdict #1) ---
@@ -2798,7 +2926,7 @@ SELECT 'perc_and' AS probe, CAST(count(*) AS BIGINT) AS n FROM (
     ) WHERE tok <> '' AND regexp_matches(tok, '^[\\x00-\\x7F]+$')
   ) WHERE term <> '' GROUP BY doc_id, term
 """
-    sql["bm25f_topk"] = f"""
+    _bm25f_body = f"""
 SELECT 'bm25f' AS variant, rank, doc_id, score FROM (
 WITH tokb AS ({_TF_SQL}),
 tokt AS ({_TOKT_SQL}),
@@ -2878,6 +3006,14 @@ agg AS (
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
 FROM agg ORDER BY score DESC, doc_id LIMIT 10
 )
+"""
+
+    # round 4: the batched dis-max spec must reproduce the dedicated plan
+    # exactly — its twin is the dismax leg retagged
+    sql["bm25f_topk"] = f"""{_bm25f_body}
+UNION ALL
+SELECT 'batch_dismax' AS variant, v.rank, v.doc_id, v.score
+FROM ({_bm25f_body}) v WHERE v.variant = 'dismax'
 """
 
     # synonym twin: the 'table' group {table, hash, scan} blends (tf sum,
@@ -3135,7 +3271,7 @@ FROM agg ORDER BY score DESC, doc_id LIMIT 10
     # at weight 1 + facet idf x boost; filtered = plain ranking
     # restricted to lang/doclen-qualifying docs
     _plain_twin = _bm25_sql(BM25_TERMS, and_mode=False)
-    sql["bm25_variants"] = f"""
+    _variants_body = f"""
 SELECT 'paginated' AS variant, rank, doc_id, score FROM ({_plain_twin})
 UNION ALL
 SELECT 'boosted' AS variant, rank, doc_id, score FROM (
@@ -3372,6 +3508,24 @@ agg AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM fsc GROUP BY doc_id)
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
 FROM agg ORDER BY score DESC, doc_id LIMIT 10
 )
+"""
+
+    # round 4 batch legs: search_batch must reproduce each sequential
+    # variant EXACTLY, so the batch_ twins replay the identical SQL under
+    # a retagged name (batch_and gets the AND-mode builder — the variants
+    # entry has no sequential AND leg; that lives in bm25_topk_and)
+    sql["bm25_variants"] = f"""{_variants_body}
+UNION ALL
+SELECT 'batch_' || CASE v.variant
+         WHEN 'paginated' THEN 'or'
+         WHEN 'min_should_match' THEN 'msm'
+         ELSE v.variant END AS variant,
+       v.rank, v.doc_id, v.score
+FROM ({_variants_body}) v
+WHERE v.variant IN ('paginated', 'min_should_match', 'fuzzy', 'must_not', 'bool')
+UNION ALL
+SELECT 'batch_and' AS variant, rank, doc_id, score
+FROM ({_bm25_sql(AND_TERMS, and_mode=True)})
 """
 
     # events analytics, one tagged twin (event_windows).  Window keys are
@@ -4461,6 +4615,8 @@ FROM p JOIN r USING (doc_id) JOIN c USING (doc_id)
         FEATURE_DIM,
         PNG_H_MOD,
         PNG_W_MOD,
+        WAV_RATE,
+        WAV_SAMPLES,
         bmp_header,
     )
 
@@ -4617,6 +4773,81 @@ FROM documents
     # all three compressed-format pixel decoders, one tagged twin
     # (pixel_decode — round-4 gate-slimming of the former png_pixels /
     # gif_pixels / jpeg_pixels keys; every leg keeps its full value check)
+    # 'frames' leg (video): per sampled frame (0, 1, 3 of the 4-frame
+    # animation — i·(n−1)//(k−1)) the dhash re-derives from the md5 fold
+    # with the frame index mixed into the key; no LZW in the twin.
+    _frames_sql = rf"""
+WITH fg AS (
+  SELECT d.doc_id, f.f, t.y, s.x,
+         (CAST(concat('0x', substring(hx.hx, 6 * s.x + 1, 2)) AS INT)
+        + CAST(concat('0x', substring(hx.hx, 6 * s.x + 3, 2)) AS INT)
+        + CAST(concat('0x', substring(hx.hx, 6 * s.x + 5, 2)) AS INT)) // 3 AS g
+  FROM documents d
+  CROSS JOIN (VALUES (0), (1), (3)) AS f(f)
+  CROSS JOIN generate_series(0, {BMP_H - 1}) AS t(y)
+  CROSS JOIN generate_series(0, {BMP_W - 1}) AS s(x)
+  CROSS JOIN LATERAL (
+    SELECT md5(concat(d.doc_id, ':', t.y, '/', f.f))
+           || md5(concat(d.doc_id, '|', t.y, '/', f.f)) AS hx
+  ) AS hx
+),
+fb AS (
+  SELECT g1.doc_id, g1.f, g1.y,
+         SUM(CASE WHEN g2.g > g1.g THEN 1 << (7 - g1.x) ELSE 0 END) AS byte_y
+  FROM fg g1
+  JOIN fg g2 ON g2.doc_id = g1.doc_id AND g2.f = g1.f
+            AND g2.y = g1.y AND g2.x = g1.x + 1
+  WHERE g1.x < {BMP_W - 1}
+  GROUP BY g1.doc_id, g1.f, g1.y
+),
+fdh AS (
+  SELECT doc_id, f,
+         string_agg(lpad(lower(hex(byte_y)), 2, '0'), '' ORDER BY y) AS dhash
+  FROM fb GROUP BY doc_id, f
+)
+SELECT doc_id,
+       string_agg(concat(f, ':', dhash), '|' ORDER BY f) AS value
+FROM fdh GROUP BY doc_id
+"""
+
+    # 'wav' leg (audio): each int16 sample re-derives from the same md5
+    # hex the columnar payload was built from (little-endian, signed);
+    # the stats are exact-integer closed forms.
+    _wav_sql = rf"""
+WITH s AS (
+  SELECT d.doc_id, b.b * 8 + j.j AS i,
+         CAST(concat('0x', substring(md5(concat(d.doc_id, '~', b.b)),
+                                     4 * j.j + 1, 2)) AS INT)
+       + 256 * CAST(concat('0x', substring(md5(concat(d.doc_id, '~', b.b)),
+                                           4 * j.j + 3, 2)) AS INT) AS raw
+  FROM documents d
+  CROSS JOIN generate_series(0, {WAV_SAMPLES // 8 - 1}) AS b(b)
+  CROSS JOIN generate_series(0, 7) AS j(j)
+),
+v AS (
+  SELECT doc_id, i,
+         CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+  FROM s
+),
+lagged AS (
+  SELECT doc_id, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM v
+),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n,
+         max(abs(v)) AS peak,
+         sum(CAST(v AS BIGINT) * v) AS energy,
+         sum(CASE WHEN pv IS NOT NULL AND pv * v < 0 THEN 1 ELSE 0 END) AS zc
+  FROM lagged GROUP BY doc_id
+)
+SELECT doc_id,
+       concat(n, ':', n * 1000 // {WAV_RATE}, ':', peak, ':', zc, ':', energy)
+         AS value
+FROM agg
+"""
+
     sql["pixel_decode"] = f"""
 SELECT 'png' AS leg, doc_id, width, height, bit_depth, color_type,
        dhash AS value
@@ -4630,5 +4861,17 @@ SELECT 'jpeg' AS leg, doc_id, width, height,
        CAST(8 AS INT) AS bit_depth, CAST(-1 AS INT) AS color_type,
        concat(g00, ':', g01, ':', g10, ':', g11) AS value
 FROM ({_jpeg_sql})
+UNION ALL
+SELECT 'frames' AS leg, doc_id,
+       CAST({BMP_W} AS INT) AS width, CAST({BMP_H} AS INT) AS height,
+       CAST(8 AS INT) AS bit_depth, CAST(4 AS INT) AS color_type,
+       value
+FROM ({_frames_sql})
+UNION ALL
+SELECT 'wav' AS leg, doc_id,
+       CAST({WAV_RATE} AS INT) AS width, CAST(1 AS INT) AS height,
+       CAST(16 AS INT) AS bit_depth, CAST(-1 AS INT) AS color_type,
+       value
+FROM ({_wav_sql})
 """
     return sql

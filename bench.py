@@ -207,6 +207,59 @@ def main() -> None:
             runs=2,
         )
 
+        # --- round 4: the VARIANT surfaces batched (spec dicts) ---
+        # sequentially each variant pays its own top-k job; the batched
+        # call folds the whole mixed set into one (query_id, docid)
+        # exchange — q5m must beat q5l
+        def _seq_variants():
+            engine.search("values: table window spark", k=10).collect()
+            engine.search("values: customer vector", mode="and", k=10).collect()
+            engine.search(
+                "values: table window spark", k=10, min_should_match=2
+            ).collect()
+            engine.search(
+                "values: table window spark", k=10, must_not=["customer"]
+            ).collect()
+            engine.search_bool(
+                must="values: customer vector",
+                should="values: table window spark",
+                k=10,
+            ).collect()
+            engine.search_dismax(
+                "table window spark", tie_breaker=0.3, k=10
+            ).collect()
+
+        timed_best("q5l_variant_set", _seq_variants, runs=2)
+        variant_specs = [
+            {"query": "values: table window spark", "mode": "or"},
+            {"query": "values: customer vector", "mode": "and"},
+            {
+                "query": "values: table window spark",
+                "mode": "or",
+                "min_should_match": 2,
+            },
+            {
+                "query": "values: table window spark",
+                "mode": "or",
+                "must_not": ["customer"],
+            },
+            {
+                "must": "values: customer vector",
+                "should": "values: table window spark",
+                "mode": "bool",
+            },
+            {
+                "query": "table window spark",
+                "mode": "dismax",
+                "tie_breaker": 0.3,
+            },
+        ]
+        timed_best(
+            "q5m_batched_variants",
+            lambda: engine.search_batch(variant_specs, k=10).collect(),
+            runs=2,
+        )
+
         # --- WAND query paths (north_star block-max pruning) ---
         from search_engine_spark.plans.wand import BlockMaxWand, ShardedWand
 

@@ -13,6 +13,14 @@ per the build contract.  Everything else is real and tested end-to-end:
   (pure-Python LZW incl. interlace), and baseline JPEG (Huffman +
   dequant + exact IDCT + 4:2:0 upsample — ``jpeg_codec``), all feeding
   the perceptual dhash/ahash near-dup signal;
+- the VIDEO modality for real (round 4): multi-frame animated-GIF
+  decode with partial-rect compositing (``decode_gif_frames``),
+  endpoint-anchored frame sampling (``sample_frame_indices``), and
+  per-frame perceptual hashing (``video_frame_features``);
+- the AUDIO modality for real (round 4): PCM sample decode
+  (``decode_wav_samples`` — RIFF chunk walk, int16/uint8, channel 0)
+  and closed-form stats (peak / zero crossings / energy / RMS —
+  ``audio_stats`` / ``audio_features``);
 
 - the schema contract (binary payload + typed metadata struct);
 - magic-byte sniffing as a columnar expression;
@@ -198,6 +206,86 @@ def decode_wav_meta(payload: bytes) -> dict | None:
         "width": int.from_bytes(payload[24:28], "little"),   # sample rate
         "height": int.from_bytes(payload[22:24], "little"),  # channels
         "bit_depth": int.from_bytes(payload[34:36], "little"),
+    }
+
+
+def wav_header(
+    n_samples: int, sample_rate: int = 8000, channels: int = 1, bits: int = 16
+) -> bytes:
+    """Canonical 44-byte PCM WAV header (RIFF + 'fmt ' + 'data'), the
+    layout ``decode_wav_meta``/``decode_wav_samples`` parse."""
+    block = channels * bits // 8
+    data_len = n_samples * block
+    out = bytearray(b"RIFF")
+    out += (36 + data_len).to_bytes(4, "little")
+    out += b"WAVEfmt " + (16).to_bytes(4, "little")
+    out += (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+    out += sample_rate.to_bytes(4, "little")
+    out += (sample_rate * block).to_bytes(4, "little")
+    out += block.to_bytes(2, "little") + bits.to_bytes(2, "little")
+    out += b"data" + data_len.to_bytes(4, "little")
+    return bytes(out)
+
+
+def decode_wav_samples(payload: bytes) -> list[int] | None:
+    """REAL pure-Python PCM sample decode (round 4 — the audio modality
+    gets real signal, not just header metadata): RIFF chunk walk to
+    'data' (word-aligned skips per spec), integer PCM frames, CHANNEL 0
+    only (the mono fold a feature pipeline takes).  16-bit signed LE and
+    8-bit unsigned-biased PCM; None for compressed/float formats or
+    malformed payloads."""
+    meta = decode_wav_meta(payload)
+    if meta is None:
+        return None
+    n = len(payload)
+    audio_format = int.from_bytes(payload[20:22], "little")
+    channels, bits = meta["height"], meta["bit_depth"]
+    if audio_format != 1 or bits not in (8, 16) or channels < 1:
+        return None
+    fmt_len = int.from_bytes(payload[16:20], "little")
+    i = 20 + fmt_len + (fmt_len & 1)
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        clen = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"data":
+            data = payload[i + 8 : i + 8 + clen]
+            block = channels * (bits // 8)
+            out: list[int] = []
+            for off in range(0, len(data) - block + 1, block):
+                if bits == 16:
+                    out.append(
+                        int.from_bytes(
+                            data[off : off + 2], "little", signed=True
+                        )
+                    )
+                else:
+                    out.append(data[off] - 128)
+            return out
+        i += 8 + clen + (clen & 1)
+    return None
+
+
+def audio_stats(payload: bytes) -> dict | None:
+    """Audio-modality features from the REAL PCM decode: n_samples,
+    duration_ms, peak = max|s|, zero_crossings (strict sign flips —
+    zeros do not cross), energy = Σs² (exact integer — the SQL-twin-safe
+    stand-in for RMS), and rms itself rounded to 6dp."""
+    import math
+
+    s = decode_wav_samples(payload)
+    if not s:
+        return None
+    meta = decode_wav_meta(payload)
+    rate = meta["width"]
+    n = len(s)
+    energy = sum(v * v for v in s)
+    return {
+        "n_samples": n,
+        "duration_ms": n * 1000 // rate if rate else -1,
+        "peak": max(abs(v) for v in s),
+        "zero_crossings": sum(1 for a, b in zip(s, s[1:]) if a * b < 0),
+        "energy": energy,
+        "rms": round(math.sqrt(energy / n), 6),
     }
 
 
@@ -582,8 +670,23 @@ def gif_encode(
         rows_order = list(range(h))
     pixels = [index_rows[y][x] for y in rows_order for x in range(w)]
     min_code = max(2, bits)
-    clear, end = 1 << min_code, (1 << min_code) + 1
     out.append(min_code)
+    stream = _gif_lzw_encode(pixels, min_code)
+    for off in range(0, len(stream), 255):
+        blk = stream[off : off + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _gif_lzw_encode(pixels: list[int], min_code: int) -> bytes:
+    """Raw LZW code stream (no sub-block framing) — shared by the
+    single-frame and animated encoders.  Compress-derived "late change"
+    width growth: write at the CURRENT width, then bump if the free slot
+    no longer fits (the bump takes effect one emission after the table
+    crosses 2^size); table-full → clear code + restart."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
     table: dict[tuple[int, ...], int] = {(i,): i for i in range(1 << min_code)}
     next_code = end + 1
     code_size = min_code + 1
@@ -591,9 +694,6 @@ def gif_encode(
     stream = bytearray()
 
     def emit(code: int) -> None:
-        # compress-derived GIF convention ("late change"): write at the
-        # CURRENT width, then bump if the free slot no longer fits — the
-        # bump takes effect one emission after the table crosses 2^size
         nonlocal acc, bit_n, code_size
         acc |= code << bit_n
         bit_n += code_size
@@ -626,12 +726,176 @@ def gif_encode(
     emit(end)
     if bit_n:
         stream.append(acc & 0xFF)
-    for off in range(0, len(stream), 255):
-        blk = stream[off : off + 255]
-        out.append(len(blk))
-        out += blk
-    out += b"\x00\x3b"
+    return bytes(stream)
+
+
+def gif_encode_animated(
+    frames: list[list[list[int]]],
+    palette: list[tuple[int, int, int]],
+    delay_cs: int = 10,
+) -> bytes:
+    """Spec-correct ANIMATED GIF89a encoder (round 4 — the video-modality
+    test counterpart of ``decode_gif_frames``): per frame one Graphic
+    Control Extension (disposal 1 = do-not-dispose, spec §23) + a
+    full-logical-screen image descriptor + a real LZW stream.  All frames
+    share the global color table.  ``frames`` holds palette-index grids
+    of identical shape."""
+    h, w = len(frames[0]), len(frames[0][0])
+    n_colors = len(palette)
+    bits = max(1, (max(0, n_colors - 1)).bit_length())
+    full = 1 << bits
+    pal = bytes(
+        c
+        for j in range(full)
+        for c in (palette[j] if j < n_colors else (0, 0, 0))
+    )
+    packed = 0x80 | ((bits - 1) << 4) | (bits - 1)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([packed, 0, 0]) + pal
+    min_code = max(2, bits)
+    for fr in frames:
+        if len(fr) != h or len(fr[0]) != w:
+            raise ValueError("all frames must share the logical-screen rect")
+        # GCE: size 4, packed = disposal 1 << 2, delay, no transparency
+        out += (
+            b"\x21\xf9\x04\x04"
+            + int(delay_cs).to_bytes(2, "little")
+            + b"\x00\x00"
+        )
+        out += (
+            b"\x2c"
+            + b"\x00" * 4
+            + w.to_bytes(2, "little")
+            + h.to_bytes(2, "little")
+            + b"\x00"
+        )
+        out.append(min_code)
+        stream = _gif_lzw_encode(
+            [fr[y][x] for y in range(h) for x in range(w)], min_code
+        )
+        for off in range(0, len(stream), 255):
+            blk = stream[off : off + 255]
+            out.append(len(blk))
+            out += blk
+        out.append(0)
+    out += b"\x3b"
     return bytes(out)
+
+
+def decode_gif_frames(
+    payload: bytes, max_frames: int | None = None
+) -> list[list[list[int]]] | None:
+    """REAL pure-Python ANIMATED GIF decode (round 4): EVERY image
+    descriptor LZW-inflated and composited onto the logical screen —
+    partial-rect frames draw at their (left, top) over the previous
+    canvas (disposal methods 0/1, the do-not-dispose model our encoder
+    emits and most web GIFs use) — returning one grayscale grid per
+    frame.  Local color tables override the global one per frame;
+    interlaced frames unweave.  ``max_frames`` stops the walk early (a
+    frame-sampler never needs the tail).  None — never an exception —
+    for malformed/truncated/oversized payloads."""
+    meta = decode_gif_meta(payload)
+    if meta is None:
+        return None
+    sw, sh = meta["width"], meta["height"]
+    if sw <= 0 or sh <= 0 or sw * sh > 1 << 24:
+        return None
+    n = len(payload)
+    i = 13
+    packed = payload[10]
+    gpal: bytes | None = None
+    if packed & 0x80:
+        size = 3 * (1 << ((packed & 0x07) + 1))
+        if i + size > n:
+            return None
+        gpal = payload[i : i + size]
+        i += size
+    canvas = [[0] * sw for _ in range(sh)]
+    frames: list[list[list[int]]] = []
+    while i < n:
+        b = payload[i]
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < n and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            if i + 10 > n:
+                return None
+            left = int.from_bytes(payload[i + 1 : i + 3], "little")
+            top = int.from_bytes(payload[i + 3 : i + 5], "little")
+            w = int.from_bytes(payload[i + 5 : i + 7], "little")
+            h = int.from_bytes(payload[i + 7 : i + 9], "little")
+            ipacked = payload[i + 9]
+            i += 10
+            pal = gpal
+            if ipacked & 0x80:  # local color table wins
+                size = 3 * (1 << ((ipacked & 0x07) + 1))
+                if i + size > n:
+                    return None
+                pal = payload[i : i + size]
+                i += size
+            if pal is None or w <= 0 or h <= 0 or left + w > sw or top + h > sh:
+                return None
+            if i >= n:
+                return None
+            min_code = payload[i]
+            i += 1
+            chunks = []
+            while i < n and payload[i] != 0:
+                ln = payload[i]
+                if i + 1 + ln > n:
+                    return None
+                chunks.append(payload[i + 1 : i + 1 + ln])
+                i += 1 + ln
+            i += 1  # data sub-block terminator
+            idx = _gif_lzw_decode(min_code, b"".join(chunks), w * h)
+            if idx is None:
+                return None
+            n_colors = len(pal) // 3
+            rows_order: list[int] = []
+            if ipacked & 0x40:  # interlaced
+                for first, step in _GIF_INTERLACE:
+                    rows_order.extend(range(first, h, step))
+            else:
+                rows_order = list(range(h))
+            for stored, y in enumerate(rows_order):
+                base = stored * w
+                row = canvas[top + y]
+                for x in range(w):
+                    ci = idx[base + x]
+                    if ci >= n_colors:
+                        return None
+                    j = ci * 3
+                    row[left + x] = (pal[j] + pal[j + 1] + pal[j + 2]) // 3
+            frames.append([r[:] for r in canvas])
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            return None
+    return frames or None
+
+
+def sample_frame_indices(n_total: int, k: int) -> list[int]:
+    """Evenly-spaced frame pick, first and last always included when
+    k >= 2 — i·(n−1)//(k−1), the deterministic 'frame sample' a video
+    training pipeline takes (ffmpeg select-every-Nth equivalent, but
+    endpoint-anchored so it is stable under n_total growth)."""
+    if n_total <= 0 or k <= 0:
+        return []
+    if n_total <= k:
+        return list(range(n_total))
+    if k == 1:
+        return [0]
+    out: list[int] = []
+    for i in range(k):
+        v = i * (n_total - 1) // (k - 1)
+        if not out or v != out[-1]:
+            out.append(v)
+    return out
 
 
 def decode_pixels(payload: bytes) -> list[list[int]] | None:
@@ -864,6 +1128,154 @@ def attach_fake_gif(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return (
         docs.select(id_col)
         .mapInPandas(batches, schema=f"{id_col} long, payload binary")
+    )
+
+
+ANIM_FRAMES = 4          # synthetic animation length (shared with the twin)
+FRAME_SAMPLE_K = 3       # default sampled frames per video
+
+
+def attach_fake_animation(
+    docs: DataFrame, id_col: str = "doc_id", n_frames: int = ANIM_FRAMES
+) -> DataFrame:
+    """Deterministic GENUINELY VALID ANIMATED GIF89a per doc (round 4 —
+    the video modality): frame f's image row y takes its pixels from
+    md5(id:y/f)||md5(id|y/f) — the attach_fake_gif fold with the frame
+    index mixed into the key — so the DuckDB oracle re-derives every
+    sampled frame's dhash with no LZW anywhere.  Grayscale palette
+    (index == gray), full-rect frames, real per-frame LZW streams."""
+    palette = [(v, v, v) for v in range(256)]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf[id_col]:
+                frames = []
+                for f in range(n_frames):
+                    rows = []
+                    for y in range(BMP_H):
+                        hx = (
+                            hashlib.md5(f"{did}:{y}/{f}".encode()).hexdigest()
+                            + hashlib.md5(f"{did}|{y}/{f}".encode()).hexdigest()
+                        )
+                        px = bytes.fromhex(hx[: 2 * BMP_W * 3])
+                        rows.append(
+                            [
+                                (px[3 * x] + px[3 * x + 1] + px[3 * x + 2]) // 3
+                                for x in range(BMP_W)
+                            ]
+                        )
+                    frames.append(rows)
+                payloads.append(gif_encode_animated(frames, palette))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return (
+        docs.select(id_col)
+        .mapInPandas(batches, schema=f"{id_col} long, payload binary")
+    )
+
+
+def video_frame_features(
+    binary_df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    n_frames: int = FRAME_SAMPLE_K,
+) -> DataFrame:
+    """Video-modality frame sampling (round 4): decode the animation
+    (``decode_gif_frames``), pick ``n_frames`` evenly-spaced frames
+    (``sample_frame_indices``), perceptual-dhash each —
+    (doc_id, n_total, frame_idx, width, height, dhash), one row per
+    sampled frame.  mapInPandas, map-only: each payload decodes ONCE and
+    emits ≤ n_frames rows, so at 100 TB the operator scales with corpus
+    bytes and the per-payload decode cost, never frames × corpus;
+    undecodable payloads emit nothing."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                id_col: [], "n_total": [], "frame_idx": [],
+                "width": [], "height": [], "dhash": [],
+            }
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                frames = decode_gif_frames(p)
+                if not frames:
+                    continue
+                for fi in sample_frame_indices(len(frames), n_frames):
+                    g = frames[fi]
+                    out[id_col].append(did)
+                    out["n_total"].append(len(frames))
+                    out["frame_idx"].append(fi)
+                    out["height"].append(len(g))
+                    out["width"].append(len(g[0]))
+                    out["dhash"].append(dhash_grid(g))
+            yield pd.DataFrame(out)
+
+    return binary_df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches,
+        schema=(
+            f"{id_col} long, n_total int, frame_idx int, "
+            "width int, height int, dhash string"
+        ),
+    )
+
+
+WAV_SAMPLES = 64         # synthetic clip length (shared with the twin)
+WAV_RATE = 8000
+
+
+def attach_fake_wav(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic VALID 16-bit mono PCM WAV per doc, built COLUMNAR so
+    the DuckDB oracle reproduces every sample: the data chunk is the
+    concatenation of unhex(md5(doc_id~b)) for block b — each 16-byte
+    block carries 8 little-endian int16 samples the twin re-derives from
+    the same md5 hex."""
+    blocks = [
+        F.unhex(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"~{b}"))))
+        for b in range(WAV_SAMPLES // 8)
+    ]
+    payload = F.concat(F.lit(wav_header(WAV_SAMPLES, WAV_RATE)), *blocks)
+    return docs.select(F.col(id_col), payload.alias("payload"))
+
+
+def audio_features(
+    binary_df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Audio-modality features over the binary column: REAL header +
+    PCM decode → (doc_id, sample_rate, channels, bit_depth, n_samples,
+    duration_ms, peak, zero_crossings, energy, rms).  mapInPandas,
+    map-only — the same no-shuffle shape as extract_features;
+    non-WAV/undecodable payloads emit nothing."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols: dict[str, list] = {
+                id_col: [], "sample_rate": [], "channels": [],
+                "bit_depth": [], "n_samples": [], "duration_ms": [],
+                "peak": [], "zero_crossings": [], "energy": [], "rms": [],
+            }
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                meta = decode_wav_meta(p)
+                st = audio_stats(p)
+                if meta is None or st is None:
+                    continue
+                cols[id_col].append(did)
+                cols["sample_rate"].append(meta["width"])
+                cols["channels"].append(meta["height"])
+                cols["bit_depth"].append(meta["bit_depth"])
+                for k in (
+                    "n_samples", "duration_ms", "peak",
+                    "zero_crossings", "energy", "rms",
+                ):
+                    cols[k].append(st[k])
+            yield pd.DataFrame(cols)
+
+    return binary_df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches,
+        schema=(
+            f"{id_col} long, sample_rate int, channels int, bit_depth int, "
+            "n_samples int, duration_ms int, peak int, zero_crossings int, "
+            "energy long, rms double"
+        ),
     )
 
 

@@ -82,6 +82,10 @@ def hybrid_search(
       — ``refine=``/``m=``/``n_codes=`` via leg_kwargs; pass
       ``codes=``/``codebooks=``/``ranges=`` from a persisted root to skip
       the in-line encode);
+    - "ivfpq" (round 4): the composed IVFADC index — ``root=`` (a
+      ``write_ivfpq`` root) required, ``n_probes=``/``refine=`` via
+      leg_kwargs; the leg reads ONLY the probed cell partitions of the
+      codes table, the 10^9-vector path;
     - a CALLABLE ``(embeddings, probe, k, id_col) -> DataFrame(id, cosine)``
       for anything else (e.g. ``ivf_topk_persisted`` closed over a root).
     ANN legs trade leg recall for a partition-pruned scan; RRF itself is
@@ -108,10 +112,21 @@ def hybrid_search(
         vec = pq_topk(embeddings, probe, k=depth, id_col=id_col, **leg_kwargs)
     elif vector_leg == "sq":
         vec = sq_topk(embeddings, probe, k=depth, id_col=id_col, **leg_kwargs)
+    elif vector_leg == "ivfpq":
+        from ..operators.similarity import ivfpq_topk_persisted
+
+        root = leg_kwargs.pop("root", None)
+        if root is None:
+            raise ValueError(
+                "vector_leg='ivfpq' needs root= (a write_ivfpq index root)"
+            )
+        vec = ivfpq_topk_persisted(
+            engine.spark, root, embeddings, probe, k=depth, **leg_kwargs
+        )
     else:
         raise ValueError(
-            f"vector_leg must be 'exact', 'ann', 'ivf', 'pq', 'sq' or a "
-            f"callable — got {vector_leg!r}"
+            f"vector_leg must be 'exact', 'ann', 'ivf', 'pq', 'sq', 'ivfpq' "
+            f"or a callable — got {vector_leg!r}"
         )
     cos = with_ranks(
         vec,

@@ -130,6 +130,20 @@ def test_hybrid_ann_leg_recall(spark, tiny_index, emb):
                         vector_leg="pq", m=4, n_codes=8, refine=8).collect()}
     assert len(pq & exact) >= 6, (sorted(pq), sorted(exact))
 
+    # first-class IVFADC leg (round 4): all-cells probe + wide refine
+    # recovers the brute-force fusion exactly on this tiny corpus
+    from search_engine_spark.operators.similarity import write_ivfpq
+
+    ivfpq_root = tempfile.mkdtemp(prefix="hyb_ivfpq_")
+    write_ivfpq(spark, emb, ivfpq_root, n_cells=4, m=4, n_codes=8)
+    ivfpq = {r["docid"] for r in
+             hybrid_search(eng, emb, QUERY, probe, k=10, depth=20,
+                           vector_leg="ivfpq", root=ivfpq_root,
+                           n_probes=4, refine=8).collect()}
+    assert len(ivfpq & exact) >= 6, (sorted(ivfpq), sorted(exact))
+    with pytest.raises(ValueError, match="root="):
+        hybrid_search(eng, emb, QUERY, probe, vector_leg="ivfpq")
+
     with pytest.raises(ValueError, match="vector_leg"):
         hybrid_search(eng, emb, QUERY, probe, vector_leg="nope")
 

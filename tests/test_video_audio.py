@@ -1,0 +1,243 @@
+"""Video (animated GIF frame sampling) and audio (PCM WAV) modalities.
+
+The video pipeline is REAL end to end: gif_encode_animated writes
+spec-correct multi-frame GIF89a (per-frame GCE + LZW streams), and
+decode_gif_frames walks EVERY image descriptor, composites partial
+rects onto the logical screen (do-not-dispose model), and returns one
+grayscale grid per frame; video_frame_features samples evenly spaced
+frames and perceptual-dhashes each inside mapInPandas.  The audio
+pipeline decodes real PCM samples (RIFF chunk walk, int16/uint8,
+channel 0) and derives closed-form stats.  The driver gate
+(pixel_decode 'frames'/'wav' legs) value-checks both against DuckDB;
+these tests pin the pure-Python semantics and the Spark plumbing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+
+import pytest
+
+from search_engine_spark.operators.multimodal import (
+    BMP_H,
+    BMP_W,
+    _gif_lzw_encode,
+    attach_fake_animation,
+    attach_fake_wav,
+    audio_features,
+    audio_stats,
+    decode_gif_frames,
+    decode_gif_pixels,
+    decode_wav_samples,
+    dhash_grid,
+    gif_encode,
+    gif_encode_animated,
+    sample_frame_indices,
+    video_frame_features,
+    wav_header,
+)
+
+GRAY = [(v, v, v) for v in range(256)]
+
+
+def _frames(n, w=9, h=8, seed=3):
+    rnd = random.Random(seed)
+    return [
+        [[rnd.randrange(256) for _ in range(w)] for _ in range(h)]
+        for _ in range(n)
+    ]
+
+
+def test_animated_roundtrip_exact():
+    frames = _frames(4)
+    dec = decode_gif_frames(gif_encode_animated(frames, GRAY))
+    assert dec == frames
+
+
+def test_single_frame_encoder_unchanged_by_refactor():
+    """gif_encode still round-trips through BOTH decoders (the LZW
+    encoder was extracted for reuse — behavior must be identical)."""
+    f = _frames(1)[0]
+    for interlace in (False, True):
+        p = gif_encode(f, GRAY, interlace=interlace)
+        assert decode_gif_pixels(p) == f
+        assert decode_gif_frames(p) == [f]
+
+
+def test_max_frames_early_stop():
+    frames = _frames(5)
+    p = gif_encode_animated(frames, GRAY)
+    assert decode_gif_frames(p, max_frames=2) == frames[:2]
+
+
+def test_partial_rect_composites_over_previous_canvas():
+    """A second frame covering only a sub-rect updates that rect and
+    leaves the rest of the canvas at frame 1's pixels (disposal 0/1)."""
+    base = _frames(1)[0]
+    body = bytearray(gif_encode_animated([base], GRAY)[:-1])  # drop trailer
+    sub = [[7, 8, 9], [10, 11, 12]]
+    body += b"\x21\xf9\x04\x04\x0a\x00\x00\x00"
+    body += (
+        b"\x2c"
+        + (4).to_bytes(2, "little")
+        + (3).to_bytes(2, "little")
+        + (3).to_bytes(2, "little")
+        + (2).to_bytes(2, "little")
+        + b"\x00"
+    )
+    body.append(8)
+    st = _gif_lzw_encode([v for row in sub for v in row], 8)
+    for off in range(0, len(st), 255):
+        blk = st[off : off + 255]
+        body.append(len(blk))
+        body += blk
+    body += b"\x00\x3b"
+    dec = decode_gif_frames(bytes(body))
+    exp = [r[:] for r in base]
+    for dy, row in enumerate(sub):
+        for dx, v in enumerate(row):
+            exp[3 + dy][4 + dx] = v
+    assert dec == [base, exp]
+
+
+def test_frames_reject_out_of_screen_rect_and_garbage():
+    base = _frames(1)[0]
+    body = bytearray(gif_encode_animated([base], GRAY)[:-1])
+    # rect extends past the 9x8 logical screen → None
+    body += (
+        b"\x2c"
+        + (8).to_bytes(2, "little")
+        + (0).to_bytes(2, "little")
+        + (5).to_bytes(2, "little")
+        + (2).to_bytes(2, "little")
+        + b"\x00\x08\x00\x3b"
+    )
+    assert decode_gif_frames(bytes(body)) is None
+    assert decode_gif_frames(b"GIF89a\x01") is None
+    assert decode_gif_frames(b"not a gif") is None
+
+
+@pytest.mark.parametrize(
+    ("n", "k", "want"),
+    [
+        (4, 3, [0, 1, 3]),
+        (2, 3, [0, 1]),
+        (10, 1, [0]),
+        (0, 3, []),
+        (5, 0, []),
+        (100, 4, [0, 33, 66, 99]),
+        (3, 3, [0, 1, 2]),
+    ],
+)
+def test_sample_frame_indices(n, k, want):
+    assert sample_frame_indices(n, k) == want
+
+
+def _pcm16(samples):
+    return b"".join(s.to_bytes(2, "little", signed=True) for s in samples)
+
+
+def test_wav_pcm_roundtrip_and_stats():
+    rnd = random.Random(11)
+    samples = [rnd.randrange(-32768, 32768) for _ in range(64)]
+    p = wav_header(64) + _pcm16(samples)
+    assert decode_wav_samples(p) == samples
+    st = audio_stats(p)
+    assert st["n_samples"] == 64
+    assert st["duration_ms"] == 8  # 64 / 8000 Hz
+    assert st["peak"] == max(abs(v) for v in samples)
+    assert st["energy"] == sum(v * v for v in samples)
+    assert st["zero_crossings"] == sum(
+        1 for a, b in zip(samples, samples[1:]) if a * b < 0
+    )
+    assert st["rms"] == round(math.sqrt(st["energy"] / 64), 6)
+
+
+def test_wav_8bit_stereo_and_malformed():
+    d8 = bytes(random.Random(5).randrange(256) for _ in range(32))
+    assert decode_wav_samples(wav_header(32, 8000, 1, 8) + d8) == [
+        b - 128 for b in d8
+    ]
+    # stereo: channel 0 only
+    s = [100, -200, 300, -400]
+    inter = _pcm16([s[0], 1, s[1], 2, s[2], 3, s[3], 4])
+    assert decode_wav_samples(wav_header(4, 8000, 2, 16) + inter) == s
+    assert decode_wav_samples(b"RIFFxxxxWAVE") is None
+    assert decode_wav_samples(b"nope") is None
+    assert audio_stats(wav_header(0)) is None  # zero samples
+    # non-PCM format code refuses
+    bad = bytearray(wav_header(4) + _pcm16([1, 2, 3, 4]))
+    bad[20] = 3  # IEEE float
+    assert decode_wav_samples(bytes(bad)) is None
+
+
+def _anim_grid(did, f):
+    rows = []
+    for y in range(BMP_H):
+        hx = (
+            hashlib.md5(f"{did}:{y}/{f}".encode()).hexdigest()
+            + hashlib.md5(f"{did}|{y}/{f}".encode()).hexdigest()
+        )
+        px = bytes.fromhex(hx[: 2 * BMP_W * 3])
+        rows.append(
+            [(px[3 * x] + px[3 * x + 1] + px[3 * x + 2]) // 3 for x in range(BMP_W)]
+        )
+    return rows
+
+
+def test_video_frame_features_matches_python_model(spark, tiny_df):
+    docs = tiny_df.limit(6).selectExpr("docid AS doc_id")
+    got = {
+        (r["doc_id"], r["frame_idx"]): (
+            r["n_total"], r["width"], r["height"], r["dhash"]
+        )
+        for r in video_frame_features(
+            attach_fake_animation(docs), n_frames=3
+        ).collect()
+    }
+    ids = [r["doc_id"] for r in docs.collect()]
+    assert len(got) == 3 * len(ids)
+    for did in ids:
+        for fi in (0, 1, 3):
+            assert got[(did, fi)] == (
+                4, BMP_W, BMP_H, dhash_grid(_anim_grid(did, fi))
+            )
+
+
+def test_audio_features_matches_python_model(spark, tiny_df):
+    docs = tiny_df.limit(6).selectExpr("docid AS doc_id")
+    rows = audio_features(attach_fake_wav(docs)).collect()
+    assert len(rows) == 6
+    for r in rows:
+        did = r["doc_id"]
+        samples = []
+        for b in range(8):
+            raw = hashlib.md5(f"{did}~{b}".encode()).digest()
+            for j in range(8):
+                samples.append(
+                    int.from_bytes(raw[2 * j : 2 * j + 2], "little", signed=True)
+                )
+        assert r["sample_rate"] == 8000 and r["channels"] == 1
+        assert r["bit_depth"] == 16 and r["n_samples"] == 64
+        assert r["peak"] == max(abs(v) for v in samples)
+        assert r["energy"] == sum(v * v for v in samples)
+        assert r["zero_crossings"] == sum(
+            1 for a, b2 in zip(samples, samples[1:]) if a * b2 < 0
+        )
+        assert r["rms"] == round(math.sqrt(r["energy"] / 64), 6)
+
+
+def test_frame_dhash_flags_near_duplicate_videos(spark):
+    """Two animations sharing 2 of 3 sampled frames overlap on ≥2 frame
+    dhashes — the video near-dup signal a training pipeline dedups on."""
+    frames_a = _frames(4, seed=21)
+    frames_b = [frames_a[0], frames_a[1], _frames(1, seed=99)[0], frames_a[3]]
+    a, b = gif_encode_animated(frames_a, GRAY), gif_encode_animated(frames_b, GRAY)
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, payload binary")
+    out = video_frame_features(df, n_frames=3).collect()
+    ha = {r["dhash"] for r in out if r["doc_id"] == 1}
+    hb = {r["dhash"] for r in out if r["doc_id"] == 2}
+    assert len(ha) and len(hb)
+    assert len(ha & hb) >= 2
