@@ -708,6 +708,58 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_search_batch(args) -> int:
+    """Evaluate a whole query set — including the variant spec surface —
+    as ONE DataFrame job (QueryEngine.search_batch).  The input file is
+    JSON Lines: each line is either a JSON string (a plain OR query) or
+    a spec object ({"query": ..., "mode": "or"|"and", "must_not": [...],
+    "boosts"/"synonyms"/"fuzziness"/"min_should_match", or
+    {"must"/"should", "mode": "bool"}, or {"query", "mode": "dismax",
+    "tie_breaker"/"fields"}).  Spec validation refuses loudly (exit 2) —
+    the search_batch convention.  Output: one TSV line per hit,
+    query_id<TAB>rank<TAB>docid<TAB>score."""
+    import json as _json
+
+    specs: list = []
+    try:
+        with open(args.file, encoding="utf-8") as fh:
+            for ln, line in enumerate(fh, 1):
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                try:
+                    v = _json.loads(line)
+                except ValueError:
+                    # bare query string convenience (not valid JSON)
+                    v = line
+                if not isinstance(v, (str, dict)):
+                    print(
+                        f"error: line {ln}: expected a JSON string or "
+                        f"object, got {type(v).__name__}",
+                        file=sys.stderr,
+                    )
+                    return 2
+                specs.append(v)
+    except OSError as e:
+        print(f"error: cannot read {args.file}: {e}", file=sys.stderr)
+        return 2
+    if not specs:
+        print("error: no queries in the spec file", file=sys.stderr)
+        return 2
+    spark = _spark(args)
+    engine = _engine(spark, args)
+    try:
+        rows = engine.search_batch(specs, k=args.k).collect()
+    except (ValueError, TypeError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    for r in rows:
+        print(f"{r['query_id']}\t{r['rank']}\t{r['docid']}\t{r['score']:.6f}")
+    if not rows:
+        print("no results", file=sys.stderr)
+    return 0
+
+
 def cmd_filter(args) -> int:
     """Training-corpus preparation: write per-document keep/drop decisions."""
     from .operators.pipeline import training_corpus_filter
@@ -1331,6 +1383,28 @@ def main(argv: list[str] | None = None) -> int:
         "shards (power of two) inside applyInPandas — the 10^12-doc path",
     )
     s.set_defaults(fn=cmd_search)
+
+    sbch = sub.add_parser(
+        "search-batch",
+        help="evaluate a JSONL query-spec set as ONE DataFrame job",
+    )
+    sbch.add_argument("--index", required=True)
+    sbch.add_argument(
+        "--file", required=True,
+        help="JSON Lines: a JSON string per line (plain OR query) or a "
+        'spec object — {"query", "mode", "must_not", "boosts", '
+        '"synonyms", "fuzziness", "min_should_match"} / {"must", '
+        '"should", "mode": "bool"} / {"query", "mode": "dismax", '
+        '"tie_breaker", "fields"}; bare non-JSON lines read as plain '
+        "queries",
+    )
+    sbch.add_argument("-k", type=int, default=10)
+    sbch.add_argument(
+        "--stem", action="store_true", default=None,
+        help="override query-term stemming (default: the index's build "
+        "setting)",
+    )
+    sbch.set_defaults(fn=cmd_search_batch)
 
     f = sub.add_parser(
         "filter", help="training-corpus keep/drop decisions (quality+lang+dedup)"

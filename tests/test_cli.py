@@ -819,3 +819,76 @@ def test_prf_dismax_refuse_modifier_flags(spark, tiny_df, tmp_path, capsys):
         )
         assert rc == 2, extra
         assert "not supported with --dismax" in capsys.readouterr().err, extra
+
+
+def test_search_batch_subcommand(spark, tiny_df, tmp_path, capsys):
+    """search-batch evaluates a JSONL spec set (plain + and + bool +
+    dismax + must_not) in one job; output matches the single-query
+    engine paths; bad specs exit 2."""
+    import json
+
+    src = str(tmp_path / "docs_sb")
+    root = str(tmp_path / "idx_sb")
+    tiny_df.write.parquet(src)
+    assert main(["build", "--input", src, "--output", root]) == 0
+    capsys.readouterr()
+
+    specs = tmp_path / "specs.jsonl"
+    specs.write_text(
+        "\n".join(
+            [
+                json.dumps("values: load_config0 parse_config0 hash_config0"),
+                "values: write_config0",  # bare non-JSON line -> plain query
+                json.dumps({"query": "values: load_config0 parse_config0", "mode": "and"}),
+                json.dumps(
+                    {
+                        "must": "values: load_config0",
+                        "should": "values: parse_config0 hash_config0",
+                        "mode": "bool",
+                    }
+                ),
+                json.dumps(
+                    {"query": "load_config0 parse_config0", "mode": "dismax", "tie_breaker": 0.3}
+                ),
+                json.dumps(
+                    {"query": "values: load_config0 parse_config0", "must_not": ["hash_config0"]}
+                ),
+            ]
+        )
+        + "\n"
+    )
+    assert main(
+        ["search-batch", "--index", root, "--file", str(specs), "-k", "5"]
+    ) == 0
+    out = capsys.readouterr().out
+    rows = [ln.split("\t") for ln in out.splitlines() if ln.strip()]
+    assert rows and all(len(r) == 4 for r in rows)
+    by_q: dict[int, list] = {}
+    for qid, rank, docid, score in rows:
+        by_q.setdefault(int(qid), []).append((int(rank), int(docid), score))
+    # every present query's ranks are 1..n and the plain leg matches the
+    # sequential engine exactly
+    for qid, hits in by_q.items():
+        assert [r for r, _, _ in sorted(hits)] == list(
+            range(1, len(hits) + 1)
+        )
+    from search_engine_spark.plans.bm25 import QueryEngine
+    from search_engine_spark.sources.index_io import read_index
+
+    eng = QueryEngine(spark, read_index(spark, root))
+    seq = eng.search("values: load_config0 parse_config0 hash_config0", k=5).collect()
+    assert [(r["rank"], r["docid"]) for r in seq] == [
+        (r, d) for r, d, _ in sorted(by_q[0])
+    ]
+
+    # invalid spec key → exit 2 with the loud-refusal message
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text(json.dumps({"query": "x", "fields": ["content"]}) + "\n")
+    rc = main(["search-batch", "--index", root, "--file", str(bad)])
+    assert rc == 2
+    assert "not supported" in capsys.readouterr().err
+
+    rc = main(
+        ["search-batch", "--index", root, "--file", str(tmp_path / "nope.jsonl")]
+    )
+    assert rc == 2
