@@ -1475,16 +1475,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_code_tokens(spark, sf):
-        """Code-identifier analyzer forward index (operators/code_tokens.py):
-        camel/acronym boundaries split, lowercased, non-alnum delimiters."""
+        """Code-analyzer surface in one tagged entry (r4: + symbols):
+
+        - 'subtoken': the code-identifier forward index
+          (operators/code_tokens.py — camel/acronym split, lowercase,
+          non-alnum delimiters); n = tf.
+        - 'symbol': ctags-lite definition extraction
+          (operators/symbols.py) over a deterministic code-shaped twin of
+          each document (every 5th token becomes a def/class/const line).
+          The Spark side BUILDS the code text and runs the real line-split
+          + regexp extraction; the oracle derives the expected symbols
+          from first principles — an independent derivation, so a regex
+          or line-numbering bug on either side breaks the hash.
+          term = kind:name, n = 1-based line number.
+        """
         from search_engine_spark.operators.code_tokens import code_doc_terms
+        from search_engine_spark.operators.symbols import extract_symbols
 
         docs = _raw_docs(spark, sf).select(
             F.col("doc_id").alias("docid"), F.col("text").alias("content")
         )
-        return code_doc_terms(docs, title_col=None).select(
-            F.col("docid").alias("doc_id"), "term", "tf"
+        sub = code_doc_terms(docs, title_col=None).select(
+            F.lit("subtoken").alias("variant"),
+            F.col("docid").alias("doc_id"),
+            "term",
+            F.col("tf").cast("int").alias("n"),
         )
+        toks = F.filter(
+            F.split(F.col("content"), " "), lambda t: t.rlike("^[a-z]+$")
+        )
+        lines = F.transform(
+            toks,
+            lambda t, i: F.when(
+                i % 5 == 0,
+                F.concat(F.lit("def "), t, i.cast("string"), F.lit("(x):")),
+            )
+            .when(i % 5 == 1, F.concat(F.lit("    return "), t))
+            .when(
+                i % 5 == 2,
+                F.concat(F.lit("class "), F.upper(t), i.cast("string"), F.lit(":")),
+            )
+            .when(
+                i % 5 == 3,
+                F.concat(F.lit("const "), t, F.lit(" = "), i.cast("string")),
+            )
+            .otherwise(t),
+        )
+        code = docs.select("docid", F.concat_ws("\n", lines).alias("content"))
+        sym = extract_symbols(code).select(
+            F.lit("symbol").alias("variant"),
+            F.col("docid").alias("doc_id"),
+            F.concat_ws(":", "kind", "symbol").alias("term"),
+            F.col("line_no").cast("int").alias("n"),
+        )
+        return sub.unionByName(sym)
 
     def q_trigram_search(spark, sf):
         """Trigram-index code search in one entry, tagged by ``variant``
@@ -2782,15 +2826,36 @@ FROM dict WHERE levenshtein(term, '{FUZZY_TYPO}') <= 1
 """
 
     # code-identifier analyzer: acronym boundary, camel boundary, lowercase,
-    # split on non-alnum (twin semantics pinned by test_code_tokens.py)
+    # split on non-alnum (twin semantics pinned by test_code_tokens.py);
+    # symbol leg: first-principles derivation of the def/class/const lines
+    # the Spark side synthesizes and regex-extracts (test_symbols.py)
     sql["code_tokens"] = r"""
-SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM (
+SELECT 'subtoken' AS variant, doc_id, term, CAST(count(*) AS INT) AS n FROM (
   SELECT doc_id, unnest(list_filter(string_split_regex(
     lower(regexp_replace(regexp_replace(text, '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
                          '([a-z0-9])([A-Z])', '\1 \2', 'g')),
     '[^a-z0-9]+'), t -> t <> '')) AS term
   FROM documents
 ) GROUP BY doc_id, term
+UNION ALL
+SELECT variant, doc_id, term, n FROM (
+  WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '),
+                       t -> regexp_matches(t, '^[a-z]+$')) AS l
+    FROM documents
+  ),
+  tok AS (
+    SELECT doc_id, l[i] AS t, i - 1 AS i
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) _
+  )
+  SELECT 'symbol' AS variant, doc_id,
+         CASE WHEN i % 5 = 0 THEN 'function:' || t || CAST(i AS VARCHAR)
+              WHEN i % 5 = 2 THEN 'class:' || upper(t) || CAST(i AS VARCHAR)
+              ELSE 'const:' || t END AS term,
+         CAST(i + 1 AS INT) AS n
+  FROM tok WHERE i % 5 IN (0, 2, 3)
+)
 """
 
     # phrase as ONE pseudo-term: tf = occurrence count, df = matching docs;

@@ -49,6 +49,16 @@ def cmd_build(args) -> int:
     from .sources.index_io import resumable_build, write_index
 
     spark = _spark(args)
+    if getattr(args, "symbols", False) and getattr(
+        args, "analyzer", "reference"
+    ) != "code":
+        # a silently ignored --symbols would LOOK like a symbol-ranked index
+        print(
+            "error: --symbols requires --analyzer code (symbol names are "
+            "subtokenized with the code analyzer)",
+            file=sys.stderr,
+        )
+        return 2
     docs = _load_docs(spark, args.input)
     assert_docid_unique(docs)
     if getattr(args, "analyzer", "reference") == "code":
@@ -71,6 +81,7 @@ def cmd_build(args) -> int:
         index = build_code_index(
             spark,
             docs,
+            symbols=getattr(args, "symbols", False),
             salt_threshold=args.salt_threshold,
             compress=not args.no_compress,
         )
@@ -589,6 +600,15 @@ def cmd_search(args) -> int:
                 file=sys.stderr,
             )
             return 2
+    if getattr(args, "symbol_weight", None) is not None and not getattr(
+        args, "bm25f", False
+    ):
+        print(
+            "error: --symbol-weight requires --bm25f (it is a BM25F field "
+            "weight)",
+            file=sys.stderr,
+        )
+        return 2
     if getattr(args, "bm25f", False):
         if syns:
             # silent flag drops are worse than refusals (BM25F's
@@ -605,9 +625,25 @@ def cmd_search(args) -> int:
             if kind == "terms"
             for t in raw
         ]
+        if engine.analyzer == "code":
+            # split query identifiers the way the code build did —
+            # `parseJson` must probe `parse` + `json`, not one opaque term
+            from .operators.code_tokens import code_tokenize
+
+            terms = [s for t in terms for s in code_tokenize(t)]
+        weights = {"content": 1.0, "title": args.title_weight}
+        sym_w = getattr(args, "symbol_weight", None)
+        if sym_w is not None:
+            if "symbol" not in engine._stats:
+                print(
+                    "error: --symbol-weight needs an index built with "
+                    "--analyzer code --symbols (no 'symbol' field here)",
+                    file=sys.stderr,
+                )
+                return 2
+            weights["symbol"] = float(sym_w)
         rows = bm25f_topk(
-            engine, terms, k=args.k,
-            weights={"content": 1.0, "title": args.title_weight},
+            engine, terms, k=args.k, weights=weights,
         ).collect()
         for r in rows:
             print(f"{r['rank']:>3}  {r['docid']:<20} {r['score']:.6f}")
@@ -1042,6 +1078,37 @@ def cmd_fsck(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_symbols(args) -> int:
+    """ctags-lite listing: definition sites (docid:line  kind  name)
+    extracted from a document corpus — operators/symbols.py, map-only."""
+    from .operators.symbols import SYMBOL_PATTERNS, extract_symbols
+
+    spark = _spark(args)
+    docs = _load_docs(spark, args.input)
+    syms = extract_symbols(docs)
+    if args.kind is not None:
+        kinds = sorted({k for k, _ in SYMBOL_PATTERNS})
+        if args.kind not in kinds:
+            print(
+                f"error: unknown kind {args.kind!r}; one of {', '.join(kinds)}",
+                file=sys.stderr,
+            )
+            return 2
+        syms = syms.where(F.col("kind") == args.kind)
+    if args.name is not None:
+        syms = syms.where(F.col("symbol") == args.name)
+    rows = (
+        syms.orderBy("docid", "line_no", "kind", "symbol")
+        .limit(args.limit)
+        .collect()
+    )
+    for r in rows:
+        print(f"{r['docid']}:{r['line_no']}\t{r['kind']}\t{r['symbol']}")
+    if not rows:
+        print("no symbols")
+    return 0
+
+
 def cmd_info(args) -> int:
     """Index introspection — the Elasticsearch ``_stats`` surface: the
     persisted build config (_index_meta), per-table row counts and on-disk
@@ -1206,6 +1273,13 @@ def main(argv: list[str] | None = None) -> int:
         "--substring/--regex)",
     )
     b.add_argument(
+        "--symbols", action="store_true",
+        help="with --analyzer code: also extract ctags-style definition "
+        "names (def/class/func/fn/struct/...) into a third index field "
+        "'symbol'; rank with search --bm25f --symbol-weight W so files "
+        "DEFINING a name outrank files merely mentioning it",
+    )
+    b.add_argument(
         "--analyzer", choices=("reference", "code", "fold"), default="reference",
         help="term analyzer: reference semantics (default), code-identifier "
         "subtokens (camelCase/snake_case split), or ASCII folding "
@@ -1285,6 +1359,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument(
         "--title-weight", type=float, default=2.0,
         help="with --bm25f: the title field weight (content stays 1.0)",
+    )
+    s.add_argument(
+        "--symbol-weight", type=float, default=None,
+        help="with --bm25f on a --symbols code index: weight of the "
+        "symbol (definition-name) field — e.g. 3.0 ranks files defining "
+        "a name above files mentioning it",
     )
     s.add_argument(
         "--histogram", default=None, metavar="COL",
@@ -1523,6 +1603,17 @@ def main(argv: list[str] | None = None) -> int:
     fs = sub.add_parser("fsck", help="verify index cross-table invariants")
     fs.add_argument("--index", required=True)
     fs.set_defaults(fn=cmd_fsck)
+
+    sy = sub.add_parser(
+        "symbols",
+        help="list ctags-style definition sites (docid:line  kind  name) "
+        "extracted from a corpus",
+    )
+    sy.add_argument("--input", required=True)
+    sy.add_argument("--kind", default=None, help="filter by kind (function/class/...)")
+    sy.add_argument("--name", default=None, help="filter by exact symbol name")
+    sy.add_argument("--limit", type=int, default=100)
+    sy.set_defaults(fn=cmd_symbols)
 
     inf = sub.add_parser(
         "info", help="index introspection: config, per-table rows/bytes, "

@@ -105,16 +105,29 @@ def build_code_index(
     docs: DataFrame,
     body_col: str = "content",
     title_col: str | None = "path",
+    symbols: bool = False,
     **index_kwargs,
 ):
     """Full index (postings/dictionary/docstats/corpus_stats) over the code
     analyzer — everything downstream of the forward index is the SAME code
     path as the reference-semantics build (salting, varbyte, buckets), so
     BM25/WAND/persist/resume all work unchanged.  Query with
-    :func:`code_query` so the query side applies the same analyzer."""
+    :func:`code_query` so the query side applies the same analyzer.
+
+    ``symbols=True`` additionally indexes ctags-style definition names
+    (``operators/symbols.py``) as a third field ``symbol``; rank with
+    ``plans.bm25f.bm25f_topk(weights={'content': 1, 'symbol': 3})`` (or the
+    ``symbols.search_symbol_boosted`` wrapper) so files *defining* a name
+    outrank files merely mentioning it — Zoekt's symbol ranking."""
     from .index_build import index_from_tf
 
     tf = code_doc_terms(docs, body_col=body_col, title_col=title_col)
+    if symbols:
+        from .symbols import symbol_doc_terms
+
+        tf = tf.unionByName(
+            symbol_doc_terms(docs, content_col=body_col)
+        )
     idx = index_from_tf(docs, tf, body_col=body_col, **index_kwargs)
     # persisted in _index_meta by write_index; read_index + QueryEngine
     # then split query tokens with the same analyzer automatically

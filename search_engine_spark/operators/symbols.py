@@ -1,0 +1,168 @@
+"""Symbol (definition) extraction for source code — ctags-lite, Catalyst-only.
+
+Capability extension for the code-corpus grounding (``input_hint``: the
+documents are source-code files).  The reference engine
+(``KaggleFinanceSourceEngine.cpp:212``) tokenizes content as prose and has no
+notion of a *definition site*; every real code search engine (Zoekt /
+Sourcegraph / GitHub code search / OpenGrok) extracts symbol definitions with
+universal-ctags-style line regexes and ranks symbol-name matches above plain
+content matches.  This module is that layer, Spark-first:
+
+1. :func:`extract_symbols` — documents → ``(docid, line_no, kind, symbol)``.
+   One content scan: ``posexplode(split(content, '\\n'))`` then ONE
+   ``array<struct>`` of per-kind ``regexp_extract`` legs exploded and
+   filtered — pure Catalyst, whole-stage codegen, no Python and no second
+   scan per kind.  Line numbers are 1-based (editor convention).
+2. :func:`symbol_doc_terms` — the symbol names, split with the code
+   analyzer (``code_tokens.code_token_array``), as a forward-index field
+   ``symbol`` with the exact ``(docid, field, term, tf)`` shape of
+   ``tokenize.doc_terms`` — so the salted inverted build, varbyte codec,
+   BM25F, WAND, persist/resume all compose unchanged.
+3. ``build_code_index(..., symbols=True)`` (in ``code_tokens``) indexes the
+   field; ``search_symbol_boosted`` ranks with BM25F weighting the
+   ``symbol`` field above ``content`` — a doc *defining* ``parseJson``
+   outranks docs merely mentioning it, Zoekt's symbol-ranking behavior.
+
+The patterns are deliberately language-agnostic (applied to every line of
+every file, like ctags' regex fallback): anchored, RE2-compatible (no
+lookaround, no backreferences) so the same strings run under Java regex
+(Spark), Python ``re`` (the pytest oracle) and DuckDB/RE2 (the gate twin).
+
+At 100 TB: map-only over the content scan (no exchange at all until the
+caller aggregates); output volume is ~defs-per-file × files, orders of
+magnitude below the token stream the tf build already shuffles.  The
+``symbol`` field adds <5% to posting volume (symbols are a sparse subset of
+tokens) and rides the existing skew-salting path.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .code_tokens import code_token_array
+
+# (kind, pattern) — group 1 is the symbol name.  Anchored to line start
+# (optionally indented); RE2-safe; ASCII identifier classes.  Order matters
+# only for readability — a line may legitimately yield several kinds
+# (e.g. ``typedef struct Foo`` → struct) but the patterns are written so a
+# given line matches at most one kind in practice.
+SYMBOL_PATTERNS: list[tuple[str, str]] = [
+    # python / nim:            def name(     |  async def name(
+    ("function", r"^[ \t]*(?:async[ \t]+)?def[ \t]+([A-Za-z_][A-Za-z0-9_]*)[ \t]*\("),
+    # js / ts / php:           function name(   |  export async function name(
+    ("function", r"^[ \t]*(?:export[ \t]+)?(?:async[ \t]+)?function[ \t]+([A-Za-z_$][A-Za-z0-9_$]*)"),
+    # go:                      func name(       |  func (r *T) name(
+    ("function", r"^func[ \t]+(?:\([^)]*\)[ \t]*)?([A-Za-z_][A-Za-z0-9_]*)[ \t]*\("),
+    # rust:                    fn name          |  pub async fn name
+    ("function", r"^[ \t]*(?:pub(?:\([a-z]+\))?[ \t]+)?(?:async[ \t]+)?(?:unsafe[ \t]+)?fn[ \t]+([A-Za-z_][A-Za-z0-9_]*)"),
+    # python / java / js / scala / kotlin:  class Name
+    ("class", r"^[ \t]*(?:export[ \t]+)?(?:public[ \t]+|final[ \t]+|abstract[ \t]+)*class[ \t]+([A-Za-z_$][A-Za-z0-9_$]*)"),
+    # c / go / rust:           struct Name      |  typedef struct Name
+    ("struct", r"^[ \t]*(?:pub[ \t]+)?(?:typedef[ \t]+)?struct[ \t]+([A-Za-z_][A-Za-z0-9_]*)"),
+    # ts / java / go:          interface Name
+    ("interface", r"^[ \t]*(?:export[ \t]+)?(?:public[ \t]+)?interface[ \t]+([A-Za-z_$][A-Za-z0-9_$]*)"),
+    # rust / scala / php:      trait Name
+    ("trait", r"^[ \t]*(?:pub[ \t]+)?(?:sealed[ \t]+)?trait[ \t]+([A-Za-z_][A-Za-z0-9_]*)"),
+    # c / ts / rust / java:    enum Name
+    ("enum", r"^[ \t]*(?:pub[ \t]+|export[ \t]+|public[ \t]+)?enum[ \t]+([A-Za-z_][A-Za-z0-9_]*)"),
+    # ts / go / rust:          type Name =      |  type Name struct
+    ("type", r"^[ \t]*(?:pub[ \t]+|export[ \t]+)?type[ \t]+([A-Za-z_$][A-Za-z0-9_$]*)[ \t]*[=a-z]"),
+    # js / ts:                 const name =
+    ("const", r"^[ \t]*(?:export[ \t]+)?const[ \t]+([A-Za-z_$][A-Za-z0-9_$]*)[ \t]*="),
+    # c preprocessor:          #define NAME
+    ("define", r"^#[ \t]*define[ \t]+([A-Za-z_][A-Za-z0-9_]*)"),
+]
+
+
+def extract_symbols(
+    docs: DataFrame,
+    content_col: str = "content",
+    docid_col: str = "docid",
+) -> DataFrame:
+    """documents → ``(docid, line_no, kind, symbol)``, one row per
+    definition site.  1-based line numbers; a line matching k patterns
+    yields k rows (deduplicated on (docid, line_no, kind, symbol)).
+
+    Single content scan, map-only: every pattern is evaluated inside one
+    ``array<struct>`` literal per line, then exploded — Catalyst keeps the
+    whole thing in one whole-stage-codegen span, and there is no shuffle.
+    """
+    lines = docs.select(
+        F.col(docid_col).alias("docid"),
+        F.posexplode(F.split(F.col(content_col), "\n")).alias("pos", "line"),
+    )
+    legs = F.array(
+        *[
+            F.struct(
+                F.lit(kind).alias("kind"),
+                F.regexp_extract("line", pat, 1).alias("symbol"),
+            )
+            for kind, pat in SYMBOL_PATTERNS
+        ]
+    )
+    return (
+        lines.select(
+            "docid",
+            (F.col("pos") + 1).cast("int").alias("line_no"),
+            F.explode(legs).alias("hit"),
+        )
+        .select("docid", "line_no", "hit.kind", "hit.symbol")
+        .where(F.col("symbol") != "")
+        .dropDuplicates(["docid", "line_no", "kind", "symbol"])
+    )
+
+
+def extract_symbols_py(text: str) -> list[tuple[int, str, str]]:
+    """Pure-Python mirror of :func:`extract_symbols` for one document —
+    the pytest oracle.  → sorted [(line_no, kind, symbol)]."""
+    out = set()
+    for i, line in enumerate(text.split("\n"), start=1):
+        for kind, pat in SYMBOL_PATTERNS:
+            m = re.search(pat, line)
+            if m and m.group(1):
+                out.add((i, kind, m.group(1)))
+    return sorted(out)
+
+
+def symbol_doc_terms(
+    docs: DataFrame,
+    content_col: str = "content",
+    docid_col: str = "docid",
+    field_name: str = "symbol",
+) -> DataFrame:
+    """documents → ``(docid, field, term, tf)`` forward index over the
+    *symbol names only*, subtokenized with the code analyzer (so the query
+    ``json`` hits a doc defining ``parseJson``).  tf counts definition
+    sites contributing the subtoken — repeated definitions score higher,
+    which is what you want for ranking the "home" file of a symbol."""
+    syms = extract_symbols(docs, content_col=content_col, docid_col=docid_col)
+    return (
+        syms.select(
+            "docid", F.explode(code_token_array(F.col("symbol"))).alias("term")
+        )
+        .groupBy("docid", "term")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        .select("docid", F.lit(field_name).alias("field"), "term", "tf")
+    )
+
+
+DEFAULT_SYMBOL_WEIGHTS = {"content": 1.0, "symbol": 3.0}
+
+
+def search_symbol_boosted(engine, raw_query: str, k: int = 10, weights=None):
+    """→ DataFrame(rank, docid, score): BM25F over a symbol-indexed code
+    index (``build_code_index(symbols=True)``), weighting definition-site
+    matches above content matches.  The query is split with the same code
+    analyzer as the build (``parseJson`` → ``parse json``)."""
+    from ..plans.bm25f import bm25f_topk
+    from .code_tokens import code_tokenize
+
+    return bm25f_topk(
+        engine,
+        code_tokenize(raw_query),
+        k=k,
+        weights=weights or DEFAULT_SYMBOL_WEIGHTS,
+    )

@@ -74,9 +74,16 @@ def bm25f_topk(
         if field not in engine._stats:
             continue
         _, avgdl = engine._stats[field]
-        bf = float(b.get(field, BM25_B))
-        dl = F.col(_FIELD_DL[field]).cast("double")
-        bfc = F.lit(1.0 - bf) + F.lit(bf) * dl / F.lit(avgdl)
+        dl_col = _FIELD_DL.get(field)
+        if dl_col is None:
+            # auxiliary fields (e.g. ``symbol``) carry no per-doc length
+            # column in docstats — score them unnormalized (b=0), Lucene's
+            # omitNorms behavior for short keyword-ish fields
+            bfc = F.lit(1.0)
+        else:
+            bf = float(b.get(field, BM25_B))
+            dl = F.col(dl_col).cast("double")
+            bfc = F.lit(1.0 - bf) + F.lit(bf) * dl / F.lit(avgdl)
         parts.append(
             engine._postings_tf(field, cleaned)
             .join(stats, on="docid")

@@ -892,3 +892,80 @@ def test_search_batch_subcommand(spark, tiny_df, tmp_path, capsys):
         ["search-batch", "--index", root, "--file", str(tmp_path / "nope.jsonl")]
     )
     assert rc == 2
+
+
+def test_symbols_subcommand_and_symbol_boosted_search(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                "x = mergeSegments(a)\ny = mergeSegments(b)\n"
+                "z = mergeSegments(c)\nw = mergeSegments(d)",
+                "en",
+                "src0",
+            ),
+            (2, "def merge_segments(parts):\n    return parts", "en", "src0"),
+            (
+                3,
+                "class Codec:\n    def encode(self):\n        return 1",
+                "en",
+                "src0",
+            ),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    src = str(tmp_path / "docs")
+    idx = str(tmp_path / "idx")
+    docs.write.parquet(src)
+
+    # ctags-lite listing, kind filter
+    rc = main(["symbols", "--input", src, "--kind", "function"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "function\tmerge_segments" in out
+    assert "function\tencode" in out
+    assert "class" not in out
+    rc = main(["symbols", "--input", src, "--kind", "bogus"])
+    assert rc == 2
+
+    # --symbols needs the code analyzer
+    rc = main(["build", "--input", src, "--output", idx, "--symbols"])
+    assert rc == 2
+
+    rc = main(
+        ["build", "--input", src, "--output", idx, "--analyzer", "code",
+         "--symbols"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    # definer-first under --bm25f --symbol-weight; the query identifier is
+    # split by the code analyzer on BOTH sides (build + query)
+    rc = main(
+        ["search", "--index", idx, "--query", "values: mergeSegments",
+         "--bm25f", "--symbol-weight", "3.0", "-k", "3"]
+    )
+    assert rc == 0
+    lines = [
+        ln for ln in capsys.readouterr().out.splitlines() if ln.strip()
+    ]
+    first_docid = int(lines[0].split()[1])
+    assert first_docid == 2  # the file DEFINING merge_segments wins
+
+    # refusals: --symbol-weight without --bm25f; missing symbol field
+    rc = main(
+        ["search", "--index", idx, "--query", "values: merge",
+         "--symbol-weight", "2.0"]
+    )
+    assert rc == 2
+    idx2 = str(tmp_path / "idx2")
+    rc = main(
+        ["build", "--input", src, "--output", idx2, "--analyzer", "code"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(
+        ["search", "--index", idx2, "--query", "values: merge",
+         "--bm25f", "--symbol-weight", "2.0"]
+    )
+    assert rc == 2

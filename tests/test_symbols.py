@@ -1,0 +1,201 @@
+"""Symbol extraction (operators/symbols.py): real-language snippets pin the
+regex surface; Spark ≡ pure-Python mirror on adversarial input; the symbol
+field composes through the full index and BM25F ranks definers first."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.code_tokens import build_code_index
+from search_engine_spark.operators.symbols import (
+    extract_symbols,
+    extract_symbols_py,
+    search_symbol_boosted,
+    symbol_doc_terms,
+)
+from search_engine_spark.plans.bm25 import QueryEngine
+
+PY_SRC = """\
+import os
+
+class IndexBuilder:
+    def __init__(self, root):
+        self.root = root
+
+    async def merge_segments(self, parts):
+        return parts
+
+def top_level(x):
+    return x
+"""
+
+GO_SRC = """\
+package main
+
+type Config struct {
+\tName string
+}
+
+func (c *Config) Load(path string) error {
+\treturn nil
+}
+
+func NewConfig() *Config {
+\treturn &Config{}
+}
+"""
+
+RUST_SRC = """\
+pub struct Postings;
+
+pub trait Codec {
+    fn encode(&self) -> Vec<u8>;
+}
+
+pub(crate) async fn merge_all(parts: Vec<Postings>) -> Postings {
+    Postings
+}
+"""
+
+TS_SRC = """\
+export interface SearchHit {
+  id: number;
+}
+
+export const MAX_RESULTS = 10;
+
+export async function runQuery(q: string): Promise<SearchHit[]> {
+  return [];
+}
+
+enum Mode { Fast, Exact }
+type HitList = SearchHit[];
+"""
+
+C_SRC = """\
+#define BLOCK_SIZE 128
+# define PADDED 1
+
+typedef struct PostingBlock {
+    int count;
+} PostingBlock;
+
+enum codec_kind { VARBYTE, RAW };
+"""
+
+
+def _expected(src):
+    return set(extract_symbols_py(src))
+
+
+def test_python_mirror_per_language():
+    assert _expected(PY_SRC) == {
+        (3, "class", "IndexBuilder"),
+        (4, "function", "__init__"),
+        (7, "function", "merge_segments"),
+        (10, "function", "top_level"),
+    }
+    assert _expected(GO_SRC) == {
+        (3, "type", "Config"),
+        (7, "function", "Load"),
+        (11, "function", "NewConfig"),
+    }
+    assert _expected(RUST_SRC) == {
+        (1, "struct", "Postings"),
+        (3, "trait", "Codec"),
+        (4, "function", "encode"),
+        (7, "function", "merge_all"),
+    }
+    assert _expected(TS_SRC) == {
+        (1, "interface", "SearchHit"),
+        (5, "const", "MAX_RESULTS"),
+        (7, "function", "runQuery"),
+        (11, "enum", "Mode"),
+        (12, "type", "HitList"),
+    }
+    assert _expected(C_SRC) == {
+        (1, "define", "BLOCK_SIZE"),
+        (2, "define", "PADDED"),
+        (4, "struct", "PostingBlock"),
+        (8, "enum", "codec_kind"),
+    }
+
+
+ADVERSARIAL = [
+    PY_SRC,
+    GO_SRC,
+    RUST_SRC,
+    TS_SRC,
+    C_SRC,
+    "",
+    "def \nclass \nfn 9bad(\nfunc ()\n#define 1X",  # nothing valid
+    "x = 1\n  const y = f(z)\nconst = 3\ndeffoo(a)",  # const y only
+    "struct A\nstruct A\n\tpub fn dup()\n\tpub fn dup()",  # same-line dedup only
+]
+
+
+def test_spark_matches_python_mirror(spark):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(ADVERSARIAL)], "docid long, content string"
+    )
+    rows = extract_symbols(df).collect()
+    got: dict[int, set] = {}
+    for r in rows:
+        got.setdefault(r["docid"], set()).add((r["line_no"], r["kind"], r["symbol"]))
+    for i, s in enumerate(ADVERSARIAL):
+        assert got.get(i, set()) == set(extract_symbols_py(s)), f"case {i}"
+
+
+def test_extract_is_map_only(spark):
+    df = spark.createDataFrame([(1, PY_SRC)], "docid long, content string")
+    plan = extract_symbols(df)._jdf.queryExecution().executedPlan().toString()
+    # dropDuplicates groups on the full row — the only exchange; the
+    # extraction itself (split/posexplode/regexp legs) must not shuffle
+    assert plan.count("Exchange") <= 1
+
+
+def test_symbol_doc_terms_subtokenizes(spark):
+    df = spark.createDataFrame(
+        [(1, "def parseJsonConfig(x):\n    return x\ndef parse_json(y): pass")],
+        "docid long, content string",
+    )
+    rows = symbol_doc_terms(df).collect()
+    tf = {r["term"]: r["tf"] for r in rows}
+    assert all(r["field"] == "symbol" for r in rows)
+    # parse/json appear in BOTH definition names; config in one
+    assert tf == {"parse": 2, "json": 2, "config": 1}
+
+
+def test_symbol_boost_ranks_definer_first(spark):
+    # doc 1 *mentions* merge_segments many times; doc 2 *defines* it once.
+    # Plain code-analyzer BM25 prefers doc 1 (higher tf); the symbol-boosted
+    # BM25F must put the definer first — the Zoekt/Sourcegraph behavior.
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                "a.py",
+                "x = merge_segments(a)\ny = merge_segments(b)\n"
+                "z = merge_segments(c)\nw = merge_segments(d)",
+            ),
+            (
+                2,
+                "b.py",
+                "def merge_segments(parts):\n    return join(parts)",
+            ),
+            (3, "c.py", "def unrelated(q):\n    return q"),
+        ],
+        "docid long, path string, content string",
+    )
+    idx = build_code_index(spark, docs, symbols=True)
+    eng = QueryEngine(spark, idx)
+    try:
+        ranked = search_symbol_boosted(eng, "mergeSegments", k=3).collect()
+        assert [r["docid"] for r in ranked][0] == 2
+        assert {r["docid"] for r in ranked} == {1, 2}
+        # sanity: the corpus_stats table carries the symbol field row, so
+        # the field participates with its own avgdl
+        fields = {r["field"] for r in idx.corpus_stats.collect()}
+        assert "symbol" in fields
+    finally:
+        eng.close()
