@@ -852,6 +852,55 @@ def main() -> None:
                     ),
                 )
 
+                # ctags-lite symbol extraction at 40× (round 4): the same
+                # code-shaped construction the gate uses (every 5th token
+                # becomes a def/class/const line) so the 12 regex legs do
+                # real work; map-only — the number to watch is that it
+                # stays a flat multiple of the scan
+                from search_engine_spark.operators.symbols import (
+                    extract_symbols,
+                )
+
+                code_big = big_raw.select(
+                    F.col("doc_id").alias("docid"),
+                    F.concat_ws(
+                        "\n",
+                        F.transform(
+                            F.filter(
+                                F.split(F.col("text"), " "),
+                                lambda t: t.rlike("^[a-z0-9]+$"),
+                            ),
+                            lambda t, i: F.when(
+                                i % 5 == 0,
+                                F.concat(
+                                    F.lit("def "), t, i.cast("string"),
+                                    F.lit("(x):"),
+                                ),
+                            )
+                            .when(
+                                i % 5 == 2,
+                                F.concat(
+                                    F.lit("class "), F.upper(t),
+                                    i.cast("string"), F.lit(":"),
+                                ),
+                            )
+                            .when(
+                                i % 5 == 3,
+                                F.concat(
+                                    F.lit("const "), t, F.lit(" = "),
+                                    i.cast("string"),
+                                ),
+                            )
+                            .otherwise(t),
+                        ),
+                    ).alias("content"),
+                )
+                timed_scale(
+                    "symbol_extract",
+                    lambda: _force(extract_symbols(code_big)),
+                    runs=2,
+                )
+
                 # quantized ANN at 40× vectors: one persisted IVFADC index,
                 # then warm nprobe-pruned query latency
                 n_emb = emb.count()
