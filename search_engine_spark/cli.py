@@ -828,6 +828,66 @@ def cmd_filter(args) -> int:
     return 0
 
 
+def cmd_code_filter(args) -> int:
+    """The-Stack/StarCoder-style code-corpus gates (operators/
+    code_quality.py): line-shape quality, license allow-list routing,
+    secret counting — one decisions frame; optionally a secret-redacted
+    copy of the kept docs."""
+    from .operators.code_quality import (
+        PERMISSIVE,
+        code_quality_filter,
+        detect_license,
+        detect_secrets,
+        redact_secrets,
+    )
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    id_col = "doc_id" if "doc_id" in docs.columns else "docid"
+    text_col = "text" if "text" in docs.columns else "content"
+
+    allowed = None
+    if args.licenses:
+        allowed = sorted(
+            PERMISSIVE
+            if args.licenses.strip() == "permissive"
+            else set(args.licenses.split(","))
+        )
+    q = code_quality_filter(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        max_line_len=args.max_line_len,
+        max_avg_line_len=args.max_avg_line_len,
+        min_frac_alnum=args.min_frac_alnum,
+    ).withColumnRenamed("keep", "keep_quality")
+    lic = detect_license(docs, text_col=text_col, id_col=id_col)
+    sec = detect_secrets(docs, text_col=text_col, id_col=id_col).select(
+        id_col, "n_secrets"
+    )
+    dec = q.join(lic, id_col).join(sec, id_col)
+    keep = F.col("keep_quality") == 1
+    if allowed is not None:
+        keep = keep & F.col("license").isin(*allowed)
+    if args.max_secrets is not None:
+        keep = keep & (F.col("n_secrets") <= args.max_secrets)
+    dec = dec.withColumn("keep", keep.cast("int"))
+    dec.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    kept = written.where(F.col("keep") == 1).count()
+    total = written.count()
+    print(f"kept {kept}/{total} documents → {args.output}")
+
+    if args.redact_secrets:
+        kept_ids = written.where(F.col("keep") == 1).select(id_col)
+        red = redact_secrets(
+            docs.join(kept_ids, id_col), text_col=text_col, id_col=id_col
+        )
+        red.write.mode("overwrite").parquet(args.redact_secrets)
+        print(f"redacted copy of kept docs → {args.redact_secrets}")
+    return 0
+
+
 def cmd_ingest_stream(args) -> int:
     """Drain a landing directory into an index root through Structured
     Streaming micro-batches (streaming/ingest.py) — one availableNow pass;
@@ -1505,6 +1565,32 @@ def main(argv: list[str] | None = None) -> int:
         "score against instead of self-training",
     )
     f.set_defaults(fn=cmd_filter)
+
+    cf = sub.add_parser(
+        "code-filter",
+        help="The-Stack-style code-corpus gates: line-shape quality + "
+        "license allow-list + secret counts (optionally a redacted copy)",
+    )
+    cf.add_argument("--input", required=True, help="documents parquet path")
+    cf.add_argument("--output", required=True, help="decisions parquet path")
+    cf.add_argument(
+        "--licenses", default=None,
+        help="comma-separated SPDX allow-list (e.g. apache-2.0,mit) or "
+        "'permissive' for the permissive set; default: any license",
+    )
+    cf.add_argument("--max-line-len", type=int, default=1000)
+    cf.add_argument("--max-avg-line-len", type=float, default=100.0)
+    cf.add_argument("--min-frac-alnum", type=float, default=0.25)
+    cf.add_argument(
+        "--max-secrets", type=int, default=None,
+        help="drop docs with more than N secret hits (default: keep them "
+        "— pair with --redact-secrets)",
+    )
+    cf.add_argument(
+        "--redact-secrets", default=None, metavar="DIR",
+        help="also write a secret-redacted copy of the KEPT docs",
+    )
+    cf.set_defaults(fn=cmd_code_filter)
 
     st = sub.add_parser(
         "ingest-stream",
