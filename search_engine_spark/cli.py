@@ -888,6 +888,84 @@ def cmd_code_filter(args) -> int:
     return 0
 
 
+def cmd_prepare(args) -> int:
+    """End-to-end training-data preparation (operators/prepare.py):
+    gates → optional decontamination → deterministic split → per-split
+    packing manifest; writes decisions/ corpus/ manifest/ under --output."""
+    from .operators.prepare import prepare_training_data
+
+    spark = _spark(args)
+    if args.mode != "code" and (
+        args.licenses or args.max_secrets is not None or args.redact_secrets
+    ):
+        # silent flag drops are worse than refusals
+        print(
+            "error: --licenses/--max-secrets/--redact-secrets apply to "
+            "--mode code only",
+            file=sys.stderr,
+        )
+        return 2
+    docs = spark.read.parquet(args.input)
+    id_col = "doc_id" if "doc_id" in docs.columns else "docid"
+    text_col = "text" if "text" in docs.columns else "content"
+    eval_docs = None
+    if args.eval:
+        ev = spark.read.parquet(args.eval)
+        e_id = "doc_id" if "doc_id" in ev.columns else "docid"
+        e_text = "text" if "text" in ev.columns else "content"
+        eval_docs = ev.select(
+            F.col(e_id).alias(id_col), F.col(e_text).alias(text_col)
+        )
+    licenses = None
+    if args.licenses:
+        from .operators.code_quality import PERMISSIVE
+
+        licenses = sorted(
+            PERMISSIVE
+            if args.licenses.strip() == "permissive"
+            else set(args.licenses.split(","))
+        )
+    prep = prepare_training_data(
+        docs,
+        mode=args.mode,
+        text_col=text_col,
+        id_col=id_col,
+        eval_docs=eval_docs,
+        dedup_threshold=args.dedup_threshold,
+        min_quality=args.min_quality,
+        languages=args.langs.split(",") if args.langs else None,
+        licenses=licenses,
+        max_secrets=args.max_secrets,
+        redact=args.redact_secrets,
+        ctx_len=args.ctx_len,
+        n_shards=args.shards,
+    )
+    out = args.output.rstrip("/")
+    prep.decisions.write.mode("overwrite").parquet(f"{out}/decisions")
+    prep.corpus.write.mode("overwrite").parquet(f"{out}/corpus")
+    prep.manifest.write.mode("overwrite").parquet(f"{out}/manifest")
+    dec = spark.read.parquet(f"{out}/decisions")
+    kept = dec.where(F.col("keep") == 1).count()
+    total = dec.count()
+    print(f"kept {kept}/{total} documents → {out}/corpus")
+    man = spark.read.parquet(f"{out}/manifest")
+    for r in (
+        man.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("split")
+        .collect()
+    ):
+        toks = r["n_tokens"] or 0
+        print(
+            f"  {r['split']}: {r['n_docs']} docs, {toks} tokens, "
+            f"~{toks // args.ctx_len} sequences of {args.ctx_len}"
+        )
+    return 0
+
+
 def cmd_ingest_stream(args) -> int:
     """Drain a landing directory into an index root through Structured
     Streaming micro-batches (streaming/ingest.py) — one availableNow pass;
@@ -1591,6 +1669,40 @@ def main(argv: list[str] | None = None) -> int:
         help="also write a secret-redacted copy of the KEPT docs",
     )
     cf.set_defaults(fn=cmd_code_filter)
+
+    pp_ = sub.add_parser(
+        "prepare",
+        help="end-to-end training-data prep: gates → decontaminate → "
+        "deterministic split → packing manifest (writes decisions/ "
+        "corpus/ manifest/)",
+    )
+    pp_.add_argument("--input", required=True, help="documents parquet path")
+    pp_.add_argument(
+        "--output", required=True,
+        help="directory; writes decisions/ corpus/ manifest/ under it",
+    )
+    pp_.add_argument("--mode", choices=("prose", "code"), default="prose")
+    pp_.add_argument(
+        "--eval", default=None,
+        help="eval-set parquet — drop 13-gram-contaminated train docs",
+    )
+    pp_.add_argument("--min-quality", type=float, default=0.5)
+    pp_.add_argument(
+        "--langs", default=None, help="comma-separated allow-list (prose)"
+    )
+    pp_.add_argument("--dedup-threshold", type=float, default=0.5)
+    pp_.add_argument(
+        "--licenses", default=None,
+        help="code mode: SPDX allow-list or 'permissive'",
+    )
+    pp_.add_argument("--max-secrets", type=int, default=None)
+    pp_.add_argument(
+        "--redact-secrets", action="store_true",
+        help="code mode: corpus/ holds secret-redacted text",
+    )
+    pp_.add_argument("--ctx-len", type=int, default=2048)
+    pp_.add_argument("--shards", type=int, default=64)
+    pp_.set_defaults(fn=cmd_prepare)
 
     st = sub.add_parser(
         "ingest-stream",
