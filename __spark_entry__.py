@@ -38,6 +38,7 @@ PROX_GAP = 3
 # run (the anchor 'table ' / ' window' prefilters via the gram postings)
 SUBSTR_PATTERN = "table window"
 REGEX_PATTERN = r"table \w+ window"
+LINES_PATTERN = "window"  # no space — sound to prune by the original grams
 # fuzzy gate: a 1-deletion typo of 'table' (transpositions are dist 2)
 FUZZY_TYPO = "tabl"
 # more-like-this gate: seed document + term budget
@@ -1540,10 +1541,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         - 'substring': literal pattern, candidates = docs containing ALL
           required trigrams, exact contains verify + occurrence count;
         - 'regex': literal-anchored candidates from the longest mandatory
-          literal run, rlike verify (no occurrence count -> n = -1).
+          literal run, rlike verify (no occurrence count -> n = -1);
+        - 'lines' (round 4): the grep view — matching LINE numbers over a
+          token-per-line twin (spaces → newlines; pruning by the ORIGINAL
+          gram table stays sound because the pattern has no space),
+          n = 1-based line number.
         """
         from search_engine_spark.operators.trigrams import (
             build_trigrams,
+            line_matches,
             regex_search,
             substring_search,
             trigram_df,
@@ -1569,7 +1575,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("docid").alias("doc_id"),
             F.lit(-1).cast("int").alias("n"),
         )
-        return sub.unionByName(rex)
+        token_lines = docs.select(
+            "docid",
+            F.translate(F.col("content"), " ", "\n").alias("content"),
+        )
+        ln = line_matches(
+            token_lines, LINES_PATTERN, grams=grams, gram_df=gdf, max_grams=4
+        ).select(
+            F.lit("lines").alias("variant"),
+            F.col("docid").alias("doc_id"),
+            F.col("line_no").alias("n"),
+        )
+        return sub.unionByName(rex).unionByName(ln)
 
     def q_near_dup_pairs(spark, sf):
         """All three near-duplicate PAIR generators in one tagged entry
@@ -2871,6 +2888,14 @@ WHERE contains(text, '{SUBSTR_PATTERN}')
 UNION ALL
 SELECT 'regex' AS variant, doc_id, CAST(-1 AS INT) AS n
 FROM documents WHERE regexp_matches(text, '{REGEX_PATTERN}')
+UNION ALL
+SELECT 'lines' AS variant, doc_id, CAST(i AS INT) AS n FROM (
+  SELECT doc_id,
+         unnest(string_split(replace(text, ' ', chr(10)), chr(10))) AS line,
+         generate_subscripts(string_split(replace(text, ' ', chr(10)),
+                                          chr(10)), 1) AS i
+  FROM documents
+) WHERE contains(line, '{LINES_PATTERN}')
 """
 
     # fuzzy terms: the oracle is the brute-force dictionary levenshtein scan

@@ -237,6 +237,19 @@ def _print_results(rows) -> None:
 
 def cmd_search(args) -> int:
     spark = _spark(args)
+    if getattr(args, "lines", False) and not (
+        getattr(args, "substring", None) or getattr(args, "regex", None)
+    ):
+        print(
+            "error: --lines applies to --substring/--regex searches only",
+            file=sys.stderr,
+        )
+        return 2
+    if getattr(args, "max_lines", None) is not None and not getattr(
+        args, "lines", False
+    ):
+        print("error: --max-lines requires --lines", file=sys.stderr)
+        return 2
     if getattr(args, "substring", None) or getattr(args, "regex", None):
         from .operators.trigrams import (
             read_trigrams,
@@ -279,6 +292,44 @@ def cmd_search(args) -> int:
                 on="docid",
                 how="left_anti",
             )
+        if getattr(args, "lines", False):
+            # grep view: matching LINES, not doc hits (line_matches shares
+            # the same pruned candidate plumbing)
+            from .operators.trigrams import line_matches
+
+            if args.regex and not tri_case and grams is not None:
+                print(
+                    "note: trigram table is lowercased; regex runs unpruned",
+                    file=sys.stderr,
+                )
+                grams, gdf = None, None
+            rows = (
+                line_matches(
+                    docs,
+                    args.substring or args.regex,
+                    grams=grams,
+                    gram_df=gdf,
+                    max_grams=8,
+                    n_buckets=buckets,
+                    regex=bool(args.regex),
+                    case_sensitive=tri_case if args.substring else True,
+                    max_lines_per_doc=args.max_lines,
+                )
+                .orderBy("docid", "line_no")
+                .limit(args.k)
+                .collect()
+            )
+            for r in rows:
+                print(f"{r['docid']}:{r['line_no']}\t{r['line']}")
+            if not rows:
+                print("no results")
+            if tri is None:
+                print(
+                    "(no trigram table at this root — full scan; "
+                    "build with --trigrams to prune)",
+                    file=sys.stderr,
+                )
+            return 0
         if args.substring:
             # probe with the PERSISTED build setting — a cased probe into a
             # lowercased gram table (or vice versa) is unsound pruning
@@ -1469,6 +1520,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument(
         "--docs", default=None,
         help="source documents parquet (content verify for --substring/--regex)",
+    )
+    s.add_argument(
+        "--lines", action="store_true",
+        help="with --substring/--regex: print matching LINES "
+        "(docid:line_no<TAB>line — the grep view) instead of doc hits",
+    )
+    s.add_argument(
+        "--max-lines", type=int, default=None,
+        help="with --lines: at most N matching lines per document "
+        "(grep -m)",
     )
     s.add_argument(
         "--suggest", default=None, metavar="PREFIX",

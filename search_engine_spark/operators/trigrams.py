@@ -433,3 +433,79 @@ def regex_search(
             )
             scope = docs.join(cand, "docid")
     return scope.where(F.col(source_col).rlike(pattern)).select("docid")
+
+
+def line_matches(
+    docs: DataFrame,
+    pattern: str,
+    grams: DataFrame | None = None,
+    n_buckets: int = DEFAULT_INDEX_BUCKETS,
+    gram_df: DataFrame | None = None,
+    max_grams: int | None = None,
+    source_col: str = "content",
+    docid_col: str = "docid",
+    regex: bool = False,
+    case_sensitive: bool = True,
+    max_lines_per_doc: int | None = None,
+) -> DataFrame:
+    """→ (docid, line_no, line): the grep/Zoekt result shape — every line
+    of every matching document that contains the literal ``pattern`` (or
+    matches the Java regex with ``regex=True``), 1-based line numbers.
+
+    Pruning is the same two-stage design as :func:`substring_search` /
+    :func:`regex_search`: trigram-intersection candidates first (the
+    longest mandatory literal run anchors a regex), so the corpus is never
+    line-exploded — only candidate documents are split and verified.  The
+    line explode multiplies only the ≤candidates frame; at 100 TB the
+    pattern's selectivity (not the corpus size) bounds the work after the
+    bucket-pruned gram probe.  ``max_lines_per_doc`` caps the per-document
+    output (first N matching lines, line order) without a global window —
+    the cap partitions by docid, the grep ``-m`` flag.
+
+    ``case_sensitive=False`` lowercases both sides (pair with a gram table
+    built ``case_sensitive=False`` — the persisted setting is validated by
+    the CLI path); regex patterns are used as-written in that mode, so
+    pass a lowercase pattern.
+    """
+    if regex:
+        needle = pattern
+        runs = literal_runs(pattern) if grams is not None else []
+        anchor = max(runs, key=len) if runs else None
+    else:
+        needle = pattern if case_sensitive else pattern.lower()
+        anchor = needle if len(needle) >= GRAM_LEN else None
+    scope = docs.select(
+        F.col(docid_col).alias("docid"), F.col(source_col).alias("_src")
+    )
+    if grams is not None and anchor is not None:
+        cand = candidate_docids(
+            grams, anchor, n_buckets=n_buckets, gram_df=gram_df,
+            max_grams=max_grams,
+        )
+        scope = scope.join(cand, "docid")
+    src = F.col("_src") if case_sensitive else F.lower(F.col("_src"))
+    lines = scope.select(
+        "docid", F.posexplode(F.split(src, "\n")).alias("pos", "line")
+    )
+    hit = (
+        F.col("line").rlike(pattern)
+        if regex
+        else F.col("line").contains(needle)
+    )
+    out = lines.where(hit).select(
+        "docid", (F.col("pos") + 1).cast("int").alias("line_no"), "line"
+    )
+    if max_lines_per_doc is not None:
+        if max_lines_per_doc < 1:
+            raise ValueError(
+                f"max_lines_per_doc must be >= 1, got {max_lines_per_doc}"
+            )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("docid").orderBy("line_no")
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_lines_per_doc)
+            .drop("_rn")
+        )
+    return out

@@ -406,3 +406,105 @@ def test_fsck_flags_missing_trigram_coverage(spark, tiny_df, tmp_path):
 
     append_trigrams(spark, rest, root)
     assert verify_index(spark, root)["trigram_coverage"]["ok"]
+
+
+MULTILINE = [
+    (1, "import os\nfrom sys import path\nprint(path)\n"),
+    (2, "path = make_path()\npath.join(a)\nno hit here\npath again path"),
+    (3, "nothing relevant\nat all"),
+    (4, ""),
+]
+
+
+def _brute_lines(pattern, regex=False):
+    out = set()
+    for docid, text in MULTILINE:
+        for i, line in enumerate(text.split("\n"), start=1):
+            hit = re.search(pattern, line) if regex else pattern in line
+            if hit:
+                out.add((docid, i, line))
+    return out
+
+
+def test_line_matches_literal_and_regex(spark):
+    from search_engine_spark.operators.trigrams import line_matches
+
+    df = spark.createDataFrame(MULTILINE, "docid long, content string")
+    g = build_trigrams(df)
+    gd = trigram_df(g)
+    for pruned in (None, g):
+        got = {
+            (r["docid"], r["line_no"], r["line"])
+            for r in line_matches(
+                df, "path", grams=pruned, gram_df=gd if pruned is not None else None
+            ).collect()
+        }
+        assert got == _brute_lines("path"), f"pruned={pruned is not None}"
+    # regex with a literal-run anchor, pruned ≡ unpruned ≡ python re
+    for pruned in (None, g):
+        got = {
+            (r["docid"], r["line_no"], r["line"])
+            for r in line_matches(
+                df, r"path\.(join|split)", grams=pruned, regex=True
+            ).collect()
+        }
+        assert got == _brute_lines(r"path\.(join|split)", regex=True)
+
+
+def test_line_matches_per_doc_cap(spark):
+    from search_engine_spark.operators.trigrams import line_matches
+
+    df = spark.createDataFrame(MULTILINE, "docid long, content string")
+    rows = line_matches(df, "path", max_lines_per_doc=1).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["docid"], []).append(r["line_no"])
+    # exactly the FIRST matching line of each matching doc
+    assert per_doc == {1: [2], 2: [1]}
+    with pytest.raises(ValueError, match="max_lines_per_doc"):
+        line_matches(df, "path", max_lines_per_doc=0).collect()
+
+
+def test_cli_lines_flag(spark, tmp_path, capsys):
+    from search_engine_spark.cli import main
+
+    docs = spark.createDataFrame(
+        [
+            (1, "r", "a.py", "c1", "en", "def foo_bar(x):\n    return x+1"),
+            (2, "r", "b.py", "c2", "en", "foo_bar(7)\nplain line\nfoo_bar(9)"),
+        ],
+        "docid long, repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    src = str(tmp_path / "docs")
+    root = str(tmp_path / "idx")
+    docs.write.parquet(src)
+    rc = main(["--cores", "8", "build", "--input", src, "--output", root,
+               "--trigrams"])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main(["--cores", "8", "search", "--index", root,
+               "--substring", "foo_bar", "--docs", src, "--lines"])
+    assert rc == 0
+    out = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert out == [
+        "1:1\tdef foo_bar(x):",
+        "2:1\tfoo_bar(7)",
+        "2:3\tfoo_bar(9)",
+    ]
+
+    rc = main(["--cores", "8", "search", "--index", root,
+               "--substring", "foo_bar", "--docs", src, "--lines",
+               "--max-lines", "1"])
+    assert rc == 0
+    out = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert out == ["1:1\tdef foo_bar(x):", "2:1\tfoo_bar(7)"]
+
+    # refusals: --lines without a pattern mode; --max-lines without --lines
+    rc = main(["search", "--index", root, "--query", "values: foo",
+               "--lines"])
+    assert rc == 2
+    rc = main(["search", "--index", root, "--substring", "foo_bar",
+               "--docs", src, "--max-lines", "2"])
+    assert rc == 2
