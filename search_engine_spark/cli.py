@@ -32,10 +32,22 @@ def _spark(args):
     return get_spark("search-engine-cli", cores=args.cores)
 
 
-def _load_docs(spark, path: str):
+def _load_docs(spark, path: str, snapshot_id: int | None = None):
     from .operators.index_build import add_docid
-    from .sources.corpus import map_testdata_columns
+    from .sources.corpus import load_iceberg_documents, map_testdata_columns
+    from .sources.iceberg_meta import is_metadata_table
 
+    if is_metadata_table(path):
+        # filesystem Iceberg table → pure-Python metadata planner (snapshot
+        # pin honored without runtime jars; data path stays a JVM scan)
+        return load_iceberg_documents(spark, path, snapshot_id=snapshot_id)
+    if snapshot_id is not None:
+        print(
+            f"error: --snapshot-id only applies to an Iceberg table input; "
+            f"{path!r} has no metadata/ directory",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
     df = spark.read.parquet(path)
     if "doc_id" in df.columns and "text" in df.columns:
         # driver-testdata shape: remap columns on the frame we already read
@@ -59,7 +71,9 @@ def cmd_build(args) -> int:
             file=sys.stderr,
         )
         return 2
-    docs = _load_docs(spark, args.input)
+    docs = _load_docs(
+        spark, args.input, snapshot_id=getattr(args, "snapshot_id", None)
+    )
     assert_docid_unique(docs)
     if getattr(args, "analyzer", "reference") == "code":
         if (
@@ -1437,8 +1451,17 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", help="build the inverted index")
-    b.add_argument("--input", required=True, help="documents parquet path")
+    b.add_argument(
+        "--input", required=True,
+        help="documents parquet path, or an Iceberg table directory "
+        "(auto-detected by its metadata/ dir; read jar-free)",
+    )
     b.add_argument("--output", required=True, help="index root directory")
+    b.add_argument(
+        "--snapshot-id", type=int, default=None, metavar="ID",
+        help="pin an Iceberg-table --input to one snapshot (exact lineage "
+        "for resumable builds; error on non-Iceberg inputs)",
+    )
     b.add_argument("--slices", type=int, default=1, help=">1 → resumable build")
     b.add_argument(
         "--append-snapshot", type=int, default=None, metavar="ID",

@@ -50,10 +50,35 @@ def load_iceberg_documents(
     """Production source: Iceberg table (repo, path, commit, lang, content).
 
     ``snapshot_id`` pins the read for resumable builds (consistent lineage —
-    SURVEY.md §4.3.5).  Without Iceberg jars on the classpath this falls back
-    to a parquet directory with the same columns so the engine logic is
-    testable in the sandbox.
+    SURVEY.md §4.3.5).  Resolution order:
+
+    1. ``table`` is a filesystem path holding Iceberg ``metadata/`` — read it
+       with the pure-Python metadata planner (``iceberg_meta``): resolve the
+       snapshot (pinned or current), walk manifest-list → manifests, and hand
+       the immutable parquet file set to Spark's JVM scan.  This branch
+       HONORS the snapshot pin with no runtime jars; metadata cost is
+       driver-side KBs, the data path is identical to the catalog read.
+    2. a catalog table name — ``spark.read.option("snapshot-id", …)
+       .table(…)`` (needs iceberg-spark-runtime on the classpath).
+    3. ``parquet_fallback`` — catalog-less escape hatch; loudly DROPS the
+       snapshot pin (reads current files), so never rely on it for lineage.
     """
+    from . import iceberg_meta
+
+    if iceberg_meta.is_metadata_table(table):
+        tbl = iceberg_meta.load_table(table)
+        paths = tbl.plan_paths(snapshot_id=snapshot_id)
+        if paths:
+            df = spark.read.parquet(*paths)
+        else:
+            fields = tbl.meta["schemas"][tbl.meta["current-schema-id"]]["fields"]
+            df = spark.createDataFrame(
+                [],
+                T.StructType(
+                    [T.StructField(f["name"], T.StringType()) for f in fields]
+                ),
+            )
+        return add_docid(df) if "docid" not in df.columns else df
     try:
         reader = spark.read
         if snapshot_id is not None:

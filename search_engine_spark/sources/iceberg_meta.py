@@ -1,0 +1,684 @@
+"""Pure-Python Apache Iceberg v2 table metadata: read AND write, no JVM jars.
+
+Why this exists: BASELINE.json's ``input_hint`` names an Iceberg table of
+source-code repositories as the production source, and ``north_star``
+requires builds "resumable from Iceberg snapshot checkpoints".  The sandbox
+image ships no ``iceberg-spark-runtime`` jar (blocker recorded in
+BENCH/BASELINE.md — coordinate ``org.apache.iceberg:
+iceberg-spark-runtime-4.0_2.13``), so the catalog branch of
+``load_iceberg_documents`` could never actually run here.  The table FORMAT,
+however, is fully public (https://iceberg.apache.org/spec/): a JSON
+metadata file plus Avro manifest-list / manifest files naming immutable
+parquet data files.  This module implements exactly that subset —
+
+- a minimal Avro 1.11 object-container codec (binary encoding + container
+  framing, ``null``/``deflate`` codecs) sufficient for Iceberg manifests;
+- Iceberg v2 table metadata: create / append-snapshot / overwrite commits,
+  snapshot resolution (current, by id, or by timestamp), and
+  manifest-walk file planning with added/existing/deleted status handling.
+
+Scale note: everything here is DRIVER-SIDE METADATA — manifest files are
+kilobytes per thousand data files (one Avro record per file).  The DATA
+path never touches Python: the planner returns parquet paths and Spark's
+JVM scan reads them, so the 10^12-file corpus cost profile is identical to
+the jar-backed reader (metadata walk ∝ #files, data scan fully JVM).
+Snapshot pins make resumable-build lineage exact: a resumed build re-reads
+the SAME immutable file set even while writers append new snapshots.
+
+Interop caveat (honest): with no Iceberg runtime in the sandbox this
+implementation is validated against the spec + round-trip tests, not
+against the reference JVM reader.  Field ids, names, and encodings follow
+the spec's Appendix C tables so jar-backed readers should accept these
+tables, but that cross-check must wait for an image with the runtime.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+
+# ---------------------------------------------------------------------------
+# Avro binary encoding (spec: https://avro.apache.org/docs/1.11.1/specification/)
+# Subset: null, boolean, int, long, string, bytes, fixed, record, array,
+# map, union.  Schemas are the parsed-JSON dict/list/str forms.
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_encode(n: int) -> bytes:
+    """Avro int/long: zigzag then base-128 varint, little-endian groups."""
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_decode(buf: io.BytesIO) -> int:
+    shift = 0
+    u = 0
+    while True:
+        raw = buf.read(1)
+        if not raw:
+            raise EOFError("truncated Avro varint")
+        b = raw[0]
+        u |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    return (u >> 1) ^ -(u & 1)
+
+
+def _schema_type(schema) -> str:
+    if isinstance(schema, str):
+        return schema
+    if isinstance(schema, list):
+        return "union"
+    return schema["type"]
+
+
+def avro_encode(value, schema, out: bytearray) -> None:
+    t = _schema_type(schema)
+    if t == "null":
+        return
+    if t == "boolean":
+        out.append(1 if value else 0)
+    elif t in ("int", "long"):
+        out += _zigzag_encode(int(value))
+    elif t == "float":
+        out += struct.pack("<f", float(value))
+    elif t == "double":
+        out += struct.pack("<d", float(value))
+    elif t == "bytes":
+        out += _zigzag_encode(len(value))
+        out += bytes(value)
+    elif t == "string":
+        raw = value.encode("utf-8")
+        out += _zigzag_encode(len(raw))
+        out += raw
+    elif t == "fixed":
+        if len(value) != schema["size"]:
+            raise ValueError(f"fixed size mismatch: {len(value)} != {schema['size']}")
+        out += bytes(value)
+    elif t == "record":
+        for f in schema["fields"]:
+            avro_encode(value.get(f["name"], f.get("default")), f["type"], out)
+    elif t == "array":
+        if value:
+            out += _zigzag_encode(len(value))
+            for item in value:
+                avro_encode(item, schema["items"], out)
+        out += _zigzag_encode(0)
+    elif t == "map":
+        if value:
+            out += _zigzag_encode(len(value))
+            for k, v in value.items():
+                avro_encode(k, "string", out)
+                avro_encode(v, schema["values"], out)
+        out += _zigzag_encode(0)
+    elif t == "union":
+        # pick the first branch the value fits; None → the "null" branch
+        for i, branch in enumerate(schema):
+            bt = _schema_type(branch)
+            if value is None and bt == "null":
+                out += _zigzag_encode(i)
+                return
+            if value is not None and bt != "null":
+                out += _zigzag_encode(i)
+                avro_encode(value, branch, out)
+                return
+        raise ValueError(f"no union branch for {value!r} in {schema!r}")
+    else:
+        raise NotImplementedError(f"avro type {t!r}")
+
+
+def avro_decode(buf: io.BytesIO, schema):
+    t = _schema_type(schema)
+    if t == "null":
+        return None
+    if t == "boolean":
+        return buf.read(1) == b"\x01"
+    if t in ("int", "long"):
+        return _zigzag_decode(buf)
+    if t == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if t == "bytes":
+        return buf.read(_zigzag_decode(buf))
+    if t == "string":
+        return buf.read(_zigzag_decode(buf)).decode("utf-8")
+    if t == "fixed":
+        return buf.read(schema["size"])
+    if t == "record":
+        return {f["name"]: avro_decode(buf, f["type"]) for f in schema["fields"]}
+    if t == "array":
+        out = []
+        while True:
+            n = _zigzag_decode(buf)
+            if n == 0:
+                return out
+            if n < 0:  # negative block count: followed by byte size (skippable)
+                _zigzag_decode(buf)
+                n = -n
+            for _ in range(n):
+                out.append(avro_decode(buf, schema["items"]))
+    if t == "map":
+        out = {}
+        while True:
+            n = _zigzag_decode(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                _zigzag_decode(buf)
+                n = -n
+            for _ in range(n):
+                k = buf.read(_zigzag_decode(buf)).decode("utf-8")
+                out[k] = avro_decode(buf, schema["values"])
+        return out
+    if t == "union":
+        return avro_decode(buf, schema[_zigzag_decode(buf)])
+    raise NotImplementedError(f"avro type {t!r}")
+
+
+_AVRO_MAGIC = b"Obj\x01"
+# deterministic sync marker: these files are write-once artifacts addressed
+# by path; randomness would only break test reproducibility (Date/random are
+# also unavailable in some harnesses).  Readers treat it as opaque.
+_SYNC = b"search_engine_sp"  # exactly 16 bytes
+
+_CONTAINER_META_SCHEMA = {"type": "map", "values": "bytes"}
+
+
+def write_avro_file(
+    path: str, records: list, schema: dict, meta: dict[str, str] | None = None
+) -> int:
+    """Write an Avro object-container file (null codec); → bytes written."""
+    out = bytearray()
+    out += _AVRO_MAGIC
+    file_meta = {
+        "avro.schema": json.dumps(schema).encode(),
+        "avro.codec": b"null",
+    }
+    for k, v in (meta or {}).items():
+        file_meta[k] = v.encode() if isinstance(v, str) else v
+    avro_encode(file_meta, _CONTAINER_META_SCHEMA, out)
+    out += _SYNC
+    if records:
+        block = bytearray()
+        for rec in records:
+            avro_encode(rec, schema, block)
+        out += _zigzag_encode(len(records))
+        out += _zigzag_encode(len(block))
+        out += block
+        out += _SYNC
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(out)
+    return len(out)
+
+
+def read_avro_file(path: str) -> tuple[list, dict, dict[str, bytes]]:
+    """Read an Avro object-container file → (records, writer_schema, meta).
+
+    Honors ``null`` and ``deflate`` codecs (deflate = raw zlib per spec), so
+    manifests written by other Iceberg writers with the default codecs load.
+    """
+    with open(path, "rb") as f:
+        buf = io.BytesIO(f.read())
+    if buf.read(4) != _AVRO_MAGIC:
+        raise ValueError(f"{path}: not an Avro object-container file")
+    meta = avro_decode(buf, _CONTAINER_META_SCHEMA)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    sync = buf.read(16)
+    records = []
+    while True:
+        head = buf.read(1)
+        if not head:
+            break
+        buf.seek(-1, io.SEEK_CUR)
+        n = _zigzag_decode(buf)
+        size = _zigzag_decode(buf)
+        block = buf.read(size)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise NotImplementedError(f"avro codec {codec!r}")
+        bbuf = io.BytesIO(block)
+        for _ in range(n):
+            records.append(avro_decode(bbuf, schema))
+        if buf.read(16) != sync:
+            raise ValueError(f"{path}: sync marker mismatch (corrupt block)")
+    return records, schema, meta
+
+
+# ---------------------------------------------------------------------------
+# Iceberg v2 schemas (spec Appendix C — field ids are normative for interop)
+# ---------------------------------------------------------------------------
+
+def _f(name, ftype, fid, optional=False):
+    t = ["null", ftype] if optional else ftype
+    entry = {"name": name, "type": t, "field-id": fid}
+    if optional:
+        entry["default"] = None
+    return entry
+
+
+#: manifest_list file: one record per manifest in a snapshot
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        _f("manifest_path", "string", 500),
+        _f("manifest_length", "long", 501),
+        _f("partition_spec_id", "int", 502),
+        _f("content", "int", 517),  # 0=data, 1=deletes
+        _f("sequence_number", "long", 515),
+        _f("min_sequence_number", "long", 516),
+        _f("added_snapshot_id", "long", 503),
+        _f("added_files_count", "int", 504),
+        _f("existing_files_count", "int", 505),
+        _f("deleted_files_count", "int", 506),
+        _f("added_rows_count", "long", 512),
+        _f("existing_rows_count", "long", 513),
+        _f("deleted_rows_count", "long", 514),
+    ],
+}
+
+#: manifest file: one entry per data file (unpartitioned spec → empty struct)
+_DATA_FILE_SCHEMA = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        _f("content", "int", 134),  # 0=data
+        _f("file_path", "string", 100),
+        _f("file_format", "string", 101),
+        {
+            "name": "partition",
+            "type": {"type": "record", "name": "r102", "fields": []},
+            "field-id": 102,
+        },
+        _f("record_count", "long", 103),
+        _f("file_size_in_bytes", "long", 104),
+    ],
+}
+
+MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        _f("status", "int", 0),  # 0=EXISTING 1=ADDED 2=DELETED
+        _f("snapshot_id", "long", 1, optional=True),
+        _f("sequence_number", "long", 3, optional=True),
+        _f("file_sequence_number", "long", 4, optional=True),
+        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
+    ],
+}
+
+STATUS_EXISTING, STATUS_ADDED, STATUS_DELETED = 0, 1, 2
+
+#: engine source schema (input_hint) as an Iceberg schema struct
+CODE_CORPUS_FIELDS = [
+    {"id": i + 1, "name": n, "required": False, "type": "string"}
+    for i, n in enumerate(("repo", "path", "commit", "lang", "content"))
+]
+
+
+# ---------------------------------------------------------------------------
+# Table metadata
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class IcebergTable:
+    """Driver-side handle: parsed ``v*.metadata.json`` of one table."""
+
+    location: str
+    meta: dict = field(repr=False)
+
+    # -- snapshot resolution ------------------------------------------------
+    def snapshots(self) -> list[dict]:
+        return self.meta.get("snapshots", [])
+
+    def current_snapshot_id(self) -> int | None:
+        sid = self.meta.get("current-snapshot-id", -1)
+        return None if sid in (-1, None) else sid
+
+    def snapshot(
+        self, snapshot_id: int | None = None, as_of_ms: int | None = None
+    ) -> dict | None:
+        """Resolve a snapshot: pinned id, time-travel, or current."""
+        snaps = self.snapshots()
+        if snapshot_id is not None:
+            for s in snaps:
+                if s["snapshot-id"] == snapshot_id:
+                    return s
+            raise KeyError(
+                f"snapshot {snapshot_id} not in table {self.location} "
+                f"(have {[s['snapshot-id'] for s in snaps]})"
+            )
+        if as_of_ms is not None:
+            live = [s for s in snaps if s["timestamp-ms"] <= as_of_ms]
+            if not live:
+                raise KeyError(f"no snapshot at or before timestamp {as_of_ms}")
+            return max(live, key=lambda s: s["timestamp-ms"])
+        cur = self.current_snapshot_id()
+        if cur is None:
+            return None
+        return self.snapshot(cur)
+
+    # -- file planning ------------------------------------------------------
+    def plan_files(
+        self, snapshot_id: int | None = None, as_of_ms: int | None = None
+    ) -> list[dict]:
+        """Walk manifest-list → manifests → live data files of one snapshot.
+
+        Status semantics per spec: ADDED/EXISTING entries are live;
+        DELETED entries mark files removed by this snapshot (present so
+        readers of the *manifest* see the tombstone; excluded from the scan).
+        """
+        snap = self.snapshot(snapshot_id, as_of_ms)
+        if snap is None:
+            return []
+        manifests, _, _ = read_avro_file(self._local(snap["manifest-list"]))
+        files: list[dict] = []
+        for m in manifests:
+            entries, _, _ = read_avro_file(self._local(m["manifest_path"]))
+            for e in entries:
+                if e["status"] != STATUS_DELETED:
+                    files.append(e["data_file"])
+        return files
+
+    def plan_paths(self, snapshot_id: int | None = None, **kw) -> list[str]:
+        return [f["file_path"] for f in self.plan_files(snapshot_id, **kw)]
+
+    def _local(self, path: str) -> str:
+        # metadata written by this module stores absolute file paths; strip a
+        # file: scheme if a foreign writer used one
+        return path[7:] if path.startswith("file://") else path
+
+
+def _metadata_dir(location: str) -> str:
+    return os.path.join(location, "metadata")
+
+
+def _read_version_hint(location: str) -> int:
+    hint = os.path.join(_metadata_dir(location), "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            return int(f.read().strip())
+    # hint is advisory per spec — recover by listing vN.metadata.json
+    versions = [
+        int(name.split(".")[0][1:])
+        for name in os.listdir(_metadata_dir(location))
+        if name.endswith(".metadata.json") and name.startswith("v")
+    ]
+    if not versions:
+        raise FileNotFoundError(f"no metadata versions under {location}")
+    return max(versions)
+
+
+def load_table(location: str) -> IcebergTable:
+    v = _read_version_hint(location)
+    path = os.path.join(_metadata_dir(location), f"v{v}.metadata.json")
+    with open(path) as f:
+        return IcebergTable(location=location, meta=json.load(f))
+
+
+def create_table(
+    location: str,
+    schema_fields: list[dict] | None = None,
+    properties: dict[str, str] | None = None,
+) -> IcebergTable:
+    """Create an empty v2 table (unpartitioned) at ``location``."""
+    os.makedirs(_metadata_dir(location), exist_ok=True)
+    meta = {
+        "format-version": 2,
+        # deterministic uuid: derived from the location (tables are
+        # path-addressed here; no uuid4 so tests and resumed builds agree)
+        "table-uuid": __import__("hashlib").md5(
+            location.encode()
+        ).hexdigest()[:8]
+        + "-0000-0000-0000-000000000000",
+        "location": location,
+        "last-sequence-number": 0,
+        "last-updated-ms": 0,
+        "last-column-id": len(schema_fields or CODE_CORPUS_FIELDS),
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": schema_fields or CODE_CORPUS_FIELDS,
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": properties or {},
+        "current-snapshot-id": -1,
+        "refs": {},
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    _write_metadata_version(location, 1, meta)
+    return IcebergTable(location=location, meta=meta)
+
+
+def _write_metadata_version(location: str, version: int, meta: dict) -> None:
+    mdir = _metadata_dir(location)
+    path = os.path.join(mdir, f"v{version}.metadata.json")
+    if os.path.exists(path):
+        raise FileExistsError(
+            f"{path} exists — concurrent commit detected (optimistic "
+            "concurrency: re-read the table and retry the commit)"
+        )
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.rename(tmp, path)  # atomic publish on POSIX
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+
+
+def _parquet_file_stats(path: str) -> tuple[int, int]:
+    """(record_count, file_size) via parquet footer — no data read."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows, os.path.getsize(path)
+
+
+def _list_parquet_files(root: str) -> list[str]:
+    out = []
+    for dirpath, _, names in os.walk(root):
+        out.extend(
+            os.path.join(dirpath, n)
+            for n in names
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        )
+    return sorted(out)
+
+
+def commit_append(
+    location: str,
+    data_paths: list[str],
+    timestamp_ms: int | None = None,
+    overwrite: bool = False,
+) -> int:
+    """Commit parquet files as a new snapshot; → the new snapshot id.
+
+    ``overwrite=False``: append — prior snapshots' files stay live via an
+    EXISTING-status manifest carried forward.  ``overwrite=True``: the new
+    snapshot's live set is exactly ``data_paths``; prior files appear as
+    DELETED tombstones (spec "overwrite" operation).
+
+    Snapshot ids are deterministic (sequence number + content digest of the
+    added path set) so replayed commits of the same file set at the same
+    sequence point produce the same lineage — the property resumable builds
+    key on.
+
+    Commit cost is O(new files), not O(table files): an append writes ONE
+    new manifest and a manifest list that re-references the parent
+    snapshot's manifests untouched (the real writer's fast-append shape —
+    at 10^12 files a commit that rewrote all prior entries would be a
+    full-metadata scan per micro-batch).  An overwrite writes ADDED entries
+    plus DELETED tombstones for the prior live set in one manifest.
+    """
+    import hashlib
+
+    table = load_table(location)
+    meta = dict(table.meta)
+    seq = meta["last-sequence-number"] + 1
+    version = _read_version_hint(location) + 1
+    digest = hashlib.md5(
+        ("\n".join(sorted(data_paths)) + f"@{seq}").encode()
+    ).hexdigest()
+    snapshot_id = int(digest[:15], 16)  # positive, fits a long
+    parent = table.current_snapshot_id()
+    ts = timestamp_ms if timestamp_ms is not None else seq  # monotone stand-in
+    mdir = _metadata_dir(location)
+
+    prior_manifests: list[dict] = []
+    entries: list[dict] = []
+    if parent is not None:
+        parent_snap = table.snapshot(parent)
+        prior_manifests, _, _ = read_avro_file(
+            table._local(parent_snap["manifest-list"])
+        )
+    if overwrite and parent is not None:
+        # tombstone every prior live file in the new manifest; drop the
+        # parent's manifests from the new manifest list entirely
+        entries = [
+            {
+                "status": STATUS_DELETED,
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": df,
+            }
+            for df in table.plan_files()
+        ]
+        prior_manifests = []
+    added_rows = 0
+    for p in sorted(data_paths):
+        rows, size = _parquet_file_stats(p)
+        added_rows += rows
+        entries.append(
+            {
+                "status": STATUS_ADDED,
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,  # = manifest's seq at write time
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": os.path.abspath(p),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": rows,
+                    "file_size_in_bytes": size,
+                },
+            }
+        )
+    manifest_path = os.path.join(mdir, f"manifest-{seq}-{digest[:8]}.avro")
+    manifest_len = write_avro_file(
+        manifest_path,
+        entries,
+        MANIFEST_ENTRY_SCHEMA,
+        meta={
+            "format-version": "2",
+            "content": "data",
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "schema": json.dumps(meta["schemas"][0]),
+        },
+    )
+    n_deleted = sum(1 for e in entries if e["status"] == STATUS_DELETED)
+    deleted_rows = sum(
+        e["data_file"]["record_count"]
+        for e in entries
+        if e["status"] == STATUS_DELETED
+    )
+    manifest_list_path = os.path.join(mdir, f"snap-{snapshot_id}-{seq}.avro")
+    write_avro_file(
+        manifest_list_path,
+        [
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": manifest_len,
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(data_paths),
+                "existing_files_count": 0,
+                "deleted_files_count": n_deleted,
+                "added_rows_count": added_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": deleted_rows,
+            }
+        ]
+        + prior_manifests,
+        MANIFEST_LIST_SCHEMA,
+        meta={
+            "format-version": "2",
+            "snapshot-id": str(snapshot_id),
+            "sequence-number": str(seq),
+            "parent-snapshot-id": str(parent) if parent is not None else "null",
+        },
+    )
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = ts
+    meta["current-snapshot-id"] = snapshot_id
+    meta["refs"] = {"main": {"snapshot-id": snapshot_id, "type": "branch"}}
+    meta["snapshots"] = meta.get("snapshots", []) + [
+        {
+            "snapshot-id": snapshot_id,
+            **({"parent-snapshot-id": parent} if parent is not None else {}),
+            "sequence-number": seq,
+            "timestamp-ms": ts,
+            "manifest-list": manifest_list_path,
+            "schema-id": 0,
+            "summary": {
+                "operation": "overwrite" if overwrite else "append",
+                "added-data-files": str(len(data_paths)),
+                "added-records": str(added_rows),
+            },
+        }
+    ]
+    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": ts}
+    ]
+    _write_metadata_version(location, version, meta)
+    return snapshot_id
+
+
+def commit_append_dir(location: str, parquet_dir: str, **kw) -> int:
+    """Append every ``*.parquet`` under ``parquet_dir`` as one snapshot."""
+    paths = _list_parquet_files(parquet_dir)
+    if not paths:
+        raise FileNotFoundError(f"no parquet files under {parquet_dir}")
+    return commit_append(location, paths, **kw)
+
+
+def is_metadata_table(path: str) -> bool:
+    """True iff ``path`` is a filesystem Iceberg table this module can read."""
+    try:
+        return bool(
+            os.path.isdir(_metadata_dir(path)) and _read_version_hint(path) >= 1
+        )
+    except (FileNotFoundError, ValueError, OSError):
+        return False

@@ -1,0 +1,69 @@
+"""CLI ``build --input <iceberg-table> --snapshot-id N``: the jar-free
+Iceberg metadata branch wired through the user-facing surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.cli import main
+from search_engine_spark.sources import iceberg_meta as im
+
+
+@pytest.fixture()
+def iceberg_table(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc)
+    for lo, hi, ts in ((0, 40, 1000), (40, 60, 2000)):
+        src = str(tmp_path / f"b{lo}")
+        (
+            spark.range(lo, hi)
+            .select(
+                F.lit("repoA").alias("repo"),
+                F.concat(F.lit("src/f"), F.col("id")).alias("path"),
+                F.lit("c0ffee").alias("commit"),
+                F.lit("python").alias("lang"),
+                F.concat(F.lit("def fn"), F.col("id"), F.lit("(): pass")).alias(
+                    "content"
+                ),
+            )
+            .coalesce(1)
+            .write.parquet(src)
+        )
+        im.commit_append_dir(loc, src, timestamp_ms=ts)
+    tbl = im.load_table(loc)
+    s1, s2 = [s["snapshot-id"] for s in tbl.snapshots()]
+    return loc, s1, s2
+
+
+def test_build_from_pinned_iceberg_snapshot(spark, iceberg_table, tmp_path, capsys):
+    loc, s1, s2 = iceberg_table
+    out = str(tmp_path / "idx")
+    rc = main(["build", "--input", loc, "--snapshot-id", str(s1), "--output", out])
+    assert rc == 0
+    assert "indexed 40 documents" in capsys.readouterr().out
+    # current-snapshot read (no pin) sees both batches
+    out2 = str(tmp_path / "idx2")
+    rc = main(["build", "--input", loc, "--output", out2])
+    assert rc == 0
+    assert "indexed 60 documents" in capsys.readouterr().out
+
+
+def test_snapshot_id_refused_on_plain_parquet(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs")
+    spark.range(3).select(
+        F.lit("r").alias("repo"),
+        F.col("id").cast("string").alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("py").alias("lang"),
+        F.lit("x y z").alias("content"),
+    ).write.parquet(src)
+    with pytest.raises(SystemExit) as e:
+        main(
+            [
+                "build", "--input", src, "--snapshot-id", "7",
+                "--output", str(tmp_path / "idx"),
+            ]
+        )
+    assert e.value.code == 2
+    assert "Iceberg table" in capsys.readouterr().err

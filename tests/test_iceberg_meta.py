@@ -1,0 +1,313 @@
+"""Pure-Python Iceberg v2 metadata: Avro codec, commits, snapshot-pinned
+reads, and the Iceberg-snapshot → resumable-build lineage loop the
+north_star requires ("resumable from Iceberg snapshot checkpoints").
+
+The sandbox has no iceberg-spark-runtime jar (blocker recorded in
+BENCH/BASELINE.md), so these tests exercise the metadata planner branch of
+``load_iceberg_documents`` — the snapshot pin is honored end-to-end with
+the data path still a plain JVM parquet scan.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.sources import iceberg_meta as im
+from search_engine_spark.sources.corpus import load_iceberg_documents
+
+
+# ---------------------------------------------------------------------------
+# Avro codec
+# ---------------------------------------------------------------------------
+
+NESTY = {
+    "type": "record",
+    "name": "nesty",
+    "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": ["null", "string"], "default": None},
+        {"name": "c", "type": {"type": "array", "items": "long"}},
+        {"name": "d", "type": {"type": "map", "values": "string"}},
+        {"name": "e", "type": "boolean"},
+        {"name": "f", "type": "double"},
+        {"name": "g", "type": "bytes"},
+        {
+            "name": "h",
+            "type": {
+                "type": "record",
+                "name": "inner",
+                "fields": [{"name": "x", "type": "int"}],
+            },
+        },
+    ],
+}
+
+ROWS = [
+    {
+        "a": -(2**62),
+        "b": None,
+        "c": [0, -1, 2**40],
+        "d": {"k1": "v1", "k2": "ünïcode"},
+        "e": True,
+        "f": -2.5,
+        "g": b"\x00\xff",
+        "h": {"x": -7},
+    },
+    {
+        "a": 2**62,
+        "b": "s",
+        "c": [],
+        "d": {},
+        "e": False,
+        "f": 0.0,
+        "g": b"",
+        "h": {"x": 0},
+    },
+]
+
+
+def test_avro_container_roundtrip(tmp_path):
+    p = str(tmp_path / "t.avro")
+    n = im.write_avro_file(p, ROWS, NESTY, meta={"who": "test"})
+    assert n == os.path.getsize(p)
+    records, schema, meta = im.read_avro_file(p)
+    assert records == ROWS
+    assert schema == NESTY
+    assert meta["who"] == b"test"
+
+
+def test_avro_zigzag_edge_values():
+    for v in (0, -1, 1, 63, -64, 64, 2**31 - 1, -(2**31), 2**63 - 1, -(2**63)):
+        buf = io.BytesIO(im._zigzag_encode(v))
+        assert im._zigzag_decode(buf) == v, v
+
+
+def test_avro_deflate_codec_reads(tmp_path):
+    """Files written by other Iceberg writers default to deflate — the
+    reader must handle raw-zlib blocks and negative array block counts."""
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "v", "type": "long"}],
+    }
+    body = bytearray()
+    im.avro_encode({"v": 41}, schema, body)
+    im.avro_encode({"v": 42}, schema, body)
+    comp = zlib.compress(bytes(body), 6)[2:-4]  # raw deflate per avro spec
+    out = bytearray()
+    out += b"Obj\x01"
+    im.avro_encode(
+        {"avro.schema": json.dumps(schema).encode(), "avro.codec": b"deflate"},
+        {"type": "map", "values": "bytes"},
+        out,
+    )
+    sync = b"0123456789abcdef"
+    out += sync
+    out += im._zigzag_encode(2)
+    out += im._zigzag_encode(len(comp))
+    out += comp
+    out += sync
+    p = str(tmp_path / "d.avro")
+    with open(p, "wb") as f:
+        f.write(bytes(out))
+    records, _, _ = im.read_avro_file(p)
+    assert records == [{"v": 41}, {"v": 42}]
+
+
+# ---------------------------------------------------------------------------
+# Table commits + snapshot resolution
+# ---------------------------------------------------------------------------
+
+
+def _write_batch(spark, tmp_path, name, lo, hi):
+    """One parquet directory of engine-schema docs with docids [lo, hi)."""
+    out = str(tmp_path / name)
+    (
+        spark.range(lo, hi)
+        .select(
+            F.lit("repoA").alias("repo"),
+            F.concat(F.lit("src/f"), F.col("id")).alias("path"),
+            F.lit("c0ffee").alias("commit"),
+            F.lit("python").alias("lang"),
+            F.concat(F.lit("def fn"), F.col("id"), F.lit("(): pass")).alias(
+                "content"
+            ),
+        )
+        .coalesce(2)
+        .write.parquet(out)
+    )
+    return out
+
+
+@pytest.fixture(scope="module")
+def table_with_two_snapshots(spark, tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("iceberg")
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc)
+    b1 = _write_batch(spark, tmp_path, "b1", 0, 50)
+    b2 = _write_batch(spark, tmp_path, "b2", 50, 80)
+    s1 = im.commit_append_dir(loc, b1, timestamp_ms=1000)
+    s2 = im.commit_append_dir(loc, b2, timestamp_ms=2000)
+    return loc, s1, s2, tmp_path
+
+
+def test_append_snapshots_grow_live_set(spark, table_with_two_snapshots):
+    loc, s1, s2, _ = table_with_two_snapshots
+    tbl = im.load_table(loc)
+    assert tbl.current_snapshot_id() == s2
+    assert s1 != s2
+    assert len(tbl.plan_paths(snapshot_id=s1)) == 2
+    assert len(tbl.plan_paths()) == 4  # current = both batches
+    # rows through Spark: pinned past vs current
+    assert spark.read.parquet(*tbl.plan_paths(snapshot_id=s1)).count() == 50
+    assert spark.read.parquet(*tbl.plan_paths(snapshot_id=s2)).count() == 80
+
+
+def test_snapshot_resolution_errors_and_time_travel(table_with_two_snapshots):
+    loc, s1, s2, _ = table_with_two_snapshots
+    tbl = im.load_table(loc)
+    with pytest.raises(KeyError, match="not in table"):
+        tbl.snapshot(123456)
+    assert tbl.snapshot(as_of_ms=1500)["snapshot-id"] == s1
+    assert tbl.snapshot(as_of_ms=2000)["snapshot-id"] == s2
+    with pytest.raises(KeyError, match="no snapshot"):
+        tbl.snapshot(as_of_ms=999)
+    # snapshot-log and sequence numbers are monotone
+    log = tbl.meta["snapshot-log"]
+    assert [e["snapshot-id"] for e in log] == [s1, s2]
+    seqs = [s["sequence-number"] for s in tbl.snapshots()]
+    assert seqs == sorted(seqs) == [1, 2]
+
+
+def test_append_is_o_new_files(table_with_two_snapshots):
+    """The fast-append shape: snapshot 2's manifest list re-references
+    snapshot 1's manifest untouched; only the delta got a new manifest."""
+    loc, s1, s2, _ = table_with_two_snapshots
+    tbl = im.load_table(loc)
+    ml2, _, _ = im.read_avro_file(tbl._local(tbl.snapshot(s2)["manifest-list"]))
+    ml1, _, _ = im.read_avro_file(tbl._local(tbl.snapshot(s1)["manifest-list"]))
+    assert len(ml1) == 1 and len(ml2) == 2
+    assert ml1[0]["manifest_path"] in {m["manifest_path"] for m in ml2}
+    new = [m for m in ml2 if m["manifest_path"] != ml1[0]["manifest_path"]][0]
+    assert new["added_files_count"] == 2 and new["added_rows_count"] == 30
+
+
+def test_overwrite_tombstones_prior_files(spark, table_with_two_snapshots):
+    loc, s1, s2, tmp_path = table_with_two_snapshots
+    b3 = _write_batch(spark, tmp_path, "b3", 1000, 1010)
+    s3 = im.commit_append_dir(loc, b3, timestamp_ms=3000, overwrite=True)
+    tbl = im.load_table(loc)
+    # live set is exactly batch 3; history still reads the old snapshots
+    assert spark.read.parquet(*tbl.plan_paths()).count() == 10
+    assert spark.read.parquet(*tbl.plan_paths(snapshot_id=s2)).count() == 80
+    assert tbl.snapshot(s3)["summary"]["operation"] == "overwrite"
+    # the overwrite manifest carries DELETED tombstones for all 4 prior files
+    ml3, _, _ = im.read_avro_file(tbl._local(tbl.snapshot(s3)["manifest-list"]))
+    assert len(ml3) == 1 and ml3[0]["deleted_files_count"] == 4
+
+
+def test_version_hint_recovery_and_commit_conflict(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc)
+    b = _write_batch(spark, tmp_path, "b", 0, 5)
+    im.commit_append_dir(loc, b)
+    os.remove(os.path.join(loc, "metadata", "version-hint.text"))
+    assert len(im.load_table(loc).plan_paths()) > 0  # recovered by listing
+    # optimistic concurrency: a racing commit to the same version refuses
+    meta = im.load_table(loc).meta
+    with pytest.raises(FileExistsError, match="concurrent commit"):
+        im._write_metadata_version(loc, 2, meta)
+    assert im.is_metadata_table(loc)
+    assert not im.is_metadata_table(str(tmp_path))
+
+
+def test_empty_table_reads_empty(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc)
+    assert im.load_table(loc).plan_paths() == []
+    df = load_iceberg_documents(spark, loc)
+    assert df.count() == 0
+    assert "docid" in df.columns
+
+
+# ---------------------------------------------------------------------------
+# load_iceberg_documents: the pin is honored (no fallback warning)
+# ---------------------------------------------------------------------------
+
+
+def test_load_documents_honors_snapshot_pin(spark, table_with_two_snapshots, recwarn):
+    loc, s1, s2, _ = table_with_two_snapshots
+    d1 = load_iceberg_documents(spark, loc, snapshot_id=s1)
+    d2 = load_iceberg_documents(spark, loc, snapshot_id=s2)
+    assert d1.count() == 50 and d2.count() == 80
+    assert set(d1.columns) == {"docid", "repo", "path", "commit", "lang", "content"}
+    # same rows ⇒ same docids across snapshots (lineage-stable identity)
+    ids1 = {r["docid"] for r in d1.select("docid").collect()}
+    ids2 = {r["docid"] for r in d2.select("docid").collect()}
+    assert ids1 < ids2 and len(ids2) == 80
+    assert not [w for w in recwarn.list if "falling back" in str(w.message)]
+
+
+def test_snapshot_ids_are_deterministic(spark, tmp_path):
+    """Replaying the same commits yields the same lineage — what a resumed
+    build keys on after a driver crash between commit and checkpoint."""
+    ids = []
+    for name in ("t1", "t2"):
+        loc = str(tmp_path / name)
+        im.create_table(loc)
+        b = _write_batch(spark, tmp_path, f"{name}_b", 0, 5)
+        # same RELATIVE content committed at the same sequence point, but
+        # different absolute paths → ids differ per table, same within
+        ids.append(im.commit_append_dir(loc, b))
+    assert ids[0] != ids[1]  # path-set digest differs
+    # re-reading resolves identically
+    assert im.load_table(str(tmp_path / "t1")).current_snapshot_id() == ids[0]
+
+
+# ---------------------------------------------------------------------------
+# north_star loop: Iceberg snapshots drive the resumable index build
+# ---------------------------------------------------------------------------
+
+
+def test_iceberg_snapshots_drive_incremental_index(
+    spark, table_with_two_snapshots, tmp_path
+):
+    from search_engine_spark.plans.bm25 import QueryEngine
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.sources.index_io import (
+        append_snapshot,
+        read_manifest,
+        resumable_build,
+    )
+
+    loc, s1, s2, _ = table_with_two_snapshots
+    root = str(tmp_path / "idx")
+
+    # build the index from the PINNED first corpus snapshot
+    docs1 = load_iceberg_documents(spark, loc, snapshot_id=s1)
+    resumable_build(spark, docs1, root, snapshot_id=s1, n_slices=2, compress=True)
+
+    # corpus advanced to s2 → ingest only the delta, under s2's id
+    docs2 = load_iceberg_documents(spark, loc, snapshot_id=s2)
+    delta = docs2.join(docs1.select("docid"), "docid", "left_anti")
+    assert delta.count() == 30
+    idx = append_snapshot(spark, delta, root, snapshot_id=s2, compress=True)
+
+    # lineage: the manifest records exactly the two Iceberg snapshot ids
+    m = read_manifest(spark, root).where(F.col("status") == "done")
+    assert {r["snapshot_id"] for r in m.collect()} == {s1, s2}
+
+    # the incrementally-built index answers identically to a fresh build
+    # over the full pinned-s2 corpus
+    full = build_index(spark, docs2, compress=True)
+    got = QueryEngine(spark, idx).search("values: def pass", k=10).collect()
+    want = QueryEngine(spark, full).search("values: def pass", k=10).collect()
+    assert [(r["docid"], round(r["score"], 9)) for r in got] == [
+        (r["docid"], round(r["score"], 9)) for r in want
+    ]
