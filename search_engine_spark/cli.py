@@ -135,29 +135,24 @@ def cmd_build(args) -> int:
         n = spark.read.parquet(f"{args.output}/docstats").count()
         print(f"indexed {n} documents (fold analyzer) → {args.output}")
         return 0
-    if getattr(args, "positions", False) and (
-        args.slices > 1 or getattr(args, "append_snapshot", None) is not None
-    ):
-        print(
-            "error: --positions requires a single-shot build (no --slices/"
-            "--append-snapshot yet — the slice log does not carry the "
-            "positional table)",
-            file=sys.stderr,
-        )
-        return 2
     if getattr(args, "append_snapshot", None) is not None:
         from .sources.index_io import append_snapshot
 
-        append_snapshot(
-            spark,
-            docs,
-            args.output,
-            snapshot_id=args.append_snapshot,
-            n_slices=max(1, args.slices),
-            salt_threshold=args.salt_threshold,
-            compress=not args.no_compress,
-            stem=args.stem,
-        )
+        try:
+            append_snapshot(
+                spark,
+                docs,
+                args.output,
+                snapshot_id=args.append_snapshot,
+                n_slices=max(1, args.slices),
+                salt_threshold=args.salt_threshold,
+                compress=not args.no_compress,
+                stem=args.stem,
+                positions=getattr(args, "positions", False),
+            )
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         from .sources.index_io import read_meta_file as _read_meta
 
         try:
@@ -191,15 +186,20 @@ def cmd_build(args) -> int:
                 file=sys.stderr,
             )
             return 2
-        resumable_build(
-            spark,
-            docs,
-            args.output,
-            n_slices=args.slices,
-            salt_threshold=args.salt_threshold,
-            compress=not args.no_compress,
-            stem=args.stem,
-        )
+        try:
+            resumable_build(
+                spark,
+                docs,
+                args.output,
+                n_slices=args.slices,
+                salt_threshold=args.salt_threshold,
+                compress=not args.no_compress,
+                stem=args.stem,
+                positions=getattr(args, "positions", False),
+            )
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
     else:
         index = build_index(
             spark,
@@ -1111,6 +1111,7 @@ def cmd_ingest_iceberg(args) -> int:
             salt_threshold=args.salt_threshold,
             compress=not args.no_compress,
             stem=args.stem,
+            positions=getattr(args, "positions", False),
         )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
@@ -1881,6 +1882,11 @@ def main(argv: list[str] | None = None) -> int:
     ii.add_argument("--salt-threshold", type=int, default=None)
     ii.add_argument("--stem", action="store_true")
     ii.add_argument("--no-compress", action="store_true")
+    ii.add_argument(
+        "--positions", action="store_true",
+        help="also build positional postings (phrase/proximity/snippets); "
+        "a root that already carries positions inherits this automatically",
+    )
     ii.set_defaults(fn=cmd_ingest_iceberg)
 
     dl = sub.add_parser("delete", help="tombstone documents (lazy delete)")

@@ -448,6 +448,36 @@ def _build_slices(
             "rebuild single-shot or merge separate roots instead"
         )
 
+    # positional slices: each docid lives in exactly ONE slice, so per-slice
+    # position_postings rows are already final — finalize just unions them.
+    # Soundness gate: a root whose finalized index carries positions MUST
+    # get positional rows for every appended doc (else phrase queries would
+    # silently skip new content), and appending positional slices to a root
+    # finalized WITHOUT positions would cover only the new docs — refuse.
+    want_pos = bool(build_kwargs.get("positions", False))
+    if meta:
+        root_pos = bool(meta.get("positions", False))
+        if root_pos and not want_pos:
+            want_pos = True  # inherit: the root's phrase support carries over
+        elif want_pos and not root_pos:
+            raise ValueError(
+                f"cannot add positional slices to {root}: the existing index "
+                "was finalized without positions, so old documents have no "
+                "positional rows — rebuild with positions=True"
+            )
+    elif done:
+        # crashed before first finalize: the resumed flags must match what
+        # the committed slices actually wrote (local-FS check; remote roots
+        # rely on resuming with the same build flags)
+        committed_pos = os.path.isdir(f"{root}/_slices/pos")
+        if committed_pos != want_pos:
+            raise ValueError(
+                f"resume flag mismatch at {root}: committed slices "
+                f"{'have' if committed_pos else 'lack'} positional rows but "
+                f"this resume passed positions={want_pos} — rerun with the "
+                "original build flags"
+            )
+
     base_kwargs = {
         k: v for k, v in build_kwargs.items() if k in ("body_col", "title_col")
     }
@@ -465,6 +495,37 @@ def _build_slices(
         meta_out = f"{root}/_slices/meta/snapshot={snapshot_id}/slice={pid}"
         doc_terms_from_base(base, **tf_kwargs).write.mode("overwrite").parquet(out)
         base.drop("_body_toks", "_title_toks").write.mode("overwrite").parquet(meta_out)
+        if want_pos:
+            from ..constants import FIELD_TITLE
+            from ..operators.positions import (
+                position_postings,
+                token_stream_from_base,
+            )
+
+            stream = token_stream_from_base(
+                base, stem=bool(tf_kwargs.get("stem", False))
+            )
+            if "_title_toks" in base.columns:
+                stream = stream.unionByName(
+                    token_stream_from_base(
+                        base,
+                        field_name=FIELD_TITLE,
+                        stem=bool(tf_kwargs.get("stem", False)),
+                        toks_col="_title_toks",
+                    )
+                )
+            # durable BEFORE the manifest entry: the manifest row is the
+            # atomic "slice done" record, so a crash between these writes
+            # replays the whole slice (overwrite mode) instead of leaving a
+            # done slice with missing positional rows
+            from ..constants import DEFAULT_INDEX_BUCKETS
+
+            position_postings(
+                stream,
+                buckets=int(build_kwargs.get("buckets", DEFAULT_INDEX_BUCKETS)),
+            ).write.mode("overwrite").parquet(
+                f"{root}/_slices/pos/snapshot={snapshot_id}/slice={pid}"
+            )
         base.unpersist()
         # stats for lineage: row counts come from the just-written parquet
         # FOOTERS (metadata-only, no Spark job — a per-slice count() scan
@@ -517,7 +578,7 @@ def _finalize_all_snapshots(spark: SparkSession, root: str, **build_kwargs) -> I
     # the session-wide FileStatusCache remembers this path's listing from
     # any earlier finalize — a snapshot appended since then would be
     # silently absent from the merge without an explicit invalidation
-    for sub in ("tf", "meta"):
+    for sub in ("tf", "meta", "pos"):
         try:
             spark.catalog.refreshByPath(f"{root}/_slices/{sub}")
         except Exception:
@@ -534,6 +595,12 @@ def _finalize_all_snapshots(spark: SparkSession, root: str, **build_kwargs) -> I
             "requires a replace (new root) rather than an append"
         )
     index = _finalize_from_tf(spark, meta_all, tf_all, doc_meta=meta_all, **build_kwargs)
+    if os.path.isdir(f"{root}/_slices/pos"):
+        # positional rows are per (field, term, docid) and each docid lives
+        # in exactly one slice — the union IS the final table (no merge)
+        index.positions = spark.read.parquet(f"{root}/_slices/pos").drop(
+            "slice", "snapshot"
+        )
     # in-place rewrite of the root the slice log lives in — the side tables
     # (tombstones/trigrams) were maintained against this same logical index,
     # so their flags carry forward (write_index clears them otherwise)

@@ -1,0 +1,132 @@
+"""Positional postings through the slice log: resumable, crash-resumed,
+and snapshot-appended builds now carry the positions table (previously a
+single-shot-only feature), so phrase/proximity/snippets work on
+incrementally grown indexes — including Iceberg-ingested ones.
+
+Key invariant: positional rows are per (field, term, docid) and each docid
+lives in exactly one slice, so the union of per-slice tables IS the final
+positions table — asserted here by fingerprint equality against single-shot
+builds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.cli import main
+from search_engine_spark.operators.index_build import build_index
+from search_engine_spark.plans.phrase import phrase_match
+from search_engine_spark.sources.index_io import (
+    append_snapshot,
+    read_index,
+    resumable_build,
+)
+
+
+def _pos_fingerprint(index):
+    assert index.positions is not None
+    return {
+        (r["field"], r["term"], r["docid"]): (list(r["positions"]), r["tf"])
+        for r in index.positions.collect()
+    }
+
+
+def _phrase_docs(index, phrase):
+    return {
+        r["docid"]
+        for r in phrase_match(
+            index.positions, phrase, n_buckets=index.n_buckets
+        ).collect()
+    }
+
+
+def test_sliced_positional_build_equals_single_shot(spark, tiny_df, tmp_path):
+    root = str(tmp_path / "idx")
+    sliced = resumable_build(
+        spark, tiny_df, root, n_slices=4, compress=True, positions=True
+    )
+    single = build_index(spark, tiny_df, compress=True, positions=True)
+    assert _pos_fingerprint(sliced) == _pos_fingerprint(single)
+    # round-trip: read_index restores the positions table
+    reread = read_index(spark, root)
+    assert _pos_fingerprint(reread) == _pos_fingerprint(single)
+
+
+def test_crash_resume_preserves_positions(spark, tiny_df, tmp_path):
+    root = str(tmp_path / "idx")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        resumable_build(
+            spark, tiny_df, root, n_slices=4, compress=True, positions=True,
+            fail_after_slice=2,
+        )
+    resumed = resumable_build(
+        spark, tiny_df, root, n_slices=4, compress=True, positions=True
+    )
+    single = build_index(spark, tiny_df, compress=True, positions=True)
+    assert _pos_fingerprint(resumed) == _pos_fingerprint(single)
+
+
+def test_resume_flag_mismatch_refused(spark, tiny_df, tmp_path):
+    root = str(tmp_path / "idx")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        resumable_build(
+            spark, tiny_df, root, n_slices=4, compress=True, positions=True,
+            fail_after_slice=1,
+        )
+    with pytest.raises(ValueError, match="resume flag mismatch"):
+        resumable_build(spark, tiny_df, root, n_slices=4, compress=True)
+
+
+def test_append_inherits_positions(spark, tiny_df, tmp_path):
+    half1 = tiny_df.where(F.col("docid") % 2 == 0)
+    half2 = tiny_df.where(F.col("docid") % 2 == 1)
+    root = str(tmp_path / "idx")
+    resumable_build(
+        spark, half1, root, snapshot_id=1, n_slices=2, compress=True,
+        positions=True,
+    )
+    # positions flag OMITTED — the root's phrase support must carry over
+    appended = append_snapshot(spark, half2, root, snapshot_id=2, compress=True)
+    single = build_index(spark, tiny_df, compress=True, positions=True)
+    assert _pos_fingerprint(appended) == _pos_fingerprint(single)
+    # a phrase present in both halves matches docs from both snapshots
+    phrase = "the quick"
+    want = _phrase_docs(single, phrase)
+    got = _phrase_docs(appended, phrase)
+    assert got == want
+    ids1 = {r["docid"] for r in half1.select("docid").collect()}
+    if want:
+        assert (want - ids1) or (want & ids1)  # sanity: sets line up
+
+
+def test_append_positions_to_flat_root_refused(spark, tiny_df, tmp_path):
+    half1 = tiny_df.where(F.col("docid") % 2 == 0)
+    half2 = tiny_df.where(F.col("docid") % 2 == 1)
+    root = str(tmp_path / "idx")
+    resumable_build(spark, half1, root, snapshot_id=1, n_slices=2, compress=True)
+    with pytest.raises(ValueError, match="finalized without positions"):
+        append_snapshot(
+            spark, half2, root, snapshot_id=2, compress=True, positions=True
+        )
+
+
+def test_cli_sliced_positional_build_and_phrase_search(spark, tiny_df, tmp_path, capsys):
+    src = str(tmp_path / "docs")
+    tiny_df.write.parquet(src)
+    root = str(tmp_path / "idx")
+    assert (
+        main(["build", "--input", src, "--output", root, "--slices", "2",
+              "--positions"])
+        == 0
+    )
+    capsys.readouterr()
+    # find a two-token phrase that actually occurs in the corpus
+    row = (
+        tiny_df.select(F.split(F.col("content"), " ").alias("t"))
+        .where(F.size("t") >= 2)
+        .limit(1)
+        .collect()[0]
+    )
+    phrase = " ".join(w for w in row["t"][:2])
+    rc = main(["search", "--index", root, "--phrase", phrase, "--docs", src])
+    assert rc == 0
