@@ -141,7 +141,60 @@ def avro_encode(value, schema, out: bytearray) -> None:
         raise NotImplementedError(f"avro type {t!r}")
 
 
-def avro_decode(buf: io.BytesIO, schema):
+_PRIMITIVES = frozenset(
+    ("null", "boolean", "int", "long", "float", "double", "bytes", "string")
+)
+
+
+def _register_named(schema, names: dict, enclosing_ns: str | None = None) -> str | None:
+    """Record/fixed/enum definitions register under bare + namespaced names
+    (Avro spec 'Names'): writers like the Iceberg JVM one define a type once
+    and REFERENCE it by name later in the same schema.  Nested definitions
+    inherit the enclosing namespace; → the effective namespace."""
+    name = schema.get("name")
+    if not name:
+        return enclosing_ns
+    if "." in name:  # a fullname in the name field overrides everything
+        ns, name = name.rsplit(".", 1)
+    else:
+        ns = schema.get("namespace", enclosing_ns)
+    names[name] = schema
+    if ns:
+        names[f"{ns}.{name}"] = schema
+    return ns
+
+
+def collect_named_types(schema, names: dict, enclosing_ns: str | None = None) -> None:
+    """Pre-register every named type in one schema walk, so references
+    resolve regardless of which union branches the data actually takes."""
+    if isinstance(schema, list):
+        for branch in schema:
+            collect_named_types(branch, names, enclosing_ns)
+        return
+    if not isinstance(schema, dict):
+        return
+    t = schema.get("type")
+    if t in ("record", "error"):
+        ns = _register_named(schema, names, enclosing_ns)
+        for f in schema.get("fields", ()):
+            collect_named_types(f.get("type"), names, ns)
+    elif t in ("fixed", "enum"):
+        _register_named(schema, names, enclosing_ns)
+    elif t == "array":
+        collect_named_types(schema.get("items"), names, enclosing_ns)
+    elif t == "map":
+        collect_named_types(schema.get("values"), names, enclosing_ns)
+
+
+def avro_decode(buf: io.BytesIO, schema, names: dict | None = None):
+    names = names if names is not None else {}
+    if isinstance(schema, str) and schema not in _PRIMITIVES:
+        if schema not in names:
+            raise NotImplementedError(
+                f"avro type {schema!r} (not a primitive, and no named type "
+                "of that name was defined earlier in the schema)"
+            )
+        schema = names[schema]
     t = _schema_type(schema)
     if t == "null":
         return None
@@ -158,9 +211,17 @@ def avro_decode(buf: io.BytesIO, schema):
     if t == "string":
         return buf.read(_zigzag_decode(buf)).decode("utf-8")
     if t == "fixed":
+        _register_named(schema, names)
         return buf.read(schema["size"])
+    if t == "enum":
+        _register_named(schema, names)
+        return schema["symbols"][_zigzag_decode(buf)]
     if t == "record":
-        return {f["name"]: avro_decode(buf, f["type"]) for f in schema["fields"]}
+        _register_named(schema, names)
+        return {
+            f["name"]: avro_decode(buf, f["type"], names)
+            for f in schema["fields"]
+        }
     if t == "array":
         out = []
         while True:
@@ -171,7 +232,7 @@ def avro_decode(buf: io.BytesIO, schema):
                 _zigzag_decode(buf)
                 n = -n
             for _ in range(n):
-                out.append(avro_decode(buf, schema["items"]))
+                out.append(avro_decode(buf, schema["items"], names))
     if t == "map":
         out = {}
         while True:
@@ -183,10 +244,10 @@ def avro_decode(buf: io.BytesIO, schema):
                 n = -n
             for _ in range(n):
                 k = buf.read(_zigzag_decode(buf)).decode("utf-8")
-                out[k] = avro_decode(buf, schema["values"])
+                out[k] = avro_decode(buf, schema["values"], names)
         return out
     if t == "union":
-        return avro_decode(buf, schema[_zigzag_decode(buf)])
+        return avro_decode(buf, schema[_zigzag_decode(buf)], names)
     raise NotImplementedError(f"avro type {t!r}")
 
 
@@ -240,6 +301,8 @@ def read_avro_file(path: str) -> tuple[list, dict, dict[str, bytes]]:
     meta = avro_decode(buf, _CONTAINER_META_SCHEMA)
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
+    names: dict = {}
+    collect_named_types(schema, names)
     sync = buf.read(16)
     records = []
     while True:
@@ -256,7 +319,7 @@ def read_avro_file(path: str) -> tuple[list, dict, dict[str, bytes]]:
             raise NotImplementedError(f"avro codec {codec!r}")
         bbuf = io.BytesIO(block)
         for _ in range(n):
-            records.append(avro_decode(bbuf, schema))
+            records.append(avro_decode(bbuf, schema, names))
         if buf.read(16) != sync:
             raise ValueError(f"{path}: sync marker mismatch (corrupt block)")
     return records, schema, meta

@@ -88,6 +88,79 @@ def test_avro_zigzag_edge_values():
         assert im._zigzag_decode(buf) == v, v
 
 
+def test_avro_named_type_references_and_enum(tmp_path):
+    """JVM-written manifests define a record once and REFERENCE it by name
+    later in the schema (Avro 'Names'); enums decode to their symbol.  The
+    reference can sit in a union branch decoded before the defining branch
+    ever is — the pre-registration walk must resolve it anyway."""
+    schema = {
+        "type": "record",
+        "name": "outer",
+        "namespace": "org.example",
+        "fields": [
+            # definition inside a union branch the data NEVER selects…
+            {
+                "name": "maybe_point",
+                "type": [
+                    "null",
+                    {
+                        "type": "record",
+                        "name": "point",
+                        "fields": [
+                            {"name": "x", "type": "long"},
+                            {"name": "y", "type": "long"},
+                        ],
+                    },
+                ],
+                "default": None,
+            },
+            # …referenced by bare name and by fullname
+            {"name": "a", "type": "point"},
+            {"name": "b", "type": "org.example.point"},
+            {
+                "name": "color",
+                "type": {
+                    "type": "enum",
+                    "name": "color_e",
+                    "symbols": ["RED", "GREEN", "BLUE"],
+                },
+            },
+        ],
+    }
+    # hand-encode (the writer path doesn't emit references; the READER must
+    # accept them): union index 0 (null), two points, enum index 2
+    body = bytearray()
+    body += im._zigzag_encode(0)  # maybe_point -> null branch
+    for v in (1, -2, 300, -400):
+        body += im._zigzag_encode(v)
+    body += im._zigzag_encode(2)  # BLUE
+    out = bytearray()
+    out += b"Obj\x01"
+    im.avro_encode(
+        {"avro.schema": json.dumps(schema).encode(), "avro.codec": b"null"},
+        {"type": "map", "values": "bytes"},
+        out,
+    )
+    sync = b"fedcba9876543210"
+    out += sync
+    out += im._zigzag_encode(1)
+    out += im._zigzag_encode(len(body))
+    out += bytes(body)
+    out += sync
+    p = str(tmp_path / "named.avro")
+    with open(p, "wb") as f:
+        f.write(bytes(out))
+    records, _, _ = im.read_avro_file(p)
+    assert records == [
+        {
+            "maybe_point": None,
+            "a": {"x": 1, "y": -2},
+            "b": {"x": 300, "y": -400},
+            "color": "BLUE",
+        }
+    ]
+
+
 def test_avro_deflate_codec_reads(tmp_path):
     """Files written by other Iceberg writers default to deflate — the
     reader must handle raw-zlib blocks and negative array block counts."""
