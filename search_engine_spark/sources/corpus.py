@@ -41,11 +41,21 @@ def load_testdata_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return map_testdata_columns(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+_WHERE_OPS = {
+    "=": lambda c, v: c == v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
+
+
 def load_iceberg_documents(
     spark: SparkSession,
     table: str,
     snapshot_id: int | None = None,
     parquet_fallback: str | None = None,
+    where: tuple | list | None = None,
 ) -> DataFrame:
     """Production source: Iceberg table (repo, path, commit, lang, content).
 
@@ -67,7 +77,7 @@ def load_iceberg_documents(
 
     if iceberg_meta.is_metadata_table(table):
         tbl = iceberg_meta.load_table(table)
-        paths = tbl.plan_paths(snapshot_id=snapshot_id)
+        paths = tbl.plan_paths(snapshot_id=snapshot_id, where=where)
         if paths:
             df = spark.read.parquet(*paths)
         else:
@@ -78,6 +88,12 @@ def load_iceberg_documents(
                     [T.StructField(f["name"], T.StringType()) for f in fields]
                 ),
             )
+        if where is not None:
+            # bounds only PRUNE files; exact semantics need the residual
+            # row filter too (Catalyst then pushes it into the parquet scan)
+            preds = [where] if isinstance(where, tuple) else list(where)
+            for col, op, value in preds:
+                df = df.where(_WHERE_OPS[op](F.col(col), F.lit(value)))
         return add_docid(df) if "docid" not in df.columns else df
     try:
         reader = spark.read

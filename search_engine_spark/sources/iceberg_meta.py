@@ -358,6 +358,23 @@ MANIFEST_LIST_SCHEMA = {
     ],
 }
 
+def _kv_array(name: str, value_type, key_id: int, value_id: int):
+    """Iceberg's map-with-int-keys Avro shape: array of {key, value} records
+    (Avro maps require string keys, so the spec models these as k/v arrays)."""
+    return {
+        "type": "array",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": key_id},
+                {"name": "value", "type": value_type, "field-id": value_id},
+            ],
+        },
+        "logicalType": "map",
+    }
+
+
 #: manifest file: one entry per data file (unpartitioned spec → empty struct)
 _DATA_FILE_SCHEMA = {
     "type": "record",
@@ -373,6 +390,16 @@ _DATA_FILE_SCHEMA = {
         },
         _f("record_count", "long", 103),
         _f("file_size_in_bytes", "long", 104),
+        # per-column stats for scan pruning (spec ids 109/110/125/128);
+        # bounds values use Appendix-D single-value binary serialization
+        _f("value_counts", _kv_array("k109_v110", "long", 119, 120), 109,
+           optional=True),
+        _f("null_value_counts", _kv_array("k121_v122", "long", 121, 122), 110,
+           optional=True),
+        _f("lower_bounds", _kv_array("k126_v127", "bytes", 126, 127), 125,
+           optional=True),
+        _f("upper_bounds", _kv_array("k129_v130", "bytes", 129, 130), 128,
+           optional=True),
     ],
 }
 
@@ -389,6 +416,171 @@ MANIFEST_ENTRY_SCHEMA = {
 }
 
 STATUS_EXISTING, STATUS_ADDED, STATUS_DELETED = 0, 1, 2
+
+# ---------------------------------------------------------------------------
+# Column-bound stats (spec Appendix D single-value serialization + §Scan
+# Planning): per-file min/max gathered from parquet FOOTERS at commit time,
+# used to prune files at plan time.  At 10^12 files this is the difference
+# between "point lookup touches a handful of files" and "every scan lists
+# the world" — and it happens entirely in driver-side metadata.
+# ---------------------------------------------------------------------------
+
+_BOUND_TRUNC = 16  # spec default write.metadata.metrics truncate(16)
+
+
+def _serialize_bound(value, iceberg_type: str) -> bytes | None:
+    if value is None:
+        return None
+    if iceberg_type == "string":
+        return value.encode("utf-8") if isinstance(value, str) else bytes(value)
+    if iceberg_type in ("long", "int"):
+        size = 8 if iceberg_type == "long" else 4
+        return int(value).to_bytes(size, "little", signed=True)
+    if iceberg_type == "double":
+        return struct.pack("<d", float(value))
+    return None  # unsupported type → no bound recorded (conservative)
+
+
+def _deserialize_bound(raw: bytes, iceberg_type: str):
+    if iceberg_type == "string":
+        return raw.decode("utf-8", errors="replace")
+    if iceberg_type in ("long", "int"):
+        return int.from_bytes(raw, "little", signed=True)
+    if iceberg_type == "double":
+        return struct.unpack("<d", raw)[0]
+    return None
+
+
+def _utf8_safe_prefix(raw: bytes, limit: int) -> bytes:
+    """Longest prefix ≤ limit bytes that does not split a UTF-8 sequence."""
+    if len(raw) <= limit:
+        return raw
+    cut = raw[:limit]
+    while cut and (cut[-1] & 0xC0) == 0x80:  # trailing continuation byte
+        cut = cut[:-1]
+    if cut and cut[-1] >= 0x80:  # lead byte whose tail we just removed
+        cut = cut[:-1]
+    return cut
+
+
+def _truncate_lower(raw: bytes, iceberg_type: str) -> bytes:
+    """A prefix is a valid (possibly loose) lower bound for strings."""
+    if iceberg_type != "string":
+        return raw
+    return _utf8_safe_prefix(raw, _BOUND_TRUNC)
+
+
+def _truncate_upper(raw: bytes, iceberg_type: str) -> bytes | None:
+    """Truncate then increment the last byte so the result stays an UPPER
+    bound of the original (spec truncate-with-increment); None if every
+    byte is 0xFF (no representable upper bound → omit the column)."""
+    if iceberg_type != "string" or len(raw) <= _BOUND_TRUNC:
+        return raw
+    cut = bytearray(_utf8_safe_prefix(raw, _BOUND_TRUNC))
+    for i in range(len(cut) - 1, -1, -1):
+        if cut[i] != 0xFF:
+            cut[i] += 1
+            del cut[i + 1 :]
+            return bytes(cut)
+    return None
+
+
+def _collect_file_column_stats(path: str, fields: list[dict]) -> dict:
+    """Per-column stats from the parquet footer (metadata only, no data
+    read): → {field_id: (value_count, null_count, min, max)} with min/max
+    None when any row group lacks them."""
+    import pyarrow.parquet as pq
+
+    by_name = {f["name"]: f for f in fields}
+    md = pq.ParquetFile(path).metadata
+    agg: dict[int, list] = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if name not in by_name:  # nested/dotted or non-schema column
+                continue
+            fid = by_name[name]["id"]
+            cur = agg.setdefault(fid, [0, 0, None, None, True])
+            st = col.statistics
+            nulls = st.null_count if st is not None and st.has_null_count else 0
+            cur[0] += col.num_values + (nulls or 0)
+            cur[1] += nulls or 0
+            if st is None or not st.has_min_max:
+                cur[4] = False  # one boundless row group voids the bounds
+                continue
+            mn, mx = st.min, st.max
+            cur[2] = mn if cur[2] is None or mn < cur[2] else cur[2]
+            cur[3] = mx if cur[3] is None or mx > cur[3] else cur[3]
+    return {
+        fid: (vc, nc, mn if ok else None, mx if ok else None)
+        for fid, (vc, nc, mn, mx, ok) in agg.items()
+    }
+
+
+def _file_stats_fields(path: str, fields: list[dict]) -> dict:
+    """→ the four optional data_file stat arrays for one parquet file."""
+    stats = _collect_file_column_stats(path, fields)
+    type_of = {f["id"]: f["type"] for f in fields}
+    value_counts, null_counts, lowers, uppers = [], [], [], []
+    for fid, (vc, nc, mn, mx) in sorted(stats.items()):
+        value_counts.append({"key": fid, "value": vc})
+        null_counts.append({"key": fid, "value": nc})
+        t = type_of.get(fid, "string")
+        lo = _serialize_bound(mn, t)
+        hi = _serialize_bound(mx, t)
+        if lo is not None:
+            lowers.append({"key": fid, "value": _truncate_lower(lo, t)})
+        if hi is not None:
+            hi_t = _truncate_upper(hi, t)
+            if hi_t is not None:
+                uppers.append({"key": fid, "value": hi_t})
+    return {
+        "value_counts": value_counts,
+        "null_value_counts": null_counts,
+        "lower_bounds": lowers,
+        "upper_bounds": uppers,
+    }
+
+
+_PRED_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _file_may_match(data_file: dict, predicates, fields: list[dict]) -> bool:
+    """False only when the file's bounds PROVE no row satisfies every
+    predicate; missing stats keep the file (conservative)."""
+    id_of = {f["name"]: f["id"] for f in fields}
+    type_of = {f["id"]: f["type"] for f in fields}
+    lowers = {
+        e["key"]: e["value"] for e in (data_file.get("lower_bounds") or [])
+    }
+    uppers = {
+        e["key"]: e["value"] for e in (data_file.get("upper_bounds") or [])
+    }
+    for col, op, value in predicates:
+        if op not in _PRED_OPS:
+            raise ValueError(f"unsupported predicate op {op!r} (use {_PRED_OPS})")
+        fid = id_of.get(col)
+        if fid is None:
+            raise KeyError(f"predicate column {col!r} not in table schema")
+        t = type_of[fid]
+        lo = _deserialize_bound(lowers[fid], t) if fid in lowers else None
+        hi = _deserialize_bound(uppers[fid], t) if fid in uppers else None
+        if lo is not None:
+            if op == "=" and value < lo:
+                return False
+            if op == "<" and lo >= value:
+                return False
+            if op == "<=" and lo > value:
+                return False
+        if hi is not None:
+            if op == "=" and value > hi:
+                return False
+            if op == ">" and hi <= value:
+                return False
+            if op == ">=" and hi < value:
+                return False
+    return True
 
 #: engine source schema (input_hint) as an Iceberg schema struct
 CODE_CORPUS_FIELDS = [
@@ -442,24 +634,45 @@ class IcebergTable:
 
     # -- file planning ------------------------------------------------------
     def plan_files(
-        self, snapshot_id: int | None = None, as_of_ms: int | None = None
+        self,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        where: tuple | list | None = None,
     ) -> list[dict]:
         """Walk manifest-list → manifests → live data files of one snapshot.
 
         Status semantics per spec: ADDED/EXISTING entries are live;
         DELETED entries mark files removed by this snapshot (present so
         readers of the *manifest* see the tombstone; excluded from the scan).
+
+        ``where``: one ``(column, op, value)`` triple or a list of them
+        (ANDed), op ∈ {=, <, <=, >, >=} — files whose footer-derived column
+        bounds prove no match are skipped (spec Scan Planning).  Bounds are
+        PRUNING hints, not filters: a kept file may still hold non-matching
+        rows, so readers apply the residual predicate to rows too (the
+        corpus loader does).  Files without stats are kept.
         """
         snap = self.snapshot(snapshot_id, as_of_ms)
         if snap is None:
             return []
+        preds = None
+        if where is not None:
+            preds = [where] if isinstance(where, tuple) else list(where)
+            fields = self.meta["schemas"][self.meta["current-schema-id"]][
+                "fields"
+            ]
         manifests, _, _ = read_avro_file(self._local(snap["manifest-list"]))
         files: list[dict] = []
         for m in manifests:
             entries, _, _ = read_avro_file(self._local(m["manifest_path"]))
             for e in entries:
-                if e["status"] != STATUS_DELETED:
-                    files.append(e["data_file"])
+                if e["status"] == STATUS_DELETED:
+                    continue
+                if preds is not None and not _file_may_match(
+                    e["data_file"], preds, fields
+                ):
+                    continue
+                files.append(e["data_file"])
         return files
 
     def plan_paths(self, snapshot_id: int | None = None, **kw) -> list[str]:
@@ -693,6 +906,7 @@ def commit_append(
             for df in table.plan_files()
         ]
         prior_manifests = []
+    schema_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
     added_rows = 0
     for p in sorted(data_paths):
         rows, size = _parquet_file_stats(p)
@@ -710,6 +924,8 @@ def commit_append(
                     "partition": {},
                     "record_count": rows,
                     "file_size_in_bytes": size,
+                    # footer-derived column bounds → plan-time file pruning
+                    **_file_stats_fields(p, schema_fields),
                 },
             }
         )

@@ -310,6 +310,116 @@ def test_empty_table_reads_empty(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Column bounds + plan-time file pruning (spec Appendix D / Scan Planning)
+# ---------------------------------------------------------------------------
+
+
+def _write_repo_batch(spark, tmp_path, name, repo, n=10):
+    out = str(tmp_path / name)
+    (
+        spark.range(n)
+        .select(
+            F.lit(repo).alias("repo"),
+            F.concat(F.lit(f"{repo}/src/f"), F.col("id")).alias("path"),
+            F.lit("c0ffee").alias("commit"),
+            F.lit("python").alias("lang"),
+            F.concat(F.lit("body text "), F.col("id")).alias("content"),
+        )
+        .coalesce(1)
+        .write.parquet(out)
+    )
+    return out
+
+
+@pytest.fixture(scope="module")
+def bounded_table(spark, tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("iceberg_bounds")
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc)
+    for repo in ("alpha", "mike", "zulu"):
+        im.commit_append_dir(
+            loc, _write_repo_batch(spark, tmp_path, f"b_{repo}", repo)
+        )
+    return loc
+
+
+def test_file_bounds_recorded_from_footers(bounded_table):
+    tbl = im.load_table(bounded_table)
+    files = tbl.plan_files()
+    assert len(files) == 3
+    fields = tbl.meta["schemas"][0]["fields"]
+    repo_id = next(f["id"] for f in fields if f["name"] == "repo")
+    for df_ in files:
+        lowers = {e["key"]: e["value"] for e in df_["lower_bounds"]}
+        uppers = {e["key"]: e["value"] for e in df_["upper_bounds"]}
+        assert lowers[repo_id] == uppers[repo_id]  # one repo per file
+        counts = {e["key"]: e["value"] for e in df_["value_counts"]}
+        nulls = {e["key"]: e["value"] for e in df_["null_value_counts"]}
+        assert counts[repo_id] == 10 and nulls[repo_id] == 0
+
+
+def test_plan_time_pruning_by_bounds(bounded_table):
+    tbl = im.load_table(bounded_table)
+    assert len(tbl.plan_files(where=("repo", "=", "mike"))) == 1
+    assert len(tbl.plan_files(where=("repo", "=", "nosuch"))) == 0
+    assert len(tbl.plan_files(where=("repo", "<", "bravo"))) == 1  # alpha
+    assert len(tbl.plan_files(where=("repo", ">=", "mike"))) == 2
+    assert len(tbl.plan_files(where=("repo", ">", "zulu"))) == 0
+    # ANDed predicates
+    assert (
+        len(
+            tbl.plan_files(
+                where=[("repo", ">=", "alpha"), ("repo", "<=", "mike")]
+            )
+        )
+        == 2
+    )
+    # a column every file spans does not prune
+    assert len(tbl.plan_files(where=("commit", "=", "c0ffee"))) == 3
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        tbl.plan_files(where=("repo", "!=", "x"))
+    with pytest.raises(KeyError, match="not in table schema"):
+        tbl.plan_files(where=("nope", "=", "x"))
+
+
+def test_string_bound_truncation_is_sound(spark, tmp_path):
+    """Values longer than the 16-byte truncation must still prune correctly:
+    the stored lower is a prefix (≤ real min) and the stored upper is
+    incremented (≥ real max)."""
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc)
+    long_repo = "averyverylongrepositoryname-" + "x" * 20
+    im.commit_append_dir(
+        loc, _write_repo_batch(spark, tmp_path, "b", long_repo)
+    )
+    tbl = im.load_table(loc)
+    (df_,) = tbl.plan_files()
+    fields = tbl.meta["schemas"][0]["fields"]
+    repo_id = next(f["id"] for f in fields if f["name"] == "repo")
+    lo = {e["key"]: e["value"] for e in df_["lower_bounds"]}[repo_id]
+    hi = {e["key"]: e["value"] for e in df_["upper_bounds"]}[repo_id]
+    assert len(lo) <= 16 and len(hi) <= 16
+    assert lo.decode() <= long_repo <= hi.decode()
+    # the file's own value is never pruned away; a far value is
+    assert len(tbl.plan_files(where=("repo", "=", long_repo))) == 1
+    assert len(tbl.plan_files(where=("repo", "=", "zzz"))) == 0
+
+
+def test_loader_where_prunes_and_filters(spark, bounded_table):
+    d = load_iceberg_documents(spark, bounded_table, where=("repo", "=", "mike"))
+    assert d.count() == 10
+    assert {r["repo"] for r in d.select("repo").distinct().collect()} == {"mike"}
+    # range predicate: pruning is files-level, residual filter is row-level
+    d2 = load_iceberg_documents(
+        spark, bounded_table, where=[("path", ">=", "mike/src/f5")]
+    )
+    rows = d2.select("path").collect()
+    assert all(r["path"] >= "mike/src/f5" for r in rows)
+    # alpha's file pruned entirely; mike row-filtered to f5-f9; zulu full
+    assert len(rows) == 15
+
+
+# ---------------------------------------------------------------------------
 # load_iceberg_documents: the pin is honored (no fallback warning)
 # ---------------------------------------------------------------------------
 
