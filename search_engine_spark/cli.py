@@ -1078,6 +1078,7 @@ def cmd_ingest_stream(args) -> int:
         alert_root=getattr(args, "alerts", None) if compiled is not None else None,
         compress=not args.no_compress,
         stem=args.stem,
+        positions=getattr(args, "positions", False),
     )
     q.awaitTermination()
     # one compaction after the drain (cheaper than per-batch for a catch-up
@@ -1868,6 +1869,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     st.add_argument("--stem", action="store_true")
     st.add_argument("--no-compress", action="store_true")
+    st.add_argument(
+        "--positions", action="store_true",
+        help="also build positional postings per micro-batch (phrase/"
+        "proximity/snippets); a positional root inherits this automatically",
+    )
     st.set_defaults(fn=cmd_ingest_stream)
 
     ii = sub.add_parser(

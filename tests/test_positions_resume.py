@@ -110,6 +110,37 @@ def test_append_positions_to_flat_root_refused(spark, tiny_df, tmp_path):
         )
 
 
+def test_stream_ingest_carries_positions(spark, tiny_df, tmp_path):
+    """Micro-batched streaming ingest with positions=True yields the same
+    positional table as a single-shot positional build."""
+    from search_engine_spark.streaming.ingest import stream_ingest
+
+    landing = str(tmp_path / "landing")
+    for half in (0, 1):
+        (
+            tiny_df.where(F.pmod(F.col("docid"), F.lit(2)) == half)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(landing)
+        )
+    root = str(tmp_path / "stream_idx")
+    source = (
+        spark.readStream.schema(tiny_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = stream_ingest(
+        source, root, n_slices=2, finalize="manual", compress=True,
+        positions=True, checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    from search_engine_spark.sources.index_io import finalize_index
+
+    streamed = finalize_index(spark, root, compress=True)
+    single = build_index(spark, tiny_df, compress=True, positions=True)
+    assert _pos_fingerprint(streamed) == _pos_fingerprint(single)
+
+
 def test_cli_sliced_positional_build_and_phrase_search(spark, tiny_df, tmp_path, capsys):
     src = str(tmp_path / "docs")
     tiny_df.write.parquet(src)
