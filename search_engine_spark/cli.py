@@ -1130,6 +1130,43 @@ def cmd_ingest_iceberg(args) -> int:
     return 0
 
 
+def cmd_expire_snapshots(args) -> int:
+    """Expire old Iceberg snapshots + GC unreferenced metadata
+    (sources/iceberg_meta.expire_snapshots)."""
+    from .sources.iceberg_meta import expire_snapshots, is_metadata_table
+
+    if not is_metadata_table(args.table):
+        print(
+            f"error: {args.table!r} is not an Iceberg table directory",
+            file=sys.stderr,
+        )
+        return 2
+    if (args.keep_last is None) == (args.older_than_ms is None):
+        print(
+            "error: pass exactly one of --keep-last / --older-than-ms",
+            file=sys.stderr,
+        )
+        return 2
+    report = expire_snapshots(
+        args.table,
+        keep_last=args.keep_last,
+        older_than_ms=args.older_than_ms,
+        delete_data=args.delete_data,
+    )
+    for sid in report["expired"]:
+        print(f"expired snapshot {sid}")
+    print(
+        f"removed {report['removed_manifest_lists']} manifest list(s), "
+        f"{report['removed_manifests']} manifest(s); "
+        f"{len(report['released_data_files'])} data file(s) "
+        + ("deleted" if args.delete_data else "released (NOT deleted — "
+           "re-run with --delete-data or remove them yourself)")
+    )
+    for p in report["released_data_files"]:
+        print(f"  released: {p}")
+    return 0
+
+
 def cmd_delete(args) -> int:
     """Lazy tombstones (sources/deletes.py): docids stop matching
     immediately; stats converge at `compact`."""
@@ -1894,6 +1931,17 @@ def main(argv: list[str] | None = None) -> int:
         "a root that already carries positions inherits this automatically",
     )
     ii.set_defaults(fn=cmd_ingest_iceberg)
+
+    ex = sub.add_parser(
+        "expire-snapshots",
+        help="expire old Iceberg snapshots and GC unreferenced metadata; "
+        "released data files are reported, deleted only with --delete-data",
+    )
+    ex.add_argument("--table", required=True, help="Iceberg table directory")
+    ex.add_argument("--keep-last", type=int, default=None, metavar="N")
+    ex.add_argument("--older-than-ms", type=int, default=None, metavar="T")
+    ex.add_argument("--delete-data", action="store_true")
+    ex.set_defaults(fn=cmd_expire_snapshots)
 
     dl = sub.add_parser("delete", help="tombstone documents (lazy delete)")
     dl.add_argument("--index", required=True)

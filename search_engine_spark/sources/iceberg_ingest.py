@@ -43,6 +43,12 @@ from .index_io import (
 def _ingested_snapshot_ids(spark: SparkSession, root: str) -> set[int]:
     if not os.path.isdir(os.path.join(root, "_build_manifest")):
         return set()
+    # the session FileStatusCache may hold a stale listing from a read
+    # BEFORE the latest slice commits appended manifest rows
+    try:
+        spark.catalog.refreshByPath(os.path.join(root, "_build_manifest"))
+    except Exception:
+        pass
     return {
         r["snapshot_id"]
         for r in read_manifest(spark, root)
@@ -76,23 +82,48 @@ def ingest_iceberg_snapshots(
     history = sorted(table.snapshots(), key=lambda s: s["sequence-number"])
     if not history:
         raise ValueError(f"table {table_location} has no snapshots to ingest")
-    history_ids = [s["snapshot-id"] for s in history]
+    expired = {r["id"]: r for r in table.expired_records()}
+    known = {s["snapshot-id"] for s in history} | set(expired)
     done = _ingested_snapshot_ids(spark, root)
-    foreign = done - set(history_ids)
+    foreign = done - known
     if foreign:
         raise ValueError(
-            f"index at {root} records snapshot ids {sorted(foreign)} that are "
-            f"not in {table_location}'s history {history_ids} — refusing to "
-            "mix lineages (was the index built from a different table?)"
+            f"index at {root} records snapshot ids {sorted(foreign)} that "
+            f"are neither in {table_location}'s history nor recorded as "
+            "expired — refusing to mix lineages (was the index built from a "
+            "different table?)"
         )
-    report = {"ingested": [], "skipped": [], "files": 0, "docs": 0}
+    # the ingested set must be a sequence-prefix of the table's history:
+    # deltas compose front-to-back, so a known snapshot BELOW the
+    # checkpoint that was never ingested means out-of-order state
+    from_seq = max((table._seq_of(d) for d in done), default=0)
+    missed = [
+        s["snapshot-id"]
+        for s in history
+        if s["sequence-number"] <= from_seq and s["snapshot-id"] not in done
+    ] + [
+        r["id"]
+        for r in expired.values()
+        if r["seq"] <= from_seq and r["id"] not in done
+    ]
+    if missed:
+        raise ValueError(
+            f"index at {root} skipped snapshots {sorted(missed)} below its "
+            f"checkpoint (seq {from_seq}) — out-of-order ingestion is not "
+            "supported; rebuild from a fresh root"
+        )
+    # checkpoint id with the highest sequence (may itself be EXPIRED —
+    # plan_delta_files resolves it by recorded sequence number; appends
+    # expired ABOVE the checkpoint are absorbed into the next live delta
+    # because fast-append manifest lists carry prior manifests forward)
     prev: int | None = None
+    if done:
+        prev = max(done, key=table._seq_of)
+    report = {"ingested": [], "skipped": sorted(done), "files": 0, "docs": 0}
     for snap in history:
         sid = snap["snapshot-id"]
-        if sid in done:
-            report["skipped"].append(sid)
-            prev = sid
-            continue
+        if snap["sequence-number"] <= from_seq:
+            continue  # already covered by the checkpoint (in `skipped`)
         paths = table.plan_delta_paths(prev, sid)
         docs = _read_delta(spark, table, paths)
         n = docs.count()

@@ -678,6 +678,27 @@ class IcebergTable:
     def plan_paths(self, snapshot_id: int | None = None, **kw) -> list[str]:
         return [f["file_path"] for f in self.plan_files(snapshot_id, **kw)]
 
+    def expired_records(self) -> list[dict]:
+        """Expired-snapshot records kept in table properties by
+        ``expire_snapshots`` ({"id", "seq", "op"} each) — the breadcrumb
+        that lets incremental consumers whose checkpoint snapshot was
+        expired keep planning deltas BY SEQUENCE NUMBER."""
+        raw = self.meta.get("properties", {}).get("history.expired-snapshots")
+        return json.loads(raw) if raw else []
+
+    def _seq_of(self, snapshot_id: int) -> int:
+        """Sequence number of a snapshot, live OR expired."""
+        for s in self.snapshots():
+            if s["snapshot-id"] == snapshot_id:
+                return s["sequence-number"]
+        for r in self.expired_records():
+            if r["id"] == snapshot_id:
+                return r["seq"]
+        raise KeyError(
+            f"snapshot {snapshot_id} is neither live nor recorded as expired "
+            f"in table {self.location}"
+        )
+
     def plan_delta_files(
         self, from_snapshot_id: int | None, to_snapshot_id: int | None = None
     ) -> list[dict]:
@@ -701,23 +722,32 @@ class IcebergTable:
         if from_snapshot_id is None:
             from_seq = 0
         else:
-            from_seq = self.snapshot(from_snapshot_id)["sequence-number"]
+            # _seq_of also resolves EXPIRED checkpoints: the manifests of
+            # `to` carry sequence numbers, so the delta stays plannable
+            # after the from-snapshot itself was garbage-collected
+            from_seq = self._seq_of(from_snapshot_id)
         to_seq = to_snap["sequence-number"]
         if to_seq < from_seq:
             raise ValueError(
                 f"to-snapshot {to_snap['snapshot-id']} (seq {to_seq}) predates "
                 f"from-snapshot {from_snapshot_id} (seq {from_seq})"
             )
-        for s in self.snapshots():
-            if (
-                from_seq < s["sequence-number"] <= to_seq
-                and s.get("summary", {}).get("operation", "append") != "append"
-            ):
+        in_range = [
+            (s["snapshot-id"], s.get("summary", {}).get("operation", "append"))
+            for s in self.snapshots()
+            if from_seq < s["sequence-number"] <= to_seq
+        ] + [
+            (r["id"], r.get("op", "append"))
+            for r in self.expired_records()
+            if from_seq < r["seq"] <= to_seq
+        ]
+        for sid, op in in_range:
+            if op != "append":
                 raise ValueError(
-                    f"snapshot {s['snapshot-id']} in the delta range is a "
-                    f"{s['summary']['operation']!r}, not an append — an "
-                    "incremental scan cannot express removed files (rebuild "
-                    "the index or tombstone the removed docids)"
+                    f"snapshot {sid} in the delta range is a {op!r}, not an "
+                    "append — an incremental scan cannot express removed "
+                    "files (rebuild the index or tombstone the removed "
+                    "docids)"
                 )
         manifests, _, _ = read_avro_file(self._local(to_snap["manifest-list"]))
         files: list[dict] = []
@@ -1001,6 +1031,138 @@ def commit_append(
     ]
     _write_metadata_version(location, version, meta)
     return snapshot_id
+
+
+def expire_snapshots(
+    location: str,
+    keep_last: int | None = None,
+    older_than_ms: int | None = None,
+    delete_data: bool = False,
+) -> dict:
+    """Expire old snapshots and garbage-collect their metadata files.
+
+    Keeps the newest ``keep_last`` snapshots (the current one always
+    survives), or — with ``older_than_ms`` — every snapshot younger than
+    that timestamp plus the current one.  Expired snapshots leave the
+    metadata (time travel to them then raises), their manifest-list files
+    are deleted, manifests referenced ONLY by expired snapshots are
+    deleted, and data files referenced only by expired snapshots are
+    RETURNED in the report (deleted too iff ``delete_data=True`` — data
+    may live outside the table directory or be shared, so the default
+    leaves removal to the owner).
+
+    Each expired snapshot's (id, sequence-number, operation) is recorded in
+    the ``history.expired-snapshots`` table property so incremental
+    consumers checkpointed AT an expired snapshot can still plan deltas by
+    sequence number (the real consumer-vs-GC contract: consumers that fell
+    BEHIND the expiry horizon get a loud error instead of silent re-reads).
+
+    → {"expired": [ids], "removed_manifest_lists": n, "removed_manifests":
+    n, "released_data_files": [paths]}
+    """
+    table = load_table(location)
+    snaps = sorted(table.snapshots(), key=lambda s: s["sequence-number"])
+    if not snaps:
+        return {
+            "expired": [],
+            "removed_manifest_lists": 0,
+            "removed_manifests": 0,
+            "released_data_files": [],
+        }
+    current = table.current_snapshot_id()
+    if keep_last is not None:
+        keep_last = max(1, keep_last)
+        kept = {s["snapshot-id"] for s in snaps[-keep_last:]}
+    elif older_than_ms is not None:
+        kept = {
+            s["snapshot-id"] for s in snaps if s["timestamp-ms"] >= older_than_ms
+        }
+    else:
+        raise ValueError("pass keep_last or older_than_ms")
+    kept.add(current)
+    expired = [s for s in snaps if s["snapshot-id"] not in kept]
+    if not expired:
+        return {
+            "expired": [],
+            "removed_manifest_lists": 0,
+            "removed_manifests": 0,
+            "released_data_files": [],
+        }
+
+    # referenced-by-kept sets (manifests and data paths)
+    kept_manifests: set[str] = set()
+    kept_data: set[str] = set()
+    for s in snaps:
+        if s["snapshot-id"] not in kept:
+            continue
+        manifests, _, _ = read_avro_file(table._local(s["manifest-list"]))
+        for m in manifests:
+            kept_manifests.add(m["manifest_path"])
+            entries, _, _ = read_avro_file(table._local(m["manifest_path"]))
+            for e in entries:
+                # even DELETED tombstone rows pin nothing; live rows do
+                if e["status"] != STATUS_DELETED:
+                    kept_data.add(e["data_file"]["file_path"])
+    expired_manifests: set[str] = set()
+    expired_data: set[str] = set()
+    for s in expired:
+        manifests, _, _ = read_avro_file(table._local(s["manifest-list"]))
+        for m in manifests:
+            if m["manifest_path"] in kept_manifests:
+                continue
+            expired_manifests.add(m["manifest_path"])
+            entries, _, _ = read_avro_file(table._local(m["manifest_path"]))
+            for e in entries:
+                if e["status"] != STATUS_DELETED:
+                    expired_data.add(e["data_file"]["file_path"])
+    released = sorted(expired_data - kept_data)
+
+    # commit the trimmed metadata FIRST (readers of the new version never
+    # reference the files we are about to delete), then GC files
+    meta = dict(table.meta)
+    expired_ids = {s["snapshot-id"] for s in expired}
+    meta["snapshots"] = [
+        s for s in meta["snapshots"] if s["snapshot-id"] not in expired_ids
+    ]
+    meta["snapshot-log"] = [
+        e for e in meta.get("snapshot-log", []) if e["snapshot-id"] not in expired_ids
+    ]
+    props = dict(meta.get("properties", {}))
+    prior_records = json.loads(props.get("history.expired-snapshots", "[]"))
+    props["history.expired-snapshots"] = json.dumps(
+        prior_records
+        + [
+            {
+                "id": s["snapshot-id"],
+                "seq": s["sequence-number"],
+                "op": s.get("summary", {}).get("operation", "append"),
+            }
+            for s in expired
+        ]
+    )
+    meta["properties"] = props
+    _write_metadata_version(location, _read_version_hint(location) + 1, meta)
+
+    for s in expired:
+        _rm(table._local(s["manifest-list"]))
+    for m in expired_manifests:
+        _rm(table._local(m))
+    if delete_data:
+        for p in released:
+            _rm(p)
+    return {
+        "expired": sorted(expired_ids),
+        "removed_manifest_lists": len(expired),
+        "removed_manifests": len(expired_manifests),
+        "released_data_files": released,
+    }
+
+
+def _rm(path: str) -> None:
+    try:
+        os.remove(path)
+    except FileNotFoundError:
+        pass
 
 
 def commit_append_dir(location: str, parquet_dir: str, **kw) -> int:

@@ -49,6 +49,25 @@ def test_build_from_pinned_iceberg_snapshot(spark, iceberg_table, tmp_path, caps
     assert "indexed 60 documents" in capsys.readouterr().out
 
 
+def test_cli_expire_snapshots(spark, iceberg_table, capsys):
+    loc, s1, s2 = iceberg_table
+    rc = main(["expire-snapshots", "--table", loc, "--keep-last", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"expired snapshot {s1}" in out
+    assert "0 data file(s) released" in out  # appends: files stay live
+    assert im.load_table(loc).current_snapshot_id() == s2
+    # flag validation: exactly one horizon selector
+    assert main(["expire-snapshots", "--table", loc]) == 2
+    assert (
+        main(
+            ["expire-snapshots", "--table", loc, "--keep-last", "1",
+             "--older-than-ms", "5"]
+        )
+        == 2
+    )
+
+
 def test_snapshot_id_refused_on_plain_parquet(spark, tmp_path, capsys):
     src = str(tmp_path / "docs")
     spark.range(3).select(

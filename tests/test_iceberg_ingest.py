@@ -120,6 +120,70 @@ def test_ingest_refuses_foreign_lineage(spark, growing_table, tmp_path):
         ingest_iceberg_snapshots(spark, loc, root)
 
 
+def test_ingest_survives_expiry_of_its_checkpoint(spark, growing_table, tmp_path):
+    """The consumer-vs-GC contract: an index checkpointed at snapshots that
+    later expire keeps ingesting (deltas plan by recorded sequence number);
+    results stay rank-identical to a fresh full build."""
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.plans.bm25 import QueryEngine
+    from search_engine_spark.sources.corpus import load_iceberg_documents
+
+    loc, s1, s2 = growing_table
+    root = str(tmp_path / "idx")
+    ingest_iceberg_snapshots(spark, loc, root, compress=True)
+    s3 = im.commit_append_dir(
+        loc, _write_batch(spark, tmp_path, "b3", 80, 90), timestamp_ms=3000
+    )
+    rep_exp = im.expire_snapshots(loc, keep_last=1)  # expires s1 and s2
+    assert rep_exp["expired"] == sorted([s1, s2])
+    idx, rep = ingest_iceberg_snapshots(spark, loc, root, compress=True)
+    assert rep["ingested"] == [s3]
+    assert set(rep["skipped"]) == {s1, s2}
+    assert rep["docs"] == 10
+    full = build_index(spark, load_iceberg_documents(spark, loc), compress=True)
+    got = QueryEngine(spark, idx).search("values: def pass", k=5).collect()
+    want = QueryEngine(spark, full).search("values: def pass", k=5).collect()
+    assert [(r["docid"], round(r["score"], 9)) for r in got] == [
+        (r["docid"], round(r["score"], 9)) for r in want
+    ]
+
+
+def test_ingest_refuses_expired_overwrite_in_range(spark, growing_table, tmp_path):
+    """An index that fell BEHIND the expiry horizon across an overwrite
+    cannot reconstruct the removals — loud refusal, not silent re-reads."""
+    loc, s1, s2 = growing_table
+    root = str(tmp_path / "idx")
+    # checkpoint at s1 only
+    from search_engine_spark.sources.corpus import load_iceberg_documents
+    from search_engine_spark.sources.index_io import resumable_build
+
+    docs1 = load_iceberg_documents(spark, loc, snapshot_id=s1)
+    resumable_build(spark, docs1, root, snapshot_id=s1, compress=True)
+    # the table moves on: an overwrite lands, then old snapshots expire
+    im.commit_append_dir(
+        loc,
+        _write_batch(spark, tmp_path, "bo", 500, 505),
+        timestamp_ms=3000,
+        overwrite=True,
+    )
+    im.expire_snapshots(loc, keep_last=1)
+    with pytest.raises(ValueError, match="not an append"):
+        ingest_iceberg_snapshots(spark, loc, root, compress=True)
+
+
+def test_ingest_refuses_out_of_order_checkpoint(spark, growing_table, tmp_path):
+    loc, s1, s2 = growing_table
+    root = str(tmp_path / "idx")
+    from search_engine_spark.sources.corpus import load_iceberg_documents
+    from search_engine_spark.sources.index_io import resumable_build
+
+    # a hand-built index that recorded s2 but never ingested s1
+    docs2_only = load_iceberg_documents(spark, loc, snapshot_id=s2)
+    resumable_build(spark, docs2_only, root, snapshot_id=s2, compress=True)
+    with pytest.raises(ValueError, match="out-of-order"):
+        ingest_iceberg_snapshots(spark, loc, root, compress=True)
+
+
 def test_cli_ingest_iceberg_roundtrip(spark, growing_table, tmp_path, capsys):
     loc, s1, s2 = growing_table
     root = str(tmp_path / "idx")

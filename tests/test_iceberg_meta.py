@@ -420,6 +420,88 @@ def test_loader_where_prunes_and_filters(spark, bounded_table):
 
 
 # ---------------------------------------------------------------------------
+# Snapshot expiry + metadata GC
+# ---------------------------------------------------------------------------
+
+
+def test_expire_append_history_keeps_carried_manifests(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc)
+    sids = [
+        im.commit_append_dir(
+            loc, _write_batch(spark, tmp_path, f"b{i}", i * 10, i * 10 + 10),
+            timestamp_ms=(i + 1) * 1000,
+        )
+        for i in range(3)
+    ]
+    before = set(im.load_table(loc).plan_paths())
+    report = im.expire_snapshots(loc, keep_last=2)
+    assert report["expired"] == sorted([sids[0]])
+    # appends carry manifests forward: s1's manifest is still referenced by
+    # the kept snapshots, so only the manifest LIST is collected and no
+    # data is released
+    assert report["removed_manifest_lists"] == 1
+    assert report["removed_manifests"] == 0
+    assert report["released_data_files"] == []
+    tbl = im.load_table(loc)
+    assert set(tbl.plan_paths()) == before  # current read unchanged
+    with pytest.raises(KeyError, match="not in table"):
+        tbl.snapshot(sids[0])
+    with pytest.raises(KeyError, match="no snapshot"):
+        tbl.snapshot(as_of_ms=1500)  # history log trimmed too
+    # the expired record keeps the sequence number resolvable
+    assert tbl._seq_of(sids[0]) == 1
+    assert [r["id"] for r in tbl.expired_records()] == [sids[0]]
+    # a delta FROM the expired checkpoint still plans (by sequence)
+    assert len(tbl.plan_delta_paths(sids[0], sids[2])) == 4
+
+
+def test_expire_after_overwrite_releases_data(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc)
+    s1 = im.commit_append_dir(
+        loc, _write_batch(spark, tmp_path, "b1", 0, 10), timestamp_ms=1000
+    )
+    s2 = im.commit_append_dir(
+        loc, _write_batch(spark, tmp_path, "b2", 10, 20), timestamp_ms=2000
+    )
+    s3 = im.commit_append_dir(
+        loc,
+        _write_batch(spark, tmp_path, "b3", 100, 105),
+        timestamp_ms=3000,
+        overwrite=True,
+    )
+    old_files = set(im.load_table(loc).plan_paths(snapshot_id=s2))
+    report = im.expire_snapshots(loc, keep_last=1)
+    assert report["expired"] == sorted([s1, s2])
+    assert report["removed_manifest_lists"] == 2
+    assert report["removed_manifests"] == 2  # pre-overwrite manifests orphaned
+    assert set(report["released_data_files"]) == old_files
+    # default: data files are reported, NOT deleted
+    assert all(os.path.exists(p) for p in old_files)
+    tbl = im.load_table(loc)
+    assert spark.read.parquet(*tbl.plan_paths()).count() == 5
+    # second expiry round with delete_data: nothing left to release
+    assert im.expire_snapshots(loc, keep_last=1, delete_data=True) == {
+        "expired": [],
+        "removed_manifest_lists": 0,
+        "removed_manifests": 0,
+        "released_data_files": [],
+    }
+
+
+def test_expire_guards(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc)
+    s1 = im.commit_append_dir(loc, _write_batch(spark, tmp_path, "b1", 0, 5))
+    with pytest.raises(ValueError, match="keep_last or older_than_ms"):
+        im.expire_snapshots(loc)
+    # keep_last clamps to 1 — the current snapshot always survives
+    assert im.expire_snapshots(loc, keep_last=0)["expired"] == []
+    assert im.load_table(loc).current_snapshot_id() == s1
+
+
+# ---------------------------------------------------------------------------
 # load_iceberg_documents: the pin is honored (no fallback warning)
 # ---------------------------------------------------------------------------
 
