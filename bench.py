@@ -939,12 +939,68 @@ def main() -> None:
                     ).collect(),
                     runs=2,
                 )
+                # Iceberg metadata ops at the 40× point (round 4): commit
+                # gathers footer stats for every file; plan walks the
+                # manifest list.  Both are driver-side metadata — the
+                # number to watch is that they stay noise next to `build`.
+                from search_engine_spark.sources import iceberg_meta as _im
+
+                iceberg_loc = os.path.join(big_root, "iceberg_tbl")
+                _im.create_table(iceberg_loc)
+                timed_scale(
+                    "iceberg_commit",
+                    lambda: _im.commit_append_dir(iceberg_loc, big_raw_src),
+                )
+                timed_scale(
+                    "iceberg_plan",
+                    lambda: _im.load_table(iceberg_loc).plan_paths(),
+                    runs=2,
+                )
+
+                # pure-Python manifest codec throughput (no Spark): bounds
+                # the driver-side planning rate.  At 10^12 files a full
+                # manifest walk at this rate is infeasible BY DESIGN —
+                # planning must stay incremental (delta manifests only) or
+                # pruned (column bounds), which is what the engine does.
+                n_entries = 50_000
+                synth = [
+                    {
+                        "status": 1,
+                        "snapshot_id": 1,
+                        "sequence_number": None,
+                        "file_sequence_number": None,
+                        "data_file": {
+                            "content": 0,
+                            "file_path": f"/data/part-{i:07d}.parquet",
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": 1000,
+                            "file_size_in_bytes": 4 << 20,
+                        },
+                    }
+                    for i in range(n_entries)
+                ]
+                mpath = os.path.join(big_root, "codec_bench.avro")
+                t0 = time.monotonic()
+                _im.write_avro_file(mpath, synth, _im.MANIFEST_ENTRY_SCHEMA)
+                enc_s = time.monotonic() - t0
+                t0 = time.monotonic()
+                decoded, _, _ = _im.read_avro_file(mpath)
+                dec_s = time.monotonic() - t0
+                assert len(decoded) == n_entries
+                scale_timings["iceberg_manifest_decode_50k"] = round(dec_s, 3)
+                iceberg_codec = {
+                    "entries": n_entries,
+                    "encode_entries_per_sec": round(n_entries / enc_s, 1),
+                    "decode_entries_per_sec": round(n_entries / dec_s, 1),
+                }
             finally:
                 shutil.rmtree(big_root, ignore_errors=True)
             scale = {
                 "n_docs": n_big,
                 "queries": scale_timings,
                 "build_files_per_sec": round(n_big / scale_timings["build"], 1),
+                "iceberg_manifest_codec": iceberg_codec,
             }
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
