@@ -1130,6 +1130,33 @@ def cmd_ingest_iceberg(args) -> int:
     return 0
 
 
+def cmd_rewrite_manifests(args) -> int:
+    """Compact the current snapshot's manifests into one
+    (sources/iceberg_meta.rewrite_manifests)."""
+    from .sources.iceberg_meta import is_metadata_table, rewrite_manifests
+
+    if not is_metadata_table(args.table):
+        print(
+            f"error: {args.table!r} is not an Iceberg table directory",
+            file=sys.stderr,
+        )
+        return 2
+    try:
+        report = rewrite_manifests(args.table)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    if report["merged_manifests"] <= 1:
+        print("nothing to compact (current snapshot has at most one manifest)")
+    else:
+        print(
+            f"compacted {report['merged_manifests']} manifests into 1 "
+            f"({report['entries']} live entries) as snapshot "
+            f"{report['snapshot_id']}"
+        )
+    return 0
+
+
 def cmd_expire_snapshots(args) -> int:
     """Expire old Iceberg snapshots + GC unreferenced metadata
     (sources/iceberg_meta.expire_snapshots)."""
@@ -1931,6 +1958,14 @@ def main(argv: list[str] | None = None) -> int:
         "a root that already carries positions inherits this automatically",
     )
     ii.set_defaults(fn=cmd_ingest_iceberg)
+
+    rw = sub.add_parser(
+        "rewrite-manifests",
+        help="compact the current Iceberg snapshot's manifests into one "
+        "(plan cost back to a single metadata read; data untouched)",
+    )
+    rw.add_argument("--table", required=True, help="Iceberg table directory")
+    rw.set_defaults(fn=cmd_rewrite_manifests)
 
     ex = sub.add_parser(
         "expire-snapshots",

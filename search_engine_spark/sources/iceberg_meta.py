@@ -742,7 +742,7 @@ class IcebergTable:
             if from_seq < r["seq"] <= to_seq
         ]
         for sid, op in in_range:
-            if op != "append":
+            if op not in ("append", "replace"):
                 raise ValueError(
                     f"snapshot {sid} in the delta range is a {op!r}, not an "
                     "append — an incremental scan cannot express removed "
@@ -752,12 +752,23 @@ class IcebergTable:
         manifests, _, _ = read_avro_file(self._local(to_snap["manifest-list"]))
         files: list[dict] = []
         for m in manifests:
-            if not (from_seq < m["sequence_number"] <= to_seq):
+            if m["sequence_number"] <= from_seq:
                 continue  # untouched parent manifest from ≤ checkpoint
             entries, _, _ = read_avro_file(self._local(m["manifest_path"]))
-            files.extend(
-                e["data_file"] for e in entries if e["status"] == STATUS_ADDED
-            )
+            for e in entries:
+                if e["status"] == STATUS_DELETED:
+                    continue
+                # a rewritten (compacted) manifest carries old entries with
+                # EXPLICIT sequence numbers under a new manifest seq — the
+                # entry-level seq decides delta membership (inherit the
+                # manifest's seq only when the entry's is null, per spec)
+                eseq = (
+                    e["sequence_number"]
+                    if e.get("sequence_number") is not None
+                    else m["sequence_number"]
+                )
+                if from_seq < eseq <= to_seq:
+                    files.append(e["data_file"])
         return files
 
     def plan_delta_paths(self, from_snapshot_id, to_snapshot_id=None) -> list[str]:
@@ -1031,6 +1042,135 @@ def commit_append(
     ]
     _write_metadata_version(location, version, meta)
     return snapshot_id
+
+
+def rewrite_manifests(location: str, timestamp_ms: int | None = None) -> dict:
+    """Compact the current snapshot's manifests into ONE (the
+    RewriteManifests maintenance action): after N fast-append commits a
+    plan walks N manifest files; this folds them so planning is one read
+    again.  Data files are untouched — the new snapshot's live set is
+    bit-identical.
+
+    Entries keep their ORIGINAL data sequence numbers explicitly (spec:
+    rewritten entries become EXISTING with explicit sequencing), so
+    incremental consumers checkpointed before the rewrite still plan exact
+    deltas across it — `plan_delta_files` filters at entry level.
+
+    → {"snapshot_id", "merged_manifests": n_before, "entries": n}
+    """
+    table = load_table(location)
+    current = table.current_snapshot_id()
+    if current is None:
+        raise ValueError(f"table {location} has no snapshot to rewrite")
+    snap = table.snapshot(current)
+    manifests, _, _ = read_avro_file(table._local(snap["manifest-list"]))
+    if len(manifests) <= 1:
+        return {"snapshot_id": current, "merged_manifests": len(manifests), "entries": 0}
+    meta = dict(table.meta)
+    seq = meta["last-sequence-number"] + 1
+    version = _read_version_hint(location) + 1
+    ts = timestamp_ms if timestamp_ms is not None else seq
+    mdir = _metadata_dir(location)
+
+    merged: list[dict] = []
+    rows = 0
+    min_seq = seq
+    for m in manifests:
+        entries, _, _ = read_avro_file(table._local(m["manifest_path"]))
+        for e in entries:
+            if e["status"] == STATUS_DELETED:
+                continue  # tombstones need not survive a compaction
+            eseq = (
+                e["sequence_number"]
+                if e.get("sequence_number") is not None
+                else m["sequence_number"]
+            )
+            min_seq = min(min_seq, eseq)
+            rows += e["data_file"]["record_count"]
+            merged.append(
+                {
+                    "status": STATUS_EXISTING,
+                    "snapshot_id": e.get("snapshot_id") or m["added_snapshot_id"],
+                    "sequence_number": eseq,  # explicit: delta-exactness
+                    "file_sequence_number": e.get("file_sequence_number"),
+                    "data_file": e["data_file"],
+                }
+            )
+    import hashlib
+
+    digest = hashlib.md5(
+        f"rewrite@{seq}:{len(merged)}".encode()
+    ).hexdigest()
+    snapshot_id = int(digest[:15], 16)
+    manifest_path = os.path.join(mdir, f"manifest-{seq}-{digest[:8]}.avro")
+    manifest_len = write_avro_file(
+        manifest_path,
+        merged,
+        MANIFEST_ENTRY_SCHEMA,
+        meta={
+            "format-version": "2",
+            "content": "data",
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "schema": json.dumps(meta["schemas"][0]),
+        },
+    )
+    manifest_list_path = os.path.join(mdir, f"snap-{snapshot_id}-{seq}.avro")
+    write_avro_file(
+        manifest_list_path,
+        [
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": manifest_len,
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min_seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 0,
+                "existing_files_count": len(merged),
+                "deleted_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": rows,
+                "deleted_rows_count": 0,
+            }
+        ],
+        MANIFEST_LIST_SCHEMA,
+        meta={
+            "format-version": "2",
+            "snapshot-id": str(snapshot_id),
+            "sequence-number": str(seq),
+            "parent-snapshot-id": str(current),
+        },
+    )
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = ts
+    meta["current-snapshot-id"] = snapshot_id
+    meta["refs"] = {"main": {"snapshot-id": snapshot_id, "type": "branch"}}
+    meta["snapshots"] = meta.get("snapshots", []) + [
+        {
+            "snapshot-id": snapshot_id,
+            "parent-snapshot-id": current,
+            "sequence-number": seq,
+            "timestamp-ms": ts,
+            "manifest-list": manifest_list_path,
+            "schema-id": 0,
+            "summary": {
+                "operation": "replace",
+                "manifests-replaced": str(len(manifests)),
+                "manifests-created": "1",
+            },
+        }
+    ]
+    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": ts}
+    ]
+    _write_metadata_version(location, version, meta)
+    return {
+        "snapshot_id": snapshot_id,
+        "merged_manifests": len(manifests),
+        "entries": len(merged),
+    }
 
 
 def expire_snapshots(

@@ -184,6 +184,32 @@ def test_ingest_refuses_out_of_order_checkpoint(spark, growing_table, tmp_path):
         ingest_iceberg_snapshots(spark, loc, root, compress=True)
 
 
+def test_ingest_across_manifest_rewrite(spark, growing_table, tmp_path):
+    """A manifest compaction between ingests must not re-read old files:
+    the rewrite snapshot contributes an empty delta and later appends
+    contribute only their own files."""
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.plans.bm25 import QueryEngine
+    from search_engine_spark.sources.corpus import load_iceberg_documents
+
+    loc, s1, s2 = growing_table
+    root = str(tmp_path / "idx")
+    ingest_iceberg_snapshots(spark, loc, root, compress=True)
+    rw = im.rewrite_manifests(loc, timestamp_ms=3000)
+    s3 = im.commit_append_dir(
+        loc, _write_batch(spark, tmp_path, "b3", 80, 90), timestamp_ms=4000
+    )
+    idx, rep = ingest_iceberg_snapshots(spark, loc, root, compress=True)
+    assert rep["ingested"] == [rw["snapshot_id"], s3]
+    assert rep["docs"] == 10 and rep["files"] == 2  # rewrite delta is empty
+    full = build_index(spark, load_iceberg_documents(spark, loc), compress=True)
+    got = QueryEngine(spark, idx).search("values: def pass", k=5).collect()
+    want = QueryEngine(spark, full).search("values: def pass", k=5).collect()
+    assert [(r["docid"], round(r["score"], 9)) for r in got] == [
+        (r["docid"], round(r["score"], 9)) for r in want
+    ]
+
+
 def test_cli_ingest_iceberg_roundtrip(spark, growing_table, tmp_path, capsys):
     loc, s1, s2 = growing_table
     root = str(tmp_path / "idx")

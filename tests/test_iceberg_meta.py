@@ -420,6 +420,64 @@ def test_loader_where_prunes_and_filters(spark, bounded_table):
 
 
 # ---------------------------------------------------------------------------
+# Manifest compaction (RewriteManifests)
+# ---------------------------------------------------------------------------
+
+
+def test_rewrite_manifests_compacts_without_changing_data(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc)
+    sids = [
+        im.commit_append_dir(
+            loc, _write_batch(spark, tmp_path, f"b{i}", i * 10, i * 10 + 10),
+            timestamp_ms=(i + 1) * 1000,
+        )
+        for i in range(3)
+    ]
+    before = set(im.load_table(loc).plan_paths())
+    report = im.rewrite_manifests(loc, timestamp_ms=4000)
+    assert report["merged_manifests"] == 3 and report["entries"] == 6
+    tbl = im.load_table(loc)
+    assert set(tbl.plan_paths()) == before  # live set bit-identical
+    snap = tbl.snapshot()
+    assert snap["summary"]["operation"] == "replace"
+    ml, _, _ = im.read_avro_file(tbl._local(snap["manifest-list"]))
+    assert len(ml) == 1 and ml[0]["existing_files_count"] == 6
+    # delta-exactness ACROSS the rewrite: a consumer checkpointed at s1
+    # sees exactly batches 2+3, not a re-read of everything
+    delta = tbl.plan_delta_paths(sids[0], report["snapshot_id"])
+    assert len(delta) == 4
+    assert set(delta) == before - set(tbl.plan_paths(snapshot_id=sids[0]))
+    # time travel to pre-rewrite snapshots still works
+    assert len(tbl.plan_paths(snapshot_id=sids[2])) == 6
+    # idempotent: a second rewrite is a no-op
+    assert im.rewrite_manifests(loc)["merged_manifests"] == 1
+
+
+def test_append_and_expire_after_rewrite(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc)
+    for i in range(2):
+        im.commit_append_dir(
+            loc, _write_batch(spark, tmp_path, f"b{i}", i * 10, i * 10 + 10),
+            timestamp_ms=(i + 1) * 1000,
+        )
+    rw = im.rewrite_manifests(loc, timestamp_ms=3000)
+    s_new = im.commit_append_dir(
+        loc, _write_batch(spark, tmp_path, "b9", 90, 95), timestamp_ms=4000
+    )
+    tbl = im.load_table(loc)
+    assert spark.read.parquet(*tbl.plan_paths()).count() == 25
+    # delta from the rewrite snapshot = just the new batch
+    assert len(tbl.plan_delta_paths(rw["snapshot_id"], s_new)) == 2
+    # expiring pre-rewrite history releases the old manifests, zero data
+    report = im.expire_snapshots(loc, keep_last=2)  # keeps rewrite + s_new
+    assert report["removed_manifests"] == 2
+    assert report["released_data_files"] == []
+    assert spark.read.parquet(*im.load_table(loc).plan_paths()).count() == 25
+
+
+# ---------------------------------------------------------------------------
 # Snapshot expiry + metadata GC
 # ---------------------------------------------------------------------------
 
