@@ -1373,7 +1373,34 @@ def cmd_rank_eval(args) -> int:
 
 
 def cmd_fsck(args) -> int:
-    """Verify cross-table invariants of a persisted index root."""
+    """Verify cross-table invariants of a persisted index root, or the
+    metadata integrity of an Iceberg table (--table)."""
+    if getattr(args, "table", None) is not None:
+        if args.index is not None:
+            print("error: pass --index or --table, not both", file=sys.stderr)
+            return 2
+        from .sources.fsck import verify_table
+        from .sources.iceberg_meta import is_metadata_table
+
+        if not is_metadata_table(args.table):
+            print(
+                f"error: {args.table!r} is not an Iceberg table directory",
+                file=sys.stderr,
+            )
+            return 2
+        results = verify_table(args.table, deep=getattr(args, "deep", False))
+        ok = True
+        for name, res in results.items():
+            mark = "ok" if res["ok"] else f"FAIL ({res['bad']} findings)"
+            print(f"  {name:<18} {mark}")
+            for d in res["detail"]:
+                print(f"      {d}")
+            ok = ok and res["ok"]
+        print("table OK" if ok else "table CORRUPT")
+        return 0 if ok else 1
+    if args.index is None:
+        print("error: pass --index or --table", file=sys.stderr)
+        return 2
     from .sources.fsck import verify_index
 
     spark = _spark(args)
@@ -2031,8 +2058,18 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--limit", type=int, default=50)
     pc.set_defaults(fn=cmd_percolate)
 
-    fs = sub.add_parser("fsck", help="verify index cross-table invariants")
-    fs.add_argument("--index", required=True)
+    fs = sub.add_parser(
+        "fsck",
+        help="verify index cross-table invariants (--index) or Iceberg "
+        "table metadata integrity (--table [--deep])",
+    )
+    fs.add_argument("--index", default=None)
+    fs.add_argument("--table", default=None, help="Iceberg table directory")
+    fs.add_argument(
+        "--deep", action="store_true",
+        help="with --table: also compare each live file's record_count "
+        "against its parquet footer",
+    )
     fs.set_defaults(fn=cmd_fsck)
 
     sy = sub.add_parser(

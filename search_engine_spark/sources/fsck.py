@@ -132,3 +132,126 @@ def verify_index(spark: SparkSession, root: str) -> dict[str, dict]:
         )
         out["dedup_signature_coverage"] = {"ok": unsigned == 0, "bad": unsigned}
     return out
+
+
+def verify_table(location: str, deep: bool = False) -> dict[str, dict]:
+    """Integrity-check a filesystem Iceberg table (pure metadata — no
+    Spark): → {check: {"ok": bool, "bad": n, "detail": [≤5 samples]}}.
+
+    Checks: metadata shape (current snapshot present, sequence numbers
+    strictly increasing, snapshot-log ⊆ snapshots), every manifest list and
+    manifest decodes and its file tallies match the list's counts, every
+    live data file exists (``deep=True`` additionally re-reads each parquet
+    FOOTER and compares record_count — still metadata-only I/O), orphan
+    ``.avro`` files in the metadata dir referenced by no live snapshot, and
+    expired-snapshot records that collide with live ids.  The index-side
+    twin of these invariants is ``verify_index``; together they cover both
+    halves of the table→index reconcile loop.
+    """
+    import os
+
+    from . import iceberg_meta as im
+
+    out: dict[str, dict] = {}
+
+    def record(name: str, bad: list) -> None:
+        out[name] = {"ok": not bad, "bad": len(bad), "detail": bad[:5]}
+
+    table = im.load_table(location)
+    meta = table.meta
+    snaps = table.snapshots()
+
+    bad_shape = []
+    cur = meta.get("current-snapshot-id", -1)
+    live_ids = {s["snapshot-id"] for s in snaps}
+    if cur not in (-1, None) and cur not in live_ids:
+        bad_shape.append(f"current-snapshot-id {cur} not in snapshots")
+    seqs = [s["sequence-number"] for s in snaps]
+    if seqs != sorted(seqs) or len(set(seqs)) != len(seqs):
+        bad_shape.append(f"sequence numbers not strictly increasing: {seqs}")
+    if seqs and max(seqs) > meta.get("last-sequence-number", 0):
+        bad_shape.append("last-sequence-number behind snapshot sequences")
+    for e in meta.get("snapshot-log", []):
+        if e["snapshot-id"] not in live_ids:
+            bad_shape.append(f"snapshot-log entry {e['snapshot-id']} not live")
+    record("metadata_shape", bad_shape)
+
+    bad_expired = []
+    for r in table.expired_records():
+        if r["id"] in live_ids:
+            bad_expired.append(f"expired record {r['id']} still live")
+        if r["seq"] > meta.get("last-sequence-number", 0):
+            bad_expired.append(f"expired record {r['id']} seq beyond table")
+    record("expired_records", bad_expired)
+
+    bad_manifest = []
+    referenced: set[str] = set()
+    live_files: list[dict] = []
+    for s in snaps:
+        ml_path = table._local(s["manifest-list"])
+        referenced.add(os.path.basename(ml_path))
+        try:
+            manifests, _, _ = im.read_avro_file(ml_path)
+        except Exception as e:
+            bad_manifest.append(f"manifest list {ml_path}: {e}")
+            continue
+        for m in manifests:
+            mp = table._local(m["manifest_path"])
+            referenced.add(os.path.basename(mp))
+            try:
+                entries, _, _ = im.read_avro_file(mp)
+            except Exception as e:
+                bad_manifest.append(f"manifest {mp}: {e}")
+                continue
+            tallies = {im.STATUS_ADDED: 0, im.STATUS_EXISTING: 0,
+                       im.STATUS_DELETED: 0}
+            for e in entries:
+                tallies[e["status"]] += 1
+                if (
+                    e["status"] != im.STATUS_DELETED
+                    and s["snapshot-id"] == cur
+                ):
+                    live_files.append(e["data_file"])
+            for want, got, label in (
+                (m["added_files_count"], tallies[im.STATUS_ADDED], "added"),
+                (m["existing_files_count"], tallies[im.STATUS_EXISTING],
+                 "existing"),
+                (m["deleted_files_count"], tallies[im.STATUS_DELETED],
+                 "deleted"),
+            ):
+                if want != got:
+                    bad_manifest.append(
+                        f"{mp}: {label}_files_count {want} != {got} entries"
+                    )
+    record("manifest_tallies", bad_manifest)
+
+    bad_data = []
+    seen_paths = set()
+    for df_ in live_files:
+        p = table._local(df_["file_path"])
+        if p in seen_paths:
+            continue
+        seen_paths.add(p)
+        if not os.path.exists(p):
+            bad_data.append(f"missing data file {p}")
+        elif deep:
+            try:
+                import pyarrow.parquet as pq
+
+                n = pq.ParquetFile(p).metadata.num_rows
+                if n != df_["record_count"]:
+                    bad_data.append(
+                        f"{p}: record_count {df_['record_count']} != footer {n}"
+                    )
+            except Exception as e:
+                bad_data.append(f"{p}: unreadable footer ({e})")
+    record("data_files", bad_data)
+
+    mdir = os.path.join(location, "metadata")
+    orphans = [
+        name
+        for name in sorted(os.listdir(mdir))
+        if name.endswith(".avro") and name not in referenced
+    ]
+    record("orphan_metadata", orphans)
+    return out

@@ -1,0 +1,124 @@
+"""Iceberg-table integrity checking (fsck --table): the metadata-side twin
+of verify_index — together they cover both halves of the table→index
+reconcile loop."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.cli import main
+from search_engine_spark.sources import iceberg_meta as im
+from search_engine_spark.sources.fsck import verify_table
+
+
+def _write_batch(spark, tmp_path, name, lo, hi):
+    out = str(tmp_path / name)
+    (
+        spark.range(lo, hi)
+        .select(
+            F.lit("repoA").alias("repo"),
+            F.concat(F.lit("src/f"), F.col("id")).alias("path"),
+            F.lit("c0ffee").alias("commit"),
+            F.lit("python").alias("lang"),
+            F.concat(F.lit("def fn"), F.col("id"), F.lit("(): pass")).alias(
+                "content"
+            ),
+        )
+        .coalesce(1)
+        .write.parquet(out)
+    )
+    return out
+
+
+@pytest.fixture()
+def lively_table(spark, tmp_path):
+    """A table that went through the full lifecycle: appends, a manifest
+    rewrite, and an expiry."""
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc)
+    for i in range(3):
+        im.commit_append_dir(
+            loc, _write_batch(spark, tmp_path, f"b{i}", i * 10, i * 10 + 10),
+            timestamp_ms=(i + 1) * 1000,
+        )
+    im.rewrite_manifests(loc, timestamp_ms=4000)
+    im.expire_snapshots(loc, keep_last=2)
+    return loc
+
+
+def test_healthy_lifecycle_table_verifies_clean(lively_table):
+    results = verify_table(lively_table, deep=True)
+    assert set(results) == {
+        "metadata_shape",
+        "expired_records",
+        "manifest_tallies",
+        "data_files",
+        "orphan_metadata",
+    }
+    for name, res in results.items():
+        assert res["ok"], (name, res["detail"])
+
+
+def test_fsck_detects_missing_and_mismatched_data(spark, lively_table, tmp_path):
+    tbl = im.load_table(lively_table)
+    paths = tbl.plan_paths()
+    os.remove(paths[0])
+    res = verify_table(lively_table)
+    assert not res["data_files"]["ok"]
+    assert "missing data file" in res["data_files"]["detail"][0]
+    # shallow check does not read footers: a row-count lie passes...
+    (
+        spark.range(1)
+        .select(
+            F.lit("repoA").alias("repo"),
+            F.lit("x").alias("path"),
+            F.lit("c").alias("commit"),
+            F.lit("py").alias("lang"),
+            F.lit("t").alias("content"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.dirname(paths[0]))
+    )
+    part = [
+        os.path.join(os.path.dirname(paths[0]), f)
+        for f in os.listdir(os.path.dirname(paths[0]))
+        if f.endswith(".parquet")
+    ][0]
+    os.replace(part, paths[0])
+    assert verify_table(lively_table)["data_files"]["ok"]
+    # ...while --deep compares the footer row count
+    deep = verify_table(lively_table, deep=True)
+    assert not deep["data_files"]["ok"]
+    assert "footer" in deep["data_files"]["detail"][0]
+
+
+def test_fsck_detects_orphans_and_corrupt_manifests(lively_table):
+    mdir = os.path.join(lively_table, "metadata")
+    stray = os.path.join(mdir, "stray-leftover.avro")
+    with open(stray, "wb") as f:
+        f.write(b"Obj\x01garbage")
+    res = verify_table(lively_table)
+    assert not res["orphan_metadata"]["ok"]
+    assert "stray-leftover.avro" in res["orphan_metadata"]["detail"]
+    os.remove(stray)
+    # truncate a live manifest → decode failure is a finding, not a crash
+    tbl = im.load_table(lively_table)
+    ml, _, _ = im.read_avro_file(tbl._local(tbl.snapshot()["manifest-list"]))
+    victim = tbl._local(ml[0]["manifest_path"])
+    raw = open(victim, "rb").read()
+    with open(victim, "wb") as f:
+        f.write(raw[: len(raw) // 2])
+    res2 = verify_table(lively_table)
+    assert not res2["manifest_tallies"]["ok"]
+
+
+def test_cli_fsck_table(lively_table, capsys):
+    assert main(["fsck", "--table", lively_table, "--deep"]) == 0
+    assert "table OK" in capsys.readouterr().out
+    assert main(["fsck"]) == 2
+    assert main(["fsck", "--index", "x", "--table", lively_table]) == 2
+    assert main(["fsck", "--table", str(os.path.dirname(lively_table))]) == 2
