@@ -77,9 +77,29 @@ def load_iceberg_documents(
 
     if iceberg_meta.is_metadata_table(table):
         tbl = iceberg_meta.load_table(table)
-        paths = tbl.plan_paths(snapshot_id=snapshot_id, where=where)
-        if paths:
-            df = spark.read.parquet(*paths)
+        files = tbl.plan_files(snapshot_id=snapshot_id, where=where)
+        pcols = [p["name"] for p in tbl.partition_fields()]
+        if files:
+            # group files by identity-partition tuple: files written by
+            # Spark's partitioned writer do NOT carry the partition column;
+            # the manifest's partition record is the value of record, so
+            # reattach it as a literal per group (one read per live
+            # partition value, unioned by name)
+            groups: dict[tuple, list[str]] = {}
+            for f_ in files:
+                part = f_.get("partition") or {}
+                key = tuple((c, part.get(c)) for c in pcols)
+                groups.setdefault(key, []).append(f_["file_path"])
+            parts = []
+            for key, paths in sorted(groups.items()):
+                g = spark.read.parquet(*paths)
+                for col, val in key:
+                    if col not in g.columns:
+                        g = g.withColumn(col, F.lit(val).cast("string"))
+                parts.append(g)
+            df = parts[0]
+            for g in parts[1:]:
+                df = df.unionByName(g)
         else:
             fields = tbl.meta["schemas"][tbl.meta["current-schema-id"]]["fields"]
             df = spark.createDataFrame(

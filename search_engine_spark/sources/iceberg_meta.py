@@ -375,45 +375,70 @@ def _kv_array(name: str, value_type, key_id: int, value_id: int):
     }
 
 
-#: manifest file: one entry per data file (unpartitioned spec → empty struct)
-_DATA_FILE_SCHEMA = {
-    "type": "record",
-    "name": "r2",
-    "fields": [
-        _f("content", "int", 134),  # 0=data
-        _f("file_path", "string", 100),
-        _f("file_format", "string", 101),
-        {
-            "name": "partition",
-            "type": {"type": "record", "name": "r102", "fields": []},
-            "field-id": 102,
-        },
-        _f("record_count", "long", 103),
-        _f("file_size_in_bytes", "long", 104),
-        # per-column stats for scan pruning (spec ids 109/110/125/128);
-        # bounds values use Appendix-D single-value binary serialization
-        _f("value_counts", _kv_array("k109_v110", "long", 119, 120), 109,
-           optional=True),
-        _f("null_value_counts", _kv_array("k121_v122", "long", 121, 122), 110,
-           optional=True),
-        _f("lower_bounds", _kv_array("k126_v127", "bytes", 126, 127), 125,
-           optional=True),
-        _f("upper_bounds", _kv_array("k129_v130", "bytes", 129, 130), 128,
-           optional=True),
-    ],
-}
+def _data_file_schema(partition_fields: list[dict] | None = None) -> dict:
+    """data_file record schema; ``partition_fields`` (identity-partitioned
+    tables) adds typed fields to the r102 partition struct —
+    [{"name", "type", "field-id"}], values nullable."""
+    return {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            _f("content", "int", 134),  # 0=data
+            _f("file_path", "string", 100),
+            _f("file_format", "string", 101),
+            {
+                "name": "partition",
+                "type": {
+                    "type": "record",
+                    "name": "r102",
+                    "fields": [
+                        {
+                            "name": p["name"],
+                            "type": ["null", p["type"]],
+                            "default": None,
+                            "field-id": p["field-id"],
+                        }
+                        for p in (partition_fields or [])
+                    ],
+                },
+                "field-id": 102,
+            },
+            _f("record_count", "long", 103),
+            _f("file_size_in_bytes", "long", 104),
+            # per-column stats for scan pruning (spec ids 109/110/125/128);
+            # bounds values use Appendix-D single-value binary serialization
+            _f("value_counts", _kv_array("k109_v110", "long", 119, 120), 109,
+               optional=True),
+            _f("null_value_counts", _kv_array("k121_v122", "long", 121, 122),
+               110, optional=True),
+            _f("lower_bounds", _kv_array("k126_v127", "bytes", 126, 127), 125,
+               optional=True),
+            _f("upper_bounds", _kv_array("k129_v130", "bytes", 129, 130), 128,
+               optional=True),
+        ],
+    }
 
-MANIFEST_ENTRY_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        _f("status", "int", 0),  # 0=EXISTING 1=ADDED 2=DELETED
-        _f("snapshot_id", "long", 1, optional=True),
-        _f("sequence_number", "long", 3, optional=True),
-        _f("file_sequence_number", "long", 4, optional=True),
-        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
-    ],
-}
+
+def _manifest_entry_schema(partition_fields: list[dict] | None = None) -> dict:
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            _f("status", "int", 0),  # 0=EXISTING 1=ADDED 2=DELETED
+            _f("snapshot_id", "long", 1, optional=True),
+            _f("sequence_number", "long", 3, optional=True),
+            _f("file_sequence_number", "long", 4, optional=True),
+            {
+                "name": "data_file",
+                "type": _data_file_schema(partition_fields),
+                "field-id": 2,
+            },
+        ],
+    }
+
+
+#: unpartitioned shape (the common case and the codec-bench fixture)
+MANIFEST_ENTRY_SCHEMA = _manifest_entry_schema()
 
 STATUS_EXISTING, STATUS_ADDED, STATUS_DELETED = 0, 1, 2
 
@@ -564,8 +589,14 @@ def _file_may_match(data_file: dict, predicates, fields: list[dict]) -> bool:
         if fid is None:
             raise KeyError(f"predicate column {col!r} not in table schema")
         t = type_of[fid]
-        lo = _deserialize_bound(lowers[fid], t) if fid in lowers else None
-        hi = _deserialize_bound(uppers[fid], t) if fid in uppers else None
+        pv = (data_file.get("partition") or {}).get(col)
+        if pv is not None:
+            # identity partition value: exact (lo == hi), strictly stronger
+            # than footer bounds
+            lo = hi = pv
+        else:
+            lo = _deserialize_bound(lowers[fid], t) if fid in lowers else None
+            hi = _deserialize_bound(uppers[fid], t) if fid in uppers else None
         if lo is not None:
             if op == "=" and value < lo:
                 return False
@@ -600,6 +631,28 @@ class IcebergTable:
 
     location: str
     meta: dict = field(repr=False)
+
+    # -- schema / partition spec --------------------------------------------
+    def schema_fields(self) -> list[dict]:
+        return self.meta["schemas"][self.meta["current-schema-id"]]["fields"]
+
+    def partition_fields(self) -> list[dict]:
+        """Default partition spec resolved to [{"name","type","field-id"}]
+        (identity transforms only — the subset this writer produces)."""
+        spec = next(
+            s
+            for s in self.meta.get("partition-specs", [{"spec-id": 0, "fields": []}])
+            if s["spec-id"] == self.meta.get("default-spec-id", 0)
+        )
+        type_by_id = {f["id"]: f["type"] for f in self.schema_fields()}
+        return [
+            {
+                "name": p["name"],
+                "type": type_by_id[p["source-id"]],
+                "field-id": p["field-id"],
+            }
+            for p in spec["fields"]
+        ]
 
     # -- snapshot resolution ------------------------------------------------
     def snapshots(self) -> list[dict]:
@@ -814,9 +867,31 @@ def create_table(
     location: str,
     schema_fields: list[dict] | None = None,
     properties: dict[str, str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> IcebergTable:
-    """Create an empty v2 table (unpartitioned) at ``location``."""
+    """Create an empty v2 table at ``location``.
+
+    ``partition_by``: column names for IDENTITY partitioning (spec
+    partition field-ids 1000+).  Partition values are recorded per data
+    file at commit (from hive-style path segments or single-valued footer
+    stats) and give exact plan-time pruning — stronger than column bounds,
+    and the layout Spark's partitioned writes produce natively.
+    """
     os.makedirs(_metadata_dir(location), exist_ok=True)
+    fields = schema_fields or CODE_CORPUS_FIELDS
+    by_name = {f["name"]: f for f in fields}
+    pspec_fields = []
+    for i, col in enumerate(partition_by or []):
+        if col not in by_name:
+            raise KeyError(f"partition column {col!r} not in table schema")
+        pspec_fields.append(
+            {
+                "name": col,
+                "transform": "identity",
+                "source-id": by_name[col]["id"],
+                "field-id": 1000 + i,
+            }
+        )
     meta = {
         "format-version": 2,
         # deterministic uuid: derived from the location (tables are
@@ -828,18 +903,18 @@ def create_table(
         "location": location,
         "last-sequence-number": 0,
         "last-updated-ms": 0,
-        "last-column-id": len(schema_fields or CODE_CORPUS_FIELDS),
+        "last-column-id": len(fields),
         "current-schema-id": 0,
         "schemas": [
             {
                 "type": "struct",
                 "schema-id": 0,
-                "fields": schema_fields or CODE_CORPUS_FIELDS,
+                "fields": fields,
             }
         ],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{"spec-id": 0, "fields": pspec_fields}],
+        "last-partition-id": 999 + len(pspec_fields),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": properties or {},
@@ -867,6 +942,44 @@ def _write_metadata_version(location: str, version: int, meta: dict) -> None:
     os.rename(tmp, path)  # atomic publish on POSIX
     with open(os.path.join(mdir, "version-hint.text"), "w") as f:
         f.write(str(version))
+
+
+def _partition_values(
+    path: str, pfields: list[dict], schema_fields: list[dict], stats: dict
+) -> dict:
+    """Identity-partition values for one data file.
+
+    Resolution order per partition column: a hive-style ``col=value`` path
+    segment (what Spark's partitioned writes produce — note those files do
+    NOT contain the column, the path is the only record of it), else a
+    single-valued footer bound (min == max, for files that carry the
+    column), else None (file then matches any partition predicate —
+    conservative, bounds may still prune)."""
+    if not pfields:
+        return {}
+    from urllib.parse import unquote
+
+    hive = {}
+    for seg in os.path.dirname(os.path.abspath(path)).split(os.sep):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            hive[k] = unquote(v)
+    id_of = {f["name"]: f["id"] for f in schema_fields}
+    lowers = {e["key"]: e["value"] for e in stats.get("lower_bounds", [])}
+    uppers = {e["key"]: e["value"] for e in stats.get("upper_bounds", [])}
+    out = {}
+    for p in pfields:
+        name, t = p["name"], p["type"]
+        if name in hive:
+            out[name] = int(hive[name]) if t in ("long", "int") else hive[name]
+            continue
+        fid = id_of.get(name)
+        lo, hi = lowers.get(fid), uppers.get(fid)
+        if lo is not None and lo == hi:
+            out[name] = _deserialize_bound(lo, t)
+        else:
+            out[name] = None
+    return out
 
 
 def _parquet_file_stats(path: str) -> tuple[int, int]:
@@ -948,10 +1061,12 @@ def commit_append(
         ]
         prior_manifests = []
     schema_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+    pfields = table.partition_fields()
     added_rows = 0
     for p in sorted(data_paths):
         rows, size = _parquet_file_stats(p)
         added_rows += rows
+        stats = _file_stats_fields(p, schema_fields)
         entries.append(
             {
                 "status": STATUS_ADDED,
@@ -962,11 +1077,13 @@ def commit_append(
                     "content": 0,
                     "file_path": os.path.abspath(p),
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": _partition_values(
+                        p, pfields, schema_fields, stats
+                    ),
                     "record_count": rows,
                     "file_size_in_bytes": size,
                     # footer-derived column bounds → plan-time file pruning
-                    **_file_stats_fields(p, schema_fields),
+                    **stats,
                 },
             }
         )
@@ -974,12 +1091,18 @@ def commit_append(
     manifest_len = write_avro_file(
         manifest_path,
         entries,
-        MANIFEST_ENTRY_SCHEMA,
+        _manifest_entry_schema(pfields),
         meta={
             "format-version": "2",
             "content": "data",
-            "partition-spec": "[]",
-            "partition-spec-id": "0",
+            "partition-spec": json.dumps(
+                next(
+                    s
+                    for s in meta["partition-specs"]
+                    if s["spec-id"] == meta.get("default-spec-id", 0)
+                )["fields"]
+            ),
+            "partition-spec-id": str(meta.get("default-spec-id", 0)),
             "schema": json.dumps(meta["schemas"][0]),
         },
     )
@@ -1106,12 +1229,18 @@ def rewrite_manifests(location: str, timestamp_ms: int | None = None) -> dict:
     manifest_len = write_avro_file(
         manifest_path,
         merged,
-        MANIFEST_ENTRY_SCHEMA,
+        _manifest_entry_schema(table.partition_fields()),
         meta={
             "format-version": "2",
             "content": "data",
-            "partition-spec": "[]",
-            "partition-spec-id": "0",
+            "partition-spec": json.dumps(
+                next(
+                    s
+                    for s in meta["partition-specs"]
+                    if s["spec-id"] == meta.get("default-spec-id", 0)
+                )["fields"]
+            ),
+            "partition-spec-id": str(meta.get("default-spec-id", 0)),
             "schema": json.dumps(meta["schemas"][0]),
         },
     )

@@ -420,6 +420,107 @@ def test_loader_where_prunes_and_filters(spark, bounded_table):
 
 
 # ---------------------------------------------------------------------------
+# Identity partitioning + partition pruning
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def partitioned_table(spark, tmp_path_factory):
+    """A lang-partitioned table fed by Spark's OWN partitioned writer —
+    the files do not contain the lang column; the path and the manifest
+    partition record are the only records of it."""
+    tmp_path = tmp_path_factory.mktemp("iceberg_part")
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc, partition_by=["lang"])
+    src = str(tmp_path / "batch")
+    (
+        spark.range(30)
+        .select(
+            F.lit("repoA").alias("repo"),
+            F.concat(F.lit("src/f"), F.col("id")).alias("path"),
+            F.lit("c0ffee").alias("commit"),
+            F.element_at(
+                F.array(F.lit("python"), F.lit("go"), F.lit("rust")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("lang"),
+            F.concat(F.lit("body "), F.col("id")).alias("content"),
+        )
+        .repartition(3, "lang")
+        .write.partitionBy("lang")
+        .parquet(src)
+    )
+    im.commit_append_dir(loc, src, timestamp_ms=1000)
+    return loc
+
+
+def test_partition_values_from_hive_paths(partitioned_table):
+    tbl = im.load_table(partitioned_table)
+    assert [p["name"] for p in tbl.partition_fields()] == ["lang"]
+    files = tbl.plan_files()
+    langs = {f["partition"]["lang"] for f in files}
+    assert langs == {"python", "go", "rust"}
+    # partition pruning: exact, regardless of footer stats (the files do
+    # not even contain the column)
+    py_files = tbl.plan_files(where=("lang", "=", "python"))
+    assert len(py_files) == sum(
+        1 for f in files if f["partition"]["lang"] == "python"
+    )
+    assert len(py_files) < len(files)
+    assert tbl.plan_files(where=("lang", "=", "cobol")) == []
+    # range ops work on partition values too
+    assert {
+        f["partition"]["lang"] for f in tbl.plan_files(where=("lang", ">=", "python"))
+    } == {"python", "rust"}
+
+
+def test_partitioned_loader_reattaches_column(spark, partitioned_table):
+    d = load_iceberg_documents(spark, partitioned_table)
+    assert d.count() == 30
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang == {"python": 10, "go": 10, "rust": 10}
+    dpy = load_iceberg_documents(
+        spark, partitioned_table, where=("lang", "=", "go")
+    )
+    assert dpy.count() == 10
+    assert {r["lang"] for r in dpy.select("lang").distinct().collect()} == {"go"}
+
+
+def test_partition_values_from_single_valued_footers(spark, tmp_path):
+    """Files committed WITHOUT hive layout but carrying the column get
+    their partition value from single-valued footer bounds."""
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc, partition_by=["lang"])
+    src = str(tmp_path / "plain")
+    (
+        spark.range(8)
+        .select(
+            F.lit("r").alias("repo"),
+            F.concat(F.lit("f"), F.col("id")).alias("path"),
+            F.lit("c").alias("commit"),
+            F.lit("go").alias("lang"),
+            F.lit("body").alias("content"),
+        )
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    im.commit_append_dir(loc, src)
+    tbl = im.load_table(loc)
+    (f_,) = tbl.plan_files()
+    assert f_["partition"]["lang"] == "go"
+    with pytest.raises(KeyError, match="not in table schema"):
+        im.create_table(str(tmp_path / "bad"), partition_by=["nope"])
+    # lifecycle on a partitioned table stays clean
+    from search_engine_spark.sources.fsck import verify_table
+
+    im.rewrite_manifests(loc)
+    res = verify_table(loc, deep=True)
+    assert all(r["ok"] for r in res.values()), res
+
+
+# ---------------------------------------------------------------------------
 # Manifest compaction (RewriteManifests)
 # ---------------------------------------------------------------------------
 
