@@ -1449,7 +1449,62 @@ def cmd_info(args) -> int:
     """Index introspection — the Elasticsearch ``_stats`` surface: the
     persisted build config (_index_meta), per-table row counts and on-disk
     bytes (Hadoop FS content summary, so remote roots work), corpus stats,
-    and the tombstone count.  Read-only; one tiny job per core table."""
+    and the tombstone count.  Read-only; one tiny job per core table.
+    With ``--table``, Iceberg table introspection instead (pure metadata,
+    no Spark): snapshot history, partition spec, live file/row counts."""
+    if getattr(args, "table", None) is not None:
+        if args.index is not None:
+            print("error: pass --index or --table, not both", file=sys.stderr)
+            return 2
+        from .sources.iceberg_meta import is_metadata_table, load_table
+
+        if not is_metadata_table(args.table):
+            print(
+                f"error: {args.table!r} is not an Iceberg table directory",
+                file=sys.stderr,
+            )
+            return 2
+        tbl = load_table(args.table)
+        meta = tbl.meta
+        print(f"table {args.table}")
+        print(f"  format-version       {meta['format-version']}")
+        print(f"  current-snapshot-id  {tbl.current_snapshot_id()}")
+        print(f"  last-sequence-number {meta['last-sequence-number']}")
+        pf = tbl.partition_fields()
+        print(
+            "  partition-spec       "
+            + (", ".join(f"identity({p['name']})" for p in pf) if pf
+               else "unpartitioned")
+        )
+        files = tbl.plan_files()
+        rows = sum(f["record_count"] for f in files)
+        by_part: dict[str, int] = {}
+        for f_ in files:
+            if pf:
+                key = ", ".join(
+                    f"{p['name']}={((f_.get('partition') or {}).get(p['name']))}"
+                    for p in pf
+                )
+                by_part[key] = by_part.get(key, 0) + 1
+        print(f"  live data files      {len(files)} ({rows} rows)")
+        for key in sorted(by_part):
+            print(f"    [{key}] {by_part[key]} file(s)")
+        print(f"  snapshots            {len(tbl.snapshots())}")
+        for s in sorted(tbl.snapshots(), key=lambda x: x["sequence-number"]):
+            op = s.get("summary", {}).get("operation", "?")
+            print(
+                f"    seq {s['sequence-number']:>3}  {s['snapshot-id']:<20} "
+                f"{op:<9} ts={s['timestamp-ms']}"
+            )
+        expired = tbl.expired_records()
+        if expired:
+            print(f"  expired (GC'd)       {len(expired)}")
+            for r in expired:
+                print(f"    seq {r['seq']:>3}  {r['id']:<20} {r.get('op', '?')}")
+        return 0
+    if args.index is None:
+        print("error: pass --index or --table", file=sys.stderr)
+        return 2
     from .sources.index_io import read_index, read_meta_file
 
     if "," in args.index:
@@ -2087,7 +2142,12 @@ def main(argv: list[str] | None = None) -> int:
         "info", help="index introspection: config, per-table rows/bytes, "
         "corpus stats, tombstones (ES _stats surface)",
     )
-    inf.add_argument("--index", required=True)
+    inf.add_argument("--index", default=None)
+    inf.add_argument(
+        "--table", default=None,
+        help="Iceberg table directory: snapshot history, partition spec, "
+        "live counts (pure metadata, no Spark)",
+    )
     inf.set_defaults(fn=cmd_info)
 
     re_ = sub.add_parser(

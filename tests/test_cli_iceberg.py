@@ -68,6 +68,19 @@ def test_cli_expire_snapshots(spark, iceberg_table, capsys):
     )
 
 
+def test_cli_info_table(spark, iceberg_table, capsys):
+    loc, s1, s2 = iceberg_table
+    assert main(["info", "--table", loc]) == 0
+    out = capsys.readouterr().out
+    assert f"current-snapshot-id  {s2}" in out
+    assert "live data files      2 (60 rows)" in out
+    assert "unpartitioned" in out
+    assert f"{s1}" in out and "append" in out
+    # guards
+    assert main(["info"]) == 2
+    assert main(["info", "--index", "x", "--table", loc]) == 2
+
+
 def test_snapshot_id_refused_on_plain_parquet(spark, tmp_path, capsys):
     src = str(tmp_path / "docs")
     spark.range(3).select(
