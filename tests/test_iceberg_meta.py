@@ -88,6 +88,41 @@ def test_avro_zigzag_edge_values():
         assert im._zigzag_decode(buf) == v, v
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        a=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        b=st.one_of(st.none(), st.text(max_size=40)),
+        c=st.lists(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=20
+        ),
+        d=st.dictionaries(st.text(max_size=10), st.text(max_size=10), max_size=8),
+        e=st.booleans(),
+        f=st.floats(allow_nan=False, allow_infinity=False, width=64),
+        g=st.binary(max_size=40),
+        x=st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    )
+    def test_avro_binary_roundtrip_property(a, b, c, d, e, f, g, x):
+        """Any value the schema admits must round-trip bit-exactly through
+        the binary codec (no container framing — pure encode/decode)."""
+        row = {"a": a, "b": b, "c": c, "d": d, "e": e, "f": f, "g": g,
+               "h": {"x": x}}
+        buf = bytearray()
+        im.avro_encode(row, NESTY, buf)
+        back = im.avro_decode(io.BytesIO(bytes(buf)), NESTY)
+        assert back == row
+
+
 def test_avro_named_type_references_and_enum(tmp_path):
     """JVM-written manifests define a record once and REFERENCE it by name
     later in the schema (Avro 'Names'); enums decode to their symbol.  The
