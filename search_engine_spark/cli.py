@@ -1130,6 +1130,32 @@ def cmd_ingest_iceberg(args) -> int:
     return 0
 
 
+def cmd_table_delete(args) -> int:
+    """Row-level equality delete on an Iceberg table (merge-on-read):
+    removes rows without rewriting data files — the takedown primitive.
+    The next `ingest-iceberg` run translates it into index tombstones."""
+    from .sources.iceberg_meta import commit_equality_delete, is_metadata_table
+
+    if not is_metadata_table(args.table):
+        print(
+            f"error: {args.table!r} is not an Iceberg table directory",
+            file=sys.stderr,
+        )
+        return 2
+    values = [v for v in args.values.split(",") if v]
+    try:
+        sid = commit_equality_delete(args.table, args.column, values)
+    except (KeyError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(
+        f"committed equality delete on {args.column} "
+        f"({len(values)} value(s)) as snapshot {sid}; run ingest-iceberg "
+        "to tombstone affected documents in derived indexes"
+    )
+    return 0
+
+
 def cmd_rewrite_manifests(args) -> int:
     """Compact the current snapshot's manifests into one
     (sources/iceberg_meta.rewrite_manifests)."""
@@ -2040,6 +2066,19 @@ def main(argv: list[str] | None = None) -> int:
         "a root that already carries positions inherits this automatically",
     )
     ii.set_defaults(fn=cmd_ingest_iceberg)
+
+    td = sub.add_parser(
+        "table-delete",
+        help="equality-delete rows from an Iceberg table without rewriting "
+        "data (merge-on-read); ingest-iceberg then tombstones the index",
+    )
+    td.add_argument("--table", required=True, help="Iceberg table directory")
+    td.add_argument("--column", required=True, help="equality column")
+    td.add_argument(
+        "--values", required=True,
+        help="comma-separated values to delete (e.g. a repo name)",
+    )
+    td.set_defaults(fn=cmd_table_delete)
 
     rw = sub.add_parser(
         "rewrite-manifests",

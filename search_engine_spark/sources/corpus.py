@@ -78,24 +78,42 @@ def load_iceberg_documents(
     if iceberg_meta.is_metadata_table(table):
         tbl = iceberg_meta.load_table(table)
         files = tbl.plan_files(snapshot_id=snapshot_id, where=where)
+        deletes = tbl.plan_delete_files(snapshot_id=snapshot_id)
         pcols = [p["name"] for p in tbl.partition_fields()]
+        id_to_name = {f["id"]: f["name"] for f in tbl.schema_fields()}
         if files:
-            # group files by identity-partition tuple: files written by
-            # Spark's partitioned writer do NOT carry the partition column;
-            # the manifest's partition record is the value of record, so
-            # reattach it as a literal per group (one read per live
-            # partition value, unioned by name)
+            # group files by (identity-partition tuple, applicable delete
+            # set): files from Spark's partitioned writer do NOT carry the
+            # partition column — the manifest's partition record is the
+            # value of record, reattached as a literal per group — and an
+            # equality delete at sequence s applies only to data files
+            # with data sequence < s (merge-on-read anti-join per group)
             groups: dict[tuple, list[str]] = {}
             for f_ in files:
                 part = f_.get("partition") or {}
-                key = tuple((c, part.get(c)) for c in pcols)
-                groups.setdefault(key, []).append(f_["file_path"])
+                pkey = tuple((c, part.get(c)) for c in pcols)
+                dkey = tuple(
+                    d["file_path"]
+                    for d in deletes
+                    if d["_seq"] > f_.get("_seq", 0)
+                )
+                groups.setdefault((pkey, dkey), []).append(f_["file_path"])
+            del_by_path = {d["file_path"]: d for d in deletes}
             parts = []
-            for key, paths in sorted(groups.items()):
+            for (pkey, dkey), paths in sorted(groups.items()):
                 g = spark.read.parquet(*paths)
-                for col, val in key:
+                for col, val in pkey:
                     if col not in g.columns:
                         g = g.withColumn(col, F.lit(val).cast("string"))
+                for dpath in dkey:
+                    d = del_by_path[dpath]
+                    cols = [id_to_name[i] for i in (d["equality_ids"] or [])]
+                    dvals = spark.read.parquet(dpath)
+                    g = g.join(
+                        F.broadcast(dvals.select(*cols).distinct()),
+                        on=cols,
+                        how="left_anti",
+                    )
                 parts.append(g)
             df = parts[0]
             for g in parts[1:]:

@@ -119,12 +119,21 @@ def ingest_iceberg_snapshots(
     prev: int | None = None
     if done:
         prev = max(done, key=table._seq_of)
-    report = {"ingested": [], "skipped": sorted(done), "files": 0, "docs": 0}
+    report = {
+        "ingested": [],
+        "skipped": sorted(done, key=table._seq_of),
+        "files": 0,
+        "docs": 0,
+        "tombstoned": 0,
+    }
     for snap in history:
         sid = snap["snapshot-id"]
         if snap["sequence-number"] <= from_seq:
             continue  # already covered by the checkpoint (in `skipped`)
-        paths = table.plan_delta_paths(prev, sid)
+        paths = [
+            f["file_path"]
+            for f in table.plan_delta_files(prev, sid, allow_deletes=True)
+        ]
         docs = _read_delta(spark, table, paths)
         n = docs.count()
         commit_snapshot_slices(
@@ -135,7 +144,103 @@ def ingest_iceberg_snapshots(
         report["docs"] += n
         prev = sid
     index = finalize_index(spark, root, **build_kwargs)
+    applied = _apply_pending_deletes(spark, table, history, root, report)
+    if applied:
+        from .index_io import read_index
+
+        index = read_index(spark, root)  # pick up the fresh tombstones
     return index, report
+
+
+def _apply_pending_deletes(spark, table, history, root: str, report) -> int:
+    """Apply every delete snapshot's tombstones exactly-once-per-root.
+
+    Runs AFTER finalize (a fresh root has no index tables to tombstone
+    until its first compaction) and is crash-safe via per-snapshot marker
+    files: ``delete_docs`` is idempotent, so a crash between application
+    and marking just re-applies on the next run.  An EXPIRED delete
+    snapshot without a marker is unrecoverable (its parent rows are no
+    longer resolvable) and refuses loudly.
+    """
+    import os
+
+    marker_dir = os.path.join(root, "_deletes_applied")
+    pending = [
+        (s["snapshot-id"], s["sequence-number"])
+        for s in history
+        if s.get("summary", {}).get("operation") == "delete"
+    ] + [
+        (r["id"], r["seq"])
+        for r in table.expired_records()
+        if r.get("op") == "delete"
+    ]
+    applied = 0
+    for del_id, del_seq in sorted(pending, key=lambda p: p[1]):
+        marker = os.path.join(marker_dir, str(del_id))
+        if os.path.exists(marker):
+            continue
+        report["tombstoned"] += _apply_delete_snapshot(
+            spark, table, del_id, del_seq, root
+        )
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("applied\n")
+        applied += 1
+    return applied
+
+
+def _apply_delete_snapshot(spark, table, del_id: int, del_seq: int, root: str) -> int:
+    """Tombstone the index docids matched by one delete snapshot's
+    equality-delete files; → number of docids tombstoned.
+
+    The doomed rows resolve against the INDEX'S OWN SLICE LOG (the meta
+    slices hold the corpus columns per docid, partitioned by the ingest
+    snapshot), not the table — so the application works even after the
+    delete snapshot itself was expired, as long as its delete files are
+    still referenced by a live snapshot.  Sequence semantics hold through
+    lineage: a doc ingested under snapshot s (table seq q) came from data
+    files with sequence ≤ q, so the delete applies iff q < del_seq.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (local import)
+
+    from .deletes import delete_docs
+
+    new_deletes = [
+        d for d in table.plan_delete_files() if d["_seq"] == del_seq
+    ]
+    if not new_deletes:
+        raise ValueError(
+            f"delete snapshot {del_id} (seq {del_seq}) has no resolvable "
+            "delete files (expired and dropped by a later overwrite?) — "
+            "its tombstones cannot be applied; rebuild the index from the "
+            "current table state"
+        )
+    affected_ids = [
+        sid
+        for sid in _ingested_snapshot_ids(spark, root)
+        if table._seq_of(sid) < del_seq
+    ]
+    if not affected_ids:
+        return 0
+    id_to_name = {f["id"]: f["name"] for f in table.schema_fields()}
+    meta = spark.read.parquet(f"{root}/_slices/meta").where(
+        F.col("snapshot").isin(affected_ids)
+    )
+    doomed = None
+    for d in new_deletes:
+        cols = [id_to_name[i] for i in (d["equality_ids"] or [])]
+        dvals = spark.read.parquet(table._local(d["file_path"]))
+        hit = meta.join(
+            F.broadcast(dvals.select(*cols).distinct()), on=cols, how="semi"
+        ).select("docid")
+        doomed = hit if doomed is None else doomed.unionByName(hit)
+    doomed = doomed.distinct().persist()
+    n = doomed.count()
+    if n:
+        # frame-to-frame: the doomed set never passes through the driver
+        delete_docs(spark, root, doomed)
+    doomed.unpersist()
+    return n
 
 
 def _read_delta(

@@ -415,6 +415,10 @@ def _data_file_schema(partition_fields: list[dict] | None = None) -> dict:
                optional=True),
             _f("upper_bounds", _kv_array("k129_v130", "bytes", 129, 130), 128,
                optional=True),
+            # equality-delete files (content=2) name the columns whose
+            # values the file holds (spec id 135)
+            _f("equality_ids", {"type": "array", "items": "int",
+                                "element-id": 136}, 135, optional=True),
         ],
     }
 
@@ -717,6 +721,8 @@ class IcebergTable:
         manifests, _, _ = read_avro_file(self._local(snap["manifest-list"]))
         files: list[dict] = []
         for m in manifests:
+            if m.get("content", 0) != 0:
+                continue  # delete manifests are planned separately
             entries, _, _ = read_avro_file(self._local(m["manifest_path"]))
             for e in entries:
                 if e["status"] == STATUS_DELETED:
@@ -725,8 +731,44 @@ class IcebergTable:
                     e["data_file"], preds, fields
                 ):
                     continue
-                files.append(e["data_file"])
+                df_ = dict(e["data_file"])
+                # annotate the DATA sequence (for merge-on-read delete
+                # application); "_seq" is not an Avro field — the encoder
+                # ignores unknown keys, so round-tripping entries is safe
+                df_["_seq"] = (
+                    e["sequence_number"]
+                    if e.get("sequence_number") is not None
+                    else m["sequence_number"]
+                )
+                files.append(df_)
         return files
+
+    def plan_delete_files(
+        self, snapshot_id: int | None = None, as_of_ms: int | None = None
+    ) -> list[dict]:
+        """Equality-delete files live in one snapshot (content=1 manifests):
+        → [{"file_path", "equality_ids", "_seq", ...}].  A delete with
+        sequence s applies to data files whose data sequence is < s."""
+        snap = self.snapshot(snapshot_id, as_of_ms)
+        if snap is None:
+            return []
+        manifests, _, _ = read_avro_file(self._local(snap["manifest-list"]))
+        out: list[dict] = []
+        for m in manifests:
+            if m.get("content", 0) != 1:
+                continue
+            entries, _, _ = read_avro_file(self._local(m["manifest_path"]))
+            for e in entries:
+                if e["status"] == STATUS_DELETED:
+                    continue
+                df_ = dict(e["data_file"])
+                df_["_seq"] = (
+                    e["sequence_number"]
+                    if e.get("sequence_number") is not None
+                    else m["sequence_number"]
+                )
+                out.append(df_)
+        return out
 
     def plan_paths(self, snapshot_id: int | None = None, **kw) -> list[str]:
         return [f["file_path"] for f in self.plan_files(snapshot_id, **kw)]
@@ -753,7 +795,10 @@ class IcebergTable:
         )
 
     def plan_delta_files(
-        self, from_snapshot_id: int | None, to_snapshot_id: int | None = None
+        self,
+        from_snapshot_id: int | None,
+        to_snapshot_id: int | None = None,
+        allow_deletes: bool = False,
     ) -> list[dict]:
         """Incremental scan: data files ADDED after ``from_snapshot_id`` up
         to and including ``to_snapshot_id`` (default: current).
@@ -794,8 +839,10 @@ class IcebergTable:
             for r in self.expired_records()
             if from_seq < r["seq"] <= to_seq
         ]
+        allowed = ("append", "replace", "delete") if allow_deletes else (
+            "append", "replace")
         for sid, op in in_range:
-            if op not in ("append", "replace"):
+            if op not in allowed:
                 raise ValueError(
                     f"snapshot {sid} in the delta range is a {op!r}, not an "
                     "append — an incremental scan cannot express removed "
@@ -807,6 +854,8 @@ class IcebergTable:
         for m in manifests:
             if m["sequence_number"] <= from_seq:
                 continue  # untouched parent manifest from ≤ checkpoint
+            if m.get("content", 0) != 0:
+                continue  # delete manifests are row-level, not corpus files
             entries, _, _ = read_avro_file(self._local(m["manifest_path"]))
             for e in entries:
                 if e["status"] == STATUS_DELETED:
@@ -1186,7 +1235,11 @@ def rewrite_manifests(location: str, timestamp_ms: int | None = None) -> dict:
     if current is None:
         raise ValueError(f"table {location} has no snapshot to rewrite")
     snap = table.snapshot(current)
-    manifests, _, _ = read_avro_file(table._local(snap["manifest-list"]))
+    all_manifests, _, _ = read_avro_file(table._local(snap["manifest-list"]))
+    # delete manifests (content=1) are row-level tombstones with their own
+    # sequencing — carried through unmerged
+    manifests = [m for m in all_manifests if m.get("content", 0) == 0]
+    delete_manifests = [m for m in all_manifests if m.get("content", 0) == 1]
     if len(manifests) <= 1:
         return {"snapshot_id": current, "merged_manifests": len(manifests), "entries": 0}
     meta = dict(table.meta)
@@ -1263,7 +1316,8 @@ def rewrite_manifests(location: str, timestamp_ms: int | None = None) -> dict:
                 "existing_rows_count": rows,
                 "deleted_rows_count": 0,
             }
-        ],
+        ]
+        + delete_manifests,
         MANIFEST_LIST_SCHEMA,
         meta={
             "format-version": "2",
@@ -1432,6 +1486,142 @@ def _rm(path: str) -> None:
         os.remove(path)
     except FileNotFoundError:
         pass
+
+
+def commit_equality_delete(
+    location: str,
+    column: str,
+    values: list,
+    timestamp_ms: int | None = None,
+) -> int:
+    """Commit a v2 EQUALITY DELETE: rows where ``column`` ∈ ``values`` stop
+    existing, WITHOUT rewriting any data file (merge-on-read; spec
+    content=2 delete files) — the takedown primitive: removing one
+    repository from a petabyte corpus writes a KB-sized values file plus
+    metadata, never touching the data.  → the new snapshot id.
+
+    The values land in a parquet file referenced by a delete manifest
+    (manifest-list ``content=1``); a delete at sequence s applies to data
+    files with data sequence < s, so rows appended AFTER the delete are
+    unaffected.  Readers (the corpus loader) apply deletes as an
+    anti-join; `ingest_iceberg_snapshots` translates them into index
+    tombstones (`delete_docs`).
+    """
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    table = load_table(location)
+    meta = dict(table.meta)
+    fields = table.schema_fields()
+    by_name = {f["name"]: f for f in fields}
+    if column not in by_name:
+        raise KeyError(f"delete column {column!r} not in table schema")
+    if not values:
+        raise ValueError("equality delete needs at least one value")
+    seq = meta["last-sequence-number"] + 1
+    version = _read_version_hint(location) + 1
+    ts = timestamp_ms if timestamp_ms is not None else seq
+    parent = table.current_snapshot_id()
+    if parent is None:
+        raise ValueError("cannot delete from an empty table")
+    mdir = _metadata_dir(location)
+    digest = hashlib.md5(
+        ("\n".join(sorted(str(v) for v in values)) + f"@del{seq}").encode()
+    ).hexdigest()
+    snapshot_id = int(digest[:15], 16)
+
+    ddir = os.path.join(location, "data")
+    os.makedirs(ddir, exist_ok=True)
+    delete_path = os.path.join(ddir, f"eq-delete-{seq}-{digest[:8]}.parquet")
+    papq.write_table(pa.table({column: list(values)}), delete_path)
+
+    pfields = table.partition_fields()
+    entries = [
+        {
+            "status": STATUS_ADDED,
+            "snapshot_id": snapshot_id,
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": 2,  # equality deletes
+                "file_path": os.path.abspath(delete_path),
+                "file_format": "PARQUET",
+                "partition": {p["name"]: None for p in pfields},
+                "record_count": len(values),
+                "file_size_in_bytes": os.path.getsize(delete_path),
+                "equality_ids": [by_name[column]["id"]],
+            },
+        }
+    ]
+    manifest_path = os.path.join(mdir, f"delete-manifest-{seq}-{digest[:8]}.avro")
+    manifest_len = write_avro_file(
+        manifest_path,
+        entries,
+        _manifest_entry_schema(pfields),
+        meta={
+            "format-version": "2",
+            "content": "deletes",
+            "partition-spec-id": str(meta.get("default-spec-id", 0)),
+            "schema": json.dumps(meta["schemas"][0]),
+        },
+    )
+    parent_snap = table.snapshot(parent)
+    prior_manifests, _, _ = read_avro_file(table._local(parent_snap["manifest-list"]))
+    manifest_list_path = os.path.join(mdir, f"snap-{snapshot_id}-{seq}.avro")
+    write_avro_file(
+        manifest_list_path,
+        [
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": manifest_len,
+                "partition_spec_id": 0,
+                "content": 1,  # delete manifest
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": len(values),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ]
+        + prior_manifests,
+        MANIFEST_LIST_SCHEMA,
+        meta={
+            "format-version": "2",
+            "snapshot-id": str(snapshot_id),
+            "sequence-number": str(seq),
+            "parent-snapshot-id": str(parent),
+        },
+    )
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = ts
+    meta["current-snapshot-id"] = snapshot_id
+    meta["refs"] = {"main": {"snapshot-id": snapshot_id, "type": "branch"}}
+    meta["snapshots"] = meta.get("snapshots", []) + [
+        {
+            "snapshot-id": snapshot_id,
+            "parent-snapshot-id": parent,
+            "sequence-number": seq,
+            "timestamp-ms": ts,
+            "manifest-list": manifest_list_path,
+            "schema-id": 0,
+            "summary": {
+                "operation": "delete",
+                "delete-column": column,
+                "deleted-values": str(len(values)),
+            },
+        }
+    ]
+    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": ts}
+    ]
+    _write_metadata_version(location, version, meta)
+    return snapshot_id
 
 
 def commit_append_dir(location: str, parquet_dir: str, **kw) -> int:

@@ -1,0 +1,125 @@
+"""Iceberg v2 equality deletes (merge-on-read): the takedown primitive —
+remove rows (e.g. one repository) from the corpus without rewriting any
+data file — applied by the loader as a sequenced anti-join and translated
+into index tombstones by the reconcile loop."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.sources import iceberg_meta as im
+from search_engine_spark.sources.corpus import load_iceberg_documents
+from search_engine_spark.sources.iceberg_ingest import ingest_iceberg_snapshots
+
+
+def _write_batch(spark, tmp_path, name, lo, hi, repo="repoA"):
+    out = str(tmp_path / name)
+    (
+        spark.range(lo, hi)
+        .select(
+            F.lit(repo).alias("repo"),
+            F.concat(F.lit("src/f"), F.col("id")).alias("path"),
+            F.lit("c0ffee").alias("commit"),
+            F.lit("python").alias("lang"),
+            F.concat(F.lit("def fn"), F.col("id"), F.lit("(): pass")).alias(
+                "content"
+            ),
+        )
+        .coalesce(1)
+        .write.parquet(out)
+    )
+    return out
+
+
+def test_equality_delete_semantics(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc)
+    s1 = im.commit_append_dir(
+        loc, _write_batch(spark, tmp_path, "a", 0, 10, repo="keep"),
+        timestamp_ms=1000,
+    )
+    s2 = im.commit_append_dir(
+        loc, _write_batch(spark, tmp_path, "b", 10, 20, repo="doomed"),
+        timestamp_ms=2000,
+    )
+    sdel = im.commit_equality_delete(loc, "repo", ["doomed"], timestamp_ms=3000)
+    # post-delete: the doomed repo's rows are gone, data files untouched
+    cur = load_iceberg_documents(spark, loc)
+    assert cur.count() == 10
+    assert {r["repo"] for r in cur.select("repo").distinct().collect()} == {"keep"}
+    tbl = im.load_table(loc)
+    assert len(tbl.plan_files()) == 2  # no data file was rewritten
+    assert tbl.snapshot(sdel)["summary"]["operation"] == "delete"
+    # time travel to before the delete still sees everything
+    assert load_iceberg_documents(spark, loc, snapshot_id=s2).count() == 20
+    # sequence rule: rows with the same key appended AFTER the delete live
+    im.commit_append_dir(
+        loc, _write_batch(spark, tmp_path, "c", 100, 105, repo="doomed"),
+        timestamp_ms=4000,
+    )
+    after = load_iceberg_documents(spark, loc)
+    assert after.count() == 15
+    assert after.where(F.col("repo") == "doomed").count() == 5
+    # guards
+    with pytest.raises(KeyError, match="not in table schema"):
+        im.commit_equality_delete(loc, "nope", ["x"])
+    with pytest.raises(ValueError, match="at least one value"):
+        im.commit_equality_delete(loc, "repo", [])
+
+
+def test_delete_survives_rewrite_and_fsck(spark, tmp_path):
+    from search_engine_spark.sources.fsck import verify_table
+
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc)
+    im.commit_append_dir(
+        loc, _write_batch(spark, tmp_path, "a", 0, 10, repo="keep"),
+        timestamp_ms=1000,
+    )
+    im.commit_append_dir(
+        loc, _write_batch(spark, tmp_path, "b", 10, 20, repo="doomed"),
+        timestamp_ms=2000,
+    )
+    im.commit_equality_delete(loc, "repo", ["doomed"], timestamp_ms=3000)
+    im.rewrite_manifests(loc, timestamp_ms=4000)
+    # the delete manifest rides through the compaction unmerged
+    assert load_iceberg_documents(spark, loc).count() == 10
+    res = verify_table(loc, deep=True)
+    assert all(r["ok"] for r in res.values()), res
+
+
+def test_ingest_translates_delete_to_tombstones(spark, tmp_path):
+    from search_engine_spark.plans.bm25 import QueryEngine
+
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc)
+    im.commit_append_dir(
+        loc, _write_batch(spark, tmp_path, "a", 0, 10, repo="keep"),
+        timestamp_ms=1000,
+    )
+    im.commit_append_dir(
+        loc, _write_batch(spark, tmp_path, "b", 10, 20, repo="doomed"),
+        timestamp_ms=2000,
+    )
+    root = str(tmp_path / "idx")
+    idx, rep = ingest_iceberg_snapshots(spark, loc, root, compress=True)
+    assert rep["docs"] == 20 and rep["tombstoned"] == 0
+    hits = QueryEngine(spark, idx).search("values: def pass", k=30).collect()
+    assert len(hits) == 20
+
+    im.commit_equality_delete(loc, "repo", ["doomed"], timestamp_ms=3000)
+    s4 = im.commit_append_dir(
+        loc, _write_batch(spark, tmp_path, "c", 50, 55, repo="late"),
+        timestamp_ms=4000,
+    )
+    idx2, rep2 = ingest_iceberg_snapshots(spark, loc, root, compress=True)
+    assert rep2["tombstoned"] == 10
+    assert rep2["docs"] == 5  # only the late append tokenized
+    hits2 = QueryEngine(spark, idx2).search("values: def pass", k=40).collect()
+    assert len(hits2) == 15  # 10 kept + 5 late; doomed tombstoned
+    # the loader view and the index view agree
+    assert load_iceberg_documents(spark, loc).count() == 15
+    # replays stay idempotent: nothing new, no double tombstones
+    _, rep3 = ingest_iceberg_snapshots(spark, loc, root, compress=True)
+    assert rep3["ingested"] == [] and rep3["tombstoned"] == 0
