@@ -99,12 +99,25 @@ def load_iceberg_documents(
                 )
                 groups.setdefault((pkey, dkey), []).append(f_["file_path"])
             del_by_path = {d["file_path"]: d for d in deletes}
+            # schema-on-read from TABLE metadata: files predating an
+            # add_column() evolution lack the new column and null-fill;
+            # files from Spark's partitioned writer lack the partition
+            # column and get it coalesced back from the manifest record
+            _t = {"string": T.StringType(), "long": T.LongType(),
+                  "int": T.IntegerType(), "double": T.DoubleType()}
+            expected = T.StructType(
+                [
+                    T.StructField(f["name"], _t.get(f["type"], T.StringType()))
+                    for f in tbl.schema_fields()
+                ]
+            )
             parts = []
             for (pkey, dkey), paths in sorted(groups.items()):
-                g = spark.read.parquet(*paths)
+                g = spark.read.schema(expected).parquet(*paths)
                 for col, val in pkey:
-                    if col not in g.columns:
-                        g = g.withColumn(col, F.lit(val).cast("string"))
+                    g = g.withColumn(
+                        col, F.coalesce(F.col(col), F.lit(val).cast("string"))
+                    )
                 for dpath in dkey:
                     d = del_by_path[dpath]
                     cols = [id_to_name[i] for i in (d["equality_ids"] or [])]
@@ -119,7 +132,7 @@ def load_iceberg_documents(
             for g in parts[1:]:
                 df = df.unionByName(g)
         else:
-            fields = tbl.meta["schemas"][tbl.meta["current-schema-id"]]["fields"]
+            fields = tbl.schema_fields()
             df = spark.createDataFrame(
                 [],
                 T.StructType(

@@ -638,7 +638,11 @@ class IcebergTable:
 
     # -- schema / partition spec --------------------------------------------
     def schema_fields(self) -> list[dict]:
-        return self.meta["schemas"][self.meta["current-schema-id"]]["fields"]
+        sid = self.meta["current-schema-id"]
+        for sc in self.meta["schemas"]:
+            if sc.get("schema-id", 0) == sid:
+                return sc["fields"]
+        return self.meta["schemas"][sid]["fields"]  # positional fallback
 
     def partition_fields(self) -> list[dict]:
         """Default partition spec resolved to [{"name","type","field-id"}]
@@ -715,9 +719,7 @@ class IcebergTable:
         preds = None
         if where is not None:
             preds = [where] if isinstance(where, tuple) else list(where)
-            fields = self.meta["schemas"][self.meta["current-schema-id"]][
-                "fields"
-            ]
+            fields = self.schema_fields()
         manifests, _, _ = read_avro_file(self._local(snap["manifest-list"]))
         files: list[dict] = []
         for m in manifests:
@@ -1109,7 +1111,7 @@ def commit_append(
             for df in table.plan_files()
         ]
         prior_manifests = []
-    schema_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+    schema_fields = table.schema_fields()
     pfields = table.partition_fields()
     added_rows = 0
     for p in sorted(data_paths):
@@ -1152,7 +1154,7 @@ def commit_append(
                 )["fields"]
             ),
             "partition-spec-id": str(meta.get("default-spec-id", 0)),
-            "schema": json.dumps(meta["schemas"][0]),
+            "schema": json.dumps({"type": "struct", "schema-id": meta["current-schema-id"], "fields": table.schema_fields()}),
         },
     )
     n_deleted = sum(1 for e in entries if e["status"] == STATUS_DELETED)
@@ -1294,7 +1296,7 @@ def rewrite_manifests(location: str, timestamp_ms: int | None = None) -> dict:
                 )["fields"]
             ),
             "partition-spec-id": str(meta.get("default-spec-id", 0)),
-            "schema": json.dumps(meta["schemas"][0]),
+            "schema": json.dumps({"type": "struct", "schema-id": meta["current-schema-id"], "fields": table.schema_fields()}),
         },
     )
     manifest_list_path = os.path.join(mdir, f"snap-{snapshot_id}-{seq}.avro")
@@ -1354,6 +1356,40 @@ def rewrite_manifests(location: str, timestamp_ms: int | None = None) -> dict:
         "merged_manifests": len(manifests),
         "entries": len(merged),
     }
+
+
+def add_column(location: str, name: str, ftype: str = "string") -> int:
+    """Schema evolution: ADD a nullable column; → the new schema-id.
+
+    Sound under this module's by-NAME column resolution: readers apply the
+    current schema on read, so files written before the evolution
+    null-fill the new column; new commits record stats/bounds for it.
+    Rename and drop are intentionally absent — they require field-id
+    resolution against parquet footers carrying Iceberg field-id metadata,
+    which plain Spark writes do not produce (renaming by name would
+    silently detach every existing file's data).  Metadata-only: no
+    snapshot is created (matching the spec — schema changes are metadata
+    commits, not data commits).
+    """
+    if ftype not in ("string", "long", "int", "double"):
+        raise ValueError(f"unsupported column type {ftype!r}")
+    table = load_table(location)
+    meta = dict(table.meta)
+    fields = list(table.schema_fields())
+    if any(f["name"] == name for f in fields):
+        raise ValueError(f"column {name!r} already exists")
+    new_id = meta["last-column-id"] + 1
+    new_schema_id = meta["current-schema-id"] + 1
+    fields = fields + [
+        {"id": new_id, "name": name, "required": False, "type": ftype}
+    ]
+    meta["schemas"] = meta["schemas"] + [
+        {"type": "struct", "schema-id": new_schema_id, "fields": fields}
+    ]
+    meta["current-schema-id"] = new_schema_id
+    meta["last-column-id"] = new_id
+    _write_metadata_version(location, _read_version_hint(location) + 1, meta)
+    return new_schema_id
 
 
 def expire_snapshots(
@@ -1564,7 +1600,7 @@ def commit_equality_delete(
             "format-version": "2",
             "content": "deletes",
             "partition-spec-id": str(meta.get("default-spec-id", 0)),
-            "schema": json.dumps(meta["schemas"][0]),
+            "schema": json.dumps({"type": "struct", "schema-id": meta["current-schema-id"], "fields": table.schema_fields()}),
         },
     )
     parent_snap = table.snapshot(parent)

@@ -455,6 +455,56 @@ def test_loader_where_prunes_and_filters(spark, bounded_table):
 
 
 # ---------------------------------------------------------------------------
+# Schema evolution: add_column
+# ---------------------------------------------------------------------------
+
+
+def test_add_column_null_fills_old_files(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc)
+    im.commit_append_dir(
+        loc, _write_batch(spark, tmp_path, "b1", 0, 10), timestamp_ms=1000
+    )
+    sid2 = im.add_column(loc, "license")
+    tbl = im.load_table(loc)
+    assert tbl.meta["current-schema-id"] == sid2 == 1
+    assert [f["name"] for f in tbl.schema_fields()][-1] == "license"
+    old = load_iceberg_documents(spark, loc)
+    assert old.count() == 10
+    assert old.where(F.col("license").isNull()).count() == 10  # null-filled
+    # new commits carry values + stats for the evolved column
+    src = str(tmp_path / "b2")
+    (
+        spark.range(10, 15)
+        .select(
+            F.lit("repoA").alias("repo"),
+            F.concat(F.lit("src/g"), F.col("id")).alias("path"),
+            F.lit("c0ffee").alias("commit"),
+            F.lit("python").alias("lang"),
+            F.lit("body").alias("content"),
+            F.lit("mit").alias("license"),
+        )
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    im.commit_append_dir(loc, src, timestamp_ms=2000)
+    tbl = im.load_table(loc)
+    both = load_iceberg_documents(spark, loc)
+    assert both.count() == 15
+    assert both.where(F.col("license") == "mit").count() == 5
+    # predicate on the new column: the 2 old files have no stats → kept
+    # (conservative), the new file prunes exactly
+    assert len(tbl.plan_files()) == 3
+    assert len(tbl.plan_files(where=("license", "=", "mit"))) == 3
+    assert len(tbl.plan_files(where=("license", "=", "gpl"))) == 2  # old kept
+    # guards
+    with pytest.raises(ValueError, match="already exists"):
+        im.add_column(loc, "license")
+    with pytest.raises(ValueError, match="unsupported column type"):
+        im.add_column(loc, "x", "uuid")
+
+
+# ---------------------------------------------------------------------------
 # Identity partitioning + partition pruning
 # ---------------------------------------------------------------------------
 
