@@ -251,7 +251,7 @@ def _read_delta(
         # the manifest still records the snapshot as ingested
         from pyspark.sql import types as T
 
-        fields = table.meta["schemas"][table.meta["current-schema-id"]]["fields"]
+        fields = table.schema_fields()
         empty = spark.createDataFrame(
             [], T.StructType([T.StructField(f["name"], T.StringType()) for f in fields])
         )
