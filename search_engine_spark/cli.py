@@ -1103,11 +1103,27 @@ def cmd_ingest_iceberg(args) -> int:
             file=sys.stderr,
         )
         return 2
+    where = None
+    if getattr(args, "where", None):
+        import re as _re
+
+        where = []
+        for spec in args.where:
+            m = _re.match(r"^\s*(\w+)\s*(<=|>=|=|<|>)\s*(.+?)\s*$", spec)
+            if not m:
+                print(
+                    f"error: --where {spec!r} — expected COLUMN OP VALUE "
+                    "with OP one of = < <= > >=",
+                    file=sys.stderr,
+                )
+                return 2
+            where.append((m.group(1), m.group(2), m.group(3)))
     try:
         _, report = ingest_iceberg_snapshots(
             spark,
             args.table,
             args.output,
+            where=where,
             n_slices=max(1, args.slices),
             salt_threshold=args.salt_threshold,
             compress=not args.no_compress,
@@ -2064,6 +2080,12 @@ def main(argv: list[str] | None = None) -> int:
         "--positions", action="store_true",
         help="also build positional postings (phrase/proximity/snippets); "
         "a root that already carries positions inherits this automatically",
+    )
+    ii.add_argument(
+        "--where", action="append", metavar="COL OP VALUE",
+        help="build a FILTERED index (e.g. 'lang=python'); repeatable "
+        "(ANDed). Persists in the root: later runs inherit it, and a "
+        "different filter on the same root is refused",
     )
     ii.set_defaults(fn=cmd_ingest_iceberg)
 

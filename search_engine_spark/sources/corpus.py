@@ -50,6 +50,59 @@ _WHERE_OPS = {
 }
 
 
+def read_data_files(spark, tbl, files: list[dict], deletes=()) -> DataFrame:
+    """Planned Iceberg data-file dicts → one DataFrame, exact semantics.
+
+    Groups files by (identity-partition tuple, applicable-delete set):
+    files from Spark's partitioned writer do NOT carry the partition
+    column — the manifest's partition record is the value of record,
+    coalesced back per group — and an equality delete at sequence s
+    applies only to data files with data sequence < s (merge-on-read
+    anti-join per group).  Schema-on-read from TABLE metadata: files
+    predating an add_column() evolution null-fill the new column.
+    """
+    pcols = [p["name"] for p in tbl.partition_fields()]
+    id_to_name = {f["id"]: f["name"] for f in tbl.schema_fields()}
+    groups: dict[tuple, list[str]] = {}
+    for f_ in files:
+        part = f_.get("partition") or {}
+        pkey = tuple((c, part.get(c)) for c in pcols)
+        dkey = tuple(
+            d["file_path"] for d in deletes if d["_seq"] > f_.get("_seq", 0)
+        )
+        groups.setdefault((pkey, dkey), []).append(f_["file_path"])
+    del_by_path = {d["file_path"]: d for d in deletes}
+    _t = {"string": T.StringType(), "long": T.LongType(),
+          "int": T.IntegerType(), "double": T.DoubleType()}
+    expected = T.StructType(
+        [
+            T.StructField(f["name"], _t.get(f["type"], T.StringType()))
+            for f in tbl.schema_fields()
+        ]
+    )
+    parts = []
+    for (pkey, dkey), paths in sorted(groups.items()):
+        g = spark.read.schema(expected).parquet(*paths)
+        for col, val in pkey:
+            g = g.withColumn(
+                col, F.coalesce(F.col(col), F.lit(val).cast("string"))
+            )
+        for dpath in dkey:
+            d = del_by_path[dpath]
+            cols = [id_to_name[i] for i in (d["equality_ids"] or [])]
+            dvals = spark.read.parquet(dpath)
+            g = g.join(
+                F.broadcast(dvals.select(*cols).distinct()),
+                on=cols,
+                how="left_anti",
+            )
+        parts.append(g)
+    df = parts[0]
+    for g in parts[1:]:
+        df = df.unionByName(g)
+    return df
+
+
 def load_iceberg_documents(
     spark: SparkSession,
     table: str,
@@ -79,58 +132,8 @@ def load_iceberg_documents(
         tbl = iceberg_meta.load_table(table)
         files = tbl.plan_files(snapshot_id=snapshot_id, where=where)
         deletes = tbl.plan_delete_files(snapshot_id=snapshot_id)
-        pcols = [p["name"] for p in tbl.partition_fields()]
-        id_to_name = {f["id"]: f["name"] for f in tbl.schema_fields()}
         if files:
-            # group files by (identity-partition tuple, applicable delete
-            # set): files from Spark's partitioned writer do NOT carry the
-            # partition column — the manifest's partition record is the
-            # value of record, reattached as a literal per group — and an
-            # equality delete at sequence s applies only to data files
-            # with data sequence < s (merge-on-read anti-join per group)
-            groups: dict[tuple, list[str]] = {}
-            for f_ in files:
-                part = f_.get("partition") or {}
-                pkey = tuple((c, part.get(c)) for c in pcols)
-                dkey = tuple(
-                    d["file_path"]
-                    for d in deletes
-                    if d["_seq"] > f_.get("_seq", 0)
-                )
-                groups.setdefault((pkey, dkey), []).append(f_["file_path"])
-            del_by_path = {d["file_path"]: d for d in deletes}
-            # schema-on-read from TABLE metadata: files predating an
-            # add_column() evolution lack the new column and null-fill;
-            # files from Spark's partitioned writer lack the partition
-            # column and get it coalesced back from the manifest record
-            _t = {"string": T.StringType(), "long": T.LongType(),
-                  "int": T.IntegerType(), "double": T.DoubleType()}
-            expected = T.StructType(
-                [
-                    T.StructField(f["name"], _t.get(f["type"], T.StringType()))
-                    for f in tbl.schema_fields()
-                ]
-            )
-            parts = []
-            for (pkey, dkey), paths in sorted(groups.items()):
-                g = spark.read.schema(expected).parquet(*paths)
-                for col, val in pkey:
-                    g = g.withColumn(
-                        col, F.coalesce(F.col(col), F.lit(val).cast("string"))
-                    )
-                for dpath in dkey:
-                    d = del_by_path[dpath]
-                    cols = [id_to_name[i] for i in (d["equality_ids"] or [])]
-                    dvals = spark.read.parquet(dpath)
-                    g = g.join(
-                        F.broadcast(dvals.select(*cols).distinct()),
-                        on=cols,
-                        how="left_anti",
-                    )
-                parts.append(g)
-            df = parts[0]
-            for g in parts[1:]:
-                df = df.unionByName(g)
+            df = read_data_files(spark, tbl, files, deletes=deletes)
         else:
             fields = tbl.schema_fields()
             df = spark.createDataFrame(

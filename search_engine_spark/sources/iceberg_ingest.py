@@ -64,6 +64,7 @@ def ingest_iceberg_snapshots(
     table_location: str,
     root: str,
     n_slices: int = 1,
+    where: tuple | list | None = None,
     **build_kwargs,
 ) -> tuple[IndexTables, dict]:
     """Ingest every not-yet-indexed table snapshot's delta into ``root``.
@@ -72,12 +73,20 @@ def ingest_iceberg_snapshots(
     ``{"ingested": [snapshot ids], "skipped": [ids already in the build
     manifest], "files": n delta files read, "docs": n documents added}``.
 
+    ``where`` builds a FILTERED index (one ``(column, op, value)`` triple
+    or an ANDed list): delta files prune by partition values / column
+    bounds before they are read, and rows get the residual filter.  The
+    filter PERSISTS in the root (``_ingest_filter.json``) — later
+    reconciles inherit it automatically, and passing a DIFFERENT filter
+    refuses (a root that mixed filters would silently be neither index).
+
     Raises ``ValueError`` if the build manifest records a snapshot id the
     table's history does not contain (an index from a DIFFERENT table or a
     rewritten history — silently mixing lineages is the one unrecoverable
     mistake), or if an overwrite snapshot lies in the un-ingested range
     (``plan_delta_files`` refuses; rebuild or tombstone instead).
     """
+    where = _resolve_persisted_filter(root, where)
     table = iceberg_meta.load_table(table_location)
     history = sorted(table.snapshots(), key=lambda s: s["sequence-number"])
     if not history:
@@ -130,17 +139,16 @@ def ingest_iceberg_snapshots(
         sid = snap["snapshot-id"]
         if snap["sequence-number"] <= from_seq:
             continue  # already covered by the checkpoint (in `skipped`)
-        paths = [
-            f["file_path"]
-            for f in table.plan_delta_files(prev, sid, allow_deletes=True)
-        ]
-        docs = _read_delta(spark, table, paths)
+        files = table.plan_delta_files(
+            prev, sid, allow_deletes=True, where=where
+        )
+        docs = _read_delta(spark, table, files, where=where)
         n = docs.count()
         commit_snapshot_slices(
             spark, docs, root, snapshot_id=sid, n_slices=n_slices, **build_kwargs
         )
         report["ingested"].append(sid)
-        report["files"] += len(paths)
+        report["files"] += len(files)
         report["docs"] += n
         prev = sid
     index = finalize_index(spark, root, **build_kwargs)
@@ -243,10 +251,58 @@ def _apply_delete_snapshot(spark, table, del_id: int, del_seq: int, root: str) -
     return n
 
 
+def _resolve_persisted_filter(root: str, where) -> list | None:
+    """Load/validate/persist the root's ingest filter (exact-match
+    inheritance; a root that mixed filters would be neither index)."""
+    import json
+
+    norm = None
+    if where is not None:
+        norm = [list(where)] if isinstance(where, tuple) else [
+            list(w) for w in where
+        ]
+    path = os.path.join(root, "_ingest_filter.json")
+    stored = None
+    if os.path.exists(path):
+        with open(path) as f:
+            stored = json.load(f)
+    if stored is not None:
+        if norm is not None and norm != stored:
+            raise ValueError(
+                f"index at {root} was built with ingest filter {stored} but "
+                f"this call passed {norm} — a root cannot mix filters; use "
+                "a fresh root for a differently-filtered index"
+            )
+        norm = stored
+    elif norm is not None:
+        if os.path.isdir(os.path.join(root, "_build_manifest")):
+            raise ValueError(
+                f"index at {root} was built UNFILTERED; adding filter "
+                f"{norm} now would silently drop future docs only — use a "
+                "fresh root"
+            )
+        os.makedirs(root, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(norm, f)
+    return [tuple(w) for w in norm] if norm is not None else None
+
+
+_OPS = {
+    "=": lambda c, v: c == v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
+
+
 def _read_delta(
-    spark: SparkSession, table: iceberg_meta.IcebergTable, paths: list[str]
+    spark: SparkSession,
+    table: iceberg_meta.IcebergTable,
+    files: list[dict],
+    where: list | None = None,
 ) -> DataFrame:
-    if not paths:
+    if not files:
         # an empty append (metadata-only snapshot): commit an empty slice so
         # the manifest still records the snapshot as ingested
         from pyspark.sql import types as T
@@ -256,5 +312,14 @@ def _read_delta(
             [], T.StructType([T.StructField(f["name"], T.StringType()) for f in fields])
         )
         return add_docid(empty)
-    df = spark.read.parquet(*paths)
+    from .corpus import read_data_files
+
+    # same exact-semantics reader as the loader: partition-column
+    # reattach, schema-on-read null-fill (deltas are append-only, so no
+    # delete application here — deletes translate to tombstones instead)
+    df = read_data_files(spark, table, files)
+    if where is not None:
+        # residual row filter (file pruning is a hint, not a guarantee)
+        for col, op, value in where:
+            df = df.where(_OPS[op](F.col(col), F.lit(value)))
     return add_docid(df) if "docid" not in df.columns else df

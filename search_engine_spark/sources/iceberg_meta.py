@@ -801,6 +801,7 @@ class IcebergTable:
         from_snapshot_id: int | None,
         to_snapshot_id: int | None = None,
         allow_deletes: bool = False,
+        where: tuple | list | None = None,
     ) -> list[dict]:
         """Incremental scan: data files ADDED after ``from_snapshot_id`` up
         to and including ``to_snapshot_id`` (default: current).
@@ -841,6 +842,10 @@ class IcebergTable:
             for r in self.expired_records()
             if from_seq < r["seq"] <= to_seq
         ]
+        preds = None
+        if where is not None:
+            preds = [where] if isinstance(where, tuple) else list(where)
+            fields = self.schema_fields()
         allowed = ("append", "replace", "delete") if allow_deletes else (
             "append", "replace")
         for sid, op in in_range:
@@ -871,8 +876,13 @@ class IcebergTable:
                     if e.get("sequence_number") is not None
                     else m["sequence_number"]
                 )
-                if from_seq < eseq <= to_seq:
-                    files.append(e["data_file"])
+                if not (from_seq < eseq <= to_seq):
+                    continue
+                if preds is not None and not _file_may_match(
+                    e["data_file"], preds, fields
+                ):
+                    continue
+                files.append(e["data_file"])
         return files
 
     def plan_delta_paths(self, from_snapshot_id, to_snapshot_id=None) -> list[str]:

@@ -210,6 +210,97 @@ def test_ingest_across_manifest_rewrite(spark, growing_table, tmp_path):
     ]
 
 
+def test_filtered_ingest_with_partition_pruning(spark, tmp_path, capsys):
+    """--where builds a subset index: delta files prune by partition
+    value, the filter persists in the root, and later reconciles inherit
+    it (a different filter refuses)."""
+    from search_engine_spark.cli import main
+    from search_engine_spark.plans.bm25 import QueryEngine
+    from search_engine_spark.sources.index_io import read_index
+
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc, partition_by=["lang"])
+    src = str(tmp_path / "b1")
+    (
+        spark.range(30)
+        .select(
+            F.lit("repoA").alias("repo"),
+            F.concat(F.lit("src/f"), F.col("id")).alias("path"),
+            F.lit("c0ffee").alias("commit"),
+            F.when(F.col("id") % 2 == 0, "python").otherwise("go").alias("lang"),
+            F.concat(F.lit("def fn"), F.col("id"), F.lit("(): pass")).alias(
+                "content"
+            ),
+        )
+        .repartition(2, "lang")
+        .write.partitionBy("lang")
+        .parquet(src)
+    )
+    im.commit_append_dir(loc, src, timestamp_ms=1000)
+    root = str(tmp_path / "idx")
+    idx, rep = ingest_iceberg_snapshots(
+        spark, loc, root, where=("lang", "=", "python"), compress=True
+    )
+    assert rep["docs"] == 15
+    # partition pruning kept the go files out of the read entirely
+    tbl = im.load_table(loc)
+    assert rep["files"] == len(tbl.plan_files(where=("lang", "=", "python")))
+    assert rep["files"] < len(tbl.plan_files())
+    # delta docs carried the reattached partition column into the index
+    # (display columns come from the doc meta)
+    rows = (
+        QueryEngine(spark, idx)
+        .search("values: def pass", k=30, with_display=True)
+        .collect()
+    )
+    assert len(rows) == 15
+    assert all(r["lang"] == "python" for r in rows)
+
+    # append a mixed snapshot → only the python delta lands on reconcile,
+    # WITHOUT re-passing the filter (persisted)
+    src2 = str(tmp_path / "b2")
+    (
+        spark.range(30, 40)
+        .select(
+            F.lit("repoA").alias("repo"),
+            F.concat(F.lit("src/g"), F.col("id")).alias("path"),
+            F.lit("c0ffee").alias("commit"),
+            F.when(F.col("id") % 2 == 0, "python").otherwise("go").alias("lang"),
+            F.concat(F.lit("def fn"), F.col("id"), F.lit("(): pass")).alias(
+                "content"
+            ),
+        )
+        .repartition(2, "lang")
+        .write.partitionBy("lang")
+        .parquet(src2)
+    )
+    im.commit_append_dir(loc, src2, timestamp_ms=2000)
+    idx2, rep2 = ingest_iceberg_snapshots(spark, loc, root, compress=True)
+    assert rep2["docs"] == 5
+    assert read_index(spark, root).docstats.count() == 20
+
+    # a different filter on the same root refuses
+    with pytest.raises(ValueError, match="cannot mix filters"):
+        ingest_iceberg_snapshots(
+            spark, loc, root, where=("lang", "=", "go"), compress=True
+        )
+    # filtering an existing unfiltered root refuses
+    root2 = str(tmp_path / "idx2")
+    ingest_iceberg_snapshots(spark, loc, root2, compress=True)
+    with pytest.raises(ValueError, match="built UNFILTERED"):
+        ingest_iceberg_snapshots(
+            spark, loc, root2, where=("lang", "=", "go"), compress=True
+        )
+    # CLI parse errors exit 2
+    assert (
+        main(
+            ["ingest-iceberg", "--table", loc, "--output", root,
+             "--where", "lang~python"]
+        )
+        == 2
+    )
+
+
 def test_cli_ingest_iceberg_roundtrip(spark, growing_table, tmp_path, capsys):
     loc, s1, s2 = growing_table
     root = str(tmp_path / "idx")
