@@ -109,6 +109,7 @@ def load_iceberg_documents(
     snapshot_id: int | None = None,
     parquet_fallback: str | None = None,
     where: tuple | list | None = None,
+    as_of_ms: int | None = None,
 ) -> DataFrame:
     """Production source: Iceberg table (repo, path, commit, lang, content).
 
@@ -130,6 +131,12 @@ def load_iceberg_documents(
 
     if iceberg_meta.is_metadata_table(table):
         tbl = iceberg_meta.load_table(table)
+        if as_of_ms is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or as_of_ms, not both")
+            # timestamp time travel resolves to a concrete snapshot ONCE so
+            # the file plan and the delete plan agree on the same point
+            snapshot_id = tbl.snapshot(as_of_ms=as_of_ms)["snapshot-id"]
         files = tbl.plan_files(snapshot_id=snapshot_id, where=where)
         deletes = tbl.plan_delete_files(snapshot_id=snapshot_id)
         if files:

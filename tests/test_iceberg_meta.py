@@ -750,6 +750,16 @@ def test_expire_guards(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def test_load_documents_time_travel_by_timestamp(spark, table_with_two_snapshots):
+    loc, s1, s2, _ = table_with_two_snapshots
+    assert load_iceberg_documents(spark, loc, as_of_ms=1500).count() == 50
+    assert load_iceberg_documents(spark, loc, as_of_ms=2500).count() == 80
+    with pytest.raises(ValueError, match="not both"):
+        load_iceberg_documents(spark, loc, snapshot_id=s1, as_of_ms=1500)
+    with pytest.raises(KeyError, match="no snapshot"):
+        load_iceberg_documents(spark, loc, as_of_ms=1)
+
+
 def test_load_documents_honors_snapshot_pin(spark, table_with_two_snapshots, recwarn):
     loc, s1, s2, _ = table_with_two_snapshots
     d1 = load_iceberg_documents(spark, loc, snapshot_id=s1)
