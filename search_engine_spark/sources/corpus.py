@@ -50,6 +50,15 @@ _WHERE_OPS = {
 }
 
 
+def apply_where(df: DataFrame, where) -> DataFrame:
+    """Residual row filter for (column, op, value) predicates — the one
+    implementation both the loader and the incremental ingest use."""
+    preds = [where] if isinstance(where, tuple) else list(where)
+    for col, op, value in preds:
+        df = df.where(_WHERE_OPS[op](F.col(col), F.lit(value)))
+    return df
+
+
 def read_data_files(spark, tbl, files: list[dict], deletes=()) -> DataFrame:
     """Planned Iceberg data-file dicts → one DataFrame, exact semantics.
 
@@ -62,6 +71,7 @@ def read_data_files(spark, tbl, files: list[dict], deletes=()) -> DataFrame:
     predating an add_column() evolution null-fill the new column.
     """
     pcols = [p["name"] for p in tbl.partition_fields()]
+    ptype = {p["name"]: p["type"] for p in tbl.partition_fields()}
     id_to_name = {f["id"]: f["name"] for f in tbl.schema_fields()}
     groups: dict[tuple, list[str]] = {}
     for f_ in files:
@@ -84,8 +94,12 @@ def read_data_files(spark, tbl, files: list[dict], deletes=()) -> DataFrame:
     for (pkey, dkey), paths in sorted(groups.items()):
         g = spark.read.schema(expected).parquet(*paths)
         for col, val in pkey:
+            # cast the literal to the column's DECLARED type — a string
+            # cast on a long partition column would coerce the whole
+            # column and break numeric residual predicates
             g = g.withColumn(
-                col, F.coalesce(F.col(col), F.lit(val).cast("string"))
+                col,
+                F.coalesce(F.col(col), F.lit(val).cast(_t.get(ptype[col], T.StringType()))),
             )
         for dpath in dkey:
             d = del_by_path[dpath]
@@ -152,10 +166,16 @@ def load_iceberg_documents(
         if where is not None:
             # bounds only PRUNE files; exact semantics need the residual
             # row filter too (Catalyst then pushes it into the parquet scan)
-            preds = [where] if isinstance(where, tuple) else list(where)
-            for col, op, value in preds:
-                df = df.where(_WHERE_OPS[op](F.col(col), F.lit(value)))
+            df = apply_where(df, where)
         return add_docid(df) if "docid" not in df.columns else df
+    if where is not None or as_of_ms is not None:
+        # the catalog/fallback branches cannot honor these — a silently
+        # unfiltered "filtered" read or an un-pinned "time travel" is the
+        # exact lineage mistake the metadata branch exists to prevent
+        raise ValueError(
+            "where=/as_of_ms= are only supported for filesystem Iceberg "
+            f"tables (pure-Python metadata planner); {table!r} is not one"
+        )
     try:
         reader = spark.read
         if snapshot_id is not None:

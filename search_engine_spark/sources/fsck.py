@@ -206,6 +206,11 @@ def verify_table(location: str, deep: bool = False) -> dict[str, dict]:
             tallies = {im.STATUS_ADDED: 0, im.STATUS_EXISTING: 0,
                        im.STATUS_DELETED: 0}
             for e in entries:
+                if e["status"] not in tallies:
+                    bad_manifest.append(
+                        f"{mp}: entry with unknown status {e['status']!r}"
+                    )
+                    continue
                 tallies[e["status"]] += 1
                 if (
                     e["status"] != im.STATUS_DELETED

@@ -143,10 +143,14 @@ def ingest_iceberg_snapshots(
             prev, sid, allow_deletes=True, where=where
         )
         docs = _read_delta(spark, table, files, where=where)
-        n = docs.count()
+        from pyspark import StorageLevel
+
+        docs.persist(StorageLevel.MEMORY_AND_DISK)
+        n = docs.count()  # also warms the cache the slice commits reuse
         commit_snapshot_slices(
             spark, docs, root, snapshot_id=sid, n_slices=n_slices, **build_kwargs
         )
+        docs.unpersist()
         report["ingested"].append(sid)
         report["files"] += len(files)
         report["docs"] += n
@@ -223,11 +227,32 @@ def _apply_delete_snapshot(spark, table, del_id: int, del_seq: int, root: str) -
             "its tombstones cannot be applied; rebuild the index from the "
             "current table state"
         )
-    affected_ids = [
-        sid
-        for sid in _ingested_snapshot_ids(spark, root)
-        if table._seq_of(sid) < del_seq
-    ]
+    # which ingest snapshots hold rows the delete can touch?  A doc
+    # ingested under snapshot S came from data files with sequence in
+    # (prev_ingested_seq, S_seq] — the delete applies to files with
+    # sequence < del_seq.  Ranges entirely at-or-below del_seq are
+    # affected in full (the delete snapshot itself absorbs only
+    # pre-delete files: content-1 manifests add no data at del_seq);
+    # ranges entirely above are untouched; a range that STRADDLES the
+    # delete point mixes pre- and post-delete rows we cannot split at
+    # docid level — refuse rather than over- or under-tombstone (happens
+    # only when expiry removed the delete snapshot before this index
+    # first reconciled past it).
+    ordered = sorted(_ingested_snapshot_ids(spark, root), key=table._seq_of)
+    affected_ids = []
+    lo = 0
+    for sid in ordered:
+        hi = table._seq_of(sid)
+        if hi <= del_seq:
+            affected_ids.append(sid)
+        elif lo < del_seq:
+            raise ValueError(
+                f"ingest snapshot {sid} absorbed data from both sides of "
+                f"delete snapshot {del_id} (delta range ({lo}, {hi}] vs "
+                f"delete seq {del_seq}) — its rows cannot be split; "
+                "rebuild the index from the current table state"
+            )
+        lo = hi
     if not affected_ids:
         return 0
     id_to_name = {f["id"]: f["name"] for f in table.schema_fields()}
@@ -287,15 +312,6 @@ def _resolve_persisted_filter(root: str, where) -> list | None:
     return [tuple(w) for w in norm] if norm is not None else None
 
 
-_OPS = {
-    "=": lambda c, v: c == v,
-    "<": lambda c, v: c < v,
-    "<=": lambda c, v: c <= v,
-    ">": lambda c, v: c > v,
-    ">=": lambda c, v: c >= v,
-}
-
-
 def _read_delta(
     spark: SparkSession,
     table: iceberg_meta.IcebergTable,
@@ -312,7 +328,7 @@ def _read_delta(
             [], T.StructType([T.StructField(f["name"], T.StringType()) for f in fields])
         )
         return add_docid(empty)
-    from .corpus import read_data_files
+    from .corpus import apply_where, read_data_files
 
     # same exact-semantics reader as the loader: partition-column
     # reattach, schema-on-read null-fill (deltas are append-only, so no
@@ -320,6 +336,5 @@ def _read_delta(
     df = read_data_files(spark, table, files)
     if where is not None:
         # residual row filter (file pruning is a hint, not a guarantee)
-        for col, op, value in where:
-            df = df.where(_OPS[op](F.col(col), F.lit(value)))
+        df = apply_where(df, where)
     return add_docid(df) if "docid" not in df.columns else df

@@ -533,7 +533,9 @@ def _collect_file_column_stats(path: str, fields: list[dict]) -> dict:
             cur = agg.setdefault(fid, [0, 0, None, None, True])
             st = col.statistics
             nulls = st.null_count if st is not None and st.has_null_count else 0
-            cur[0] += col.num_values + (nulls or 0)
+            # pyarrow's ColumnChunkMetaData.num_values is the TOTAL value
+            # count including nulls (verified empirically) — do not re-add
+            cur[0] += col.num_values
             cur[1] += nulls or 0
             if st is None or not st.has_min_max:
                 cur[4] = False  # one boundless row group voids the bounds
@@ -902,19 +904,25 @@ def _metadata_dir(location: str) -> str:
 
 
 def _read_version_hint(location: str) -> int:
-    hint = os.path.join(_metadata_dir(location), "version-hint.text")
-    if os.path.exists(hint):
-        with open(hint) as f:
-            return int(f.read().strip())
-    # hint is advisory per spec — recover by listing vN.metadata.json
+    hint_path = os.path.join(_metadata_dir(location), "version-hint.text")
+    hint = None
+    if os.path.exists(hint_path):
+        with open(hint_path) as f:
+            hint = int(f.read().strip())
+    # the hint is advisory per spec AND may be stale (a crash between the
+    # metadata rename and the hint write leaves it one behind, which would
+    # hide the committed snapshot and wedge every retry at FileExistsError)
+    # — always reconcile against the actual vN.metadata.json listing
     versions = [
         int(name.split(".")[0][1:])
         for name in os.listdir(_metadata_dir(location))
         if name.endswith(".metadata.json") and name.startswith("v")
     ]
     if not versions:
+        if hint is not None:
+            return hint
         raise FileNotFoundError(f"no metadata versions under {location}")
-    return max(versions)
+    return max(versions) if hint is None else max(hint, max(versions))
 
 
 def load_table(location: str) -> IcebergTable:
@@ -1213,7 +1221,7 @@ def commit_append(
             "sequence-number": seq,
             "timestamp-ms": ts,
             "manifest-list": manifest_list_path,
-            "schema-id": 0,
+            "schema-id": meta["current-schema-id"],
             "summary": {
                 "operation": "overwrite" if overwrite else "append",
                 "added-data-files": str(len(data_paths)),
@@ -1349,7 +1357,7 @@ def rewrite_manifests(location: str, timestamp_ms: int | None = None) -> dict:
             "sequence-number": seq,
             "timestamp-ms": ts,
             "manifest-list": manifest_list_path,
-            "schema-id": 0,
+            "schema-id": meta["current-schema-id"],
             "summary": {
                 "operation": "replace",
                 "manifests-replaced": str(len(manifests)),
@@ -1655,7 +1663,7 @@ def commit_equality_delete(
             "sequence-number": seq,
             "timestamp-ms": ts,
             "manifest-list": manifest_list_path,
-            "schema-id": 0,
+            "schema-id": meta["current-schema-id"],
             "summary": {
                 "operation": "delete",
                 "delete-column": column,

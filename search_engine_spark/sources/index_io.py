@@ -56,6 +56,18 @@ def _fs_and_path(spark: SparkSession, path_str: str):
     return path.getFileSystem(conf), path, jvm
 
 
+def _dir_exists(spark: SparkSession, path: str) -> bool:
+    """FS-agnostic directory existence (local, hdfs, s3a — the Hadoop FS
+    API), for decisions that must hold on remote roots too."""
+    try:
+        fs, p, _ = _fs_and_path(spark, path)
+        return bool(fs.exists(p))
+    except Exception:
+        import os as _os
+
+        return _os.path.isdir(path)
+
+
 def write_meta_file(spark: SparkSession, dir_path: str, payload: dict, overwrite: bool) -> None:
     import json
 
@@ -469,7 +481,7 @@ def _build_slices(
         # crashed before first finalize: the resumed flags must match what
         # the committed slices actually wrote (local-FS check; remote roots
         # rely on resuming with the same build flags)
-        committed_pos = os.path.isdir(f"{root}/_slices/pos")
+        committed_pos = _dir_exists(spark, f"{root}/_slices/pos")
         if committed_pos != want_pos:
             raise ValueError(
                 f"resume flag mismatch at {root}: committed slices "
@@ -595,7 +607,7 @@ def _finalize_all_snapshots(spark: SparkSession, root: str, **build_kwargs) -> I
             "requires a replace (new root) rather than an append"
         )
     index = _finalize_from_tf(spark, meta_all, tf_all, doc_meta=meta_all, **build_kwargs)
-    if os.path.isdir(f"{root}/_slices/pos"):
+    if _dir_exists(spark, f"{root}/_slices/pos"):
         # positional rows are per (field, term, docid) and each docid lives
         # in exactly one slice — the union IS the final table (no merge)
         index.positions = spark.read.parquet(f"{root}/_slices/pos").drop(

@@ -116,6 +116,23 @@ def test_fsck_detects_orphans_and_corrupt_manifests(lively_table):
     assert not res2["manifest_tallies"]["ok"]
 
 
+def test_fsck_reports_unknown_entry_status(spark, tmp_path):
+    """A tampered entry status outside {0,1,2} is a FINDING — the checker
+    must not crash on exactly the corruption it exists to report."""
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc)
+    im.commit_append_dir(loc, _write_batch(spark, tmp_path, "b", 0, 5))
+    tbl = im.load_table(loc)
+    ml, _, _ = im.read_avro_file(tbl._local(tbl.snapshot()["manifest-list"]))
+    victim = tbl._local(ml[0]["manifest_path"])
+    entries, schema, _ = im.read_avro_file(victim)
+    entries[0]["status"] = 3
+    im.write_avro_file(victim, entries, schema)
+    res = verify_table(loc)
+    assert not res["manifest_tallies"]["ok"]
+    assert "unknown status" in " ".join(res["manifest_tallies"]["detail"])
+
+
 def test_cli_fsck_table(lively_table, capsys):
     assert main(["fsck", "--table", lively_table, "--deep"]) == 0
     assert "table OK" in capsys.readouterr().out

@@ -89,6 +89,57 @@ def test_delete_survives_rewrite_and_fsck(spark, tmp_path):
     assert all(r["ok"] for r in res.values()), res
 
 
+def test_fresh_ingest_after_expiry_still_tombstones_absorbed_rows(spark, tmp_path):
+    """A fresh root whose FIRST live snapshot is the delete itself (the
+    pre-delete appends expired, their data absorbed into the delete
+    snapshot's delta) must still tombstone the doomed rows — the
+    delta-range applicability rule, not a naive seq< comparison."""
+    from search_engine_spark.plans.bm25 import QueryEngine
+
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc)
+    s1 = im.commit_append_dir(
+        loc, _write_batch(spark, tmp_path, "a", 0, 10, repo="keep"),
+        timestamp_ms=1000,
+    )
+    im.commit_equality_delete(loc, "repo", ["keep"], timestamp_ms=2000)
+    s3 = im.commit_append_dir(
+        loc, _write_batch(spark, tmp_path, "c", 20, 25, repo="late"),
+        timestamp_ms=3000,
+    )
+    im.expire_snapshots(loc, keep_last=2)  # expires s1 (append), keeps D2+s3
+    root = str(tmp_path / "idx")
+    idx, rep = ingest_iceberg_snapshots(spark, loc, root, compress=True)
+    # s1's files were absorbed into the delete snapshot's delta…
+    assert rep["docs"] == 15
+    # …and its rows still got tombstoned
+    assert rep["tombstoned"] == 10
+    hits = QueryEngine(spark, idx).search("values: def pass", k=30).collect()
+    assert len(hits) == 5  # only the late append survives
+
+
+def test_straddling_delta_refuses_instead_of_mistombstoning(spark, tmp_path):
+    """If expiry removed BOTH the pre-delete append and the delete itself
+    before this index first reconciled, one ingest delta absorbs rows from
+    both sides of the delete point — refuse rather than over- or
+    under-tombstone."""
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc)
+    im.commit_append_dir(
+        loc, _write_batch(spark, tmp_path, "a", 0, 10, repo="doomed"),
+        timestamp_ms=1000,
+    )
+    im.commit_equality_delete(loc, "repo", ["doomed"], timestamp_ms=2000)
+    im.commit_append_dir(
+        loc, _write_batch(spark, tmp_path, "c", 20, 25, repo="doomed"),
+        timestamp_ms=3000,
+    )
+    im.expire_snapshots(loc, keep_last=1)  # only the last append stays live
+    root = str(tmp_path / "idx")
+    with pytest.raises(ValueError, match="both sides of delete"):
+        ingest_iceberg_snapshots(spark, loc, root, compress=True)
+
+
 def test_ingest_translates_delete_to_tombstones(spark, tmp_path):
     from search_engine_spark.plans.bm25 import QueryEngine
 

@@ -320,6 +320,68 @@ def test_overwrite_tombstones_prior_files(spark, table_with_two_snapshots):
     assert len(ml3) == 1 and ml3[0]["deleted_files_count"] == 4
 
 
+def test_stale_version_hint_self_heals(spark, tmp_path):
+    """A crash between the metadata rename and the hint write leaves the
+    hint one behind; the reader must reconcile against the actual listing
+    or the committed snapshot vanishes and every retry wedges."""
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc)
+    s1 = im.commit_append_dir(loc, _write_batch(spark, tmp_path, "b", 0, 5))
+    hint = os.path.join(loc, "metadata", "version-hint.text")
+    with open(hint, "w") as f:
+        f.write("1")  # stale: v2.metadata.json exists
+    assert im.load_table(loc).current_snapshot_id() == s1  # still visible
+    # and the next commit does not collide with the existing v2
+    s2 = im.commit_append_dir(loc, _write_batch(spark, tmp_path, "b2", 5, 9))
+    assert im.load_table(loc).current_snapshot_id() == s2
+    assert len(im.load_table(loc).plan_paths()) == 4
+
+
+def test_value_counts_include_nulls_once(spark, tmp_path):
+    """Spec field 109 is the TOTAL value count including nulls — and
+    pyarrow's num_values already includes them (no double count)."""
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc)
+    src = str(tmp_path / "nulls")
+    (
+        spark.range(4)
+        .select(
+            F.lit("r").alias("repo"),
+            F.concat(F.lit("f"), F.col("id")).alias("path"),
+            F.lit("c").alias("commit"),
+            F.when(F.col("id") % 2 == 0, "py").alias("lang"),  # 2 nulls
+            F.lit("body").alias("content"),
+        )
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    im.commit_append_dir(loc, src)
+    tbl = im.load_table(loc)
+    (f_,) = tbl.plan_files()
+    lang_id = next(f["id"] for f in tbl.schema_fields() if f["name"] == "lang")
+    counts = {e["key"]: e["value"] for e in f_["value_counts"]}
+    nulls = {e["key"]: e["value"] for e in f_["null_value_counts"]}
+    assert counts[lang_id] == 4 and nulls[lang_id] == 2
+
+
+def test_where_refused_on_non_metadata_tables(spark, tmp_path):
+    src = str(tmp_path / "plain")
+    spark.range(2).select(
+        F.lit("r").alias("repo"), F.lit("p").alias("path"),
+        F.lit("c").alias("commit"), F.lit("l").alias("lang"),
+        F.lit("x").alias("content"),
+    ).write.parquet(src)
+    with pytest.raises(ValueError, match="only supported for filesystem"):
+        load_iceberg_documents(
+            spark, "nosuch.catalog.table", parquet_fallback=src,
+            where=("repo", "=", "r"),
+        )
+    with pytest.raises(ValueError, match="only supported for filesystem"):
+        load_iceberg_documents(
+            spark, "nosuch.catalog.table", parquet_fallback=src, as_of_ms=5
+        )
+
+
 def test_version_hint_recovery_and_commit_conflict(spark, tmp_path):
     loc = str(tmp_path / "tbl")
     im.create_table(loc)
