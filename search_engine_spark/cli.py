@@ -1118,6 +1118,30 @@ def cmd_ingest_iceberg(args) -> int:
                 )
                 return 2
             where.append((m.group(1), m.group(2), m.group(3)))
+        # coerce each literal to the column's Iceberg type: a string "5"
+        # compared against long footer bounds raises TypeError inside the
+        # pruner, and the residual Spark filter would lean on implicit casts
+        from .sources.iceberg_meta import load_table
+
+        types = {f["name"]: f["type"] for f in load_table(args.table).schema_fields()}
+        coerced = []
+        for col, op, val in where:
+            t = types.get(col)
+            if t is None:
+                print(f"error: --where column {col!r} not in table schema",
+                      file=sys.stderr)
+                return 2
+            try:
+                if t in ("long", "int"):
+                    val = int(val)
+                elif t == "double":
+                    val = float(val)
+            except ValueError:
+                print(f"error: --where {col}{op}{val!r} — column is {t}",
+                      file=sys.stderr)
+                return 2
+            coerced.append((col, op, val))
+        where = coerced
     try:
         _, report = ingest_iceberg_snapshots(
             spark,

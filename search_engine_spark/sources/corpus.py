@@ -59,6 +59,26 @@ def apply_where(df: DataFrame, where) -> DataFrame:
     return df
 
 
+_ICEBERG_SPARK_TYPES = {
+    "string": T.StringType(),
+    "long": T.LongType(),
+    "int": T.IntegerType(),
+    "double": T.DoubleType(),
+}
+
+
+def iceberg_spark_schema(fields: list[dict]) -> T.StructType:
+    """Spark schema for Iceberg schema fields — the SAME type mapping
+    read_data_files scans with, so empty snapshots produce slices whose
+    parquet types union cleanly with non-empty ones."""
+    return T.StructType(
+        [
+            T.StructField(f["name"], _ICEBERG_SPARK_TYPES.get(f["type"], T.StringType()))
+            for f in fields
+        ]
+    )
+
+
 def read_data_files(spark, tbl, files: list[dict], deletes=()) -> DataFrame:
     """Planned Iceberg data-file dicts → one DataFrame, exact semantics.
 
@@ -82,16 +102,14 @@ def read_data_files(spark, tbl, files: list[dict], deletes=()) -> DataFrame:
         )
         groups.setdefault((pkey, dkey), []).append(f_["file_path"])
     del_by_path = {d["file_path"]: d for d in deletes}
-    _t = {"string": T.StringType(), "long": T.LongType(),
-          "int": T.IntegerType(), "double": T.DoubleType()}
-    expected = T.StructType(
-        [
-            T.StructField(f["name"], _t.get(f["type"], T.StringType()))
-            for f in tbl.schema_fields()
-        ]
-    )
+    _t = _ICEBERG_SPARK_TYPES
+    expected = iceberg_spark_schema(tbl.schema_fields())
     parts = []
-    for (pkey, dkey), paths in sorted(groups.items()):
+    # repr() key: partition values may mix None with str/int for the same
+    # column (hive-segment-less files fall back to footer bounds or None),
+    # and Python cannot order None against non-None — the sort only pins
+    # unionByName determinism, so any total order works
+    for (pkey, dkey), paths in sorted(groups.items(), key=lambda kv: repr(kv[0])):
         g = spark.read.schema(expected).parquet(*paths)
         for col, val in pkey:
             # cast the literal to the column's DECLARED type — a string
@@ -156,13 +174,7 @@ def load_iceberg_documents(
         if files:
             df = read_data_files(spark, tbl, files, deletes=deletes)
         else:
-            fields = tbl.schema_fields()
-            df = spark.createDataFrame(
-                [],
-                T.StructType(
-                    [T.StructField(f["name"], T.StringType()) for f in fields]
-                ),
-            )
+            df = spark.createDataFrame([], iceberg_spark_schema(tbl.schema_fields()))
         if where is not None:
             # bounds only PRUNE files; exact semantics need the residual
             # row filter too (Catalyst then pushes it into the parquet scan)

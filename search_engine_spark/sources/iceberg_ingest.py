@@ -319,14 +319,13 @@ def _read_delta(
     where: list | None = None,
 ) -> DataFrame:
     if not files:
-        # an empty append (metadata-only snapshot): commit an empty slice so
-        # the manifest still records the snapshot as ingested
-        from pyspark.sql import types as T
+        # an empty append (metadata-only snapshot): commit an empty slice —
+        # typed from the TABLE schema, or the empty slice's parquet would
+        # carry string columns that conflict with long/int/double slices
+        # from non-empty snapshots at finalize time
+        from .corpus import iceberg_spark_schema
 
-        fields = table.schema_fields()
-        empty = spark.createDataFrame(
-            [], T.StructType([T.StructField(f["name"], T.StringType()) for f in fields])
-        )
+        empty = spark.createDataFrame([], iceberg_spark_schema(table.schema_fields()))
         return add_docid(empty)
     from .corpus import apply_where, read_data_files
 

@@ -903,31 +903,80 @@ def _metadata_dir(location: str) -> str:
     return os.path.join(location, "metadata")
 
 
-def _read_version_hint(location: str) -> int:
-    hint_path = os.path.join(_metadata_dir(location), "version-hint.text")
-    hint = None
+def _metadata_version_of(name: str) -> int | None:
+    """Version number of one metadata filename, or None if unrecognized.
+
+    Two public layouts exist: HadoopTables writes ``v<N>.metadata.json``
+    (what this module writes), catalog-backed JVM writers (Hive/Glue/REST)
+    write ``<NNNNN>-<uuid>.metadata.json`` where the zero-padded prefix is
+    the version.  Both sort by that integer."""
+    if not name.endswith(".metadata.json"):
+        return None
+    stem = name[: -len(".metadata.json")]
+    if stem.startswith("v") and stem[1:].isdigit():
+        return int(stem[1:])
+    prefix = stem.split("-", 1)[0]
+    if "-" in stem and prefix.isdigit():
+        return int(prefix)
+    return None
+
+
+def _resolve_metadata_path(location: str) -> str:
+    """Path of the CURRENT metadata JSON, accepting foreign-writer naming.
+
+    The hint is advisory per spec AND may be stale (a crash between the
+    metadata publish and the hint write leaves it one behind, which would
+    hide the committed snapshot and wedge every retry at FileExistsError)
+    — always reconcile against the actual ``*.metadata.json`` listing.
+    Hint contents may be an integer version (HadoopTables) or a metadata
+    FILENAME (some writers record the file itself)."""
+    mdir = _metadata_dir(location)
+    hint_path = os.path.join(mdir, "version-hint.text")
+    hint_ver, hint_file = None, None
     if os.path.exists(hint_path):
         with open(hint_path) as f:
-            hint = int(f.read().strip())
-    # the hint is advisory per spec AND may be stale (a crash between the
-    # metadata rename and the hint write leaves it one behind, which would
-    # hide the committed snapshot and wedge every retry at FileExistsError)
-    # — always reconcile against the actual vN.metadata.json listing
-    versions = [
-        int(name.split(".")[0][1:])
-        for name in os.listdir(_metadata_dir(location))
-        if name.endswith(".metadata.json") and name.startswith("v")
-    ]
-    if not versions:
-        if hint is not None:
-            return hint
+            raw = f.read().strip()
+        if raw.isdigit():
+            hint_ver = int(raw)
+        elif raw:
+            # filename (or path) form — honor it if the file exists
+            cand = raw if os.path.isabs(raw) else os.path.join(mdir, os.path.basename(raw))
+            if os.path.exists(cand):
+                hint_file = cand
+                hint_ver = _metadata_version_of(os.path.basename(cand))
+    by_version: dict[int, str] = {}
+    try:
+        names = os.listdir(mdir)
+    except FileNotFoundError:
+        names = []
+    for name in names:
+        ver = _metadata_version_of(name)
+        if ver is not None:
+            by_version[ver] = os.path.join(mdir, name)
+    if not by_version:
+        if hint_file is not None:
+            return hint_file
+        if hint_ver is not None:
+            return os.path.join(mdir, f"v{hint_ver}.metadata.json")
         raise FileNotFoundError(f"no metadata versions under {location}")
-    return max(versions) if hint is None else max(hint, max(versions))
+    best = max(by_version)
+    if hint_ver is not None and hint_ver > best:
+        # hint ahead of the listing (e.g. remote-listing lag): trust the
+        # hint file when we have it, else the named vN path
+        return hint_file or os.path.join(mdir, f"v{hint_ver}.metadata.json")
+    return by_version[best]
+
+
+def _read_version_hint(location: str) -> int:
+    """Current version number (back-compat shim over _resolve_metadata_path)."""
+    ver = _metadata_version_of(os.path.basename(_resolve_metadata_path(location)))
+    if ver is None:
+        raise ValueError(f"unversioned metadata filename under {location}")
+    return ver
 
 
 def load_table(location: str) -> IcebergTable:
-    v = _read_version_hint(location)
-    path = os.path.join(_metadata_dir(location), f"v{v}.metadata.json")
+    path = _resolve_metadata_path(location)
     with open(path) as f:
         return IcebergTable(location=location, meta=json.load(f))
 
@@ -1000,15 +1049,21 @@ def create_table(
 def _write_metadata_version(location: str, version: int, meta: dict) -> None:
     mdir = _metadata_dir(location)
     path = os.path.join(mdir, f"v{version}.metadata.json")
-    if os.path.exists(path):
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    try:
+        # link(2) fails with EEXIST instead of overwriting, so two racing
+        # committers cannot both publish vN — rename(2) would let the
+        # loser silently clobber the winner
+        os.link(tmp, path)
+    except FileExistsError:
         raise FileExistsError(
             f"{path} exists — concurrent commit detected (optimistic "
             "concurrency: re-read the table and retry the commit)"
-        )
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f, indent=1)
-    os.rename(tmp, path)  # atomic publish on POSIX
+        ) from None
+    finally:
+        os.unlink(tmp)
     with open(os.path.join(mdir, "version-hint.text"), "w") as f:
         f.write(str(version))
 

@@ -185,7 +185,11 @@ def write_index(
             .partitionBy("bucket")
             .parquet(f"{root}/postings")
         )
-        written = index.docstats.sparkSession.read.parquet(f"{root}/postings")
+        # explicit schema: a zero-row partitioned write (empty filtered
+        # index) creates no part files, and schema inference would fail
+        written = index.docstats.sparkSession.read.schema(
+            index.postings.schema
+        ).parquet(f"{root}/postings")
         dictionary = (
             written.groupBy("field", "term")
             .agg(F.sum("df").alias("df"))  # term-global df across segments
@@ -224,7 +228,13 @@ def write_index(
         "stem": index.stem,
         "positions": index.positions is not None,
         "analyzer": index.analyzer,
+        # bucket-partitioned tables can be entirely empty (a filtered
+        # ingest whose snapshots matched nothing writes zero part files)
+        # — persist their schemas so read_index never needs inference
+        "postings_schema": index.postings.schema.json(),
     }
+    if index.positions is not None:
+        meta["positions_schema"] = index.positions.schema.json()
     if carry_side_tables:
         # in-place finalize: the side tables still describe reality — keep
         # their flags (and the trigram build settings) alive
@@ -263,6 +273,7 @@ def read_index(spark: SparkSession, root: str) -> IndexTables:
     has_positions = False
     has_tombstones = False
     analyzer = "reference"
+    postings_schema = positions_schema = None
     try:
         meta = read_meta_file(spark, f"{root}/_index_meta")
         n_buckets = int(meta["buckets"])
@@ -270,6 +281,18 @@ def read_index(spark: SparkSession, root: str) -> IndexTables:
         has_positions = bool(meta.get("positions", False))
         has_tombstones = bool(meta.get("tombstones", False))
         analyzer = str(meta.get("analyzer", "reference"))
+        import json as _json
+
+        from pyspark.sql import types as _T
+
+        if meta.get("postings_schema"):
+            postings_schema = _T.StructType.fromJson(
+                _json.loads(meta["postings_schema"])
+            )
+        if meta.get("positions_schema"):
+            positions_schema = _T.StructType.fromJson(
+                _json.loads(meta["positions_schema"])
+            )
     except Exception:
         # legacy index without metadata: non-empty partitions only
         # LOWER-BOUND the true bucket count — if any bucket was empty,
@@ -304,8 +327,13 @@ def read_index(spark: SparkSession, root: str) -> IndexTables:
         # deleted docs; df/N/avgdl stay pre-delete until compact_index
         tombstones = spark.read.parquet(f"{root}/_tombstones")
         docstats = docstats.join(tombstones, on="docid", how="left_anti")
+    def _read(path, schema):
+        # stored schema (when present) both survives the zero-part-file
+        # empty-index case and skips inference on the bucket-partitioned dirs
+        return (spark.read.schema(schema) if schema else spark.read).parquet(path)
+
     return IndexTables(
-        postings=spark.read.parquet(f"{root}/postings"),
+        postings=_read(f"{root}/postings", postings_schema),
         dictionary=spark.read.parquet(f"{root}/dictionary"),
         docstats=docstats,
         corpus_stats=spark.read.parquet(f"{root}/corpus_stats"),
@@ -316,7 +344,7 @@ def read_index(spark: SparkSession, root: str) -> IndexTables:
         # with positions=true should fail loudly at first phrase query,
         # not silently degrade to "no phrase support"
         positions=(
-            spark.read.parquet(f"{root}/positions") if has_positions else None
+            _read(f"{root}/positions", positions_schema) if has_positions else None
         ),
         tombstones=tombstones,
     )

@@ -322,3 +322,88 @@ def test_cli_ingest_iceberg_roundtrip(spark, growing_table, tmp_path, capsys):
     )
     assert rc == 2
     assert "not an Iceberg table" in capsys.readouterr().err
+
+
+def test_empty_delta_slice_is_typed(spark, tmp_path):
+    """A metadata-only (empty) snapshot on a table with non-string columns
+    must commit a slice typed from the TABLE schema — a string-typed empty
+    parquet would conflict with long-typed slices at finalize."""
+    fields = im.CODE_CORPUS_FIELDS + [
+        {"id": 6, "name": "stars", "required": False, "type": "long"}
+    ]
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc, schema_fields=fields)
+    # empty append: snapshot with zero data files
+    im.commit_append(loc, [], timestamp_ms=1000)
+    root = str(tmp_path / "idx")
+    _, rep = ingest_iceberg_snapshots(spark, loc, root, compress=True)
+    assert rep["docs"] == 0 and len(rep["ingested"]) == 1
+    # now a real snapshot carrying long values — finalize must read both
+    src = str(tmp_path / "b")
+    (
+        spark.range(10)
+        .select(
+            F.lit("r").alias("repo"),
+            F.concat(F.lit("f"), F.col("id")).alias("path"),
+            F.lit("c").alias("commit"),
+            F.lit("py").alias("lang"),
+            F.concat(F.lit("def fn"), F.col("id"), F.lit("(): pass")).alias(
+                "content"
+            ),
+            (F.col("id") * 7).cast("long").alias("stars"),
+        )
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    im.commit_append_dir(loc, src, timestamp_ms=2000)
+    _, rep2 = ingest_iceberg_snapshots(spark, loc, root, compress=True)
+    assert rep2["docs"] == 10
+    from search_engine_spark.sources.index_io import read_index
+
+    assert read_index(spark, root).docstats.count() == 10
+
+
+def test_cli_where_coerces_numeric_literals(spark, tmp_path, capsys):
+    """--where stars>21 on a long column must compare as a NUMBER against
+    footer bounds and in the residual filter (advice: str-vs-int TypeError
+    inside the pruner)."""
+    fields = im.CODE_CORPUS_FIELDS + [
+        {"id": 6, "name": "stars", "required": False, "type": "long"}
+    ]
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc, schema_fields=fields)
+    src = str(tmp_path / "b")
+    (
+        spark.range(10)
+        .select(
+            F.lit("r").alias("repo"),
+            F.concat(F.lit("f"), F.col("id")).alias("path"),
+            F.lit("c").alias("commit"),
+            F.lit("py").alias("lang"),
+            F.concat(F.lit("def fn"), F.col("id"), F.lit("(): pass")).alias(
+                "content"
+            ),
+            (F.col("id") * 10).cast("long").alias("stars"),
+        )
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    im.commit_append_dir(loc, src, timestamp_ms=1000)
+    root = str(tmp_path / "idx")
+    rc = main(
+        ["ingest-iceberg", "--table", loc, "--output", root,
+         "--where", "stars>=50"]
+    )
+    assert rc == 0, capsys.readouterr().err
+    assert "5 new documents" in capsys.readouterr().out
+    # unknown column and non-numeric literal exit 2 with a message
+    assert (
+        main(["ingest-iceberg", "--table", loc, "--output", str(tmp_path / "i2"),
+              "--where", "nope=1"])
+        == 2
+    )
+    assert (
+        main(["ingest-iceberg", "--table", loc, "--output", str(tmp_path / "i3"),
+              "--where", "stars>abc"])
+        == 2
+    )

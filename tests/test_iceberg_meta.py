@@ -892,3 +892,111 @@ def test_iceberg_snapshots_drive_incremental_index(
     assert [(r["docid"], round(r["score"], 9)) for r in got] == [
         (r["docid"], round(r["score"], 9)) for r in want
     ]
+
+
+# ---------------------------------------------------------------------------
+# Foreign-writer interop: catalog-style metadata naming + filename hints
+# (round-5 advice: load_table must not assume this module's vN naming)
+# ---------------------------------------------------------------------------
+
+
+def _catalogify(loc: str) -> dict[int, str]:
+    """Rename vN.metadata.json files to the catalog-writer layout
+    <NNNNN>-<uuid>.metadata.json (versions shifted to 0-based like the
+    JVM HiveCatalog) and return version → new filename."""
+    mdir = os.path.join(loc, "metadata")
+    renamed = {}
+    for name in sorted(os.listdir(mdir)):
+        if name.endswith(".metadata.json") and name.startswith("v"):
+            v = int(name[1:].split(".")[0])
+            new = f"{v - 1:05d}-d3adbeef-{v:04d}-4abc-8def-0123456789ab.metadata.json"
+            os.rename(os.path.join(mdir, name), os.path.join(mdir, new))
+            renamed[v - 1] = new
+    return renamed
+
+
+def test_foreign_catalog_metadata_naming(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc)
+    im.commit_append_dir(loc, _write_batch(spark, tmp_path, "b", 0, 6))
+    want = im.load_table(loc).plan_paths()
+    renamed = _catalogify(loc)
+    hint = os.path.join(loc, "metadata", "version-hint.text")
+
+    # 1. hint contains the metadata FILENAME (what some writers record)
+    with open(hint, "w") as f:
+        f.write(renamed[max(renamed)])
+    assert im.load_table(loc).plan_paths() == want
+    assert im.is_metadata_table(loc)
+
+    # 2. no hint at all — recovered purely from the numeric-prefix listing
+    os.remove(hint)
+    assert im.load_table(loc).plan_paths() == want
+
+    # 3. stale filename hint (points at version 0) — listing wins
+    with open(hint, "w") as f:
+        f.write(renamed[0])
+    assert im.load_table(loc).plan_paths() == want
+
+
+def test_commit_conflict_is_atomic_and_clean(tmp_path):
+    """Two racing committers of the same vN: the loser gets FileExistsError
+    from link(2) — never a silent clobber — and leaves no tmp litter."""
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc)
+    mdir = os.path.join(loc, "metadata")
+    winner = os.path.join(mdir, "v2.metadata.json")
+    with open(winner, "w") as f:
+        json.dump({"winner": True}, f)
+    with pytest.raises(FileExistsError, match="concurrent commit"):
+        im._write_metadata_version(loc, 2, {"loser": True})
+    with open(winner) as f:
+        assert json.load(f) == {"winner": True}  # not clobbered
+    assert not [n for n in os.listdir(mdir) if ".tmp" in n]
+
+
+def test_mixed_none_partition_groups_load(spark, tmp_path):
+    """A partitioned table where one file resolves its partition value and
+    another resolves to None (multi-valued footer, no hive segment) must
+    still load — the group sort cannot compare None against str."""
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc, partition_by=["lang"])
+
+    single = str(tmp_path / "single")
+    (
+        spark.range(4)
+        .select(
+            F.lit("r").alias("repo"),
+            F.concat(F.lit("a/f"), F.col("id")).alias("path"),
+            F.lit("c").alias("commit"),
+            F.lit("go").alias("lang"),
+            F.lit("package main").alias("content"),
+        )
+        .coalesce(1)
+        .write.parquet(single)
+    )
+    mixed = str(tmp_path / "mixed")
+    (
+        spark.range(4)
+        .select(
+            F.lit("r").alias("repo"),
+            F.concat(F.lit("b/f"), F.col("id")).alias("path"),
+            F.lit("c").alias("commit"),
+            F.when(F.col("id") % 2 == 0, "python").otherwise("rust").alias("lang"),
+            F.lit("fn main() {}").alias("content"),
+        )
+        .coalesce(1)
+        .write.parquet(mixed)
+    )
+    im.commit_append_dir(loc, single)
+    im.commit_append_dir(loc, mixed)
+    tbl = im.load_table(loc)
+    parts = {f["partition"]["lang"] for f in tbl.plan_files()}
+    assert parts == {"go", None}
+    df = load_iceberg_documents(spark, loc)
+    assert df.count() == 8
+    assert set(r["lang"] for r in df.select("lang").collect()) == {
+        "go",
+        "python",
+        "rust",
+    }
