@@ -2666,16 +2666,26 @@ _SHINGLE_ROWS_SQL = f"""
 
 
 def _minhash_sql(n_hashes: int = 8) -> str:
+    # same one-md5-per-shingle + affine-permutation family as the operator:
+    # identical prime and (a_i, b_i) literals via minhash_params, and
+    # a·h + b < p² < 2^62 so DuckDB BIGINT arithmetic never overflows
+    from search_engine_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
     sigs = ",\n    ".join(
-        f"min(CAST(concat('0x', substring(md5('{i}:' || tok), 1, 15)) AS BIGINT))"
-        f" AS sig_{i}"
-        for i in range(n_hashes)
+        f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_params(n_hashes))
     )
     return f"""
-WITH toks AS ({_SHINGLE_ROWS_SQL})
+WITH toks AS ({_SHINGLE_ROWS_SQL}),
+hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT)
+           % {MINHASH_PRIME} AS h
+  FROM toks
+)
 SELECT doc_id,
     {sigs}
-FROM toks GROUP BY doc_id
+FROM hashed GROUP BY doc_id
 """
 
 

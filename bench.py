@@ -672,6 +672,11 @@ def main() -> None:
         scale: dict = {}
         reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "40"))
         if reps > 1:
+            # ceiling burns ADJACENT to the scale section (round-4 verdict
+            # task 1): the headline suite runs first, so run-start/run-end
+            # readings straddle minutes of quota decay — these two bracket
+            # the scale numbers themselves, making them normalizable
+            scale_ceiling_before = _cpu_control(cpus)
             scale_timings: dict[str, float] = {}
 
             def timed_scale(name: str, fn, runs: int = 1):
@@ -817,16 +822,74 @@ def main() -> None:
                 from search_engine_spark.operators.decontaminate import (
                     decontaminate,
                 )
-                from search_engine_spark.operators.dedup import near_dedup
+                from search_engine_spark.operators.dedup import (
+                    doc_shingles,
+                    lsh_candidate_pairs as _lsh_pairs,
+                    minhash_signatures as _mh_sigs,
+                    ngram_jaccard as _ngram_j,
+                )
                 from search_engine_spark.operators.lm_score import (
                     perplexity_score,
                     train_bigram_lm,
                 )
                 from search_engine_spark.operators.packing import pack_sequences
 
-                timed_scale(
-                    "near_dedup",
-                    lambda: _force(near_dedup(big_raw, threshold=0.5)),
+                # near_dedup at 40×, staged exactly like the operator's own
+                # pipeline (round-4 verdict task 3: attribute the 169.8 s):
+                #   signatures — shingle explode + one-md5 base hash +
+                #     affine-permutation minima (includes materializing the
+                #     shared shingle cache, as in the operator);
+                #   bands — banded self-join to candidate pairs, persisted
+                #     and counted (the operator's lineage cut);
+                #   verify — exact n-gram Jaccard on candidates only + the
+                #     min-id drop map + the final corpus left join.
+                # The stage boundaries are the operator's persist points, so
+                # the sum IS the end-to-end near_dedup cost.
+                _nd: dict = {}
+
+                def _nd_signatures():
+                    _nd["sh"] = doc_shingles(big_raw).persist()
+                    _nd["sigs"] = _mh_sigs(big_raw, shingles=_nd["sh"]).persist()
+                    _nd["sigs"].count()
+
+                def _nd_bands():
+                    _nd["pairs"] = _lsh_pairs(_nd["sigs"]).persist()
+                    _nd["pairs"].count()
+
+                def _nd_verify():
+                    verified = _ngram_j(
+                        big_raw, _nd["pairs"], shingles=_nd["sh"]
+                    ).where(F.col("jaccard") >= 0.5)
+                    dropped = verified.groupBy("b").agg(
+                        F.min("a").alias("dup_of")
+                    )
+                    _force(
+                        big_raw.select("doc_id")
+                        .join(
+                            dropped.withColumnRenamed("b", "doc_id"),
+                            on="doc_id",
+                            how="left",
+                        )
+                        .select(
+                            "doc_id",
+                            "dup_of",
+                            F.col("dup_of").isNull().cast("int").alias("keep"),
+                        )
+                    )
+
+                try:
+                    timed_scale("near_dedup_signatures", _nd_signatures)
+                    timed_scale("near_dedup_bands", _nd_bands)
+                    timed_scale("near_dedup_verify", _nd_verify)
+                finally:
+                    for key in ("pairs", "sigs", "sh"):
+                        if key in _nd:
+                            _nd[key].unpersist()
+                scale_timings["near_dedup"] = round(
+                    scale_timings["near_dedup_signatures"]
+                    + scale_timings["near_dedup_bands"]
+                    + scale_timings["near_dedup_verify"],
+                    3,
                 )
                 big_ev = big_raw.where(
                     F.col("doc_id") % 17 == 3
@@ -1001,6 +1064,10 @@ def main() -> None:
                 "queries": scale_timings,
                 "build_files_per_sec": round(n_big / scale_timings["build"], 1),
                 "iceberg_manifest_codec": iceberg_codec,
+                "cpu_ceiling": {
+                    "before": scale_ceiling_before,
+                    "after": _cpu_control(cpus),
+                },
             }
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
@@ -1008,6 +1075,73 @@ def main() -> None:
     cpu_end = _cpu_control(cpus)
     total = round(sum(timings.values()), 3)
     build_files_per_sec = round(n_files / timings["q1_index_build"], 1)
+
+    # --- second parallelism level (round-4 verdict task 7 + the north
+    # rule's two-cluster-size criterion): re-run the SAME bench in a child
+    # process on local[SPARK_GRAFT_DUAL_CPUS] and embed the two levels for
+    # the most expensive stages, each with its own same-window ceiling
+    # burns, so any section can be quota-normalized after the fact.
+    # Scaling efficiency (N → 4N cores) = (t_low / t_high) / ideal, where
+    # ideal is bounded by the measured process-level ceiling ratio, not the
+    # nominal core ratio (the host's quota keeps 32 threads well under 32×).
+    low_parallelism: dict = {}
+    dual = int(os.environ.get("SPARK_GRAFT_DUAL_CPUS", "8"))
+    if dual > 0 and dual != cpus and os.environ.get("SPARK_GRAFT_DUAL_CHILD") != "1":
+        import subprocess
+
+        env = dict(os.environ)
+        env.update(
+            {
+                "SPARK_GRAFT_CPUS": str(dual),
+                "SPARK_GRAFT_DUAL_CHILD": "1",
+                "SPARK_GRAFT_DUAL_CPUS": "0",
+            }
+        )
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        child = None
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                child = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+        if child is None:
+            low_parallelism = {"error": f"child rc={proc.returncode}"}
+        else:
+            ranked = sorted(timings, key=lambda k: -timings[k])
+            child_scale_q = child.get("scale", {}).get("queries", {})
+            scale_q = scale.get("queries", {}) if scale else {}
+            # top stages by high-parallelism cost, headline + scale pooled
+            pool = [(f"scale.{k}", scale_q[k], child_scale_q.get(k)) for k in scale_q]
+            pool += [(k, timings[k], child["queries"].get(k)) for k in ranked]
+            pool = [p for p in pool if p[2] is not None]
+            pool.sort(key=lambda p: -p[1])
+            top = pool[:12]
+            eff = {}
+            for name, t_hi, t_lo in top:
+                if t_hi > 0 and t_lo > 0:
+                    eff[name] = {
+                        "high_sec": t_hi,
+                        "low_sec": t_lo,
+                        "speedup": round(t_lo / t_hi, 3),
+                        "efficiency_vs_cores": round(
+                            (t_lo / t_hi) / (cpus / dual), 3
+                        ),
+                    }
+            low_parallelism = {
+                "cpus": dual,
+                "value": child.get("value"),
+                "queries": {k: child["queries"][k] for k in ranked[:12] if k in child["queries"]},
+                "scale_queries": child_scale_q,
+                "cpu_ceiling": child.get("cpu_ceiling"),
+                "scale_cpu_ceiling": child.get("scale", {}).get("cpu_ceiling"),
+                "scaling": eff,
+            }
     print(
         json.dumps(
             {
@@ -1026,6 +1160,10 @@ def main() -> None:
                 # standing 40×-scale point (build + warm queries at ~200k
                 # docs) — regressions become visible round-over-round
                 "scale": scale,
+                # the same suite at a second parallelism level (N vs 4N
+                # cores) with per-stage scaling efficiency — the sandbox
+                # stand-in for the north rule's two-cluster-size criterion
+                "low_parallelism": low_parallelism,
             }
         )
     )

@@ -19,8 +19,12 @@ Scale design notes (the point of each variant):
 
 Hash choice: md5 of token strings — deterministic and byte-identical in
 every SQL engine, so each operator has an exact DuckDB oracle twin.
-MinHash over lexicographic min of md5 hex = a valid uniform permutation
-per seed (the classic min-wise scheme, Broder 1997).
+MinHash hashes each shingle ONCE (md5 → 60-bit prefix, reduced mod a
+Mersenne prime) and derives the n per-permutation values by affine maps
+(a_i·h + b_i) mod p — the classic Carter–Wegman universal family; min
+over each map is the min-wise scheme (Broder 1997).  One md5 per shingle
+instead of n_hashes md5s: hashing the exploded shingle stream is the
+dominant map-side cost of signature building at scale.
 """
 
 from __future__ import annotations
@@ -34,6 +38,30 @@ N_MINHASHES = 8
 LSH_BANDS = 4  # rows-per-band = N_MINHASHES // LSH_BANDS = 2
 SIMHASH_BITS = 16
 SHINGLE_K = 3  # tokens per MinHash/Jaccard shingle
+
+# 2^31 - 1 (Mersenne): (a·h + b) stays < 2^62, so the affine maps run in
+# plain signed-64 arithmetic with NO overflow in either Spark or DuckDB
+# (DuckDB raises on BIGINT overflow — silent wraparound is not portable)
+MINHASH_PRIME = 2_147_483_647
+
+
+def minhash_params(n_hashes: int = N_MINHASHES) -> list[tuple[int, int]]:
+    """Deterministic affine constants (a_i, b_i), a_i ∈ [1, p-1], b_i ∈ [0, p-1].
+
+    md5-derived so the DuckDB twin can embed the SAME literals (it calls
+    this function when building its SQL) — never random at runtime."""
+    import hashlib
+
+    def _h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    return [
+        (
+            _h32(f"mh_a{i}") % (MINHASH_PRIME - 1) + 1,
+            _h32(f"mh_b{i}") % MINHASH_PRIME,
+        )
+        for i in range(n_hashes)
+    ]
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -94,7 +122,7 @@ def minhash_signatures(
     n_hashes: int = N_MINHASHES,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_id, sig_0..sig_{n-1}): sig_i = min(md5(i || ':' || shingle)).
+    """(doc_id, sig_0..sig_{n-1}): sig_i = min((a_i·md5(shingle) + b_i) mod p).
 
     MinHash over k-token SHINGLES, not unigram tokens: with a small
     vocabulary, unigram sets of unrelated docs overlap heavily (every doc
@@ -107,30 +135,35 @@ def minhash_signatures(
     One explode + one groupBy — the agg is map-side partial, so the shuffle
     carries n_hashes minima per doc, not the shingle stream.
 
-    Signatures are NUMERIC (first 15 hex chars of md5 → bigint): min over a
-    fixed-width long keeps the aggregation in whole-stage-codegen
-    HashAggregate with partial map-side combine; min over the md5 *string*
-    demotes to SortAggregate (sorts every exploded shingle row — measured
-    ~4× slower).  Lexicographic-hex order == numeric order on the prefix,
-    so bucket semantics are unchanged, and DuckDB reproduces the value
-    bit-identically via CAST(concat('0x', substring(md5(..),1,15)) AS
-    BIGINT).
+    ONE md5 per shingle row, not one per (shingle, permutation): the base
+    hash h = md5 60-bit prefix reduced mod p (p = 2^31-1); each
+    permutation is an affine map over GF(p) with literal constants
+    (minhash_params), i.e. pure codegen'd long arithmetic — at the 200k
+    scale point the former 8-md5 family spent ~8× the hashing CPU for the
+    same bucket semantics.  All aggregation stays whole-stage-codegen
+    HashAggregate with partial map-side combine (signatures are longs; a
+    string min would demote to SortAggregate — measured ~4× slower).
+    DuckDB reproduces every value bit-identically: same md5 prefix via
+    CAST(concat('0x', substring(md5(tok),1,15)) AS BIGINT), same literal
+    (a_i, b_i), and products bounded by p² < 2^62 so BIGINT never
+    overflows in either engine.
     """
     if shingles is not None:
         toks = shingles.select(F.col(id_col), F.explode("sh").alias("tok"))
     else:
         toks = _distinct_shingles(docs, text_col, id_col)
+    p = F.lit(MINHASH_PRIME)
+    base = toks.withColumn(
+        "h",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long"), p
+        ),
+    )
     aggs = [
-        F.min(
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok"))), 1, 15),
-                16,
-                10,
-            ).cast("long")
-        ).alias(f"sig_{i}")
-        for i in range(n_hashes)
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), p)).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(minhash_params(n_hashes))
     ]
-    return toks.groupBy(id_col).agg(*aggs)
+    return base.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
