@@ -1020,42 +1020,103 @@ def main() -> None:
                     runs=2,
                 )
 
-                # pure-Python manifest codec throughput (no Spark): bounds
-                # the driver-side planning rate.  At 10^12 files a full
-                # manifest walk at this rate is infeasible BY DESIGN —
-                # planning must stay incremental (delta manifests only) or
-                # pruned (column bounds), which is what the engine does.
-                n_entries = 50_000
-                synth = [
-                    {
-                        "status": 1,
-                        "snapshot_id": 1,
-                        "sequence_number": None,
-                        "file_sequence_number": None,
-                        "data_file": {
+                # manifest decode at first-plan scale (round-4 verdict task
+                # 4): a synthetic snapshot with 64 manifests × 8k entries =
+                # 512k data files.  The driver walk decodes serially at the
+                # pure-Python codec rate; plan_files_distributed decodes the
+                # same manifests on executors (mapInPandas over manifest
+                # paths) and merges on the driver.  At 10^12 files even the
+                # distributed plan would not COLLECT — plan_entries_df keeps
+                # the inventory as a frame — but at 512k the collect is the
+                # honest like-for-like comparison (same output list).
+                n_manifests, per_manifest = 64, 8_000
+                n_entries = n_manifests * per_manifest
+                plan_dir = os.path.join(big_root, "plan_bench")
+                os.makedirs(plan_dir, exist_ok=True)
+                t0 = time.monotonic()
+                mlist = []
+                for mi in range(n_manifests):
+                    synth = [
+                        {
+                            "status": 1,
+                            "snapshot_id": 1,
+                            "sequence_number": None,
+                            "file_sequence_number": None,
+                            "data_file": {
+                                "content": 0,
+                                "file_path": f"/data/m{mi:03d}/part-{i:05d}.parquet",
+                                "file_format": "PARQUET",
+                                "partition": {},
+                                "record_count": 1000,
+                                "file_size_in_bytes": 4 << 20,
+                            },
+                        }
+                        for i in range(per_manifest)
+                    ]
+                    mpath = os.path.join(plan_dir, f"manifest-{mi:03d}.avro")
+                    _im.write_avro_file(mpath, synth, _im.MANIFEST_ENTRY_SCHEMA)
+                    mlist.append(
+                        {
+                            "manifest_path": mpath,
+                            "manifest_length": os.path.getsize(mpath),
+                            "partition_spec_id": 0,
                             "content": 0,
-                            "file_path": f"/data/part-{i:07d}.parquet",
-                            "file_format": "PARQUET",
-                            "partition": {},
-                            "record_count": 1000,
-                            "file_size_in_bytes": 4 << 20,
-                        },
-                    }
-                    for i in range(n_entries)
-                ]
-                mpath = os.path.join(big_root, "codec_bench.avro")
-                t0 = time.monotonic()
-                _im.write_avro_file(mpath, synth, _im.MANIFEST_ENTRY_SCHEMA)
+                            "sequence_number": 1,
+                            "min_sequence_number": 1,
+                            "added_snapshot_id": 1,
+                            "added_files_count": per_manifest,
+                            "existing_files_count": 0,
+                            "deleted_files_count": 0,
+                            "added_rows_count": per_manifest * 1000,
+                            "existing_rows_count": 0,
+                            "deleted_rows_count": 0,
+                        }
+                    )
                 enc_s = time.monotonic() - t0
+                list_path = os.path.join(plan_dir, "manifest-list.avro")
+                _im.write_avro_file(list_path, mlist, _im.MANIFEST_LIST_SCHEMA)
+                synth_tbl = _im.IcebergTable(
+                    location=plan_dir,
+                    meta={
+                        "format-version": 2,
+                        "current-snapshot-id": 1,
+                        "schemas": [],
+                        "current-schema-id": 0,
+                        "snapshots": [
+                            {
+                                "snapshot-id": 1,
+                                "sequence-number": 1,
+                                "timestamp-ms": 0,
+                                "manifest-list": list_path,
+                            }
+                        ],
+                    },
+                )
+                from search_engine_spark.sources.iceberg_scan import (
+                    plan_files_distributed,
+                )
+
                 t0 = time.monotonic()
-                decoded, _, _ = _im.read_avro_file(mpath)
-                dec_s = time.monotonic() - t0
-                assert len(decoded) == n_entries
-                scale_timings["iceberg_manifest_decode_50k"] = round(dec_s, 3)
+                driver_plan = synth_tbl.plan_files()
+                drv_s = time.monotonic() - t0
+                assert len(driver_plan) == n_entries
+                t0 = time.monotonic()
+                dist_plan = plan_files_distributed(
+                    spark, synth_tbl, min_manifests=1
+                )
+                dist_s = time.monotonic() - t0
+                assert len(dist_plan) == n_entries
+                scale_timings["iceberg_plan_512k_driver"] = round(drv_s, 3)
+                scale_timings["iceberg_plan_512k_distributed"] = round(dist_s, 3)
                 iceberg_codec = {
                     "entries": n_entries,
+                    "manifests": n_manifests,
                     "encode_entries_per_sec": round(n_entries / enc_s, 1),
-                    "decode_entries_per_sec": round(n_entries / dec_s, 1),
+                    "driver_decode_entries_per_sec": round(n_entries / drv_s, 1),
+                    "distributed_decode_entries_per_sec": round(
+                        n_entries / dist_s, 1
+                    ),
+                    "distributed_speedup": round(drv_s / dist_s, 2),
                 }
             finally:
                 shutil.rmtree(big_root, ignore_errors=True)

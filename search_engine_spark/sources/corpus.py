@@ -169,7 +169,12 @@ def load_iceberg_documents(
             # timestamp time travel resolves to a concrete snapshot ONCE so
             # the file plan and the delete plan agree on the same point
             snapshot_id = tbl.snapshot(as_of_ms=as_of_ms)["snapshot-id"]
-        files = tbl.plan_files(snapshot_id=snapshot_id, where=where)
+        # distributed manifest decode for the first plan of a LARGE table
+        # (many manifests); transparently the driver walk below the
+        # threshold — identical output either way (tests pin parity)
+        from .iceberg_scan import plan_files_distributed
+
+        files = plan_files_distributed(spark, tbl, snapshot_id=snapshot_id, where=where)
         deletes = tbl.plan_delete_files(snapshot_id=snapshot_id)
         if files:
             df = read_data_files(spark, tbl, files, deletes=deletes)

@@ -1,0 +1,174 @@
+"""Distributed Iceberg scan planning: decode manifests on EXECUTORS.
+
+``IcebergTable.plan_files`` (iceberg_meta.py) walks every manifest of a
+snapshot on the driver — exactly right for the steady state (incremental
+ingest touches only each snapshot's delta manifests, a few KB), but the
+FIRST plan of a large table decodes every manifest serially at the pure-
+Python codec rate (~35k entries/s measured).  At 10^12 files that is the
+scan-planning bottleneck, and it is embarrassingly parallel: manifests
+are independent Avro files.
+
+This module keeps the same codec (iceberg_meta.read_avro_file) and moves
+the per-manifest decode onto executors:
+
+- driver reads ONLY the manifest list (one tiny Avro file),
+- one executor task per manifest decodes it, applies the status filter
+  and bounds pruning locally, and serializes the surviving entry list as
+  ONE pickle blob (per-manifest blobs, not per-entry rows: Arrow/pandas
+  row transport of 512k tiny binary cells measured ~10× slower than 64
+  list blobs for identical content),
+- the driver concatenates blobs in manifest-list order — identical
+  contract to ``plan_files``, pinned dict-for-dict by
+  tests/test_iceberg_scan.py.
+
+This is a deliberate ``RDD.mapPartitions`` use (the guideline's "almost
+never" case): the payload is per-file imperative Python (an Avro codec),
+there is no columnar work for Catalyst to optimize, and the mapInPandas
+equivalent pays Arrow serialization for data that is immediately
+unpickled into Python dicts anyway.
+
+Scale ceiling (honest): the distributed plan's tail is the driver-side
+unpickle of the merged entry list — Amdahl's serial fraction.  At scales
+where even that list is too big for the driver, ``plan_entries_df``
+exposes the inventory as an un-collected DataFrame (file_path,
+record_count, file_size_in_bytes, seq) for Spark-side consumers; the
+full-fidelity dict list is only for driver-side planners that feed
+``read_data_files``.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import TYPE_CHECKING
+
+from . import iceberg_meta
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+# below this many data manifests the driver loop wins (executor task
+# dispatch ≈ tens of ms; a small manifest decodes in well under that)
+DISTRIBUTE_THRESHOLD = 64
+
+
+def _data_manifests(tbl: iceberg_meta.IcebergTable, snap: dict) -> list[dict]:
+    manifests, _, _ = iceberg_meta.read_avro_file(tbl._local(snap["manifest-list"]))
+    return [m for m in manifests if m.get("content", 0) == 0]
+
+
+def _decode_one(task: tuple, preds, fields) -> tuple[int, bytes]:
+    """(manifest idx, path, default seq) → (idx, pickled live-entry list).
+
+    Runs on executors; uses only iceberg_meta's pure-Python codec.  The
+    status filter and bounds pruning run HERE so pruned tables ship only
+    surviving entries back."""
+    midx, path, seq_default = task
+    entries, _, _ = iceberg_meta.read_avro_file(path)
+    out = []
+    for e in entries:
+        if e["status"] == iceberg_meta.STATUS_DELETED:
+            continue
+        if preds is not None and not iceberg_meta._file_may_match(
+            e["data_file"], preds, fields
+        ):
+            continue
+        df_ = dict(e["data_file"])
+        df_["_seq"] = (
+            e["sequence_number"]
+            if e.get("sequence_number") is not None
+            else seq_default
+        )
+        out.append(df_)
+    return midx, pickle.dumps(out, protocol=4)
+
+
+def _decoded_blobs(
+    spark: "SparkSession",
+    tbl: iceberg_meta.IcebergTable,
+    manifests: list[dict],
+    preds,
+    fields,
+):
+    """RDD of (manifest idx, pickled entry list), one task per manifest."""
+    local = tbl._local
+    tasks = [
+        (i, local(m["manifest_path"]), int(m["sequence_number"]))
+        for i, m in enumerate(manifests)
+    ]
+    return (
+        spark.sparkContext.parallelize(tasks, len(tasks))
+        .map(lambda t: _decode_one(t, preds, fields))
+    )
+
+
+def plan_files_distributed(
+    spark: "SparkSession",
+    tbl: iceberg_meta.IcebergTable,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+    where: tuple | list | None = None,
+    min_manifests: int = DISTRIBUTE_THRESHOLD,
+) -> list[dict]:
+    """``plan_files`` semantics with the manifest decode on executors.
+
+    Falls back to the driver walk below ``min_manifests`` data manifests
+    (where task dispatch would dominate).  Output is the SAME list of
+    data-file dicts, in the same (manifest-list, entry) order — consumers
+    like read_data_files cannot tell which planner ran.
+    """
+    snap = tbl.snapshot(snapshot_id, as_of_ms)
+    if snap is None:
+        return []
+    manifests = _data_manifests(tbl, snap)
+    if len(manifests) < min_manifests:
+        return tbl.plan_files(snapshot_id=snapshot_id, as_of_ms=as_of_ms, where=where)
+    preds = fields = None
+    if where is not None:
+        preds = [where] if isinstance(where, tuple) else list(where)
+        fields = tbl.schema_fields()
+    blobs = _decoded_blobs(spark, tbl, manifests, preds, fields).collect()
+    # task completion order is nondeterministic — restore the
+    # manifest-list walk order so the two planners are list-identical
+    blobs.sort(key=lambda t: t[0])
+    files: list[dict] = []
+    for _, blob in blobs:
+        files.extend(pickle.loads(blob))
+    return files
+
+
+def plan_entries_df(
+    spark: "SparkSession",
+    tbl: iceberg_meta.IcebergTable,
+    snapshot_id: int | None = None,
+    where: tuple | list | None = None,
+) -> "DataFrame":
+    """Un-collected planning frame: (file_path, record_count,
+    file_size_in_bytes, seq) — for consumers that join/aggregate over the
+    file inventory at scales where a driver-side list is itself too big.
+    """
+    from pyspark.sql import Row
+
+    schema = "file_path string, record_count long, file_size_in_bytes long, seq long"
+    snap = tbl.snapshot(snapshot_id)
+    if snap is None:
+        return spark.createDataFrame([], schema)
+    preds = fields = None
+    if where is not None:
+        preds = [where] if isinstance(where, tuple) else list(where)
+        fields = tbl.schema_fields()
+    manifests = _data_manifests(tbl, snap)
+    if not manifests:
+        return spark.createDataFrame([], schema)
+
+    def rows(t):
+        _, blob = t
+        for d in pickle.loads(blob):
+            yield Row(
+                file_path=d["file_path"],
+                record_count=int(d.get("record_count") or 0),
+                file_size_in_bytes=int(d.get("file_size_in_bytes") or 0),
+                seq=int(d.get("_seq") or 0),
+            )
+
+    rdd = _decoded_blobs(spark, tbl, manifests, preds, fields).flatMap(rows)
+    return spark.createDataFrame(rdd, schema)

@@ -1,0 +1,496 @@
+"""Hand-authored Iceberg v2 golden table — INDEPENDENT of the engine's writer.
+
+Round-4 verdict task 2: the pure-Python Iceberg layer was only ever tested
+against itself.  This module builds a small but complete v2 table the way a
+real catalog-backed JVM writer lays one out, byte-by-byte from the public
+specs (https://iceberg.apache.org/spec/ and the Avro 1.11 specification),
+using its OWN minimal Avro encoder — nothing here imports or calls
+search_engine_spark.sources.iceberg_meta.  The interop test then asserts
+the engine's reader reproduces this table's file set, bounds, and snapshot
+lineage, and that the engine's writer can commit on top of it.
+
+Layout produced (catalog-writer conventions — NOT the engine's):
+- metadata files named ``00000-<uuid>.metadata.json`` / ``00001-…``
+  (zero-based numeric prefix + uuid, the HiveCatalog naming),
+- ``version-hint.text`` containing the metadata FILENAME,
+- manifest lists named ``snap-<snapshot-id>-1-<uuid>.avro``,
+- manifests named ``<uuid>-m0.avro``, Avro ``deflate`` codec (the JVM
+  default for manifests), full v2 field set including fields the engine
+  ignores (column_sizes, nan_value_counts, split_offsets, sort_order_id,
+  partitions summaries, key_metadata),
+- two snapshots: snapshot 1 adds data file A, snapshot 2 adds file B via a
+  fast-append (new manifest; list re-references snapshot 1's manifest).
+
+Table schema: the (repo, path, commit, lang, content) code corpus, field
+ids 1-5, unpartitioned.  Column bounds are serialized per spec Appendix D
+(UTF-8 bytes for strings) so plan-time pruning has real data to chew on.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import zlib
+
+# ---------------------------------------------------------------------------
+# Minimal Avro 1.11 binary encoder (independent implementation, written
+# against the spec's "Binary Encoding" + "Object Container Files" sections)
+# ---------------------------------------------------------------------------
+
+
+def _varint(n: int) -> bytes:
+    """ZigZag + LEB128 varint (Avro int/long)."""
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _enc_str(s: str) -> bytes:
+    raw = s.encode("utf-8")
+    return _varint(len(raw)) + raw
+
+
+def _enc_bytes(b: bytes) -> bytes:
+    return _varint(len(b)) + b
+
+
+def _enc(value, schema) -> bytes:
+    """Encode one value against a (parsed-JSON) Avro schema."""
+    if isinstance(schema, list):  # union: branch index + value
+        for idx, branch in enumerate(schema):
+            bt = branch if isinstance(branch, str) else branch.get("type")
+            if value is None and bt == "null":
+                return _varint(idx)
+            if value is not None and bt != "null":
+                return _varint(idx) + _enc(value, branch)
+        raise ValueError(f"no union branch for {value!r} in {schema}")
+    t = schema if isinstance(schema, str) else schema["type"]
+    if t == "null":
+        return b""
+    if t == "boolean":
+        return b"\x01" if value else b"\x00"
+    if t in ("int", "long"):
+        return _varint(int(value))
+    if t == "float":
+        return struct.pack("<f", value)
+    if t == "double":
+        return struct.pack("<d", value)
+    if t == "string":
+        return _enc_str(value)
+    if t == "bytes":
+        return _enc_bytes(value)
+    if t == "record":
+        out = bytearray()
+        for f in schema["fields"]:
+            out += _enc(value.get(f["name"]), f["type"])
+        return bytes(out)
+    if t == "array":
+        if not value:
+            return _varint(0)
+        out = bytearray(_varint(len(value)))
+        for item in value:
+            out += _enc(item, schema["items"])
+        out += _varint(0)
+        return bytes(out)
+    if t == "map":
+        if not value:
+            return _varint(0)
+        out = bytearray(_varint(len(value)))
+        for k, v in value.items():
+            out += _enc_str(k)
+            out += _enc(v, schema["values"])
+        out += _varint(0)
+        return bytes(out)
+    raise NotImplementedError(t)
+
+
+_MAGIC = b"Obj\x01"
+_SYNC = b"golden-iceberg!!"  # 16 bytes, fixed for reproducible fixtures
+
+
+def write_container(
+    path: str, records: list, schema: dict, extra_meta: dict[str, str],
+    codec: str = "deflate",
+) -> None:
+    """Avro object-container file with the given codec (spec framing)."""
+    meta = {"avro.schema": json.dumps(schema).encode(),
+            "avro.codec": codec.encode()}
+    for k, v in extra_meta.items():
+        meta[k] = v.encode() if isinstance(v, str) else v
+    out = bytearray(_MAGIC)
+    out += _enc(meta, {"type": "map", "values": "bytes"})
+    out += _SYNC
+    block = bytearray()
+    for rec in records:
+        block += _enc(rec, schema)
+    payload = bytes(block)
+    if codec == "deflate":
+        payload = zlib.compress(payload, 9)[2:-4]  # raw deflate per spec
+    out += _varint(len(records))
+    out += _varint(len(payload))
+    out += payload
+    out += _SYNC
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+# ---------------------------------------------------------------------------
+# Iceberg v2 Avro schemas, as the JVM writer embeds them (Appendix C names
+# and field-ids; JSON authored here by hand from the spec tables)
+# ---------------------------------------------------------------------------
+
+
+def _fld(name, ftype, fid, optional=False, **kw):
+    t = ["null", ftype] if optional else ftype
+    d = {"name": name, "type": t, "field-id": fid}
+    if optional:
+        d["default"] = None
+    d.update(kw)
+    return d
+
+
+def _kv(name, value_type, kid, vid):
+    return {
+        "type": "array",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": kid},
+                {"name": "value", "type": value_type, "field-id": vid},
+            ],
+        },
+        "logicalType": "map",
+    }
+
+
+DATA_FILE_SCHEMA = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        _fld("content", "int", 134),
+        _fld("file_path", "string", 100),
+        _fld("file_format", "string", 101),
+        {
+            "name": "partition",
+            "type": {"type": "record", "name": "r102", "fields": []},
+            "field-id": 102,
+        },
+        _fld("record_count", "long", 103),
+        _fld("file_size_in_bytes", "long", 104),
+        _fld("column_sizes", _kv("k117_v118", "long", 117, 118), 108,
+             optional=True),
+        _fld("value_counts", _kv("k119_v120", "long", 119, 120), 109,
+             optional=True),
+        _fld("null_value_counts", _kv("k121_v122", "long", 121, 122), 110,
+             optional=True),
+        _fld("nan_value_counts", _kv("k138_v139", "long", 138, 139), 137,
+             optional=True),
+        _fld("lower_bounds", _kv("k126_v127", "bytes", 126, 127), 125,
+             optional=True),
+        _fld("upper_bounds", _kv("k129_v130", "bytes", 129, 130), 128,
+             optional=True),
+        _fld("key_metadata", "bytes", 131, optional=True),
+        _fld("split_offsets", {"type": "array", "items": "long",
+                               "element-id": 133}, 132, optional=True),
+        _fld("equality_ids", {"type": "array", "items": "int",
+                              "element-id": 136}, 135, optional=True),
+        _fld("sort_order_id", "int", 140, optional=True),
+    ],
+}
+
+MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        _fld("status", "int", 0),
+        _fld("snapshot_id", "long", 1, optional=True),
+        _fld("sequence_number", "long", 3, optional=True),
+        _fld("file_sequence_number", "long", 4, optional=True),
+        {"name": "data_file", "type": DATA_FILE_SCHEMA, "field-id": 2},
+    ],
+}
+
+FIELD_SUMMARY = {
+    "type": "record",
+    "name": "r508",
+    "fields": [
+        _fld("contains_null", "boolean", 509),
+        _fld("contains_nan", "boolean", 518, optional=True),
+        _fld("lower_bound", "bytes", 510, optional=True),
+        _fld("upper_bound", "bytes", 511, optional=True),
+    ],
+}
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        _fld("manifest_path", "string", 500),
+        _fld("manifest_length", "long", 501),
+        _fld("partition_spec_id", "int", 502),
+        _fld("content", "int", 517),
+        _fld("sequence_number", "long", 515),
+        _fld("min_sequence_number", "long", 516),
+        _fld("added_snapshot_id", "long", 503),
+        _fld("added_files_count", "int", 504),
+        _fld("existing_files_count", "int", 505),
+        _fld("deleted_files_count", "int", 506),
+        _fld("added_rows_count", "long", 512),
+        _fld("existing_rows_count", "long", 513),
+        _fld("deleted_rows_count", "long", 514),
+        _fld("partitions", {"type": "array", "items": FIELD_SUMMARY,
+                            "element-id": 508}, 507, optional=True),
+        _fld("key_metadata", "bytes", 519, optional=True),
+    ],
+}
+
+SCHEMA_JSON = {
+    "type": "struct",
+    "schema-id": 0,
+    "fields": [
+        {"id": i + 1, "name": n, "required": False, "type": "string"}
+        for i, n in enumerate(("repo", "path", "commit", "lang", "content"))
+    ],
+}
+
+TABLE_UUID = "9c3b1f04-77aa-4a5e-8b1d-3f2e6a9d0c55"
+UUID_M0 = "5f2a9b10-1111-4abc-9def-000000000001"
+UUID_M1 = "5f2a9b10-2222-4abc-9def-000000000002"
+UUID_L1 = "5f2a9b10-3333-4abc-9def-000000000003"
+UUID_L2 = "5f2a9b10-4444-4abc-9def-000000000004"
+UUID_MD0 = "5f2a9b10-5555-4abc-9def-000000000005"
+UUID_MD1 = "5f2a9b10-6666-4abc-9def-000000000006"
+SNAP_1 = 6387266376565973377
+SNAP_2 = 6387266376565973378
+TS_1 = 1723000001000
+TS_2 = 1723000002000
+
+ROWS_A = [
+    ("repoA", "src/alpha.py", "c0ffee01", "python", "def alpha(): return 1"),
+    ("repoA", "src/beta.py", "c0ffee01", "python", "def beta(): return 2"),
+    ("repoA", "src/gamma.go", "c0ffee01", "go", "func gamma() int { return 3 }"),
+]
+ROWS_B = [
+    ("repoB", "lib/delta.rs", "c0ffee02", "rust", "fn delta() -> i32 { 4 }"),
+    ("repoB", "lib/eps.rs", "c0ffee02", "rust", "fn eps() -> i32 { 5 }"),
+]
+
+
+def _write_parquet(path: str, rows: list[tuple]) -> int:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*rows))
+    table = pa.table(
+        {n: list(c) for n, c in zip(("repo", "path", "commit", "lang", "content"), cols)}
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(table, path)
+    return os.path.getsize(path)
+
+
+def _bounds(rows: list[tuple]) -> tuple[list, list]:
+    lows, highs = [], []
+    for fid in range(1, 6):
+        vals = sorted(r[fid - 1] for r in rows)
+        lows.append({"key": fid, "value": vals[0].encode("utf-8")})
+        highs.append({"key": fid, "value": vals[-1].encode("utf-8")})
+    return lows, highs
+
+
+def _manifest_entry(status, snap, seq, path, size, rows):
+    lo, hi = _bounds(rows)
+    return {
+        "status": status,
+        "snapshot_id": snap,
+        # ADDED entries inherit the sequence number from the manifest list
+        # (null here), EXISTING entries carry it explicitly
+        "sequence_number": None if status == 1 else seq,
+        "file_sequence_number": None if status == 1 else seq,
+        "data_file": {
+            "content": 0,
+            "file_path": path,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": len(rows),
+            "file_size_in_bytes": size,
+            "column_sizes": [{"key": i, "value": 100} for i in range(1, 6)],
+            "value_counts": [{"key": i, "value": len(rows)} for i in range(1, 6)],
+            "null_value_counts": [{"key": i, "value": 0} for i in range(1, 6)],
+            "nan_value_counts": [],
+            "lower_bounds": lo,
+            "upper_bounds": hi,
+            "key_metadata": None,
+            "split_offsets": [4],
+            "equality_ids": None,
+            "sort_order_id": 0,
+        },
+    }
+
+
+def _manifest_file(path, length, seq, min_seq, snap, added, rows):
+    return {
+        "manifest_path": path,
+        "manifest_length": length,
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": min_seq,
+        "added_snapshot_id": snap,
+        "added_files_count": added,
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": [],
+        "key_metadata": None,
+    }
+
+
+def make_golden_table(root: str) -> dict:
+    """Build the golden table under ``root``; → expected facts for asserts."""
+    mdir = os.path.join(root, "metadata")
+    ddir = os.path.join(root, "data")
+    file_a = os.path.join(ddir, f"00000-0-{UUID_M0}-00001.parquet")
+    file_b = os.path.join(ddir, f"00001-0-{UUID_M1}-00001.parquet")
+    size_a = _write_parquet(file_a, ROWS_A)
+    size_b = _write_parquet(file_b, ROWS_B)
+
+    m0_path = os.path.join(mdir, f"{UUID_M0}-m0.avro")
+    m1_path = os.path.join(mdir, f"{UUID_M1}-m0.avro")
+    manifest_meta = {
+        "schema": json.dumps(SCHEMA_JSON),
+        "schema-id": "0",
+        "partition-spec": "[]",
+        "partition-spec-id": "0",
+        "format-version": "2",
+        "content": "data",
+    }
+    write_container(
+        m0_path,
+        [_manifest_entry(1, SNAP_1, 1, file_a, size_a, ROWS_A)],
+        MANIFEST_ENTRY_SCHEMA,
+        manifest_meta,
+    )
+    write_container(
+        m1_path,
+        [_manifest_entry(1, SNAP_2, 2, file_b, size_b, ROWS_B)],
+        MANIFEST_ENTRY_SCHEMA,
+        manifest_meta,
+    )
+
+    list1 = os.path.join(mdir, f"snap-{SNAP_1}-1-{UUID_L1}.avro")
+    list2 = os.path.join(mdir, f"snap-{SNAP_2}-1-{UUID_L2}.avro")
+    list_meta = {"format-version": "2"}
+    write_container(
+        list1,
+        [_manifest_file(m0_path, os.path.getsize(m0_path), 1, 1, SNAP_1,
+                        1, len(ROWS_A))],
+        MANIFEST_LIST_SCHEMA,
+        list_meta,
+    )
+    # fast-append: snapshot 2's list = NEW manifest + snapshot 1's manifest
+    # re-referenced untouched (the O(new files) commit shape)
+    write_container(
+        list2,
+        [
+            _manifest_file(m1_path, os.path.getsize(m1_path), 2, 2, SNAP_2,
+                           1, len(ROWS_B)),
+            _manifest_file(m0_path, os.path.getsize(m0_path), 1, 1, SNAP_1,
+                           1, len(ROWS_A)),
+        ],
+        MANIFEST_LIST_SCHEMA,
+        list_meta,
+    )
+
+    def snapshot(snap_id, parent, seq, ts, list_path, files, rows):
+        d = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": ts,
+            "manifest-list": list_path,
+            "schema-id": 0,
+            "summary": {
+                "operation": "append",
+                "added-data-files": str(files),
+                "added-records": str(rows),
+            },
+        }
+        if parent is not None:
+            d["parent-snapshot-id"] = parent
+        return d
+
+    base = {
+        "format-version": 2,
+        "table-uuid": TABLE_UUID,
+        "location": root,
+        "last-sequence-number": 1,
+        "last-updated-ms": TS_1,
+        "last-column-id": 5,
+        "current-schema-id": 0,
+        "schemas": [SCHEMA_JSON],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.format.default": "parquet"},
+        "current-snapshot-id": SNAP_1,
+        "refs": {"main": {"snapshot-id": SNAP_1, "type": "branch"}},
+        "snapshots": [snapshot(SNAP_1, None, 1, TS_1, list1, 1, 3)],
+        "snapshot-log": [{"snapshot-id": SNAP_1, "timestamp-ms": TS_1}],
+        "metadata-log": [],
+    }
+    md0 = os.path.join(mdir, f"00000-{UUID_MD0}.metadata.json")
+    with open(md0, "w") as f:
+        json.dump(base, f, indent=2)
+
+    cur = dict(base)
+    cur.update(
+        {
+            "last-sequence-number": 2,
+            "last-updated-ms": TS_2,
+            "current-snapshot-id": SNAP_2,
+            "refs": {"main": {"snapshot-id": SNAP_2, "type": "branch"}},
+            "snapshots": base["snapshots"]
+            + [snapshot(SNAP_2, SNAP_1, 2, TS_2, list2, 1, 2)],
+            "snapshot-log": base["snapshot-log"]
+            + [{"snapshot-id": SNAP_2, "timestamp-ms": TS_2}],
+            "metadata-log": [{"timestamp-ms": TS_1, "metadata-file": md0}],
+        }
+    )
+    md1_name = f"00001-{UUID_MD1}.metadata.json"
+    with open(os.path.join(mdir, md1_name), "w") as f:
+        json.dump(cur, f, indent=2)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write(md1_name)  # filename hint, catalog style
+
+    return {
+        "snap_1": SNAP_1,
+        "snap_2": SNAP_2,
+        "ts_1": TS_1,
+        "ts_2": TS_2,
+        "file_a": file_a,
+        "file_b": file_b,
+        "rows_a": ROWS_A,
+        "rows_b": ROWS_B,
+    }
+
+
+if __name__ == "__main__":
+    import sys
+
+    out = sys.argv[1] if len(sys.argv) > 1 else "golden_table"
+    facts = make_golden_table(out)
+    print(json.dumps({k: str(v) for k, v in facts.items()}, indent=2))

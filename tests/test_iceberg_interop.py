@@ -1,0 +1,149 @@
+"""Golden-fixture interop: the engine's Iceberg reader against a table
+authored by an INDEPENDENT writer (tests/fixtures/iceberg/make_golden.py —
+its own Avro encoder, catalog-writer file naming, deflate codec, full v2
+field set).  Nothing on the fixture side calls this repo's writer.
+
+Round-4 verdict task 2: prove load_table().plan_files() reproduces a
+foreign table's file set, bounds, and snapshot lineage; then round-trip a
+re-commit by the engine's writer and re-read.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "fixtures", "iceberg"))
+from make_golden import make_golden_table  # noqa: E402
+
+from search_engine_spark.sources import iceberg_meta as im
+from search_engine_spark.sources.corpus import load_iceberg_documents
+
+
+@pytest.fixture(scope="module")
+def golden(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("interop") / "golden_table")
+    facts = make_golden_table(root)
+    return root, facts
+
+
+def test_golden_table_loads_and_plans(golden):
+    root, facts = golden
+    assert im.is_metadata_table(root)
+    tbl = im.load_table(root)
+    # current = snapshot 2: both files live, in manifest-list order
+    # (snapshot 2's fast-append lists the NEW manifest first)
+    files = tbl.plan_files()
+    assert [f["file_path"] for f in files] == [facts["file_b"], facts["file_a"]]
+    assert [f["record_count"] for f in files] == [2, 3]
+    assert [f["_seq"] for f in files] == [2, 1]  # inherited from the list
+
+
+def test_golden_snapshot_lineage(golden):
+    root, facts = golden
+    tbl = im.load_table(root)
+    snaps = {s["snapshot-id"]: s for s in tbl.meta["snapshots"]}
+    assert set(snaps) == {facts["snap_1"], facts["snap_2"]}
+    assert snaps[facts["snap_2"]]["parent-snapshot-id"] == facts["snap_1"]
+    # pinned plan at snapshot 1 sees only file A
+    assert tbl.plan_paths(snapshot_id=facts["snap_1"]) == [facts["file_a"]]
+    # time travel between the two commit timestamps resolves to snapshot 1
+    assert (
+        tbl.snapshot(as_of_ms=facts["ts_1"] + 500)["snapshot-id"]
+        == facts["snap_1"]
+    )
+
+
+def test_golden_bounds_prune_files(golden):
+    root, facts = golden
+    tbl = im.load_table(root)
+    # repo bounds: file A = [repoA, repoA], file B = [repoB, repoB]
+    assert tbl.plan_paths(where=("repo", "=", "repoB")) == [facts["file_b"]]
+    assert tbl.plan_paths(where=("repo", "=", "repoA")) == [facts["file_a"]]
+    # lang < "go" matches neither file's [go..python] / [rust..rust] ranges
+    assert tbl.plan_paths(where=("lang", "<", "go")) == []
+    # deserialized bounds round-trip the Appendix-D string encoding
+    (fa,) = tbl.plan_files(snapshot_id=facts["snap_1"])
+    lowers = {e["key"]: e["value"] for e in fa["lower_bounds"]}
+    assert lowers[1] == b"repoA"
+    assert lowers[4] == b"go"
+
+
+def test_golden_rows_read_through_loader(spark, golden):
+    root, facts = golden
+    df = load_iceberg_documents(spark, root)
+    assert df.count() == 5
+    got = {
+        (r["repo"], r["path"], r["content"])
+        for r in df.select("repo", "path", "content").collect()
+    }
+    want = {
+        (r[0], r[1], r[4]) for r in facts["rows_a"] + facts["rows_b"]
+    }
+    assert got == want
+    # pinned read honors the foreign snapshot id
+    df1 = load_iceberg_documents(spark, root, snapshot_id=facts["snap_1"])
+    assert df1.count() == 3
+    assert df1.where(F.col("repo") == "repoB").count() == 0
+
+
+def test_engine_writer_commits_on_golden_table(spark, golden, tmp_path):
+    """Round-trip: the engine's writer appends a THIRD snapshot on top of
+    the foreign lineage; re-read sees all three with the parent chain."""
+    root, facts = golden
+    src = str(tmp_path / "batch")
+    (
+        spark.range(4)
+        .select(
+            F.lit("repoC").alias("repo"),
+            F.concat(F.lit("new/f"), F.col("id")).alias("path"),
+            F.lit("c0ffee03").alias("commit"),
+            F.lit("python").alias("lang"),
+            F.concat(F.lit("def f"), F.col("id"), F.lit("(): pass")).alias(
+                "content"
+            ),
+        )
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    s3 = im.commit_append_dir(root, src, timestamp_ms=facts["ts_2"] + 1000)
+    tbl = im.load_table(root)
+    assert tbl.current_snapshot_id() == s3
+    snaps = {s["snapshot-id"]: s for s in tbl.meta["snapshots"]}
+    assert snaps[s3]["parent-snapshot-id"] == facts["snap_2"]
+    assert len(tbl.plan_files()) == 3
+    # the foreign files are still live and the new rows are readable
+    df = load_iceberg_documents(spark, root)
+    assert df.count() == 9
+    assert df.where(F.col("repo") == "repoC").count() == 4
+    # the pre-commit pins still resolve against the extended lineage
+    assert len(tbl.plan_files(snapshot_id=facts["snap_1"])) == 1
+
+
+COMMITTED = os.path.join(
+    os.path.dirname(__file__), "fixtures", "iceberg", "golden_table"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(COMMITTED)
+    or not os.path.isfile(
+        os.path.join(COMMITTED, "data",
+                     "00000-0-5f2a9b10-1111-4abc-9def-000000000001-00001.parquet")
+    ),
+    reason="committed golden fixture absent",
+)
+def test_committed_golden_fixture_loads():
+    """The checked-in fixture bytes (generated once by make_golden.py and
+    committed for inspection) load as long as the repo sits where the
+    embedded absolute paths point; regenerate with
+    ``python tests/fixtures/iceberg/make_golden.py <dir>`` if moved."""
+    tbl = im.load_table(COMMITTED)
+    files = tbl.plan_files()
+    if not all(os.path.isfile(f["file_path"]) for f in files):
+        pytest.skip("repo relocated — embedded absolute data paths stale")
+    assert len(files) == 2
+    assert sum(f["record_count"] for f in files) == 5

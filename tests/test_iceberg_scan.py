@@ -1,0 +1,104 @@
+"""Distributed manifest decode (sources/iceberg_scan.py): executor-side
+planning must be byte-identical to the driver walk, including predicate
+pruning, sequence annotation, and entry order."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.sources import iceberg_meta as im
+from search_engine_spark.sources.iceberg_scan import (
+    plan_entries_df,
+    plan_files_distributed,
+)
+
+
+@pytest.fixture(scope="module")
+def multi_manifest_table(spark, tmp_path_factory):
+    """One table, 6 commits → 6 data manifests, varied repos + row counts."""
+    tmp = tmp_path_factory.mktemp("scan")
+    loc = str(tmp / "tbl")
+    im.create_table(loc)
+    for i in range(6):
+        src = str(tmp / f"b{i}")
+        (
+            spark.range(i * 10, i * 10 + 10)
+            .select(
+                F.lit(f"repo{i}").alias("repo"),
+                F.concat(F.lit("src/f"), F.col("id")).alias("path"),
+                F.lit("c0ffee").alias("commit"),
+                F.lit("python" if i % 2 == 0 else "go").alias("lang"),
+                F.concat(F.lit("def fn"), F.col("id"), F.lit("(): pass")).alias(
+                    "content"
+                ),
+            )
+            .coalesce(2)
+            .write.parquet(src)
+        )
+        im.commit_append_dir(loc, src, timestamp_ms=1000 * (i + 1))
+    return loc
+
+
+def test_distributed_plan_matches_driver_plan(spark, multi_manifest_table):
+    tbl = im.load_table(multi_manifest_table)
+    want = tbl.plan_files()
+    got = plan_files_distributed(spark, tbl, min_manifests=1)
+    assert got == want  # dict-for-dict, order included
+    assert len(got) == 12  # 6 commits × 2 files
+
+
+def test_distributed_plan_applies_predicates(spark, multi_manifest_table):
+    tbl = im.load_table(multi_manifest_table)
+    where = ("repo", "=", "repo3")
+    want = tbl.plan_files(where=where)
+    got = plan_files_distributed(spark, tbl, min_manifests=1, where=where)
+    assert got == want
+    assert 0 < len(got) < 12
+
+
+def test_distributed_plan_honors_snapshot_pin(spark, multi_manifest_table):
+    tbl = im.load_table(multi_manifest_table)
+    snaps = sorted(s["snapshot-id"] for s in tbl.meta["snapshots"])
+    pinned = tbl.snapshot(as_of_ms=3000)["snapshot-id"]
+    assert pinned in snaps
+    want = tbl.plan_files(snapshot_id=pinned)
+    got = plan_files_distributed(spark, tbl, snapshot_id=pinned, min_manifests=1)
+    assert got == want
+    assert len(got) == 6  # three commits live at ts=3000
+
+
+def test_below_threshold_falls_back_to_driver(spark, multi_manifest_table):
+    tbl = im.load_table(multi_manifest_table)
+    # threshold above the manifest count → same answer via the driver walk
+    got = plan_files_distributed(spark, tbl, min_manifests=1000)
+    assert got == tbl.plan_files()
+
+
+def test_plan_entries_df_matches_plan(spark, multi_manifest_table):
+    tbl = im.load_table(multi_manifest_table)
+    rows = plan_entries_df(spark, tbl).collect()
+    want = tbl.plan_files()
+    assert {r["file_path"] for r in rows} == {f["file_path"] for f in want}
+    by_path = {f["file_path"]: f for f in want}
+    for r in rows:
+        f = by_path[r["file_path"]]
+        assert r["record_count"] == f["record_count"]
+        assert r["file_size_in_bytes"] == f["file_size_in_bytes"]
+        assert r["seq"] == f["_seq"]
+
+
+def test_plan_entries_df_empty_table(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    im.create_table(loc)
+    assert plan_entries_df(spark, im.load_table(loc)).count() == 0
+
+
+def test_loader_uses_distributed_plan_transparently(spark, multi_manifest_table):
+    """load_iceberg_documents routes through the distributed planner; the
+    read is unchanged (6 manifests < threshold → driver walk, same list)."""
+    from search_engine_spark.sources.corpus import load_iceberg_documents
+
+    df = load_iceberg_documents(spark, multi_manifest_table)
+    assert df.count() == 60
+    assert df.where(F.col("repo") == "repo3").count() == 10
