@@ -1372,15 +1372,30 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)]
 
 
-def extract_features(binary_df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def extract_features(
+    binary_df: DataFrame,
+    payload_col: str = "payload",
+    embed_fn=None,
+) -> DataFrame:
     """mapInPandas feature extraction over Arrow batches (the real shape).
 
     Batch contract: each pandas batch holds `payload` as bytes objects; the
     transform is vectorized per batch (list comprehension over the batch is
     the per-ITEM decode loop every media pipeline has — the win is batching
     the JVM↔Python transfer, not avoiding the per-image decode).
+
+    ``embed_fn``: pluggable embedding hook, ``(pd.Series of bytes) ->
+    sequence of list[float]`` — one vector per payload, any fixed
+    dimension.  This is the seam a REAL model plugs into (CLIP/audio
+    encoder over the Arrow batch); the default is the deterministic
+    sha256 fake so the pipeline stays value-checkable against the DuckDB
+    twin.  The callable is shipped to executors inside the mapInPandas
+    closure and runs once per Arrow batch — exactly the batch-inference
+    shape, never per row.
     """
     sniffed = sniff_kind(binary_df, payload_col)
+    if embed_fn is None:
+        embed_fn = lambda payloads: [_fake_features(p) for p in payloads]  # noqa: E731
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1408,9 +1423,20 @@ def extract_features(binary_df: DataFrame, payload_col: str = "payload") -> Data
                     "height": pd.array([m.get("height") for m in metas], dtype="Int32"),
                     "bit_depth": pd.array([m.get("bit_depth") for m in metas], dtype="Int32"),
                     "color_type": pd.array([m.get("color_type") for m in metas], dtype="Int32"),
-                    "features": [ _fake_features(p) for p in pdf[payload_col] ],
+                    "features": list(embed_fn(pdf[payload_col])),
                     "dhash": dhashes,
                 }
             )
 
     return sniffed.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+def features_as_embeddings(
+    feats: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Bridge extract_features output to the similarity/hybrid entry
+    points' (vec_id, embedding) contract — whatever ``embed_fn`` produced
+    becomes the ANN corpus, no copy: rows without a vector are dropped."""
+    return feats.where(F.col("features").isNotNull()).select(
+        F.col(id_col).alias("vec_id"), F.col("features").alias("embedding")
+    )

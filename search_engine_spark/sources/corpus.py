@@ -194,10 +194,7 @@ def load_iceberg_documents(
             f"tables (pure-Python metadata planner); {table!r} is not one"
         )
     try:
-        reader = spark.read
-        if snapshot_id is not None:
-            reader = reader.option("snapshot-id", str(snapshot_id))
-        df = reader.table(table)
+        df = _catalog_read(spark, table, snapshot_id)
     except Exception as e:
         if parquet_fallback is None:
             raise
@@ -215,6 +212,17 @@ def load_iceberg_documents(
         )
         df = spark.read.parquet(parquet_fallback)
     return add_docid(df) if "docid" not in df.columns else df
+
+
+def _catalog_read(spark: SparkSession, table: str, snapshot_id: int | None) -> DataFrame:
+    """The jar-backed catalog read, as its own seam: tests drive the
+    catalog BRANCH of load_iceberg_documents against a registered view
+    (spark.read.table resolves those without any Iceberg runtime), and the
+    true end-to-end remains the tests/test_sources.py jar-gated skip."""
+    reader = spark.read
+    if snapshot_id is not None:
+        reader = reader.option("snapshot-id", str(snapshot_id))
+    return reader.table(table)
 
 
 KAGGLE_SCHEMA = T.StructType(

@@ -1274,3 +1274,44 @@ def test_image_near_dup(spark):
     assert cc[1]["keep"] == 1
     assert cc[2]["keep"] == 0 and cc[2]["dup_of"] == 1
     assert cc[5]["keep"] == 0 and cc[5]["dup_of"] == 1
+
+
+def test_pluggable_embed_fn_feeds_ann_path(spark):
+    """Round-5 task: embed_fn is a seam — a custom (batch of payloads) →
+    vectors callable replaces the sha256 fake, and the ANN/hybrid entry
+    points consume ITS vectors through features_as_embeddings."""
+    from search_engine_spark.operators.multimodal import (
+        attach_fake_binary,
+        extract_features,
+        features_as_embeddings,
+    )
+    from search_engine_spark.operators.similarity import ann_topk, cosine_topk
+
+    docs = spark.createDataFrame(
+        [(i, "doc " + "x" * i) for i in range(1, 9)], "doc_id long, text string"
+    )
+    b = attach_fake_binary(docs)
+
+    def embed_fn(payloads):
+        # 4-dim vectors keyed on payload length — trivially predictable,
+        # nothing like the sha256 fake
+        return [[float(len(p)), 1.0, 0.0, 0.0] for p in payloads]
+
+    feats = extract_features(b, embed_fn=embed_fn)
+    got = {r["doc_id"]: r["features"] for r in feats.collect()}
+    assert all(len(v) == 4 and v[1] == 1.0 for v in got.values())
+    assert got[8][0] > got[1][0]  # longer payload → larger first component
+
+    # the ANN path ranks by THESE vectors: probe along the first axis →
+    # cosine favors the vectors most aligned with it (largest length)
+    emb = features_as_embeddings(feats)
+    top = cosine_topk(emb, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in top] == [8, 7, 6]
+    # LSH-bucketed variant consumes the same custom vectors
+    ann = ann_topk(emb, [1.0, 0.0, 0.0, 0.0], k=3, n_planes=2, n_probes=4)
+    assert ann.count() > 0
+
+    # the default (no embed_fn) still produces the value-checkable fake
+    default = {r["doc_id"]: r["features"] for r in extract_features(b).collect()}
+    assert len(default[1]) == 8
+    assert default[1] != got[1]

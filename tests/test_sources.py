@@ -61,3 +61,66 @@ def test_iceberg_parquet_fallback_warns(spark, tiny_df, tmp_path):
 def test_iceberg_no_fallback_raises(spark):
     with pytest.raises(Exception):
         load_iceberg_documents(spark, "no.such.catalog_table").count()
+
+
+def test_catalog_branch_via_registered_view(spark, tmp_path):
+    """The catalog BRANCH of load_iceberg_documents, driven without jars:
+    a registered view is a table source spark.read.table resolves, so the
+    branch's read + docid + refusal logic all run for real (round-4
+    verdict task 6).  Only the jar-backed snapshot-id OPTION semantics
+    remain covered by the gated test above."""
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(7)
+        .select(
+            F.lit("r").alias("repo"),
+            F.concat(F.lit("f"), F.col("id")).alias("path"),
+            F.lit("c").alias("commit"),
+            F.lit("py").alias("lang"),
+            F.concat(F.lit("def g"), F.col("id"), F.lit("(): pass")).alias(
+                "content"
+            ),
+        )
+        .createOrReplaceTempView("catalog_branch_view")
+    )
+    try:
+        df = load_iceberg_documents(spark, "catalog_branch_view")
+        assert df.count() == 7
+        assert "docid" in df.columns  # branch applies add_docid
+        # where/as_of are REFUSED on catalog tables — honoring them needs
+        # the metadata planner; silence would fake a filtered/pinned read
+        with pytest.raises(ValueError, match="only supported for filesystem"):
+            load_iceberg_documents(
+                spark, "catalog_branch_view", where=("lang", "=", "py")
+            )
+        with pytest.raises(ValueError, match="only supported for filesystem"):
+            load_iceberg_documents(spark, "catalog_branch_view", as_of_ms=1)
+    finally:
+        spark.catalog.dropTempView("catalog_branch_view")
+
+
+def test_catalog_read_seam_sets_snapshot_option(spark, monkeypatch):
+    """_catalog_read passes the snapshot pin as the reader option the
+    Iceberg runtime consumes (stubbed DataFrameReader records the call)."""
+    from search_engine_spark.sources.corpus import _catalog_read
+
+    calls = {}
+
+    class StubReader:
+        def option(self, k, v):
+            calls[k] = v
+            return self
+
+        def table(self, name):
+            calls["table"] = name
+            return "sentinel-df"
+
+    class StubSpark:
+        read = StubReader()
+
+    assert _catalog_read(StubSpark(), "cat.db.tbl", 42) == "sentinel-df"
+    assert calls == {"snapshot-id": "42", "table": "cat.db.tbl"}
+    calls.clear()
+    assert _catalog_read(StubSpark(), "cat.db.tbl", None) == "sentinel-df"
+    assert calls == {"table": "cat.db.tbl"}  # no spurious option
