@@ -3842,25 +3842,23 @@ sh AS (
          ELSE [] END AS sh
   FROM toks
 ),
-sizes AS (SELECT doc_id, len(sh) AS sz FROM sh),
-ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
 pairs AS (
   SELECT a.doc_id AS a, b.doc_id AS b
   FROM documents a, documents b
   WHERE a.doc_id % 25 = 0 AND b.doc_id % 25 = 7 AND a.doc_id < b.doc_id
 ),
-inter AS (
-  SELECT p.a, p.b, count(*) AS n_inter
-  FROM pairs p JOIN ex ea ON ea.doc_id = p.a JOIN ex eb ON eb.doc_id = p.b AND ea.g = eb.g
-  GROUP BY p.a, p.b
+ver AS (
+  SELECT p.a, p.b,
+         len(list_intersect(sa.sh, sb.sh)) AS n_inter,
+         len(sa.sh) AS sza, len(sb.sh) AS szb
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.a
+  JOIN sh sb ON sb.doc_id = p.b
 )
-SELECT p.a, p.b,
-       round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
-             / CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0) AS DOUBLE), 6) AS metric
-FROM pairs p
-JOIN sizes sa ON sa.doc_id = p.a
-JOIN sizes sb ON sb.doc_id = p.b
-LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+SELECT a, b,
+       round(CAST(n_inter AS DOUBLE)
+             / CAST(sza + szb - n_inter AS DOUBLE), 6) AS metric
+FROM ver
 )
 UNION ALL
 SELECT 'embedding' AS variant, a, b, metric FROM (
@@ -3993,21 +3991,14 @@ sh AS (
          ELSE [] END AS sh
   FROM toks
 ),
-sizes AS (SELECT doc_id, len(sh) AS sz FROM sh),
-ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
-inter AS (
-  SELECT p.a, p.b, count(*) AS n_inter
-  FROM cand p JOIN ex ea ON ea.doc_id = p.a JOIN ex eb ON eb.doc_id = p.b AND ea.g = eb.g
-  GROUP BY p.a, p.b
-),
 ver AS (
   SELECT p.a, p.b,
-         CAST(coalesce(i.n_inter, 0) AS DOUBLE)
-           / CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / CAST(len(sa.sh) + len(sb.sh)
+                  - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS jaccard
   FROM cand p
-  JOIN sizes sa ON sa.doc_id = p.a
-  JOIN sizes sb ON sb.doc_id = p.b
-  LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+  JOIN sh sa ON sa.doc_id = p.a
+  JOIN sh sb ON sb.doc_id = p.b
 ),
 dropped AS (SELECT b, min(a) AS dup_of FROM ver WHERE jaccard >= 0.5 GROUP BY b),
 sym AS (
