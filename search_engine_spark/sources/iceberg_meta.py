@@ -1057,13 +1057,24 @@ def _write_metadata_version(location: str, version: int, meta: dict) -> None:
         # committers cannot both publish vN — rename(2) would let the
         # loser silently clobber the winner
         os.link(tmp, path)
+        os.unlink(tmp)
     except FileExistsError:
+        os.unlink(tmp)
         raise FileExistsError(
             f"{path} exists — concurrent commit detected (optimistic "
             "concurrency: re-read the table and retry the commit)"
         ) from None
-    finally:
-        os.unlink(tmp)
+    except OSError:
+        # filesystem without hard links (some fuse/object-store mounts):
+        # fall back to exists-check + rename — weaker (a narrow race
+        # window remains), but commits still land atomically-per-file
+        if os.path.exists(path):
+            os.unlink(tmp)
+            raise FileExistsError(
+                f"{path} exists — concurrent commit detected (optimistic "
+                "concurrency: re-read the table and retry the commit)"
+            ) from None
+        os.rename(tmp, path)
     with open(os.path.join(mdir, "version-hint.text"), "w") as f:
         f.write(str(version))
 
