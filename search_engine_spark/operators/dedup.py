@@ -44,6 +44,12 @@ SHINGLE_K = 3  # tokens per MinHash/Jaccard shingle
 # (DuckDB raises on BIGINT overflow — silent wraparound is not portable)
 MINHASH_PRIME = 2_147_483_647
 
+# identifies the signature CONSTRUCTION: persisted signature stores
+# (streaming/dedup.py) record this and refuse to mix families — old
+# per-permutation-md5 signatures never agree with affine-family ones, so
+# a silent mix would let every cross-family near-dup slip through
+MINHASH_FAMILY = "md5x1-affine-p31"
+
 
 def minhash_params(n_hashes: int = N_MINHASHES) -> list[tuple[int, int]]:
     """Deterministic affine constants (a_i, b_i), a_i ∈ [1, p-1], b_i ∈ [0, p-1].

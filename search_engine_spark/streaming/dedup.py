@@ -36,9 +36,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.dedup import LSH_BANDS, N_MINHASHES, minhash_signatures
+from ..operators.dedup import (
+    LSH_BANDS,
+    MINHASH_FAMILY,
+    N_MINHASHES,
+    minhash_signatures,
+)
 
 SIG_STORE = "_dedup/signatures"
+SIG_META = "_dedup/_sig_meta"
 
 
 def _sig_cols(n_hashes: int) -> list[str]:
@@ -80,19 +86,48 @@ def _est_col(n_hashes: int, left: str = "l", right: str = "r") -> F.Column:
 
 
 def read_signature_store(spark, root: str, n_hashes: int = N_MINHASHES) -> DataFrame | None:
-    """The committed signature store, or None before the first append."""
+    """The committed signature store, or None before the first append.
+
+    Refuses a store from a DIFFERENT signature family: stored minima from
+    one hash construction never agree with fresh ones from another, so a
+    silent mix would wave every cross-family near-duplicate through."""
     path = f"{root}/{SIG_STORE}"
     try:
         spark.catalog.refreshByPath(path)
-        return spark.read.parquet(path).select("docid", *_sig_cols(n_hashes))
+        store = spark.read.parquet(path).select("docid", *_sig_cols(n_hashes))
     except Exception:
         return None
+    from ..sources.index_io import read_meta_file
+
+    try:
+        family = read_meta_file(spark, f"{root}/{SIG_META}").get("family")
+    except Exception:
+        family = None
+    if family != MINHASH_FAMILY:
+        raise ValueError(
+            f"signature store at {path} was written by family "
+            f"{family or 'unknown (pre-family store)'} but this build uses "
+            f"{MINHASH_FAMILY!r} — estimates across families are garbage. "
+            "Rebuild the store: delete the index's _dedup/ directory and "
+            "re-screen on the next ingest (committed docs re-sign via "
+            "compaction-time batch dedup)."
+        )
+    return store
 
 
 def append_signatures(sigs: DataFrame, root: str) -> None:
     """Append a batch's (docid, sig_*) rows — call AFTER the batch commits
     (see module docstring for the crash-order argument)."""
     sigs.write.mode("append").parquet(f"{root}/{SIG_STORE}")
+    from ..sources.index_io import read_meta_file, write_meta_file
+
+    spark = sigs.sparkSession
+    try:
+        read_meta_file(spark, f"{root}/{SIG_META}")
+    except Exception:
+        write_meta_file(
+            spark, f"{root}/{SIG_META}", {"family": MINHASH_FAMILY}, overwrite=False
+        )
 
 
 def drop_near_duplicates(

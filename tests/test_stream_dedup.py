@@ -161,3 +161,38 @@ def test_fsck_reports_signature_coverage(spark, tmp_path):
     res2 = verify_index(spark, root)
     assert not res2["dedup_signature_coverage"]["ok"]
     assert res2["dedup_signature_coverage"]["bad"] == 1
+
+
+def test_signature_store_refuses_foreign_family(spark, tmp_path):
+    """A store written under a different MinHash construction must refuse
+    loudly — cross-family signature comparisons silently pass every
+    near-dup (round-5 family-versioning guard)."""
+    import pytest as _pytest
+
+    from search_engine_spark.operators.dedup import minhash_signatures
+    from search_engine_spark.sources.index_io import write_meta_file
+    from search_engine_spark.streaming.dedup import (
+        SIG_META,
+        append_signatures,
+        read_signature_store,
+    )
+
+    root = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "docid long, text string",
+    )
+    sigs = minhash_signatures(docs, id_col="docid")
+    append_signatures(sigs, root)
+    # freshly appended store carries the current family → reads fine
+    assert read_signature_store(spark, root).count() == 2
+    # a store stamped with another family refuses
+    write_meta_file(spark, f"{root}/{SIG_META}", {"family": "md5x8-legacy"},
+                    overwrite=True)
+    with _pytest.raises(ValueError, match="family"):
+        read_signature_store(spark, root)
+    # an unstamped (pre-family) store also refuses, naming the situation
+    root2 = str(tmp_path / "idx2")
+    sigs.write.mode("append").parquet(f"{root2}/_dedup/signatures")
+    with _pytest.raises(ValueError, match="pre-family"):
+        read_signature_store(spark, root2)
