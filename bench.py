@@ -1033,10 +1033,11 @@ def main() -> None:
                 n_entries = n_manifests * per_manifest
                 plan_dir = os.path.join(big_root, "plan_bench")
                 os.makedirs(plan_dir, exist_ok=True)
-                t0 = time.monotonic()
-                mlist = []
-                for mi in range(n_manifests):
-                    synth = [
+                # synthesize OUTSIDE the encode timer: enc_s must measure
+                # the Avro codec alone (comparable with prior rounds), not
+                # Python dict construction
+                synth_by_manifest = [
+                    [
                         {
                             "status": 1,
                             "snapshot_id": 1,
@@ -1053,26 +1054,34 @@ def main() -> None:
                         }
                         for i in range(per_manifest)
                     ]
-                    mpath = os.path.join(plan_dir, f"manifest-{mi:03d}.avro")
+                    for mi in range(n_manifests)
+                ]
+                mpaths = [
+                    os.path.join(plan_dir, f"manifest-{mi:03d}.avro")
+                    for mi in range(n_manifests)
+                ]
+                t0 = time.monotonic()
+                for mpath, synth in zip(mpaths, synth_by_manifest):
                     _im.write_avro_file(mpath, synth, _im.MANIFEST_ENTRY_SCHEMA)
-                    mlist.append(
-                        {
-                            "manifest_path": mpath,
-                            "manifest_length": os.path.getsize(mpath),
-                            "partition_spec_id": 0,
-                            "content": 0,
-                            "sequence_number": 1,
-                            "min_sequence_number": 1,
-                            "added_snapshot_id": 1,
-                            "added_files_count": per_manifest,
-                            "existing_files_count": 0,
-                            "deleted_files_count": 0,
-                            "added_rows_count": per_manifest * 1000,
-                            "existing_rows_count": 0,
-                            "deleted_rows_count": 0,
-                        }
-                    )
                 enc_s = time.monotonic() - t0
+                mlist = [
+                    {
+                        "manifest_path": mpath,
+                        "manifest_length": os.path.getsize(mpath),
+                        "partition_spec_id": 0,
+                        "content": 0,
+                        "sequence_number": 1,
+                        "min_sequence_number": 1,
+                        "added_snapshot_id": 1,
+                        "added_files_count": per_manifest,
+                        "existing_files_count": 0,
+                        "deleted_files_count": 0,
+                        "added_rows_count": per_manifest * 1000,
+                        "existing_rows_count": 0,
+                        "deleted_rows_count": 0,
+                    }
+                    for mpath in mpaths
+                ]
                 list_path = os.path.join(plan_dir, "manifest-list.avro")
                 _im.write_avro_file(list_path, mlist, _im.MANIFEST_LIST_SCHEMA)
                 synth_tbl = _im.IcebergTable(
@@ -1167,10 +1176,14 @@ def main() -> None:
         child = None
         for line in reversed(proc.stdout.strip().splitlines()):
             try:
-                child = json.loads(line)
-                break
+                cand = json.loads(line)
             except json.JSONDecodeError:
                 continue
+            # a stray JSON-parseable scalar on stdout must not crash the
+            # merge after both suites already ran
+            if isinstance(cand, dict) and "queries" in cand:
+                child = cand
+                break
         if child is None:
             low_parallelism = {"error": f"child rc={proc.returncode}"}
         else:
@@ -1183,10 +1196,19 @@ def main() -> None:
             pool = [p for p in pool if p[2] is not None]
             pool.sort(key=lambda p: -p[1])
             top = pool[:12]
+            # ideal speedup between the two levels: the nominal core
+            # ratio AND the measured process-level ceiling ratio from the
+            # same-run burns (the host quota keeps 32 threads well under
+            # 32×, so the ceiling ratio is the honest denominator —
+            # reported separately so both normalizations are auditable)
+            ceil_hi = (cpu_start.get("par_speedup") or 0) if cpu_start else 0
+            child_ceil = (child.get("cpu_ceiling") or {}).get("start") or {}
+            ceil_lo = child_ceil.get("par_speedup") or 0
+            ceil_ratio = (ceil_hi / ceil_lo) if ceil_hi and ceil_lo else None
             eff = {}
             for name, t_hi, t_lo in top:
                 if t_hi > 0 and t_lo > 0:
-                    eff[name] = {
+                    entry = {
                         "high_sec": t_hi,
                         "low_sec": t_lo,
                         "speedup": round(t_lo / t_hi, 3),
@@ -1194,8 +1216,15 @@ def main() -> None:
                             (t_lo / t_hi) / (cpus / dual), 3
                         ),
                     }
+                    if ceil_ratio:
+                        entry["efficiency_vs_ceiling"] = round(
+                            (t_lo / t_hi) / ceil_ratio, 3
+                        )
+                    eff[name] = entry
             low_parallelism = {
                 "cpus": dual,
+                "ideal_speedup_nominal": round(cpus / dual, 3),
+                "ideal_speedup_ceiling": round(ceil_ratio, 3) if ceil_ratio else None,
                 "value": child.get("value"),
                 "queries": {k: child["queries"][k] for k in ranked[:12] if k in child["queries"]},
                 "scale_queries": child_scale_q,

@@ -56,13 +56,9 @@ def _data_manifests(tbl: iceberg_meta.IcebergTable, snap: dict) -> list[dict]:
     return [m for m in manifests if m.get("content", 0) == 0]
 
 
-def _decode_one(task: tuple, preds, fields) -> tuple[int, bytes]:
-    """(manifest idx, path, default seq) → (idx, pickled live-entry list).
-
-    Runs on executors; uses only iceberg_meta's pure-Python codec.  The
-    status filter and bounds pruning run HERE so pruned tables ship only
-    surviving entries back."""
-    midx, path, seq_default = task
+def _decode_manifest(path: str, seq_default: int, preds, fields) -> list[dict]:
+    """One manifest file → live (status-filtered, bounds-pruned) entries —
+    the exact per-manifest loop body of IcebergTable.plan_files."""
     entries, _, _ = iceberg_meta.read_avro_file(path)
     out = []
     for e in entries:
@@ -79,7 +75,18 @@ def _decode_one(task: tuple, preds, fields) -> tuple[int, bytes]:
             else seq_default
         )
         out.append(df_)
-    return midx, pickle.dumps(out, protocol=4)
+    return out
+
+
+def _decode_one(task: tuple, preds, fields) -> tuple[int, bytes]:
+    """(manifest idx, path, default seq) → (idx, pickled live-entry list).
+
+    Runs on executors; the status filter and bounds pruning run THERE so
+    pruned tables ship only surviving entries back."""
+    midx, path, seq_default = task
+    return midx, pickle.dumps(
+        _decode_manifest(path, seq_default, preds, fields), protocol=4
+    )
 
 
 def _decoded_blobs(
@@ -120,12 +127,25 @@ def plan_files_distributed(
     if snap is None:
         return []
     manifests = _data_manifests(tbl, snap)
-    if len(manifests) < min_manifests:
-        return tbl.plan_files(snapshot_id=snapshot_id, as_of_ms=as_of_ms, where=where)
     preds = fields = None
     if where is not None:
         preds = [where] if isinstance(where, tuple) else list(where)
         fields = tbl.schema_fields()
+    if len(manifests) < min_manifests:
+        # driver walk over the ALREADY-decoded manifest list (calling
+        # tbl.plan_files here would re-resolve the snapshot and re-decode
+        # the manifest-list Avro — a duplicate read on every steady-state
+        # small-table plan)
+        files: list[dict] = []
+        local = tbl._local
+        for m in manifests:
+            files.extend(
+                _decode_manifest(
+                    local(m["manifest_path"]), int(m["sequence_number"]),
+                    preds, fields,
+                )
+            )
+        return files
     blobs = _decoded_blobs(spark, tbl, manifests, preds, fields).collect()
     # task completion order is nondeterministic — restore the
     # manifest-list walk order so the two planners are list-identical

@@ -117,17 +117,23 @@ def read_signature_store(spark, root: str, n_hashes: int = N_MINHASHES) -> DataF
 
 def append_signatures(sigs: DataFrame, root: str) -> None:
     """Append a batch's (docid, sig_*) rows — call AFTER the batch commits
-    (see module docstring for the crash-order argument)."""
-    sigs.write.mode("append").parquet(f"{root}/{SIG_STORE}")
-    from ..sources.index_io import read_meta_file, write_meta_file
+    (see module docstring for the crash-order argument).
 
-    spark = sigs.sparkSession
-    try:
-        read_meta_file(spark, f"{root}/{SIG_META}")
-    except Exception:
-        write_meta_file(
-            spark, f"{root}/{SIG_META}", {"family": MINHASH_FAMILY}, overwrite=False
-        )
+    The family stamp is published BEFORE the parquet append: the reverse
+    order would leave a crash window (rows landed, stamp missing) in which
+    read_signature_store permanently refuses the root's own store as
+    foreign — a benign crash must never wedge future ingests.  A stamp
+    with no rows is harmless (store-absent reads return None without ever
+    consulting the stamp).  write_meta_file with overwrite=False is a
+    no-op when the stamp exists, so steady-state batches pay one
+    existence probe, not a rewrite."""
+    from ..sources.index_io import write_meta_file
+
+    write_meta_file(
+        sigs.sparkSession, f"{root}/{SIG_META}", {"family": MINHASH_FAMILY},
+        overwrite=False,
+    )
+    sigs.write.mode("append").parquet(f"{root}/{SIG_STORE}")
 
 
 def drop_near_duplicates(
