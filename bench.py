@@ -689,19 +689,27 @@ def main() -> None:
 
             big_root = tempfile.mkdtemp(prefix="bench_scale_")
             big_src = os.path.join(big_root, "docs")
+            from search_engine_spark.operators.index_build import add_docid
+
+            # PRODUCTION docids (63-bit xxhash64 via add_docid), not the
+            # testdata's sequential ints: sequential ids have zero top
+            # bits, which collapses BOTH top-bit salting (build warns) and
+            # ShardedWand's docid-range shards into one hot partition —
+            # the scale numbers were silently measuring a 1-shard
+            # degenerate traversal (15 empty tasks + 1 straggler)
             (
-                docs.withColumn(
-                    "rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1)))
-                )
-                .select(
-                    (F.col("docid") + F.col("rep") * F.lit(n_files)).alias("docid"),
-                    "repo",
-                    F.concat_ws(
-                        "/", F.col("rep").cast("string"), F.col("path")
-                    ).alias("path"),
-                    "commit",
-                    "lang",
-                    "content",
+                add_docid(
+                    docs.withColumn(
+                        "rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1)))
+                    ).select(
+                        "repo",
+                        F.concat_ws(
+                            "/", F.col("rep").cast("string"), F.col("path")
+                        ).alias("path"),
+                        "commit",
+                        "lang",
+                        "content",
+                    )
                 )
                 .repartition(cpus)
                 .write.mode("overwrite")

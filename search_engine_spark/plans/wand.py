@@ -533,6 +533,25 @@ class ShardedWand:
             .repartition(n_shards, "shard")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        if n_shards > 1:
+            # range shards are docid TOP-BIT buckets — sound for the
+            # engine's hashed docids (add_docid), degenerate for small
+            # sequential ids (every doc < 2^shift → shard 0 does all the
+            # work while n-1 tasks idle).  Same failure mode the build
+            # warns about for top-bit salting; one max() scan of the
+            # docid column is cheap next to the norms persist.
+            max_id = index.docstats.agg(F.max("docid")).collect()[0][0]
+            if (max_id or 0) < (1 << self._shift):
+                import warnings
+
+                warnings.warn(
+                    f"all docids < 2^{self._shift}: docid-range sharding "
+                    f"collapses to ONE hot shard of {n_shards} — the "
+                    "traversal still answers correctly but does not "
+                    "parallelize. Build with hashed docids (add_docid) "
+                    "for sharded WAND.",
+                    stacklevel=2,
+                )
 
     def close(self) -> None:
         self._norms.unpersist()
