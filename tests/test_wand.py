@@ -459,3 +459,27 @@ def test_wand_code_analyzer_splits_query_tokens(spark, tiny_df):
         assert ex and wd == ex
     finally:
         eng.close()
+
+
+def test_sharded_wand_warns_on_degenerate_docid_range(spark):
+    """Sequential (zero-top-bit) docids collapse range shards onto shard 0;
+    the constructor must say so and point at add_docid (round-5 guard —
+    the bench measured a 15-idle-tasks straggler before this)."""
+    import warnings as _w
+
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.plans.wand import ShardedWand
+
+    docs = spark.createDataFrame(
+        [
+            (i, "r", f"f{i}", "c", "py", f"alpha beta gamma doc{i}")
+            for i in range(8)
+        ],
+        "docid long, repo string, path string, commit string, lang string, content string",
+    )
+    idx = build_index(spark, docs)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        w = ShardedWand(idx, n_shards=4)
+        w.close()
+    assert any("add_docid" in str(c.message) for c in caught)
